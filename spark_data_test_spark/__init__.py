@@ -1,0 +1,42 @@
+"""spark_data_test_spark — a PySpark-native data comparison & analytics engine.
+
+A clean-room, Spark-first implementation of the capabilities of the
+``spark_data_test`` reference library (DataFrame comparison keyed by
+primary keys → overall / row-level / column-level / unmatched-value
+reports), extended with the operator surface a large-scale training-data
+pipeline needs: deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), embedding similarity search, text analysis, multimodal binary
+columns, and Structured Streaming windowed aggregation — all designed
+for 100 TB-class inputs (narrow persisted projections, broadcast-aware
+joins, AQE, no row-at-a-time Python in hot paths).
+"""
+
+from spark_data_test_spark.entities.config import (
+    ComparisonJobConfig,
+    DataframeConfig,
+    DatasetConfig,
+    DatasetParams,
+    OutputConfig,
+    TestParams,
+)
+from spark_data_test_spark.jobs import (
+    run_comparison_job,
+    run_comparison_job_from_dfs,
+    write_results,
+)
+from spark_data_test_spark.operators.comparison import compare_dataframes
+
+__all__ = [
+    "ComparisonJobConfig",
+    "DataframeConfig",
+    "DatasetConfig",
+    "DatasetParams",
+    "OutputConfig",
+    "TestParams",
+    "compare_dataframes",
+    "run_comparison_job",
+    "run_comparison_job_from_dfs",
+    "write_results",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,56 @@
+"""Row-identity checksums (SURVEY.md §2.7 F1/F2).
+
+Two modes:
+
+* ``sha256`` — bit-identical to the reference:
+  ``sha2(concat_ws("", *cols), 256)``
+  (/root/reference/spark_data_test/jobs/comparison_job.py:40-43).
+  ``concat_ws`` implicitly casts to string and *skips* NULLs, so a row
+  with (NULL, "x") collides with ("x", NULL) and with ("", "x"). Kept
+  for output parity.
+
+* ``xxhash64`` — the 100 TB path. Canonicalizes every column first:
+  ``coalesce(cast(col as string), NUL-sentinel)`` joined with a
+  unit-separator, so NULL, "", and column-shift collisions are
+  impossible; then hashes with the JVM-side 64-bit xxHash — an order of
+  magnitude cheaper than SHA-256 and 8 bytes instead of a 64-char hex
+  string in the shuffle/persist footprint (matters when the narrow
+  (keys, checksum) projection of a 100 TB table is what gets persisted).
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.constants import (
+    CHECKSUM_MODE_SHA256,
+    CHECKSUM_MODE_XXHASH64,
+    EMPTY_STR,
+)
+
+# ASCII NUL / unit-separator: cannot appear in cast-to-string output of
+# any Spark atomic type, so the canonical encoding is injective.
+_NULL_SENTINEL = "\x00"
+_FIELD_SEP = "\x1f"
+
+
+def reference_checksum(cols):
+    """The reference's checksum, byte-for-byte (comparison_job.py:40-43)."""
+    return F.sha2(F.concat_ws(EMPTY_STR, *[F.col(c) for c in cols]), 256)
+
+
+def canonical_encoding(cols):
+    """Injective string encoding of a row: NULL-safe, separator-framed."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.concat_ws(_FIELD_SEP, *parts)
+
+
+def canonical_checksum(cols):
+    """64-bit collision-hardened row checksum (scale path)."""
+    return F.xxhash64(canonical_encoding(cols)).cast("string")
+
+
+def row_checksum(cols, mode=CHECKSUM_MODE_SHA256):
+    if mode == CHECKSUM_MODE_XXHASH64:
+        return canonical_checksum(cols)
+    return reference_checksum(cols)

@@ -1,0 +1,291 @@
+"""Golden-fixture parity with the reference test suite.
+
+Fixture data and every expected number replicate
+/root/reference/tests/test_comparison_job.py:17-125 (documented in
+FIXTURES.md §A): duplicates on both sides (id=3, 2x2 -> dup_count 3),
+missing-at-target rows (id=1, id=4), NULL==NULL matches, string
+mismatches surviving tolerance (id=7 value/value2), and a numeric delta
+inside tolerance (id=7 value4: |7.1-7.0| <= 0.1 -> matched).
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.testing import assertDataFrameEqual
+
+from spark_data_test_spark import (
+    ComparisonJobConfig,
+    DataframeConfig,
+    DatasetConfig,
+    DatasetParams,
+    OutputConfig,
+    TestParams,
+    compare_dataframes,
+    run_comparison_job,
+    run_comparison_job_from_dfs,
+)
+from spark_data_test_spark.constants import (
+    ALL_ROWS_MATCHED_COL,
+    COL_LVL_TEST_REPORT_KEY,
+    COL_NAME,
+    COUNT_COL,
+    DUPLICATE_COUNT_COL,
+    FAILED_STATUS,
+    MATCHED_COUNT_COL,
+    MISSING_AT_TARGET_STATUS,
+    MISSING_ROW_STATUS_COL,
+    MISSING_ROWS_COL,
+    OVERALL_TEST_REPORT_KEY,
+    PRESENT_IN_BOTH_STATUS,
+    ROW_LVL_TEST_REPORT_KEY,
+    TEST_STATUS_COL,
+    UNMATCHED_RECORDS_KEY,
+    UNMATCHED_ROWS_COUNT_COL,
+)
+
+JOB_NAME = "unit-testing"
+
+
+@pytest.fixture(scope="module")
+def sample_data(spark):
+    source = spark.createDataFrame(
+        [
+            Row(id=1, value="foo", value2="foo", value3=True, value4=1.0),
+            Row(id=3, value=None, value2=None, value3=False, value4=3.0),
+            Row(id=3, value=None, value2=None, value3=False, value4=3.0),
+            Row(id=4, value=None, value2=None, value3=False, value4=4.0),
+            Row(id=7, value="foo7", value2="foo2", value3=False, value4=7.1),
+        ]
+    )
+    target = spark.createDataFrame(
+        [
+            Row(id=3, value=None, value2=None, value3=False, value4=3.0),
+            Row(id=3, value=None, value2=None, value3=False, value4=3.0),
+            Row(id=7, value="foo", value2="foo3", value3=False, value4=7.0),
+        ]
+    )
+    return source, target
+
+
+@pytest.fixture(scope="module")
+def params():
+    return DatasetParams(
+        dataset_name="pytest_job",
+        primary_keys=["id"],
+        test_params=TestParams(difference_tolerance=0.1),
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark, sample_data, params):
+    source, target = sample_data
+    return compare_dataframes(spark, source, target, params)
+
+
+def test_overall_report(result):
+    row = result[OVERALL_TEST_REPORT_KEY].first()
+    assert row[COUNT_COL]["source"] == 5 and row[COUNT_COL]["target"] == 3
+    assert row[MATCHED_COUNT_COL] == 1
+    assert row[DUPLICATE_COUNT_COL]["source"] == 1
+    assert row[DUPLICATE_COUNT_COL]["target"] == 1
+    assert row[MISSING_ROWS_COL]["source"] == 0
+    assert row[MISSING_ROWS_COL]["target"] == 2
+    assert row[TEST_STATUS_COL] == FAILED_STATUS
+
+
+def test_row_level_report(result):
+    report = result[ROW_LVL_TEST_REPORT_KEY]
+    rows = {r["id"]: r for r in report.collect()}
+    assert report.count() == 4
+    assert rows[1][MISSING_ROW_STATUS_COL] == MISSING_AT_TARGET_STATUS
+    assert rows[3][MISSING_ROW_STATUS_COL] == PRESENT_IN_BOTH_STATUS
+    assert rows[3][DUPLICATE_COUNT_COL] == 3
+    assert rows[3][ALL_ROWS_MATCHED_COL]
+    assert rows[4][MISSING_ROW_STATUS_COL] == MISSING_AT_TARGET_STATUS
+    assert not rows[7][ALL_ROWS_MATCHED_COL]
+
+
+def test_column_level_report(result):
+    report = result[COL_LVL_TEST_REPORT_KEY]
+    counts = {r[COL_NAME]: r[UNMATCHED_ROWS_COUNT_COL] for r in report.collect()}
+    assert report.count() == 4
+    # value/value2 mismatch on id=7; value3 equal; value4 saved by tolerance
+    assert counts == {"value": 1, "value2": 1, "value3": 0, "value4": 0}
+
+
+def test_unmatched_records_dumps(result):
+    dumps = result[UNMATCHED_RECORDS_KEY]
+    assert set(dumps) == {"pytest_job/value", "pytest_job/value2"}
+    value_rows = dumps["pytest_job/value"].collect()
+    assert len(value_rows) == 1
+    assert value_rows[0]["id"] == 7
+    assert value_rows[0]["value_src"] == "foo7"
+    assert value_rows[0]["value_target"] == "foo"
+
+
+def test_tolerance_zero_fails_value4(spark, sample_data):
+    source, target = sample_data
+    res = compare_dataframes(
+        spark,
+        source,
+        target,
+        DatasetParams(dataset_name="tol0", primary_keys=["id"]),
+    )
+    counts = {
+        r[COL_NAME]: r[UNMATCHED_ROWS_COUNT_COL]
+        for r in res[COL_LVL_TEST_REPORT_KEY].collect()
+    }
+    assert counts["value4"] == 1
+
+
+def test_canonical_checksum_distinguishes_null_from_empty(spark):
+    # The reference checksum collides NULL with "" (concat_ws skips
+    # NULLs); the xxhash64 canonical mode must not.
+    source = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    target = spark.createDataFrame([(1, "", "x")], "id long, a string, b string")
+    params = DatasetParams(
+        dataset_name="canon",
+        primary_keys=["id"],
+        test_params=TestParams(checksum_mode="xxhash64"),
+    )
+    res = compare_dataframes(spark, source, target, params)
+    assert res[OVERALL_TEST_REPORT_KEY].first()[TEST_STATUS_COL] == FAILED_STATUS
+    # reference mode: collision -> PASSED (parity with reference semantics)
+    res_ref = compare_dataframes(
+        spark,
+        source,
+        target,
+        DatasetParams(dataset_name="ref", primary_keys=["id"]),
+    )
+    assert res_ref[OVERALL_TEST_REPORT_KEY].first()[TEST_STATUS_COL] == "PASSED"
+
+
+def test_composite_primary_keys(spark):
+    source = spark.createDataFrame(
+        [Row(k1=1, k2="a", v=1.0), Row(k1=1, k2="b", v=2.0), Row(k1=2, k2="a", v=3.0)]
+    )
+    target = spark.createDataFrame(
+        [Row(k1=1, k2="a", v=1.0), Row(k1=1, k2="b", v=9.0)]
+    )
+    res = compare_dataframes(
+        spark,
+        source,
+        target,
+        DatasetParams(dataset_name="composite", primary_keys=["k1", "k2"]),
+    )
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    assert overall[COUNT_COL]["source"] == 3 and overall[COUNT_COL]["target"] == 2
+    assert overall[MATCHED_COUNT_COL] == 1
+    assert overall[MISSING_ROWS_COL]["target"] == 1
+
+
+def test_select_drop_cols(spark, sample_data):
+    # Non-default select/drop: latent analysis bug in the reference
+    # (comparison_job.py:187 reads pre-select columns); our engine
+    # computes non-key columns post-select/drop so this must work.
+    source, target = sample_data
+    res = compare_dataframes(
+        spark,
+        source,
+        target,
+        DatasetParams(
+            dataset_name="dropped",
+            primary_keys=["id"],
+            drop_cols=["value", "value2"],
+            test_params=TestParams(difference_tolerance=0.1),
+        ),
+    )
+    counts = {
+        r[COL_NAME]: r[UNMATCHED_ROWS_COUNT_COL]
+        for r in res[COL_LVL_TEST_REPORT_KEY].collect()
+    }
+    assert set(counts) == {"value3", "value4"}
+    # id=7 row now matches entirely (value3 equal, value4 within tolerance)
+    assert res[OVERALL_TEST_REPORT_KEY].first()[MATCHED_COUNT_COL] == 2
+
+
+@pytest.fixture(scope="module")
+def job_output(spark, tmp_path_factory, sample_data, params):
+    source, target = sample_data
+    out = str(tmp_path_factory.mktemp("from_dfs"))
+    output_config = OutputConfig(output_dir=out, no_of_partitions=1)
+    run_comparison_job_from_dfs(spark, JOB_NAME, source, target, params, output_config)
+    return out
+
+
+def test_e2e_write_read_back(spark, job_output):
+    overall = spark.read.parquet(f"{job_output}/{JOB_NAME}/overall_test_report")
+    assert overall.count() == 1
+    row_lvl = spark.read.parquet(f"{job_output}/{JOB_NAME}/row_lvl_test_report")
+    assert row_lvl.count() == 4
+    col_lvl = spark.read.parquet(f"{job_output}/{JOB_NAME}/col_lvl_test_report")
+    assert col_lvl.count() == 4
+    dumps = spark.read.parquet(
+        f"{job_output}/{JOB_NAME}/unmatched_rows/pytest_job/value"
+    )
+    assert dumps.count() == 1
+
+
+def test_config_path_equivalence(spark, tmp_path, sample_data, params, job_output):
+    """Config-driven path produces identical reports to the direct path
+    (reference tests/test_comparison_job.py:80-83)."""
+    source, target = sample_data
+    source.write.mode("overwrite").parquet(f"{tmp_path}/in/src")
+    target.write.mode("overwrite").parquet(f"{tmp_path}/in/tgt")
+    config = ComparisonJobConfig(
+        job_name=JOB_NAME,
+        dataset_configs=[
+            DatasetConfig(
+                params=params,
+                source_config=DataframeConfig(path=f"{tmp_path}/in/src"),
+                target_config=DataframeConfig(path=f"{tmp_path}/in/tgt"),
+            )
+        ],
+        output_config=OutputConfig(output_dir=f"{tmp_path}/out", no_of_partitions=1),
+    )
+    run_comparison_job(spark, config)
+    for report in ("overall_test_report", "row_lvl_test_report", "col_lvl_test_report"):
+        a = spark.read.parquet(f"{tmp_path}/out/{JOB_NAME}/{report}")
+        b = spark.read.parquet(f"{job_output}/{JOB_NAME}/{report}")
+        assertDataFrameEqual(a, b)
+
+
+def test_multi_dataset_consolidation(spark, tmp_path, sample_data):
+    source, target = sample_data
+    source.write.mode("overwrite").parquet(f"{tmp_path}/in/src")
+    target.write.mode("overwrite").parquet(f"{tmp_path}/in/tgt")
+    ds = lambda name: DatasetConfig(
+        params=DatasetParams(
+            dataset_name=name,
+            primary_keys=["id"],
+            test_params=TestParams(difference_tolerance=0.1),
+        ),
+        source_config=DataframeConfig(path=f"{tmp_path}/in/src"),
+        target_config=DataframeConfig(path=f"{tmp_path}/in/tgt"),
+    )
+    config = ComparisonJobConfig(
+        job_name="multi",
+        dataset_configs=[ds("ds_a"), ds("ds_b")],
+        output_config=OutputConfig(output_dir=f"{tmp_path}/out"),
+    )
+    run_comparison_job(spark, config)
+    overall = spark.read.parquet(f"{tmp_path}/out/multi/overall_test_report")
+    assert overall.count() == 2
+    assert {r["dataset_name"] for r in overall.collect()} == {"ds_a", "ds_b"}
+
+
+def test_partitioned_unmatched_layout(spark, tmp_path, sample_data, params):
+    source, target = sample_data
+    run_comparison_job_from_dfs(
+        spark,
+        "pjob",
+        source,
+        target,
+        params,
+        OutputConfig(output_dir=str(tmp_path), partitioned_unmatched=True),
+    )
+    dumps = spark.read.parquet(f"{tmp_path}/pjob/unmatched_rows")
+    assert dumps.count() == 2
+    assert set(dumps.select("column_name").toPandas()["column_name"]) == {
+        "value",
+        "value2",
+    }
