@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the comparison engine's
+flattened overall report over a perturbed orders pair at sf0.001).
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the north-star extensions; ``oracle_sql()`` the matching DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -14,25 +13,38 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    import spark_data_test_spark.operators.relational as relational
+    import spark_data_test_spark.operators.comparison_queries  # noqa: F401 (registers)
+
+    for mod_name in (
+        "spark_data_test_spark.operators.dedup",
+        "spark_data_test_spark.operators.similarity",
+        "spark_data_test_spark.operators.text",
+        "spark_data_test_spark.operators.multimodal",
+        "spark_data_test_spark.streaming.windows",
+    ):
+        try:
+            __import__(mod_name)
+        except ImportError:
+            pass
+    return relational.QUERIES, relational.ORACLES
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    queries_map, _ = _registry()
+    return queries_map["compare_overall_report"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    queries_map, _ = _registry()
+    return dict(queries_map)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted entries get
+    the driver's weaker rows-only check)."""
+    _, oracles_map = _registry()
+    return dict(oracles_map)

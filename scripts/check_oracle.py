@@ -1,0 +1,149 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value hash with strict cell
+canonicalization (bit-exact floats). If this passes, the driver's
+CORRECTNESS check passes.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+import datetime
+import decimal
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_cell(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def result_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
+    qmap = entry_mod.queries()
+    omap = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qmap.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in omap:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(omap[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if not problems:
+            hs, ho = result_digest(scols, srows), result_digest(ocols, orows)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                set_s = {
+                    tuple(canon_cell(r[i]) for i in order_s) for r in srows
+                }
+                set_o = {
+                    tuple(canon_cell(r[i]) for i in order_o) for r in orows
+                }
+                for d in list(set_s - set_o)[:3]:
+                    problems.append(f"  spark-only: {d}")
+                for d in list(set_o - set_s)[:3]:
+                    problems.append(f"  duck-only:  {d}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print("      " + p)
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match their oracles")
+
+
+if __name__ == "__main__":
+    main()

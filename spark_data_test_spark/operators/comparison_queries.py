@@ -1,0 +1,185 @@
+"""End-to-end comparison-engine queries for the driver contract.
+
+These run the real ``compare_dataframes`` engine over a deterministic
+in-query perturbation of the ``orders`` table (unique PK — see
+FIXTURES.md §B on why lineitem's 2-column key is unsuitable) and
+cross-check every report against a pure-SQL DuckDB oracle that
+re-derives the same semantics:
+
+  source  = orders  ∪  orders[%41 = 0]              (duplicate source keys)
+  target  = P(orders[%7 ≠ 0]) ∪ P(...)[%31 = 0]     (missing + duplicate keys)
+  P(...)  = o_totalprice + 0.004 where %11 = 0      (inside tolerance 0.01)
+            o_orderstatus -> 'X' where %13 = 0      (hard mismatch)
+
+The oracle does not need the row checksum: with no NULLs in orders, the
+checksum fast path is exactly "all columns equal", which is subsumed by
+the per-column tolerance rule the oracle implements directly
+(SURVEY.md §3 E3 steps 4-6).
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.constants import (
+    COL_LVL_TEST_REPORT_KEY,
+    OVERALL_TEST_REPORT_KEY,
+    ROW_LVL_TEST_REPORT_KEY,
+)
+from spark_data_test_spark.entities.config import DatasetParams, TestParams
+from spark_data_test_spark.operators.comparison import compare_dataframes
+from spark_data_test_spark.operators.relational import QUERIES, ORACLES, query, t
+
+TOLERANCE = 0.01
+
+# Shared oracle CTEs: the perturbation + full-outer pairing + per-column
+# match flags (numeric -> |s-t| <= tol, else IS NOT DISTINCT FROM).
+_BASE_CTES = """
+WITH tb AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 0.004 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0),
+tgt AS (SELECT * FROM tb UNION ALL SELECT * FROM tb WHERE o_orderkey % 31 = 0),
+src AS (SELECT * FROM orders UNION ALL SELECT * FROM orders WHERE o_orderkey % 41 = 0),
+j AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS k,
+         s.o_orderkey IS NOT NULL AS sp,
+         t.o_orderkey IS NOT NULL AS tp,
+         abs(s.o_custkey - t.o_custkey) <= 0.01 AS f_custkey,
+         s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus AS f_status,
+         abs(s.o_totalprice - t.o_totalprice) <= 0.01 AS f_price,
+         s.o_orderdate IS NOT DISTINCT FROM t.o_orderdate AS f_date,
+         s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority AS f_priority
+  FROM src s FULL JOIN tgt t ON s.o_orderkey = t.o_orderkey),
+m AS (
+  SELECT k, sp, tp, f_custkey, f_status, f_price, f_date, f_priority,
+         sp AND tp AND COALESCE(f_custkey AND f_status AND f_price
+                                AND f_date AND f_priority, FALSE) AS matched
+  FROM j)
+"""
+
+
+def _perturbed_pair(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    src = o.unionByName(o.filter(F.col("o_orderkey") % 41 == 0))
+    tb = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 13 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 0.004)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    tgt = tb.unionByName(tb.filter(F.col("o_orderkey") % 31 == 0))
+    return src, tgt
+
+
+def _run_engine(spark, sf_dir):
+    src, tgt = _perturbed_pair(spark, sf_dir)
+    params = DatasetParams(
+        dataset_name="orders_drift",
+        primary_keys=["o_orderkey"],
+        test_params=TestParams(difference_tolerance=TOLERANCE),
+    )
+    return compare_dataframes(spark, src, tgt, params)
+
+
+@query(
+    "compare_overall_report",
+    _BASE_CTES
+    + """,
+stats AS (
+  SELECT (SELECT COUNT(*) FROM src) AS source_count,
+         (SELECT COUNT(*) FROM tgt) AS target_count,
+         (SELECT COUNT(DISTINCT CASE WHEN matched THEN k END) FROM m) AS matched_count,
+         (SELECT COUNT(*) FROM (SELECT o_orderkey FROM src GROUP BY 1 HAVING COUNT(*) > 1))
+           AS duplicate_keys_source,
+         (SELECT COUNT(*) FROM (SELECT o_orderkey FROM tgt GROUP BY 1 HAVING COUNT(*) > 1))
+           AS duplicate_keys_target,
+         (SELECT COUNT(DISTINCT k) FROM m WHERE NOT sp) AS missing_at_source,
+         (SELECT COUNT(DISTINCT k) FROM m WHERE NOT tp) AS missing_at_target)
+SELECT source_count, target_count, matched_count,
+       duplicate_keys_source, duplicate_keys_target,
+       missing_at_source, missing_at_target,
+       CASE WHEN source_count = matched_count AND target_count = matched_count
+            THEN 'PASSED' ELSE 'FAILED' END AS test_status
+FROM stats
+""",
+)
+def compare_overall_report(spark, sf_dir):
+    """Flagship: the engine's overall report, flattened (maps -> columns
+    for the DuckDB hash compare)."""
+    overall = _run_engine(spark, sf_dir)[OVERALL_TEST_REPORT_KEY]
+    return overall.select(
+        F.col("count").getItem("source").alias("source_count"),
+        F.col("count").getItem("target").alias("target_count"),
+        F.col("matched_count"),
+        F.col("duplicate_count").getItem("source").alias("duplicate_keys_source"),
+        F.col("duplicate_count").getItem("target").alias("duplicate_keys_target"),
+        F.col("missing_rows").getItem("source").alias("missing_at_source"),
+        F.col("missing_rows").getItem("target").alias("missing_at_target"),
+        F.col("test_status"),
+    )
+
+
+@query(
+    "compare_row_report",
+    _BASE_CTES
+    + """,
+w AS (
+  SELECT k AS o_orderkey,
+         COUNT(*) OVER (PARTITION BY k) - 1 AS duplicate_count,
+         CASE WHEN NOT sp THEN 'MISSING_AT_SOURCE'
+              WHEN NOT tp THEN 'MISSTING_AT_TARGET'
+              ELSE 'PRESENT_IN_BOTH' END AS missing_row_status,
+         matched AS all_rows_matched
+  FROM m)
+SELECT DISTINCT o_orderkey, duplicate_count, missing_row_status, all_rows_matched
+FROM w
+""",
+)
+def compare_row_report(spark, sf_dir):
+    """The engine's row-level report (status vocabulary preserved,
+    including the reference's MISSTING typo)."""
+    row = _run_engine(spark, sf_dir)[ROW_LVL_TEST_REPORT_KEY]
+    return row.select(
+        "o_orderkey", "duplicate_count", "missing_row_status", "all_rows_matched"
+    )
+
+
+@query(
+    "compare_column_report",
+    _BASE_CTES
+    + """,
+u AS (
+  SELECT * FROM m
+  WHERE sp AND tp
+    AND NOT (f_custkey AND f_status AND f_price AND f_date AND f_priority))
+SELECT 'o_custkey' AS column_name,
+       CAST(COALESCE(SUM(CASE WHEN NOT f_custkey THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS unmatched_rows_count FROM u
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(COALESCE(SUM(CASE WHEN NOT f_status THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COALESCE(SUM(CASE WHEN NOT f_price THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(COALESCE(SUM(CASE WHEN NOT f_date THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COALESCE(SUM(CASE WHEN NOT f_priority THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u
+""",
+)
+def compare_column_report(spark, sf_dir):
+    """The engine's column-level report (per-column mismatch counts
+    among rows still unmatched after tolerance)."""
+    col_report = _run_engine(spark, sf_dir)[COL_LVL_TEST_REPORT_KEY]
+    return col_report.select(
+        "column_name", F.col("unmatched_rows_count").cast("long").alias("unmatched_rows_count")
+    )
