@@ -1,0 +1,187 @@
+"""Text-analysis operators over the ``documents`` table (north-star).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting, and document fingerprinting — all pure Catalyst expressions
+(no UDFs), so they whole-stage-codegen and scale linearly with input
+splits; at 100 TB these are embarrassingly parallel scan-side maps with
+at most one hash aggregate.
+
+Cross-engine portability: scoring uses replace-based substring counts
+with integer ``div``; fingerprints use md5 (identical hex in Spark and
+DuckDB); all divisions are single double ops on identical operands.
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.operators.relational import query, t
+
+# stopword trigrams per language, space-framed so they match whole words
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " los "],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _count_sql(pat):
+    """Occurrences of pat in the padded text, as an exact integer."""
+    return (
+        f"(length(padded) - length(replace(padded, '{pat}', ''))) // {len(pat)}"
+    )
+
+
+def _count_spark(pat):
+    return F.expr(
+        f"(length(padded) - length(replace(padded, '{pat}', ''))) div {len(pat)}"
+    )
+
+
+def _lang_scores_spark(df):
+    padded = df.withColumn("padded", F.concat(F.lit(" "), F.col("text"), F.lit(" ")))
+    for lang, pats in LANG_MARKERS.items():
+        expr = None
+        for p in pats:
+            c = _count_spark(p)
+            expr = c if expr is None else expr + c
+        padded = padded.withColumn(f"s_{lang}", expr)
+    return padded
+
+
+_SCORE_SQL = {
+    lang: " + ".join(_count_sql(p) for p in pats)
+    for lang, pats in LANG_MARKERS.items()
+}
+
+_PRED_SQL = """
+CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+     WHEN s_fr >= s_es THEN 'fr'
+     ELSE 'es' END
+"""
+
+
+@query(
+    "text_language_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"({_SCORE_SQL[lang]}) AS s_{lang}" for lang in _LANG_ORDER)}
+      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents))
+    SELECT doc_id, lang AS labeled_lang, ({_PRED_SQL}) AS pred_lang
+    FROM scored
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Language-ID by stopword-trigram voting with a fixed-priority
+    argmax tie-break (en > de > fr > es)."""
+    d = _lang_scores_spark(t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(_PRED_SQL).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1 AS n_words
+      FROM documents)
+    SELECT doc_id, n_chars_actual, n_words,
+           (CAST(n_chars_actual - n_words + 1 AS DOUBLE) / n_words) AS avg_word_len,
+           least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5
+             + least(1.0, (CAST(n_chars_actual - n_words + 1 AS DOUBLE) / n_words) / 8.0) * 0.5
+             AS quality
+    FROM feat
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality heuristics: word count, average word length, and a
+    bounded composite score — identical arithmetic on both engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        (
+            F.length(F.trim(F.col("text")))
+            - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_words"),
+    )
+    avg_wl = (F.col("n_chars_actual") - F.col("n_words") + 1).cast("double") / F.col(
+        "n_words"
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_words").cast("double") / 100.0) * 0.5
+        + F.least(F.lit(1.0), avg_wl / 8.0) * 0.5
+    )
+    return d.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_words",
+        avg_wl.alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
+             AS ws_tokens,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish estimate
+    (~4 chars/token, the common LLM rule of thumb)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (
+            F.length(F.trim(F.col("text")))
+            - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("ws_tokens"),
+        F.expr("cast((length(text) + 3) div 4 as bigint)").alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH shingles AS (
+      SELECT doc_id, substr(text, i, 8) AS sh
+      FROM documents, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)
+      WHERE length(text) >= 8)
+    SELECT doc_id,
+           min(md5(sh || '#0')) AS fp0,
+           min(md5(sh || '#1')) AS fp1,
+           min(md5(sh || '#2')) AS fp2,
+           min(md5(sh || '#3')) AS fp3
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: 4 MinHash values over strided char-8-gram
+    shingles (the rolling-hash-sketch idea; md5 is the portable hash
+    family, seeded by suffixing the seed index)."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 7, 4), i -> substring(text, i, 8))")
+        ).alias("sh"),
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{k}")))).alias(f"fp{k}")
+            for k in range(4)
+        ]
+    )

@@ -1,0 +1,211 @@
+"""Structured Streaming operators over the events stream (north-star).
+
+The reference has no streaming surface (SURVEY.md §2.9); this module
+adds the canonical shapes: tumbling-window aggregation
+(``readStream -> groupBy(window) -> writeStream``) and custom stateful
+sessionization via ``applyInPandasWithState``.
+
+Driver-contract queries run the real streaming engine with an
+``availableNow`` trigger over the finite parquet table and return the
+sink contents, so results are deterministic and (for the finite-input
+case) equal to their batch equivalents — which is exactly what the
+DuckDB oracles assert. In production the same code runs unbounded with
+watermarks; the watermark column is already plumbed.
+"""
+
+import os
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from spark_data_test_spark.operators.relational import cents, query
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def read_events_stream(spark, sf_dir):
+    """Streaming source over the events parquet. The file stores
+    TIMESTAMP(NANOS) which Spark reads as long via the legacy conf; the
+    nanos->micros conversion happens right after the source so every
+    downstream operator sees a real timestamp column."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The streaming file source requires a *directory*; the testdata is
+    # a single read-only file -> stage a symlink dir.
+    stage = f"/tmp/spark_stream_src/{abs(hash(sf_dir)) % 10**8}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_memory(stream_df, output_mode):
+    """Execute a finite streaming query into a memory sink and return
+    the sink table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(stream_events, width="1 hour"):
+    """Tumbling-window counts + exact cents sums per event type. With a
+    watermark so state is bounded on unbounded input."""
+    return (
+        stream_events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "cnt",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "streaming_tumbling_counts",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    """End-to-end Structured Streaming run (availableNow) of the
+    tumbling aggregation; on the finite table it equals the batch
+    date_trunc oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    return _run_to_memory(tumbling_counts(stream), "complete")
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_group(key, batches, state):
+    """Custom stateful operator: gap-based sessionization per user.
+
+    Emits every session whose extent is known from state + this batch;
+    carries the open tail session in state for the next batch. Per-batch
+    emission of the open session means downstream consumers dedup by
+    (user_id, session_start_us) keeping the max n_events — for a single
+    availableNow batch (the driver-contract case) output is exact.
+    """
+    (user_id,) = key
+    events = []
+    for pdf in batches:
+        events.extend(int(v) for v in pdf["ts_us"])
+    events.sort()
+    if state.exists:
+        last_ts, start, n = state.get
+    else:
+        last_ts, start, n = None, None, 0
+    out = []
+    for ts in events:
+        if last_ts is None or ts - last_ts > _SESSION_GAP_US:
+            if start is not None:
+                out.append((user_id, start, n))
+            start, n = ts, 0
+        n += 1
+        last_ts = ts
+    if start is not None:
+        out.append((user_id, start, n))  # open tail session (emit-per-batch)
+    state.update((last_ts, start, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [r[0] for r in out],
+            "session_start_us": [r[1] for r in out],
+            "n_events": [r[2] for r in out],
+        }
+    )
+
+
+def sessionize_stateful(stream_events, gap_minutes=30):
+    """applyInPandasWithState sessionization (Arrow-batched groups,
+    explicit user state)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream_events.select(
+            "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "streaming_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) -
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered)
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionization(spark, sf_dir):
+    """Custom stateful streaming operator end-to-end: one availableNow
+    batch through applyInPandasWithState equals the batch
+    gaps-and-islands sessionization."""
+    stream = read_events_stream(spark, sf_dir)
+    return _run_to_memory(sessionize_stateful(stream), "append")
