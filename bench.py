@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": 0.1}
+
+Each query is materialized with a noop-format write (full execution, no
+driver collect overhead). Session startup and a warmup action are
+excluded from timings.
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "compare_overall_report",
+    "compare_row_report",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_dup_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_ivf_ann",
+    "text_language_id",
+    "text_quality_score",
+    "events_tumbling_window",
+    "events_sessionization",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-data-test-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        # the sf0.1 tables are single ~10MB parquet files; the default
+        # 128MB split size would serialize every scan onto one core. At
+        # cluster scale inputs arrive as many files and this knob is
+        # irrelevant; locally it restores scan parallelism.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entry_mod.queries()
+    # warmup: touch the biggest input once (JIT, filesystem cache)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -116,12 +116,17 @@ def _normalize_side(df, suffix, non_key_cols, params):
     ).withColumnsRenamed({c: suffix.format(c) for c in non_key_cols})
 
 
-def compare_dataframes(spark, source_df, target_df, params):
+def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_dumps=True):
     """Compare two DataFrames keyed by primary keys → four reports.
 
     Returns ``{overall_test_report, row_lvl_test_report,
     col_lvl_test_report, unmatched_records}`` with the same schemas and
     values as the reference entry point (comparison_job.py:186-256).
+
+    ``compute_unmatched_dumps=False`` skips the one data-dependent
+    driver boundary (the collect over the column report that decides
+    which per-column dump frames to build) — callers that only consume
+    the three report frames save that job entirely.
     """
     params = _coerce_params(params)
     keys = list(params.primary_keys)
@@ -198,8 +203,12 @@ def compare_dataframes(spark, source_df, target_df, params):
     col_lvl_report = _column_level_report(
         params.dataset_name, unmatched_records, non_key_cols
     ).persist()
-    unmatched_map = _unmatched_records_map(
-        params.dataset_name, unmatched_records, col_lvl_report, keys
+    unmatched_map = (
+        _unmatched_records_map(
+            params.dataset_name, unmatched_records, col_lvl_report, keys
+        )
+        if compute_unmatched_dumps
+        else {}
     )
     overall_report = _overall_report(
         spark, params.dataset_name, keys, src_n, tgt_n, row_lvl_report
@@ -354,6 +363,8 @@ def _overall_report(spark, dataset_name, keys, src_n, tgt_n, row_lvl_report):
             StructField(TEST_STATUS_COL, StringType(), False),
         ]
     )
+    # coalesce(1): createDataFrame parallelizes even a 1-row local list
+    # into defaultParallelism partitions — 32 empty tasks per action.
     return spark.createDataFrame(
         [
             (
@@ -366,4 +377,4 @@ def _overall_report(spark, dataset_name, keys, src_n, tgt_n, row_lvl_report):
             )
         ],
         schema,
-    )
+    ).coalesce(1)

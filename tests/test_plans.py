@@ -1,0 +1,68 @@
+"""Physical-plan regression gates (SURVEY.md §4, 100 TB checklist).
+
+These don't check answers (the oracle harness does); they check that
+Catalyst produced the plan we *want* — pushdown, pruning, broadcast,
+partial aggregation, codegen — so de-optimizations fail loudly.
+"""
+
+from spark_data_test_spark.operators.relational import (
+    left_join_enrich,
+    scan_filter_project,
+    tpch_q1_pricing_summary,
+    tpch_q5_local_supplier,
+)
+from spark_data_test_spark.plans.audit import (
+    count_shuffles,
+    has_broadcast_join,
+    has_partial_aggregation,
+    has_pushed_filter,
+    in_wholestage_codegen,
+    scan_read_schema,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = scan_filter_project(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = scan_filter_project(spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas, "expected a parquet scan"
+    # only the 4 projected columns are read, not all 11
+    assert all(s.count(":") == 4 for s in schemas), schemas
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    assert has_broadcast_join(left_join_enrich(spark, sf_dir))
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    df = tpch_q5_local_supplier(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # Only the fact-fact join (lineitem x orders) and the final agg may
+    # shuffle; every dimension join must be broadcast. AQE may add a
+    # read-side exchange but the count must stay small.
+    assert count_shuffles(df) <= 4
+
+
+def test_aggregate_is_partial(spark, sf_dir):
+    df = tpch_q1_pricing_summary(spark, sf_dir)
+    assert has_partial_aggregation(df)
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    # AQE's pre-execution plan hides codegen subtrees; plan once with
+    # AQE off to observe the compiled pipelines.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = tpch_q1_pricing_summary(spark, sf_dir)
+        assert in_wholestage_codegen(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # scan -> partial agg -> exchange -> final agg: exactly one shuffle
+    assert count_shuffles(tpch_q1_pricing_summary(spark, sf_dir)) == 1
