@@ -18,6 +18,9 @@ def _registry():
     import spark_data_test_spark.operators.comparison_queries  # noqa: F401 (registers)
 
     for mod_name in (
+        "spark_data_test_spark.operators.relational_ext",
+        "spark_data_test_spark.operators.schema_drift",
+        "spark_data_test_spark.sources.readers",
         "spark_data_test_spark.operators.dedup",
         "spark_data_test_spark.operators.similarity",
         "spark_data_test_spark.operators.text",

@@ -1,0 +1,159 @@
+"""Extended relational coverage beyond the reference's operator set.
+
+Semi/anti joins (SURVEY.md §2.3 notes them as the natural internal
+rewrite for missing-row detection — cheaper than the NULL-checksum test
+because the build side carries no payload), multi-level aggregations
+(rollup / cube / grouping sets), set operations (intersect / except),
+and approximate aggregates (rows-only check: HLL sketches are
+engine-specific by construction).
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.operators.relational import cents, query, t
+
+
+@query(
+    "left_semi_join",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def left_semi_join(spark, sf_dir):
+    """Semi join: orders having at least one near-max-quantity line.
+    The probe side never materializes lineitem payload columns."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "left_anti_join",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)
+def left_anti_join(spark, sf_dir):
+    """Anti join: orders with no line items — the missing-row primitive
+    (equivalent to the engine's NULL-checksum test, one shuffle, no
+    payload)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey"
+    )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """Hierarchical totals: (flag, status), (flag), () — one pass."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    """All grouping combinations of (status, priority)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_shipmode_bucket, COUNT(*) AS cnt FROM (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity < 25 THEN 'small' ELSE 'large' END AS l_shipmode_bucket
+      FROM lineitem)
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_bucket))
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit grouping sets: per-flag and per-bucket marginals in one
+    aggregation pass."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_quantity") < 25, "small")
+        .otherwise("large")
+        .alias("l_shipmode_bucket"),
+    )
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_shipmode_bucket, COUNT(*) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_bucket))
+        """
+    )
+
+
+@query(
+    "intersect_rows",
+    """
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 25
+    INTERSECT
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+    """,
+)
+def intersect_rows(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") <= 25).select("l_returnflag", "l_linestatus")
+    b = li.where(F.col("l_quantity") > 25).select("l_returnflag", "l_linestatus")
+    return a.intersect(b)
+
+
+@query(
+    "except_rows",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_totalprice >= 100000
+    EXCEPT
+    SELECT o_orderpriority FROM orders WHERE o_totalprice < 2000
+    """,
+)
+def except_rows(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") >= 100000).select("o_orderpriority")
+    b = o.where(F.col("o_totalprice") < 2000).select("o_orderpriority")
+    return a.subtract(b)  # EXCEPT (distinct semantics), matching SQL
+
+
+# rows-only: HyperLogLog sketches differ by engine; the driver records
+# the weaker rows-only check for entries without an oracle.
+@query("approx_count_distinct_parts")
+def approx_count_distinct_parts(spark, sf_dir):
+    """Approximate distinct counts (HLL++). No oracle on purpose —
+    sketch estimates are engine-specific; correctness is bounded-error,
+    asserted in tests against the exact count."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("cnt"),
+    )
