@@ -68,8 +68,19 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = entry_mod.queries()
-    # warmup: touch the biggest input once (JIT, filesystem cache)
+    # Warmup, excluded from timings: touch the biggest input (fs cache)
+    # and run the comparison pipeline once at the smallest sf so the
+    # join/window/hash codegen paths are JIT-compiled before measuring.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    try:
+        from spark_data_test_spark.operators import comparison_queries as _cq
+
+        for _ in range(2):
+            _cq._ENGINE_CACHE.clear()
+            qmap["compare_overall_report"](spark, "/root/testdata/sf0.001").collect()
+        _cq._ENGINE_CACHE.clear()
+    except Exception:
+        pass
 
     timings = {}
     for name in HEADLINE:

@@ -40,6 +40,7 @@ Semantic deviations from the reference (deliberate; see SURVEY.md §1/§3):
     fixture, which this engine reproduces exactly).
 """
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
 import pyspark.sql.functions as F
@@ -211,7 +212,7 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         else {}
     )
     overall_report = _overall_report(
-        spark, params.dataset_name, keys, src_n, tgt_n, row_lvl_report
+        spark, params.dataset_name, keys, src_n, tgt_n, narrow
     )
     return {
         OVERALL_TEST_REPORT_KEY: overall_report,
@@ -303,7 +304,7 @@ def _unmatched_records_map(dataset_name, unmatched_records, col_lvl_report, keys
     return dumps
 
 
-def _overall_report(spark, dataset_name, keys, src_n, tgt_n, row_lvl_report):
+def _overall_report(spark, dataset_name, keys, src_n, tgt_n, narrow):
     """Overall report (reference __get_overall_test_report,
     comparison_job.py:66-99) in TWO jobs instead of the reference's ~7:
 
@@ -311,12 +312,15 @@ def _overall_report(spark, dataset_name, keys, src_n, tgt_n, row_lvl_report):
     one groupBy(side, keys) shuffle yields per-key multiplicities, one
     final agg yields row totals + duplicate-key counts for both sides;
 
-    job 2 — one aggregate over the persisted row-level report yields the
+    job 2 — one aggregate over the *narrow* joined projection yields the
     matched-key count (count distinct keys with a matched row ==
-    dropDuplicates(keys).count() of matched rows) and both missing-row
-    sums.
+    dropDuplicates(keys).count() of matched rows) and both missing-key
+    counts (== the row report's distinct missing rows, since a missing
+    key collapses to exactly one distinct report row). Reading narrow
+    instead of the row report keeps the row report's window+distinct
+    shuffles fully lazy for overall-only consumers.
     """
-    side_stats = (
+    side_stats_df = (
         src_n.select(*keys)
         .withColumn(_SIDE_COL, F.lit(SOURCE_COL))
         .unionByName(tgt_n.select(*keys).withColumn(_SIDE_COL, F.lit(TARGET_COL)))
@@ -327,23 +331,31 @@ def _overall_report(spark, dataset_name, keys, src_n, tgt_n, row_lvl_report):
             F.sum(COUNT_COL).alias("total"),
             F.sum(F.when(F.col(COUNT_COL) > 1, 1).otherwise(0)).alias("dup_keys"),
         )
-        .collect()
     )
-    totals = {r[_SIDE_COL]: (r["total"], r["dup_keys"]) for r in side_stats}
-    src_total, src_dups = totals.get(SOURCE_COL, (0, 0))
-    tgt_total, tgt_dups = totals.get(TARGET_COL, (0, 0))
-
-    stats = row_lvl_report.agg(
+    chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
+    chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
+    stats_df = narrow.agg(
         F.count_distinct(
             F.when(F.col(ALL_ROWS_MATCHED_COL), F.struct(*keys))
         ).alias("matched"),
-        F.sum(
-            F.when(F.col(MISSING_ROW_STATUS_COL) == MISSING_AT_SOURCE_STATUS, 1).otherwise(0)
+        F.count_distinct(
+            F.when(chk_src.isNull(), F.struct(*keys))
         ).alias("miss_src"),
-        F.sum(
-            F.when(F.col(MISSING_ROW_STATUS_COL) == MISSING_AT_TARGET_STATUS, 1).otherwise(0)
+        F.count_distinct(
+            F.when(chk_tgt.isNull(), F.struct(*keys))
         ).alias("miss_tgt"),
-    ).first()
+    )
+    # The two jobs are independent (different inputs); submit them from
+    # separate threads so the scheduler overlaps them — wall-clock is
+    # max(job_a, job_b) instead of the sum, on a cluster as locally.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        side_future = pool.submit(side_stats_df.collect)
+        stats_future = pool.submit(stats_df.first)
+        side_stats = side_future.result()
+        stats = stats_future.result()
+    totals = {r[_SIDE_COL]: (r["total"], r["dup_keys"]) for r in side_stats}
+    src_total, src_dups = totals.get(SOURCE_COL, (0, 0))
+    tgt_total, tgt_dups = totals.get(TARGET_COL, (0, 0))
     matched_count = stats["matched"] or 0
     miss_src = stats["miss_src"] or 0
     miss_tgt = stats["miss_tgt"] or 0

@@ -157,3 +157,30 @@ def approx_count_distinct_parts(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count("*").alias("cnt"),
     )
+
+
+@query(
+    "percentile_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_quantity, 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles — Spark's percentile() and
+    DuckDB's quantile_cont share the (n-1)*p linear-interpolation
+    definition, so results are bit-identical. (The approximate sketch
+    variant is approx_count_distinct_parts / percentile_approx — kept
+    rows-only since sketches are engine-specific.)"""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        )
+    )
