@@ -18,6 +18,10 @@ class TestParams:
     # NULL-safe 64-bit checksum — the 100 TB fast path (see
     # functions/checksum.py).
     checksum_mode: str = CHECKSUM_MODE_SHA256
+    # Extension: per-column tolerance overrides, e.g.
+    # {"price": 0.01, "qty": 0}; columns not listed use
+    # difference_tolerance. Only meaningful for numeric columns.
+    column_tolerances: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -1,0 +1,139 @@
+"""Additional TPC-H-shaped analytics queries (bench/coverage depth).
+
+Adaptations of Q6/Q10/Q14/Q18 to the testdata star schema, all under
+the cross-engine determinism rules (cents sums, tie-broken top-k,
+broadcast dimensions).
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.operators.relational import cents, query, t
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+             AS revenue_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6 shape: pure scan + conjunctive pushed filters + global agg —
+    the canonical predicate-pushdown benchmark."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS revenue_cents,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10 shape: who returned the most revenue — fact join + two
+    broadcast dimensions + grouped top-k."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .select("c_custkey", "c_name", "revenue_cents", "n_name")
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    """
+    SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                    ELSE 0 END) AS promo_cents,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS total_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """Q14 shape: conditional share of revenue over a broadcast part
+    join (exact integer numerator/denominator; consumers derive the
+    ratio)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0)
+            ).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(SUM(l.l_quantity) * 100) AS BIGINT) AS qty_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING SUM(l.l_quantity) > 300
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18 shape: HAVING over a grouped fact-fact join (quantities are
+    integral doubles, so the post-agg rounding is exact)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 300)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("_qty") * 100).cast("long").alias("qty_cents"),
+        )
+    )

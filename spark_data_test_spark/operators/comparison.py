@@ -94,13 +94,18 @@ def _coerce_params(params):
 def _matched_expr(struct_field, test_params, src_name, tgt_name):
     """Per-column match rule (SURVEY.md §1 type handling).
 
-    Numeric (any NumericType subclass): |src - tgt| <= tolerance.
+    Numeric (any NumericType subclass): |src - tgt| <= tolerance, with
+    per-column overrides via ``TestParams.column_tolerances`` (engine
+    extension; the reference has only the global tolerance).
     Everything else: NULL-safe equality (NULL == NULL matches).
     Mirrors reference comparison_job.py:19-34 modulo the DecimalType fix.
     """
     src, tgt = F.col(src_name), F.col(tgt_name)
     if isinstance(struct_field.dataType, NumericType):
-        return F.abs(src - tgt) <= F.lit(test_params.difference_tolerance)
+        tol = getattr(test_params, "column_tolerances", {}).get(
+            struct_field.name, test_params.difference_tolerance
+        )
+        return F.abs(src - tgt) <= F.lit(tol)
     return src.eqNullSafe(tgt)
 
 

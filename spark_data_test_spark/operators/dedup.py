@@ -290,3 +290,60 @@ def dedup_near_jaccard(spark, sf_dir):
             "doc_a", "doc_b", F.round(jac).cast("long").alias("jaccard_1e6")
         )
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH ei AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+      FROM embeddings WHERE vec_id < 400),
+    flat AS (
+      SELECT vec_id, i, e[i] AS v
+      FROM ei, unnest(generate_series(1, 64)) AS u(i)),
+    norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT vec_a, vec_b,
+           CAST(ROUND(1000000 * CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+                AS BIGINT) AS cos_1e6
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs in a bounded block with
+    cosine >= 0.3 (exact integer dot products — see similarity.py). At
+    scale the block is an LSH/IVF bucket, not an id range; the pair math
+    is identical."""
+    from spark_data_test_spark.operators.similarity import (
+        _cosine,
+        _int_embeddings,
+    )
+
+    emb = _int_embeddings(spark, sf_dir).where(F.col("vec_id") < 400)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("ce"), F.col("n2").alias("cn2")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored = pairs.withColumn("dot", dot).withColumn(
+        "cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2"))
+    )
+    return scored.where(F.col("cos") >= 0.3).select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("cos") * 1000000).cast("long").alias("cos_1e6"),
+    )

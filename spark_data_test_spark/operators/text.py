@@ -185,3 +185,26 @@ def text_fingerprint(spark, sf_dir):
             for k in range(4)
         ]
     )
+
+
+@query(
+    "text_regex_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS number_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS long_tokens
+    FROM documents
+    """,
+)
+def text_regex_tokens(spark, sf_dir):
+    """Regex tokenization (BPE-ish pre-tokenizer classes): token counts
+    by character-class pattern. Patterns stay in the common
+    Java-regex/RE2 subset so both engines agree."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").alias("word_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").alias("number_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")).cast("long").alias("long_tokens"),
+    )

@@ -209,3 +209,30 @@ def streaming_sessionization(spark, sf_dir):
     gaps-and-islands sessionization."""
     stream = read_events_stream(spark, sf_dir)
     return _run_to_memory(sessionize_stateful(stream), "append")
+
+
+@query(
+    "streaming_static_join",
+    """
+    SELECT e.event_type, c.c_mktsegment, COUNT(*) AS cnt
+    FROM events e
+    JOIN customer c ON (e.user_id % 1000) + 1 = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static join: each micro-batch joins against a broadcast
+    static dimension (the standard enrichment topology). Key mapping is
+    synthetic (user_id -> custkey space) since the schema has no user
+    dimension; on the finite stream the result equals the batch join."""
+    stream = read_events_stream(spark, sf_dir)
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        stream.withColumn("c_custkey", (F.col("user_id") % 1000) + 1)
+        .join(F.broadcast(customers), "c_custkey")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _run_to_memory(joined, "complete")

@@ -289,3 +289,29 @@ def test_partitioned_unmatched_layout(spark, tmp_path, sample_data, params):
         "value",
         "value2",
     }
+
+
+def test_per_column_tolerance_overrides(spark, sample_data):
+    """Engine extension: column_tolerances beats the global tolerance
+    for listed columns only."""
+    source, target = sample_data
+    res = compare_dataframes(
+        spark,
+        source,
+        target,
+        DatasetParams(
+            dataset_name="coltol",
+            primary_keys=["id"],
+            # global 0 would fail value4 (7.1 vs 7.0); per-column 0.2
+            # saves it without loosening anything else
+            test_params=TestParams(
+                difference_tolerance=0.0, column_tolerances={"value4": 0.2}
+            ),
+        ),
+    )
+    counts = {
+        r[COL_NAME]: r[UNMATCHED_ROWS_COUNT_COL]
+        for r in res[COL_LVL_TEST_REPORT_KEY].collect()
+    }
+    assert counts["value4"] == 0
+    assert counts["value"] == 1  # strings unaffected
