@@ -20,14 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "compare_overall_report",
     "compare_row_report",
+    "compare_lineitem_overall",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "window_dup_count",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_near_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_ivf_ann",
     "text_language_id",

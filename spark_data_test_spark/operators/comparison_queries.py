@@ -201,3 +201,102 @@ def compare_column_report(spark, sf_dir):
     return col_report.select(
         "column_name", F.col("unmatched_rows_count").cast("long").alias("unmatched_rows_count")
     )
+
+
+# Wide-table variant: lineitem with its unique 4-column composite key,
+# 7 payload columns (4 numeric under tolerance, 2 strings, 1 timestamp).
+_LI_KEYS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+_LI_CTES = """
+WITH tb AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         CASE WHEN l_orderkey % 11 = 0 THEN l_extendedprice + 0.004
+              ELSE l_extendedprice END AS l_extendedprice,
+         l_discount, l_tax,
+         CASE WHEN l_orderkey % 13 = 0 THEN 'Z' ELSE l_returnflag END AS l_returnflag,
+         l_linestatus, l_shipdate
+  FROM lineitem WHERE l_orderkey % 7 <> 0),
+j AS (
+  SELECT s.l_orderkey IS NOT NULL AS sp, t.l_orderkey IS NOT NULL AS tp,
+         COALESCE(s.l_orderkey, t.l_orderkey) AS k1,
+         COALESCE(s.l_linenumber, t.l_linenumber) AS k2,
+         COALESCE(s.l_partkey, t.l_partkey) AS k3,
+         COALESCE(s.l_suppkey, t.l_suppkey) AS k4,
+         s.l_orderkey IS NOT NULL AND t.l_orderkey IS NOT NULL
+           AND COALESCE(abs(s.l_quantity - t.l_quantity) <= 0.01
+               AND abs(s.l_extendedprice - t.l_extendedprice) <= 0.01
+               AND abs(s.l_discount - t.l_discount) <= 0.01
+               AND abs(s.l_tax - t.l_tax) <= 0.01
+               AND s.l_returnflag IS NOT DISTINCT FROM t.l_returnflag
+               AND s.l_linestatus IS NOT DISTINCT FROM t.l_linestatus
+               AND s.l_shipdate IS NOT DISTINCT FROM t.l_shipdate, FALSE)
+           AS matched
+  FROM lineitem s FULL JOIN tb t
+    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+   AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey)
+"""
+
+
+def _lineitem_pair(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    tb = li.filter(F.col("l_orderkey") % 7 != 0).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 11 == 0, F.col("l_extendedprice") + 0.004)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        "l_discount",
+        "l_tax",
+        F.when(F.col("l_orderkey") % 13 == 0, "Z")
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        "l_linestatus",
+        "l_shipdate",
+    )
+    return li, tb
+
+
+@query(
+    "compare_lineitem_overall",
+    _LI_CTES
+    + """
+, stats AS (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS source_count,
+         (SELECT COUNT(*) FROM tb) AS target_count,
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT k1, k2, k3, k4 FROM j WHERE matched)) AS matched_count,
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT k1, k2, k3, k4 FROM j WHERE NOT tp)) AS missing_at_target)
+SELECT source_count, target_count, matched_count, missing_at_target,
+       CASE WHEN source_count = matched_count AND target_count = matched_count
+            THEN 'PASSED' ELSE 'FAILED' END AS test_status
+FROM stats
+""",
+)
+def compare_lineitem_overall(spark, sf_dir):
+    """The engine on a WIDE table with a composite 4-column key
+    (600k x 11 cols at sf0.1) — exercises multi-column join keys, four
+    numeric tolerance columns, and the timestamp eqNullSafe path at the
+    engine's full width. (lineitem's 4-col key is unique; dup counts are
+    0 and omitted from the flattened output.)"""
+    src, tgt = _lineitem_pair(spark, sf_dir)
+    params = DatasetParams(
+        dataset_name="lineitem_drift",
+        primary_keys=list(_LI_KEYS),
+        test_params=TestParams(
+            difference_tolerance=TOLERANCE, checksum_mode="xxhash64"
+        ),
+    )
+    overall = compare_dataframes(
+        spark, src, tgt, params, compute_unmatched_dumps=False
+    )[OVERALL_TEST_REPORT_KEY]
+    return overall.select(
+        F.col("count").getItem("source").alias("source_count"),
+        F.col("count").getItem("target").alias("target_count"),
+        F.col("matched_count"),
+        F.col("missing_rows").getItem("target").alias("missing_at_target"),
+        F.col("test_status"),
+    )
