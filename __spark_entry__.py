@@ -22,6 +22,7 @@ def _registry():
         "spark_data_test_spark.operators.schema_drift",
         "spark_data_test_spark.sources.readers",
         "spark_data_test_spark.operators.analytics",
+        "spark_data_test_spark.operators.grouped",
         "spark_data_test_spark.operators.dedup",
         "spark_data_test_spark.operators.similarity",
         "spark_data_test_spark.operators.text",

@@ -37,20 +37,42 @@ def reference_checksum(cols):
     return F.sha2(F.concat_ws(EMPTY_STR, *[F.col(c) for c in cols]), 256)
 
 
-def canonical_encoding(cols):
-    """Injective string encoding of a row: NULL-safe, separator-framed."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
-    ]
+def _canonical_part(col_name, dtype):
+    """Cheapest injective per-type scalar encoding.
+
+    Timestamp-to-string formatting is ~5x the cost of the whole hash
+    (measured at sf0.1); temporal types encode as epoch numbers instead.
+    """
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    col = F.col(col_name)
+    if isinstance(dtype, TimestampType):
+        encoded = F.unix_micros(col).cast("string")
+    elif isinstance(dtype, TimestampNTZType):
+        encoded = F.unix_micros(col.cast("timestamp")).cast("string")
+    elif isinstance(dtype, DateType):
+        encoded = F.unix_date(col).cast("string")
+    else:
+        encoded = col.cast("string")
+    return F.coalesce(encoded, F.lit(_NULL_SENTINEL))
+
+
+def canonical_encoding(cols, dtypes=None):
+    """Injective string encoding of a row: NULL-safe, separator-framed.
+
+    ``dtypes``: optional {col -> DataType} enabling per-type fast paths.
+    """
+    dtypes = dtypes or {}
+    parts = [_canonical_part(c, dtypes.get(c)) for c in cols]
     return F.concat_ws(_FIELD_SEP, *parts)
 
 
-def canonical_checksum(cols):
+def canonical_checksum(cols, dtypes=None):
     """64-bit collision-hardened row checksum (scale path)."""
-    return F.xxhash64(canonical_encoding(cols)).cast("string")
+    return F.xxhash64(canonical_encoding(cols, dtypes)).cast("string")
 
 
-def row_checksum(cols, mode=CHECKSUM_MODE_SHA256):
+def row_checksum(cols, mode=CHECKSUM_MODE_SHA256, dtypes=None):
     if mode == CHECKSUM_MODE_XXHASH64:
-        return canonical_checksum(cols)
+        return canonical_checksum(cols, dtypes)
     return reference_checksum(cols)

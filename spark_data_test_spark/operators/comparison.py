@@ -116,9 +116,10 @@ def _normalize_side(df, suffix, non_key_cols, params):
     (comparison_job.py:36-47), with the checksum computed over the
     *post* select/drop column set in stable df.columns order.
     """
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     return df.withColumn(
         suffix.format(CHK_SUM_COL),
-        row_checksum(non_key_cols, params.test_params.checksum_mode),
+        row_checksum(non_key_cols, params.test_params.checksum_mode, dtypes),
     ).withColumnsRenamed({c: suffix.format(c) for c in non_key_cols})
 
 
@@ -395,3 +396,24 @@ def _overall_report(spark, dataset_name, keys, src_n, tgt_n, narrow):
         ],
         schema,
     ).coalesce(1)
+
+
+def compare_dataframes_where(
+    spark, source_df, target_df, params, predicate, compute_unmatched_dumps=True
+):
+    """Incremental comparison: restrict both sides with the same
+    predicate (e.g. a partition filter) before comparing.
+
+    At 100 TB the common case is "yesterday's partition changed" — the
+    predicate pushes into both scans (partition pruning + parquet
+    row-group skipping), so cost tracks the changed slice, not the
+    table. Reports carry the same schemas; consolidate slices across
+    runs with ``jobs.run_comparison_job``-style unions.
+    """
+    return compare_dataframes(
+        spark,
+        source_df.filter(predicate),
+        target_df.filter(predicate),
+        params,
+        compute_unmatched_dumps=compute_unmatched_dumps,
+    )

@@ -300,3 +300,78 @@ def compare_lineitem_overall(spark, sf_dir):
         F.col("missing_rows").getItem("target").alias("missing_at_target"),
         F.col("test_status"),
     )
+
+
+@query(
+    "compare_nulls_overall",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS c1,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus ELSE NULL END AS c2
+      FROM orders),
+    tgt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS c1,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus ELSE NULL END AS c2
+      FROM orders),
+    j AS (
+      SELECT s.o_orderkey AS k,
+             concat_ws('', s.c1, s.c2) = concat_ws('', t.c1, t.c2) AS fast_match,
+             (s.c1 IS NOT DISTINCT FROM t.c1)
+               AND (s.c2 IS NOT DISTINCT FROM t.c2) AS col_match
+      FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+    SELECT COUNT(*) AS total,
+           SUM(CASE WHEN fast_match OR col_match THEN 1 ELSE 0 END) AS matched_count,
+           SUM(CASE WHEN fast_match AND NOT col_match THEN 1 ELSE 0 END)
+             AS checksum_collisions
+    FROM j
+    """,
+)
+def compare_nulls_overall(spark, sf_dir):
+    """Documents the reference's NULL-skipping checksum semantics under
+    cross-check: rows shaped (NULL, s) vs (s, NULL) concat to the same
+    string, so the sha256 fast path declares them matched even though
+    every column differs (SURVEY.md §1). The oracle reproduces the
+    collision with DuckDB's equally NULL-skipping concat_ws; the
+    ``checksum_collisions`` column counts exactly those rows. (The
+    xxhash64 canonical mode exists precisely to kill this class —
+    asserted in unit tests.)"""
+    o = t(spark, sf_dir, "orders")
+    mk = lambda mod: o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % mod == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("c1"),
+        F.when(F.col("o_orderkey") % mod == 0, F.col("o_orderstatus")).otherwise(
+            F.lit(None)
+        ).alias("c2"),
+    )
+    src, tgt = mk(2), mk(3)
+    params = DatasetParams(
+        dataset_name="nulls", primary_keys=["o_orderkey"]
+    )  # sha256 reference mode, tolerance 0
+    res = compare_dataframes(spark, src, tgt, params, compute_unmatched_dumps=False)
+    # total + matched straight from the ENGINE's row report (key sets are
+    # equal and unique, so distinct row-report rows == joined pairs)
+    engine_stats = res[ROW_LVL_TEST_REPORT_KEY].agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("all_rows_matched"), 1).otherwise(0)).alias(
+            "matched_count"
+        ),
+    )
+    # collisions = fast-path matches whose columns all differ, computed
+    # from the collision definition directly
+    j = src.alias("s").join(tgt.alias("t"), "o_orderkey")
+    fast = F.concat_ws("", F.col("s.c1"), F.col("s.c2")) == F.concat_ws(
+        "", F.col("t.c1"), F.col("t.c2")
+    )
+    colm = F.col("s.c1").eqNullSafe(F.col("t.c1")) & F.col("s.c2").eqNullSafe(
+        F.col("t.c2")
+    )
+    collisions = j.agg(
+        F.sum(F.when(fast & ~colm, 1).otherwise(0)).alias("checksum_collisions")
+    )
+    return engine_stats.crossJoin(collisions).select(
+        "total", "matched_count", "checksum_collisions"
+    )

@@ -315,3 +315,32 @@ def test_per_column_tolerance_overrides(spark, sample_data):
     }
     assert counts["value4"] == 0
     assert counts["value"] == 1  # strings unaffected
+
+
+def test_incremental_partition_pruned_compare(spark, sf_dir):
+    """compare_dataframes_where: predicate reaches both parquet scans
+    and results equal comparing the pre-filtered frames."""
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark.operators.comparison import compare_dataframes_where
+    from spark_data_test_spark.plans.audit import has_pushed_filter
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    target = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    pred = F.col("o_orderkey") % 10 < 3  # the "changed slice"
+    params = DatasetParams(dataset_name="inc", primary_keys=["o_orderkey"])
+    res = compare_dataframes_where(
+        spark, orders, target, params, pred, compute_unmatched_dumps=False
+    )
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    sliced = orders.filter(pred)
+    assert overall[COUNT_COL]["source"] == sliced.count()
+    expected_mismatch = sliced.filter(F.col("o_orderkey") % 13 == 0).count()
+    assert overall[COUNT_COL]["source"] - overall[MATCHED_COUNT_COL] == expected_mismatch
+    # a plain column predicate pushes into the scan
+    assert has_pushed_filter(orders.filter(F.col("o_orderkey") < 100), "o_orderkey")

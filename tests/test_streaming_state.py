@@ -66,3 +66,36 @@ def test_state_carries_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == expected
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the production sink pattern — each micro-batch is a
+    normal DataFrame written with full batch APIs (here: parquet
+    partitioned by event_type)."""
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark.streaming.windows import read_events_stream
+
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    source = t(spark, sf_dir, "events")
+    assert written.count() == source.count()
+    assert set(written.select("event_type").distinct().toPandas()["event_type"]) == set(
+        source.select("event_type").distinct().toPandas()["event_type"]
+    )
