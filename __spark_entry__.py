@@ -17,6 +17,10 @@ def _registry():
     import spark_data_test_spark.operators.relational as relational
     import spark_data_test_spark.operators.comparison_queries  # noqa: F401 (registers)
 
+    # Only genuinely optional third-party deps may be absent; an
+    # ImportError from our own modules (typo, circular import) must
+    # surface, not silently shrink the query registry.
+    optional_deps = {"pandas", "pyarrow", "numpy", "PIL"}
     for mod_name in (
         "spark_data_test_spark.operators.relational_ext",
         "spark_data_test_spark.operators.schema_drift",
@@ -31,8 +35,10 @@ def _registry():
     ):
         try:
             __import__(mod_name)
-        except ImportError:
-            pass
+        except ImportError as exc:
+            root = (exc.name or "").split(".")[0]
+            if root not in optional_deps:
+                raise
     return relational.QUERIES, relational.ORACLES
 
 

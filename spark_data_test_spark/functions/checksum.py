@@ -47,9 +47,13 @@ def _canonical_part(col_name, dtype):
 
     col = F.col(col_name)
     if isinstance(dtype, TimestampType):
+        # an instant: epoch micros is tz-independent
         encoded = F.unix_micros(col).cast("string")
     elif isinstance(dtype, TimestampNTZType):
-        encoded = F.unix_micros(col.cast("timestamp")).cast("string")
+        # wall-clock without zone: casting via the session timezone
+        # would make the checksum tz-dependent (and collide across DST
+        # gaps); the string form is canonical
+        encoded = col.cast("string")
     elif isinstance(dtype, DateType):
         encoded = F.unix_date(col).cast("string")
     else:

@@ -177,9 +177,13 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
     # Inline two-phase verdict: checksum equality OR (present on both
     # sides AND every column matched under tolerance). Replaces the
     # reference's filter -> per-column flags -> left-join-back dance
-    # (comparison_job.py:217-233) with a single projection.
+    # (comparison_job.py:217-233) with a single projection. The coalesce
+    # mirrors the reference's `| coalesce(after_tol, false)`: a numeric
+    # column NULL on exactly one side makes its tolerance flag NULL, and
+    # the verdict must land on False, not NULL.
     joined = joined.withColumn(
-        ALL_ROWS_MATCHED_COL, fast_match | (both_present & after_tol)
+        ALL_ROWS_MATCHED_COL,
+        F.coalesce(fast_match | (both_present & after_tol), F.lit(False)),
     )
 
     # Narrow projection persists at ~(keys + 2 checksums + 1 bool) per

@@ -86,7 +86,9 @@ _ENGINE_CACHE = {}
 
 
 def _run_engine(spark, sf_dir):
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is unique per context and never recycled, unlike
+    # id() which CPython can reuse after a stopped session is collected
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ENGINE_CACHE:
         src, tgt = _perturbed_pair(spark, sf_dir)
         params = DatasetParams(

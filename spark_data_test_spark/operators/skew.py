@@ -52,10 +52,23 @@ def salted_groupby(df, keys, aggs, n_salt=16):
     return phase1.groupBy(*keys).agg(*final_exprs)
 
 
+_SALTED_JOIN_TYPES = {"inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"}
+
+
 def salted_join(left, right, keys, n_salt=16, how="inner"):
     """Skew-safe equi-join: right side replicated n_salt times, left
     rows routed to one replica by hash. Exact for any key multiplicity
-    (every left row sees the full right-side content for its key)."""
+    (every left row sees the full right-side content for its key).
+
+    Only left-preserving join types are exact under replication — a
+    right/full outer join would surface each unmatched right row once
+    per replica, so those types are rejected.
+    """
+    if how not in _SALTED_JOIN_TYPES:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_TYPES)}; got {how!r} "
+            "(right/full outer would duplicate unmatched right rows per salt)"
+        )
     salts = left.sparkSession.range(n_salt).select(
         F.col("id").cast("int").alias(_SALT_COL)
     )

@@ -7,6 +7,8 @@ data — never acceptable at 100 TB) and driver-contract queries proving
 CSV sink→source and JSON codec fidelity.
 """
 
+import hashlib
+
 import pyspark.sql.functions as F
 
 from spark_data_test_spark.operators.relational import cents, query, t
@@ -42,7 +44,8 @@ def source_csv_roundtrip(spark, sf_dir):
     aggregate — the oracle aggregates the original parquet, so any
     fidelity loss in the csv sink/source fails the hash."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    path = f"/tmp/spark_graft_csv/{abs(hash(sf_dir)) % 10**8}/part"
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_csv/{digest}/part"
     (
         p.write.mode("overwrite")
         .options(header="true", delimiter="|")

@@ -13,6 +13,7 @@ DuckDB oracles assert. In production the same code runs unbounded with
 watermarks; the watermark column is already plumbed.
 """
 
+import hashlib
 import os
 import uuid
 
@@ -40,12 +41,18 @@ def read_events_stream(spark, sf_dir):
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source requires a *directory*; the testdata is
-    # a single read-only file -> stage a symlink dir.
-    stage = f"/tmp/spark_stream_src/{abs(hash(sf_dir)) % 10**8}/events"
+    # a single read-only file -> stage a symlink dir. Bucket by a STABLE
+    # digest (hash() is seed-randomized per process) and re-link if an
+    # existing link points elsewhere or is broken.
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = f"/tmp/spark_stream_src/{digest}/events"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    target = f"{sf_dir}/events.parquet"
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.islink(link):
+        os.symlink(target, link)
     return (
         spark.readStream.schema(schema)
         .parquet(stage)

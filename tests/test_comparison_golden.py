@@ -344,3 +344,24 @@ def test_incremental_partition_pruned_compare(spark, sf_dir):
     assert overall[COUNT_COL]["source"] - overall[MATCHED_COUNT_COL] == expected_mismatch
     # a plain column predicate pushes into the scan
     assert has_pushed_filter(orders.filter(F.col("o_orderkey") < 100), "o_orderkey")
+
+
+def test_numeric_null_one_side_is_false_not_null(spark):
+    """Review regression: a numeric column NULL on one side makes the
+    tolerance flag NULL; the verdict must coalesce to False (reference
+    comparison_job.py:233 does `| coalesce(after_tol, false)`)."""
+    src = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, x double")
+    tgt = spark.createDataFrame([(1, None), (2, 1.0)], "id long, x double")
+    res = compare_dataframes(
+        spark,
+        src,
+        tgt,
+        DatasetParams(dataset_name="nullnum", primary_keys=["id"]),
+        compute_unmatched_dumps=False,
+    )
+    rows = {r["id"]: r for r in res[ROW_LVL_TEST_REPORT_KEY].collect()}
+    assert rows[1][ALL_ROWS_MATCHED_COL] is False  # not None
+    assert rows[2][ALL_ROWS_MATCHED_COL] is True
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    assert overall[MATCHED_COUNT_COL] == 1
+    assert overall[TEST_STATUS_COL] == FAILED_STATUS

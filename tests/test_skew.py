@@ -60,3 +60,14 @@ def test_salted_join_handles_duplicate_right_keys(spark):
         .collect()
     )
     assert salted == plain
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k long, lv string")
+    right = spark.createDataFrame([(2, "x")], "k long, rv string")
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, ["k"], how="full_outer")
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="right")
