@@ -184,3 +184,58 @@ def percentile_exact(spark, sf_dir):
             F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         )
     )
+
+
+@query(
+    "array_higher_order_stats",
+    """
+    SELECT vec_id,
+           CAST(COUNT(*) AS INTEGER) AS dim,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_pos,
+           MAX(v) AS max_q, MIN(v) AS min_q, SUM(ABS(v)) AS l1_q
+    FROM (
+      SELECT vec_id, e[i] AS v
+      FROM (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+            FROM embeddings),
+           unnest(generate_series(1, 64)) AS u(i))
+    GROUP BY vec_id
+    """,
+)
+def array_higher_order_stats(spark, sf_dir):
+    """Higher-order array functions (transform / filter / aggregate /
+    array_max / array_min) over the quantized embedding — per-element
+    logic stays JVM-side, no explode shuffle, no Python."""
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "e",
+        F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.size(F.expr("filter(e, x -> x > 0)")).alias("n_pos"),
+        F.array_max("e").alias("max_q"),
+        F.array_min("e").alias("min_q"),
+        F.expr("aggregate(e, cast(0 as bigint), (acc, x) -> acc + abs(x))").alias("l1_q"),
+    )
+
+
+@query(
+    "map_functions_props",
+    """
+    SELECT k, COUNT(*) AS cnt
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def map_functions_props(spark, sf_dir):
+    """Map-typed columns end-to-end: parse the JSON payload into a
+    map<string,bigint>, explode map_keys, aggregate."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        ev.select(F.explode(F.map_keys(m)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+    )
