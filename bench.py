@@ -83,6 +83,7 @@ def main():
         for _ in range(2):
             _cq._ENGINE_CACHE.clear()
             qmap["compare_overall_report"](spark, "/root/testdata/sf0.001").collect()
+            qmap["compare_lineitem_overall"](spark, "/root/testdata/sf0.001").collect()
         _cq._ENGINE_CACHE.clear()
     except Exception:
         pass

@@ -243,3 +243,47 @@ def streaming_static_join(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     return _run_to_memory(joined, "complete")
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with an event-time range constraint:
+    purchases within one hour after a click by the same user. Watermarks
+    on both sides + the time bound let the engine expire join state; on
+    the finite input the result equals the batch interval join the
+    oracle runs."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+    return _run_to_memory(joined, "append")

@@ -99,3 +99,67 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     assert set(written.select("event_type").distinct().toPandas()["event_type"]) == set(
         source.select("event_type").distinct().toPandas()["event_type"]
     )
+
+
+def test_append_mode_withholds_unfinalized_windows(spark, sf_dir, tmp_path):
+    """Watermark semantics under append-mode tumbling aggregation: only
+    windows whose end precedes the watermark are emitted; the trailing
+    (possibly-still-growing) windows are withheld from the sink.
+
+    (Observed Spark 4.1 behavior note: under availableNow, rows arriving
+    in a later micro-batch behind the watermark still surface when their
+    windows finalize at termination — late-row *dropping* is not
+    observable this way, so this test pins the emission boundary, which
+    is the contract consumers rely on.)"""
+    ev = t(spark, sf_dir, "events")
+    median_us = ev.selectExpr("unix_micros(ts) AS us").approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    newer = F.unix_micros(F.col("ts")) > F.lit(int(median_us))
+
+    stage = str(tmp_path / "late_stream")
+    os.makedirs(stage, exist_ok=True)
+    # batch 1 = NEWER half; batch 2 = OLDER half (arrives "late")
+    ev.where(newer).coalesce(1).write.mode("overwrite").parquet(f"{stage}/b1")
+    ev.where(~newer).coalesce(1).write.mode("overwrite").parquet(f"{stage}/b2")
+    for i, d in enumerate(["b1", "b2"]):
+        for f_name in os.listdir(f"{stage}/{d}"):
+            os.utime(f"{stage}/{d}/{f_name}", (1_700_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros(F.col("w.start")).alias("hour_us"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted_hours = {r["hour_us"] for r in spark.table("late_sink").collect()}
+    assert emitted_hours, "append sink should contain finalized windows"
+
+    max_ts_us = ev.agg(F.max(F.unix_micros(F.col("ts")))).first()[0]
+    watermark_us = max_ts_us - 3600 * 1_000_000
+    # every emitted window is fully before the final watermark...
+    assert all(h + 3600 * 1_000_000 <= watermark_us for h in emitted_hours)
+    # ...and the trailing windows (watermark..max_ts) were withheld
+    all_hours = {
+        r["h"]
+        for r in ev.select(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h")
+        )
+        .distinct()
+        .collect()
+    }
+    withheld = {h for h in all_hours if h + 3600 * 1_000_000 > watermark_us}
+    assert withheld and not (withheld & emitted_hours)
