@@ -42,23 +42,31 @@ def query(name, sql=None):
     return deco
 
 
-def t(spark, sf_dir, name):
-    """S2 parquet scan. Column pruning / predicate pushdown happen via
-    Catalyst once callers select/filter on the returned frame.
-
-    Session prep for cross-engine determinism: UTC session time and
+def prepare_session(spark):
+    """Session prep for cross-engine determinism: UTC session time and
     plain TIMESTAMP (not NTZ) so ``unix_micros`` etc. resolve and agree
-    with DuckDB's naive-as-UTC reading. events.parquet carries
-    TIMESTAMP(NANOS) which Spark refuses natively — read nanos as long
-    (legacy conf) and floor-divide to microseconds, matching DuckDB's
-    ns->us truncation.
-    """
+    with DuckDB's naive-as-UTC reading; legacy nanos-as-long so the
+    events file (TIMESTAMP(NANOS), which Spark refuses natively) reads.
+    Shared by the batch loader and the streaming source — the
+    streaming-equals-batch oracles require both paths identical."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def events_ts_to_micros(df):
+    """nanos-long -> microsecond timestamp, floor-divided to match
+    DuckDB's ns->us truncation."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def t(spark, sf_dir, name):
+    """S2 parquet scan. Column pruning / predicate pushdown happen via
+    Catalyst once callers select/filter on the returned frame."""
+    prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = events_ts_to_micros(df)
     return df
 
 

@@ -98,21 +98,19 @@ def cube_agg(spark, sf_dir):
 )
 def grouping_sets_agg(spark, sf_dir):
     """Explicit grouping sets: per-flag and per-bucket marginals in one
-    aggregation pass."""
+    aggregation pass (DataFrame.groupingSets — no session-global temp
+    view, thread-safe on a shared session)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.when(F.col("l_quantity") < 25, "small")
         .otherwise("large")
         .alias("l_shipmode_bucket"),
     )
-    li.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_shipmode_bucket, COUNT(*) AS cnt
-        FROM _gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_bucket))
-        """
-    )
+    return li.groupingSets(
+        [["l_returnflag"], ["l_shipmode_bucket"]],
+        "l_returnflag",
+        "l_shipmode_bucket",
+    ).agg(F.count("*").alias("cnt"))
 
 
 @query(

@@ -30,10 +30,23 @@ def compare_schemas(spark, source_df, target_df):
     """Per-column drift report as a DataFrame.
 
     Pure metadata — no jobs launched; the result is a 1-partition local
-    frame regardless of input size.
+    frame regardless of input size. Duplicate column names (legal in
+    Spark after joins) would silently collapse in a name-keyed report,
+    hiding exactly the conflicts this exists to catch — rejected.
     """
-    src = {f.name: f.dataType.simpleString() for f in source_df.schema.fields}
-    tgt = {f.name: f.dataType.simpleString() for f in target_df.schema.fields}
+
+    def _fields(df, side):
+        names = [f.name for f in df.schema.fields]
+        if len(names) != len(set(names)):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"{side} schema has duplicate column names {dupes}; "
+                "disambiguate (alias) before drift comparison"
+            )
+        return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    src = _fields(source_df, "source")
+    tgt = _fields(target_df, "target")
     rows = []
     for name in sorted(set(src) | set(tgt)):
         s, g = src.get(name), tgt.get(name)

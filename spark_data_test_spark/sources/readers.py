@@ -16,7 +16,7 @@ from spark_data_test_spark.operators.relational import cents, query, t
 
 def read_csv(spark, path, schema=None, **options):
     """CSV with explicit schema by default; inference only if asked."""
-    reader = spark.read.options(header="true", **options)
+    reader = spark.read.options(**{"header": "true", **options})
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -26,38 +26,45 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from spark_data_test_spark.operators.relational import cents, query
+from spark_data_test_spark.operators.relational import (
+    cents,
+    events_ts_to_micros,
+    prepare_session,
+    query,
+)
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def read_events_stream(spark, sf_dir):
-    """Streaming source over the events parquet. The file stores
-    TIMESTAMP(NANOS) which Spark reads as long via the legacy conf; the
-    nanos->micros conversion happens right after the source so every
-    downstream operator sees a real timestamp column."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    """Streaming source over the events parquet, sharing the batch
+    loader's session prep and nanos->micros conversion
+    (relational.prepare_session / events_ts_to_micros) so the
+    streaming-equals-batch oracles hold by construction."""
+    prepare_session(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source requires a *directory*; the testdata is
     # a single read-only file -> stage a symlink dir. Bucket by a STABLE
-    # digest (hash() is seed-randomized per process) and re-link if an
-    # existing link points elsewhere or is broken.
+    # digest (hash() is seed-randomized per process); replace anything
+    # stale at the link path, and tolerate a concurrent process winning
+    # the create race.
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stage = f"/tmp/spark_stream_src/{digest}/events"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
     target = f"{sf_dir}/events.parquet"
-    if os.path.islink(link) and os.readlink(link) != target:
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.remove(link)
+    elif os.path.lexists(link):  # regular file left by something else
         os.remove(link)
     if not os.path.islink(link):
-        os.symlink(target, link)
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+        try:
+            os.symlink(target, link)
+        except FileExistsError:  # concurrent creator won; verify target
+            if os.readlink(link) != target:
+                raise
+    return events_ts_to_micros(spark.readStream.schema(schema).parquet(stage))
 
 
 def _run_to_memory(stream_df, output_mode):
