@@ -377,3 +377,98 @@ def compare_nulls_overall(spark, sf_dir):
     return engine_stats.crossJoin(collisions).select(
         "total", "matched_count", "checksum_collisions"
     )
+
+
+def compare_unkeyed(spark, source_df, target_df, dataset_name="unkeyed"):
+    """Multiset comparison without primary keys (engine extension; the
+    reference requires ``primary_keys``).
+
+    Each side is reduced to (row-hash -> multiplicity) with one hash
+    aggregate — the canonical checksum over ALL columns is the grouping
+    key, so the shuffle carries 8-byte keys + counts regardless of row
+    width. A full-outer join of the two count tables yields the multiset
+    difference. Scales as two scans + one small join at any width.
+    """
+    from spark_data_test_spark.functions.checksum import canonical_checksum
+
+    def side_counts(df, alias):
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        return (
+            df.withColumn("_h", canonical_checksum(df.columns, dtypes))
+            .groupBy("_h")
+            .agg(F.count("*").alias(alias))
+        )
+
+    s = side_counts(source_df, "n_src")
+    g = side_counts(target_df, "n_tgt")
+    j = s.join(g, "_h", "full_outer").select(
+        F.coalesce(F.col("n_src"), F.lit(0)).alias("n_src"),
+        F.coalesce(F.col("n_tgt"), F.lit(0)).alias("n_tgt"),
+    )
+    return j.agg(
+        F.lit(dataset_name).alias("dataset_name"),
+        F.sum("n_src").alias("source_count"),
+        F.sum("n_tgt").alias("target_count"),
+        F.sum(F.least("n_src", "n_tgt")).alias("matched_count"),
+        F.sum(F.greatest(F.col("n_src") - F.col("n_tgt"), F.lit(0))).alias(
+            "only_in_source"
+        ),
+        F.sum(F.greatest(F.col("n_tgt") - F.col("n_src"), F.lit(0))).alias(
+            "only_in_target"
+        ),
+    ).withColumn(
+        "test_status",
+        F.when(
+            (F.col("only_in_source") == 0) & (F.col("only_in_target") == 0),
+            "PASSED",
+        ).otherwise("FAILED"),
+    )
+
+
+@query(
+    "compare_unkeyed_multiset",
+    """
+    WITH src AS (
+      SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem),
+    tgt AS (
+      SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_orderkey % 501 = 0 THEN l_quantity + 1
+                  ELSE l_quantity END AS l_quantity
+      FROM lineitem WHERE l_orderkey % 101 <> 0),
+    sc AS (SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS n_src
+           FROM src GROUP BY 1, 2, 3),
+    tc AS (SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS n_tgt
+           FROM tgt GROUP BY 1, 2, 3),
+    j AS (
+      SELECT COALESCE(sc.n_src, 0) AS n_src, COALESCE(tc.n_tgt, 0) AS n_tgt
+      FROM sc FULL JOIN tc
+        ON sc.l_returnflag = tc.l_returnflag
+       AND sc.l_linestatus = tc.l_linestatus
+       AND sc.l_quantity = tc.l_quantity)
+    SELECT 'unkeyed' AS dataset_name,
+           SUM(n_src) AS source_count,
+           SUM(n_tgt) AS target_count,
+           SUM(LEAST(n_src, n_tgt)) AS matched_count,
+           SUM(GREATEST(n_src - n_tgt, 0)) AS only_in_source,
+           SUM(GREATEST(n_tgt - n_src, 0)) AS only_in_target,
+           CASE WHEN SUM(GREATEST(n_src - n_tgt, 0)) = 0
+                 AND SUM(GREATEST(n_tgt - n_src, 0)) = 0
+                THEN 'PASSED' ELSE 'FAILED' END AS test_status
+    FROM j
+    """,
+)
+def compare_unkeyed_multiset(spark, sf_dir):
+    """compare_unkeyed on a projected lineitem vs a perturbed copy
+    (rows dropped at %101, quantities bumped at %501). The oracle
+    re-derives the multiset difference by grouping on the raw columns —
+    equivalent to grouping on an injective hash of them."""
+    li = t(spark, sf_dir, "lineitem")
+    src = li.select("l_returnflag", "l_linestatus", "l_quantity")
+    tgt = li.where(F.col("l_orderkey") % 101 != 0).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(F.col("l_orderkey") % 501 == 0, F.col("l_quantity") + 1)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+    )
+    return compare_unkeyed(spark, src, tgt)

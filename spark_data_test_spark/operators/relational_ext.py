@@ -237,3 +237,26 @@ def map_functions_props(spark, sf_dir):
         .groupBy("k")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long -> wide): order counts per priority x status. Pivot
+    values are declared explicitly — at scale an implicit pivot runs an
+    extra distinct job just to discover the columns."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
