@@ -26,7 +26,7 @@ from spark_data_test_spark.constants import (
 )
 from spark_data_test_spark.entities.config import DatasetParams, TestParams
 from spark_data_test_spark.operators.comparison import compare_dataframes
-from spark_data_test_spark.operators.relational import QUERIES, ORACLES, query, t
+from spark_data_test_spark.operators.relational import query, t
 
 TOLERANCE = 0.01
 

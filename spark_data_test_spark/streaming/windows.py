@@ -19,12 +19,7 @@ import uuid
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql.types import (
-    LongType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 from spark_data_test_spark.operators.relational import (
     cents,
