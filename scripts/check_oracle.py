@@ -104,7 +104,14 @@ def main():
         try:
             cur = con.execute(omap[name])
             ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # Fetch via Arrow, as the driver does: DuckDB HUGEINT (the
+            # result type of SUM over integers) surfaces as decimal128
+            # here and hash-mismatches Spark's int64 — fetchall() would
+            # hide that by coercing to Python int (round-1 lesson).
+            orows = [
+                tuple(rec.values())
+                for rec in cur.fetch_arrow_table().to_pylist()
+            ]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)

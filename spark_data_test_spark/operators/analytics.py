@@ -13,8 +13,8 @@ from spark_data_test_spark.operators.relational import cents, query, t
 @query(
     "tpch_q6_forecast_revenue",
     """
-    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
-             AS revenue_cents,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -47,8 +47,8 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     "tpch_q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-             AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
            n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -85,11 +85,11 @@ def tpch_q10_returned_items(spark, sf_dir):
 @query(
     "tpch_q14_promo_share",
     """
-    SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
-                    ELSE 0 END) AS promo_cents,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-             AS total_cents
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
 )

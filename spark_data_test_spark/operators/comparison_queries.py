@@ -324,9 +324,10 @@ def compare_lineitem_overall(spark, sf_dir):
                AND (s.c2 IS NOT DISTINCT FROM t.c2) AS col_match
       FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey)
     SELECT COUNT(*) AS total,
-           SUM(CASE WHEN fast_match OR col_match THEN 1 ELSE 0 END) AS matched_count,
-           SUM(CASE WHEN fast_match AND NOT col_match THEN 1 ELSE 0 END)
-             AS checksum_collisions
+           CAST(SUM(CASE WHEN fast_match OR col_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS matched_count,
+           CAST(SUM(CASE WHEN fast_match AND NOT col_match THEN 1 ELSE 0 END)
+             AS BIGINT) AS checksum_collisions
     FROM j
     """,
 )
@@ -446,11 +447,11 @@ def compare_unkeyed(spark, source_df, target_df, dataset_name="unkeyed"):
        AND sc.l_linestatus = tc.l_linestatus
        AND sc.l_quantity = tc.l_quantity)
     SELECT 'unkeyed' AS dataset_name,
-           SUM(n_src) AS source_count,
-           SUM(n_tgt) AS target_count,
-           SUM(LEAST(n_src, n_tgt)) AS matched_count,
-           SUM(GREATEST(n_src - n_tgt, 0)) AS only_in_source,
-           SUM(GREATEST(n_tgt - n_src, 0)) AS only_in_target,
+           CAST(SUM(n_src) AS BIGINT) AS source_count,
+           CAST(SUM(n_tgt) AS BIGINT) AS target_count,
+           CAST(SUM(LEAST(n_src, n_tgt)) AS BIGINT) AS matched_count,
+           CAST(SUM(GREATEST(n_src - n_tgt, 0)) AS BIGINT) AS only_in_source,
+           CAST(SUM(GREATEST(n_tgt - n_src, 0)) AS BIGINT) AS only_in_target,
            CASE WHEN SUM(GREATEST(n_src - n_tgt, 0)) = 0
                  AND SUM(GREATEST(n_tgt - n_src, 0)) = 0
                 THEN 'PASSED' ELSE 'FAILED' END AS test_status

@@ -38,7 +38,7 @@ def _user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     SELECT user_id, COUNT(*) AS n_events,
            MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id
     """,
 )

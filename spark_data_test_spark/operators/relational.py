@@ -188,8 +188,8 @@ def checksum_sha2(spark, sf_dir):
     "numeric_tolerance_abs",
     """
     SELECT o_orderstatus,
-           SUM(CASE WHEN abs(o_totalprice - round(o_totalprice, -2)) <= 25
-                    THEN 1 ELSE 0 END) AS within_tol,
+           CAST(SUM(CASE WHEN abs(o_totalprice - round(o_totalprice, -2)) <= 25
+                    THEN 1 ELSE 0 END) AS BIGINT) AS within_tol,
            COUNT(*) AS total
     FROM orders GROUP BY 1
     """,
@@ -289,10 +289,12 @@ def full_outer_join_missing(spark, sf_dir):
 @query(
     "conditional_sum_missing",
     """
-    SELECT SUM(CASE WHEN s.o_orderkey IS NULL THEN 1 ELSE 0 END) AS missing_at_source,
-           SUM(CASE WHEN t.o_orderkey IS NULL THEN 1 ELSE 0 END) AS missing_at_target,
-           SUM(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
-                    THEN 1 ELSE 0 END) AS present_in_both
+    SELECT CAST(SUM(CASE WHEN s.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS missing_at_source,
+           CAST(SUM(CASE WHEN t.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS missing_at_target,
+           CAST(SUM(CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS present_in_both
     FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0) s
     FULL JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0) t
       ON s.o_orderkey = t.o_orderkey
@@ -362,8 +364,10 @@ def groupby_dup_count(spark, sf_dir):
 @query(
     "create_map_getitem",
     """
-    SELECT SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS source_count,
-           SUM(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS target_count
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS source_count,
+           CAST(SUM(CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS target_count
     FROM orders
     """,
 )
@@ -474,9 +478,10 @@ def window_lead_lag(spark, sf_dir):
     "window_running_sum",
     """
     SELECT event_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT))
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_cents
     FROM events
     """,
 )
@@ -661,12 +666,14 @@ def colwise_mismatch_unpivot(spark, sf_dir):
     "tpch_q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-             AS sum_disc_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-                    AS BIGINT)) AS sum_charge_cents,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                    AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -696,8 +703,8 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     "tpch_q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-             AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
            epoch_us(o.o_orderdate) AS o_orderdate_us
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -742,8 +749,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     "tpch_q5_local_supplier",
     """
     SELECT n.n_name,
-           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-             AS revenue_cents
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -785,7 +792,7 @@ def tpch_q5_local_supplier(spark, sf_dir):
     """
     SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -815,7 +822,7 @@ def events_tumbling_window(spark, sf_dir):
              value
       FROM events, offsets)
     SELECT win_start_us, COUNT(*) AS cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM slid GROUP BY 1
     """,
 )

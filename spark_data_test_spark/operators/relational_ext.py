@@ -52,7 +52,7 @@ def left_anti_join(spark, sf_dir):
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -190,7 +190,8 @@ def percentile_exact(spark, sf_dir):
     SELECT vec_id,
            CAST(COUNT(*) AS INTEGER) AS dim,
            CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_pos,
-           MAX(v) AS max_q, MIN(v) AS min_q, SUM(ABS(v)) AS l1_q
+           MAX(v) AS max_q, MIN(v) AS min_q,
+           CAST(SUM(ABS(v)) AS BIGINT) AS l1_q
     FROM (
       SELECT vec_id, e[i] AS v
       FROM (SELECT vec_id,
@@ -243,9 +244,9 @@ def map_functions_props(spark, sf_dir):
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders GROUP BY o_orderpriority
     """,
 )

@@ -34,7 +34,8 @@ def read_json(spark, path, schema=None, **options):
 @query(
     "source_csv_roundtrip",
     """
-    SELECT p_brand, COUNT(*) AS cnt, SUM(CAST(p_size AS BIGINT)) AS total_size
+    SELECT p_brand, COUNT(*) AS cnt,
+           CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
     FROM part GROUP BY p_brand
     """,
 )
@@ -67,7 +68,7 @@ def source_csv_roundtrip(spark, sf_dir):
     "source_json_roundtrip",
     """
     SELECT event_type, COUNT(*) AS cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY event_type
     """,
 )

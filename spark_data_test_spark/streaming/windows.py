@@ -102,7 +102,7 @@ def tumbling_counts(stream_events, width="1 hour"):
     """
     SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
