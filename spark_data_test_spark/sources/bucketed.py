@@ -13,15 +13,21 @@ tests/test_bucketed.py).
 """
 
 
-def write_bucketed(df, table_name, keys, num_buckets=32, sort=True, mode="overwrite"):
-    """Persist as a bucketed (+sorted) managed table.
+def write_bucketed(
+    df, table_name, keys, num_buckets=32, sort=True, mode="overwrite", path=None
+):
+    """Persist as a bucketed (+sorted) table.
 
     Bucketing requires the table catalog (saveAsTable) — plain
-    path-based parquet cannot carry bucket metadata.
+    path-based parquet cannot carry bucket metadata. ``path`` makes the
+    table external (files land there instead of the session warehouse
+    dir, which defaults to ``cwd/spark-warehouse``).
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 

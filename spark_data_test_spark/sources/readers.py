@@ -94,3 +94,81 @@ def source_json_roundtrip(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum(F.col("r.value_cents")).alias("value_cents"),
     )
+
+
+@query(
+    "source_bucketed_table_roundtrip",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def source_bucketed_table_roundtrip(spark, sf_dir):
+    """S1: catalog-table scan via a bucketed write+read round trip.
+
+    Both sides are bucketed on the join key, so the fact-fact join off
+    the table scans is exchange-free (the 100 TB posture asserted by
+    tests/test_bucketed.py); the oracle re-derives the aggregate from
+    the original parquet, so any fidelity loss in the table round trip
+    fails the hash.
+    """
+    from spark_data_test_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/spark_graft_bucketed/{digest}"
+    o_tbl, l_tbl = f"b_orders_{digest}", f"b_lineitem_{digest}"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    write_bucketed(o, o_tbl, ["o_orderkey"], num_buckets=8, path=f"{base}/orders")
+    write_bucketed(li, l_tbl, ["o_orderkey"], num_buckets=8, path=f"{base}/lineitem")
+    joined = read_bucketed(spark, o_tbl).join(
+        read_bucketed(spark, l_tbl), ["o_orderkey"]
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    """,
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    """S5: sink with explicit output partition-count control
+    (``no_of_partitions`` -> coalesce when shrinking, repartition when
+    growing, utils/io_utils.py), then read the sink back and aggregate —
+    the oracle aggregates the original table, so the round trip must be
+    lossless and complete across all output files."""
+    from spark_data_test_spark.entities.config import OutputConfig
+    from spark_data_test_spark.utils.io_utils import write_result
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_partsink/{digest}/events"
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 3 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    write_result(
+        ev, path, OutputConfig(output_dir=path, no_of_partitions=4)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )

@@ -80,6 +80,37 @@ def test_simhash_locality(spark, sf_dir):
     assert 1 <= rand <= 24
 
 
+def test_embedding_cosine_ivf_recall_and_precision(spark, sf_dir):
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_1e6"]
+        for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 400)
+        .collect()
+    }
+    ids = sorted(emb)
+    norm = {i: np.linalg.norm(emb[i]) for i in ids}
+    brute = {
+        (a, b): float(np.dot(emb[a], emb[b])) / (norm[a] * norm[b])
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+    }
+    brute_pairs = {p for p, c in brute.items() if c >= 0.3}
+    # precision is exact: every emitted pair is a true >=0.3 pair with
+    # the right score
+    assert set(got) <= brute_pairs
+    for p, c1e6 in got.items():
+        assert abs(c1e6 - round(brute[p] * 1e6)) <= 1
+    # recall floor: the isotropic synthetic corpus has no cluster
+    # structure, the worst case for IVF — nprobe=2 over 8 untrained
+    # centroids still keeps over half the pairs (measured 0.64-0.70
+    # across sf0.001-0.1) while scoring only ~46% of all pairs
+    assert len(got) / max(len(brute_pairs), 1) >= 0.5
+
+
 def test_cosine_topk_matches_numpy(spark, sf_dir):
     emb = {
         r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)

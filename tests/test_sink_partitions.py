@@ -1,0 +1,61 @@
+"""S5 output-partition control: coalesce when shrinking, repartition
+when growing, and the sink actually lands that many data files
+(reference io_utils.py:5-20 semantics)."""
+
+import glob
+import shutil
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.entities.config import OutputConfig
+from spark_data_test_spark.operators.relational import t
+from spark_data_test_spark.utils.io_utils import write_result
+
+
+def _data_files(path):
+    return [p for p in glob.glob(f"{path}/part-*") if not p.endswith(".crc")]
+
+
+def test_grow_path_repartitions(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "grow")
+    df = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    assert df.rdd.getNumPartitions() < 6
+    write_result(df, out, OutputConfig(output_dir=out, no_of_partitions=6))
+    try:
+        assert len(_data_files(out)) == 6
+        assert spark.read.parquet(out).count() == df.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_shrink_path_coalesces(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "shrink")
+    df = (
+        t(spark, sf_dir, "orders")
+        .repartition(8, "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+    )
+    write_result(df, out, OutputConfig(output_dir=out, no_of_partitions=2))
+    try:
+        assert len(_data_files(out)) == 2
+        got = (
+            spark.read.parquet(out)
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+            .collect()[0][0]
+        )
+        want = df.agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).collect()[0][0]
+        assert got == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_default_leaves_partitioning_alone(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "default")
+    df = t(spark, sf_dir, "orders").repartition(3, "o_orderkey")
+    write_result(df, out, OutputConfig(output_dir=out))
+    try:
+        assert len(_data_files(out)) == 3
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
