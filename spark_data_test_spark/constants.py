@@ -65,6 +65,9 @@ OVERALL_TEST_REPORT_KEY = "overall_test_report"
 COL_LVL_TEST_REPORT_KEY = "col_lvl_test_report"
 ROW_LVL_TEST_REPORT_KEY = "row_lvl_test_report"
 UNMATCHED_RECORDS_KEY = "unmatched_records"
+# engine extension (not in the reference): private result key listing
+# the frames a comparison run persisted, for explicit release
+PERSISTED_FRAMES_KEY = "_persisted_frames"
 
 # checksum modes (engine extension; "sha256" reproduces the reference
 # checksum exactly, "xxhash64" is the collision-hardened 100TB fast path)

@@ -26,8 +26,13 @@ from spark_data_test_spark.constants import (
     EMPTY_STR,
 )
 
-# ASCII NUL / unit-separator: cannot appear in cast-to-string output of
-# any Spark atomic type, so the canonical encoding is injective.
+# NUL marks NULL cells; the unit separator frames fields. Numeric,
+# boolean and epoch-encoded temporal parts can never contain either
+# character — but StringType (and binary/complex) values CAN, so those
+# parts are length-prefixed ("<n>:<payload>"): a left-to-right decoder
+# that knows the schema reads the declared length and lands exactly on
+# the next separator, making the full encoding injective even when
+# payloads embed the sentinel characters.
 _NULL_SENTINEL = "\x00"
 _FIELD_SEP = "\x1f"
 
@@ -42,8 +47,15 @@ def _canonical_part(col_name, dtype):
 
     Timestamp-to-string formatting is ~5x the cost of the whole hash
     (measured at sf0.1); temporal types encode as epoch numbers instead.
+    Types whose string form is separator-free skip the length prefix.
     """
-    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     col = F.col(col_name)
     if isinstance(dtype, TimestampType):
@@ -52,12 +64,18 @@ def _canonical_part(col_name, dtype):
     elif isinstance(dtype, TimestampNTZType):
         # wall-clock without zone: casting via the session timezone
         # would make the checksum tz-dependent (and collide across DST
-        # gaps); the string form is canonical
+        # gaps); the string form is canonical (digits/punctuation only)
         encoded = col.cast("string")
     elif isinstance(dtype, DateType):
         encoded = F.unix_date(col).cast("string")
-    else:
+    elif isinstance(dtype, (NumericType, BooleanType)):
         encoded = col.cast("string")
+    else:
+        # strings and anything else (binary, arrays, ...) can contain
+        # the separator/NUL — length-prefix so field boundaries stay
+        # unambiguous ("a\x1fb","c" must not equal "a","b\x1fc")
+        s = col.cast("string")
+        encoded = F.concat(F.length(s).cast("string"), F.lit(":"), s)
     return F.coalesce(encoded, F.lit(_NULL_SENTINEL))
 
 

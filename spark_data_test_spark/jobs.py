@@ -17,6 +17,7 @@ from spark_data_test_spark.constants import (
     COL_NAME,
     OVERALL_TEST_REPORT_DIR,
     OVERALL_TEST_REPORT_KEY,
+    PERSISTED_FRAMES_KEY,
     ROW_LVL_TEST_REPORT_DIR,
     ROW_LVL_TEST_REPORT_KEY,
     UNMATCHED_RECORDS_KEY,
@@ -123,6 +124,9 @@ def run_comparison_job(spark, config):
             ):
                 consolidated[key] = consolidated[key].union(result[key])
             consolidated[UNMATCHED_RECORDS_KEY].update(result[UNMATCHED_RECORDS_KEY])
+            consolidated.setdefault(PERSISTED_FRAMES_KEY, []).extend(
+                result.get(PERSISTED_FRAMES_KEY, [])
+            )
         else:
             consolidated = result
     write_results(consolidated, config.job_name, config.output_config)

@@ -66,6 +66,7 @@ from spark_data_test_spark.constants import (
     MISSING_ROWS_COL,
     OVERALL_TEST_REPORT_KEY,
     PASSED_STATUS,
+    PERSISTED_FRAMES_KEY,
     PRESENT_IN_BOTH_STATUS,
     ROW_LVL_TEST_REPORT_KEY,
     SOURCE_COL,
@@ -229,7 +230,28 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         ROW_LVL_TEST_REPORT_KEY: row_lvl_report,
         COL_LVL_TEST_REPORT_KEY: col_lvl_report,
         UNMATCHED_RECORDS_KEY: unmatched_map,
+        # private: every frame this run persisted, so long-lived sessions
+        # can release the cached blocks (release_comparison_result)
+        PERSISTED_FRAMES_KEY: [
+            narrow,
+            unmatched_records,
+            row_lvl_report,
+            col_lvl_report,
+        ],
     }
+
+
+def release_comparison_result(result):
+    """Unpersist every cached frame a ``compare_dataframes`` run left
+    behind. Call when a long-lived session is done consuming the
+    reports — the engine persists its narrow/unmatched projections for
+    the multi-report fan-out, and Spark only drops those blocks on
+    session shutdown otherwise."""
+    for df in result.get(PERSISTED_FRAMES_KEY, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _row_level_report(dataset_name, narrow, keys):

@@ -81,8 +81,23 @@ def _perturbed_pair(spark, sf_dir):
 # One engine run serves all three report queries within a session; the
 # reports are lazily-persisted frames, so memoizing the dict is safe and
 # saves two full pipeline executions when the driver/bench runs the
-# compare_* queries back to back.
+# compare_* queries back to back. Bounded: oldest entries are released
+# (unpersisted) past _ENGINE_CACHE_MAX so sessions touching many
+# sf_dirs don't accumulate cached blocks.
 _ENGINE_CACHE = {}
+_ENGINE_CACHE_MAX = 4
+
+
+def clear_engine_cache():
+    """Release every memoized engine result (blocks + dict entries).
+    The bench calls this between warmup and timed runs."""
+    from spark_data_test_spark.operators.comparison import (
+        release_comparison_result,
+    )
+
+    for res in _ENGINE_CACHE.values():
+        release_comparison_result(res)
+    _ENGINE_CACHE.clear()
 
 
 def _run_engine(spark, sf_dir):
@@ -90,6 +105,13 @@ def _run_engine(spark, sf_dir):
     # id() which CPython can reuse after a stopped session is collected
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ENGINE_CACHE:
+        from spark_data_test_spark.operators.comparison import (
+            release_comparison_result,
+        )
+
+        while len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
+            oldest = next(iter(_ENGINE_CACHE))
+            release_comparison_result(_ENGINE_CACHE.pop(oldest))
         src, tgt = _perturbed_pair(spark, sf_dir)
         params = DatasetParams(
             dataset_name="orders_drift",

@@ -159,6 +159,27 @@ def test_canonical_checksum_distinguishes_null_from_empty(spark):
     assert res_ref[OVERALL_TEST_REPORT_KEY].first()[TEST_STATUS_COL] == "PASSED"
 
 
+def test_canonical_checksum_sentinel_characters_in_strings(spark):
+    # StringType values may themselves contain the field separator
+    # (\x1f) and NUL — a column-shift across the boundary must still be
+    # detected (length-prefixed framing, not separator trust).
+    source = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, "x\x00", "y")], "id long, a string, b string"
+    )
+    target = spark.createDataFrame(
+        [(1, "a", "b\x1fc"), (2, "x", "\x00y")], "id long, a string, b string"
+    )
+    params = DatasetParams(
+        dataset_name="sentinels",
+        primary_keys=["id"],
+        test_params=TestParams(checksum_mode="xxhash64"),
+    )
+    res = compare_dataframes(spark, source, target, params)
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    assert overall[TEST_STATUS_COL] == FAILED_STATUS
+    assert overall[MATCHED_COUNT_COL] == 0
+
+
 def test_composite_primary_keys(spark):
     source = spark.createDataFrame(
         [Row(k1=1, k2="a", v=1.0), Row(k1=1, k2="b", v=2.0), Row(k1=2, k2="a", v=3.0)]

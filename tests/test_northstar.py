@@ -157,6 +157,35 @@ def test_language_id_and_quality_bounds(spark, sf_dir):
     assert all(r["n_words"] >= 1 for r in q_rows)
 
 
+def test_decode_features_on_non_utf8_binary(spark):
+    # the mapInPandas contract must hold for REAL binary payloads, not
+    # just UTF-8 re-encodings of text: PNG-style magic bytes, NULs,
+    # invalid UTF-8 continuation bytes, every byte value 0-255
+    blobs = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0x00, 0xFF, 0xFE])),
+        (2, bytes(range(256))),
+        (3, b"\x00" * 37),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, content binary").coalesce(1)
+    feats = {r["doc_id"]: r for r in multimodal.decode_features(df).collect()}
+    for doc_id, content in blobs:
+        n, w, h = multimodal.fake_features(content)
+        r = feats[doc_id]
+        assert (r["n_bytes"], r["fake_width"], r["fake_height"]) == (n, w, h)
+
+
+def test_frame_sample_on_non_utf8_binary(spark):
+    payload = bytes(range(256)) * 2  # 512 bytes, every value twice
+    df = spark.createDataFrame(
+        [(7, payload)], "doc_id long, content binary"
+    ).coalesce(1)
+    frames = multimodal.frame_sample(df, frame_bytes=64, stride=2).collect()
+    assert frames, "expected sampled frames"
+    for r in frames:
+        start = r["offset"] - 1  # SQL substring offsets are 1-based
+        assert bytes(r["frame"]) == payload[start : start + 64]
+
+
 def test_multimodal_decode_stub_matches_python(spark, sf_dir):
     feats = {r["doc_id"]: r for r in QUERIES["multimodal_decode_stub"](spark, sf_dir).collect()}
     docs = t(spark, sf_dir, "documents").limit(20).collect()
