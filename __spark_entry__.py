@@ -86,6 +86,7 @@ def _registry():
     # ImportError from our own modules (typo, circular import) must
     # surface, not silently shrink the query registry.
     optional_deps = {"pandas", "pyarrow", "numpy", "PIL"}
+    skipped_modules = []
     for mod_name in (
         "spark_data_test_spark.operators.relational_ext",
         "spark_data_test_spark.operators.schema_drift",
@@ -104,11 +105,16 @@ def _registry():
             root = (exc.name or "").split(".")[0]
             if root not in optional_deps:
                 raise
+            skipped_modules.append(mod_name)
 
     missing = [n for n in _DRIVER_PRIORITY if n not in relational.QUERIES]
-    if missing:
+    if missing and not skipped_modules:
+        # all first-party modules imported cleanly, so an absent
+        # priority query is a registration bug, not a missing dep
         raise RuntimeError(f"driver-priority queries not registered: {missing}")
-    ordered = {n: relational.QUERIES[n] for n in _DRIVER_PRIORITY}
+    ordered = {
+        n: relational.QUERIES[n] for n in _DRIVER_PRIORITY if n in relational.QUERIES
+    }
     for name, fn in relational.QUERIES.items():
         ordered.setdefault(name, fn)
     return ordered, relational.ORACLES

@@ -100,6 +100,10 @@ def main():
             qmap[warm_q](spark, "/root/testdata/sf0.001").write.format(
                 "noop"
             ).mode("overwrite").save()
+        # drop warmup-scale cached shingles so the timed run starts clean
+        from spark_data_test_spark.operators.dedup import clear_dedup_cache
+
+        clear_dedup_cache()
     except Exception:
         pass
 

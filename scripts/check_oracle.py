@@ -108,10 +108,12 @@ def main():
             # result type of SUM over integers) surfaces as decimal128
             # here and hash-mismatches Spark's int64 — fetchall() would
             # hide that by coercing to Python int (round-1 lesson).
-            orows = [
-                tuple(rec.values())
-                for rec in cur.fetch_arrow_table().to_pylist()
-            ]
+            # Extract columns POSITIONALLY (to_pylist() keys rows by
+            # column name, silently collapsing duplicate aliases into
+            # short tuples that would crash result_digest).
+            tab = cur.fetch_arrow_table()
+            col_values = [tab.column(i).to_pylist() for i in range(tab.num_columns)]
+            orows = list(zip(*col_values)) if col_values else []
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)

@@ -28,11 +28,18 @@ from spark_data_test_spark.constants import (
 
 # NUL marks NULL cells; the unit separator frames fields. Numeric,
 # boolean and epoch-encoded temporal parts can never contain either
-# character — but StringType (and binary/complex) values CAN, so those
-# parts are length-prefixed ("<n>:<payload>"): a left-to-right decoder
-# that knows the schema reads the declared length and lands exactly on
-# the next separator, making the full encoding injective even when
-# payloads embed the sentinel characters.
+# character — but StringType values CAN, so string-ish parts are
+# length-prefixed ("<n>:<payload>"): a left-to-right decoder that knows
+# the schema reads the declared length and lands exactly on the next
+# separator, so field boundaries are unambiguous even when payloads
+# embed the sentinel characters. Binary encodes as hex; nested types
+# (array/map/struct) encode as JSON because their cast-to-string form
+# is lossy (["a, b"] and ["a","b"] both render "[a, b]") — JSON quotes
+# and escapes element strings, so the encoding distinguishes them. The
+# one remaining caveat: map entry order is not canonicalized, so two
+# maps with the same entries in different insertion order hash
+# differently (a false MISMATCH, which the per-column verdict then
+# re-judges — never a false match).
 _NULL_SENTINEL = "\x00"
 _FIELD_SEP = "\x1f"
 
@@ -50,9 +57,13 @@ def _canonical_part(col_name, dtype):
     Types whose string form is separator-free skip the length prefix.
     """
     from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
         BooleanType,
         DateType,
+        MapType,
         NumericType,
+        StructType,
         TimestampNTZType,
         TimestampType,
     )
@@ -70,10 +81,18 @@ def _canonical_part(col_name, dtype):
         encoded = F.unix_date(col).cast("string")
     elif isinstance(dtype, (NumericType, BooleanType)):
         encoded = col.cast("string")
+    elif isinstance(dtype, BinaryType):
+        # hex is injective and separator-free; no prefix needed
+        encoded = F.hex(col)
+    elif isinstance(dtype, (ArrayType, MapType, StructType)):
+        # cast-to-string is LOSSY for nested values; JSON quotes and
+        # escapes nested strings so differing values stay distinct
+        s = F.to_json(col)
+        encoded = F.concat(F.length(s).cast("string"), F.lit(":"), s)
     else:
-        # strings and anything else (binary, arrays, ...) can contain
-        # the separator/NUL — length-prefix so field boundaries stay
-        # unambiguous ("a\x1fb","c" must not equal "a","b\x1fc")
+        # strings (and unknown types) can contain the separator/NUL —
+        # length-prefix so field boundaries stay unambiguous
+        # ("a\x1fb","c" must not equal "a","b\x1fc")
         s = col.cast("string")
         encoded = F.concat(F.length(s).cast("string"), F.lit(":"), s)
     return F.coalesce(encoded, F.lit(_NULL_SENTINEL))

@@ -104,7 +104,11 @@ def _run_engine(spark, sf_dir):
     # applicationId is unique per context and never recycled, unlike
     # id() which CPython can reuse after a stopped session is collected
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ENGINE_CACHE:
+    cached = _ENGINE_CACHE.pop(key, None)
+    if cached is not None:
+        # reinsert = LRU refresh, so a hot entry isn't the next evicted
+        _ENGINE_CACHE[key] = cached
+    else:
         from spark_data_test_spark.operators.comparison import (
             release_comparison_result,
         )

@@ -106,6 +106,36 @@ def _shingles(corpus):
     )
 
 
+# The shingle table feeds several consumers (hash dictionary, occurrence
+# join, set sizes, pair verification), so it is persisted — but memoized
+# per (application, sf_dir) and bounded, so repeated invocations reuse
+# one cached copy instead of leaking a fresh persist per call. LRU:
+# a cache hit refreshes the entry's eviction position.
+_SHINGLE_CACHE = {}
+_SHINGLE_CACHE_MAX = 2
+
+
+def _cached_shingles(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SHINGLE_CACHE.pop(key, None)
+    if sh is None:
+        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))).unpersist()
+        sh = _shingles(_near_corpus(spark, sf_dir)).persist()
+    _SHINGLE_CACHE[key] = sh
+    return sh
+
+
+def clear_dedup_cache():
+    """Release every memoized shingle frame (blocks + dict entries)."""
+    for sh in _SHINGLE_CACHE.values():
+        try:
+            sh.unpersist()
+        except Exception:
+            pass
+    _SHINGLE_CACHE.clear()
+
+
 def _minhash(sh):
     """Per-doc MinHash signature via a distinct-shingle dictionary.
 
@@ -218,10 +248,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle -> 8 seeded minhashes ->
     4 bands of 2 -> band-bucket self-join. The join key is (band, sig),
     so candidate generation is a hash join, never all-pairs. The shingle
-    table is persisted: it feeds the hash dictionary and the occurrence
-    join, and recomputing it means re-exploding the corpus."""
-    sh = _shingles(_near_corpus(spark, sf_dir)).persist()
-    return _band_pairs(_minhash(sh))
+    table is persisted (session-memoized, see _cached_shingles): it
+    feeds the hash dictionary and the occurrence join, and recomputing
+    it means re-exploding the corpus."""
+    return _band_pairs(_minhash(_cached_shingles(spark, sf_dir)))
 
 
 _SIM_BITS = 32
@@ -318,8 +348,7 @@ def dedup_near_jaccard(spark, sf_dir):
     """LSH verify step: exact shingle-set Jaccard on the candidate
     pairs, keeping true near-dups (>= 0.5). Quadratic work is bounded
     by the candidate set, not the corpus."""
-    corpus = _near_corpus(spark, sf_dir)
-    sh = _shingles(corpus).persist()
+    sh = _cached_shingles(spark, sf_dir)
     pairs = _band_pairs(_minhash(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -387,9 +416,9 @@ _EMB_NPROBE = 2  # cells each vector lands in (multi-probe assignment)
       JOIN flat qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
       GROUP BY 1, 2)
     SELECT vec_a, vec_b,
-           CAST(ROUND(1000000 * CAST(dot AS DOUBLE) /
-                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
-                AS BIGINT) AS cos_1e6
+           CAST(ROUND(CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                * 1000000) AS BIGINT) AS cos_1e6
     FROM dots
     JOIN norms na ON na.vec_id = vec_a
     JOIN norms nb ON nb.vec_id = vec_b

@@ -180,6 +180,27 @@ def test_canonical_checksum_sentinel_characters_in_strings(spark):
     assert overall[MATCHED_COUNT_COL] == 0
 
 
+def test_canonical_checksum_nested_types_not_lossy(spark):
+    # cast-to-string renders ["a, b"] and ["a", "b"] identically, so a
+    # string-cast encoding would checksum them equal and the fast path
+    # would declare the rows matched; the JSON encoding must not.
+    source = spark.createDataFrame(
+        [(1, ["a, b"]), (2, ["x"])], "id long, v array<string>"
+    )
+    target = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["x"])], "id long, v array<string>"
+    )
+    params = DatasetParams(
+        dataset_name="nested",
+        primary_keys=["id"],
+        test_params=TestParams(checksum_mode="xxhash64"),
+    )
+    res = compare_dataframes(spark, source, target, params)
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    assert overall[TEST_STATUS_COL] == FAILED_STATUS
+    assert overall[MATCHED_COUNT_COL] == 1  # only doc 2 matches
+
+
 def test_composite_primary_keys(spark):
     source = spark.createDataFrame(
         [Row(k1=1, k2="a", v=1.0), Row(k1=1, k2="b", v=2.0), Row(k1=2, k2="a", v=3.0)]
