@@ -97,6 +97,8 @@ def _registry():
         "spark_data_test_spark.operators.similarity",
         "spark_data_test_spark.operators.text",
         "spark_data_test_spark.operators.multimodal",
+        "spark_data_test_spark.operators.temporal",
+        "spark_data_test_spark.operators.sampling",
         "spark_data_test_spark.streaming.windows",
     ):
         try:

@@ -39,6 +39,9 @@ HEADLINE = [
     "text_quality_score",
     "events_sliding_window",
     "events_sessionization",
+    "events_asof_join",
+    "events_range_join",
+    "pack_sequences",
 ]
 
 

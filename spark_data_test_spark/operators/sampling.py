@@ -1,0 +1,169 @@
+"""Deterministic sampling / mixing / packing over ``documents``.
+
+Training-data pipeline primitives that must be REPRODUCIBLE across
+engines, reruns, and cluster sizes — so none of them touch ``rand()``:
+
+* train/val/test split — Knuth multiplicative hash of the stable doc_id
+  (``doc_id * 2654435761 mod 1000``) bucketed 80/10/10. Pure int64
+  arithmetic, identical in Spark and DuckDB; a production deployment
+  with >~2^33 ids swaps in ``xxhash64(id)`` (same shape, JVM-side) to
+  avoid the multiply overflowing — the query keeps the portable form so
+  the oracle can replay it bit-for-bit.
+
+* weighted source mixing — per-source keep-rates applied with the same
+  hash (a different salt), the standard way to re-weight domains
+  (web/wiki/code/...) in a pretraining mix without materializing a
+  shuffle: a scan-side filter, embarrassingly parallel, zero shuffles
+  before the composition aggregate.
+
+* sequence packing — documents are greedily packed, in stable doc_id
+  order within a language, into fixed token-budget bins (next-fit:
+  ``bin = cum_tokens_before // budget``). One window cumsum per
+  language partition — a single shuffle+sort; at 100 TB partition by
+  (lang, shard) so no single partition serializes the cumsum.
+
+All three are scan-dominated with at most one shuffle, the shapes you
+want at scale; the oracles replay the identical integer arithmetic.
+"""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from spark_data_test_spark.operators.relational import query, t
+
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate
+_PACK_BUDGET = 2048  # tokens per packed sequence
+
+
+def _hash_bucket(col, salt=0):
+    """Deterministic bucket in [0, 1000) from a stable integer id."""
+    return ((col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(1000)
+
+
+@query(
+    "sample_split_stratified",
+    f"""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN (doc_id * {_KNUTH}) % 1000 < 800 THEN 'train'
+                  WHEN (doc_id * {_KNUTH}) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def sample_split_stratified(spark, sf_dir):
+    """80/10/10 split assignment + per-(lang, split) composition check.
+
+    The split column is a pure function of doc_id: adding or removing
+    other rows never reassigns a document (unlike ``rand()`` or
+    row-number slicing), which is what makes incremental dataset builds
+    reproducible.
+    """
+    d = t(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+    )
+
+
+# per-source keep-rate out of 1000: even sources are down-sampled to
+# half, src0/src10 to a tenth — a stand-in for a real domain-weighting
+# table, which at scale arrives as a broadcast dimension instead of an
+# inline CASE
+_MIX_DEFAULT = 500
+_MIX_RATES = {"src0": 100, "src10": 100, "src5": 1000, "src15": 1000}
+
+_MIX_RATE_SQL = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items())
+) + f" ELSE {_MIX_DEFAULT} END"
+
+
+@query(
+    "mix_weighted_sources",
+    f"""
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE ((doc_id + 7) * {_KNUTH}) % 1000 < ({_MIX_RATE_SQL})
+    GROUP BY source
+    """,
+)
+def mix_weighted_sources(spark, sf_dir):
+    """Domain re-weighting: keep each doc iff its (salted) hash bucket
+    falls under the source's keep-rate, then report the realized mix."""
+    d = t(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, r).otherwise(rate)
+    return (
+        d.where(_hash_bucket(F.col("doc_id"), salt=7) < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
+               AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin
+      FROM toks)
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing: cumulative whitespace-token count per
+    language (stable doc_id order), bin = tokens-before // budget.
+
+    Docs straddling a boundary stay in the earlier bin (next-fit, the
+    streaming-friendly variant — first-fit-decreasing would need a
+    global sort by size). Returns per-bin composition for inspection.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_tok = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    # `div` = exact integer division, same as DuckDB's // on positives
+    packed = cum.select(
+        "lang",
+        "n_tok",
+        F.expr(f"cast((cum - n_tok) div {_PACK_BUDGET} as bigint)").alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"),
+    )

@@ -1,0 +1,195 @@
+"""Temporal join operators over the ``events`` stream (extensions).
+
+Two operators the reference's relational surface cannot express but a
+time-series / feature-engineering pipeline needs constantly:
+
+* as-of join  — each purchase is enriched with the latest signup of the
+  same user at-or-before its timestamp. Spark has no ASOF JOIN
+  operator; a naive theta-join (``r.ts <= p.ts``) plans as a
+  BroadcastNestedLoopJoin and is O(n*m). The scalable formulation is
+  the union-merge: tag both streams, hash-shuffle ONCE on the join key,
+  sort within partition by time, and carry reference attributes forward
+  with ``last(..., ignorenulls=True)`` over an ordered running frame —
+  the same single-shuffle sort-merge shape kdb/Flink use, and exactly
+  what a 1000-executor cluster wants (no replication, no quadratic
+  work, skew bounded by the hottest user).
+
+* range join — count purchases inside a 10-minute window after each
+  error event of the same user. The naive plan is again a nested-loop
+  on the interval predicate; the scale pattern is BINNING: quantize
+  time into buckets as wide as the interval, expand each interval to
+  the (at most 2) buckets it overlaps, equi-join on (user, bucket) —
+  a plain shuffled hash join — then refine with the exact predicate
+  and aggregate. Work is O(hits), not O(n*m).
+
+Both oracles are genuinely independent computations: DuckDB's native
+``ASOF LEFT JOIN`` for the first, a plain inequality join for the
+second — so the cross-engine check validates semantics, not a shared
+formula.
+
+Determinism: reference rows are deduplicated to one per (user_id, ts)
+(max event_id) so the "latest at-or-before" row is unique; timestamps
+are compared and emitted as epoch microseconds (see
+relational.events_ts_to_micros).
+"""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from spark_data_test_spark.operators.relational import cents, query, t
+
+_RANGE_US = 600_000_000  # 10-minute window, in microseconds
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH ref AS (
+      SELECT user_id, ts, event_id AS signup_event_id
+      FROM events WHERE event_type = 'signup'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1),
+    pts AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, r.signup_event_id,
+           epoch_us(p.ts) - epoch_us(r.ts) AS since_signup_us
+    FROM pts p ASOF LEFT JOIN ref r
+      ON p.user_id = r.user_id AND p.ts >= r.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join via union-merge: one shuffle on user_id, one sort.
+
+    The merged stream orders reference rows before point rows at equal
+    timestamps (``is_point`` ascending), so an exactly-simultaneous
+    signup is visible to the purchase — matching ASOF's inclusive
+    ``>=``. Purchases before any signup keep NULL enrichment (left
+    semantics).
+    """
+    ev = t(spark, sf_dir, "events")
+    ref = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_event_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("signup_event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    merged = ref.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_point"),
+        F.lit(None).cast("long").alias("event_id"),
+        "signup_event_id",
+        F.unix_micros("ts").alias("signup_us"),
+    ).unionByName(
+        pts.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_point"),
+            "event_id",
+            F.lit(None).cast("long").alias("signup_event_id"),
+            F.lit(None).cast("long").alias("signup_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_point")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "is_point",
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("signup_event_id", ignorenulls=True).over(w).alias("signup_event_id"),
+        F.last("signup_us", ignorenulls=True).over(w).alias("signup_us"),
+    )
+    return carried.where(F.col("is_point") == 1).select(
+        "event_id",
+        "user_id",
+        "signup_event_id",
+        (F.unix_micros("ts") - F.col("signup_us")).alias("since_signup_us"),
+    )
+
+
+@query(
+    "events_range_join",
+    f"""
+    WITH err AS (
+      SELECT event_id AS err_id, user_id, epoch_us(ts) AS us0
+      FROM events WHERE event_type = 'error'),
+    pur AS (
+      SELECT user_id, epoch_us(ts) AS pus,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase')
+    SELECT e.err_id,
+           COUNT(p.pus) AS n_purchases,
+           CAST(SUM(p.c) AS BIGINT) AS purchase_cents
+    FROM err e LEFT JOIN pur p
+      ON p.user_id = e.user_id
+     AND p.pus >= e.us0 AND p.pus < e.us0 + {_RANGE_US}
+    GROUP BY e.err_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Binned range join: purchases within 10 minutes after each error.
+
+    Intervals expand to the <=2 time buckets they overlap; the join is
+    a hash equi-join on (user_id, bucket); the exact interval predicate
+    refines post-join. A purchase can land in two expanded buckets of
+    the SAME interval only if buckets were narrower than the interval —
+    bucket width == interval width makes (err, purchase) hits unique,
+    so no dedup pass is needed before aggregation.
+    """
+    ev = t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.unix_micros("ts").alias("us0"),
+    )
+    err_binned = err.select(
+        "err_id",
+        "user_id",
+        "us0",
+        F.explode(
+            F.sequence(
+                (F.col("us0") / _RANGE_US).cast("long"),
+                ((F.col("us0") + _RANGE_US - 1) / _RANGE_US).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        cents(F.col("value")).alias("c"),
+        (F.unix_micros("ts") / _RANGE_US).cast("long").alias("bucket"),
+    )
+    hits = err_binned.join(pur, ["user_id", "bucket"]).where(
+        (F.col("pus") >= F.col("us0")) & (F.col("pus") < F.col("us0") + _RANGE_US)
+    )
+    # re-anchor on err so zero-hit errors keep a row (count 0, NULL sum
+    # — matching the oracle's LEFT JOIN aggregate semantics)
+    agg = hits.groupBy("err_id").agg(
+        F.count("pus").alias("n_purchases"),
+        F.sum("c").alias("purchase_cents"),
+    )
+    return (
+        err.select("err_id")
+        .join(agg, "err_id", "left")
+        .select(
+            "err_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            "purchase_cents",
+        )
+    )
