@@ -40,7 +40,6 @@ Semantic deviations from the reference (deliberate; see SURVEY.md §1/§3):
     fixture, which this engine reproduces exactly).
 """
 
-from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
 import pyspark.sql.functions as F
@@ -83,7 +82,9 @@ from spark_data_test_spark.utils.spark_utils import set_value_ifnull
 
 TGT_COL_SUFFIX = "{0}_target"
 
-_SIDE_COL = "_side"
+# pre-join per-side key multiplicities, carried on the narrow projection
+_SRC_KEY_CNT = "_src_key_cnt"
+_TGT_KEY_CNT = "_tgt_key_cnt"
 
 
 def _coerce_params(params):
@@ -147,6 +148,15 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
     src_n = _normalize_side(src, SRC_COL_SUFFIX, non_key_cols, params)
     tgt_n = _normalize_side(tgt, TGT_COL_SUFFIX, non_key_cols, params)
 
+    # Per-side key multiplicity, attached BEFORE the join: the window
+    # needs hash-partition + sort on the keys, which is exactly what the
+    # sort-merge join below needs, so EnsureRequirements reuses one
+    # exchange+sort per side — the counts are free. They ride the narrow
+    # projection so the overall report never re-scans the inputs.
+    key_w = Window.partitionBy(*keys)
+    src_n = src_n.withColumn(_SRC_KEY_CNT, F.count(F.lit(1)).over(key_w))
+    tgt_n = tgt_n.withColumn(_TGT_KEY_CNT, F.count(F.lit(1)).over(key_w))
+
     chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
     chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
 
@@ -187,10 +197,16 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         F.coalesce(fast_match | (both_present & after_tol), F.lit(False)),
     )
 
-    # Narrow projection persists at ~(keys + 2 checksums + 1 bool) per
-    # row — this, not the wide join, is what gets materialized at scale.
+    # Narrow projection persists at ~(keys + 2 checksums + 2 key counts
+    # + 1 bool) per row — this, not the wide join, is what gets
+    # materialized at scale.
     narrow = joined.select(
-        *keys, chk_src, chk_tgt, F.col(ALL_ROWS_MATCHED_COL)
+        *keys,
+        chk_src,
+        chk_tgt,
+        F.col(_SRC_KEY_CNT),
+        F.col(_TGT_KEY_CNT),
+        F.col(ALL_ROWS_MATCHED_COL),
     ).persist()
 
     # Slow-path subset: present on both sides, checksum mismatch, still
@@ -199,6 +215,7 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
     # and their collect() all consume it.
     unmatched_records = (
         joined.filter(both_present & ~fast_match)
+        .drop(_SRC_KEY_CNT, _TGT_KEY_CNT)
         .withColumns(flag_exprs)
         .withColumn(
             ALL_ROWS_MATCHED_AFTR_TOL_COL,
@@ -222,9 +239,7 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         if compute_unmatched_dumps
         else {}
     )
-    overall_report = _overall_report(
-        spark, params.dataset_name, keys, src_n, tgt_n, narrow
-    )
+    overall_report = _overall_report(spark, params.dataset_name, keys, narrow)
     return {
         OVERALL_TEST_REPORT_KEY: overall_report,
         ROW_LVL_TEST_REPORT_KEY: row_lvl_report,
@@ -265,7 +280,8 @@ def _row_level_report(dataset_name, narrow, keys):
     chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
     chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
     return (
-        narrow.withColumn(DUPLICATE_COUNT_COL, F.count("*").over(dup_window) - 1)
+        narrow.drop(_SRC_KEY_CNT, _TGT_KEY_CNT)
+        .withColumn(DUPLICATE_COUNT_COL, F.count("*").over(dup_window) - 1)
         .withColumn(
             MISSING_ROW_STATUS_COL,
             F.when(chk_src.isNull(), MISSING_AT_SOURCE_STATUS)
@@ -336,58 +352,38 @@ def _unmatched_records_map(dataset_name, unmatched_records, col_lvl_report, keys
     return dumps
 
 
-def _overall_report(spark, dataset_name, keys, src_n, tgt_n, narrow):
+def _overall_report(spark, dataset_name, keys, narrow):
     """Overall report (reference __get_overall_test_report,
-    comparison_job.py:66-99) in TWO jobs instead of the reference's ~7:
+    comparison_job.py:66-99) in ONE job instead of the reference's ~7.
 
-    job 1 — union both sides' key projections tagged with a side label,
-    one groupBy(side, keys) shuffle yields per-key multiplicities, one
-    final agg yields row totals + duplicate-key counts for both sides;
-
-    job 2 — one aggregate over the *narrow* joined projection yields the
-    matched-key count (count distinct keys with a matched row ==
-    dropDuplicates(keys).count() of matched rows) and both missing-key
-    counts (== the row report's distinct missing rows, since a missing
-    key collapses to exactly one distinct report row). Reading narrow
-    instead of the row report keeps the row report's window+distinct
-    shuffles fully lazy for overall-only consumers.
+    Every number is derivable from the persisted narrow projection once
+    it carries the pre-join per-side key multiplicities: a key with s
+    source rows and t target rows contributes s*t narrow rows all
+    tagged (s, t), so reducing per key (max(s), max(t), any-matched)
+    and aggregating once yields row totals, duplicate-key counts,
+    matched-key count, and both missing-key counts — with NO second
+    scan of the inputs (the round-1 design re-scanned both sides' key
+    projections in a parallel job; at 100 TB that second pass over
+    storage dwarfs one extra shuffle of the narrow cache).
     """
-    side_stats_df = (
-        src_n.select(*keys)
-        .withColumn(_SIDE_COL, F.lit(SOURCE_COL))
-        .unionByName(tgt_n.select(*keys).withColumn(_SIDE_COL, F.lit(TARGET_COL)))
-        .groupBy(_SIDE_COL, *keys)
-        .count()
-        .groupBy(_SIDE_COL)
-        .agg(
-            F.sum(COUNT_COL).alias("total"),
-            F.sum(F.when(F.col(COUNT_COL) > 1, 1).otherwise(0)).alias("dup_keys"),
-        )
+    per_key = narrow.groupBy(*keys).agg(
+        F.max(_SRC_KEY_CNT).alias("s"),
+        F.max(_TGT_KEY_CNT).alias("t"),
+        F.max(F.col(ALL_ROWS_MATCHED_COL).cast("int")).alias("m"),
     )
-    chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
-    chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
-    stats_df = narrow.agg(
-        F.count_distinct(
-            F.when(F.col(ALL_ROWS_MATCHED_COL), F.struct(*keys))
-        ).alias("matched"),
-        F.count_distinct(
-            F.when(chk_src.isNull(), F.struct(*keys))
-        ).alias("miss_src"),
-        F.count_distinct(
-            F.when(chk_tgt.isNull(), F.struct(*keys))
-        ).alias("miss_tgt"),
-    )
-    # The two jobs are independent (different inputs); submit them from
-    # separate threads so the scheduler overlaps them — wall-clock is
-    # max(job_a, job_b) instead of the sum, on a cluster as locally.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        side_future = pool.submit(side_stats_df.collect)
-        stats_future = pool.submit(stats_df.first)
-        side_stats = side_future.result()
-        stats = stats_future.result()
-    totals = {r[_SIDE_COL]: (r["total"], r["dup_keys"]) for r in side_stats}
-    src_total, src_dups = totals.get(SOURCE_COL, (0, 0))
-    tgt_total, tgt_dups = totals.get(TARGET_COL, (0, 0))
+    stats = per_key.agg(
+        F.sum("s").alias("src_total"),
+        F.sum("t").alias("tgt_total"),
+        F.sum(F.when(F.col("s") > 1, 1).otherwise(0)).alias("src_dups"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("tgt_dups"),
+        F.sum("m").alias("matched"),
+        F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)).alias("miss_src"),
+        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)).alias("miss_tgt"),
+    ).first()
+    src_total = stats["src_total"] or 0
+    tgt_total = stats["tgt_total"] or 0
+    src_dups = stats["src_dups"] or 0
+    tgt_dups = stats["tgt_dups"] or 0
     matched_count = stats["matched"] or 0
     miss_src = stats["miss_src"] or 0
     miss_tgt = stats["miss_tgt"] or 0
