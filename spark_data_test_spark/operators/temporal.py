@@ -193,3 +193,43 @@ def events_range_join(spark, sf_dir):
             "purchase_cents",
         )
     )
+
+
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_hypertable_rollup",
+    f"""
+    WITH base AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             epoch_us(ts) // {_HOUR_US} AS hour,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events)
+    SELECT day, hour, COUNT(*) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS value_cents
+    FROM base
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly, daily, and grand
+    totals from ONE pass over the event stream (time-hierarchy ROLLUP —
+    hour ids nest inside day ids, so the hierarchy is genuine).
+
+    At scale this is the materialization pattern for multi-resolution
+    dashboards: Spark's partial aggregation combines map-side per
+    (day, hour) before the single shuffle, and coarser levels reduce
+    from the finer — no per-resolution re-scan of raw events.
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hour"),
+        cents(F.col("value")).alias("c"),
+    )
+    return base.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("value_cents"),
+    )

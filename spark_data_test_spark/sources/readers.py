@@ -172,3 +172,38 @@ def sink_partitioned_parquet(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum(cents(F.col("value"))).alias("value_cents"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+    SELECT n_regionkey, COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal_cents AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM (
+      SELECT n.n_regionkey, CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    GROUP BY n_regionkey
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """S2/S4 with the ORC format (the second columnar container Spark
+    ships natively): write the customer-nation join to ORC, read it
+    back, and aggregate. DuckDB cannot read ORC, so the oracle
+    re-derives the aggregate from the original parquet — which is the
+    stronger check anyway: any fidelity loss in the ORC sink/source
+    (type mapping, nulls, predicate pushdown layer) breaks the hash.
+    The metric rides as integer cents so the round trip is exact by
+    construction."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_regionkey", cents(F.col("c_acctbal")).alias("cbal")
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_orc/{digest}/customer"
+    joined.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cbal").alias("acctbal_cents"),
+    )

@@ -289,3 +289,39 @@ def streaming_stream_stream_join(spark, sf_dir):
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id")
     return _run_to_memory(joined, "append")
+
+
+@query(
+    "streaming_dedup",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once deduplication: the input stream is given
+    planted duplicates (every 10th event re-emitted by a second branch
+    of the same source) and ``dropDuplicatesWithinWatermark`` on the
+    event id removes them with BOUNDED state — dedup entries expire
+    once the watermark passes their event time, which is what makes
+    exactly-once-by-key viable on an unbounded 100 TB/day stream
+    (unbounded ``dropDuplicates`` state would grow forever).
+
+    On the finite input the deduplicated stream equals the original
+    events table, so the oracle is the plain batch aggregate over
+    ``events`` — any lost or surviving-duplicate row breaks the hash.
+    """
+    events = read_events_stream(spark, sf_dir)
+    dup_branch = events.where(F.col("event_id") % 10 == 0)
+    noisy = events.unionByName(dup_branch)
+    deduped = (
+        noisy.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_type", cents(F.col("value")).alias("c"))
+    )
+    sink = _run_to_memory(deduped, "append")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("c").alias("value_cents"),
+    )
