@@ -126,14 +126,33 @@ def _cached_shingles(spark, sf_dir):
     return sh
 
 
+# The LSH candidate-pair table is tiny (bounded by true near-dups plus
+# band collisions) but its lineage — explode, dictionary hash, minhash
+# agg, band self-join — is the expensive part of the dedup family, so
+# it is persisted and memoized the same way.
+_PAIRS_CACHE = {}
+
+
+def _cached_band_pairs(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _PAIRS_CACHE.pop(key, None)
+    if pairs is None:
+        while len(_PAIRS_CACHE) >= _SHINGLE_CACHE_MAX:
+            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE))).unpersist()
+        pairs = _band_pairs(_minhash(_cached_shingles(spark, sf_dir))).persist()
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def clear_dedup_cache():
-    """Release every memoized shingle frame (blocks + dict entries)."""
-    for sh in _SHINGLE_CACHE.values():
-        try:
-            sh.unpersist()
-        except Exception:
-            pass
-    _SHINGLE_CACHE.clear()
+    """Release every memoized dedup frame (blocks + dict entries)."""
+    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
 
 
 def _minhash(sh):
@@ -247,11 +266,12 @@ def dedup_exact(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle -> 8 seeded minhashes ->
     4 bands of 2 -> band-bucket self-join. The join key is (band, sig),
-    so candidate generation is a hash join, never all-pairs. The shingle
-    table is persisted (session-memoized, see _cached_shingles): it
-    feeds the hash dictionary and the occurrence join, and recomputing
-    it means re-exploding the corpus."""
-    return _band_pairs(_minhash(_cached_shingles(spark, sf_dir)))
+    so candidate generation is a hash join, never all-pairs. Both the
+    shingle table and the candidate pairs are persisted
+    (session-memoized, see _cached_shingles/_cached_band_pairs): they
+    feed the Jaccard verify step, and recomputing them means
+    re-exploding and re-hashing the corpus."""
+    return _cached_band_pairs(spark, sf_dir)
 
 
 _SIM_BITS = 32
@@ -347,13 +367,26 @@ def dedup_simhash(spark, sf_dir):
 def dedup_near_jaccard(spark, sf_dir):
     """LSH verify step: exact shingle-set Jaccard on the candidate
     pairs, keeping true near-dups (>= 0.5). Quadratic work is bounded
-    by the candidate set, not the corpus."""
+    by the candidate set, not the corpus.
+
+    The shingle table is first restricted to docs that appear in some
+    candidate pair (broadcast semi-join — the candidate doc set is tiny
+    by LSH construction), so the set-intersection join runs over the
+    candidate slice, not the full corpus: one cheap filtering pass
+    replaces two full-table join probes."""
     sh = _cached_shingles(spark, sf_dir)
-    pairs = _band_pairs(_minhash(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    pairs = _cached_band_pairs(spark, sf_dir)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh_cand.alias("a"), sh_cand.alias("b")
     inter = (
-        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        F.broadcast(pairs)
+        .join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             b,
             (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.sh") == F.col("a.sh")),
