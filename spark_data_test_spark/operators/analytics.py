@@ -137,3 +137,159 @@ def tpch_q18_large_orders(spark, sf_dir):
             F.round(F.col("_qty") * 100).cast("long").alias("qty_cents"),
         )
     )
+
+
+@query(
+    "tpch_q4_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark, sf_dir):
+    """Q4 shape: existential subquery as a LEFT SEMI join — one shuffle,
+    no row multiplication from multi-lineitem orders (the trap a plain
+    inner join + distinct would hit). Adapted predicate: a line shipped
+    more than 60 days after the order date ("late shipment")."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q12_priority_bands",
+    """
+    SELECT qty_band,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN l.l_quantity < 10 THEN 'small'
+                  WHEN l.l_quantity < 30 THEN 'medium'
+                  ELSE 'large' END AS qty_band,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    GROUP BY qty_band
+    """,
+)
+def tpch_q12_priority_bands(spark, sf_dir):
+    """Q12 shape: fact-fact join + conditional counts per band in ONE
+    aggregation pass (the reference's multi-column conditional-sum
+    pattern, A3). Adapted dimension: quantity bands stand in for the
+    ship modes the slim schema lacks."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    band = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(band.alias("qty_band"), "o_orderpriority")
+        .groupBy("qty_band")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """Q13 shape: two-level aggregation over an outer join with a join-
+    side predicate — customers with zero qualifying orders must appear
+    in the c_count=0 bucket, which an inner join would silently drop
+    (COUNT of a NULL join column is the 0-preserving trick in both
+    engines)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: OR-of-ANDs spanning both join sides. Catalyst splits
+    the disjunction: the part-only prefix (brand+size bands) pushes to
+    the broadcast side's scan, the mixed residual evaluates post-join —
+    the plan to check is that the part scan shows PushedFilters, not a
+    bare full scan."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .where(cond)
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count("*").alias("n"),
+        )
+    )

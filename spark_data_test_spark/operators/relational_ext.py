@@ -261,3 +261,35 @@ def pivot_status_by_priority(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark, sf_dir):
+    """Distribution window functions (W-family depth): quartile
+    assignment, percent rank, cumulative distribution per priority
+    partition. The ORDER BY is fully tie-broken by the unique order key
+    so NTILE's positional split is deterministic; percent_rank and
+    cume_dist are exact integer ratios, bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

@@ -66,3 +66,29 @@ def test_q1_wholestage_codegen(spark, sf_dir):
 def test_q1_single_shuffle(spark, sf_dir):
     # scan -> partial agg -> exchange -> final agg: exactly one shuffle
     assert count_shuffles(tpch_q1_pricing_summary(spark, sf_dir)) == 1
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    from spark_data_test_spark.operators.analytics import (
+        tpch_q19_disjunctive_revenue,
+    )
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    plan = simple_plan(tpch_q19_disjunctive_revenue(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    part_scan = [l for l in scans if "p_brand" in l]
+    li_scan = [l for l in scans if "l_quantity" in l]
+    # the OR-of-ANDs must split: brand/size prefix on the part scan,
+    # quantity prefix on the lineitem scan — not a bare post-join filter
+    assert part_scan and "Brand#1" in part_scan[0]
+    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters")[-1]
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    from spark_data_test_spark.operators.analytics import (
+        tpch_q4_priority_check,
+    )
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    plan = simple_plan(tpch_q4_priority_check(spark, sf_dir))
+    assert "LeftSemi" in plan  # no row multiplication, no distinct
