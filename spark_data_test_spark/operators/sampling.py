@@ -40,6 +40,46 @@ def _hash_bucket(col, salt=0):
     return ((col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(1000)
 
 
+def split_assign(df, id_col, splits=(("train", 800), ("val", 900), ("test", 1000)), salt=0):
+    """Library operator: add a deterministic ``split`` column.
+
+    ``splits`` is an ordered (name, upper_bound-of-1000) ladder — the
+    default is the 80/10/10 split. Assignment is a pure function of the
+    id, so adding or removing other rows never reassigns a row.
+    """
+    b = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    for name, bound in splits[:-1]:
+        expr = F.when(b < bound, name) if expr is None else expr.when(b < bound, name)
+    last_name = splits[-1][0]
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn("split", expr)
+
+
+def pack_bins(df, partition_cols, order_col, size_col, budget, bin_col="bin"):
+    """Library operator: next-fit packing into fixed-budget bins.
+
+    Adds ``bin_col`` = (cumulative size before this row) // budget,
+    computed per partition in stable ``order_col`` order — one window
+    cumsum, a single shuffle+sort. Rows straddling a boundary stay in
+    the earlier bin (next-fit). ``order_col`` must be unique within a
+    partition for a deterministic packing.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(size_col).over(w))
+        .withColumn(
+            bin_col,
+            F.expr(f"cast((_cum - {size_col}) div {budget} as bigint)"),
+        )
+        .drop("_cum")
+    )
+
+
 @query(
     "sample_split_stratified",
     f"""
@@ -63,12 +103,8 @@ def sample_split_stratified(spark, sf_dir):
     reproducible.
     """
     d = t(spark, sf_dir, "documents")
-    b = _hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
-    )
     return (
-        d.select("lang", "n_chars", split.alias("split"))
+        split_assign(d.select("doc_id", "lang", "n_chars"), "doc_id")
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -149,19 +185,12 @@ def pack_sequences(spark, sf_dir):
         - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
         + 1
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
-        "cum", F.sum("n_tok").over(w)
-    )
-    # `div` = exact integer division, same as DuckDB's // on positives
-    packed = cum.select(
-        "lang",
-        "n_tok",
-        F.expr(f"cast((cum - n_tok) div {_PACK_BUDGET} as bigint)").alias("bin"),
+    packed = pack_bins(
+        d.select("doc_id", "lang", n_tok.alias("n_tok")),
+        partition_cols=["lang"],
+        order_col="doc_id",
+        size_col="n_tok",
+        budget=_PACK_BUDGET,
     )
     return packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -41,6 +41,102 @@ from spark_data_test_spark.operators.relational import cents, query, t
 _RANGE_US = 600_000_000  # 10-minute window, in microseconds
 
 
+def asof_join(points, ref, keys, ts):
+    """Generic backward as-of join (library operator).
+
+    Enriches every ``points`` row with the columns of the latest ``ref``
+    row of the same key whose ``ts`` is at-or-before the point's ``ts``
+    (NULLs when no such row — left semantics). ``ref`` must be unique
+    per (keys, ts); callers with duplicates pick a winner first (see
+    events_asof_join).
+
+    Shape: union-merge — tag both inputs, ONE hash shuffle on the keys,
+    sort by (ts, tag) within partition, carry reference attributes
+    forward with last-ignorenulls over a running row frame. Never a
+    nested-loop theta join. All of a key's rows land in one partition —
+    inherent to as-of semantics; a pathologically hot key is handled
+    upstream (split the key by time range and as-of join the splits).
+    """
+    keys = list(keys)
+    excluded = set(keys) | {ts}
+    ref_vals = [c for c in ref.columns if c not in excluded]
+    pt_vals = [c for c in points.columns if c not in excluded]
+    overlap = set(ref_vals) & set(pt_vals)
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns: {sorted(overlap)}")
+    ref_types = {f.name: f.dataType for f in ref.schema.fields}
+    pt_types = {f.name: f.dataType for f in points.schema.fields}
+
+    merged = ref.select(
+        *keys,
+        ts,
+        F.lit(0).alias("_is_point"),
+        *[F.col(c) for c in ref_vals],
+        F.col(ts).alias("_asof_ts"),
+        *[F.lit(None).cast(pt_types[c]).alias(c) for c in pt_vals],
+    ).unionByName(
+        points.select(
+            *keys,
+            ts,
+            F.lit(1).alias("_is_point"),
+            *[F.lit(None).cast(ref_types[c]).alias(c) for c in ref_vals],
+            F.lit(None).cast(pt_types.get(ts) or ref_types[ts]).alias("_asof_ts"),
+            *[F.col(c) for c in pt_vals],
+        )
+    )
+    # ref rows sort before point rows at equal ts (_is_point ascending),
+    # so an exactly-simultaneous ref row is visible: inclusive <=
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, "_is_point")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "_is_point",
+        *keys,
+        ts,
+        *pt_vals,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in [*ref_vals, "_asof_ts"]
+        ],
+    )
+    return carried.where(F.col("_is_point") == 1).drop("_is_point")
+
+
+def range_join_binned(intervals, points, keys, start, end, ts, bucket_width):
+    """Generic interval-point range join (library operator).
+
+    Returns interval rows paired with every ``points`` row of the same
+    key whose ``ts`` falls in [start, end) — as a plain hash equi-join,
+    never a nested loop: intervals expand to the time buckets they
+    overlap, points carry their own bucket, the join runs on
+    (keys, bucket) and the exact predicate refines post-join.
+
+    Hits are exact for any ``bucket_width`` (a point has exactly one
+    bucket, and an interval's expansion contains it at most once — no
+    dedup pass ever); width only sets cost. Pick it at-or-above the
+    typical interval length so intervals expand to <=2 buckets. All
+    time columns are integer units (e.g. epoch micros).
+    """
+    keys = list(keys)
+    expanded = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start) / bucket_width).cast("long"),
+                ((F.col(end) - 1) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", (F.col(ts) / bucket_width).cast("long"))
+    return (
+        expanded.join(pts, [*keys, "_bucket"])
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_bucket")
+    )
+
+
 @query(
     "events_asof_join",
     """
@@ -85,41 +181,14 @@ def events_asof_join(spark, sf_dir):
     pts = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    merged = ref.select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("is_point"),
-        F.lit(None).cast("long").alias("event_id"),
-        "signup_event_id",
-        F.unix_micros("ts").alias("signup_us"),
-    ).unionByName(
-        pts.select(
-            "user_id",
-            "ts",
-            F.lit(1).alias("is_point"),
-            "event_id",
-            F.lit(None).cast("long").alias("signup_event_id"),
-            F.lit(None).cast("long").alias("signup_us"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_point")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.select(
-        "is_point",
-        "event_id",
-        "user_id",
-        "ts",
-        F.last("signup_event_id", ignorenulls=True).over(w).alias("signup_event_id"),
-        F.last("signup_us", ignorenulls=True).over(w).alias("signup_us"),
-    )
-    return carried.where(F.col("is_point") == 1).select(
+    enriched = asof_join(pts, ref, keys=["user_id"], ts="ts")
+    return enriched.select(
         "event_id",
         "user_id",
         "signup_event_id",
-        (F.unix_micros("ts") - F.col("signup_us")).alias("since_signup_us"),
+        (F.unix_micros("ts") - F.unix_micros("_asof_ts")).alias(
+            "since_signup_us"
+        ),
     )
 
 
@@ -157,26 +226,16 @@ def events_range_join(spark, sf_dir):
         F.col("event_id").alias("err_id"),
         "user_id",
         F.unix_micros("ts").alias("us0"),
-    )
-    err_binned = err.select(
-        "err_id",
-        "user_id",
-        "us0",
-        F.explode(
-            F.sequence(
-                (F.col("us0") / _RANGE_US).cast("long"),
-                ((F.col("us0") + _RANGE_US - 1) / _RANGE_US).cast("long"),
-            )
-        ).alias("bucket"),
+        (F.unix_micros("ts") + _RANGE_US).alias("us1"),
     )
     pur = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
         F.unix_micros("ts").alias("pus"),
         cents(F.col("value")).alias("c"),
-        (F.unix_micros("ts") / _RANGE_US).cast("long").alias("bucket"),
     )
-    hits = err_binned.join(pur, ["user_id", "bucket"]).where(
-        (F.col("pus") >= F.col("us0")) & (F.col("pus") < F.col("us0") + _RANGE_US)
+    hits = range_join_binned(
+        err, pur, keys=["user_id"], start="us0", end="us1", ts="pus",
+        bucket_width=_RANGE_US,
     )
     # re-anchor on err so zero-hit errors keep a row (count 0, NULL sum
     # — matching the oracle's LEFT JOIN aggregate semantics)

@@ -131,3 +131,156 @@ def test_pack_sequences_bins_are_contiguous_and_conserve_tokens(spark, sf_dir):
         for r in sorted(rows, key=lambda r: r["bin"])[:-1]:
             cum += r["tok_total"]
             assert cum >= (r["bin"] + 1) * sampling._PACK_BUDGET
+
+
+# --- property tests over the generic library operators -------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_prop_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@st.composite
+def _event_rows(draw, max_rows=14):
+    n = draw(st.integers(0, max_rows))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # unique id
+                draw(st.integers(0, 2)),  # key
+                draw(st.integers(0, 50)),  # ts
+            )
+        )
+    return rows
+
+
+@given(ref_rows=_event_rows(), pt_rows=_event_rows())
+@_prop_settings
+def test_asof_join_property(spark, ref_rows, pt_rows):
+    from spark_data_test_spark.operators.temporal import asof_join
+
+    # make ref unique per (key, ts): keep max id (the operator contract)
+    best = {}
+    for i, k, ts in ref_rows:
+        cur = best.get((k, ts))
+        if cur is None or i > cur[0]:
+            best[(k, ts)] = (i, k, ts)
+    ref_rows = sorted(best.values())
+
+    ref = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in ref_rows] or [(None, None, None)],
+        "rid long, k long, ts long",
+    )
+    if not ref_rows:
+        ref = ref.where(F.lit(False))
+    pts = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in pt_rows] or [(None, None, None)],
+        "pid long, k long, ts long",
+    )
+    if not pt_rows:
+        pts = pts.where(F.lit(False))
+
+    got = {
+        r["pid"]: (r["rid"], r["_asof_ts"])
+        for r in asof_join(pts, ref, keys=["k"], ts="ts").collect()
+    }
+    assert len(got) == len(pt_rows)
+    for pid, k, ts in pt_rows:
+        cands = [(rts, rid) for rid, rk, rts in ref_rows if rk == k and rts <= ts]
+        if not cands:
+            assert got[pid] == (None, None)
+        else:
+            want_ts, want_rid = max(cands)
+            assert got[pid] == (want_rid, want_ts)
+
+
+@given(iv_rows=_event_rows(), pt_rows=_event_rows(), width=st.integers(1, 20))
+@_prop_settings
+def test_range_join_binned_property(spark, iv_rows, pt_rows, width):
+    from spark_data_test_spark.operators.temporal import range_join_binned
+
+    # intervals: [ts, ts + id % 7) (some empty), any bucket width —
+    # hits must equal the brute-force predicate for every width
+    ivs = [(i, k, ts, ts + (i % 7)) for i, k, ts in iv_rows]
+    iv = spark.createDataFrame(
+        ivs or [(None, None, None, None)], "iid long, k long, s long, e long"
+    )
+    if not ivs:
+        iv = iv.where(F.lit(False))
+    pts = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in pt_rows] or [(None, None, None)],
+        "pid long, k long, ts long",
+    )
+    if not pt_rows:
+        pts = pts.where(F.lit(False))
+
+    got = {
+        (r["iid"], r["pid"])
+        for r in range_join_binned(
+            iv, pts, keys=["k"], start="s", end="e", ts="ts", bucket_width=width
+        ).collect()
+    }
+    want = {
+        (iid, pid)
+        for iid, ik, s, e in ivs
+        for pid, pk, ts in pt_rows
+        if pk == ik and s <= ts < e
+    }
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), max_size=14, unique=True),
+    salt=st.integers(0, 100),
+)
+@_prop_settings
+def test_split_assign_stable_under_row_changes(spark, ids, salt):
+    from spark_data_test_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in ids] or [(None,)], "id long")
+    if not ids:
+        df = df.where(F.lit(False))
+    full = {
+        r["id"]: r["split"]
+        for r in split_assign(df, "id", salt=salt).collect()
+    }
+    # dropping half the rows must not reassign the survivors
+    half_ids = ids[::2]
+    half = spark.createDataFrame(
+        [(i,) for i in half_ids] or [(None,)], "id long"
+    )
+    if not half_ids:
+        half = half.where(F.lit(False))
+    for r in split_assign(half, "id", salt=salt).collect():
+        assert full[r["id"]] == r["split"]
+
+
+@given(rows=_event_rows(), budget=st.integers(1, 30))
+@_prop_settings
+def test_pack_bins_property(spark, rows, budget):
+    from spark_data_test_spark.operators.sampling import pack_bins
+
+    # (id, key, size) with size >= 1
+    data = [(i, k, ts + 1) for i, k, ts in rows]
+    df = spark.createDataFrame(
+        data or [(None, None, None)], "id long, k long, sz long"
+    )
+    if not data:
+        df = df.where(F.lit(False))
+    got = {
+        r["id"]: r["bin"]
+        for r in pack_bins(df, ["k"], "id", "sz", budget).collect()
+    }
+    by_key = {}
+    for i, k, sz in sorted(data):
+        by_key.setdefault(k, []).append((i, sz))
+    for k, items in by_key.items():
+        cum = 0
+        for i, sz in items:
+            assert got[i] == cum // budget
+            cum += sz
