@@ -24,7 +24,13 @@ from spark_data_test_spark.jobs import (
     run_comparison_job_from_dfs,
     write_results,
 )
-from spark_data_test_spark.operators.comparison import compare_dataframes
+from spark_data_test_spark.operators.comparison import (
+    compare_dataframes,
+    compare_dataframes_where,
+    release_comparison_result,
+)
+from spark_data_test_spark.operators.sampling import pack_bins, split_assign
+from spark_data_test_spark.operators.temporal import asof_join, range_join_binned
 
 __all__ = [
     "ComparisonJobConfig",
@@ -33,9 +39,15 @@ __all__ = [
     "DatasetParams",
     "OutputConfig",
     "TestParams",
+    "asof_join",
     "compare_dataframes",
+    "compare_dataframes_where",
+    "pack_bins",
+    "range_join_binned",
+    "release_comparison_result",
     "run_comparison_job",
     "run_comparison_job_from_dfs",
+    "split_assign",
     "write_results",
 ]
 
