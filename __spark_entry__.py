@@ -109,10 +109,29 @@ def _registry():
                 raise
             skipped_modules.append(mod_name)
 
-    missing = [n for n in _DRIVER_PRIORITY if n not in relational.QUERIES]
-    if missing and not skipped_modules:
-        # all first-party modules imported cleanly, so an absent
-        # priority query is a registration bug, not a missing dep
+    # A priority name may be forgiven ONLY if the module that registers
+    # it was skipped for a missing optional dep; any other absence is a
+    # registration bug (typo, dropped @query) and must fail loudly even
+    # in degraded environments — otherwise the first-50 driver window
+    # silently shifts to different queries.
+    optional_module_queries = {
+        "spark_data_test_spark.operators.grouped": {"grouped_apply_stats"},
+        "spark_data_test_spark.operators.multimodal": {"multimodal_binary_features"},
+        "spark_data_test_spark.streaming.windows": {
+            "streaming_tumbling_counts",
+            "streaming_sessionization",
+            "streaming_stream_stream_join",
+        },
+    }
+    forgivable = set()
+    for mod_name in skipped_modules:
+        forgivable |= optional_module_queries.get(mod_name, set())
+    missing = [
+        n
+        for n in _DRIVER_PRIORITY
+        if n not in relational.QUERIES and n not in forgivable
+    ]
+    if missing:
         raise RuntimeError(f"driver-priority queries not registered: {missing}")
     ordered = {
         n: relational.QUERIES[n] for n in _DRIVER_PRIORITY if n in relational.QUERIES

@@ -103,12 +103,19 @@ def main():
             qmap[warm_q](spark, "/root/testdata/sf0.001").write.format(
                 "noop"
             ).mode("overwrite").save()
-        # drop warmup-scale cached shingles so the timed run starts clean
-        from spark_data_test_spark.operators.dedup import clear_dedup_cache
+    except Exception as exc:
+        # a broken warmup means every timed query pays first-run codegen
+        # — keep going, but SAY so instead of silently inflating numbers
+        print(f"bench warmup failed: {exc!r}", file=sys.stderr)
+    finally:
+        # drop warmup-scale cached frames so the timed run starts clean
+        # even when warmup aborted partway
+        try:
+            from spark_data_test_spark.operators.dedup import clear_dedup_cache
 
-        clear_dedup_cache()
-    except Exception:
-        pass
+            clear_dedup_cache()
+        except Exception:
+            pass
 
     timings = {}
     for name in HEADLINE:

@@ -366,10 +366,19 @@ def _overall_report(spark, dataset_name, keys, narrow):
     projections in a parallel job; at 100 TB that second pass over
     storage dwarfs one extra shuffle of the narrow cache).
     """
+    chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
+    chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
+    # Missing-ness comes from checksum NULLity, not from s/t NULLity:
+    # NULL primary keys never join (plain equality), yet groupBy(*keys)
+    # merges both sides' NULL-key rows into ONE group where s and t are
+    # both present — a checksum-NULL row in the group still means that
+    # side is missing the key, matching the row report's accounting.
     per_key = narrow.groupBy(*keys).agg(
         F.max(_SRC_KEY_CNT).alias("s"),
         F.max(_TGT_KEY_CNT).alias("t"),
         F.max(F.col(ALL_ROWS_MATCHED_COL).cast("int")).alias("m"),
+        F.max(chk_src.isNull().cast("int")).alias("ms"),
+        F.max(chk_tgt.isNull().cast("int")).alias("mt"),
     )
     stats = per_key.agg(
         F.sum("s").alias("src_total"),
@@ -377,8 +386,8 @@ def _overall_report(spark, dataset_name, keys, narrow):
         F.sum(F.when(F.col("s") > 1, 1).otherwise(0)).alias("src_dups"),
         F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("tgt_dups"),
         F.sum("m").alias("matched"),
-        F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)).alias("miss_src"),
-        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)).alias("miss_tgt"),
+        F.sum("ms").alias("miss_src"),
+        F.sum("mt").alias("miss_tgt"),
     ).first()
     src_total = stats["src_total"] or 0
     tgt_total = stats["tgt_total"] or 0

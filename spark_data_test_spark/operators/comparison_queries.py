@@ -27,6 +27,7 @@ from spark_data_test_spark.constants import (
 from spark_data_test_spark.entities.config import DatasetParams, TestParams
 from spark_data_test_spark.operators.comparison import compare_dataframes
 from spark_data_test_spark.operators.relational import query, t
+from spark_data_test_spark.utils.spark_utils import FrameCache
 
 TOLERANCE = 0.01
 
@@ -81,22 +82,23 @@ def _perturbed_pair(spark, sf_dir):
 # One engine run serves all three report queries within a session; the
 # reports are lazily-persisted frames, so memoizing the dict is safe and
 # saves two full pipeline executions when the driver/bench runs the
-# compare_* queries back to back. Bounded: oldest entries are released
-# (unpersisted) past _ENGINE_CACHE_MAX so sessions touching many
-# sf_dirs don't accumulate cached blocks.
-_ENGINE_CACHE = {}
-_ENGINE_CACHE_MAX = 4
+# compare_* queries back to back. Bounded shared FrameCache: LRU refresh
+# on hit, release_comparison_result on eviction/clear so sessions
+# touching many sf_dirs don't accumulate cached blocks.
+def _release_engine_result(res):
+    from spark_data_test_spark.operators.comparison import (
+        release_comparison_result,
+    )
+
+    release_comparison_result(res)
+
+
+_ENGINE_CACHE = FrameCache(max_entries=4, release=_release_engine_result)
 
 
 def clear_engine_cache():
     """Release every memoized engine result (blocks + dict entries).
     The bench calls this between warmup and timed runs."""
-    from spark_data_test_spark.operators.comparison import (
-        release_comparison_result,
-    )
-
-    for res in _ENGINE_CACHE.values():
-        release_comparison_result(res)
     _ENGINE_CACHE.clear()
 
 
@@ -104,18 +106,8 @@ def _run_engine(spark, sf_dir):
     # applicationId is unique per context and never recycled, unlike
     # id() which CPython can reuse after a stopped session is collected
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _ENGINE_CACHE.pop(key, None)
-    if cached is not None:
-        # reinsert = LRU refresh, so a hot entry isn't the next evicted
-        _ENGINE_CACHE[key] = cached
-    else:
-        from spark_data_test_spark.operators.comparison import (
-            release_comparison_result,
-        )
 
-        while len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
-            oldest = next(iter(_ENGINE_CACHE))
-            release_comparison_result(_ENGINE_CACHE.pop(oldest))
+    def build():
         src, tgt = _perturbed_pair(spark, sf_dir)
         params = DatasetParams(
             dataset_name="orders_drift",
@@ -128,10 +120,11 @@ def _run_engine(spark, sf_dir):
                 difference_tolerance=TOLERANCE, checksum_mode="xxhash64"
             ),
         )
-        _ENGINE_CACHE[key] = compare_dataframes(
+        return compare_dataframes(
             spark, src, tgt, params, compute_unmatched_dumps=False
         )
-    return _ENGINE_CACHE[key]
+
+    return _ENGINE_CACHE.get_or_create(key, build)
 
 
 @query(

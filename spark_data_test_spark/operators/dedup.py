@@ -27,6 +27,7 @@ shape.
 import pyspark.sql.functions as F
 
 from spark_data_test_spark.operators.relational import query, t
+from spark_data_test_spark.utils.spark_utils import FrameCache
 
 _N_HASHES = 8
 _BANDS = 4  # rows-per-band = 2
@@ -107,52 +108,33 @@ def _shingles(corpus):
 
 
 # The shingle table feeds several consumers (hash dictionary, occurrence
-# join, set sizes, pair verification), so it is persisted — but memoized
-# per (application, sf_dir) and bounded, so repeated invocations reuse
-# one cached copy instead of leaking a fresh persist per call. LRU:
-# a cache hit refreshes the entry's eviction position.
-_SHINGLE_CACHE = {}
-_SHINGLE_CACHE_MAX = 2
+# join, set sizes, pair verification) and the LSH candidate-pair table
+# is tiny but carries the expensive explode/hash/band lineage — both are
+# persisted, memoized per (application, sf_dir), and bounded (shared
+# FrameCache: LRU refresh on hit, unpersist on eviction/clear).
+_SHINGLE_CACHE = FrameCache(max_entries=2)
+_PAIRS_CACHE = FrameCache(max_entries=2)
 
 
 def _cached_shingles(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
-    sh = _SHINGLE_CACHE.pop(key, None)
-    if sh is None:
-        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-            _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))).unpersist()
-        sh = _shingles(_near_corpus(spark, sf_dir)).persist()
-    _SHINGLE_CACHE[key] = sh
-    return sh
-
-
-# The LSH candidate-pair table is tiny (bounded by true near-dups plus
-# band collisions) but its lineage — explode, dictionary hash, minhash
-# agg, band self-join — is the expensive part of the dedup family, so
-# it is persisted and memoized the same way.
-_PAIRS_CACHE = {}
+    return _SHINGLE_CACHE.get_or_create(
+        key, lambda: _shingles(_near_corpus(spark, sf_dir)).persist()
+    )
 
 
 def _cached_band_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
-    pairs = _PAIRS_CACHE.pop(key, None)
-    if pairs is None:
-        while len(_PAIRS_CACHE) >= _SHINGLE_CACHE_MAX:
-            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE))).unpersist()
-        pairs = _band_pairs(_minhash(_cached_shingles(spark, sf_dir))).persist()
-    _PAIRS_CACHE[key] = pairs
-    return pairs
+    return _PAIRS_CACHE.get_or_create(
+        key,
+        lambda: _band_pairs(_minhash(_cached_shingles(spark, sf_dir))).persist(),
+    )
 
 
 def clear_dedup_cache():
     """Release every memoized dedup frame (blocks + dict entries)."""
-    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE):
-        for df in cache.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        cache.clear()
+    _SHINGLE_CACHE.clear()
+    _PAIRS_CACHE.clear()
 
 
 def _minhash(sh):
@@ -370,10 +352,14 @@ def dedup_near_jaccard(spark, sf_dir):
     by the candidate set, not the corpus.
 
     The shingle table is first restricted to docs that appear in some
-    candidate pair (broadcast semi-join — the candidate doc set is tiny
-    by LSH construction), so the set-intersection join runs over the
-    candidate slice, not the full corpus: one cheap filtering pass
-    replaces two full-table join probes."""
+    candidate pair (a semi-join shape — the candidate doc set is small
+    by LSH construction on a mostly-unique corpus), so the
+    set-intersection join runs over the candidate slice, not the full
+    corpus: one cheap filtering pass replaces two full-table join
+    probes. Join strategies are left to AQE: on a dup-heavy corpus the
+    candidate set is bounded only by duplicate density, and a forced
+    broadcast would OOM the driver exactly when dedup matters most —
+    AQE's runtime sizes pick broadcast when it is actually small."""
     sh = _cached_shingles(spark, sf_dir)
     pairs = _cached_band_pairs(spark, sf_dir)
     cand_docs = (
@@ -381,12 +367,11 @@ def dedup_near_jaccard(spark, sf_dir):
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id")
+    sh_cand = sh.join(cand_docs, "doc_id")
     sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh_cand.alias("a"), sh_cand.alias("b")
     inter = (
-        F.broadcast(pairs)
-        .join(a, F.col("a.doc_id") == F.col("doc_a"))
+        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             b,
             (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.sh") == F.col("a.sh")),

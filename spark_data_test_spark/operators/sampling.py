@@ -4,11 +4,12 @@ Training-data pipeline primitives that must be REPRODUCIBLE across
 engines, reruns, and cluster sizes — so none of them touch ``rand()``:
 
 * train/val/test split — Knuth multiplicative hash of the stable doc_id
-  (``doc_id * 2654435761 mod 1000``) bucketed 80/10/10. Pure int64
-  arithmetic, identical in Spark and DuckDB; a production deployment
-  with >~2^33 ids swaps in ``xxhash64(id)`` (same shape, JVM-side) to
-  avoid the multiply overflowing — the query keeps the portable form so
-  the oracle can replay it bit-for-bit.
+  (reduce mod a ~2^20 prime with a positive mod, then
+  ``* 2654435761 mod 1000``) bucketed 80/10/10. Pure overflow-free
+  int64 arithmetic, well-defined for every int64 id (negative included)
+  and identical in Spark and DuckDB, so the oracle replays it
+  bit-for-bit; swap in ``xxhash64(id)`` for stronger mixing when
+  cross-engine replay isn't needed.
 
 * weighted source mixing — per-source keep-rates applied with the same
   hash (a different salt), the standard way to re-weight domains
@@ -32,12 +33,28 @@ from pyspark.sql import Window
 from spark_data_test_spark.operators.relational import query, t
 
 _KNUTH = 2654435761  # 2^32 * golden-ratio conjugate
+_HASH_PRIME = 1_000_003  # pre-multiply reduction keeps the product < 2^52
 _PACK_BUDGET = 2048  # tokens per packed sequence
 
 
 def _hash_bucket(col, salt=0):
-    """Deterministic bucket in [0, 1000) from a stable integer id."""
-    return ((col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(1000)
+    """Deterministic bucket in [0, 1000) from ANY int64 id.
+
+    The id is first reduced mod a ~2^20 prime with a positive mod, so
+    the Knuth multiply never overflows int64 (a raw ``id * 2654435761``
+    wraps negative above ~2^31.7 — and Spark's sign-preserving ``%``
+    would then emit a negative bucket that lands every row below any
+    split boundary) and negative ids bucket correctly.
+    """
+    reduced = F.pmod(col + F.lit(salt), F.lit(_HASH_PRIME))
+    return F.pmod(reduced * F.lit(_KNUTH), F.lit(1000))
+
+
+def _bucket_sql(expr, salt=0):
+    """The identical arithmetic as DuckDB SQL (emulating pmod)."""
+    salted = f"({expr} + {salt})" if salt else f"({expr})"
+    reduced = f"((({salted} % {_HASH_PRIME}) + {_HASH_PRIME}) % {_HASH_PRIME})"
+    return f"(({reduced} * {_KNUTH}) % 1000)"
 
 
 def split_assign(df, id_col, splits=(("train", 800), ("val", 900), ("test", 1000)), salt=0):
@@ -85,8 +102,8 @@ def pack_bins(df, partition_cols, order_col, size_col, budget, bin_col="bin"):
     f"""
     WITH tagged AS (
       SELECT lang, n_chars,
-             CASE WHEN (doc_id * {_KNUTH}) % 1000 < 800 THEN 'train'
-                  WHEN (doc_id * {_KNUTH}) % 1000 < 900 THEN 'val'
+             CASE WHEN {_bucket_sql("doc_id")} < 800 THEN 'train'
+                  WHEN {_bucket_sql("doc_id")} < 900 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
     SELECT lang, split, COUNT(*) AS n_docs,
@@ -131,7 +148,7 @@ _MIX_RATE_SQL = "CASE " + " ".join(
     SELECT source, COUNT(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM documents
-    WHERE ((doc_id + 7) * {_KNUTH}) % 1000 < ({_MIX_RATE_SQL})
+    WHERE {_bucket_sql("doc_id", salt=7)} < ({_MIX_RATE_SQL})
     GROUP BY source
     """,
 )

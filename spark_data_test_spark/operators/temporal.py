@@ -64,23 +64,35 @@ def asof_join(points, ref, keys, ts):
     overlap = set(ref_vals) & set(pt_vals)
     if overlap:
         raise ValueError(f"rename overlapping non-key columns: {sorted(overlap)}")
-    ref_types = {f.name: f.dataType for f in ref.schema.fields}
+    ref_struct_type = (
+        ref.select(
+            F.struct(
+                *[F.col(c) for c in ref_vals], F.col(ts).alias("_asof_ts")
+            ).alias("_ref")
+        )
+        .schema["_ref"]
+        .dataType
+    )
     pt_types = {f.name: f.dataType for f in points.schema.fields}
 
+    # The whole reference row rides in ONE struct, so a matched ref row
+    # with NULL attributes stays intact — per-column last(ignorenulls)
+    # would stitch together fields from DIFFERENT ref rows whenever the
+    # latest row has a NULL a previous row doesn't.
     merged = ref.select(
         *keys,
         ts,
         F.lit(0).alias("_is_point"),
-        *[F.col(c) for c in ref_vals],
-        F.col(ts).alias("_asof_ts"),
+        F.struct(*[F.col(c) for c in ref_vals], F.col(ts).alias("_asof_ts")).alias(
+            "_ref"
+        ),
         *[F.lit(None).cast(pt_types[c]).alias(c) for c in pt_vals],
     ).unionByName(
         points.select(
             *keys,
             ts,
             F.lit(1).alias("_is_point"),
-            *[F.lit(None).cast(ref_types[c]).alias(c) for c in ref_vals],
-            F.lit(None).cast(pt_types.get(ts) or ref_types[ts]).alias("_asof_ts"),
+            F.lit(None).cast(ref_struct_type).alias("_ref"),
             *[F.col(c) for c in pt_vals],
         )
     )
@@ -96,12 +108,18 @@ def asof_join(points, ref, keys, ts):
         *keys,
         ts,
         *pt_vals,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in [*ref_vals, "_asof_ts"]
-        ],
+        F.last("_ref", ignorenulls=True).over(w).alias("_ref"),
     )
-    return carried.where(F.col("_is_point") == 1).drop("_is_point")
+    return (
+        carried.where(F.col("_is_point") == 1)
+        .select(
+            *keys,
+            ts,
+            *pt_vals,
+            *[F.col(f"_ref.{c}").alias(c) for c in ref_vals],
+            F.col("_ref._asof_ts").alias("_asof_ts"),
+        )
+    )
 
 
 def range_join_binned(intervals, points, keys, start, end, ts, bucket_width):
@@ -120,14 +138,14 @@ def range_join_binned(intervals, points, keys, start, end, ts, bucket_width):
     time columns are integer units (e.g. epoch micros).
     """
     keys = list(keys)
+    first_bucket = (F.col(start) / bucket_width).cast("long")
+    # clamp: an empty/inverted interval (end <= start) must not hand
+    # sequence() a descending range — that would EXPLODE one row per
+    # bucket between end and start (unbounded for bad data); the single
+    # clamped row is discarded by the exact refine below
+    last_bucket = F.greatest(first_bucket, ((F.col(end) - 1) / bucket_width).cast("long"))
     expanded = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                (F.col(start) / bucket_width).cast("long"),
-                ((F.col(end) - 1) / bucket_width).cast("long"),
-            )
-        ),
+        "_bucket", F.explode(F.sequence(first_bucket, last_bucket))
     )
     pts = points.withColumn("_bucket", (F.col(ts) / bucket_width).cast("long"))
     return (

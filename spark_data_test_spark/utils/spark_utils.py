@@ -28,3 +28,36 @@ def get_session(app_name="spark-data-test-spark", master=None, shuffle_partition
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return builder.getOrCreate()
+
+
+class FrameCache:
+    """Bounded keyed memo of persisted DataFrames, shared by the engine
+    and the dedup pipeline. Eviction is LRU (a cache hit refreshes the
+    entry's position); evicted and cleared entries are released through
+    the supplied callback so cached blocks never outlive their use.
+    """
+
+    def __init__(self, max_entries=2, release=None):
+        self._store = {}
+        self._max = max_entries
+        self._release = release or (lambda df: df.unpersist())
+
+    def _safe_release(self, value):
+        try:
+            self._release(value)
+        except Exception:
+            pass
+
+    def get_or_create(self, key, builder):
+        value = self._store.pop(key, None)
+        if value is None:
+            while len(self._store) >= self._max:
+                self._safe_release(self._store.pop(next(iter(self._store))))
+            value = builder()
+        self._store[key] = value
+        return value
+
+    def clear(self):
+        for value in self._store.values():
+            self._safe_release(value)
+        self._store.clear()

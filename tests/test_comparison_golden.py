@@ -201,6 +201,24 @@ def test_canonical_checksum_nested_types_not_lossy(spark):
     assert overall[MATCHED_COUNT_COL] == 1  # only doc 2 matches
 
 
+def test_overall_report_counts_null_key_rows_missing(spark):
+    # NULL primary keys never join (plain equality), so a NULL-key row
+    # on each side is missing from the other — the overall report must
+    # agree with the row report's accounting, not silently report 0/0.
+    source = spark.createDataFrame(
+        [(None, "a"), (1, "b")], "id long, v string"
+    )
+    target = spark.createDataFrame(
+        [(None, "zzz"), (1, "b")], "id long, v string"
+    )
+    params = DatasetParams(dataset_name="nullkeys", primary_keys=["id"])
+    res = compare_dataframes(spark, source, target, params)
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    assert overall["missing_rows"] == {"source": 1, "target": 1}
+    assert overall[MATCHED_COUNT_COL] == 1
+    assert overall[TEST_STATUS_COL] == FAILED_STATUS
+
+
 def test_composite_primary_keys(spark):
     source = spark.createDataFrame(
         [Row(k1=1, k2="a", v=1.0), Row(k1=1, k2="b", v=2.0), Row(k1=2, k2="a", v=3.0)]

@@ -77,11 +77,20 @@ def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     plan = simple_plan(tpch_q19_disjunctive_revenue(spark, sf_dir))
     scans = [l for l in plan.splitlines() if "FileScan" in l]
     part_scan = [l for l in scans if "p_brand" in l]
-    li_scan = [l for l in scans if "l_quantity" in l]
+    li_scan = [l for l in scans if "l_extendedprice" in l]
     # the OR-of-ANDs must split: brand/size prefix on the part scan,
-    # quantity prefix on the lineitem scan — not a bare post-join filter
+    # quantity prefix on the lineitem scan — not a bare post-join
+    # filter. Parse the DataFilters list itself: the trailing ReadSchema
+    # also mentions l_quantity, so a substring check on the whole line
+    # would pass vacuously.
     assert part_scan and "Brand#1" in part_scan[0]
-    assert li_scan and "l_quantity" in li_scan[0].split("DataFilters")[-1]
+
+    def data_filters(line):
+        if "DataFilters: [" not in line:
+            return ""
+        return line.split("DataFilters: [", 1)[1].split("]", 1)[0]
+
+    assert li_scan and "l_quantity" in data_filters(li_scan[0])
 
 
 def test_q4_exists_is_semi_join(spark, sf_dir):

@@ -284,3 +284,33 @@ def test_pack_bins_property(spark, rows, budget):
         for i, sz in items:
             assert got[i] == cum // budget
             cum += sz
+
+
+def test_asof_join_null_ref_attribute_stays_null(spark):
+    # the matched (latest) ref row has a NULL attribute; the join must
+    # return that NULL, not stitch in the attribute of an OLDER ref row
+    from spark_data_test_spark.operators.temporal import asof_join
+
+    ref = spark.createDataFrame(
+        [(1, 3, "a"), (1, 5, None)], "k long, ts long, attr string"
+    )
+    pts = spark.createDataFrame([(10, 1, 6)], "pid long, k long, ts long")
+    row = asof_join(pts, ref, keys=["k"], ts="ts").first()
+    assert row["_asof_ts"] == 5
+    assert row["attr"] is None
+
+
+def test_split_assign_negative_and_huge_ids(spark):
+    from spark_data_test_spark.operators.sampling import split_assign
+
+    ids = [-5, -1, 0, 2**40, 2**62, 4_000_000_000]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    rows = split_assign(df, "id").collect()
+    assert len(rows) == len(ids)
+    # every row gets a valid split; buckets are non-negative by
+    # construction so no id can unconditionally land in 'train'
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # and the arithmetic is overflow-free: rerun agrees exactly
+    again = {r["id"]: r["split"] for r in split_assign(df, "id").collect()}
+    for r in rows:
+        assert again[r["id"]] == r["split"]
