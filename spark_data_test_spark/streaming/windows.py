@@ -325,3 +325,47 @@ def streaming_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum("c").alias("value_cents"),
     )
+
+
+@query(
+    "streaming_foreachbatch_sink",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 4 = 0 GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_sink(spark, sf_dir):
+    """Streaming -> arbitrary batch sink via ``foreachBatch``: each
+    micro-batch lands in a parquet directory with append semantics (the
+    pattern for sinks the streaming engine has no native writer for —
+    JDBC, Delta-less lakes, multi-table fan-out). ``availableNow``
+    drains the finite source; the oracle aggregates the original table,
+    so dropped or double-written micro-batches break the hash (the
+    batchId handed to the function is what an idempotent production
+    sink would key exactly-once bookkeeping on)."""
+    import shutil
+
+    events = read_events_stream(spark, sf_dir).where(
+        F.col("event_id") % 4 == 0
+    ).select("event_id", "event_type", cents(F.col("value")).alias("c"))
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/spark_stream_fbsink/{digest}/events"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"/tmp/spark_stream_fbsink/{digest}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("c").alias("value_cents"),
+    )
