@@ -293,3 +293,62 @@ def window_distribution_funcs(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+@query(
+    "profile_columns",
+    """
+    WITH stats AS (
+      SELECT
+    """
+    + ",\n".join(
+        f"""        COUNT(*) - COUNT({c}) AS nulls_{c},
+        COUNT(DISTINCT {c}) AS distinct_{c}"""
+        for c in _PROFILE_COLS
+    )
+    + """
+      FROM orders)
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS column_name, nulls_{c} AS n_nulls,"
+        f" distinct_{c} AS n_distinct FROM stats"
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark, sf_dir):
+    """Data-profiling operator: per-column null and exact distinct
+    counts in ONE aggregation job over the table, unpivoted to long
+    form. Multiple exact COUNT(DISTINCT) in one agg plan through
+    Spark's Expand (one pass over the input, one row-replica per
+    distinct aggregate) — still a single job and shuffle set, vs the
+    naive one-job-per-column profiler. At 100 TB swap exact distincts
+    for approx_count_distinct to drop the Expand replication; the exact
+    form is kept here because sketches can't be oracle-checked."""
+    o = t(spark, sf_dir, "orders")
+    stats = o.agg(
+        *[
+            e
+            for c in _PROFILE_COLS
+            for e in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"distinct_{c}"),
+            )
+        ]
+    )
+    return stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"nulls_{c}").alias("n_nulls"),
+                        F.col(f"distinct_{c}").alias("n_distinct"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.n_nulls", "p.n_distinct")

@@ -310,3 +310,85 @@ def events_hypertable_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("c").alias("value_cents"),
     )
+
+
+@query(
+    "events_funnel_analysis",
+    """
+    WITH per_event AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+      SELECT user_id, us, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN us END)
+               OVER (PARTITION BY user_id) AS t_signup
+      FROM per_event),
+    s2 AS (
+      SELECT user_id, us, event_type, t_signup,
+             MIN(CASE WHEN event_type = 'click' AND us >= t_signup THEN us END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM s1),
+    s3 AS (
+      SELECT user_id, t_signup, t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND us >= t_click THEN us END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2),
+    per_user AS (
+      SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id)
+    SELECT COUNT(t_signup) AS n_signup,
+           COUNT(t_click) AS n_click,
+           COUNT(t_purchase) AS n_purchase
+    FROM per_user
+    """,
+)
+def events_funnel_analysis(spark, sf_dir):
+    """Ordered conversion funnel (signup -> click -> purchase) in ONE
+    shuffle: three chained conditional-min windows over the same user
+    partition resolve each stage's earliest qualifying timestamp (stage
+    N+1 only counts events at-or-after stage N's time), then a per-user
+    reduce and a global count. No per-stage self-joins — the naive
+    formulation shuffles the events table once per funnel step; this
+    shape scales with funnel depth for free since every window shares
+    one partitioning."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    s1 = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+    ).withColumn(
+        "t_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") >= F.col("t_signup")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("t_click")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_signup").alias("t_signup"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
