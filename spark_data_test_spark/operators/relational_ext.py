@@ -352,3 +352,74 @@ def profile_columns(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.column_name", "p.n_nulls", "p.n_distinct")
+
+
+@query(
+    "upsert_latest_wins",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND((o_totalprice + 10.0) * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey, 'N' AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 50 = 0),
+    base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = b.o_orderkey))
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(price_cents) AS BIGINT) AS price_cents_total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def upsert_latest_wins(spark, sf_dir):
+    """MERGE/upsert without a table format: last-write-wins keyed merge
+    of a base table with an update batch (modified rows + brand-new
+    keys) in ONE shuffle — union both sides tagged with a recency rank,
+    keep row_number()=1 per key. This is the Spark-native upsert shape
+    when Delta/Iceberg MERGE isn't available; at scale pair it with
+    dynamic partition overwrite so only touched partitions rewrite.
+    The oracle merges via anti-join instead (an independent
+    formulation of the same semantics)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            cents(F.col("o_totalprice") + 10.0).alias("price_cents"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+        )
+    )
+    merged = base.withColumn("_rank", F.lit(0)).unionByName(
+        updates.withColumn("_rank", F.lit(1))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_rank").desc())
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rank", "_rn")
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("price_cents").alias("price_cents_total"),
+    )
