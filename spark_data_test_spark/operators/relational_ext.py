@@ -362,7 +362,7 @@ def profile_columns(spark, sf_dir):
              CAST(ROUND((o_totalprice + 10.0) * 100) AS BIGINT) AS price_cents
       FROM orders WHERE o_orderkey % 5 = 0
       UNION ALL
-      SELECT o_orderkey + 1000000 AS o_orderkey, 'N' AS o_orderstatus,
+      SELECT -(o_orderkey + 1) AS o_orderkey, 'N' AS o_orderstatus,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
       FROM orders WHERE o_orderkey % 50 = 0),
     base AS (
@@ -403,8 +403,12 @@ def upsert_latest_wins(spark, sf_dir):
             cents(F.col("o_totalprice") + 10.0).alias("price_cents"),
         )
         .unionByName(
+            # brand-new keys are NEGATED existing keys: collision-free
+            # with the positive base key space at ANY scale factor, so
+            # every key appears at most once per rank and the
+            # row_number pick is fully determined
             o.where(F.col("o_orderkey") % 50 == 0).select(
-                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
                 F.lit("N").alias("o_orderstatus"),
                 cents(F.col("o_totalprice")).alias("price_cents"),
             )

@@ -348,24 +348,32 @@ def streaming_foreachbatch_sink(spark, sf_dir):
 
     events = read_events_stream(spark, sf_dir).where(
         F.col("event_id") % 4 == 0
-    ).select("event_id", "event_type", cents(F.col("value")).alias("c"))
+    ).select("event_type", cents(F.col("value")).alias("c"))
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    out = f"/tmp/spark_stream_fbsink/{digest}/events"
-    shutil.rmtree(out, ignore_errors=True)
+    # per-run scratch root: no cross-process races on a shared path,
+    # and the whole tree (sink AND checkpoint) is removed afterwards
+    run_root = f"/tmp/spark_stream_fbsink/{uuid.uuid4().hex[:12]}"
+    out = f"{run_root}/events"
 
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out)
 
     q = (
         events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", f"/tmp/spark_stream_fbsink/{digest}/ckpt_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", f"{run_root}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    back = spark.read.parquet(out)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("c").alias("value_cents"),
-    )
+    try:
+        agg = spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c").alias("value_cents"),
+        )
+        # materialize the (tiny) aggregate so the scratch tree can be
+        # deleted before returning the lazy-consumable result
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).coalesce(1)
