@@ -78,3 +78,36 @@ def salted_join(left, right, keys, n_salt=16, how="inner"):
     )
     joined = left_salted.join(right_rep, keys + [_SALT_COL], how)
     return joined.drop(_SALT_COL)
+
+
+from spark_data_test_spark.operators.relational import cents, query, t  # noqa: E402
+
+
+@query(
+    "skew_salted_join_agg",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def skew_salted_join_agg(spark, sf_dir):
+    """Driver-checked proof that salting is an EXACT rewrite: the
+    lineitem-orders join runs through salted_join (orders replicated
+    n_salt ways, each lineitem row routed to one replica by hash) and
+    must hash-match the plain-join oracle. On skew-free data salting
+    only costs the replication; on a hot orderkey it is what keeps one
+    reducer from receiving the whole key when AQE's runtime splitting
+    can't apply (e.g. pre-AQE checkpoints, non-shuffle children)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        cents(F.col("l_extendedprice")).alias("pc"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, o, keys=["o_orderkey"], n_salt=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pc").alias("price_cents"),
+    )
