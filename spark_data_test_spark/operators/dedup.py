@@ -514,3 +514,84 @@ def dedup_embedding_cosine(spark, sf_dir):
         "vec_b",
         F.round(F.col("cos") * 1000000).cast("long").alias("cos_1e6"),
     )
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs),
+    verts AS (
+      SELECT DISTINCT a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS other FROM verts
+      UNION
+      SELECT r.doc_id, e.b AS other
+      FROM reach r JOIN edges e ON e.a = r.other)
+    SELECT doc_id, MIN(other) AS component_id
+    FROM reach GROUP BY doc_id
+    """.replace("WITH corpus", "WITH RECURSIVE corpus"),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Duplicate CLUSTERING: connected components over the LSH
+    candidate-pair graph, so transitively-linked near-dups (A~B, B~C)
+    collapse into one group with a canonical representative (the
+    minimum doc_id in the component) — the step a real dedup pipeline
+    runs after pair generation, since keep/drop decisions are per
+    cluster, not per pair.
+
+    Iterative min-label propagation (the BSP formulation GraphX/
+    Pregel uses, expressed in plain DataFrames): every vertex starts
+    as its own label; each round pulls the min label across edges;
+    converged when no label changes. Rounds are bounded by the graph
+    diameter (LSH duplicate clusters are shallow — a handful of
+    rounds); each round is one join + one groupBy on the (small)
+    candidate edge set, and ``localCheckpoint`` truncates the plan
+    lineage so the loop doesn't compound (the standard Spark
+    iterative-algorithm pattern). The oracle replays the closure with
+    a recursive CTE — an independent fixed-point formulation.
+    """
+    pairs = _cached_band_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    while True:
+        # pull phase: each vertex takes the min of its own label and
+        # every neighbor's label
+        neighbor_labels = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .select(F.col("a").alias("doc_id"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

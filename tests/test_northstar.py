@@ -245,3 +245,24 @@ def test_stateful_sessionization_equals_batch(spark, sf_dir):
         .collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_connected_components_cluster_invariants(spark, sf_dir):
+    from spark_data_test_spark.operators import dedup
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.dedup_connected_components(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._cached_band_pairs(spark, sf_dir).collect()
+    ]
+    assert pairs, "expected LSH candidate pairs"
+    # every edge endpoint got a label, and both ends share a component
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+        assert comp[a] <= min(a, b)
+    # each canonical representative is a member of its own component
+    for label in set(comp.values()):
+        assert comp[label] == label
