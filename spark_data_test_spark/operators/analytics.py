@@ -293,3 +293,57 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS ship_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+    GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Q7 shape: trade volume between two nations in both directions —
+    a five-way join where every dimension (supplier, customer, both
+    nation legs) broadcasts and only the lineitem-orders fact-fact join
+    shuffles; the nation filter prunes before the fact join."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+    )

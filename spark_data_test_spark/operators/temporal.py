@@ -392,3 +392,60 @@ def events_funnel_analysis(spark, sf_dir):
         F.count("t_click").alias("n_click"),
         F.count("t_purchase").alias("n_purchase"),
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "events_session_window_native",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    flagged AS (
+      SELECT user_id, us, c,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    sess AS (
+      SELECT user_id, us, c,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + {_SESSION_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_window_native(spark, sf_dir):
+    """Sessionization via Spark's BUILT-IN ``session_window`` grouping
+    (one aggregation operator — the engine merges overlapping per-event
+    windows internally) instead of the manual gap-flag + cumsum
+    formulation; the oracle replays the manual formulation, so the two
+    are proven equivalent. Window end = last event + gap, per
+    session_window semantics."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "value_cents",
+        )
+    )
