@@ -100,6 +100,7 @@ def _registry():
         "spark_data_test_spark.operators.temporal",
         "spark_data_test_spark.operators.sampling",
         "spark_data_test_spark.operators.skew",
+        "spark_data_test_spark.operators.udtf_ops",
         "spark_data_test_spark.streaming.windows",
     ):
         try:

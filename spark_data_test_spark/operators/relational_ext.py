@@ -427,3 +427,30 @@ def upsert_latest_wins(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum("price_cents").alias("price_cents_total"),
     )
+
+
+@query(
+    "variant_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS k_bucket,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def variant_json_props(spark, sf_dir):
+    """Semi-structured data through the VARIANT type (Spark 4): parse
+    the JSON payload once into a binary variant (no per-access
+    re-parsing, unlike get_json_object chains) and extract typed fields
+    with variant_get. The shredded binary form is the 100 TB posture
+    for JSON-heavy tables — parse cost is paid once at ingest, reads
+    are typed offset lookups."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(F.parse_json(F.col("props")).alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k")
+        )
+        .select(F.expr("k div 25").alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
