@@ -207,3 +207,36 @@ def source_orc_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum("cbal").alias("acctbal_cents"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def source_xml_roundtrip(spark, sf_dir):
+    """XML codec both directions without touching disk (Spark 4
+    to_xml/from_xml): rows -> XML string -> parsed struct -> fields ->
+    aggregate. The metric rides as integer cents before serialization
+    so the round trip is exact; the oracle aggregates the original
+    table, so any codec fidelity loss breaks the hash."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_xml(
+            F.struct(
+                F.col("event_type"), cents(F.col("value")).alias("value_cents")
+            )
+        ).alias("x"),
+    )
+    parsed = ev.select(
+        F.from_xml(
+            F.col("x"), "event_type string, value_cents bigint"
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("r.value_cents")).alias("value_cents"),
+    )

@@ -101,3 +101,52 @@ def test_q4_exists_is_semi_join(spark, sf_dir):
 
     plan = simple_plan(tpch_q4_priority_check(spark, sf_dir))
     assert "LeftSemi" in plan  # no row multiplication, no distinct
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    # write events partitioned by event_type, read back with a filter on
+    # the partition column: the scan must show a PartitionFilters entry
+    # and read only the matching directory (partition pruning — the
+    # mechanism that turns a 100 TB scan into a one-partition scan)
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark.operators.relational import t as _t
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    out = str(tmp_path / "events_by_type")
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = simple_plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan
+    assert "purchase" in scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # and the filtered read returns exactly the purchases
+    want = (
+        _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").count()
+    )
+    assert df.count() == want
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    # df.observe collects aggregates DURING the action — no second scan;
+    # the pattern for row-count/quality accounting on 100 TB writes
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from spark_data_test_spark.operators.relational import t as _t
+
+    obs = Observation("ingest_metrics")
+    ev = _t(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_values"),
+    )
+    total = ev.count()
+    assert obs.get["n_rows"] == total
+    assert obs.get["null_values"] == 0
