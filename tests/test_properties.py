@@ -131,3 +131,46 @@ def test_tolerance_monotonicity(spark, rows, data):
             compute_unmatched_dumps=False,
         )[OVERALL_TEST_REPORT_KEY].first()
         assert tight["matched_count"] == len(rows) - 1
+
+
+@given(
+    rows=tables(min_rows=2, max_rows=8),
+    tol_x=st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+)
+@_settings
+def test_per_column_tolerance_override(spark, rows, tol_x):
+    """column_tolerances: the override governs its column alone —
+    a pair differing only in x matches iff |dx| <= tol_x, regardless of
+    the global tolerance being zero."""
+    src = spark.createDataFrame(rows, _SCHEMA)
+    bumped = [(k, s, (x or 0.0) + tol_x / 2) for k, s, x in rows]
+    tgt = spark.createDataFrame(bumped, _SCHEMA)
+    params = DatasetParams(
+        dataset_name="coltol",
+        primary_keys=["id"],
+        test_params=TestParams(
+            difference_tolerance=0.0, column_tolerances={"x": tol_x}
+        ),
+    )
+    res = compare_dataframes(spark, src, tgt, params, compute_unmatched_dumps=False)
+    overall = res[OVERALL_TEST_REPORT_KEY].first()
+    # every pair differs by tol_x/2 <= tol_x in x only -> all matched
+    # unless s is NULL-vs-NULL equality breaks (it can't: same s)
+    assert overall["matched_count"] == len(rows)
+
+
+def test_frame_cache_eviction_order_and_release():
+    from spark_data_test_spark.utils.spark_utils import FrameCache
+
+    released = []
+    cache = FrameCache(max_entries=2, release=released.append)
+    cache.get_or_create("a", lambda: "va")
+    cache.get_or_create("b", lambda: "vb")
+    cache.get_or_create("a", lambda: "REBUILT")  # hit: refreshes, no rebuild
+    assert cache.get_or_create("a", lambda: "REBUILT") == "va"
+    cache.get_or_create("c", lambda: "vc")  # evicts b (a was refreshed)
+    assert released == ["vb"]
+    assert cache.get_or_create("b", lambda: "vb2") == "vb2"  # b rebuilt
+    assert released == ["va"] or released == ["vb", "va"]  # a evicted next
+    cache.clear()
+    assert set(released) == {"va", "vb", "vc", "vb2"}
