@@ -401,19 +401,19 @@ _SESSION_GAP_US = 1_800_000_000  # 30 minutes
     "events_session_window_native",
     f"""
     WITH e AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
              CAST(ROUND(value * 100) AS BIGINT) AS c
       FROM events),
     flagged AS (
-      SELECT user_id, us, c,
+      SELECT user_id, event_id, us, c,
              CASE WHEN LAG(us) OVER w IS NULL
                     OR us - LAG(us) OVER w >= {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_s
       FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
     sess AS (
       SELECT user_id, us, c,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sid
       FROM flagged)

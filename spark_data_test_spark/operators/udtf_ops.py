@@ -14,8 +14,6 @@ the DuckDB oracle does), which makes this query double as a
 UDTF-vs-built-in equivalence check.
 """
 
-import uuid
-
 import pyspark.sql.functions as F
 from pyspark.sql.functions import udtf
 
@@ -51,8 +49,10 @@ def udtf_chunk_documents(spark, sf_dir):
     """Context-window chunking via a lateral Python UDTF; the oracle
     derives identical chunks with pure SQL slicing, so the Python
     row-expansion path is value-checked against the built-in one."""
-    uid = uuid.uuid4().hex[:12]
-    fn_name, view = f"chunk_text_{uid}", f"docs_{uid}"
+    # fixed names: register/createOrReplace are overwrite-semantics, so
+    # repeated invocations reuse one catalog entry instead of
+    # accumulating uuid-suffixed functions and views per call
+    fn_name, view = "spark_graft_chunk_text", "spark_graft_udtf_docs"
     spark.udtf.register(fn_name, ChunkText)
     t(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
         view

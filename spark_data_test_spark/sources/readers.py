@@ -224,7 +224,6 @@ def source_xml_roundtrip(spark, sf_dir):
     so the round trip is exact; the oracle aggregates the original
     table, so any codec fidelity loss breaks the hash."""
     ev = t(spark, sf_dir, "events").select(
-        "event_id",
         F.to_xml(
             F.struct(
                 F.col("event_type"), cents(F.col("value")).alias("value_cents")

@@ -358,14 +358,14 @@ def streaming_foreachbatch_sink(spark, sf_dir):
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        events.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", f"{run_root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     try:
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         agg = spark.read.parquet(out).groupBy("event_type").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("c").alias("value_cents"),
@@ -375,5 +375,7 @@ def streaming_foreachbatch_sink(spark, sf_dir):
         rows = agg.collect()
         schema = agg.schema
     finally:
+        # covers stream failure too — a crash-looping caller must not
+        # accumulate orphaned per-run scratch trees
         shutil.rmtree(run_root, ignore_errors=True)
     return spark.createDataFrame(rows, schema).coalesce(1)

@@ -143,7 +143,7 @@ def test_per_column_tolerance_override(spark, rows, tol_x):
     a pair differing only in x matches iff |dx| <= tol_x, regardless of
     the global tolerance being zero."""
     src = spark.createDataFrame(rows, _SCHEMA)
-    bumped = [(k, s, (x or 0.0) + tol_x / 2) for k, s, x in rows]
+    bumped = [(k, s, x + tol_x / 2) for k, s, x in rows]
     tgt = spark.createDataFrame(bumped, _SCHEMA)
     params = DatasetParams(
         dataset_name="coltol",
@@ -171,6 +171,6 @@ def test_frame_cache_eviction_order_and_release():
     cache.get_or_create("c", lambda: "vc")  # evicts b (a was refreshed)
     assert released == ["vb"]
     assert cache.get_or_create("b", lambda: "vb2") == "vb2"  # b rebuilt
-    assert released == ["va"] or released == ["vb", "va"]  # a evicted next
+    assert released == ["vb", "va"]  # a evicted next (append-only log)
     cache.clear()
     assert set(released) == {"va", "vb", "vc", "vb2"}
