@@ -27,6 +27,7 @@ from spark_data_test_spark.jobs import (
 from spark_data_test_spark.operators.comparison import (
     compare_dataframes,
     compare_dataframes_where,
+    distribution_report,
     release_comparison_result,
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
@@ -42,6 +43,7 @@ __all__ = [
     "asof_join",
     "compare_dataframes",
     "compare_dataframes_where",
+    "distribution_report",
     "pack_bins",
     "range_join_binned",
     "release_comparison_result",

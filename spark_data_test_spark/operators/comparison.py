@@ -256,6 +256,48 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
     }
 
 
+def distribution_report(source_df, target_df, columns, quantiles=(0.5, 0.9)):
+    """Per-column distribution drift (engine extension): exact
+    interpolated quantiles of each side for every requested numeric
+    column, long-form.
+
+    Catches what row matching can't: a target rebuilt from a biased
+    sample can pass row-level checks on the surviving keys while its
+    value DISTRIBUTION shifted. Cost: ONE aggregation job per side
+    (every column x quantile in a single agg — percentile aggregates
+    share the pass), a 1x1 join of the two result rows, and an explode
+    to long form; nothing scales with row count beyond the two scans.
+    """
+    q_pcts = [int(q * 100) for q in quantiles]
+
+    def side_row(df, tag):
+        return df.agg(
+            *[
+                F.expr(f"percentile({c}, {q})").alias(f"_{tag}_{c}_{pct}")
+                for c in columns
+                for q, pct in zip(quantiles, q_pcts)
+            ]
+        ).coalesce(1)
+
+    # 1x1 cross join: both sides' quantiles in one row
+    both = side_row(source_df, "s").crossJoin(side_row(target_df, "t"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(pct).alias("quantile_pct"),
+                F.col(f"_s_{c}_{pct}").alias("source_value"),
+                F.col(f"_t_{c}_{pct}").alias("target_value"),
+            )
+            for c in columns
+            for pct in q_pcts
+        ]
+    )
+    return both.select(F.explode(entries).alias("e")).select(
+        "e.column_name", "e.quantile_pct", "e.source_value", "e.target_value"
+    )
+
+
 def release_comparison_result(result):
     """Unpersist every cached frame a ``compare_dataframes`` run left
     behind. Call when a long-lived session is done consuming the

@@ -492,3 +492,62 @@ def compare_unkeyed_multiset(spark, sf_dir):
         .alias("l_quantity"),
     )
     return compare_unkeyed(spark, src, tgt)
+
+
+@query(
+    "compare_distribution_report",
+    """
+    WITH tb AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 0.004
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    s AS (
+      SELECT 'o_totalprice' AS c, 50 AS q, quantile_cont(o_totalprice, 0.5) AS v FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', 90, quantile_cont(o_totalprice, 0.9) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', 50, quantile_cont(o_custkey, 0.5) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', 90, quantile_cont(o_custkey, 0.9) FROM orders),
+    t2 AS (
+      SELECT 'o_totalprice' AS c, 50 AS q, quantile_cont(o_totalprice, 0.5) AS v FROM tb
+      UNION ALL
+      SELECT 'o_totalprice', 90, quantile_cont(o_totalprice, 0.9) FROM tb
+      UNION ALL
+      SELECT 'o_custkey', 50, quantile_cont(o_custkey, 0.5) FROM tb
+      UNION ALL
+      SELECT 'o_custkey', 90, quantile_cont(o_custkey, 0.9) FROM tb)
+    SELECT s.c AS column_name, CAST(s.q AS INTEGER) AS quantile_pct,
+           CAST(ROUND(s.v * 100) AS BIGINT) AS source_cents,
+           CAST(ROUND(t2.v * 100) AS BIGINT) AS target_cents,
+           CAST(ROUND(s.v * 100) AS BIGINT) - CAST(ROUND(t2.v * 100) AS BIGINT)
+             AS delta_cents
+    FROM s JOIN t2 ON s.c = t2.c AND s.q = t2.q
+    """,
+)
+def compare_distribution_report(spark, sf_dir):
+    """Distribution-drift report: the target drops every 7th order and
+    nudges prices, so its quantiles shift even for keys that would pass
+    row checks. Exact interpolated percentiles (bit-identical to
+    DuckDB's quantile_cont), quantized to integer cents post-agg."""
+    from spark_data_test_spark.operators.comparison import distribution_report
+
+    o = t(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 0.004)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    rep = distribution_report(o, target, ["o_totalprice", "o_custkey"])
+    sc = F.round(F.col("source_value") * 100).cast("long")
+    tc = F.round(F.col("target_value") * 100).cast("long")
+    return rep.select(
+        "column_name",
+        "quantile_pct",
+        sc.alias("source_cents"),
+        tc.alias("target_cents"),
+        (sc - tc).alias("delta_cents"),
+    )
