@@ -213,3 +213,38 @@ def pack_sequences(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("tok_total"),
     )
+
+
+_EVAL_K = 5
+
+
+@query(
+    "sample_topk_per_group",
+    f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_bucket_sql("doc_id", salt=99)}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_EVAL_K}
+    """,
+)
+def sample_topk_per_group(spark, sf_dir):
+    """Deterministic eval-set selection: k documents per language,
+    chosen by hash order (salted so it is independent of the train/val
+    split hash), fully tie-broken by doc_id. Hash-ordering beats "first
+    k by id" (id order correlates with crawl order) and beats rand()
+    (not reproducible); one window shuffle, no global sort."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _hash_bucket(F.col("doc_id"), salt=99), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _EVAL_K)
+        .drop("rn")
+    )

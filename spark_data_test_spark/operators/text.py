@@ -208,3 +208,50 @@ def text_regex_tokens(spark, sf_dir):
         F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").alias("number_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")).cast("long").alias("long_tokens"),
     )
+
+
+_TOP_BIGRAMS = 3
+
+
+@query(
+    "text_bigram_profile",
+    f"""
+    SELECT lang, bg, cnt FROM (
+      SELECT lang, bg, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, bg) AS rn
+      FROM (
+        SELECT lang, substr(text, i, 2) AS bg, COUNT(*) AS cnt
+        FROM documents,
+             unnest(generate_series(1, length(text) - 1)) AS u(i)
+        WHERE substr(text, i, 2) NOT LIKE '% %'
+        GROUP BY lang, substr(text, i, 2)))
+    WHERE rn <= {_TOP_BIGRAMS}
+    """,
+)
+def text_bigram_profile(spark, sf_dir):
+    """Character-bigram language profile: the top space-free bigrams
+    per language by corpus frequency — the classic n-gram language-
+    model feature (langid-style detectors rank exactly these profiles).
+    Shape: explode to (lang, bigram) with map-side partial counts into
+    ONE shuffle, then a per-language window top-k; fully tie-broken by
+    the bigram itself."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    ).where(~F.col("bg").contains(" "))
+    counts = bigrams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_BIGRAMS)
+        .drop("rn")
+    )
