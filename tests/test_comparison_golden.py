@@ -425,3 +425,25 @@ def test_numeric_null_one_side_is_false_not_null(spark):
     overall = res[OVERALL_TEST_REPORT_KEY].first()
     assert overall[MATCHED_COUNT_COL] == 1
     assert overall[TEST_STATUS_COL] == FAILED_STATUS
+
+
+def test_compare_empty_inputs(spark):
+    schema = "id long, v string"
+    empty = spark.createDataFrame([], schema)
+    full = spark.createDataFrame([(1, "a")], schema)
+    params = DatasetParams(dataset_name="empty", primary_keys=["id"])
+
+    # both empty: vacuously PASSED, all counters zero
+    res = compare_dataframes(spark, empty, empty, params)
+    o = res[OVERALL_TEST_REPORT_KEY].first()
+    assert o[TEST_STATUS_COL] == "PASSED"
+    assert o[MATCHED_COUNT_COL] == 0
+    assert o["count"] == {"source": 0, "target": 0}
+    assert res[ROW_LVL_TEST_REPORT_KEY].count() == 0
+
+    # one side empty: everything missing at that side, FAILED
+    res = compare_dataframes(spark, full, empty, params)
+    o = res[OVERALL_TEST_REPORT_KEY].first()
+    assert o[TEST_STATUS_COL] == FAILED_STATUS
+    assert o["missing_rows"] == {"source": 0, "target": 1}
+    assert o["count"] == {"source": 1, "target": 0}
