@@ -268,14 +268,22 @@ def distribution_report(source_df, target_df, columns, quantiles=(0.5, 0.9)):
     share the pass), a 1x1 join of the two result rows, and an explode
     to long form; nothing scales with row count beyond the two scans.
     """
-    q_pcts = [int(q * 100) for q in quantiles]
+    q_pcts = [int(round(q * 100)) for q in quantiles]
+
+    # aliases are keyed by (column index, quantile index), never by the
+    # column name or derived percent: arbitrary caller column names
+    # (dots, spaces) and quantiles colliding on the same integer percent
+    # must not produce unparsable or ambiguous internal aliases
+    def quoted(c):
+        # backtick-quote so dots/spaces in caller names parse literally
+        return F.col("`" + c.replace("`", "``") + "`")
 
     def side_row(df, tag):
         return df.agg(
             *[
-                F.expr(f"percentile({c}, {q})").alias(f"_{tag}_{c}_{pct}")
-                for c in columns
-                for q, pct in zip(quantiles, q_pcts)
+                F.percentile(quoted(c), F.lit(q)).alias(f"_{tag}_{ci}_{qi}")
+                for ci, c in enumerate(columns)
+                for qi, q in enumerate(quantiles)
             ]
         ).coalesce(1)
 
@@ -286,11 +294,11 @@ def distribution_report(source_df, target_df, columns, quantiles=(0.5, 0.9)):
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.lit(pct).alias("quantile_pct"),
-                F.col(f"_s_{c}_{pct}").alias("source_value"),
-                F.col(f"_t_{c}_{pct}").alias("target_value"),
+                F.col(f"_s_{ci}_{qi}").alias("source_value"),
+                F.col(f"_t_{ci}_{qi}").alias("target_value"),
             )
-            for c in columns
-            for pct in q_pcts
+            for ci, c in enumerate(columns)
+            for qi, pct in enumerate(q_pcts)
         ]
     )
     return both.select(F.explode(entries).alias("e")).select(

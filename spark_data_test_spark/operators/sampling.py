@@ -236,8 +236,6 @@ def sample_topk_per_group(spark, sf_dir):
     split hash), fully tie-broken by doc_id. Hash-ordering beats "first
     k by id" (id order correlates with crawl order) and beats rand()
     (not reproducible); one window shuffle, no global sort."""
-    from pyspark.sql import Window
-
     d = t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
         _hash_bucket(F.col("doc_id"), salt=99), "doc_id"

@@ -247,7 +247,13 @@ def text_bigram_profile(spark, sf_dir):
                 " i -> substring(text, i, 2))"
             )
         ).alias("bg"),
-    ).where(~F.col("bg").contains(" "))
+    ).where(
+        # length guard: Spark's sequence(1, n) DESCENDS when n < 1, so a
+        # 0/1-char text would emit spurious short "bigrams" the oracle's
+        # empty generate_series never produces
+        (F.length("bg") == 2)
+        & ~F.col("bg").contains(" ")
+    )
     counts = bigrams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
     return (
