@@ -117,12 +117,36 @@ def main():
         except Exception:
             pass
 
+    # Two timed passes, min per query: run-to-run variance on a shared
+    # box swamps single-shot timings (measured 2-3x on identical code);
+    # the min is the steady-state cost. Session-level memo caches
+    # (comparison engine results, dedup shingles/pairs) are cleared
+    # between passes so pass 2 measures real work, not cache hits —
+    # within a pass the caches stay, which is the engine's designed
+    # cross-query reuse.
+    def clear_memo_caches():
+        try:
+            from spark_data_test_spark.operators import comparison_queries as cq
+
+            cq.clear_engine_cache()
+        except Exception:
+            pass
+        try:
+            from spark_data_test_spark.operators.dedup import clear_dedup_cache
+
+            clear_dedup_cache()
+        except Exception:
+            pass
+
     timings = {}
-    for name in HEADLINE:
-        fn = qmap[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        clear_memo_caches()
+        for name in HEADLINE:
+            fn = qmap[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     print(
         json.dumps(
