@@ -347,3 +347,141 @@ def tpch_q7_nation_volume(spark, sf_dir):
             ).alias("revenue_cents")
         )
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: max-over-aggregate — the revenue CTE feeds both the
+    ranking and the max in ONE logical subtree; expressed with a rank
+    window instead of the SQL scalar subquery, so Spark computes the
+    aggregate once and never re-scans (ties all surface, same as the
+    reference query's = MAX semantics)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_revenue_cents")
+        )
+    )
+    w = Window.orderBy(F.col("total_revenue_cents").desc())
+    top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: correlated scalar subquery (per-part average) —
+    de-correlated into a per-part aggregate joined back, so the whole
+    query is two hash aggregates and two joins instead of a re-executed
+    subquery per row. avg(quantity) is sum/count of integral doubles:
+    both engines compute the identical double division on identical
+    operands, and 0.2 * avg is one more shared op."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.avg_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH wealthy AS (
+      SELECT c_custkey, c_nationkey % 5 AS cc,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0))
+    SELECT cc, COUNT(*) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM wealthy w
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = w.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY cc
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """Q22 shape: uncorrelated scalar subquery (global positive-balance
+    average, computed once and broadcast as a 1-row frame) + anti join
+    (customers with no RECENT orders — the anti-join build side is
+    date-filtered before the join, so the filter prunes its scan) +
+    grouped aggregate. The adapted "country code" is nationkey mod 5."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    wealthy = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 5).alias("cc"),
+            cents(F.col("c_acctbal")).alias("bal_cents"),
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        wealthy.join(o, wealthy.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cc")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
