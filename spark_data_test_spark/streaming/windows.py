@@ -379,3 +379,82 @@ def streaming_foreachbatch_sink(spark, sf_dir):
         # accumulate orphaned per-run scratch trees
         shutil.rmtree(run_root, ignore_errors=True)
     return spark.createDataFrame(rows, schema).coalesce(1)
+
+
+@query(
+    "streaming_cdc_upsert",
+    """
+    SELECT user_id, last_event_id, last_value_cents FROM (
+      SELECT user_id, event_id AS last_event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def streaming_cdc_upsert(spark, sf_dir):
+    """Streaming CDC apply: the event stream is a change feed keyed by
+    user; each micro-batch merges into a materialized per-user state
+    table with last-write-wins semantics (batch-local latest via a
+    rank window, then a keyed merge against the existing table — the
+    foreachBatch MERGE pattern used when no table format provides one).
+    Ordering within and across batches rides on (ts, event_id), so
+    replays and availableNow drains converge to the same state; the
+    oracle derives that state directly from the batch table."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
+    )
+    run_root = f"/tmp/spark_stream_cdc/{uuid.uuid4().hex[:12]}"
+    state = f"{run_root}/state"
+
+    def apply_batch(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        spark_b = batch_df.sparkSession
+        try:
+            base = spark_b.read.parquet(state)
+        except Exception:
+            base = None
+        if base is not None:
+            merged = base.unionByName(latest)
+            w2 = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            latest = (
+                merged.withColumn("_rn", F.row_number().over(w2))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        # stage-then-swap: never overwrite the directory being read
+        staged = latest.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(state)
+
+    try:
+        q = (
+            events.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(state).select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("c").alias("last_value_cents"),
+        )
+        rows = final.collect()
+        schema = final.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).coalesce(1)
