@@ -76,6 +76,25 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = entry_mod.queries()
+
+    def clear_memo_caches():
+        """Release session memo caches (engine results, dedup
+        shingles/pairs). A failed clear would silently turn later
+        timings into cache hits, so failures are REPORTED, not
+        swallowed — the timing harness depends on this running."""
+        try:
+            from spark_data_test_spark.operators import comparison_queries as cq
+
+            cq.clear_engine_cache()
+        except Exception as exc:
+            print(f"bench cache clear failed (engine): {exc!r}", file=sys.stderr)
+        try:
+            from spark_data_test_spark.operators.dedup import clear_dedup_cache
+
+            clear_dedup_cache()
+        except Exception as exc:
+            print(f"bench cache clear failed (dedup): {exc!r}", file=sys.stderr)
+
     # Warmup, excluded from timings: touch the biggest input (fs cache)
     # and run the comparison pipeline once at the smallest sf so the
     # join/window/hash codegen paths are JIT-compiled before measuring.
@@ -110,34 +129,14 @@ def main():
     finally:
         # drop warmup-scale cached frames so the timed run starts clean
         # even when warmup aborted partway
-        try:
-            from spark_data_test_spark.operators.dedup import clear_dedup_cache
-
-            clear_dedup_cache()
-        except Exception:
-            pass
+        clear_memo_caches()
 
     # Two timed passes, min per query: run-to-run variance on a shared
     # box swamps single-shot timings (measured 2-3x on identical code);
-    # the min is the steady-state cost. Session-level memo caches
-    # (comparison engine results, dedup shingles/pairs) are cleared
-    # between passes so pass 2 measures real work, not cache hits —
-    # within a pass the caches stay, which is the engine's designed
-    # cross-query reuse.
-    def clear_memo_caches():
-        try:
-            from spark_data_test_spark.operators import comparison_queries as cq
-
-            cq.clear_engine_cache()
-        except Exception:
-            pass
-        try:
-            from spark_data_test_spark.operators.dedup import clear_dedup_cache
-
-            clear_dedup_cache()
-        except Exception:
-            pass
-
+    # the min is the steady-state cost. Session-level memo caches are
+    # cleared between passes so pass 2 measures real work, not cache
+    # hits — within a pass the caches stay, which is the engine's
+    # designed cross-query reuse.
     timings = {}
     for _pass in range(2):
         clear_memo_caches()

@@ -366,13 +366,12 @@ def tpch_q7_nation_volume(spark, sf_dir):
     """,
 )
 def tpch_q15_top_supplier(spark, sf_dir):
-    """Q15 shape: max-over-aggregate — the revenue CTE feeds both the
-    ranking and the max in ONE logical subtree; expressed with a rank
-    window instead of the SQL scalar subquery, so Spark computes the
-    aggregate once and never re-scans (ties all surface, same as the
-    reference query's = MAX semantics)."""
-    from pyspark.sql import Window
-
+    """Q15 shape: max-over-aggregate. The scalar MAX is a broadcast
+    1-row frame compared against the per-supplier aggregate — NOT an
+    unpartitioned rank window, which would shuffle every supplier row
+    onto a single task (the classic global-window scalability trap).
+    Ties all surface, same as the reference query's = MAX semantics.
+    """
     li = t(spark, sf_dir, "lineitem")
     rev = (
         li.where(
@@ -386,8 +385,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
             ).alias("total_revenue_cents")
         )
     )
-    w = Window.orderBy(F.col("total_revenue_cents").desc())
-    top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue_cents") == F.col("mx")
+    )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
@@ -420,7 +421,13 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select(
         "p_partkey"
     )
-    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+    # restrict BEFORE aggregating: the per-part averages are only ever
+    # consumed for Brand#3 parts (~4% of the part space), and Catalyst
+    # can't push the restriction below the aggregate by itself — the
+    # semi-join keeps every lineitem of the relevant parts, so the
+    # averages are identical to the full-table formulation
+    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    part_avg = li_brand.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
@@ -437,12 +444,15 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
 @query(
     "tpch_q22_global_sales_opportunity",
     """
-    WITH wealthy AS (
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0),
+    wealthy AS (
       SELECT c_custkey, c_nationkey % 5 AS cc,
              CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
-      FROM customer
-      WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0))
+      FROM customer, pos
+      WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > total_c)
     SELECT cc, COUNT(*) AS numcust,
            CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
     FROM wealthy w
@@ -452,18 +462,24 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     """,
 )
 def tpch_q22_global_sales_opportunity(spark, sf_dir):
-    """Q22 shape: uncorrelated scalar subquery (global positive-balance
-    average, computed once and broadcast as a 1-row frame) + anti join
+    """Q22 shape: uncorrelated scalar subquery (global above-average
+    test, computed once and broadcast as a 1-row frame) + anti join
     (customers with no RECENT orders — the anti-join build side is
     date-filtered before the join, so the filter prunes its scan) +
-    grouped aggregate. The adapted "country code" is nationkey mod 5."""
+    grouped aggregate. The above-average comparison is EXACT integer
+    arithmetic: ``bal > total/n`` becomes ``bal_cents * n > total_cents``
+    — a raw-double AVG threshold would be partial-aggregation-order
+    dependent and could flip borderline customers between engines
+    (the project's never-aggregate-raw-doubles rule). The adapted
+    "country code" is nationkey mod 5."""
     c = t(spark, sf_dir, "customer")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("threshold")
+    pos_stats = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents(F.col("c_acctbal"))).alias("total_c"),
+        F.count(F.lit(1)).alias("n"),
     )
     wealthy = (
-        c.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("threshold"))
+        c.crossJoin(F.broadcast(pos_stats))
+        .where(cents(F.col("c_acctbal")) * F.col("n") > F.col("total_c"))
         .select(
             "c_custkey",
             (F.col("c_nationkey") % 5).alias("cc"),

@@ -381,6 +381,40 @@ def streaming_foreachbatch_sink(spark, sf_dir):
     return spark.createDataFrame(rows, schema).coalesce(1)
 
 
+def _latest_per_key(df, keys, order_cols):
+    """Last-write-wins reduction: one row per key, the maximal row
+    under ``order_cols`` (the tie-break contract is defined ONCE here —
+    both the batch-local reduction and the cross-batch merge use it)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply_batch(batch_df, state_path, keys=("user_id",), order_cols=("ts", "event_id")):
+    """Apply one CDC micro-batch to the parquet state table at
+    ``state_path``: reduce the batch to its latest row per key, merge
+    against existing state with the same ordering, stage-then-swap the
+    result (never overwriting the directory being read). Missing state
+    means first batch; any OTHER read failure (corrupt footer,
+    permissions) propagates — silently resetting state would drop every
+    key not present in the current batch."""
+    latest = _latest_per_key(batch_df, list(keys), list(order_cols))
+    spark_b = batch_df.sparkSession
+    if os.path.exists(state_path):
+        base = spark_b.read.parquet(state_path)
+        latest = _latest_per_key(
+            base.unionByName(latest), list(keys), list(order_cols)
+        )
+    staged = latest.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(state_path)
+
+
+
 @query(
     "streaming_cdc_upsert",
     """
@@ -396,15 +430,14 @@ def streaming_foreachbatch_sink(spark, sf_dir):
 def streaming_cdc_upsert(spark, sf_dir):
     """Streaming CDC apply: the event stream is a change feed keyed by
     user; each micro-batch merges into a materialized per-user state
-    table with last-write-wins semantics (batch-local latest via a
-    rank window, then a keyed merge against the existing table — the
-    foreachBatch MERGE pattern used when no table format provides one).
-    Ordering within and across batches rides on (ts, event_id), so
-    replays and availableNow drains converge to the same state; the
-    oracle derives that state directly from the batch table."""
+    table with last-write-wins semantics (the foreachBatch MERGE
+    pattern used when no table format provides one — see
+    cdc_apply_batch). Ordering within and across batches rides on
+    (ts, event_id), so replays and availableNow drains converge to the
+    same state; the oracle derives that state directly from the batch
+    table, and tests/test_streaming_state.py exercises the cross-batch
+    merge with a two-file maxFilesPerTrigger=1 source."""
     import shutil
-
-    from pyspark.sql import Window
 
     events = read_events_stream(spark, sf_dir).select(
         "user_id", "event_id", "ts", cents(F.col("value")).alias("c")
@@ -412,37 +445,11 @@ def streaming_cdc_upsert(spark, sf_dir):
     run_root = f"/tmp/spark_stream_cdc/{uuid.uuid4().hex[:12]}"
     state = f"{run_root}/state"
 
-    def apply_batch(batch_df, batch_id):
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        spark_b = batch_df.sparkSession
-        try:
-            base = spark_b.read.parquet(state)
-        except Exception:
-            base = None
-        if base is not None:
-            merged = base.unionByName(latest)
-            w2 = Window.partitionBy("user_id").orderBy(
-                F.col("ts").desc(), F.col("event_id").desc()
-            )
-            latest = (
-                merged.withColumn("_rn", F.row_number().over(w2))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        # stage-then-swap: never overwrite the directory being read
-        staged = latest.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(state)
-
     try:
         q = (
-            events.writeStream.foreachBatch(apply_batch)
+            events.writeStream.foreachBatch(
+                lambda batch_df, batch_id: cdc_apply_batch(batch_df, state)
+            )
             .option("checkpointLocation", f"{run_root}/ckpt")
             .trigger(availableNow=True)
             .start()

@@ -163,3 +163,62 @@ def test_append_mode_withholds_unfinalized_windows(spark, sf_dir, tmp_path):
     }
     withheld = {h for h in all_hours if h + 3600 * 1_000_000 > watermark_us}
     assert withheld and not (withheld & emitted_hours)
+
+
+def test_cdc_upsert_merges_across_microbatches(spark, sf_dir, tmp_path):
+    # two micro-batches split by event time: the second batch must MERGE
+    # into the first batch's state (not replace it), and a key updated
+    # in both batches must keep the later row — exercising the
+    # cross-batch branch of cdc_apply_batch that the single-batch
+    # driver query never reaches
+    from spark_data_test_spark.streaming.windows import cdc_apply_batch
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("us"))
+    )
+    cut = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    stage = str(tmp_path / "cdc_src")
+    os.makedirs(stage, exist_ok=True)
+    early = ev.where(F.col("us") <= cut).drop("us")
+    late = ev.where(F.col("us") > cut).drop("us")
+    early.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch_a")
+    late.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch_b")
+    for i, d in enumerate(["batch_a", "batch_b"]):
+        for f in os.listdir(f"{stage}/{d}"):
+            os.utime(f"{stage}/{d}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    state = str(tmp_path / "cdc_state")
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/batch_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: cdc_apply_batch(df, state)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(state).collect()
+    }
+    # expected: latest event per user over the WHOLE table
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.struct("us", "event_id")).alias("m"))
+        .select("user_id", F.col("m.event_id").alias("event_id"))
+        .collect()
+    }
+    assert got == want
+    # users active ONLY in the early batch must survive the merge
+    early_only = set(
+        r["user_id"] for r in early.select("user_id").distinct().collect()
+    ) - set(r["user_id"] for r in late.select("user_id").distinct().collect())
+    assert early_only <= set(got)
