@@ -14,67 +14,86 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order), so the registry is explicitly ordered: one
-# driver-checked representative for every SURVEY.md §2 row and every
-# north-star family first, redundant/overlapping variants (pytest- and
-# bench-covered) after the window.
+# (registration order). Round 2 green-checked the 50 §2/north-star
+# representatives (CORRECTNESS_r02.json: 50/50); this round ROTATES the
+# window so the 55 queries that have only local-oracle rows earn driver
+# rows too (VERDICT r2, next-round item 2). Window = the engine
+# flagship + 49 never-driver-checked queries; the 6 never-checked
+# queries left outside are each the near-twin of a shape that already
+# has a green driver row (window_lead_lag~window_rank_topk,
+# left_anti~left_semi, grouping_sets~cube, except~intersect,
+# text_bigram_profile~text_regex_tokens, source_xml~source_orc) and
+# rotate in next round together with queries new in round 3.
 _DRIVER_PRIORITY = [
-    # §2 core relational surface
-    "scan_filter_project",
-    "select_drop_rename",
-    "case_when_bucket",
-    "null_default_coalesce",
-    "checksum_sha2",
-    "numeric_tolerance_abs",
-    "eq_null_safe",
-    "full_outer_join_missing",
-    "conditional_sum_missing",
-    "left_join_enrich",
-    "groupby_dup_count",
-    "create_map_getitem",
-    "window_dup_count",
-    "window_running_sum",
-    "distinct_rows",
-    "drop_duplicates_by_key",
-    "union_consolidate",
-    "orderby_limit_topk",
-    "colwise_mismatch_unpivot",
-    # analytics / events / grouped-agg shapes
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "events_sliding_window",
-    "rollup_agg",
-    "pivot_status_by_priority",
-    "array_higher_order_stats",
-    # comparison engine (reference entry points) + extensions
+    # engine flagship (kept in every window)
     "compare_overall_report",
-    "compare_row_report",
-    "compare_column_report",
-    "compare_nulls_overall",
-    "compare_unkeyed_multiset",
-    # sources / sinks
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_bucketed_table_roundtrip",
-    "sink_partitioned_parquet",
-    # north-star: Arrow-batched Python, dedup, similarity, text,
-    # multimodal, streaming
-    "grouped_apply_stats",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_near_jaccard",
-    "dedup_embedding_cosine",
-    "similarity_cosine_topk",
-    "similarity_ivf_ann",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_features",
-    "streaming_tumbling_counts",
-    "streaming_sessionization",
-    "streaming_stream_stream_join",
+    # window / join / set-op variants
+    "json_extract_props",
+    "window_rank_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "events_sessionization",
+    # sampling / packing family
+    "sample_split_stratified",
+    "mix_weighted_sources",
+    "pack_sequences",
+    "sample_topk_per_group",
+    # temporal family
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "events_funnel_analysis",
+    "events_session_window_native",
+    # comparison extensions
+    "compare_lineitem_overall",
+    "compare_distribution_report",
+    # relational variants
+    "left_semi_join",
+    "cube_agg",
+    "intersect_rows",
+    "approx_count_distinct_parts",
+    "percentile_exact",
+    "map_functions_props",
+    "window_distribution_funcs",
+    # warehouse ops
+    "profile_columns",
+    "upsert_latest_wins",
+    "variant_json_props",
+    "schema_drift_report",
+    # sources
+    "source_orc_roundtrip",
+    # TPC-H shapes
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "tpch_q12_priority_bands",
+    "tpch_q13_order_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # north-star: Python/Arrow, dedup clustering, text, multimodal,
+    # skew, UDTF, streaming
+    "pandas_udf_tokens",
+    "dedup_connected_components",
+    "text_regex_tokens",
+    "multimodal_decode_stub",
+    "skew_salted_join_agg",
+    "udtf_chunk_documents",
+    "streaming_static_join",
+    "streaming_dedup",
+    "streaming_foreachbatch_sink",
+    "streaming_cdc_upsert",
+    # --- driver window ends after the 50th entry above ---
+    # never-driver-checked twins, first in line for the round-4 window
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+    "text_bigram_profile",
+    "source_xml_roundtrip",
 ]
 
 
@@ -117,12 +136,23 @@ def _registry():
     # in degraded environments — otherwise the first-50 driver window
     # silently shifts to different queries.
     optional_module_queries = {
-        "spark_data_test_spark.operators.grouped": {"grouped_apply_stats"},
-        "spark_data_test_spark.operators.multimodal": {"multimodal_binary_features"},
+        "spark_data_test_spark.operators.grouped": {
+            "grouped_apply_stats",
+            "pandas_udf_tokens",
+        },
+        "spark_data_test_spark.operators.multimodal": {
+            "multimodal_binary_features",
+            "multimodal_decode_stub",
+        },
+        "spark_data_test_spark.operators.udtf_ops": {"udtf_chunk_documents"},
         "spark_data_test_spark.streaming.windows": {
             "streaming_tumbling_counts",
             "streaming_sessionization",
             "streaming_stream_stream_join",
+            "streaming_static_join",
+            "streaming_dedup",
+            "streaming_foreachbatch_sink",
+            "streaming_cdc_upsert",
         },
     }
     forgivable = set()
@@ -157,6 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted entries get
-    the driver's weaker rows-only check)."""
+    the driver's weaker rows-only check).
+
+    Deliberately omitted: ``approx_count_distinct_parts`` — an
+    approximate aggregate (HLL++) has no exact SQL oracle; the driver's
+    rows-only check plus the pytest relative-error bound
+    (tests/test_plans.py) are the correctness signal for it.
+    """
     _, oracles_map = _registry()
     return dict(oracles_map)

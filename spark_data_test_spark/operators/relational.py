@@ -21,6 +21,7 @@ single-shuffle aggregation patterns, and partial-agg-friendly shapes.
 
 import pyspark.sql.functions as F
 from pyspark.sql import Window
+from pyspark.sql.types import LongType
 
 from spark_data_test_spark.constants import (
     MISSING_AT_SOURCE_STATUS,
@@ -55,9 +56,13 @@ def prepare_session(spark):
 
 
 def events_ts_to_micros(df):
-    """nanos-long -> microsecond timestamp, floor-divided to match
-    DuckDB's ns->us truncation."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP regardless of
+    how the parquet writer stored it: TIMESTAMP(NANOS) files surface as
+    nanos-long (via ``nanosAsLong``) and are floor-divided to match
+    DuckDB's ns->us truncation; micros TIMESTAMP files pass through."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def t(spark, sf_dir, name):
