@@ -94,6 +94,14 @@ def main():
             clear_dedup_cache()
         except Exception as exc:
             print(f"bench cache clear failed (dedup): {exc!r}", file=sys.stderr)
+        try:
+            from spark_data_test_spark.operators.similarity import (
+                clear_similarity_cache,
+            )
+
+            clear_similarity_cache()
+        except Exception as exc:
+            print(f"bench cache clear failed (similarity): {exc!r}", file=sys.stderr)
 
     # Warmup, excluded from timings: touch the biggest input (fs cache)
     # and run the comparison pipeline once at the smallest sf so the

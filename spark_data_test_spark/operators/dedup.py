@@ -27,6 +27,11 @@ shape.
 import pyspark.sql.functions as F
 
 from spark_data_test_spark.operators.relational import query, t
+from spark_data_test_spark.operators.similarity import (
+    _ORACLE_BASE as _SIM_ORACLE_BASE,
+    _final_assign_ctes,
+    _kmeans_ctes,
+)
 from spark_data_test_spark.utils.spark_utils import FrameCache
 
 _N_HASHES = 8
@@ -390,42 +395,25 @@ def dedup_near_jaccard(spark, sf_dir):
     )
 
 
-_EMB_BLOCK = 400  # vectors under near-dup scan (sf-independent block)
-_EMB_NCELLS = 8  # IVF cells; centroids = first _EMB_NCELLS vectors
-_EMB_NPROBE = 2  # cells each vector lands in (multi-probe assignment)
+_EMB_NPROBE = 3  # trained cells each vector lands in (multi-probe)
 
 
 @query(
     "dedup_embedding_cosine",
     f"""
-    WITH ei AS (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
-      FROM embeddings WHERE vec_id < {_EMB_BLOCK}),
-    flat AS (
-      SELECT vec_id, i, e[i] AS v
-      FROM ei, unnest(generate_series(1, 64)) AS u(i)),
-    norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
-    cent AS (SELECT vec_id AS cent_id, i, v FROM flat WHERE vec_id < {_EMB_NCELLS}),
-    cdots AS (
-      SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * c.v) AS BIGINT) AS dot
-      FROM flat f JOIN cent c ON f.i = c.i
-      GROUP BY 1, 2),
-    assign AS (
+    WITH {_SIM_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_final_assign_ctes()},
+    fassign AS (
       SELECT vec_id, cent_id AS cell
-      FROM (SELECT cdots.vec_id, cdots.cent_id,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY cdots.vec_id
-                     ORDER BY CAST(dot AS DOUBLE) /
-                              (sqrt(CAST(vn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
-                              DESC, cdots.cent_id) AS rn
-            FROM cdots
-            JOIN norms vn ON vn.vec_id = cdots.vec_id
-            JOIN norms cn ON cn.vec_id = cdots.cent_id)
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore)
       WHERE rn <= {_EMB_NPROBE}),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM assign a JOIN assign b
+      FROM fassign a JOIN fassign b
         ON a.cell = b.cell AND a.vec_id < b.vec_id),
     dots AS (
       SELECT p.vec_a, p.vec_b, CAST(SUM(qa.v * qb.v) AS BIGINT) AS dot
@@ -445,50 +433,39 @@ _EMB_NPROBE = 2  # cells each vector lands in (multi-probe assignment)
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup through IVF cells — never all-pairs.
+    """Embedding-cosine near-dup over the FULL table through trained
+    IVF cells — never all-pairs.
 
-    Every vector in the block is multi-probe assigned to its nprobe
-    nearest centroid cells (centroids = first {ncells} vectors, exact
-    integer dots, fully tie-broken); candidate pairs are vectors sharing
-    a cell, generated by an equi-join on the cell id — a hash join, so
-    the plan scales as sum(cell_size^2) instead of n^2 and contains no
-    inequality cross join. Recall vs brute force is the IVF trade-off:
-    the synthetic embeddings are isotropic random (no cluster
-    structure), so nprobe=2 over 8 untrained centroids keeps ~0.6-0.7
-    of the >=0.3-cosine pairs while scoring ~46% of all pairs; on real
-    clustered data (or with trained centroids) the same plan prunes far
-    harder at higher recall. Precision is exact — every emitted pair is
-    re-scored with the exact integer dot product. The oracle replays
-    the identical assignment, so the result is bit-deterministic;
-    tests/test_northstar.py pins the measured recall floor."""
+    Centroids come from `train_ivf_centroids` (deterministic spherical
+    k-means, ``ncells = ceil(sqrt(n))``, 2 Lloyd rounds); every vector
+    is multi-probe assigned to its nprobe nearest cells and candidate
+    pairs are vectors sharing a cell — a hash equi-join on the cell id,
+    so candidate volume is ~``nprobe^2 * n^1.5`` and the scanned
+    fraction keeps SHRINKING as n grows (vs n^2 all-pairs). Precision
+    is exact — every emitted pair is re-scored with the exact integer
+    dot product. Recall is the IVF trade-off and this synthetic corpus
+    is the worst case (isotropic, no cluster structure; planted pairs
+    sit at cos 0.3-0.5, barely above noise — there are no true
+    near-duplicates to anchor cells): measured recall at nprobe=3 is
+    0.74 @ sf0.01 (n=500, ncells=23) and 0.54 @ sf0.1 (n=2000,
+    ncells=45) while scoring only ~nprobe^2/ncells of all pairs
+    (9/45 = 20% @ sf0.1, shrinking with n); the floor is pinned in
+    tests/test_northstar.py. On real clustered data the same plan
+    prunes harder at higher recall. The oracle replays the identical
+    training + assignment, so the result is bit-deterministic."""
     from spark_data_test_spark.operators.similarity import (
+        _assign_cells,
         _cosine,
         _int_embeddings,
+        train_ivf_centroids,
     )
 
     dot_expr = F.expr(
         "aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    emb = _int_embeddings(spark, sf_dir).where(F.col("vec_id") < _EMB_BLOCK)
-    cents = emb.where(F.col("vec_id") < _EMB_NCELLS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("e").alias("ce"),
-        F.col("n2").alias("cn2"),
-    )
-    scored = (
-        emb.select("vec_id", F.col("e").alias("qe"), F.col("n2").alias("qn2"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("dot", dot_expr)
-        .withColumn("cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _EMB_NPROBE)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    assign = _assign_cells(emb, cents, _EMB_NPROBE)
     a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
     b = assign.select(F.col("vec_id").alias("vec_b"), "cell")
     pairs = (

@@ -87,9 +87,7 @@ def test_embedding_cosine_ivf_recall_and_precision(spark, sf_dir):
     }
     emb = {
         r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
-        for r in t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < 400)
-        .collect()
+        for r in t(spark, sf_dir, "embeddings").collect()
     }
     ids = sorted(emb)
     norm = {i: np.linalg.norm(emb[i]) for i in ids}
@@ -104,11 +102,12 @@ def test_embedding_cosine_ivf_recall_and_precision(spark, sf_dir):
     assert set(got) <= brute_pairs
     for p, c1e6 in got.items():
         assert abs(c1e6 - round(brute[p] * 1e6)) <= 1
-    # recall floor: the isotropic synthetic corpus has no cluster
-    # structure, the worst case for IVF — nprobe=2 over 8 untrained
-    # centroids still keeps over half the pairs (measured 0.64-0.70
-    # across sf0.001-0.1) while scoring only ~46% of all pairs
-    assert len(got) / max(len(brute_pairs), 1) >= 0.5
+    # recall floor: the isotropic synthetic corpus is the IVF worst
+    # case (planted pairs sit at cos 0.3-0.5, barely above noise) —
+    # trained sqrt(n) centroids with nprobe=3 keep well over half the
+    # pairs (measured 0.74-0.78 at n=500, 0.54 at sf0.1 n=2000) while
+    # scoring only ~nprobe^2/sqrt(n) of all pairs
+    assert len(got) / max(len(brute_pairs), 1) >= 0.6
 
 
 def test_cosine_topk_matches_numpy(spark, sf_dir):
@@ -139,14 +138,20 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
         (r["query_id"], r["neighbor_id"])
         for r in similarity.similarity_cosine_topk(spark, sf_dir).collect()
     }
-    # IVF queries are vec_id 8..15 which aren't in the brute set (0..7),
-    # so just assert shape/determinism here: 3 ranked rows per query.
+    # IVF queries are vec_id < 8, the same set as the brute-force
+    # baseline, so ANN accuracy is directly measurable: every query
+    # returns 3 ranked candidates, and a meaningful fraction of the
+    # IVF top-3 must appear in the exact top-5 despite scanning only
+    # ~nprobe/sqrt(n) of the corpus.
     ivf = similarity.similarity_ivf_ann(spark, sf_dir).collect()
     per_query = {}
     for r in ivf:
         per_query.setdefault(r["query_id"], set()).add(r["rank"])
     assert all(ranks == {1, 2, 3} for ranks in per_query.values())
-    assert brute  # brute-force baseline nonempty
+    hits = sum(
+        1 for r in ivf if (r["query_id"], r["neighbor_id"]) in brute
+    )
+    assert hits / len(ivf) >= 0.4  # measured 0.625 at sf0.001
 
 
 def test_language_id_and_quality_bounds(spark, sf_dir):
