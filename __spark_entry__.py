@@ -87,7 +87,9 @@ _DRIVER_PRIORITY = [
     "streaming_foreachbatch_sink",
     "streaming_cdc_upsert",
     # --- driver window ends after the 50th entry above ---
-    # never-driver-checked twins, first in line for the round-4 window
+    # never-driver-checked twins + queries new in round 3, first in
+    # line for the round-4 window
+    "streaming_sessionization_store",
     "window_lead_lag",
     "left_anti_join",
     "grouping_sets_agg",
@@ -148,6 +150,7 @@ def _registry():
         "spark_data_test_spark.streaming.windows": {
             "streaming_tumbling_counts",
             "streaming_sessionization",
+            "streaming_sessionization_store",
             "streaming_stream_stream_join",
             "streaming_static_join",
             "streaming_dedup",

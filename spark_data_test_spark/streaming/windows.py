@@ -19,7 +19,13 @@ import uuid
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from spark_data_test_spark.operators.relational import (
     cents,
@@ -119,58 +125,99 @@ _SESSION_OUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("session_start_us", LongType()),
         StructField("n_events", LongType()),
+        StructField("is_final", BooleanType()),
     ]
 )
 _SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("last_ts_us", LongType()),
-        StructField("session_start_us", LongType()),
-        StructField("n_events", LongType()),
+        # buffered event times of the user's ACTIVE suffix (everything
+        # that can still change a session), sorted ascending
+        StructField("buf_us", ArrayType(LongType())),
+        # max event time ever seen for the user (survives buffer trims)
+        StructField("max_ts_us", LongType()),
     ]
 )
+
+# Bounded-lateness contract for buffer trimming. None = exact-replay
+# mode: never trim, every emitted session is authoritative no matter
+# how out-of-order the batches are (the availableNow/backfill posture).
+# A finite number of microseconds = production mode: sessions whose
+# extent ends more than (gap + lateness) before the user's max event
+# time are FINAL — emitted exactly once, their events dropped from
+# state, so state holds only each user's active suffix.
+_SESSION_LATENESS_US = None
+
+
+def _sessionize_events(events_us):
+    """Gap-sessionize a sorted event-time list -> [(start, n, end)]."""
+    sessions = []
+    start = prev = None
+    n = 0
+    for ts in events_us:
+        if prev is None or ts - prev > _SESSION_GAP_US:
+            if start is not None:
+                sessions.append((start, n, prev))
+            start, n = ts, 0
+        n += 1
+        prev = ts
+    if start is not None:
+        sessions.append((start, n, prev))
+    return sessions
 
 
 def _sessionize_group(key, batches, state):
     """Custom stateful operator: gap-based sessionization per user.
 
-    Emits every session whose extent is known from state + this batch;
-    carries the open tail session in state for the next batch. Per-batch
-    emission of the open session means downstream consumers dedup by
-    (user_id, session_start_us) keeping the max n_events — for a single
-    availableNow batch (the driver-contract case) output is exact.
+    State buffers the user's active-suffix event times; each batch
+    merges new events (out-of-order safe — the buffer is re-sorted and
+    re-sessionized), then emits the user's AUTHORITATIVE session list:
+    rows made immutable under the lateness contract exactly once with
+    ``is_final=true``, still-mutable rows every batch with
+    ``is_final=false``. A keyed sink that replaces each user's
+    non-final rows (`session_store_apply_batch`) therefore converges to
+    exactly the batch gaps-and-islands result — no consumer-side dedup.
     """
     (user_id,) = key
-    events = []
-    for pdf in batches:
-        events.extend(int(v) for v in pdf["ts_us"])
-    events.sort()
     if state.exists:
-        last_ts, start, n = state.get
+        buf, max_ts = state.get
+        buf = list(buf or [])
     else:
-        last_ts, start, n = None, None, 0
-    out = []
-    for ts in events:
-        if last_ts is None or ts - last_ts > _SESSION_GAP_US:
-            if start is not None:
-                out.append((user_id, start, n))
-            start, n = ts, 0
-        n += 1
-        last_ts = ts
-    if start is not None:
-        out.append((user_id, start, n))  # open tail session (emit-per-batch)
-    state.update((last_ts, start, n))
+        buf, max_ts = [], None
+    for pdf in batches:
+        buf.extend(int(v) for v in pdf["ts_us"])
+    buf.sort()
+    if buf:
+        max_ts = buf[-1] if max_ts is None else max(max_ts, buf[-1])
+    sessions = _sessionize_events(buf)
+    if _SESSION_LATENESS_US is None:
+        final_cut = None  # exact-replay: nothing finalizes early
+        active = sessions
+        finals = []
+    else:
+        final_cut = max_ts - _SESSION_GAP_US - _SESSION_LATENESS_US
+        finals = [s for s in sessions if s[2] < final_cut]
+        active = [s for s in sessions if s[2] >= final_cut]
+        if active:
+            buf = [ts for ts in buf if ts >= active[0][0]]
+        else:
+            buf = []
+    state.update((buf, max_ts))
+    out = [(start, n, True) for start, n, _ in finals] + [
+        (start, n, False) for start, n, _ in active
+    ]
     yield pd.DataFrame(
         {
-            "user_id": [r[0] for r in out],
-            "session_start_us": [r[1] for r in out],
-            "n_events": [r[2] for r in out],
+            "user_id": [user_id] * len(out),
+            "session_start_us": [r[0] for r in out],
+            "n_events": [r[1] for r in out],
+            "is_final": [r[2] for r in out],
         }
     )
 
 
 def sessionize_stateful(stream_events, gap_minutes=30):
     """applyInPandasWithState sessionization (Arrow-batched groups,
-    explicit user state)."""
+    explicit per-user event buffer)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
@@ -182,9 +229,49 @@ def sessionize_stateful(stream_events, gap_minutes=30):
             _sessionize_group,
             outputStructType=_SESSION_OUT_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
-            outputMode="append",
+            outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def session_store_apply_batch(batch_df, state_path):
+    """Apply one batch of sessionization output to the parquet session
+    store: final rows append (they arrive exactly once), non-final rows
+    REPLACE the user's previous non-final rows — the emitted list is the
+    user's authoritative current sessions. Stage-then-swap like
+    cdc_apply_batch; the store therefore always equals the batch
+    sessionization of every event seen so far."""
+    spark_b = batch_df.sparkSession
+    latest = batch_df.localCheckpoint(eager=True)
+    users = latest.select("user_id").distinct()
+    if os.path.exists(state_path):
+        base = spark_b.read.parquet(state_path)
+        keep = base.where(F.col("is_final")).unionByName(
+            base.where(~F.col("is_final")).join(
+                F.broadcast(users), "user_id", "left_anti"
+            )
+        )
+        merged = keep.unionByName(latest)
+    else:
+        merged = latest
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(state_path)
+
+
+def sessionize_to_store(stream_events, state_path, checkpoint_path):
+    """Stream -> stateful sessionization -> keyed session store. The
+    composition whose multi-batch output equals the batch oracle with
+    no consumer-side post-processing."""
+    return (
+        sessionize_stateful(stream_events)
+        .writeStream.foreachBatch(
+            lambda df, bid: session_store_apply_batch(df, state_path)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -215,9 +302,84 @@ def sessionize_stateful(stream_events, gap_minutes=30):
 def streaming_sessionization(spark, sf_dir):
     """Custom stateful streaming operator end-to-end: one availableNow
     batch through applyInPandasWithState equals the batch
-    gaps-and-islands sessionization."""
+    gaps-and-islands sessionization (each user's authoritative session
+    list is emitted per batch; one batch = one emission per user)."""
     stream = read_events_stream(spark, sf_dir)
-    return _run_to_memory(sessionize_stateful(stream), "append")
+    return _run_to_memory(sessionize_stateful(stream), "update").drop(
+        "is_final"
+    )
+
+
+@query(
+    "streaming_sessionization_store",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) -
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered)
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionization_store(spark, sf_dir):
+    """MULTI-batch stateful sessionization end-to-end: the events table
+    is split into two micro-batches (maxFilesPerTrigger=1) with the
+    second batch entirely OLDER than the first — the adversarial
+    arrival order — and run through applyInPandasWithState into the
+    keyed session store. The store must equal the batch
+    gaps-and-islands oracle with no consumer-side dedup: sessions
+    spanning or reordered across the batch boundary exercise the state
+    buffer merge, and the per-user replace in session_store_apply_batch
+    retires every superseded row."""
+    import shutil
+
+    from spark_data_test_spark.operators.relational import t
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    cut = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("p")
+    ).first()["p"]
+    newer = F.unix_micros(F.col("ts")) > F.lit(int(cut))
+
+    run_root = f"/tmp/spark_stream_sess/{uuid.uuid4().hex[:12]}"
+    src = f"{run_root}/src"
+    try:
+        # batch 1 = newer half, batch 2 = older half (late arrival)
+        ev.where(newer).coalesce(1).write.parquet(f"{src}/b1")
+        ev.where(~newer).coalesce(1).write.parquet(f"{src}/b2")
+        for i, d in enumerate(["b1", "b2"]):
+            for f_name in os.listdir(f"{src}/{d}"):
+                os.utime(f"{src}/{d}/{f_name}", (1_700_000_000 + i,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        q = sessionize_to_store(
+            stream, f"{run_root}/store", f"{run_root}/ckpt"
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(f"{run_root}/store").select(
+            "user_id", "session_start_us", "n_events"
+        )
+        rows = final.collect()
+        schema = final.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).coalesce(1)
 
 
 @query(

@@ -1,64 +1,54 @@
 """Multi-batch stateful sessionization: state must carry across
 micro-batches.
 
-The driver-contract query runs one availableNow batch; this test splits
-the events table into two files processed as two micro-batches
+The driver-contract query runs one availableNow batch; these tests
+split the events table into two files processed as two micro-batches
 (maxFilesPerTrigger=1), so sessions spanning the split exercise real
-state handoff in applyInPandasWithState. Per-batch emission semantics
-mean downstream dedup keeps the max n_events per (user, session_start);
-after that, results must equal the batch gaps-and-islands oracle.
-"""
+state handoff in applyInPandasWithState. The session store must equal
+the batch gaps-and-islands oracle DIRECTLY — no consumer-side dedup —
+in both arrival orders (in-order and fully reversed)."""
 
 import os
 
 import pyspark.sql.functions as F
 
 from spark_data_test_spark.operators.relational import events_sessionization, t
-from spark_data_test_spark.streaming.windows import sessionize_stateful
+from spark_data_test_spark.streaming.windows import sessionize_to_store
 
 
-def test_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+def _run_two_batch_store(spark, sf_dir, tmp_path, order):
     ev = t(spark, sf_dir, "events")
     median_us = ev.selectExpr("unix_micros(ts) AS us").approxQuantile(
         "us", [0.5], 0.0
     )[0]
-    split = F.unix_micros(F.col("ts")) <= F.lit(int(median_us))
+    early = F.unix_micros(F.col("ts")) <= F.lit(int(median_us))
 
     stage = str(tmp_path / "events_stream")
     os.makedirs(stage, exist_ok=True)
-    ev.where(split).coalesce(1).write.mode("overwrite").parquet(
-        f"{stage}/batch_a"
-    )
-    ev.where(~split).coalesce(1).write.mode("overwrite").parquet(
-        f"{stage}/batch_b"
-    )
-    # order micro-batches deterministically (source sorts by mtime/path)
-    for i, d in enumerate(["batch_a", "batch_b"]):
-        for f in os.listdir(f"{stage}/{d}"):
-            os.utime(f"{stage}/{d}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+    halves = {"early": early, "late": ~early}
+    for i, half in enumerate(order):
+        d = f"{stage}/batch_{i}"
+        ev.where(halves[half]).coalesce(1).write.mode("overwrite").parquet(d)
+        # order micro-batches deterministically (source sorts by mtime)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{stage}/batch_*")
     )
-    q = (
-        sessionize_stateful(stream)
-        .writeStream.format("memory")
-        .queryName("multi_batch_sessions")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    store = str(tmp_path / "session_store")
+    q = sessionize_to_store(stream, store, str(tmp_path / "ckpt"))
     q.awaitTermination()
-
-    raw = spark.table("multi_batch_sessions")
     assert q.lastProgress is not None
-    deduped = (
-        raw.groupBy("user_id", "session_start_us")
-        .agg(F.max("n_events").alias("n_events"))
+    return spark.read.parquet(store).select(
+        "user_id", "session_start_us", "n_events"
     )
-    got = sorted(tuple(r) for r in deduped.collect())
+
+
+def _assert_equals_batch_oracle(spark, sf_dir, got_df):
+    got = sorted(tuple(r) for r in got_df.collect())
     expected = sorted(
         tuple(r)
         for r in events_sessionization(spark, sf_dir)
@@ -66,6 +56,19 @@ def test_state_carries_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == expected
+
+
+def test_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+    got = _run_two_batch_store(spark, sf_dir, tmp_path, ["early", "late"])
+    _assert_equals_batch_oracle(spark, sf_dir, got)
+
+
+def test_out_of_order_batches_converge(spark, sf_dir, tmp_path):
+    # second micro-batch is entirely OLDER than the first: sessions
+    # merge and re-split inside the state buffer, and the per-user
+    # replace in the store must retire every superseded row
+    got = _run_two_batch_store(spark, sf_dir, tmp_path, ["late", "early"])
+    _assert_equals_batch_oracle(spark, sf_dir, got)
 
 
 def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
