@@ -31,7 +31,11 @@ from spark_data_test_spark.operators.comparison import (
     release_comparison_result,
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
-from spark_data_test_spark.operators.temporal import asof_join, range_join_binned
+from spark_data_test_spark.operators.temporal import (
+    asof_join,
+    asof_join_split,
+    range_join_binned,
+)
 
 __all__ = [
     "ComparisonJobConfig",
@@ -41,6 +45,7 @@ __all__ = [
     "OutputConfig",
     "TestParams",
     "asof_join",
+    "asof_join_split",
     "compare_dataframes",
     "compare_dataframes_where",
     "distribution_report",

@@ -54,8 +54,9 @@ def asof_join(points, ref, keys, ts):
     sort by (ts, tag) within partition, carry reference attributes
     forward with last-ignorenulls over a running row frame. Never a
     nested-loop theta join. All of a key's rows land in one partition —
-    inherent to as-of semantics; a pathologically hot key is handled
-    upstream (split the key by time range and as-of join the splits).
+    inherent to the single-window formulation; for a pathologically hot
+    key use `asof_join_split`, which windows per (key, time-chunk) with
+    boundary carry-over and produces identical output.
     """
     keys = list(keys)
     excluded = set(keys) | {ts}
@@ -122,6 +123,155 @@ def asof_join(points, ref, keys, ts):
     )
 
 
+def _floor_div_expr(sql_expr, width):
+    """Exact integer floor division of a SQL expression. ``div`` alone
+    truncates toward zero (so negative values misbucket); subtracting
+    ``pmod`` first makes the numerator an exact multiple of ``width``,
+    keeping the arithmetic integer end-to-end — no doubles."""
+    return F.expr(
+        f"(({sql_expr}) - pmod({sql_expr}, {width})) div {width}"
+    )
+
+
+def asof_join_split(points, ref, keys, ts, chunk_width):
+    """Hot-key-safe backward as-of join: identical semantics and output
+    to `asof_join`, but no key ever serializes all its rows through one
+    window partition.
+
+    Shape: both sides bucket into ``chunk_width``-sized time chunks
+    (exact integer floor division on epoch micros) and the union-merge
+    window runs per (key, chunk) — a hot key's work parallelizes across
+    its chunks. Correctness across chunk boundaries is restored by a
+    carry-over pass on per-(key, chunk) SUMMARIES: the latest reference
+    row of each chunk (one struct per key x chunk, data-independent of
+    row counts) is carried forward with a tiny per-key window over
+    chunk ids, and injected into each point-bearing chunk as a
+    pseudo-reference sorting before all real rows. The big windows
+    touch O(rows) split across key x chunk partitions; the only per-key
+    serial pass touches O(time-range / chunk_width) summary rows.
+    Pick ``chunk_width`` (in the ts column's integer units; epoch
+    micros for timestamps) so a hot key's per-chunk row count fits an
+    executor — e.g. one hour for a key logging millions of events/day.
+    """
+    from pyspark.sql.types import TimestampType
+
+    keys = list(keys)
+    excluded = set(keys) | {ts}
+    ref_vals = [c for c in ref.columns if c not in excluded]
+    pt_vals = [c for c in points.columns if c not in excluded]
+    overlap = set(ref_vals) & set(pt_vals)
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns: {sorted(overlap)}")
+    ts_is_timestamp = isinstance(points.schema[ts].dataType, TimestampType)
+
+    def tsn(col_name):
+        col_obj = F.col(col_name)
+        return F.unix_micros(col_obj) if ts_is_timestamp else col_obj.cast("long")
+
+    ref_struct = F.struct(
+        *[F.col(c) for c in ref_vals], F.col(ts).alias("_asof_ts")
+    )
+    ref_struct_type = ref.select(ref_struct.alias("_ref")).schema["_ref"].dataType
+    pt_types = {f.name: f.dataType for f in points.schema.fields}
+
+    refm = ref.select(*keys, ref_struct.alias("_ref"), tsn(ts).alias("_tsn"))
+    refm = refm.withColumn("_chunk", _floor_div_expr("_tsn", chunk_width))
+    ptm = points.select(*keys, ts, *pt_vals, tsn(ts).alias("_tsn"))
+    ptm = ptm.withColumn("_chunk", _floor_div_expr("_tsn", chunk_width))
+
+    # per-(key, chunk) summary: the chunk's latest ref row (ref is
+    # unique per (keys, ts), so max _tsn is unambiguous)
+    w_sum = Window.partitionBy(*keys, "_chunk").orderBy(F.col("_tsn").desc())
+    summaries = (
+        refm.withColumn("_rn", F.row_number().over(w_sum))
+        .where(F.col("_rn") == 1)
+        .select(*keys, "_chunk", "_ref")
+    )
+    point_chunks = ptm.select(*keys, "_chunk").distinct()
+
+    # carry-over: for each point-bearing chunk, the latest summary from
+    # any STRICTLY EARLIER chunk (summaries of the same chunk are
+    # visible in-partition below and must not leak to earlier points).
+    # Serial work per key = one row per populated chunk, not per event.
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_chunk", "_is_sum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        summaries.select(*keys, "_chunk", F.lit(1).alias("_is_sum"), "_ref")
+        .unionByName(
+            point_chunks.select(
+                *keys,
+                "_chunk",
+                F.lit(0).alias("_is_sum"),
+                F.lit(None).cast(ref_struct_type).alias("_ref"),
+            )
+        )
+        .withColumn("_carry", F.last("_ref", ignorenulls=True).over(w_carry))
+        .where((F.col("_is_sum") == 0) & F.col("_carry").isNotNull())
+        .select(*keys, "_chunk", F.col("_carry").alias("_ref"))
+    )
+
+    null_pts = [F.lit(None).cast(pt_types[c]).alias(c) for c in pt_vals]
+    null_ts = F.lit(None).cast(pt_types[ts]).alias(ts)
+    merged = (
+        # carry pseudo-refs sort before every real row of their chunk:
+        # chunk_start <= all in-chunk _tsn (floor-div guarantee), and
+        # _is_point -1 breaks the tie against a real ref at chunk start
+        carry.select(
+            *keys,
+            "_chunk",
+            (F.col("_chunk") * chunk_width).alias("_tsn"),
+            F.lit(-1).alias("_is_point"),
+            "_ref",
+            null_ts,
+            *null_pts,
+        )
+        .unionByName(
+            refm.select(
+                *keys,
+                "_chunk",
+                "_tsn",
+                F.lit(0).alias("_is_point"),
+                "_ref",
+                null_ts,
+                *null_pts,
+            )
+        )
+        .unionByName(
+            ptm.select(
+                *keys,
+                "_chunk",
+                "_tsn",
+                F.lit(1).alias("_is_point"),
+                F.lit(None).cast(ref_struct_type).alias("_ref"),
+                ts,
+                *pt_vals,
+            )
+        )
+    )
+    w = (
+        Window.partitionBy(*keys, "_chunk")
+        .orderBy("_tsn", "_is_point")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "_is_point",
+        *keys,
+        ts,
+        *pt_vals,
+        F.last("_ref", ignorenulls=True).over(w).alias("_ref"),
+    )
+    return carried.where(F.col("_is_point") == 1).select(
+        *keys,
+        ts,
+        *pt_vals,
+        *[F.col(f"_ref.{c}").alias(c) for c in ref_vals],
+        F.col("_ref._asof_ts").alias("_asof_ts"),
+    )
+
+
 def range_join_binned(intervals, points, keys, start, end, ts, bucket_width):
     """Generic interval-point range join (library operator).
 
@@ -138,16 +288,20 @@ def range_join_binned(intervals, points, keys, start, end, ts, bucket_width):
     time columns are integer units (e.g. epoch micros).
     """
     keys = list(keys)
-    first_bucket = (F.col(start) / bucket_width).cast("long")
+    # exact integer floor-div bucketing on both sides: identical
+    # monotone mapping by construction, correct for negative times too
+    first_bucket = _floor_div_expr(f"`{start}`", bucket_width)
     # clamp: an empty/inverted interval (end <= start) must not hand
     # sequence() a descending range — that would EXPLODE one row per
     # bucket between end and start (unbounded for bad data); the single
     # clamped row is discarded by the exact refine below
-    last_bucket = F.greatest(first_bucket, ((F.col(end) - 1) / bucket_width).cast("long"))
+    last_bucket = F.greatest(
+        first_bucket, _floor_div_expr(f"`{end}` - 1", bucket_width)
+    )
     expanded = intervals.withColumn(
         "_bucket", F.explode(F.sequence(first_bucket, last_bucket))
     )
-    pts = points.withColumn("_bucket", (F.col(ts) / bucket_width).cast("long"))
+    pts = points.withColumn("_bucket", _floor_div_expr(f"`{ts}`", bucket_width))
     return (
         expanded.join(pts, [*keys, "_bucket"])
         .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))

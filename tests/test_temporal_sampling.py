@@ -199,6 +199,58 @@ def test_asof_join_property(spark, ref_rows, pt_rows):
             assert got[pid] == (want_rid, want_ts)
 
 
+@st.composite
+def _signed_event_rows(draw, max_rows=14):
+    # negative timestamps included: exercises the floor-division chunk
+    # mapping where truncate-toward-zero would misbucket
+    n = draw(st.integers(0, max_rows))
+    return [
+        (i, draw(st.integers(0, 2)), draw(st.integers(-25, 25)))
+        for i in range(n)
+    ]
+
+
+@given(
+    ref_rows=_signed_event_rows(),
+    pt_rows=_signed_event_rows(),
+    chunk_width=st.sampled_from([1, 7, 100]),
+)
+@_prop_settings
+def test_asof_join_split_equals_plain(spark, ref_rows, pt_rows, chunk_width):
+    """The hot-key split variant must be indistinguishable from the
+    single-window asof_join for every chunk width — width 1 (every row
+    its own chunk, all matches via carry-over), 7 (boundaries land
+    mid-data), 100 (one chunk per sign, carry across the 0 boundary)."""
+    from spark_data_test_spark.operators.temporal import asof_join, asof_join_split
+
+    best = {}
+    for i, k, ts in ref_rows:
+        cur = best.get((k, ts))
+        if cur is None or i > cur[0]:
+            best[(k, ts)] = (i, k, ts)
+    ref_rows = sorted(best.values())
+
+    ref = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in ref_rows] or [(None, None, None)],
+        "rid long, k long, ts long",
+    )
+    if not ref_rows:
+        ref = ref.where(F.lit(False))
+    pts = spark.createDataFrame(
+        [(i, k, ts) for i, k, ts in pt_rows] or [(None, None, None)],
+        "pid long, k long, ts long",
+    )
+    if not pt_rows:
+        pts = pts.where(F.lit(False))
+
+    plain = asof_join(pts, ref, keys=["k"], ts="ts")
+    split = asof_join_split(pts, ref, keys=["k"], ts="ts", chunk_width=chunk_width)
+    assert split.columns == plain.columns
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 @given(iv_rows=_event_rows(), pt_rows=_event_rows(), width=st.integers(1, 20))
 @_prop_settings
 def test_range_join_binned_property(spark, iv_rows, pt_rows, width):
