@@ -78,7 +78,7 @@ from spark_data_test_spark.constants import (
 from spark_data_test_spark.entities.config import DatasetParams
 from spark_data_test_spark.functions.checksum import row_checksum
 from spark_data_test_spark.utils.config_reader import dict_to_dataclass
-from spark_data_test_spark.utils.spark_utils import set_value_ifnull
+from spark_data_test_spark.utils.spark_utils import local_df, set_value_ifnull
 
 TGT_COL_SUFFIX = "{0}_target"
 
@@ -462,9 +462,8 @@ def _overall_report(spark, dataset_name, keys, narrow):
             StructField(TEST_STATUS_COL, StringType(), False),
         ]
     )
-    # coalesce(1): createDataFrame parallelizes even a 1-row local list
-    # into defaultParallelism partitions — 32 empty tasks per action.
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 dataset_name,
@@ -476,7 +475,7 @@ def _overall_report(spark, dataset_name, keys, narrow):
             )
         ],
         schema,
-    ).coalesce(1)
+    )
 
 
 def compare_dataframes_where(

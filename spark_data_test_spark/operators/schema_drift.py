@@ -7,6 +7,8 @@ a driver-side operation on catalog metadata, free at any data scale.
 """
 
 import pyspark.sql.functions as F
+
+from spark_data_test_spark.utils.spark_utils import local_df
 from pyspark.sql.types import StringType, StructField, StructType
 
 from spark_data_test_spark.operators.relational import query, t
@@ -59,7 +61,7 @@ def compare_schemas(spark, source_df, target_df):
         else:
             status = MATCHED
         rows.append((name, s, g, status))
-    return spark.createDataFrame(rows, _SCHEMA).coalesce(1)
+    return local_df(spark, rows, _SCHEMA)
 
 
 @query(

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from spark_data_test_spark.utils.spark_utils import local_df
 from spark_data_test_spark.operators.relational import (
     cents,
     events_ts_to_micros,
@@ -379,7 +380,7 @@ def streaming_sessionization_store(spark, sf_dir):
         schema = final.schema
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).coalesce(1)
+    return local_df(spark, rows, schema)
 
 
 @query(
@@ -540,7 +541,7 @@ def streaming_foreachbatch_sink(spark, sf_dir):
         # covers stream failure too — a crash-looping caller must not
         # accumulate orphaned per-run scratch trees
         shutil.rmtree(run_root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).coalesce(1)
+    return local_df(spark, rows, schema)
 
 
 def _latest_per_key(df, keys, order_cols):
@@ -626,4 +627,4 @@ def streaming_cdc_upsert(spark, sf_dir):
         schema = final.schema
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).coalesce(1)
+    return local_df(spark, rows, schema)

@@ -30,6 +30,18 @@ def get_session(app_name="spark-data-test-spark", master=None, shuffle_partition
     return builder.getOrCreate()
 
 
+def local_df(spark, rows, schema):
+    """Single-partition DataFrame from driver-local rows.
+
+    ``createDataFrame`` parallelizes even a 1-row list into
+    defaultParallelism slices, and ``.coalesce(1)`` on that is WORSE:
+    one task that sequentially evaluates all 32 empty parent
+    partitions, ~3 s per action on local[32] (measured). Parallelizing
+    into one slice up front makes every later action on the (tiny)
+    frame a genuine single-task job."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 class FrameCache:
     """Bounded keyed memo of persisted DataFrames, shared by the engine
     and the dedup pipeline. Eviction is LRU (a cache hit refreshes the
