@@ -120,24 +120,40 @@ def source_bucketed_table_roundtrip(spark, sf_dir):
         write_bucketed,
     )
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = f"/tmp/spark_graft_bucketed/{digest}"
-    o_tbl, l_tbl = f"b_orders_{digest}", f"b_lineitem_{digest}"
+    import shutil
+    import uuid
+
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    # per-run uuid scratch root + table names: concurrent processes on
+    # the same sf_dir never collide, and the whole footprint (external
+    # files AND catalog entries) is removed once the tiny aggregate is
+    # materialized
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_bucketed/{run_id}"
+    o_tbl, l_tbl = f"b_orders_{run_id}", f"b_lineitem_{run_id}"
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
-    write_bucketed(o, o_tbl, ["o_orderkey"], num_buckets=8, path=f"{base}/orders")
-    write_bucketed(li, l_tbl, ["o_orderkey"], num_buckets=8, path=f"{base}/lineitem")
-    joined = read_bucketed(spark, o_tbl).join(
-        read_bucketed(spark, l_tbl), ["o_orderkey"]
-    )
-    return joined.groupBy("o_orderstatus").agg(
-        F.count("*").alias("cnt"),
-        F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
-    )
+    try:
+        write_bucketed(o, o_tbl, ["o_orderkey"], num_buckets=8, path=f"{base}/orders")
+        write_bucketed(li, l_tbl, ["o_orderkey"], num_buckets=8, path=f"{base}/lineitem")
+        joined = read_bucketed(spark, o_tbl).join(
+            read_bucketed(spark, l_tbl), ["o_orderkey"]
+        )
+        agg = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+        )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        for tbl in (o_tbl, l_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(base, ignore_errors=True)
+    return local_df(spark, rows, schema)
 
 
 @query(

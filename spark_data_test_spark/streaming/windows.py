@@ -240,14 +240,13 @@ def session_store_apply_batch(batch_df, state_path):
     """Apply one batch of sessionization output to the parquet session
     store: final rows append (they arrive exactly once), non-final rows
     REPLACE the user's previous non-final rows — the emitted list is the
-    user's authoritative current sessions. Stage-then-swap like
-    cdc_apply_batch; the store therefore always equals the batch
+    user's authoritative current sessions. Versioned crash-safe commit
+    like cdc_apply_batch; the store therefore always equals the batch
     sessionization of every event seen so far."""
-    spark_b = batch_df.sparkSession
     latest = batch_df.localCheckpoint(eager=True)
     users = latest.select("user_id").distinct()
-    if os.path.exists(state_path):
-        base = spark_b.read.parquet(state_path)
+    base = read_state_table(batch_df.sparkSession, state_path)
+    if base is not None:
         keep = base.where(F.col("is_final")).unionByName(
             base.where(~F.col("is_final")).join(
                 F.broadcast(users), "user_id", "left_anti"
@@ -256,8 +255,7 @@ def session_store_apply_batch(batch_df, state_path):
         merged = keep.unionByName(latest)
     else:
         merged = latest
-    staged = merged.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(state_path)
+    write_state_version(merged, state_path)
 
 
 def sessionize_to_store(stream_events, state_path, checkpoint_path):
@@ -373,7 +371,7 @@ def streaming_sessionization_store(spark, sf_dir):
             stream, f"{run_root}/store", f"{run_root}/ckpt"
         )
         q.awaitTermination()
-        final = spark.read.parquet(f"{run_root}/store").select(
+        final = read_state_table(spark, f"{run_root}/store").select(
             "user_id", "session_start_us", "n_events"
         )
         rows = final.collect()
@@ -558,23 +556,65 @@ def _latest_per_key(df, keys, order_cols):
     )
 
 
+def _committed_state_version(state_path):
+    """Highest committed version under a versioned state root, or None.
+    A version directory counts only with Spark's _SUCCESS marker — a
+    crash mid-write leaves an uncommitted directory that is simply
+    ignored (and cleaned) by the next writer."""
+    if not os.path.isdir(state_path):
+        return None
+    best = None
+    for name in os.listdir(state_path):
+        if name.startswith("v") and name[1:].isdigit():
+            if os.path.exists(f"{state_path}/{name}/_SUCCESS"):
+                v = int(name[1:])
+                best = v if best is None or v > best else best
+    return best
+
+
+def read_state_table(spark, state_path):
+    """Read the latest COMMITTED version of a versioned state table
+    (None before the first commit). Missing state means first batch;
+    any other read failure propagates — silently resetting state would
+    drop every key not present in the current batch."""
+    v = _committed_state_version(state_path)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{state_path}/v{v}")
+
+
+def write_state_version(df, state_path):
+    """Durably advance a versioned state table: write version n+1 into
+    its own directory (the previous version stays intact and readable
+    until the new one's _SUCCESS lands), then prune older versions and
+    uncommitted leftovers. Crash-safe at every point: an incomplete
+    write is invisible to readers, and the retried batch re-reads the
+    old committed version."""
+    import shutil
+
+    cur = _committed_state_version(state_path)
+    nxt = 0 if cur is None else cur + 1
+    # overwrite clobbers an uncommitted leftover of the same version
+    df.write.mode("overwrite").parquet(f"{state_path}/v{nxt}")  # _SUCCESS commits it
+    for name in os.listdir(state_path):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) != nxt:
+            shutil.rmtree(f"{state_path}/{name}", ignore_errors=True)
+
+
 def cdc_apply_batch(batch_df, state_path, keys=("user_id",), order_cols=("ts", "event_id")):
-    """Apply one CDC micro-batch to the parquet state table at
+    """Apply one CDC micro-batch to the versioned parquet state table at
     ``state_path``: reduce the batch to its latest row per key, merge
-    against existing state with the same ordering, stage-then-swap the
-    result (never overwriting the directory being read). Missing state
-    means first batch; any OTHER read failure (corrupt footer,
-    permissions) propagates — silently resetting state would drop every
-    key not present in the current batch."""
+    against the committed state with the same ordering, and advance the
+    version (write_state_version — the old version survives until the
+    new one is fully committed, so a crash at any point leaves a
+    readable consistent state)."""
     latest = _latest_per_key(batch_df, list(keys), list(order_cols))
-    spark_b = batch_df.sparkSession
-    if os.path.exists(state_path):
-        base = spark_b.read.parquet(state_path)
+    base = read_state_table(batch_df.sparkSession, state_path)
+    if base is not None:
         latest = _latest_per_key(
             base.unionByName(latest), list(keys), list(order_cols)
         )
-    staged = latest.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(state_path)
+    write_state_version(latest, state_path)
 
 
 
@@ -618,7 +658,7 @@ def streaming_cdc_upsert(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(state).select(
+        final = read_state_table(spark, state).select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
             F.col("c").alias("last_value_cents"),

@@ -47,12 +47,22 @@ class FrameCache:
     and the dedup pipeline. Eviction is LRU (a cache hit refreshes the
     entry's position); evicted and cleared entries are released through
     the supplied callback so cached blocks never outlive their use.
+
+    Thread-safe: store mutations hold a lock (drivers submitting jobs
+    from a ThreadPoolExecutor are a supported caller). The builder runs
+    OUTSIDE the lock — builds can take seconds and must not serialize
+    unrelated cache traffic — so two threads may race to build the same
+    key; the loser's frame is released, the winner's is kept and both
+    callers receive the same winner (loser-releases strategy).
     """
 
     def __init__(self, max_entries=2, release=None):
+        import threading
+
         self._store = {}
         self._max = max_entries
         self._release = release or (lambda df: df.unpersist())
+        self._lock = threading.Lock()
 
     def _safe_release(self, value):
         try:
@@ -61,15 +71,29 @@ class FrameCache:
             pass
 
     def get_or_create(self, key, builder):
-        value = self._store.pop(key, None)
-        if value is None:
-            while len(self._store) >= self._max:
-                self._safe_release(self._store.pop(next(iter(self._store))))
-            value = builder()
-        self._store[key] = value
+        with self._lock:
+            value = self._store.pop(key, None)
+            if value is not None:
+                self._store[key] = value  # LRU refresh
+                return value
+        built = builder()
+        evicted = []
+        with self._lock:
+            value = self._store.pop(key, None)
+            if value is not None:
+                # another thread built and inserted first: keep theirs
+                self._store[key] = value
+                evicted.append(built)
+            else:
+                while len(self._store) >= self._max:
+                    evicted.append(self._store.pop(next(iter(self._store))))
+                self._store[key] = value = built
+        for stale in evicted:
+            self._safe_release(stale)
         return value
 
     def clear(self):
-        for value in self._store.values():
+        with self._lock:
+            values, self._store = list(self._store.values()), {}
+        for value in values:
             self._safe_release(value)
-        self._store.clear()

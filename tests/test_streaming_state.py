@@ -13,7 +13,10 @@ import os
 import pyspark.sql.functions as F
 
 from spark_data_test_spark.operators.relational import events_sessionization, t
-from spark_data_test_spark.streaming.windows import sessionize_to_store
+from spark_data_test_spark.streaming.windows import (
+    read_state_table,
+    sessionize_to_store,
+)
 
 
 def _run_two_batch_store(spark, sf_dir, tmp_path, order):
@@ -42,7 +45,7 @@ def _run_two_batch_store(spark, sf_dir, tmp_path, order):
     q = sessionize_to_store(stream, store, str(tmp_path / "ckpt"))
     q.awaitTermination()
     assert q.lastProgress is not None
-    return spark.read.parquet(store).select(
+    return read_state_table(spark, store).select(
         "user_id", "session_start_us", "n_events"
     )
 
@@ -168,6 +171,34 @@ def test_append_mode_withholds_unfinalized_windows(spark, sf_dir, tmp_path):
     assert withheld and not (withheld & emitted_hours)
 
 
+def test_versioned_state_survives_crashed_write(spark, tmp_path):
+    """A crash mid-write leaves an uncommitted version directory (no
+    _SUCCESS). Readers must keep serving the last committed version and
+    the next writer must clobber the leftover, not fail or read partial
+    state."""
+    from spark_data_test_spark.streaming.windows import (
+        write_state_version,
+    )
+
+    state = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_state_version(df1, state)
+    assert [tuple(r) for r in read_state_table(spark, state).collect()] == [(1, "a")]
+
+    # simulate a crash: v1 exists but never got its _SUCCESS marker
+    crashed = f"{state}/v1"
+    os.makedirs(crashed)
+    with open(f"{crashed}/part-00000.parquet", "w") as f:
+        f.write("partial garbage")
+    assert [tuple(r) for r in read_state_table(spark, state).collect()] == [(1, "a")]
+
+    # the retried batch advances over the leftover cleanly
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    write_state_version(df2, state)
+    assert [tuple(r) for r in read_state_table(spark, state).collect()] == [(2, "b")]
+    assert sorted(os.listdir(state)) == ["v1"]
+
+
 def test_cdc_upsert_merges_across_microbatches(spark, sf_dir, tmp_path):
     # two micro-batches split by event time: the second batch must MERGE
     # into the first batch's state (not replace it), and a key updated
@@ -207,9 +238,11 @@ def test_cdc_upsert_merges_across_microbatches(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
 
+    from spark_data_test_spark.streaming.windows import read_state_table
+
     got = {
         r["user_id"]: r["event_id"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_state_table(spark, state).collect()
     }
     # expected: latest event per user over the WHOLE table
     want = {
