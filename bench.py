@@ -45,9 +45,64 @@ HEADLINE = [
 ]
 
 
+def _stage_amplified(spark, sf_dir, factor):
+    """Stage a ``factor``x amplified copy of the tables under /tmp for
+    scan-bound benchmarking (judge/VERDICT r2 item 6: the provided
+    10 MB sf0.1 files hide scan behavior). The big tables are unioned
+    ``factor`` times with per-copy key shifts so join fan-outs, key
+    cardinalities, and dedup structures scale with the data instead of
+    multiplying per-key duplication; dimensions stay as-is. BENCH ONLY —
+    correctness gates always run on the provided testdata."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark.operators.relational import t
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/spark_graft_amplified/{digest}_x{factor}"
+    if os.path.exists(f"{root}/_STAGED"):
+        return root
+    os.makedirs(root, exist_ok=True)
+    shifts = {
+        # table -> {column: per-copy offset}
+        "lineitem": {"l_orderkey": 10**9},
+        "orders": {"o_orderkey": 10**9},
+        "events": {"event_id": 10**9, "user_id": 10**7},
+        "documents": {"doc_id": 10**6},
+        "embeddings": {"vec_id": 10**5},
+    }
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = t(spark, sf_dir, name)
+        cols = shifts.get(name)
+        if cols:
+            copies = [
+                df.select(
+                    *[
+                        (F.col(c) + i * cols[c]).alias(c) if c in cols else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+                for i in range(factor)
+            ]
+            out = copies[0]
+            for extra in copies[1:]:
+                out = out.unionByName(extra)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{root}/{name}.parquet")
+    with open(f"{root}/_STAGED", "w") as fh:
+        fh.write(f"{sf_dir} x{factor}\n")
+    return root
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -74,6 +129,10 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if amplify > 1:
+        sf_dir = _stage_amplified(spark, sf_dir, amplify)
+        sf = round(sf * amplify, 4)
 
     qmap = entry_mod.queries()
 
@@ -155,17 +214,16 @@ def main():
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if amplify > 1:
+        result["amplified"] = amplify
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

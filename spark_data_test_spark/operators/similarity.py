@@ -182,7 +182,10 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS):
     """
     memo = _CENTROID_MEMO.get(sf_dir)
     if memo is None:
-        emb = _int_embeddings(spark, sf_dir)
+        # persisted for the duration of training: seeds + every Lloyd
+        # round re-consume the quantized vectors (5+ actions); at scale
+        # this is the standard iterate-over-cached-features shape
+        emb = _int_embeddings(spark, sf_dir).persist()
         n = emb.count()
         ncells = int(math.ceil(math.sqrt(n)))
         # seeded sample: smallest LCG-mix of vec_id — TakeOrdered, no
@@ -222,6 +225,7 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS):
                 )
             )
             rows = newc.collect()
+        emb.unpersist()
         _CENTROID_MEMO[sf_dir] = memo = (rows, schema)
     rows, schema = memo
     return spark.createDataFrame(rows, schema)
