@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = [
     # never-driver-checked twins + queries new in round 3, first in
     # line for the round-4 window
     "streaming_sessionization_store",
+    "corpus_prepare_pipeline",
     "window_lead_lag",
     "left_anti_join",
     "grouping_sets_agg",
@@ -120,6 +121,7 @@ def _registry():
         "spark_data_test_spark.operators.multimodal",
         "spark_data_test_spark.operators.temporal",
         "spark_data_test_spark.operators.sampling",
+        "spark_data_test_spark.operators.pipeline",
         "spark_data_test_spark.operators.skew",
         "spark_data_test_spark.operators.udtf_ops",
         "spark_data_test_spark.streaming.windows",
