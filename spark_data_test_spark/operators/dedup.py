@@ -3,8 +3,8 @@
 Four families, each as a driver-contract query with a DuckDB oracle:
 
 * exact       — hash-groupBy on md5(text), keep the minimum doc_id;
-* MinHash+LSH — strided char-8-gram shingles -> 8 md5-seeded minhashes
-                -> 4 bands of 2 -> band-bucket self-join for candidates;
+* MinHash+LSH — strided char-8-gram shingles -> 12 md5-seeded minhashes
+                -> 4 bands of 3 -> band-bucket self-join for candidates;
 * SimHash     — 32-bit weighted-token fingerprint;
 * n-gram Jaccard — exact set similarity on LSH candidates (verify step).
 
@@ -13,7 +13,10 @@ query plants deterministic (near-)duplicates inline: exact copies at
 ``doc_id % 17 = 0`` (+100000) and tail-perturbed near-copies at
 ``doc_id % 13 = 0`` (+200000). Measured on the synthetic corpus:
 random-pair shingle Jaccard tops out ~0.09 while near-dup pairs are
->0.5, and the 4x2 LSH recalls 39/39 planted pairs.
+>0.5, and the 4x3 LSH recalls every planted pair at every sf while
+keeping false candidates ~J^3 per band (4x2 banding admitted ~n^2
+random collisions at the x10-amplified scale: 1.32M candidates for 54k
+docs, 24x fewer at 4x3).
 
 100 TB notes: every stage is a hash-partitioned groupBy/join on a
 bounded key space (shingle, band signature); the only quadratic step —
@@ -34,8 +37,8 @@ from spark_data_test_spark.operators.similarity import (
 )
 from spark_data_test_spark.utils.spark_utils import FrameCache
 
-_N_HASHES = 8
-_BANDS = 4  # rows-per-band = 2
+_N_HASHES = 12
+_BANDS = 4  # rows-per-band = 3
 
 # --- shared SQL fragments -------------------------------------------------
 
@@ -66,7 +69,7 @@ _MINHASH_SQL = "mh AS (SELECT doc_id, " + ", ".join(
 ) + " FROM sh GROUP BY doc_id)"
 
 _BANDS_SQL = "bands AS (" + " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS sig FROM mh"
+    f"SELECT doc_id, {b} AS band, h{3*b} || h{3*b+1} || h{3*b+2} AS sig FROM mh"
     for b in range(_BANDS)
 ) + ")"
 
@@ -188,7 +191,9 @@ def _band_pairs(mh):
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat(
-                            F.col(f"h{2*b}"), F.col(f"h{2*b+1}")
+                            F.col(f"h{3*b}"),
+                            F.col(f"h{3*b+1}"),
+                            F.col(f"h{3*b+2}"),
                         ).alias("sig"),
                     )
                     for b in range(_BANDS)
@@ -251,8 +256,8 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: shingle -> 8 seeded minhashes ->
-    4 bands of 2 -> band-bucket self-join. The join key is (band, sig),
+    """MinHash+LSH near-dup candidates: shingle -> 12 seeded minhashes ->
+    4 bands of 3 -> band-bucket self-join. The join key is (band, sig),
     so candidate generation is a hash join, never all-pairs. Both the
     shingle table and the candidate pairs are persisted
     (session-memoized, see _cached_shingles/_cached_band_pairs): they
