@@ -97,6 +97,13 @@ _DRIVER_PRIORITY = [
     "except_rows",
     "text_bigram_profile",
     "source_xml_roundtrip",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
 ]
 
 
@@ -114,6 +121,7 @@ def _registry():
         "spark_data_test_spark.operators.schema_drift",
         "spark_data_test_spark.sources.readers",
         "spark_data_test_spark.operators.analytics",
+        "spark_data_test_spark.operators.tpch_extra",
         "spark_data_test_spark.operators.grouped",
         "spark_data_test_spark.operators.dedup",
         "spark_data_test_spark.operators.similarity",

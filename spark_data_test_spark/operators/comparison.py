@@ -16,13 +16,15 @@ This engine:
   * computes the after-tolerance verdict *inline* on the joined frame
     (a CASE over the per-column match flags) — no second join, no extra
     shuffle;
-  * persists only two *narrow/small* frames: the (keys, checksums,
-    verdict) projection (64 B/row regardless of table width) and the
+  * persists only two *narrow/small* frames: the PER-KEY fold of the
+    (keys, checksums, verdict) projection (one row per key regardless
+    of table width or duplicate multiplicity) and the
     checksum-mismatched subset (usually tiny);
-  * derives the overall report from exactly TWO aggregation jobs — one
-    union-groupBy pass over both sides' keys (row counts + duplicate-key
-    counts for both sides in a single shuffle) and one aggregate over
-    the persisted row-level report (matched + missing counts);
+  * derives BOTH the row-level and the overall report from that single
+    per-key aggregation (which rides the join's own hash partitioning —
+    no extra exchange): the row report is an explode of the per-key
+    distinct (status, verdict) combos, the overall report one global
+    aggregate over the fold;
   * leaves join-strategy choice to Catalyst/AQE (sort-merge for
     like-sized sides, runtime skew-split for hot keys).
 
@@ -197,9 +199,10 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         F.coalesce(fast_match | (both_present & after_tol), F.lit(False)),
     )
 
-    # Narrow projection persists at ~(keys + 2 checksums + 2 key counts
-    # + 1 bool) per row — this, not the wide join, is what gets
-    # materialized at scale.
+    # Narrow projection: ~(keys + 2 checksums + 2 key counts + 1 bool)
+    # per row — this, not the wide join, is what feeds the reports at
+    # scale. It is consumed exactly once (by the per-key fold below), so
+    # it is NOT persisted; the *per-key* fold result is.
     narrow = joined.select(
         *keys,
         chk_src,
@@ -207,7 +210,41 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         F.col(_SRC_KEY_CNT),
         F.col(_TGT_KEY_CNT),
         F.col(ALL_ROWS_MATCHED_COL),
-    ).persist()
+    )
+
+    # ONE aggregation over the narrow projection feeds BOTH the row-level
+    # and the overall report (previously: a window+distinct pass for the
+    # row report plus a separate groupBy reduce for the overall — two
+    # shuffles of the full narrow frame). The join output is already
+    # hash-partitioned on the keys, so this groupBy adds no exchange;
+    # what persists is one row per key (cnt, per-side multiplicities,
+    # match/missing maxima, and the distinct (status, verdict) combos
+    # that the row report used to obtain via distinct()).
+    missing_status = (
+        F.when(chk_src.isNull(), MISSING_AT_SOURCE_STATUS)
+        .when(chk_tgt.isNull(), MISSING_AT_TARGET_STATUS)
+        .otherwise(F.lit(PRESENT_IN_BOTH_STATUS).cast(StringType()))
+    )
+    per_key = (
+        narrow.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max(_SRC_KEY_CNT).alias("_s"),
+            F.max(_TGT_KEY_CNT).alias("_t"),
+            F.max(F.col(ALL_ROWS_MATCHED_COL).cast("int")).alias("_m"),
+            F.max(chk_src.isNull().cast("int")).alias("_ms"),
+            F.max(chk_tgt.isNull().cast("int")).alias("_mt"),
+            # bounded: at most 2 distinct verdicts x 3 statuses per key
+            # (statuses only mix in the merged NULL-key group)
+            F.collect_set(
+                F.struct(
+                    missing_status.alias(MISSING_ROW_STATUS_COL),
+                    F.col(ALL_ROWS_MATCHED_COL),
+                )
+            ).alias("_combos"),
+        )
+        .persist()
+    )
 
     # Slow-path subset: present on both sides, checksum mismatch, still
     # unmatched after tolerance. Small in the common mostly-matching
@@ -228,7 +265,7 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         .persist()
     )
 
-    row_lvl_report = _row_level_report(params.dataset_name, narrow, keys).persist()
+    row_lvl_report = _row_level_report(params.dataset_name, per_key, keys).persist()
     col_lvl_report = _column_level_report(
         params.dataset_name, unmatched_records, non_key_cols
     ).persist()
@@ -239,7 +276,7 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         if compute_unmatched_dumps
         else {}
     )
-    overall_report = _overall_report(spark, params.dataset_name, keys, narrow)
+    overall_report = _overall_report(spark, params.dataset_name, per_key)
     return {
         OVERALL_TEST_REPORT_KEY: overall_report,
         ROW_LVL_TEST_REPORT_KEY: row_lvl_report,
@@ -248,7 +285,7 @@ def compare_dataframes(spark, source_df, target_df, params, compute_unmatched_du
         # private: every frame this run persisted, so long-lived sessions
         # can release the cached blocks (release_comparison_result)
         PERSISTED_FRAMES_KEY: [
-            narrow,
+            per_key,
             unmatched_records,
             row_lvl_report,
             col_lvl_report,
@@ -319,34 +356,30 @@ def release_comparison_result(result):
             pass
 
 
-def _row_level_report(dataset_name, narrow, keys):
+def _row_level_report(dataset_name, per_key, keys):
     """Row-level report (reference __get_row_level_test_report,
-    comparison_job.py:134-161): per-key duplicate count via the W1
-    unbounded-frame window, missing-row status from checksum NULL-ness,
-    then distinct."""
-    dup_window = Window.partitionBy(*keys).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
-    chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
+    comparison_job.py:134-161) derived from the persisted per-key fold:
+    duplicate count = per-key row count - 1 (the W1 unbounded-frame
+    window of the reference, already reduced), and the reference's
+    ``distinct()`` over (keys, dup, status, verdict) is exactly the
+    explode of the per-key distinct (status, verdict) combo set — dup
+    count is constant within a key, so distinct-per-frame equals
+    distinct-per-group. Zero additional shuffles."""
     return (
-        narrow.drop(_SRC_KEY_CNT, _TGT_KEY_CNT)
-        .withColumn(DUPLICATE_COUNT_COL, F.count("*").over(dup_window) - 1)
-        .withColumn(
-            MISSING_ROW_STATUS_COL,
-            F.when(chk_src.isNull(), MISSING_AT_SOURCE_STATUS)
-            .when(chk_tgt.isNull(), MISSING_AT_TARGET_STATUS)
-            .otherwise(F.lit(PRESENT_IN_BOTH_STATUS).cast(StringType())),
+        per_key.select(
+            F.lit(dataset_name).alias(DATASET_NAME_COL),
+            *keys,
+            (F.col("_cnt") - 1).alias(DUPLICATE_COUNT_COL),
+            F.explode("_combos").alias("_combo"),
         )
-        .drop(SRC_COL_SUFFIX.format(CHK_SUM_COL), TGT_COL_SUFFIX.format(CHK_SUM_COL))
-        .distinct()
-        .withColumn(DATASET_NAME_COL, F.lit(dataset_name))
         .select(
             DATASET_NAME_COL,
             *keys,
             DUPLICATE_COUNT_COL,
-            MISSING_ROW_STATUS_COL,
-            ALL_ROWS_MATCHED_COL,
+            F.col(f"_combo.{MISSING_ROW_STATUS_COL}").alias(
+                MISSING_ROW_STATUS_COL
+            ),
+            F.col(f"_combo.{ALL_ROWS_MATCHED_COL}").alias(ALL_ROWS_MATCHED_COL),
         )
     )
 
@@ -402,42 +435,34 @@ def _unmatched_records_map(dataset_name, unmatched_records, col_lvl_report, keys
     return dumps
 
 
-def _overall_report(spark, dataset_name, keys, narrow):
+def _overall_report(spark, dataset_name, per_key):
     """Overall report (reference __get_overall_test_report,
     comparison_job.py:66-99) in ONE job instead of the reference's ~7.
 
-    Every number is derivable from the persisted narrow projection once
-    it carries the pre-join per-side key multiplicities: a key with s
-    source rows and t target rows contributes s*t narrow rows all
-    tagged (s, t), so reducing per key (max(s), max(t), any-matched)
-    and aggregating once yields row totals, duplicate-key counts,
+    Every number is derivable from the persisted per-key fold: a key
+    with s source rows and t target rows contributed s*t narrow rows
+    all tagged (s, t), so the fold's (max(s), max(t), any-matched)
+    plus one global aggregate yields row totals, duplicate-key counts,
     matched-key count, and both missing-key counts — with NO second
     scan of the inputs (the round-1 design re-scanned both sides' key
     projections in a parallel job; at 100 TB that second pass over
     storage dwarfs one extra shuffle of the narrow cache).
+
+    Missing-ness comes from checksum NULLity (the fold's _ms/_mt), not
+    from s/t NULLity: NULL primary keys never join (plain equality),
+    yet groupBy(*keys) merges both sides' NULL-key rows into ONE group
+    where s and t are both present — a checksum-NULL row in the group
+    still means that side is missing the key, matching the row report's
+    accounting.
     """
-    chk_src = F.col(SRC_COL_SUFFIX.format(CHK_SUM_COL))
-    chk_tgt = F.col(TGT_COL_SUFFIX.format(CHK_SUM_COL))
-    # Missing-ness comes from checksum NULLity, not from s/t NULLity:
-    # NULL primary keys never join (plain equality), yet groupBy(*keys)
-    # merges both sides' NULL-key rows into ONE group where s and t are
-    # both present — a checksum-NULL row in the group still means that
-    # side is missing the key, matching the row report's accounting.
-    per_key = narrow.groupBy(*keys).agg(
-        F.max(_SRC_KEY_CNT).alias("s"),
-        F.max(_TGT_KEY_CNT).alias("t"),
-        F.max(F.col(ALL_ROWS_MATCHED_COL).cast("int")).alias("m"),
-        F.max(chk_src.isNull().cast("int")).alias("ms"),
-        F.max(chk_tgt.isNull().cast("int")).alias("mt"),
-    )
     stats = per_key.agg(
-        F.sum("s").alias("src_total"),
-        F.sum("t").alias("tgt_total"),
-        F.sum(F.when(F.col("s") > 1, 1).otherwise(0)).alias("src_dups"),
-        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).alias("tgt_dups"),
-        F.sum("m").alias("matched"),
-        F.sum("ms").alias("miss_src"),
-        F.sum("mt").alias("miss_tgt"),
+        F.sum("_s").alias("src_total"),
+        F.sum("_t").alias("tgt_total"),
+        F.sum(F.when(F.col("_s") > 1, 1).otherwise(0)).alias("src_dups"),
+        F.sum(F.when(F.col("_t") > 1, 1).otherwise(0)).alias("tgt_dups"),
+        F.sum("_m").alias("matched"),
+        F.sum("_ms").alias("miss_src"),
+        F.sum("_mt").alias("miss_tgt"),
     ).first()
     src_total = stats["src_total"] or 0
     tgt_total = stats["tgt_total"] or 0
