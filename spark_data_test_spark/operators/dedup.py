@@ -122,6 +122,11 @@ def _shingles(corpus):
 # FrameCache: LRU refresh on hit, unpersist on eviction/clear).
 _SHINGLE_CACHE = FrameCache(max_entries=2)
 _PAIRS_CACHE = FrameCache(max_entries=2)
+# (vec_id, cell, e, n2) assignment payload for embedding dedup: the cell
+# self-join consumes it TWICE (build and probe side), and without a
+# persist each side re-evaluates the whole train/score/window lineage —
+# measured 7-9 s vs 4.1-4.6 s at sf0.1.
+_EMB_PAYLOAD_CACHE = FrameCache(max_entries=2)
 
 
 def _cached_shingles(spark, sf_dir):
@@ -143,6 +148,7 @@ def clear_dedup_cache():
     """Release every memoized dedup frame (blocks + dict entries)."""
     _SHINGLE_CACHE.clear()
     _PAIRS_CACHE.clear()
+    _EMB_PAYLOAD_CACHE.clear()
 
 
 def _minhash(sh):
@@ -482,7 +488,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     # shape (distinct on all pairs, then two joins attaching arrays to
     # every pair row) shuffled 64-element arrays per CANDIDATE —
     # measured 100 s vs ~21 s at the x10-amplified scale (n=20000).
-    payload = assign.join(emb, "vec_id")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    payload = _EMB_PAYLOAD_CACHE.get_or_create(
+        key, lambda: assign.join(emb, "vec_id").persist()
+    )
     a = payload.select(
         F.col("vec_id").alias("vec_a"),
         "cell",
