@@ -104,6 +104,7 @@ _DRIVER_PRIORITY = [
     "tpch_q16_parts_supplier",
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
+    "similarity_ann_recall_report",
 ]
 
 

@@ -384,3 +384,125 @@ def similarity_ivf_ann(spark, sf_dir):
         .where(F.col("rank") <= _IVF_TOPK)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+@query(
+    "similarity_ann_recall_report",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_final_assign_ctes()},
+    fassign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore WHERE vec_id < {_NQ})
+      WHERE rn <= {_NPROBE}),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN fassign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    exdots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.v * c.v) AS dot
+      FROM flat q JOIN flat c ON q.i = c.i
+      WHERE q.vec_id < {_NQ} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY CAST(dot AS DOUBLE) /
+                              (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) DESC,
+                              neighbor_id) AS rank
+            FROM exdots
+            JOIN norms qn ON qn.vec_id = query_id
+            JOIN norms cn ON cn.vec_id = neighbor_id)
+      WHERE rank <= {_TOPK})
+    SELECT e.query_id, CAST({_TOPK} AS BIGINT) AS exact_k,
+           COUNT(c.neighbor_id) AS hits,
+           CAST(COUNT(c.neighbor_id) * 100 / {_TOPK} AS BIGINT) AS recall_pct
+    FROM exact e
+    LEFT JOIN cand c
+      ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def similarity_ann_recall_report(spark, sf_dir):
+    """ANN quality diagnostic: recall of the IVF candidate stage
+    against the exact top-k, per query — the completeness check a
+    production ANN pipeline ships next to the index (is the cell/probe
+    configuration actually finding the true neighbors?).
+
+    ``recall_pct`` is exact integer arithmetic (hits * 100 / k with k
+    dividing 100), so the report hash-matches the oracle bit-for-bit.
+    Cost: the brute-force side is one broadcast-queries scan of the
+    corpus (same shape as ``similarity_cosine_topk``, bounded by the
+    nq query vectors, not n^2); the candidate side reuses the
+    trained-centroid assignment."""
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+
+    # candidate stage (same plan as similarity_ivf_ann's cand)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+    ranked = _score_against_cents(emb, cents).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    assign = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.where(
+        (F.col("vec_id") < _NQ) & (F.col("rn") <= _NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+
+    # exact top-k stage (same plan as similarity_cosine_topk)
+    q = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
+        .withColumn("rank", F.row_number().over(w_ex))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    return (
+        exact.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("is_cand").alias("hits"))
+        .select(
+            "query_id",
+            F.lit(_TOPK).cast("long").alias("exact_k"),
+            F.col("hits"),
+            (F.col("hits") * 100 / _TOPK).cast("long").alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )

@@ -217,7 +217,8 @@ natval AS (
   GROUP BY ps.l_partkey
 )
 SELECT l_partkey AS p_partkey, value_cents FROM natval
-WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM natval)
+WHERE value_cents * (SELECT COUNT(*) FROM natval)
+      > 2 * (SELECT SUM(value_cents) FROM natval)
 ORDER BY value_cents DESC, p_partkey
 """,
 )
@@ -225,8 +226,10 @@ def tpch_q11_important_stock(spark, sf_dir):
     """Q11 shape: parts whose one-nation supply value exceeds a
     fraction of the nation total — the scalar subquery is a broadcast
     1-row cross join (same pattern as Q15's scalar max), and the
-    threshold compare is integer-scaled (value*1000 > total), never a
-    float fraction."""
+    threshold compare is integer-scaled AND scale-invariant
+    (value * n_parts > 2 * total, i.e. value above twice the average
+    part value), never a float fraction or a constant that silently
+    degenerates as the corpus grows."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
@@ -239,10 +242,13 @@ def tpch_q11_important_stock(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum("cost_cents").alias("value_cents"))
     )
-    total = natval.agg(F.sum("value_cents").alias("_total"))
+    total = natval.agg(
+        F.sum("value_cents").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
+    )
     return (
         natval.crossJoin(F.broadcast(total))
-        .where(F.col("value_cents") * 1000 > F.col("_total"))
+        .where(F.col("value_cents") * F.col("_nparts") > 2 * F.col("_total"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
         .orderBy(F.col("value_cents").desc(), "p_partkey")
     )
