@@ -27,6 +27,9 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
     "window_dup_count",
     "dedup_exact",
     "dedup_minhash_lsh",
