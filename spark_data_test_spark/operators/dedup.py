@@ -115,12 +115,19 @@ def _shingles(corpus):
     )
 
 
-# The shingle table feeds several consumers (hash dictionary, occurrence
-# join, set sizes, pair verification) and the LSH candidate-pair table
-# is tiny but carries the expensive explode/hash/band lineage — both are
-# persisted, memoized per (application, sf_dir), and bounded (shared
+# EXACT-DEDUP-BEFORE-NEAR-DUP: every text-derived structure (shingles,
+# minhash signatures, band buckets, jaccard intersections) depends only
+# on the TEXT, so the whole LSH pipeline runs once per DISTINCT text
+# ("group", keyed by md5(text)) and candidate group pairs are expanded
+# back to doc pairs at the end. On a dup-heavy corpus this is the 100 TB
+# shape: k exact copies of a text shrink banding's bucket self-join by
+# k^2 and jaccard verification by k^2, while the (provably identical)
+# output pair set is reconstructed by a cheap members join. The caches
+# below are memoized per (application, sf_dir) and bounded (shared
 # FrameCache: LRU refresh on hit, unpersist on eviction/clear).
+_MEMBERS_CACHE = FrameCache(max_entries=2)
 _SHINGLE_CACHE = FrameCache(max_entries=2)
+_GID_PAIRS_CACHE = FrameCache(max_entries=2)
 _PAIRS_CACHE = FrameCache(max_entries=2)
 # (vec_id, cell, e, n2) assignment payload for embedding dedup: the cell
 # self-join consumes it TWICE (build and probe side), and without a
@@ -129,24 +136,95 @@ _PAIRS_CACHE = FrameCache(max_entries=2)
 _EMB_PAYLOAD_CACHE = FrameCache(max_entries=2)
 
 
+def _cached_members(spark, sf_dir):
+    """(gid, doc_id) text-group membership, restricted to docs that can
+    shingle at all (length >= 8) — the same docs the per-doc pipeline
+    could ever pair, so expansion introduces no spurious members."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _MEMBERS_CACHE.get_or_create(
+        key,
+        lambda: _near_corpus(spark, sf_dir)
+        .where(F.length("text") >= 8)
+        .select(F.md5("text").alias("gid"), "doc_id")
+        .persist(),
+    )
+
+
 def _cached_shingles(spark, sf_dir):
+    """(gid, sh) distinct shingles per DISTINCT text: texts are deduped
+    (dropDuplicates on gid) BEFORE the explode, so shingling cost tracks
+    the distinct-text count, not the doc count."""
     key = (spark.sparkContext.applicationId, sf_dir)
     return _SHINGLE_CACHE.get_or_create(
-        key, lambda: _shingles(_near_corpus(spark, sf_dir)).persist()
+        key,
+        lambda: _shingles(
+            _near_corpus(spark, sf_dir)
+            .where(F.length("text") >= 8)
+            .select(F.md5("text").alias("gid"), "text")
+            .dropDuplicates(["gid"])
+            .select(F.col("gid").alias("doc_id"), "text")
+        )
+        .withColumnRenamed("doc_id", "gid")
+        .persist(),
     )
+
+
+def _cached_gid_pairs(spark, sf_dir):
+    """Distinct candidate GROUP pairs (gid_a < gid_b) from banding over
+    the per-distinct-text signatures."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _GID_PAIRS_CACHE.get_or_create(
+        key,
+        lambda: _band_pairs(
+            _minhash(
+                _cached_shingles(spark, sf_dir).withColumnRenamed("gid", "doc_id")
+            )
+        )
+        .select(F.col("doc_a").alias("gid_a"), F.col("doc_b").alias("gid_b"))
+        .persist(),
+    )
+
+
+def _expand_group_pairs(members, gid_pairs):
+    """Group-level candidates -> doc-level candidate pairs: every cross
+    pair of two candidate groups, plus every intra-group pair (identical
+    texts share every band by construction). Disjoint by construction
+    (same vs different gid), so no distinct is needed."""
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db"))
+    cross = (
+        gid_pairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+        )
+    )
+    m1 = members.select("gid", F.col("doc_id").alias("_da"))
+    m2 = members.select("gid", F.col("doc_id").alias("_db"))
+    intra = (
+        m1.join(m2, "gid")
+        .where(F.col("_da") < F.col("_db"))
+        .select(F.col("_da").alias("doc_a"), F.col("_db").alias("doc_b"))
+    )
+    return cross.unionByName(intra)
 
 
 def _cached_band_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     return _PAIRS_CACHE.get_or_create(
         key,
-        lambda: _band_pairs(_minhash(_cached_shingles(spark, sf_dir))).persist(),
+        lambda: _expand_group_pairs(
+            _cached_members(spark, sf_dir), _cached_gid_pairs(spark, sf_dir)
+        ).persist(),
     )
 
 
 def clear_dedup_cache():
     """Release every memoized dedup frame (blocks + dict entries)."""
+    _MEMBERS_CACHE.clear()
     _SHINGLE_CACHE.clear()
+    _GID_PAIRS_CACHE.clear()
     _PAIRS_CACHE.clear()
     _EMB_PAYLOAD_CACHE.clear()
 
@@ -262,13 +340,18 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: shingle -> 12 seeded minhashes ->
-    4 bands of 3 -> band-bucket self-join. The join key is (band, sig),
-    so candidate generation is a hash join, never all-pairs. Both the
-    shingle table and the candidate pairs are persisted
-    (session-memoized, see _cached_shingles/_cached_band_pairs): they
-    feed the Jaccard verify step, and recomputing them means
-    re-exploding and re-hashing the corpus."""
+    """MinHash+LSH near-dup candidates: exact-dedup texts into groups ->
+    shingle each distinct text -> 12 seeded minhashes -> 4 bands of 3 ->
+    band-bucket self-join over GROUPS -> expand group pairs to doc
+    pairs (cross pairs via a members join, intra-group pairs directly —
+    identical texts share every band by construction). The join key is
+    (band, sig), so candidate generation is a hash join, never
+    all-pairs, and on a corpus with k exact copies per text the bucket
+    self-join shrinks by k^2 versus per-doc banding. The shingle,
+    membership, and pair tables are persisted (session-memoized, see
+    _cached_shingles/_cached_members/_cached_band_pairs): they feed the
+    Jaccard verify step, and recomputing them means re-exploding and
+    re-hashing the corpus."""
     return _cached_band_pairs(spark, sf_dir)
 
 
@@ -365,45 +448,70 @@ def dedup_simhash(spark, sf_dir):
 def dedup_near_jaccard(spark, sf_dir):
     """LSH verify step: exact shingle-set Jaccard on the candidate
     pairs, keeping true near-dups (>= 0.5). Quadratic work is bounded
-    by the candidate set, not the corpus.
+    by the candidate GROUP set, not the corpus: Jaccard depends only on
+    the two texts, so each intersection is computed once per distinct
+    candidate text pair and expanded to doc pairs afterwards (identical
+    texts in the same group get Jaccard exactly 1e6 — i = n, so
+    1e6 * n / (n + n - n) — without computing anything). On a corpus
+    with k exact copies per text this cuts the verify join by k^2.
 
-    The shingle table is first restricted to docs that appear in some
-    candidate pair (a semi-join shape — the candidate doc set is small
-    by LSH construction on a mostly-unique corpus), so the
-    set-intersection join runs over the candidate slice, not the full
-    corpus: one cheap filtering pass replaces two full-table join
-    probes. Join strategies are left to AQE: on a dup-heavy corpus the
-    candidate set is bounded only by duplicate density, and a forced
-    broadcast would OOM the driver exactly when dedup matters most —
-    AQE's runtime sizes pick broadcast when it is actually small."""
+    The group-shingle table is first restricted to groups that appear
+    in some candidate pair (a semi-join shape), so the set-intersection
+    join runs over the candidate slice, not the full vocabulary. Join
+    strategies are left to AQE: on a dup-heavy corpus the candidate set
+    is bounded only by duplicate density, and a forced broadcast would
+    OOM the driver exactly when dedup matters most — AQE's runtime
+    sizes pick broadcast when it is actually small."""
     sh = _cached_shingles(spark, sf_dir)
-    pairs = _cached_band_pairs(spark, sf_dir)
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+    members = _cached_members(spark, sf_dir)
+    gpairs = _cached_gid_pairs(spark, sf_dir)
+    cand_gids = (
+        gpairs.select(F.col("gid_a").alias("gid"))
+        .union(gpairs.select(F.col("gid_b").alias("gid")))
         .distinct()
     )
-    sh_cand = sh.join(cand_docs, "doc_id")
-    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_cand = sh.join(cand_gids, "gid")
+    sizes = sh_cand.groupBy("gid").agg(F.count("*").alias("n"))
     a, b = sh_cand.alias("a"), sh_cand.alias("b")
     inter = (
-        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        gpairs.join(a, F.col("a.gid") == F.col("gid_a"))
         .join(
             b,
-            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.sh") == F.col("a.sh")),
+            (F.col("b.gid") == F.col("gid_b")) & (F.col("b.sh") == F.col("a.sh")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("gid_a", "gid_b")
         .agg(F.count("*").alias("i"))
     )
     jac = F.lit(1000000.0) * F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
-        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+    cross_groups = (
+        inter.join(sizes.alias("sa"), F.col("sa.gid") == F.col("gid_a"))
+        .join(sizes.alias("sb"), F.col("sb.gid") == F.col("gid_b"))
         .where(jac >= 500000)
+        .select("gid_a", "gid_b", F.round(jac).cast("long").alias("jaccard_1e6"))
+    )
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db"))
+    cross = (
+        cross_groups.join(ma, "gid_a")
+        .join(mb, "gid_b")
         .select(
-            "doc_a", "doc_b", F.round(jac).cast("long").alias("jaccard_1e6")
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard_1e6",
         )
     )
+    m1 = members.select("gid", F.col("doc_id").alias("_da"))
+    m2 = members.select("gid", F.col("doc_id").alias("_db"))
+    intra = (
+        m1.join(m2, "gid")
+        .where(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.lit(1000000).cast("long").alias("jaccard_1e6"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 _EMB_NPROBE = 3  # trained cells each vector lands in (multi-probe)
