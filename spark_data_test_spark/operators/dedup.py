@@ -389,8 +389,13 @@ def dedup_simhash(spark, sf_dir):
     over precomputed ±1 columns — pure map-side partial
     aggregation."""
     d = t(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    # fingerprint depends only on the text: tokenize each DISTINCT text
+    # once (gid = md5(text)) and join fingerprints back to docs — on a
+    # corpus with k exact copies per text the explode+vote shrinks k-fold
+    docs = d.select("doc_id", F.md5("text").alias("gid"))
+    reps = d.select(F.md5("text").alias("gid"), "text").dropDuplicates(["gid"])
+    tokens = reps.select(
+        "gid", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     nib = lambda p: F.substring(F.md5("tok"), p + 1, 1)
     vocabulary = tokens.select("tok").distinct().select(
@@ -408,11 +413,11 @@ def dedup_simhash(spark, sf_dir):
     # size estimator, which otherwise broadcasts the occurrence side
     sums = (
         tokens.join(F.broadcast(vocabulary), "tok")
-        .groupBy("doc_id")
+        .groupBy("gid")
         .agg(*[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SIM_BITS)])
     )
-    return sums.select(
-        "doc_id",
+    fp = sums.select(
+        "gid",
         F.concat(
             *[
                 F.when(F.col(f"s{p}") >= 0, "1").otherwise("0")
@@ -420,6 +425,9 @@ def dedup_simhash(spark, sf_dir):
             ]
         ).alias("simhash"),
     )
+    # inner join: docs whose text yields zero tokens have no fingerprint
+    # row, exactly as in the per-doc formulation
+    return docs.join(fp, "gid").select("doc_id", "simhash")
 
 
 @query(
@@ -662,44 +670,64 @@ def dedup_connected_components(spark, sf_dir):
     cluster, not per pair.
 
     Iterative min-label propagation (the BSP formulation GraphX/
-    Pregel uses, expressed in plain DataFrames): every vertex starts
-    as its own label; each round pulls the min label across edges;
-    converged when no label changes. Rounds are bounded by the graph
-    diameter (LSH duplicate clusters are shallow — a handful of
-    rounds); each round is one join + one groupBy on the (small)
-    candidate edge set, and ``localCheckpoint`` truncates the plan
-    lineage so the loop doesn't compound (the standard Spark
-    iterative-algorithm pattern). The oracle replays the closure with
-    a recursive CTE — an independent fixed-point formulation.
+    Pregel uses, expressed in plain DataFrames) — run on the TEXT-GROUP
+    graph, not the doc graph: expansion is complete within and across
+    groups, so group connectivity equals doc connectivity, and each
+    group's seed label is its minimum member doc_id. Every iterative
+    round therefore joins/aggregates the (k^2-smaller on a dup-heavy
+    corpus) group edge set; doc-level components come from one final
+    members join. Vertices are groups with >= 2 members (intra pairs)
+    or >= 1 candidate cross pair, exactly the docs the per-doc graph
+    contained. Rounds are bounded by the graph diameter (LSH duplicate
+    clusters are shallow — a handful of rounds); ``localCheckpoint``
+    truncates the plan lineage so the loop doesn't compound (the
+    standard Spark iterative-algorithm pattern). The oracle replays
+    the closure with a recursive CTE — an independent fixed-point
+    formulation over the doc graph.
     """
-    pairs = _cached_band_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    members = _cached_members(spark, sf_dir)
+    gpairs = _cached_gid_pairs(spark, sf_dir)
+    msize = members.groupBy("gid").agg(
+        F.min("doc_id").alias("min_doc"), F.count(F.lit(1)).alias("nm")
+    )
+    cross_gids = (
+        gpairs.select(F.col("gid_a").alias("gid"))
+        .union(gpairs.select(F.col("gid_b").alias("gid")))
+        .distinct()
+    )
+    verts = (
+        msize.where(F.col("nm") >= 2)
+        .select("gid", "min_doc")
         .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+            msize.join(cross_gids, "gid", "left_semi").select("gid", "min_doc")
+        )
+        .distinct()
+    )
+    edges = (
+        gpairs.select(F.col("gid_a").alias("a"), F.col("gid_b").alias("b"))
+        .unionByName(
+            gpairs.select(F.col("gid_b").alias("a"), F.col("gid_a").alias("b"))
         )
         .persist()
     )
-    labels = edges.select(F.col("a").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    )
+    labels = verts.select("gid", F.col("min_doc").alias("component_id"))
     labels = labels.localCheckpoint(eager=True)
     while True:
-        # pull phase: each vertex takes the min of its own label and
-        # every neighbor's label
+        # pull phase: each group takes the min of its own label and
+        # every neighbor group's label
         neighbor_labels = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .select(F.col("a").alias("doc_id"), "component_id")
+            edges.join(labels, edges.b == labels.gid)
+            .select(F.col("a").alias("gid"), "component_id")
         )
         new_labels = (
             labels.unionByName(neighbor_labels)
-            .groupBy("doc_id")
+            .groupBy("gid")
             .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), "gid")
             .where(F.col("n.component_id") != F.col("o.component_id"))
             .limit(1)
             .count()
@@ -708,4 +736,4 @@ def dedup_connected_components(spark, sf_dir):
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return members.join(labels, "gid").select("doc_id", "component_id")
