@@ -271,3 +271,50 @@ def test_connected_components_cluster_invariants(spark, sf_dir):
     # each canonical representative is a member of its own component
     for label in set(comp.values()):
         assert comp[label] == label
+
+
+def test_group_pair_expansion_semantics(spark):
+    """The exact-dedup-before-near-dup decomposition: expansion emits
+    every intra-group pair and every cross pair of candidate groups,
+    ordered (doc_a < doc_b), with no duplicates and nothing else."""
+    members = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 7), ("g2", 4), ("g3", 9)],
+        "gid string, doc_id long",
+    )
+    gid_pairs = spark.createDataFrame(
+        [("g1", "g2")], "gid_a string, gid_b string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._expand_group_pairs(members, gid_pairs).collect()
+    )
+    # intra g1: (1,2) (1,7) (2,7); cross g1xg2: (1,4) (2,4) (4,7);
+    # g3 is a singleton with no candidate pair -> contributes nothing
+    assert got == [(1, 2), (1, 4), (1, 7), (2, 4), (2, 7), (4, 7)]
+    assert all(a < b for a, b in got)
+
+
+def test_short_text_duplicates_never_pair(spark, sf_dir, tmp_path):
+    """Docs below shingle length (< 8 chars) produce no signature in
+    the per-doc formulation, so the group formulation must exclude
+    them from membership — identical short texts must NOT pair."""
+    import os
+
+    src = t(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    extra = spark.createDataFrame(
+        [(900001, "tiny"), (900002, "tiny"), (900003, "tiny")],
+        "doc_id long, text string",
+    )
+    out_dir = os.path.join(str(tmp_path), "docs_short")
+    src.unionByName(extra).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    dedup.clear_dedup_cache()
+    try:
+        pairs = dedup.dedup_minhash_lsh(spark, out_dir).collect()
+        short_ids = {900001, 900002, 900003}
+        assert not any(
+            r["doc_a"] in short_ids or r["doc_b"] in short_ids for r in pairs
+        )
+    finally:
+        dedup.clear_dedup_cache()
