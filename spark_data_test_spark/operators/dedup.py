@@ -28,6 +28,7 @@ shape.
 """
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import query, t
 from spark_data_test_spark.operators.similarity import (
@@ -134,6 +135,9 @@ _PAIRS_CACHE = FrameCache(max_entries=2)
 # persist each side re-evaluates the whole train/score/window lineage —
 # measured 7-9 s vs 4.1-4.6 s at sf0.1.
 _EMB_PAYLOAD_CACHE = FrameCache(max_entries=2)
+# (vec_id, e, n2, gid) exact-dup vector groups: consumed by the rep
+# filter, both expansion joins, and the intra-group pair join.
+_EMB_GROUPS_CACHE = FrameCache(max_entries=2)
 
 
 def _cached_members(spark, sf_dir):
@@ -227,6 +231,7 @@ def clear_dedup_cache():
     _GID_PAIRS_CACHE.clear()
     _PAIRS_CACHE.clear()
     _EMB_PAYLOAD_CACHE.clear()
+    _EMB_GROUPS_CACHE.clear()
 
 
 def _minhash(sh):
@@ -531,46 +536,68 @@ _EMB_NPROBE = 3  # trained cells each vector lands in (multi-probe)
     WITH {_SIM_ORACLE_BASE.strip()},
     {_kmeans_ctes()},
     {_final_assign_ctes()},
+    vgroups AS (
+      SELECT vec_id, MIN(vec_id) OVER (PARTITION BY e) AS gid FROM ei),
     fassign AS (
-      SELECT vec_id, cent_id AS cell
+      SELECT vec_id AS gid, cent_id AS cell
       FROM (SELECT vec_id, cent_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY cos DESC, cent_id) AS rn
             FROM fscore)
-      WHERE rn <= {_EMB_NPROBE}),
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      WHERE rn <= {_EMB_NPROBE}
+        AND vec_id IN (SELECT gid FROM vgroups)),
+    gpairs AS (
+      SELECT DISTINCT a.gid AS gid_a, b.gid AS gid_b
       FROM fassign a JOIN fassign b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id),
-    dots AS (
-      SELECT p.vec_a, p.vec_b, CAST(SUM(qa.v * qb.v) AS BIGINT) AS dot
-      FROM pairs p
-      JOIN flat qa ON qa.vec_id = p.vec_a
-      JOIN flat qb ON qb.vec_id = p.vec_b AND qb.i = qa.i
-      GROUP BY 1, 2)
-    SELECT vec_a, vec_b,
-           CAST(ROUND(CAST(dot AS DOUBLE) /
-                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-                * 1000000) AS BIGINT) AS cos_1e6
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-          >= 0.3
+        ON a.cell = b.cell AND a.gid < b.gid),
+    gdots AS (
+      SELECT p.gid_a, p.gid_b, CAST(SUM(qa.v * qb.v) AS BIGINT) AS dot
+      FROM gpairs p
+      JOIN flat qa ON qa.vec_id = p.gid_a
+      JOIN flat qb ON qb.vec_id = p.gid_b AND qb.i = qa.i
+      GROUP BY 1, 2),
+    gscored AS (
+      SELECT gid_a, gid_b,
+             CAST(dot AS DOUBLE) /
+               (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      FROM gdots
+      JOIN norms na ON na.vec_id = gid_a
+      JOIN norms nb ON nb.vec_id = gid_b
+      WHERE CAST(dot AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3)
+    SELECT LEAST(ma.vec_id, mb.vec_id) AS vec_a,
+           GREATEST(ma.vec_id, mb.vec_id) AS vec_b,
+           CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_1e6
+    FROM gscored
+    JOIN vgroups ma ON ma.gid = gid_a
+    JOIN vgroups mb ON mb.gid = gid_b
+    UNION ALL
+    SELECT m1.vec_id AS vec_a, m2.vec_id AS vec_b,
+           CAST(1000000 AS BIGINT) AS cos_1e6
+    FROM vgroups m1 JOIN vgroups m2
+      ON m1.gid = m2.gid AND m1.vec_id < m2.vec_id
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup over the FULL table through trained
-    IVF cells — never all-pairs.
+    IVF cells — never all-pairs, and exact-dedup-before-ANN.
 
     Centroids come from `train_ivf_centroids` (deterministic spherical
-    k-means, ``ncells = ceil(sqrt(n))``, 2 Lloyd rounds); every vector
-    is multi-probe assigned to its nprobe nearest cells and candidate
-    pairs are vectors sharing a cell — a hash equi-join on the cell id,
-    so candidate volume is ~``nprobe^2 * n^1.5`` and the scanned
-    fraction keeps SHRINKING as n grows (vs n^2 all-pairs). Precision
-    is exact — every emitted pair is re-scored with the exact integer
-    dot product. Recall is the IVF trade-off and this synthetic corpus
+    k-means, ``ncells = ceil(sqrt(n))``, 2 Lloyd rounds); the pipeline
+    then runs PER DISTINCT VECTOR ("group", keyed by min vec_id): each
+    group representative is multi-probe assigned to its nprobe nearest
+    cells and candidate pairs are representatives sharing a cell — a
+    hash equi-join on the cell id, so candidate volume is
+    ~``nprobe^2 * d^1.5`` for d distinct vectors and the scanned
+    fraction keeps SHRINKING as n grows (vs n^2 all-pairs). Group
+    pairs expand back to vec pairs at the end: k exact copies of a
+    vector shrink the cell self-join by k^2 (identical vectors always
+    receive identical assignments, so the expanded pair set is provably
+    the ungrouped result — pinned in tests/test_northstar.py), the
+    dup-heavy-corpus 100 TB shape shared with the text dedup family.
+    Precision is exact — every emitted pair is re-scored with the exact
+    integer dot product; intra-group pairs are identical vectors, cos
+    exactly 1. Recall is the IVF trade-off and this synthetic corpus
     is the worst case (isotropic, no cluster structure; planted pairs
     sit at cos 0.3-0.5, barely above noise — there are no true
     near-duplicates to anchor cells): measured recall at nprobe=3 is
@@ -579,7 +606,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     (9/45 = 20% @ sf0.1, shrinking with n); the floor is pinned in
     tests/test_northstar.py. On real clustered data the same plan
     prunes harder at higher recall. The oracle replays the identical
-    training + assignment, so the result is bit-deterministic."""
+    training + grouping + assignment, so the result is
+    bit-deterministic."""
     from spark_data_test_spark.operators.similarity import (
         _assign_cells,
         _cosine,
@@ -592,9 +620,23 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    assign = _assign_cells(emb, cents, _EMB_NPROBE)
+    # Exact-dup groups: one shuffle on the quantized vector itself.
+    # Identical vectors score identically against every centroid (same
+    # deterministic tie-break), so assigning only the representative
+    # loses nothing while the cell self-join shrinks k^2 per k-dup
+    # group — measured 19.1 s -> ~4 s at the x10-amplified scale where
+    # every vector has 10 exact copies.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memb = _EMB_GROUPS_CACHE.get_or_create(
+        key,
+        lambda: emb.withColumn(
+            "gid", F.min("vec_id").over(Window.partitionBy("e"))
+        ).persist(),
+    )
+    reps = memb.where(F.col("vec_id") == F.col("gid")).select("vec_id", "e", "n2")
+    assign = _assign_cells(reps, cents, _EMB_NPROBE)
     # Pair-level shuffle discipline (the part that decides 100 TB
-    # viability): arrays ride only the O(n * nprobe) ASSIGNMENT rows
+    # viability): arrays ride only the O(d * nprobe) ASSIGNMENT rows
     # into the cell self-join; each candidate pair is scored inside the
     # join and threshold-filtered BEFORE any pair-level shuffle, so the
     # only shuffle proportional to candidate volume carries nothing —
@@ -604,38 +646,53 @@ def dedup_embedding_cosine(spark, sf_dir):
     # shape (distinct on all pairs, then two joins attaching arrays to
     # every pair row) shuffled 64-element arrays per CANDIDATE —
     # measured 100 s vs ~21 s at the x10-amplified scale (n=20000).
-    key = (spark.sparkContext.applicationId, sf_dir)
     payload = _EMB_PAYLOAD_CACHE.get_or_create(
-        key, lambda: assign.join(emb, "vec_id").persist()
+        key, lambda: assign.join(reps, "vec_id").persist()
     )
     a = payload.select(
-        F.col("vec_id").alias("vec_a"),
+        F.col("vec_id").alias("gid_a"),
         "cell",
         F.col("e").alias("qe"),
         F.col("n2").alias("qn2"),
     )
     b = payload.select(
-        F.col("vec_id").alias("vec_b"),
+        F.col("vec_id").alias("gid_b"),
         "cell",
         F.col("e").alias("ce"),
         F.col("n2").alias("cn2"),
     )
-    scored = (
+    gscored = (
         a.join(b, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.col("gid_a") < F.col("gid_b"))
         .withColumn("dot", dot_expr)
         .withColumn("cos", _cosine(F.col("dot"), F.col("qn2"), F.col("cn2")))
         .where(F.col("cos") >= 0.3)
-    )
-    return (
-        scored.groupBy("vec_a", "vec_b")
+        .groupBy("gid_a", "gid_b")
         .agg(F.max("cos").alias("cos"))
+    )
+    ma = memb.select(F.col("gid").alias("gid_a"), F.col("vec_id").alias("_va"))
+    mb = memb.select(F.col("gid").alias("gid_b"), F.col("vec_id").alias("_vb"))
+    cross = (
+        gscored.join(ma, "gid_a")
+        .join(mb, "gid_b")
         .select(
-            "vec_a",
-            "vec_b",
+            F.least("_va", "_vb").alias("vec_a"),
+            F.greatest("_va", "_vb").alias("vec_b"),
             F.round(F.col("cos") * 1000000).cast("long").alias("cos_1e6"),
         )
     )
+    m1 = memb.select("gid", F.col("vec_id").alias("_va"))
+    m2 = memb.select("gid", F.col("vec_id").alias("_vb"))
+    intra = (
+        m1.join(m2, "gid")
+        .where(F.col("_va") < F.col("_vb"))
+        .select(
+            F.col("_va").alias("vec_a"),
+            F.col("_vb").alias("vec_b"),
+            F.lit(1000000).cast("long").alias("cos_1e6"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @query(

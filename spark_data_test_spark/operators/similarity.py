@@ -205,24 +205,47 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS):
         rows, schema = seeds.collect(), seeds.schema
         for _ in range(rounds):
             cents = spark.createDataFrame(rows, schema)
-            assign = _assign_cells(emb, cents, nprobe=1)
-            flat = assign.join(emb, "vec_id").select(
-                "cell", F.posexplode("e").alias("i", "v")
+            # Lloyd round in TWO map-side-combinable aggregations (the
+            # window-argmax + join + posexplode formulation shuffled
+            # n*ncells assignment rows plus 64n exploded elements per
+            # round; this shuffles n rows then ncells rows, both with
+            # partial aggregation). max_by over (cos, -cent_id)
+            # reproduces the oracle's ROW_NUMBER(ORDER BY cos DESC,
+            # cent_id) argmax bit-for-bit; first("qe") is deterministic
+            # because every row of a vec_id group carries the same
+            # vector.
+            per_vec = (
+                _score_against_cents(emb, cents)
+                .groupBy("vec_id")
+                .agg(
+                    F.max_by(
+                        "cent_id",
+                        F.struct(
+                            F.col("cos").alias("c"),
+                            (-F.col("cent_id")).alias("nc"),
+                        ),
+                    ).alias("cell"),
+                    F.first("qe").alias("e"),
+                )
             )
-            newc = (
-                flat.groupBy("cell", "i")
-                .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
-                .withColumn("m", F.expr("cast(cast(s as double) / c as bigint)"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-                .select(
-                    F.col("cell").alias("cent_id"),
-                    F.expr("transform(im, x -> x.m)").alias("ce"),
-                )
-                .withColumn(
-                    "cn2",
-                    F.expr("aggregate(ce, cast(0 as bigint), (acc, x) -> acc + x * x)"),
-                )
+            # element-wise integer mean: exact bigint sums, truncated
+            # through exact double division — identical to the oracle's
+            # per-(cell, i) formulation
+            sums = per_vec.groupBy("cell").agg(
+                F.count("*").alias("c"),
+                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(_DIM)],
+            )
+            newc = sums.select(
+                F.col("cell").alias("cent_id"),
+                F.array(
+                    *[
+                        F.expr(f"cast(cast(s{i} as double) / c as bigint)")
+                        for i in range(_DIM)
+                    ]
+                ).alias("ce"),
+            ).withColumn(
+                "cn2",
+                F.expr("aggregate(ce, cast(0 as bigint), (acc, x) -> acc + x * x)"),
             )
             rows = newc.collect()
         emb.unpersist()

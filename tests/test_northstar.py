@@ -294,6 +294,61 @@ def test_group_pair_expansion_semantics(spark):
     assert all(a < b for a, b in got)
 
 
+def test_embedding_group_expansion_on_duplicate_vectors(spark, sf_dir, tmp_path):
+    """Exact-dup vector groups: on a corpus with exact vector copies
+    the grouped IVF pipeline must emit (a) every intra-group pair at
+    cos exactly 1, (b) cross pairs consistently for every member of a
+    group (a duplicate pairs with y iff its representative does, same
+    score), and (c) only true >=0.3 pairs with exact scores — i.e. the
+    expansion reconstructs the ungrouped result."""
+    import os
+
+    src = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(60)
+    dups = src.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    out_dir = os.path.join(str(tmp_path), "emb_dups")
+    src.unionByName(dups).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    dedup.clear_dedup_cache()
+    try:
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cos_1e6"]
+            for r in dedup.dedup_embedding_cosine(spark, out_dir).collect()
+        }
+    finally:
+        dedup.clear_dedup_cache()
+        similarity.clear_similarity_cache()
+    emb = {
+        r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        for r in spark.read.parquet(f"{out_dir}/embeddings.parquet").collect()
+    }
+    dup_of = {x + 10000: x for x in emb if x < 10000 and x % 5 == 0}
+    # (a) every exact-copy pair present, cos exactly 1
+    for d, x in dup_of.items():
+        assert got.get((x, d)) == 1000000
+    # (b) duplicate-consistency of cross pairs
+    groups = {x: {x} for x in emb if x not in dup_of}
+    for d, x in dup_of.items():
+        groups[x].add(d)
+    for d, x in dup_of.items():
+        for y in emb:
+            if y in groups[x]:
+                continue
+            px = (min(x, y), max(x, y))
+            pd = (min(d, y), max(d, y))
+            assert (px in got) == (pd in got)
+            if px in got:
+                assert got[px] == got[pd]
+    # (c) precision: every emitted pair is a true >=0.3 pair, exact score
+    norm = {i: np.linalg.norm(v) for i, v in emb.items()}
+    for (a, b), c1e6 in got.items():
+        cos = float(np.dot(emb[a], emb[b])) / (norm[a] * norm[b])
+        assert cos >= 0.3 - 1e-9
+        assert abs(c1e6 - round(cos * 1e6)) <= 1
+
+
 def test_short_text_duplicates_never_pair(spark, sf_dir, tmp_path):
     """Docs below shingle length (< 8 chars) produce no signature in
     the per-doc formulation, so the group formulation must exclude
