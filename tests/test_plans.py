@@ -133,6 +133,24 @@ def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert df.count() == want
 
 
+def test_embedding_dedup_join_discipline(spark, sf_dir):
+    # The IVF candidate stage must stay an equi-join on the cell id:
+    # a CartesianProduct anywhere in the pair pipeline is the O(n^2)
+    # de-optimization this family exists to avoid. (Broadcast
+    # nested-loop against the ncells-row centroid frame is fine — the
+    # small side is bounded by sqrt(n).)
+    from spark_data_test_spark.operators import dedup, similarity
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    dedup.clear_dedup_cache()
+    try:
+        df = dedup.dedup_embedding_cosine(spark, sf_dir)
+        assert "CartesianProduct" not in simple_plan(df)
+    finally:
+        dedup.clear_dedup_cache()
+        similarity.clear_similarity_cache()
+
+
 def test_observe_metrics_ride_the_action(spark, sf_dir):
     # df.observe collects aggregates DURING the action — no second scan;
     # the pattern for row-count/quality accounting on 100 TB writes
