@@ -105,6 +105,7 @@ _DRIVER_PRIORITY = [
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
     "similarity_ann_recall_report",
+    "dedup_simhash_pairs",
 ]
 
 

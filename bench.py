@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_near_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_ivf_ann",

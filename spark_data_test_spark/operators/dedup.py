@@ -435,6 +435,148 @@ def dedup_simhash(spark, sf_dir):
     return docs.join(fp, "gid").select("doc_id", "simhash")
 
 
+_SIM_HAM_K = 3  # emit pairs at hamming <= K; 4 bands of 8 bits make
+#                 recall at K=3 EXACT by pigeonhole (4 diffs can dirty
+#                 at most 3 of 4 bands)
+_SIM_HAM_SQL = (
+    "len(list_filter(generate_series(1, 32),"
+    " i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))"
+)
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    tokens AS (
+      SELECT doc_id, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+      WHERE tok <> ''),
+    sums AS (SELECT doc_id, {_SIM_SUMS_SQL} FROM tokens GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_SIM_CONCAT_SQL} AS simhash FROM sums)
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_SIM_HAM_SQL} AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+    WHERE hamming <= {_SIM_HAM_K}
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS with exact recall: emit exactly the doc
+    pairs whose 32-bit fingerprints differ in <= 3 positions.
+
+    Bit-sampling LSH: the fingerprint splits into 4 bands of 8 bits and
+    candidates are (distinct-text) pairs sharing at least one band — by
+    pigeonhole a pair within hamming 3 cannot dirty all 4 bands, so
+    banding loses NOTHING at K=3 and the banded plan provably equals
+    the all-pairs formulation (the DuckDB oracle IS the independent
+    all-pairs brute force — the hash-match is the proof, per sf).
+    Verification re-scores candidates with the exact positionwise
+    hamming distance, so false band collisions never leak. Group-level
+    like the rest of the family: fingerprints, banding, and hamming run
+    once per DISTINCT text; group pairs expand to doc pairs (identical
+    texts pair at hamming 0). At 100 TB: banding is 4 hash joins on
+    8-bit-band keys over distinct texts; expected false-candidate
+    volume is ~d^2/2 * 4/256 for d distinct near-uniform fingerprints —
+    a production deployment scales the same plan to 64/128-bit
+    fingerprints (16-bit bands -> 2^-16 collisions) without changing
+    shape, this corpus keeps 32 bits for oracle parity with
+    ``dedup_simhash``."""
+    corpus = _near_corpus(spark, sf_dir)
+    docs = corpus.select("doc_id", F.md5("text").alias("gid"))
+    reps = corpus.select(F.md5("text").alias("gid"), "text").dropDuplicates(["gid"])
+    tokens = reps.select(
+        "gid", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    nib = lambda p: F.substring(F.md5("tok"), p + 1, 1)
+    vocabulary = tokens.select("tok").distinct().select(
+        "tok",
+        *[
+            F.when(nib(p).between("8", "9") | nib(p).between("a", "f"), 1)
+            .otherwise(-1)
+            .alias(f"b{p}")
+            for p in range(_SIM_BITS)
+        ],
+    )
+    fp = (
+        tokens.join(F.broadcast(vocabulary), "tok")
+        .groupBy("gid")
+        .agg(*[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SIM_BITS)])
+        .select(
+            "gid",
+            F.concat(
+                *[
+                    F.when(F.col(f"s{p}") >= 0, "1").otherwise("0")
+                    for p in range(_SIM_BITS)
+                ]
+            ).alias("simhash"),
+        )
+    )
+    n_bands = _SIM_BITS // 8
+    bands = fp.select(
+        "gid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", 8 * b + 1, 8).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("gid", "bs.band", "bs.sig")
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
+        .distinct()
+    )
+    ham = F.expr(
+        "size(filter(sequence(1, 32),"
+        " i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))"
+    )
+    gpairs = (
+        cand.join(fp.select(F.col("gid").alias("gid_a"), F.col("simhash").alias("sh_a")), "gid_a")
+        .join(fp.select(F.col("gid").alias("gid_b"), F.col("simhash").alias("sh_b")), "gid_b")
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= _SIM_HAM_K)
+        .select("gid_a", "gid_b", "hamming")
+    )
+    # membership restricted to groups that HAVE a fingerprint (zero-token
+    # texts drop out, as in the per-doc oracle)
+    memb = docs.join(fp.select("gid"), "gid")
+    ma = memb.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da"))
+    mb = memb.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db"))
+    cross = (
+        gpairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    m1 = memb.select("gid", F.col("doc_id").alias("_da"))
+    m2 = memb.select("gid", F.col("doc_id").alias("_db"))
+    intra = (
+        m1.join(m2, "gid")
+        .where(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 @query(
     "dedup_near_jaccard",
     f"""

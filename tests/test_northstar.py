@@ -294,6 +294,43 @@ def test_group_pair_expansion_semantics(spark):
     assert all(a < b for a, b in got)
 
 
+def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
+    """dedup_simhash_pairs claims EXACT recall at hamming <= 3 (4x8
+    banding + pigeonhole); verify against an independent Python brute
+    force over the same vote fingerprints."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    corpus = [(r["doc_id"], r["text"]) for r in docs] + [
+        (r["doc_id"] + 200000, r["text"] + " extra tail token")
+        for r in docs
+        if r["doc_id"] % 13 == 0
+    ]
+    fps = {}
+    for doc_id, text_val in corpus:
+        toks = [tk for tk in text_val.split(" ") if tk]
+        if not toks:
+            continue
+        votes = [0] * 32
+        for tk in toks:
+            h = hashlib.md5(tk.encode()).hexdigest()
+            for p in range(32):
+                votes[p] += 1 if h[p] >= "8" else -1
+        fps[doc_id] = sum(
+            (1 << p) for p in range(32) if votes[p] >= 0
+        )
+    ids = sorted(fps)
+    want = {}
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+
+
 def test_embedding_group_expansion_on_duplicate_vectors(spark, sf_dir, tmp_path):
     """Exact-dup vector groups: on a corpus with exact vector copies
     the grouped IVF pipeline must emit (a) every intra-group pair at
