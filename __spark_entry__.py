@@ -106,6 +106,8 @@ _DRIVER_PRIORITY = [
     "tpch_q21_waiting_supplier",
     "similarity_ann_recall_report",
     "dedup_simhash_pairs",
+    "corpus_decontaminate",
+    "text_vocabulary_topk",
 ]
 
 

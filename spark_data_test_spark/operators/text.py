@@ -261,3 +261,136 @@ def text_bigram_profile(spark, sf_dir):
         .where(F.col("rn") <= _TOP_BIGRAMS)
         .drop("rn")
     )
+
+
+_DECON_L = 16  # contamination n-gram length (chars)
+_DECON_STRIDE = 4  # corpus-side stride; eval side is EVERY offset
+_DECON_EVAL = 20  # eval set: doc_id < 20
+
+
+@query(
+    "corpus_decontaminate",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, 'eval leak: ' || text AS text
+      FROM documents WHERE doc_id < {_DECON_EVAL}),
+    csh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_DECON_L}) AS sh
+      FROM corpus,
+           unnest(generate_series(1, length(text) - {_DECON_L - 1},
+                                  {_DECON_STRIDE})) AS u(i)
+      WHERE length(text) >= {_DECON_L} AND doc_id >= {_DECON_EVAL}),
+    esh AS (
+      SELECT DISTINCT substr(text, i, {_DECON_L}) AS sh, doc_id AS eval_id
+      FROM documents,
+           unnest(generate_series(1, length(text) - {_DECON_L - 1})) AS u(i)
+      WHERE length(text) >= {_DECON_L} AND doc_id < {_DECON_EVAL})
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.sh) AS n_shared_ngrams,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs
+    FROM csh c JOIN esh e ON e.sh = c.sh
+    GROUP BY c.doc_id
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    16-char n-gram with the eval set (doc_id < 20), GPT-3/PaLM-style.
+
+    The standard asymmetric shape: the SMALL eval side shingles at
+    EVERY offset (so containment is caught regardless of alignment —
+    the planted leaks prepend an 11-char prefix precisely to break
+    stride alignment), the big corpus side at stride 4, and the match
+    is a hash join of the corpus scan against the BROADCAST eval
+    n-gram dictionary — at 100 TB this is one scan-side explode +
+    broadcast join + per-doc aggregate, no shuffle of the corpus
+    beyond the final per-doc count. Counting DISTINCT shared n-grams
+    and distinct eval docs hit gives the triage signal the dedup
+    decision needs (1 shared 16-gram = boilerplate; hundreds = a
+    leaked document)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < _DECON_EVAL).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("eval leak: "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    csh = (
+        corpus.where(
+            (F.length("text") >= _DECON_L) & (F.col("doc_id") >= _DECON_EVAL)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_DECON_L - 1},"
+                    f" {_DECON_STRIDE}), i -> substring(text, i, {_DECON_L}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    esh = (
+        d.where((F.length("text") >= _DECON_L) & (F.col("doc_id") < _DECON_EVAL))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_DECON_L - 1}),"
+                    f" i -> substring(text, i, {_DECON_L}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    # the eval dictionary is the broadcast side by construction (eval
+    # sets are thousands of docs; corpora are billions)
+    return (
+        csh.join(F.broadcast(esh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+_VOCAB_TOPK = 50
+
+
+@query(
+    "text_vocabulary_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    stats AS (
+      SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY tok)
+    SELECT tok, tf, df FROM (
+      SELECT tok, tf, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, tf DESC, tok) AS rn
+      FROM stats)
+    WHERE rn <= {_VOCAB_TOPK}
+    """,
+)
+def text_vocabulary_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-{_VOCAB_TOPK} tokens by document
+    frequency (then term frequency, then the token itself — a total
+    order, so the cut is deterministic). The tokenizer-training /
+    stopword-mining primitive: one explode + one aggregate with
+    map-side partial counts, then a driver-size top-k — no global
+    sort of the vocabulary at any scale."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        stats.orderBy(F.col("df").desc(), F.col("tf").desc(), "tok")
+        .limit(_VOCAB_TOPK)
+    )

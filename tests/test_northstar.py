@@ -294,6 +294,43 @@ def test_group_pair_expansion_semantics(spark):
     assert all(a < b for a, b in got)
 
 
+def test_decontaminate_catches_planted_leaks(spark, sf_dir):
+    """Every planted eval leak (full eval text behind an
+    alignment-breaking prefix) must be flagged, and flagged harder
+    than the organic boilerplate overlap."""
+    rows = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+        for r in text.corpus_decontaminate(spark, sf_dir).collect()
+    }
+    planted = {k: v for k, v in rows.items() if k >= 300000}
+    assert len(planted) == 20
+    assert all(shared >= 5 and ev >= 1 for shared, ev in planted.values())
+    organic = [shared for k, (shared, _) in rows.items() if k < 300000]
+    if organic:
+        organic.sort()
+        assert min(s for s, _ in planted.values()) > organic[len(organic) // 2]
+
+
+def test_vocabulary_topk_matches_python(spark, sf_dir):
+    got = [
+        (r["tok"], r["tf"], r["df"])
+        for r in text.text_vocabulary_topk(spark, sf_dir).collect()
+    ]
+    import collections
+
+    tf = collections.Counter()
+    df = collections.Counter()
+    for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = [tk for tk in r["text"].split(" ") if tk]
+        tf.update(toks)
+        df.update(set(toks))
+    want = sorted(
+        ((tok, tf[tok], df[tok]) for tok in tf),
+        key=lambda x: (-x[2], -x[1], x[0]),
+    )[:50]
+    assert sorted(got, key=lambda x: (-x[2], -x[1], x[0])) == want
+
+
 def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
     """dedup_simhash_pairs claims EXACT recall at hamming <= 3 (4x8
     banding + pigeonhole); verify against an independent Python brute
