@@ -108,6 +108,8 @@ _DRIVER_PRIORITY = [
     "dedup_simhash_pairs",
     "corpus_decontaminate",
     "text_vocabulary_topk",
+    "text_pii_scrub",
+    "text_repetition_profile",
 ]
 
 

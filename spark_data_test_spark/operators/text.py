@@ -394,3 +394,144 @@ def text_vocabulary_topk(spark, sf_dir):
         stats.orderBy(F.col("df").desc(), F.col("tf").desc(), "tok")
         .limit(_VOCAB_TOPK)
     )
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.com or call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+      FROM corpus)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones, scrubbed
+    FROM hits WHERE n_emails + n_phones > 0
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction, the pre-training scrub pass: count
+    and mask email/phone patterns, emitting only documents that
+    contained any. Planted PII (every 11th doc gets a deterministic
+    address + number appended) gives the operator ground truth on the
+    synthetic corpus. Pure scan-side ``regexp_extract_all`` /
+    ``regexp_replace`` — whole-stage codegen, zero shuffles before the
+    filter, trivially linear at 100 TB. Patterns are deliberately
+    dialect-portable (character classes + bounded quantifiers behave
+    identically in Java regex and RE2)."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hits = corpus.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+    return hits.where(F.col("n_emails") + F.col("n_phones") > 0)
+
+
+@query(
+    "text_repetition_profile",
+    """
+    WITH words AS (
+      SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id) AS seq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    toks AS (SELECT doc_id, tok FROM words),
+    tok_stats AS (
+      SELECT doc_id, MAX(c) AS max_tok, SUM(c) AS n_toks
+      FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      GROUP BY doc_id),
+    bgs AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+      FROM words a JOIN words b
+        ON b.doc_id = a.doc_id AND b.seq = a.seq + 1),
+    bg_stats AS (
+      SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bgs
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT ts.doc_id,
+           CAST(ROUND(1000000.0 * ts.max_tok / ts.n_toks) AS BIGINT)
+             AS top_token_1e6,
+           CAST(ROUND(1000000.0 * bs.max_bg / bs.n_bgs) AS BIGINT)
+             AS top_bigram_1e6
+    FROM tok_stats ts JOIN bg_stats bs ON bs.doc_id = ts.doc_id
+    """,
+)
+def text_repetition_profile(spark, sf_dir):
+    """Repetition filtering signals (Gopher/RefinedWeb-style quality
+    rules): per document, the fraction of tokens taken by the most
+    frequent token and the fraction of word-bigrams taken by the most
+    frequent bigram, as exact 1e-6 integers. Highly repetitive docs
+    (boilerplate, keyword stuffing, generation loops) spike both.
+    Shape: ONE shuffle on doc_id (split/slide to bigrams inside the
+    scan with higher-order array functions), then per-(doc, gram)
+    counts whose partial aggregation rides the same partitioning —
+    no window over raw tokens, no second scan. Docs with < 2 tokens
+    have no bigram and drop out (inner join), mirroring the oracle."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.expr("filter(split(text, ' '), w -> w <> '')")
+    base = d.select("doc_id", ws.alias("ws"))
+    toks = base.select("doc_id", F.explode("ws").alias("g"))
+    bgs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+
+    def stats(grams, maxc, total):
+        return (
+            grams.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(maxc), F.sum("c").alias(total))
+        )
+
+    ts = stats(toks, "max_tok", "n_toks")
+    bs = stats(bgs, "max_bg", "n_bgs")
+    ratio = lambda a, b: F.round(
+        F.lit(1000000.0) * F.col(a) / F.col(b)
+    ).cast("long")
+    return ts.join(bs, "doc_id").select(
+        "doc_id",
+        ratio("max_tok", "n_toks").alias("top_token_1e6"),
+        ratio("max_bg", "n_bgs").alias("top_bigram_1e6"),
+    )

@@ -331,6 +331,42 @@ def test_vocabulary_topk_matches_python(spark, sf_dir):
     assert sorted(got, key=lambda x: (-x[2], -x[1], x[0])) == want
 
 
+def test_pii_scrub_masks_planted_pii(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in text.text_pii_scrub(spark, sf_dir).collect()}
+    n_docs = t(spark, sf_dir, "documents").count()
+    planted = [i for i in range(0, n_docs) if i % 11 == 0]
+    # the word-soup corpus has no organic PII: flagged == planted
+    assert sorted(rows) == planted
+    for r in rows.values():
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+        assert "<EMAIL>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+        assert "@" not in r["scrubbed"]
+        assert "555-" not in r["scrubbed"]
+
+
+def test_repetition_profile_matches_python(spark, sf_dir):
+    import collections
+
+    got = {
+        r["doc_id"]: (r["top_token_1e6"], r["top_bigram_1e6"])
+        for r in text.text_repetition_profile(spark, sf_dir).collect()
+    }
+    want = {}
+    for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = [tk for tk in r["text"].split(" ") if tk]
+        if len(toks) < 2:
+            continue
+        tc = collections.Counter(toks)
+        bc = collections.Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        want[r["doc_id"]] = (
+            round(1e6 * max(tc.values()) / sum(tc.values())),
+            round(1e6 * max(bc.values()) / sum(bc.values())),
+        )
+    assert got == want
+
+
 def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
     """dedup_simhash_pairs claims EXACT recall at hamming <= 3 (4x8
     banding + pigeonhole); verify against an independent Python brute
