@@ -315,20 +315,21 @@ def corpus_decontaminate(spark, sf_dir):
         F.concat(F.lit("eval leak: "), F.col("text")).alias("text"),
     )
     corpus = d.unionByName(planted)
-    csh = (
-        corpus.where(
-            (F.length("text") >= _DECON_L) & (F.col("doc_id") >= _DECON_EVAL)
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {_DECON_L - 1},"
-                    f" {_DECON_STRIDE}), i -> substring(text, i, {_DECON_L}))"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
+    # deliberately NOT .distinct(): that would shuffle every corpus
+    # shingle before the join; the broadcast join filters to eval
+    # matches first and the final COUNT(DISTINCT ...) dedups repeated
+    # (doc, shingle) occurrences — same result, and the only shuffle
+    # proportional to the corpus carries just the matching slice
+    csh = corpus.where(
+        (F.length("text") >= _DECON_L) & (F.col("doc_id") >= _DECON_EVAL)
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_DECON_L - 1},"
+                f" {_DECON_STRIDE}), i -> substring(text, i, {_DECON_L}))"
+            )
+        ).alias("sh"),
     )
     esh = (
         d.where((F.length("text") >= _DECON_L) & (F.col("doc_id") < _DECON_EVAL))
