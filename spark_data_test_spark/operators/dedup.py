@@ -138,6 +138,13 @@ _EMB_PAYLOAD_CACHE = FrameCache(max_entries=2)
 # (vec_id, e, n2, gid) exact-dup vector groups: consumed by the rep
 # filter, both expansion joins, and the intra-group pair join.
 _EMB_GROUPS_CACHE = FrameCache(max_entries=2)
+# (gid, simhash) per-distinct-text fingerprints and (gid, doc_id)
+# membership for the simhash pair query: the banding, both verify
+# joins, and both expansion joins reference them — without a persist
+# each reference re-tokenizes and re-votes the whole corpus (measured
+# 24 shuffles in the uncached plan vs 5 cached).
+_SIM_FP_CACHE = FrameCache(max_entries=2)
+_SIM_MEMB_CACHE = FrameCache(max_entries=2)
 
 
 def _cached_members(spark, sf_dir):
@@ -232,6 +239,8 @@ def clear_dedup_cache():
     _PAIRS_CACHE.clear()
     _EMB_PAYLOAD_CACHE.clear()
     _EMB_GROUPS_CACHE.clear()
+    _SIM_FP_CACHE.clear()
+    _SIM_MEMB_CACHE.clear()
 
 
 def _minhash(sh):
@@ -484,34 +493,42 @@ def dedup_simhash_pairs(spark, sf_dir):
     ``dedup_simhash``."""
     corpus = _near_corpus(spark, sf_dir)
     docs = corpus.select("doc_id", F.md5("text").alias("gid"))
-    reps = corpus.select(F.md5("text").alias("gid"), "text").dropDuplicates(["gid"])
-    tokens = reps.select(
-        "gid", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    nib = lambda p: F.substring(F.md5("tok"), p + 1, 1)
-    vocabulary = tokens.select("tok").distinct().select(
-        "tok",
-        *[
-            F.when(nib(p).between("8", "9") | nib(p).between("a", "f"), 1)
-            .otherwise(-1)
-            .alias(f"b{p}")
-            for p in range(_SIM_BITS)
-        ],
-    )
-    fp = (
-        tokens.join(F.broadcast(vocabulary), "tok")
-        .groupBy("gid")
-        .agg(*[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SIM_BITS)])
-        .select(
-            "gid",
-            F.concat(
-                *[
-                    F.when(F.col(f"s{p}") >= 0, "1").otherwise("0")
-                    for p in range(_SIM_BITS)
-                ]
-            ).alias("simhash"),
+
+    def build_fp():
+        reps = corpus.select(
+            F.md5("text").alias("gid"), "text"
+        ).dropDuplicates(["gid"])
+        tokens = reps.select(
+            "gid", F.explode(F.split("text", " ")).alias("tok")
+        ).where(F.col("tok") != "")
+        nib = lambda p: F.substring(F.md5("tok"), p + 1, 1)
+        vocabulary = tokens.select("tok").distinct().select(
+            "tok",
+            *[
+                F.when(nib(p).between("8", "9") | nib(p).between("a", "f"), 1)
+                .otherwise(-1)
+                .alias(f"b{p}")
+                for p in range(_SIM_BITS)
+            ],
         )
-    )
+        return (
+            tokens.join(F.broadcast(vocabulary), "tok")
+            .groupBy("gid")
+            .agg(*[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SIM_BITS)])
+            .select(
+                "gid",
+                F.concat(
+                    *[
+                        F.when(F.col(f"s{p}") >= 0, "1").otherwise("0")
+                        for p in range(_SIM_BITS)
+                    ]
+                ).alias("simhash"),
+            )
+            .persist()
+        )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _SIM_FP_CACHE.get_or_create(key, build_fp)
     n_bands = _SIM_BITS // 8
     bands = fp.select(
         "gid",
@@ -551,7 +568,9 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
     # membership restricted to groups that HAVE a fingerprint (zero-token
     # texts drop out, as in the per-doc oracle)
-    memb = docs.join(fp.select("gid"), "gid")
+    memb = _SIM_MEMB_CACHE.get_or_create(
+        key, lambda: docs.join(fp.select("gid"), "gid").persist()
+    )
     ma = memb.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da"))
     mb = memb.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db"))
     cross = (

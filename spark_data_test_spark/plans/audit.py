@@ -63,6 +63,34 @@ def count_shuffles(df):
     )
 
 
+def plan_op_counts(df):
+    """Physical-operator name -> count for the plan a run would
+    actually EXECUTE. Counting on ``explain`` text overstates badly in
+    two ways: it prints the full build lineage beneath every
+    InMemoryRelation (a cached subtree runs once, ever), and
+    materialized caches embed whole AQE report boxes whose indentation
+    defeats text slicing. Walking the operator TREE avoids both:
+    InMemoryTableScan has no children (the cached plan is a field, not
+    a child), so recursion stops at cache boundaries, and
+    AdaptiveSparkPlan is descended through its initialPlan explicitly."""
+    from collections import Counter
+
+    counts = Counter()
+
+    def walk(node):
+        name = node.nodeName()
+        counts[name] += 1
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
 def has_partial_aggregation(df):
     """Hash aggregation split into partial+final (map-side combine)."""
     return "partial_" in simple_plan(df)
