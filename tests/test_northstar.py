@@ -368,9 +368,9 @@ def test_repetition_profile_matches_python(spark, sf_dir):
 
 
 def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
-    """dedup_simhash_pairs claims EXACT recall at hamming <= 3 (4x8
-    banding + pigeonhole); verify against an independent Python brute
-    force over the same vote fingerprints."""
+    """dedup_simhash_pairs claims EXACT recall at hamming <= 7 over the
+    64-bit fingerprint (8x8 banding + pigeonhole); verify against an
+    independent Python brute force over the same vote fingerprints."""
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in dedup.dedup_simhash_pairs(spark, sf_dir).collect()
@@ -386,20 +386,23 @@ def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
         toks = [tk for tk in text_val.split(" ") if tk]
         if not toks:
             continue
-        votes = [0] * 32
+        votes = [0] * 64
         for tk in toks:
-            h = hashlib.md5(tk.encode()).hexdigest()
-            for p in range(32):
+            h = (
+                hashlib.md5(tk.encode()).hexdigest()
+                + hashlib.md5((tk + "#").encode()).hexdigest()
+            )
+            for p in range(64):
                 votes[p] += 1 if h[p] >= "8" else -1
         fps[doc_id] = sum(
-            (1 << p) for p in range(32) if votes[p] >= 0
+            (1 << p) for p in range(64) if votes[p] >= 0
         )
     ids = sorted(fps)
     want = {}
     for ai, a in enumerate(ids):
         for b in ids[ai + 1 :]:
             ham = bin(fps[a] ^ fps[b]).count("1")
-            if ham <= 3:
+            if ham <= 7:
                 want[(a, b)] = ham
     assert got == want
 
