@@ -1,12 +1,17 @@
 """Deduplication operators over ``documents`` (north-star).
 
-Four families, each as a driver-contract query with a DuckDB oracle:
+Each family is a driver-contract query with a DuckDB oracle:
 
 * exact       — hash-groupBy on md5(text), keep the minimum doc_id;
 * MinHash+LSH — strided char-8-gram shingles -> 12 md5-seeded minhashes
                 -> 4 bands of 3 -> band-bucket self-join for candidates;
-* SimHash     — 32-bit weighted-token fingerprint;
-* n-gram Jaccard — exact set similarity on LSH candidates (verify step).
+* SimHash     — 32-bit weighted-token fingerprint, plus a 64-bit
+                bit-sampling-LSH pair query with pigeonhole-exact
+                recall at hamming <= 7;
+* n-gram Jaccard — exact set similarity on LSH candidates (verify step);
+* embedding   — cosine near-dup through trained IVF cells over distinct
+                vectors;
+* clustering  — connected components over the LSH candidate pairs.
 
 The table has no natural duplicates (seed-42 texts are unique), so each
 query plants deterministic (near-)duplicates inline: exact copies at
