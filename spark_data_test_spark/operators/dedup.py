@@ -453,9 +453,9 @@ _SP_BITS = 64  # pair query uses the 64-bit fingerprint of Manku et al.
 _SP_BANDS = 8  # 8 bands of 8 bits
 _SP_HAM_K = 7  # emit pairs at hamming <= K; 8 bands make recall at
 #                K=7 EXACT by pigeonhole (7 diffs can dirty at most 7
-#                of 8 bands). Measured at sf0.01: 87% of planted
-#                near-dups within K, ~4.5x less boilerplate noise than
-#                a 32-bit fingerprint at the same relative radius.
+#                of 8 bands). Measured at sf0.01 with centered votes:
+#                90% of planted near-dups within K, ~25x less
+#                boilerplate noise than the 32-bit uncentered radius.
 # two md5 lanes give 64 per-token vote bits
 _SP_SUMS_SQL = ", ".join(
     (
@@ -465,28 +465,43 @@ _SP_SUMS_SQL = ", ".join(
     )
     for p in range(_SP_BITS)
 )
-_SP_CONCAT_SQL = " || ".join(
-    f"CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END" for p in range(_SP_BITS)
+_SP_TOTALS_SQL = "COUNT(*) AS d, " + ", ".join(
+    f"SUM(s{p}) AS t{p}" for p in range(_SP_BITS)
 )
-_SP_HAM_SQL = (
-    f"len(list_filter(generate_series(1, {_SP_BITS}),"
-    " i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))"
-)
+# corpus-mean-centered sign: bit p = 1 iff s_p >= mean(s_p) over the
+# distinct texts, as the exact integer comparison s_p * d >= t_p.
+# The fingerprint is packed into two BIGINT halves so hamming distance
+# is two xor+bit_count ops (identical semantics in Spark and DuckDB).
+_SP_LO_SQL = "CAST(" + " + ".join(
+    f"(CASE WHEN s{p} * d >= t{p} THEN {1 << p} ELSE 0 END)" for p in range(32)
+) + " AS BIGINT)"
+_SP_HI_SQL = "CAST(" + " + ".join(
+    f"(CASE WHEN s{p} * d >= t{p} THEN {1 << (p - 32)} ELSE 0 END)"
+    for p in range(32, _SP_BITS)
+) + " AS BIGINT)"
 
 
 @query(
     "dedup_simhash_pairs",
     f"""
     WITH {_NEAR_CORPUS_SQL.strip()},
+    reps AS (
+      SELECT md5(text) AS gid, MIN(text) AS text FROM corpus GROUP BY md5(text)),
     tokens AS (
-      SELECT doc_id, md5(tok) AS h1, md5(tok || '#') AS h2
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+      SELECT gid, md5(tok) AS h1, md5(tok || '#') AS h2
+      FROM (SELECT gid, unnest(string_split(text, ' ')) AS tok FROM reps)
       WHERE tok <> ''),
-    sums AS (SELECT doc_id, {_SP_SUMS_SQL} FROM tokens GROUP BY doc_id),
-    fp AS (SELECT doc_id, {_SP_CONCAT_SQL} AS simhash FROM sums)
+    sums AS (SELECT gid, {_SP_SUMS_SQL} FROM tokens GROUP BY gid),
+    totals AS (SELECT {_SP_TOTALS_SQL} FROM sums),
+    fpg AS (SELECT gid, {_SP_LO_SQL} AS lo, {_SP_HI_SQL} AS hi
+            FROM sums, totals),
+    fp AS (
+      SELECT c.doc_id, f.lo, f.hi
+      FROM corpus c JOIN fpg f ON f.gid = md5(c.text))
     SELECT doc_a, doc_b, hamming FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             {_SP_HAM_SQL} AS hamming
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                  AS BIGINT) AS hamming
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
     WHERE hamming <= {_SP_HAM_K}
     """,
@@ -506,14 +521,21 @@ def dedup_simhash_pairs(spark, sf_dir):
     hamming distance, so false band collisions never leak. Group-level
     like the rest of the family: fingerprints, banding, and hamming run
     once per DISTINCT text; group pairs expand to doc pairs (identical
-    texts pair at hamming 0). Width matters: at the same relative
-    radius (K/bits ~ 0.11) the 64-bit fingerprint separates ~4.5x more
-    boilerplate noise than 32 bits on this corpus while catching 87%
-    of planted near-dups — CLT narrows the random-pair distance
-    distribution as bits grow, so wider fingerprints buy precision at
-    fixed recall. At 100 TB: banding is 8 hash joins on 8-bit-band
-    keys over distinct texts; a pair's candidates dedup AFTER the <= K
-    filter, so no shuffle carries the raw collision volume."""
+    texts pair at hamming 0). Two measured design choices: (a) 64 bits
+    beat 32 — CLT narrows the random-pair distance distribution as
+    bits grow, so the same relative radius admits ~5x less boilerplate
+    noise at better recall; (b) votes are corpus-MEAN-CENTERED before
+    the sign (exact integer comparison s_p * d >= t_p) — biased bits
+    collapse band buckets (one bucket held 60% of all fingerprints on
+    this small-vocabulary corpus), and centering rebalances them,
+    cutting band candidates 12.5M -> 1.8M at sf0.1 with planted recall
+    up to 90%. The fingerprint is packed into two BIGINT halves:
+    hamming is two xor+bit_count ops and band signatures are byte
+    extractions — identical arithmetic in Spark and DuckDB, ~6x faster
+    than per-position string comparison on both engines. At 100 TB:
+    banding is 8 hash joins on byte-band keys over distinct texts; a
+    pair's candidates dedup AFTER the <= K filter, so no shuffle
+    carries the raw collision volume."""
     corpus = _near_corpus(spark, sf_dir)
     docs = corpus.select("doc_id", F.md5("text").alias("gid"))
 
@@ -539,25 +561,40 @@ def dedup_simhash_pairs(spark, sf_dir):
                 for p in range(_SP_BITS)
             ],
         )
+        sums = tokens.join(F.broadcast(vocabulary), "tok").groupBy("gid").agg(
+            *[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SP_BITS)]
+        )
+        # corpus-mean-centered sign (exact integers: s_p * d >= t_p):
+        # the tiny shared vocabulary makes raw vote sums heavily
+        # biased, collapsing 60% of fingerprints into one band bucket;
+        # centering rebalances every bit — measured at sf0.1 the band
+        # candidate volume drops 12.5M -> 1.8M while planted recall
+        # RISES (near-dup distances stay small, boilerplate spreads)
+        totals = sums.agg(
+            F.count(F.lit(1)).alias("d"),
+            *[F.sum(f"s{p}").alias(f"t{p}") for p in range(_SP_BITS)],
+        )
+
+        def bit(p):
+            return F.when(
+                F.col(f"s{p}") * F.col("d") >= F.col(f"t{p}"), F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+
+        lo = sum((bit(p) * (1 << p) for p in range(32)), F.lit(0).cast("long"))
+        hi = sum(
+            (bit(p) * (1 << (p - 32)) for p in range(32, _SP_BITS)),
+            F.lit(0).cast("long"),
+        )
         return (
-            tokens.join(F.broadcast(vocabulary), "tok")
-            .groupBy("gid")
-            .agg(*[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SP_BITS)])
-            .select(
-                "gid",
-                F.concat(
-                    *[
-                        F.when(F.col(f"s{p}") >= 0, "1").otherwise("0")
-                        for p in range(_SP_BITS)
-                    ]
-                ).alias("simhash"),
-            )
+            sums.crossJoin(F.broadcast(totals))
+            .select("gid", lo.alias("lo"), hi.alias("hi"))
             .persist()
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     fp = _SIM_FP_CACHE.get_or_create(key, build_fp)
-    n_bands = _SP_BANDS
+    # integer band keys: band b of the packed fingerprint is one byte
+    # of lo (b < 4) or hi (b >= 4)
     bands = fp.select(
         "gid",
         F.explode(
@@ -565,9 +602,13 @@ def dedup_simhash_pairs(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring("simhash", 8 * b + 1, 8).alias("sig"),
+                        F.expr(
+                            f"shiftright(lo, {8 * b}) & 255"
+                            if b < 4
+                            else f"shiftright(hi, {8 * (b - 4)}) & 255"
+                        ).alias("sig"),
                     )
-                    for b in range(n_bands)
+                    for b in range(_SP_BANDS)
                 ]
             )
         ).alias("bs"),
@@ -585,13 +626,24 @@ def dedup_simhash_pairs(spark, sf_dir):
         & (F.col("a.sig") == F.col("b.sig"))
         & (F.col("a.gid") < F.col("b.gid")),
     ).select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
-    ham = F.expr(
-        f"size(filter(sequence(1, {_SP_BITS}),"
-        " i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))"
-    )
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     gpairs = (
-        cand.join(fp.select(F.col("gid").alias("gid_a"), F.col("simhash").alias("sh_a")), "gid_a")
-        .join(fp.select(F.col("gid").alias("gid_b"), F.col("simhash").alias("sh_b")), "gid_b")
+        cand.join(
+            fp.select(
+                F.col("gid").alias("gid_a"),
+                F.col("lo").alias("lo_a"),
+                F.col("hi").alias("hi_a"),
+            ),
+            "gid_a",
+        )
+        .join(
+            fp.select(
+                F.col("gid").alias("gid_b"),
+                F.col("lo").alias("lo_b"),
+                F.col("hi").alias("hi_b"),
+            ),
+            "gid_b",
+        )
         .withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= _SP_HAM_K)
         .groupBy("gid_a", "gid_b")

@@ -381,11 +381,10 @@ def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
         for r in docs
         if r["doc_id"] % 13 == 0
     ]
-    fps = {}
-    for doc_id, text_val in corpus:
+    def votes_of(text_val):
         toks = [tk for tk in text_val.split(" ") if tk]
         if not toks:
-            continue
+            return None
         votes = [0] * 64
         for tk in toks:
             h = (
@@ -394,8 +393,24 @@ def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
             )
             for p in range(64):
                 votes[p] += 1 if h[p] >= "8" else -1
+        return votes
+
+    # votes per DISTINCT text; mean-centering is defined over them
+    gvotes = {}
+    for _, text_val in corpus:
+        if text_val not in gvotes:
+            v = votes_of(text_val)
+            if v is not None:
+                gvotes[text_val] = v
+    d = len(gvotes)
+    tot = [sum(v[p] for v in gvotes.values()) for p in range(64)]
+    fps = {}
+    for doc_id, text_val in corpus:
+        v = gvotes.get(text_val)
+        if v is None:
+            continue
         fps[doc_id] = sum(
-            (1 << p) for p in range(64) if votes[p] >= 0
+            (1 << p) for p in range(64) if v[p] * d >= tot[p]
         )
     ids = sorted(fps)
     want = {}
