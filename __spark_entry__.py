@@ -110,6 +110,9 @@ _DRIVER_PRIORITY = [
     "text_vocabulary_topk",
     "text_pii_scrub",
     "text_repetition_profile",
+    "events_retention_cohorts",
+    "events_gap_fill",
+    "orders_market_basket",
 ]
 
 

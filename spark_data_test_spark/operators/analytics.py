@@ -501,3 +501,52 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             F.sum("bal_cents").alias("totacctbal_cents"),
         )
     )
+
+
+@query(
+    "orders_market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+    sup AS (
+      SELECT part_a, part_b, COUNT(*) AS support
+      FROM pairs GROUP BY part_a, part_b)
+    SELECT part_a, part_b, support FROM (
+      SELECT part_a, part_b, support,
+             ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b) AS rn
+      FROM sup)
+    WHERE rn <= 25
+    """,
+)
+def orders_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: the top-25 part pairs by the number
+    of orders containing both (frequent-itemset support at k=2).
+
+    The quadratic step is bounded by BASKET size, not corpus size: the
+    self-join runs per order key and a TPC-H order holds <= 7 line
+    items, so pair volume is <= 21x the order count — linear in the
+    data with a constant basket factor, the canonical co-occurrence
+    shape. The final top-k is fully tie-broken (support, part_a,
+    part_b), so the cut is deterministic at every scale."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = li.select(F.col("ok"), F.col("pk").alias("part_b"))
+    sup = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
+    return (
+        sup.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .drop("rn")
+    )

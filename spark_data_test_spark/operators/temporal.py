@@ -603,3 +603,89 @@ def events_session_window_native(spark, sf_dir):
             "value_cents",
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS d0 FROM act GROUP BY user_id),
+    weeks AS (
+      SELECT a.user_id, f.d0 // 7 AS cohort_week,
+             (a.day - f.d0) // 7 AS week_offset
+      FROM act a JOIN firsts f ON f.user_id = a.user_id)
+    SELECT cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM weeks GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they return — the standard
+    product-analytics retention triangle, on integer epoch-day
+    arithmetic (exact in both engines).
+
+    Shape at 100 TB: activity dedups to (user, day) with map-side
+    partial aggregation, first-day is one groupBy on user_id, and the
+    join back is user-keyed — the cohort matrix itself is tiny
+    (weeks x offsets), so the final aggregate collapses fast. No
+    per-cohort re-scan of raw events."""
+    ev = t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    weeks = act.join(firsts, "user_id").select(
+        "user_id",
+        F.expr("d0 div 7").alias("cohort_week"),
+        F.expr("(day - d0) div 7").alias("week_offset"),
+    )
+    return weeks.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@query(
+    "events_gap_fill",
+    f"""
+    WITH act AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, epoch_us(ts) // {_DAY_US}),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      FROM act GROUP BY user_id),
+    days AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span)
+    SELECT d.user_id, d.day,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap_filled
+    FROM days d LEFT JOIN act a ON a.user_id = d.user_id AND a.day = d.day
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap filling: densify each user's activity to one row
+    per day between their first and last active day, zero-filling the
+    silent days (the TimescaleDB ``time_bucket_gapfill`` shape).
+
+    Shape at 100 TB: the generated day spine explodes BOUNDED per-user
+    ranges (span, not corpus, drives the blowup), and the fill join is
+    a (user, day) equi-join between two frames already aggregated from
+    one scan — partial aggregation map-side, one shuffle each, never a
+    calendar cross join."""
+    ev = t(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = act.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    return days.join(act, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("gap_filled"),
+    )

@@ -366,3 +366,37 @@ def test_split_assign_negative_and_huge_ids(spark):
     again = {r["id"]: r["split"] for r in split_assign(df, "id").collect()}
     for r in rows:
         assert again[r["id"]] == r["split"]
+
+
+def test_gap_fill_spans_are_contiguous(spark, sf_dir):
+    from spark_data_test_spark.operators.temporal import events_gap_fill
+
+    rows = events_gap_fill(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user_rows in by_user.values():
+        days = sorted(r["day"] for r in user_rows)
+        # dense: exactly one row per day in [min, max]
+        assert days == list(range(days[0], days[-1] + 1))
+        for r in user_rows:
+            # filled days have zero events; active days at least one
+            assert (r["n_events"] == 0) == (r["gap_filled"] == 1)
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    from spark_data_test_spark.operators.relational import t as _t
+    from spark_data_test_spark.operators.temporal import events_retention_cohorts
+
+    rows = events_retention_cohorts(spark, sf_dir).collect()
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    # week 0 contains every cohort member exactly once
+    week0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    assert week0 == n_users
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # retention never exceeds the cohort's week-0 size
+    size0 = {
+        r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["n_users"] <= size0[r["cohort_week"]]
