@@ -113,6 +113,12 @@ _DRIVER_PRIORITY = [
     "events_retention_cohorts",
     "events_gap_fill",
     "orders_market_basket",
+    "events_scd2_history",
+    "events_attribution_last_touch",
+    "orders_rfm_segments",
+    "parts_abc_pareto",
+    "corpus_shard_assignment",
+    "sample_token_budget",
 ]
 
 

@@ -6,6 +6,7 @@ broadcast dimensions).
 """
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import cents, query, t
 
@@ -499,6 +500,173 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+_RFM_ANCHOR = "2001-09-01 00:00:00"  # analysis date, just past max(o_orderdate)
+_RFM_DAY_US = 86_400_000_000
+
+
+@query(
+    "orders_rfm_segments",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             (epoch_us(TIMESTAMP '{_RFM_ANCHOR}') - epoch_us(MAX(o_orderdate)))
+               // {_RFM_DAY_US} AS r_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT CASE WHEN r_days <= 180 THEN 4 WHEN r_days <= 365 THEN 3
+                  WHEN r_days <= 730 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN freq >= 15 THEN 4 WHEN freq >= 10 THEN 3
+                  WHEN freq >= 5 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN m_cents >= 400000000 THEN 4
+                  WHEN m_cents >= 250000000 THEN 3
+                  WHEN m_cents >= 100000000 THEN 2 ELSE 1 END AS m_score,
+             m_cents
+      FROM per_cust)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(SUM(m_cents) AS BIGINT) AS m_cents_total
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency (days since last
+    order at a fixed anchor date), frequency (order count), and
+    monetary (lifetime cents), each banded 1-4 against FIXED business
+    thresholds, then the segment grid is aggregated.
+
+    Fixed bands instead of ntile-quartiles is a scale decision, not a
+    shortcut: a global ntile needs a total order over all customers
+    (single-partition window — the classic driver-killer), while fixed
+    thresholds keep the whole query two map-side-combinable hash
+    aggregates (customer, then the <= 64-cell segment grid) with zero
+    sorts. Recency arithmetic is integer epoch-microsecond floor
+    division, monetary is integer cents — both engines agree
+    bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            f"(unix_micros(timestamp'{_RFM_ANCHOR}') - unix_micros(max(o_orderdate)))"
+            f" div {_RFM_DAY_US}"
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents(F.col("o_totalprice"))).alias("m_cents"),
+    )
+    band = lambda c, b4, b3, b2: (
+        F.when(c >= b4, 4).when(c >= b3, 3).when(c >= b2, 2).otherwise(1)
+    )
+    scored = per_cust.select(
+        F.when(F.col("r_days") <= 180, 4)
+        .when(F.col("r_days") <= 365, 3)
+        .when(F.col("r_days") <= 730, 2)
+        .otherwise(1)
+        .alias("r_score"),
+        band(F.col("freq"), 15, 10, 5).alias("f_score"),
+        band(F.col("m_cents"), 400_000_000, 250_000_000, 100_000_000).alias(
+            "m_score"
+        ),
+        "m_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m_cents").alias("m_cents_total"),
+    )
+
+
+_ABC_BUCKET_CENTS = 1 << 20  # ~$10.5k revenue per distribution bucket
+
+
+@query(
+    "parts_abc_pareto",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS r
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS total FROM rev),
+    ranked AS (
+      SELECT pk, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, pk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM rev)
+    SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS revenue_cents
+    FROM ranked, tot
+    GROUP BY 1
+    """,
+)
+def parts_abc_pareto(spark, sf_dir):
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A while the running (inclusive) revenue share is <= 80%, B to
+    95%, C after — with the global running sum computed WITHOUT a
+    single-partition window.
+
+    Two-phase distributed cumsum: per-part revenue is range-bucketed by
+    magnitude (``r div 2^20``; a few hundred buckets regardless of
+    part count since per-part revenue doesn't grow with sf), the
+    per-bucket totals make a tiny frame whose descending prefix sums
+    broadcast back, and each part's global cum = its bucket's prefix +
+    an intra-bucket running sum (window partitioned BY BUCKET — bounded
+    partitions, no global sort). Share thresholds are exact integer
+    cross-multiplications; ties order by (revenue desc, partkey) in
+    both phases. The DuckDB oracle is the textbook single global window
+    — an independent formulation, so the hash-match validates the
+    two-phase decomposition itself."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("r")
+    ).withColumn("bkt", F.expr(f"r div {_ABC_BUCKET_CENTS}"))
+    tot = rev.agg(F.sum("r").alias("total"))
+    # tiny frame: one row per occupied revenue bucket; prefix = total of
+    # all strictly-higher buckets (descending order)
+    bkt_prefix = (
+        rev.groupBy("bkt")
+        .agg(F.sum("r").alias("bsum"))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("bsum").over(
+                    Window.orderBy(F.col("bkt").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "prefix")
+    )
+    w_intra = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("r").desc(), "pk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        rev.join(F.broadcast(bkt_prefix), "bkt")
+        .withColumn("cum", F.col("prefix") + F.sum("r").over(w_intra))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        ranked.select(
+            F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+            .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "r",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").alias("revenue_cents"),
         )
     )
 

@@ -215,6 +215,118 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+_N_SHARDS = 8  # 1000 hash buckets / 8 = 125 per shard, exactly even
+_ORD_SHIFT = 1 << 40  # order key = bucket * 2^40 + doc_id (doc_id < 2^40)
+
+
+@query(
+    "corpus_shard_assignment",
+    f"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             {_bucket_sql("doc_id", salt=31)} // {1000 // _N_SHARDS} AS shard_id,
+             {_bucket_sql("doc_id", salt=47)} * {_ORD_SHIFT} + doc_id AS ok
+      FROM documents)
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(MIN(ok) % {_ORD_SHIFT} AS BIGINT) AS head_doc,
+           CAST(MAX(ok) % {_ORD_SHIFT} AS BIGINT) AS tail_doc
+    FROM sharded GROUP BY shard_id
+    """,
+)
+def corpus_shard_assignment(spark, sf_dir):
+    """Training-shard assignment: every document lands in one of
+    ``_N_SHARDS`` shards by stable hash (even 125-bucket ranges of the
+    [0,1000) hash space) and gets a deterministic intra-shard order from
+    a SECOND independent hash (salt 47) — the global-shuffle step of a
+    training pipeline, with membership and order both pure functions of
+    doc_id (resumable, replayable, cluster-size-independent, no
+    ``rand()``/``repartition`` nondeterminism).
+
+    The report pins composition AND ordering: head/tail docs come from
+    min/max over the packed order key ``bucket * 2^40 + doc_id``
+    (injective while doc_id < 2^40), so any engine that orders a shard
+    differently hash-mismatches. One map-side-combinable aggregate over
+    a scan — zero shuffles beyond the 8-row grid."""
+    d = t(spark, sf_dir, "documents")
+    ok = _hash_bucket(F.col("doc_id"), salt=47) * _ORD_SHIFT + F.col("doc_id")
+    sharded = d.select(
+        "n_chars",
+        # _bucket_sql's ((x % p) + p) % p arithmetic is engine-neutral
+        # (sign-preserving % in both Spark and DuckDB), so the same
+        # string works as a Spark expression
+        F.expr(f"({_bucket_sql('doc_id', salt=31)}) div {1000 // _N_SHARDS}").alias(
+            "shard_id"
+        ),
+        ok.alias("ok"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        (F.min("ok") % _ORD_SHIFT).alias("head_doc"),
+        (F.max("ok") % _ORD_SHIFT).alias("tail_doc"),
+    )
+
+
+_TOK_BUDGET = 800  # tokens per source
+
+
+@query(
+    "sample_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
+               AS n_tok,
+             {_bucket_sql("doc_id", salt=53)} AS ob
+      FROM documents),
+    cum AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY ob, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM toks)
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+    FROM cum WHERE c - n_tok < {_TOK_BUDGET}
+    GROUP BY source
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget sampling: each source contributes documents — in
+    deterministic hash order, so the selection is a stable "random"
+    sample — until its cumulative token count reaches the budget (the
+    straddling document is kept: greedy next-fit, same boundary rule as
+    ``pack_sequences``). This is how pretraining mixes cap low-value
+    domains by token count rather than document count.
+
+    One window cumsum partitioned by source (single shuffle); the kept
+    set is a prefix in hash order, so re-running with a bigger budget
+    EXTENDS the sample instead of reshuffling it — the property that
+    makes dataset ablations comparable."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_hash_bucket(F.col("doc_id"), salt=53), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "c", F.sum("n_tok").over(w)
+    )
+    return (
+        cum.where(F.col("c") - F.col("n_tok") < _TOK_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("tok_kept"),
+        )
+    )
+
+
 _EVAL_K = 5
 
 

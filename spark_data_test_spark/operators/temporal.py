@@ -647,6 +647,110 @@ def events_retention_cohorts(spark, sf_dir):
 
 
 @query(
+    "events_scd2_history",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tsn, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, tsn, event_id FROM seq
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           tsn AS valid_from_us,
+           LEAD(tsn) OVER (
+             PARTITION BY user_id ORDER BY tsn, event_id) AS valid_to_us,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY tsn, event_id) AS version
+    FROM chg
+    """,
+)
+def events_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event stream into attribute VERSIONS — one row per change of
+    ``event_type``, with [valid_from, valid_to) validity (open-ended
+    for the current version) and a per-user version number. The
+    warehouse pattern for turning a CDC/event feed into a queryable
+    dimension history (``FROM dim WHERE ts >= valid_from AND ts <
+    valid_to``).
+
+    Shape at 100 TB: both windows partition on user_id, so the whole
+    build is ONE hash shuffle + per-user sort; the change filter between
+    them is partition-local (Spark reuses the sort order — no second
+    exchange). Change detection uses null-safe inequality so the first
+    event of a user always opens version 1. Ties on ts break by
+    event_id in every window, making versions and validity bounds
+    bit-deterministic."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tsn"),
+        "event_id",
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w_seq)).where(
+        ~F.col("prev").eqNullSafe(F.col("event_type"))
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("tsn").alias("valid_from_us"),
+        F.lead("tsn").over(w_ver).alias("valid_to_us"),
+        F.row_number().over(w_ver).alias("version"),
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+      FROM events)
+    SELECT COALESCE(channel, '(none)') AS channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, '(none)')
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent non-purchase event type at-or-before it
+    (purchases with no preceding touch land in '(none)'), then the
+    attribution report aggregates conversions and value per channel.
+
+    The carry-forward is ``last(channel, ignorenulls=True)`` over a
+    running per-user frame — the same single-shuffle union-merge shape
+    as the as-of join above (attribution IS an as-of join of purchases
+    against touches, fused into one stream instead of two). One hash
+    shuffle on user_id, partial aggregation on the tiny channel
+    dimension after; value sums ride integer cents."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return (
+        ev.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+
+
+@query(
     "events_gap_fill",
     f"""
     WITH act AS (
