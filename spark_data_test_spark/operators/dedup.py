@@ -191,13 +191,18 @@ def _cached_gid_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     return _GID_PAIRS_CACHE.get_or_create(
         key,
+        # localCheckpoint (as in the simhash fingerprint cache): the
+        # minhash+banding lineage re-analyzes on the driver for every
+        # downstream consumer; truncating it to a leaf collapses that
+        # to a scan. Eager materialization is free — the frame was
+        # persisted-by-design anyway.
         lambda: _band_pairs(
             _minhash(
                 _cached_shingles(spark, sf_dir).withColumnRenamed("gid", "doc_id")
             )
         )
         .select(F.col("doc_a").alias("gid_a"), F.col("doc_b").alias("gid_b"))
-        .persist(),
+        .localCheckpoint(eager=True),
     )
 
 
@@ -585,10 +590,21 @@ def dedup_simhash_pairs(spark, sf_dir):
             (bit(p) * (1 << (p - 32)) for p in range(32, _SP_BITS)),
             F.lit(0).cast("long"),
         )
+        # localCheckpoint, not persist: the fingerprint lineage carries
+        # 64 SUM aggregates plus two 32-term packing trees, and every
+        # downstream consumer (banding, two verify joins, membership)
+        # re-ANALYZES that tree on the driver — measured ~6 s of pure
+        # plan-building per cold call at sf0.1. Checkpointing truncates
+        # the logical plan to a leaf scan, collapsing analysis to
+        # milliseconds; the frame is already cached-by-design, so the
+        # eager materialization costs nothing extra. (On a cluster,
+        # lost-executor recompute of a localCheckpoint is the usual
+        # caveat — this frame is one narrow row per distinct text and
+        # rebuilding it is exactly the cached path we'd rerun anyway.)
         return (
             sums.crossJoin(F.broadcast(totals))
             .select("gid", lo.alias("lo"), hi.alias("hi"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -890,8 +906,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     # shape (distinct on all pairs, then two joins attaching arrays to
     # every pair row) shuffled 64-element arrays per CANDIDATE —
     # measured 100 s vs ~21 s at the x10-amplified scale (n=20000).
+    # localCheckpoint: the payload lineage is the k-means scoring
+    # crossJoin + assignment window; both self-join sides re-analyze it
+    # otherwise (same driver-side cost as the simhash fingerprints)
     payload = _EMB_PAYLOAD_CACHE.get_or_create(
-        key, lambda: assign.join(reps, "vec_id").persist()
+        key, lambda: assign.join(reps, "vec_id").localCheckpoint(eager=True)
     )
     a = payload.select(
         F.col("vec_id").alias("gid_a"),
