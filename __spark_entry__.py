@@ -119,6 +119,8 @@ _DRIVER_PRIORITY = [
     "parts_abc_pareto",
     "corpus_shard_assignment",
     "sample_token_budget",
+    "text_tfidf_topk",
+    "events_anomaly_daily",
 ]
 
 

@@ -793,3 +793,63 @@ def events_gap_fill(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("gap_filled"),
     )
+
+
+@query(
+    "events_anomaly_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type, epoch_us(ts) // {_DAY_US}),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n_events,
+           CAST(CASE WHEN
+               CAST(st.n * d.n_events - st.s AS DOUBLE)
+                 * CAST(st.n * d.n_events - st.s AS DOUBLE)
+               > 9.0 * CAST(st.n * st.ss - st.s * st.s AS DOUBLE)
+             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM daily d JOIN stats st ON st.event_type = d.event_type
+    """,
+)
+def events_anomaly_daily(spark, sf_dir):
+    """Daily-volume anomaly detection: a day is anomalous for an event
+    type when its count sits more than 3 population standard deviations
+    from that type's mean — the monitoring primitive a pipeline runs
+    over ingest volumes to catch upstream breakage.
+
+    The z-test never materializes mean or sigma: |x - S/n| > 3*sigma is
+    cross-multiplied into (n*x - S)^2 > 9*(n*SS - S^2), where n/S/SS
+    are exact integer day-count/sum/sum-of-squares per type. The final
+    squares are compared as doubles purely for headroom (the operands
+    are integers; the comparison is the identical IEEE op tree in both
+    engines, hence bit-deterministic — exact while |n*x - S| < 2^26.5,
+    far above any real daily skew; go decimal(38) past that).
+
+    Shape at 100 TB: two map-side-combinable aggregates (events ->
+    (type, day), then (type)) and a broadcast-size stats join back —
+    the daily frame is bounded by types x days, never by event
+    volume."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    dev = (F.col("n") * F.col("n_events") - F.col("s")).cast("double")
+    spread = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(dev * dev > 9.0 * spread, 1).otherwise(0).cast("long").alias(
+            "is_anomaly"
+        ),
+    )

@@ -12,6 +12,7 @@ DuckDB); all divisions are single double ops on identical operands.
 """
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import query, t
 
@@ -535,4 +536,60 @@ def text_repetition_profile(spark, sf_dir):
         "doc_id",
         ratio("max_tok", "n_toks").alias("top_token_1e6"),
         ratio("max_bg", "n_bgs").alias("top_bigram_1e6"),
+    )
+
+
+_TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id, tok, tf, df, rank FROM (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.tok) AS rank
+      FROM tf t JOIN df d ON d.tok = t.tok)
+    WHERE rank <= {_TFIDF_K}
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Distinctive terms per document: the top-{_TFIDF_K} tokens by
+    tf/df — term frequency in the doc over document frequency in the
+    corpus, the rank-equivalent of tf-idf with raw (reciprocal-df) idf.
+    Logs are deliberately absent: ``ln`` is not bit-specified across
+    runtimes, while the double division ``tf/df`` of two small integers
+    is IEEE-exactly-rounded and identical in Spark and DuckDB, so the
+    per-doc ordering (tie-broken by token) is bit-deterministic; the
+    emitted columns themselves (tf, df, rank) are pure integers.
+
+    Shape at 100 TB: per-(doc, token) counts shuffle once on the
+    explode output with map-side partials; df aggregates FROM tf (no
+    second corpus scan); the df join is token-keyed (AQE broadcasts it
+    while the vocabulary head is small); the top-k window shuffles on
+    doc_id. No global sorts, no re-tokenization."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), "tok"
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "tok", "tf", "df", "rank")
     )

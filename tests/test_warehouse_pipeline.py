@@ -167,3 +167,53 @@ def test_token_budget_kept_set_is_hash_order_prefix(spark, sf_dir):
         for r in sampling.sample_token_budget(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_anomaly_daily_matches_bruteforce(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", F.unix_micros("ts").alias("us")).collect()
+    DAY = 86_400_000_000
+    daily = {}
+    for r in ev:
+        k = (r.event_type, r.us // DAY)
+        daily[k] = daily.get(k, 0) + 1
+    stats = {}
+    for (et, _), x in daily.items():
+        n, s, ss = stats.get(et, (0, 0, 0))
+        stats[et] = (n + 1, s + x, ss + x * x)
+    got = {
+        (r.event_type, r.day): (r.n_events, r.is_anomaly)
+        for r in temporal.events_anomaly_daily(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for (et, day), (n_ev, flag) in got.items():
+        assert n_ev == daily[(et, day)]
+        n, s, ss = stats[et]
+        want = 1 if float(n * n_ev - s) ** 2 > 9.0 * float(n * ss - s * s) else 0
+        assert flag == want
+
+
+def test_tfidf_topk_ranks_by_tf_over_df(spark, sf_dir):
+    from spark_data_test_spark.operators import text as text_ops
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf, df = {}, {}
+    for r in docs:
+        seen = {}
+        for tok in r.text.split(" "):
+            if tok:
+                seen[tok] = seen.get(tok, 0) + 1
+        for tok, c in seen.items():
+            tf[(r.doc_id, tok)] = c
+            df[tok] = df.get(tok, 0) + 1
+    got = {}
+    for r in text_ops.text_tfidf_topk(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in got.items():
+        rows.sort(key=lambda r: r.rank)
+        mine = sorted(
+            ((t_, c) for (d, t_), c in tf.items() if d == doc_id),
+            key=lambda kv: (-(kv[1] / df[kv[0]]), kv[0]),
+        )[: len(rows)]
+        assert [(r.tok, r.tf, r.df) for r in rows] == [
+            (t_, c, df[t_]) for t_, c in mine
+        ]
