@@ -121,6 +121,7 @@ _DRIVER_PRIORITY = [
     "sample_token_budget",
     "text_tfidf_topk",
     "events_anomaly_daily",
+    "similarity_cell_report",
 ]
 
 

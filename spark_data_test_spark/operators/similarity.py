@@ -529,3 +529,49 @@ def similarity_ann_recall_report(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "similarity_cell_report",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_final_assign_ctes()},
+    fassign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore)
+      WHERE rn = 1)
+    SELECT cell, COUNT(*) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec
+    FROM fassign GROUP BY cell
+    """,
+)
+def similarity_cell_report(spark, sf_dir):
+    """IVF index balance diagnostic: per trained cell, how many vectors
+    landed in it (plus min/max member ids pinning the assignment) — the
+    health check a production ANN index ships with, since one
+    overloaded cell turns every probe touching it into a partial scan.
+    Empty cells drop out (inner semantics), matching the trained state.
+
+    Reuses the deterministic k-means (`train_ivf_centroids`) and the
+    same argmax-cosine assignment as `similarity_ivf_ann`; the report
+    itself is one map-side-combinable aggregate over the assignment —
+    ~sqrt(n) rows out."""
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+    assign = (
+        _score_against_cents(emb, cents)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    return assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )

@@ -217,3 +217,15 @@ def test_tfidf_topk_ranks_by_tf_over_df(spark, sf_dir):
         assert [(r.tok, r.tf, r.df) for r in rows] == [
             (t_, c, df[t_]) for t_, c in mine
         ]
+
+
+def test_similarity_cell_report_covers_all_vectors(spark, sf_dir):
+    from spark_data_test_spark.operators import similarity
+
+    n = t(spark, sf_dir, "embeddings").count()
+    cents = {r.cent_id for r in similarity.train_ivf_centroids(spark, sf_dir).collect()}
+    rows = similarity.similarity_cell_report(spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in rows) == n  # every vector in exactly one cell
+    assert {r.cell for r in rows} <= cents  # cells are trained centroids
+    for r in rows:
+        assert r.min_vec <= r.max_vec and r.n_vectors >= 1
