@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = [
     "text_tfidf_topk",
     "events_anomaly_daily",
     "similarity_cell_report",
+    "sink_partition_pruned_read",
 ]
 
 

@@ -255,3 +255,43 @@ def source_xml_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("r.value_cents")).alias("value_cents"),
     )
+
+
+_PRUNE_DAY_US = 86_400_000_000
+_PRUNE_DAYS = (19723, 19724, 19725)  # 2024-01-01..03 as epoch days
+
+
+@query(
+    "sink_partition_pruned_read",
+    f"""
+    SELECT epoch_us(ts) // {_PRUNE_DAY_US} AS day, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE epoch_us(ts) // {_PRUNE_DAY_US} IN {_PRUNE_DAYS}
+    GROUP BY 1, 2
+    """,
+)
+def sink_partition_pruned_read(spark, sf_dir):
+    """Hive-partitioned sink + PRUNED read: events land in day=<epoch
+    day> directories, and the read-back filters to three days — the
+    filter must resolve at PLANNING time against directory names
+    (PartitionFilters in the scan, pinned by tests/test_sink_partitions.py),
+    so a 100 TB history scan touches only the requested days' files.
+    The oracle aggregates the ORIGINAL table under the same predicate:
+    the hash-match proves the partitioned round trip is lossless AND
+    the pruned read returns exactly the full-scan answer."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_daypart/{digest}/events"
+    ev = t(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) div {_PRUNE_DAY_US}").alias("day"),
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).where(F.col("day").isin(*_PRUNE_DAYS))
+    return back.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )

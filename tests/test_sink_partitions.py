@@ -59,3 +59,31 @@ def test_default_leaves_partitioning_alone(spark, sf_dir, tmp_path):
         assert len(_data_files(out)) == 3
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_pruned_read_has_partition_filters_and_prunes_files(spark, sf_dir):
+    """The day filter must resolve against hive partition directories at
+    planning time (PartitionFilters), not as a post-scan row filter."""
+    from spark_data_test_spark.plans.audit import formatted_plan
+    from spark_data_test_spark.sources import readers
+
+    df = readers.sink_partition_pruned_read(spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, "scan lost its PartitionFilters"
+    assert any("day" in l for l in scan_lines)
+    # and the answer over the pruned files equals the direct computation
+    direct = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.expr(f"unix_micros(ts) div {readers._PRUNE_DAY_US}").alias("day"),
+            "event_type",
+            "value",
+        )
+        .where(F.col("day").isin(*readers._PRUNE_DAYS))
+        .groupBy("day", "event_type")
+        .count()
+    )
+    got = {(r.day, r.event_type): r.cnt for r in df.collect()}
+    want = {(r.day, r.event_type): r["count"] for r in direct.collect()}
+    assert got == want
