@@ -41,7 +41,7 @@ from spark_data_test_spark.operators.similarity import (
     _final_assign_ctes,
     _kmeans_ctes,
 )
-from spark_data_test_spark.utils.spark_utils import FrameCache
+from spark_data_test_spark.utils.spark_utils import FrameCache, checkpointed
 
 _N_HASHES = 12
 _BANDS = 4  # rows-per-band = 3
@@ -196,13 +196,15 @@ def _cached_gid_pairs(spark, sf_dir):
         # downstream consumer; truncating it to a leaf collapses that
         # to a scan. Eager materialization is free — the frame was
         # persisted-by-design anyway.
-        lambda: _band_pairs(
-            _minhash(
-                _cached_shingles(spark, sf_dir).withColumnRenamed("gid", "doc_id")
-            )
-        )
-        .select(F.col("doc_a").alias("gid_a"), F.col("doc_b").alias("gid_b"))
-        .localCheckpoint(eager=True),
+        lambda: checkpointed(
+            _band_pairs(
+                _minhash(
+                    _cached_shingles(spark, sf_dir).withColumnRenamed(
+                        "gid", "doc_id"
+                    )
+                )
+            ).select(F.col("doc_a").alias("gid_a"), F.col("doc_b").alias("gid_b"))
+        ),
     )
 
 
@@ -601,10 +603,9 @@ def dedup_simhash_pairs(spark, sf_dir):
         # lost-executor recompute of a localCheckpoint is the usual
         # caveat — this frame is one narrow row per distinct text and
         # rebuilding it is exactly the cached path we'd rerun anyway.)
-        return (
+        return checkpointed(
             sums.crossJoin(F.broadcast(totals))
             .select("gid", lo.alias("lo"), hi.alias("hi"))
-            .localCheckpoint(eager=True)
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -910,7 +911,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # crossJoin + assignment window; both self-join sides re-analyze it
     # otherwise (same driver-side cost as the simhash fingerprints)
     payload = _EMB_PAYLOAD_CACHE.get_or_create(
-        key, lambda: assign.join(reps, "vec_id").localCheckpoint(eager=True)
+        key, lambda: checkpointed(assign.join(reps, "vec_id"))
     )
     a = payload.select(
         F.col("vec_id").alias("gid_a"),

@@ -36,6 +36,19 @@ _KNUTH = 2654435761  # 2^32 * golden-ratio conjugate
 _HASH_PRIME = 1_000_003  # pre-multiply reduction keeps the product < 2^52
 _PACK_BUDGET = 2048  # tokens per packed sequence
 
+# whitespace token count, (spaces after trim) + 1 — ONE definition
+# shared by pack_sequences and sample_token_budget in both engines, so
+# a tokenization change can never desynchronize the two queries
+_N_TOK_SQL = "(length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1"
+
+
+def _n_tok_col():
+    return (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+
 
 def _hash_bucket(col, salt=0):
     """Deterministic bucket in [0, 1000) from ANY int64 id.
@@ -173,9 +186,7 @@ def mix_weighted_sources(spark, sf_dir):
     "pack_sequences",
     f"""
     WITH toks AS (
-      SELECT doc_id, lang,
-             (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
-               AS n_tok
+      SELECT doc_id, lang, {_N_TOK_SQL} AS n_tok
       FROM documents),
     packed AS (
       SELECT lang, n_tok,
@@ -197,13 +208,8 @@ def pack_sequences(spark, sf_dir):
     global sort by size). Returns per-bin composition for inspection.
     """
     d = t(spark, sf_dir, "documents")
-    n_tok = (
-        F.length(F.trim(F.col("text")))
-        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
-        + 1
-    )
     packed = pack_bins(
-        d.select("doc_id", "lang", n_tok.alias("n_tok")),
+        d.select("doc_id", "lang", _n_tok_col().alias("n_tok")),
         partition_cols=["lang"],
         order_col="doc_id",
         size_col="n_tok",
@@ -275,9 +281,7 @@ _TOK_BUDGET = 800  # tokens per source
     "sample_token_budget",
     f"""
     WITH toks AS (
-      SELECT doc_id, source,
-             (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
-               AS n_tok,
+      SELECT doc_id, source, {_N_TOK_SQL} AS n_tok,
              {_bucket_sql("doc_id", salt=53)} AS ob
       FROM documents),
     cum AS (
@@ -304,17 +308,12 @@ def sample_token_budget(spark, sf_dir):
     EXTENDS the sample instead of reshuffling it — the property that
     makes dataset ablations comparable."""
     d = t(spark, sf_dir, "documents")
-    n_tok = (
-        F.length(F.trim(F.col("text")))
-        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
-        + 1
-    )
     w = (
         Window.partitionBy("source")
         .orderBy(_hash_bucket(F.col("doc_id"), salt=53), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+    cum = d.select("doc_id", "source", _n_tok_col().alias("n_tok")).withColumn(
         "c", F.sum("n_tok").over(w)
     )
     return (

@@ -563,13 +563,9 @@ def similarity_cell_report(spark, sf_dir):
     ~sqrt(n) rows out."""
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    assign = (
-        _score_against_cents(emb, cents)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    # nprobe=1 IS the argmax assignment — same helper, same tie-break
+    # as similarity_ivf_ann's fassign
+    assign = _assign_cells(emb, cents, nprobe=1)
     return assign.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec"),

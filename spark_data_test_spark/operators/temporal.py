@@ -656,7 +656,7 @@ def events_retention_cohorts(spark, sf_dir):
       FROM events),
     chg AS (
       SELECT user_id, event_type, tsn, event_id FROM seq
-      WHERE prev IS NULL OR prev <> event_type)
+      WHERE prev IS DISTINCT FROM event_type)
     SELECT user_id, event_type,
            tsn AS valid_from_us,
            LEAD(tsn) OVER (
@@ -678,8 +678,9 @@ def events_scd2_history(spark, sf_dir):
     Shape at 100 TB: both windows partition on user_id, so the whole
     build is ONE hash shuffle + per-user sort; the change filter between
     them is partition-local (Spark reuses the sort order — no second
-    exchange). Change detection uses null-safe inequality so the first
-    event of a user always opens version 1. Ties on ts break by
+    exchange). Change detection is null-safe in both engines (eqNullSafe
+    / IS DISTINCT FROM), so a non-null first event opens version 1 and
+    NULL transitions like any other value. Ties on ts break by
     event_id in every window, making versions and validity bounds
     bit-deterministic."""
     ev = t(spark, sf_dir, "events").select(
@@ -688,17 +689,23 @@ def events_scd2_history(spark, sf_dir):
         F.unix_micros("ts").alias("tsn"),
         "event_id",
     )
-    w_seq = Window.partitionBy("user_id").orderBy("tsn", "event_id")
-    chg = ev.withColumn("prev", F.lag("event_type").over(w_seq)).where(
+    # one window spec for change detection AND versioning (same
+    # partition + order, so no second exchange); change detection is
+    # null-safe on BOTH engines (eqNullSafe here, IS DISTINCT FROM in
+    # the oracle) so a NULL attribute value transitions like any other
+    # value — except a leading NULL run, which is indistinguishable
+    # from "no previous row" under null-safe equality and opens no
+    # version (identically in both engines)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w)).where(
         ~F.col("prev").eqNullSafe(F.col("event_type"))
     )
-    w_ver = Window.partitionBy("user_id").orderBy("tsn", "event_id")
     return chg.select(
         "user_id",
         "event_type",
         F.col("tsn").alias("valid_from_us"),
-        F.lead("tsn").over(w_ver).alias("valid_to_us"),
-        F.row_number().over(w_ver).alias("version"),
+        F.lead("tsn").over(w).alias("valid_to_us"),
+        F.row_number().over(w).alias("version"),
     )
 
 

@@ -42,6 +42,40 @@ def local_df(spark, rows, schema):
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def checkpointed(df):
+    """``localCheckpoint(eager=True)`` that stays releasable.
+
+    Checkpointing truncates a wide logical lineage to a leaf scan
+    (downstream consumers stop re-analyzing the build tree on the
+    driver), but ``DataFrame.unpersist()`` does NOT free a checkpoint's
+    storage blocks — only the internal checkpointed RDD's ``unpersist``
+    does, and by default nothing holds a handle to it, so evicted
+    frames would pin executor storage until driver GC. This helper
+    grabs that RDD (from the LogicalRDD plan the checkpoint produces)
+    and stashes it on the DataFrame for `release_frame`."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        ck._spark_graft_ckpt_rdd = ck._jdf.queryExecution().logical().rdd()
+    except Exception:
+        ck._spark_graft_ckpt_rdd = None  # internal API moved: GC fallback
+    return ck
+
+
+def release_frame(df):
+    """Release a frame produced by ``persist`` OR `checkpointed` —
+    the default FrameCache release callback."""
+    jrdd = getattr(df, "_spark_graft_ckpt_rdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 class FrameCache:
     """Bounded keyed memo of persisted DataFrames, shared by the engine
     and the dedup pipeline. Eviction is LRU (a cache hit refreshes the
@@ -61,7 +95,7 @@ class FrameCache:
 
         self._store = {}
         self._max = max_entries
-        self._release = release or (lambda df: df.unpersist())
+        self._release = release or release_frame
         self._lock = threading.Lock()
 
     def _safe_release(self, value):

@@ -147,7 +147,9 @@ def test_shard_assignment_membership_and_order_pins(spark, sf_dir):
 
 def test_token_budget_kept_set_is_hash_order_prefix(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
-    n_tok = lambda text: len(text.split())
+    # replay the query's exact formula — (spaces after trim) + 1 — not
+    # split(), which disagrees on empty text or runs of whitespace
+    n_tok = lambda text: text.strip().count(" ") + 1
     want = {}
     by_src = {}
     for r in docs:
