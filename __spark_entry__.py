@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     "events_anomaly_daily",
     "similarity_cell_report",
     "sink_partition_pruned_read",
+    "multimodal_frame_sample",
 ]
 
 
@@ -174,6 +175,7 @@ def _registry():
         "spark_data_test_spark.operators.multimodal": {
             "multimodal_binary_features",
             "multimodal_decode_stub",
+            "multimodal_frame_sample",
         },
         "spark_data_test_spark.operators.udtf_ops": {"udtf_chunk_documents"},
         "spark_data_test_spark.streaming.windows": {

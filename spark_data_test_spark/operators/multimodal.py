@@ -164,3 +164,52 @@ def multimodal_decode_stub(spark, sf_dir):
     (Arrow batches) -> deterministic fake features, oracle-checked
     because Python md5 == SQL md5 over the same bytes."""
     return decode_features(to_binary_table(spark, sf_dir))
+
+
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) >= {_FRAME_BYTES}),
+    counts AS (
+      SELECT doc_id, text,
+             ((GREATEST(n - {_FRAME_BYTES - 1}, 1) - 1) // {_FRAME_BYTES}) + 1
+               AS n_offsets
+      FROM lens),
+    frames AS (
+      SELECT doc_id, text, unnest(generate_series(0, (n_offsets - 1) // {_FRAME_STRIDE})) AS k
+      FROM counts)
+    SELECT doc_id, CAST(k AS INTEGER) AS frame_no,
+           CAST(1 + {_FRAME_BYTES * _FRAME_STRIDE} * k AS BIGINT) AS "offset",
+           md5(substr(text, CAST(1 + {_FRAME_BYTES * _FRAME_STRIDE} * k AS INTEGER), {_FRAME_BYTES}))
+             AS frame_md5
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """"Video" frame sampling as a driver query: each blob is sliced
+    into fixed {_FRAME_BYTES}-byte frames and every {_FRAME_STRIDE}-th
+    frame is kept (`frame_sample` — JVM-side posexplode of a computed
+    offset sequence, no Python). Frames are emitted as md5 digests so
+    the cross-engine compare works on a portable value; the oracle
+    re-derives the same byte slices from the text (the corpus is ASCII,
+    so byte offsets equal character offsets — asserted against
+    octet_length) and must reproduce every (doc, frame_no, offset,
+    digest) tuple.
+
+    Shape at 100 TB: a narrow scan-side transform — filter + explode +
+    substring — no shuffle at all before any downstream aggregation;
+    exactly how frame extraction fans out of a media lake."""
+    b = to_binary_table(spark, sf_dir)
+    fs = frame_sample(b, frame_bytes=_FRAME_BYTES, stride=_FRAME_STRIDE)
+    return fs.select(
+        "doc_id",
+        "frame_no",
+        F.col("offset").cast("long").alias("offset"),
+        F.md5("frame").alias("frame_md5"),
+    )

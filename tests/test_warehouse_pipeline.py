@@ -231,3 +231,25 @@ def test_similarity_cell_report_covers_all_vectors(spark, sf_dir):
     assert {r.cell for r in rows} <= cents  # cells are trained centroids
     for r in rows:
         assert r.min_vec <= r.max_vec and r.n_vectors >= 1
+
+
+def test_frame_sample_matches_python_slicing(spark, sf_dir):
+    from spark_data_test_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {}
+    fb, stride = mm._FRAME_BYTES, mm._FRAME_STRIDE
+    for r in docs:
+        raw = r.text.encode("utf-8")
+        if len(raw) < fb:
+            continue
+        offsets = list(range(1, max(len(raw) - fb + 1, 1) + 1, fb))
+        for frame_no, off in enumerate(offsets[::stride]):
+            want[(r.doc_id, frame_no)] = (off, raw[off - 1 : off - 1 + fb])
+    got = {
+        (r.doc_id, r.frame_no): (r.offset, bytes(r.frame))
+        for r in mm.frame_sample(
+            mm.to_binary_table(spark, sf_dir), frame_bytes=fb, stride=stride
+        ).collect()
+    }
+    assert got == want
