@@ -46,6 +46,11 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "pack_sequences",
+    # round-3 warehouse/pipeline flagships
+    "events_scd2_history",
+    "orders_market_basket",
+    "parts_abc_pareto",
+    "text_tfidf_topk",
 ]
 
 
