@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import query, t
+from spark_data_test_spark.utils.spark_utils import local_df
 
 _DIM = 64
 _NQ = 8  # query vectors: vec_id < 8
@@ -183,8 +184,8 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS):
     memo = _CENTROID_MEMO.get(sf_dir)
     if memo is None:
         # persisted for the duration of training: seeds + every Lloyd
-        # round re-consume the quantized vectors (5+ actions); at scale
-        # this is the standard iterate-over-cached-features shape
+        # round re-consume the quantized vectors; at scale this is the
+        # standard iterate-over-cached-features shape
         emb = _int_embeddings(spark, sf_dir).persist()
         n = emb.count()
         ncells = int(math.ceil(math.sqrt(n)))
@@ -202,9 +203,17 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS):
                 F.col("n2").alias("cn2"),
             )
         )
-        rows, schema = seeds.collect(), seeds.schema
+        # Lloyd rounds CHAIN LAZILY: each round's centroid frame is the
+        # (unmaterialized) aggregate of the previous one, broadcast into
+        # the next scoring pass, and ONE collect at the end runs the
+        # whole chain — 2 driver sync points (count + final collect)
+        # instead of 2 + rounds. Identical arithmetic and results to the
+        # per-round-collect formulation (the oracle CTE chain is exactly
+        # this lazy composition); fewer barriers is what a 1000-executor
+        # cluster wants. emb stays persisted, so each chained round
+        # re-reads the cached vectors, not storage.
+        cents = seeds
         for _ in range(rounds):
-            cents = spark.createDataFrame(rows, schema)
             # Lloyd round in TWO map-side-combinable aggregations (the
             # window-argmax + join + posexplode formulation shuffled
             # n*ncells assignment rows plus 64n exploded elements per
@@ -247,11 +256,12 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS):
                 "cn2",
                 F.expr("aggregate(ce, cast(0 as bigint), (acc, x) -> acc + x * x)"),
             )
-            rows = newc.collect()
+            cents = newc
+        rows, schema = cents.collect(), seeds.schema
         emb.unpersist()
         _CENTROID_MEMO[sf_dir] = memo = (rows, schema)
     rows, schema = memo
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 @query(
