@@ -689,22 +689,38 @@ def events_scd2_history(spark, sf_dir):
         F.unix_micros("ts").alias("tsn"),
         "event_id",
     )
-    # one window spec for change detection AND versioning (same
-    # partition + order, so no second exchange); change detection is
-    # null-safe on BOTH engines (eqNullSafe here, IS DISTINCT FROM in
-    # the oracle) so a NULL attribute value transitions like any other
-    # value — except a leading NULL run, which is indistinguishable
-    # from "no previous row" under null-safe equality and opens no
-    # version (identically in both engines)
-    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
-    chg = ev.withColumn("prev", F.lag("event_type").over(w)).where(
-        ~F.col("prev").eqNullSafe(F.col("event_type"))
-    )
-    return chg.select(
+    return scd2_build(
+        ev, key="user_id", attr="event_type", ts="tsn", tie="event_id"
+    ).select(
         "user_id",
         "event_type",
         F.col("tsn").alias("valid_from_us"),
-        F.lead("tsn").over(w).alias("valid_to_us"),
+        "valid_to_us",
+        "version",
+    )
+
+
+def scd2_build(df, key, attr, ts, tie):
+    """Library operator: SCD type-2 versions of ``attr`` per ``key``.
+
+    Emits one row per null-safe change of ``attr`` in (ts, tie) order,
+    with ``valid_to_us`` = the next change's ``ts`` (NULL for the open
+    current version) and ``version`` = 1..k per key. One window spec
+    serves change detection AND versioning (same partition + order, so
+    no second exchange — a single key-hashed shuffle total). Change
+    detection is null-safe (eqNullSafe; IS DISTINCT FROM in oracles),
+    so a NULL attribute value transitions like any other value —
+    except a leading NULL run, which is indistinguishable from "no
+    previous row" under null-safe equality and opens no version.
+    ``tie`` must be unique within (key, ts) for bit-determinism.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    chg = df.withColumn("_prev", F.lag(attr).over(w)).where(
+        ~F.col("_prev").eqNullSafe(F.col(attr))
+    )
+    return chg.select(
+        *df.columns,
+        F.lead(ts).over(w).alias("valid_to_us"),
         F.row_number().over(w).alias("version"),
     )
 

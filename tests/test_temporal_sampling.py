@@ -400,3 +400,58 @@ def test_retention_cohort_invariants(spark, sf_dir):
     }
     for r in rows:
         assert r["n_users"] <= size0[r["cohort_week"]]
+
+
+@st.composite
+def _attr_stream(draw, max_rows=16):
+    n = draw(st.integers(0, max_rows))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(0, 2)),  # key
+                draw(st.sampled_from(["a", "b", None])),  # attr (incl NULL)
+                draw(st.integers(0, 30)),  # ts (collisions likely)
+                i,  # unique tie-break
+            )
+        )
+    return rows
+
+
+@given(rows=_attr_stream())
+@_prop_settings
+def test_scd2_build_property_nullsafe_runs(spark, rows):
+    from spark_data_test_spark.operators.temporal import scd2_build
+
+    df = spark.createDataFrame(
+        rows or [(0, "a", 0, 0)][:0],
+        "key int, attr string, ts long, tie long",
+    )
+    got = {}
+    for r in scd2_build(df, key="key", attr="attr", ts="ts", tie="tie").collect():
+        got.setdefault(r.key, []).append(r)
+
+    # brute force: null-safe run-length encoding per key in (ts, tie) order
+    want = {}
+    for k in {r[0] for r in rows}:
+        seq = sorted((r for r in rows if r[0] == k), key=lambda r: (r[2], r[3]))
+        runs, prev, sentinel = [], object(), object()
+        prev = sentinel
+        for _, attr, ts, tie in seq:
+            if prev is sentinel or attr != prev:
+                runs.append((attr, ts, tie))
+            prev = attr
+        # leading NULL run: lag yields NULL == NULL null-safely -> no version
+        if runs and runs[0][0] is None:
+            runs = runs[1:]
+        if runs:
+            want[k] = runs
+
+    assert set(got) == set(want)
+    for k, vrows in got.items():
+        vrows.sort(key=lambda r: r.version)
+        assert [r.version for r in vrows] == list(range(1, len(vrows) + 1))
+        assert [(r.attr, r.ts) for r in vrows] == [(a, ts) for a, ts, _ in want[k]]
+        for a, b in zip(vrows, vrows[1:]):
+            assert a.valid_to_us == b.ts
+        assert vrows[-1].valid_to_us is None
