@@ -35,6 +35,7 @@ from spark_data_test_spark.operators.temporal import (
     asof_join,
     asof_join_split,
     range_join_binned,
+    scd2_build,
 )
 
 __all__ = [
@@ -54,6 +55,7 @@ __all__ = [
     "release_comparison_result",
     "run_comparison_job",
     "run_comparison_job_from_dfs",
+    "scd2_build",
     "split_assign",
     "write_results",
 ]
