@@ -124,6 +124,8 @@ _DRIVER_PRIORITY = [
     "similarity_cell_report",
     "sink_partition_pruned_read",
     "multimodal_frame_sample",
+    "dedup_cluster_size_stats",
+    "streaming_sliding_counts",
 ]
 
 
@@ -187,6 +189,7 @@ def _registry():
             "streaming_dedup",
             "streaming_foreachbatch_sink",
             "streaming_cdc_upsert",
+            "streaming_sliding_counts",
         },
     }
     forgivable = set()

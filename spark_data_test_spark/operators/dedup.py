@@ -1058,3 +1058,54 @@ def dedup_connected_components(spark, sf_dir):
             break
     edges.unpersist()
     return members.join(labels, "gid").select("doc_id", "component_id")
+
+
+@query(
+    "dedup_cluster_size_stats",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs),
+    verts AS (
+      SELECT DISTINCT a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS other FROM verts
+      UNION
+      SELECT r.doc_id, e.b AS other
+      FROM reach r JOIN edges e ON e.a = r.other),
+    comp AS (
+      SELECT doc_id, MIN(other) AS component_id FROM reach GROUP BY doc_id),
+    sizes AS (
+      SELECT component_id, COUNT(*) AS cluster_size FROM comp
+      GROUP BY component_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """.replace("WITH corpus", "WITH RECURSIVE corpus"),
+)
+def dedup_cluster_size_stats(spark, sf_dir):
+    """Duplicate-cluster size distribution: how many near-dup clusters
+    exist at each size, and how many documents they absorb — the
+    dedup-health dashboard a corpus pipeline watches (a sudden giant
+    cluster means boilerplate or a template leak; the doc mass in
+    size>=2 clusters is the dedup savings estimate).
+
+    Two tiny aggregates over the connected-components labeling (which
+    reuses the cached LSH pipeline); the distribution is bounded by
+    distinct cluster sizes, so the result is driver-small at any
+    corpus scale. Oracle: the independent recursive-CTE closure,
+    aggregated the same way."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

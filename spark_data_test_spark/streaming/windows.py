@@ -668,3 +668,48 @@ def streaming_cdc_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+@query(
+    "streaming_sliding_counts",
+    """
+    WITH grid AS (
+      SELECT user_id, value, w_start
+      FROM (SELECT user_id, value,
+                   epoch_us(ts) // 600000000 AS b10
+            FROM events),
+      LATERAL (SELECT unnest(generate_series(b10 - 2, b10)) * 600000000
+                 AS w_start) g
+      WHERE w_start >= 0)
+    SELECT w_start AS window_start_us, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM grid GROUP BY w_start
+    """,
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding-window streaming aggregation: 30-minute windows sliding
+    every 10 minutes (each event lands in 3 overlapping windows) with a
+    watermark bounding state, run end-to-end through Structured
+    Streaming (availableNow). The batch oracle expands each event into
+    its 3 covering window starts via a lateral series — an independent
+    formulation of Spark's window(ts, '30 minutes', '10 minutes')
+    semantics, so the hash-match pins the overlap assignment itself.
+
+    State at scale: watermark + slide bound the live windows per key;
+    the aggregation state is (windows x groups), never event volume."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cnt",
+            "value_cents",
+        )
+    )
+    return _run_to_memory(agg, "complete")

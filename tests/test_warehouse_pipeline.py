@@ -253,3 +253,17 @@ def test_frame_sample_matches_python_slicing(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_cluster_size_stats_conserve_documents(spark, sf_dir):
+    from spark_data_test_spark.operators import dedup
+
+    comp = dedup.dedup_connected_components(spark, sf_dir)
+    n_docs = comp.count()
+    n_comps = comp.select("component_id").distinct().count()
+    stats = dedup.dedup_cluster_size_stats(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in stats) == n_docs
+    assert sum(r.n_clusters for r in stats) == n_comps
+    # LSH-vertex clusters are >= 2 docs by construction (only banded
+    # candidates or exact-dup groups enter the graph)
+    assert all(r.cluster_size >= 2 for r in stats)
