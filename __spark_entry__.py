@@ -126,6 +126,9 @@ _DRIVER_PRIORITY = [
     "multimodal_frame_sample",
     "dedup_cluster_size_stats",
     "streaming_sliding_counts",
+    "events_rolling_window_avg",
+    "graph_degree_distribution",
+    "graph_triangle_count",
 ]
 
 
@@ -146,6 +149,7 @@ def _registry():
         "spark_data_test_spark.operators.tpch_extra",
         "spark_data_test_spark.operators.grouped",
         "spark_data_test_spark.operators.dedup",
+        "spark_data_test_spark.operators.graph",
         "spark_data_test_spark.operators.similarity",
         "spark_data_test_spark.operators.text",
         "spark_data_test_spark.operators.multimodal",

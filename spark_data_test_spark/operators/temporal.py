@@ -876,3 +876,71 @@ def events_anomaly_daily(spark, sf_dir):
             "is_anomaly"
         ),
     )
+
+
+_ROLL_US = 3_600_000_000  # trailing 1-hour frame, in microseconds
+
+
+@query(
+    "events_rolling_window_avg",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events)
+    SELECT event_id, user_id, ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+           CAST(SUM(c) OVER w AS BIGINT) AS roll_cents,
+           CAST(SUM(c) OVER w AS DOUBLE)
+             / CAST(100 * COUNT(*) OVER w AS DOUBLE) AS roll_avg
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_window_avg(spark, sf_dir):
+    """Per-event trailing time window: for every event, the count, sum,
+    and mean of ``value`` over the same user's events in the preceding
+    hour (inclusive) — the feature-engineering primitive behind rate
+    limits, rolling spend, and velocity features. Unlike
+    ``events_sliding_window`` (grouped, fixed window grid) this is a
+    per-ROW frame, and unlike ``window_running_sum`` (ROWS frame) the
+    frame is bounded by TIME: a RANGE frame over the numeric epoch key,
+    which neither a groupBy nor a self-join expresses without O(n*m)
+    expansion.
+
+    Determinism: RANGE frames include all order-key peers in both
+    engines; the frame aggregate is an integer-cents sum, so in-frame
+    order is irrelevant; the mean is ONE IEEE division of identical
+    exact integers.
+
+    Shape at 100 TB: one hash shuffle on user_id, in-partition sort by
+    time, then a streaming two-pointer frame scan — Spark's window
+    operator keeps only the active frame in memory, so cost is
+    O(n log n) in partition size and state is bounded by the densest
+    single hour of one user. Skew bound = hottest user, same contract
+    as asof_join (use the time-chunk split variant's technique if a
+    single user dominates)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        cents(F.col("value")).alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLL_US, Window.currentRow)
+    )
+    roll_n = F.count(F.lit(1)).over(w)
+    roll_cents = F.sum("c").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        roll_n.alias("roll_n"),
+        roll_cents.alias("roll_cents"),
+        (
+            roll_cents.cast("double") / (100 * roll_n).cast("double")
+        ).alias("roll_avg"),
+    )
