@@ -129,6 +129,8 @@ _DRIVER_PRIORITY = [
     "events_rolling_window_avg",
     "graph_degree_distribution",
     "graph_triangle_count",
+    "text_quality_model_score",
+    "text_bigram_familiarity",
 ]
 
 

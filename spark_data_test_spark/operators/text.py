@@ -593,3 +593,181 @@ def text_tfidf_topk(spark, sf_dir):
         .where(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "tok", "tf", "df", "rank")
     )
+
+
+# Trained-classifier coefficients in milli-units: (intercept, n_words,
+# n_chars, n_digit_runs, n_stopwords). Integer so the score is exact.
+_QM_WEIGHTS = (-2500, 40, -1, -120, 300)
+_QM_KEEP_MILLI = 0  # keep when the linear score clears the margin
+
+
+@query(
+    "text_quality_model_score",
+    f"""
+    WITH model AS (
+      SELECT * FROM (VALUES ({", ".join(map(str, _QM_WEIGHTS))}))
+        AS m(w0, w_words, w_chars, w_digits, w_stop)),
+    feat AS (
+      SELECT doc_id,
+             (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
+               AS n_words,
+             length(text) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS n_digit_runs,
+             (length(' ' || text || ' ')
+                - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+             + (length(' ' || text || ' ')
+                - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+             + (length(' ' || text || ' ')
+                - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+               AS n_stop
+      FROM documents)
+    SELECT f.doc_id, f.n_words, f.n_chars, f.n_digit_runs, f.n_stop,
+           CAST(m.w0 + m.w_words * f.n_words + m.w_chars * f.n_chars
+                + m.w_digits * f.n_digit_runs + m.w_stop * f.n_stop
+                AS BIGINT) AS score_milli,
+           CAST(CASE WHEN m.w0 + m.w_words * f.n_words
+                          + m.w_chars * f.n_chars
+                          + m.w_digits * f.n_digit_runs
+                          + m.w_stop * f.n_stop >= {_QM_KEEP_MILLI}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM feat f CROSS JOIN model m
+    """,
+)
+def text_quality_model_score(spark, sf_dir):
+    """Model-based quality filtering — the fasttext-classifier pattern
+    every LLM data pipeline runs: a trained linear model's coefficients
+    arrive AS DATA (a one-row weights table, broadcast), each document
+    is featurized scan-side, and the keep/drop decision is the sign of
+    the linear score. The logistic link is monotone, so thresholding
+    the sigmoid at p is thresholding the linear score at logit(p) —
+    the sigmoid itself is never evaluated (``exp`` is not
+    bit-specified across runtimes; the integer milli-score is exact).
+
+    Shape at 100 TB: featurization is pure Catalyst string arithmetic
+    inside whole-stage codegen; the model joins as a broadcast 1-row
+    frame (swap in a real coefficient table without replanning); zero
+    shuffles — embarrassingly parallel scan->score->filter."""
+    model = F.broadcast(
+        t(spark, sf_dir, "documents").sparkSession.createDataFrame(
+            [_QM_WEIGHTS], "w0 long, w_words long, w_chars long, w_digits long, w_stop long"
+        )
+    )
+    d = _lang_scores_spark(t(spark, sf_dir, "documents"))  # reuse padded col
+    feat = d.select(
+        "doc_id",
+        (
+            F.length(F.trim(F.col("text")))
+            - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_digit_runs"),
+        (_count_spark(" the ") + _count_spark(" and ") + _count_spark(" of "))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    z = (
+        F.col("w0")
+        + F.col("w_words") * F.col("n_words")
+        + F.col("w_chars") * F.col("n_chars")
+        + F.col("w_digits") * F.col("n_digit_runs")
+        + F.col("w_stop") * F.col("n_stop")
+    )
+    return feat.crossJoin(model).select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_digit_runs",
+        "n_stop",
+        z.cast("long").alias("score_milli"),
+        F.when(z >= _QM_KEEP_MILLI, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+_FAM_K = 64  # corpus-profile head: top-K space-free bigrams
+
+
+@query(
+    "text_bigram_familiarity",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, substr(text, i, 2) AS bg
+      FROM documents,
+           unnest(generate_series(1, length(text) - 1)) AS u(i)
+      WHERE substr(text, i, 2) NOT LIKE '% %'),
+    profile AS (
+      SELECT bg FROM (
+        SELECT bg, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg) AS rn
+        FROM bg GROUP BY bg)
+      WHERE rn <= {_FAM_K}),
+    scored AS (
+      SELECT b.doc_id,
+             COUNT(*) AS total_bigrams,
+             CAST(SUM(CASE WHEN p.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS matched_bigrams
+      FROM bg b LEFT JOIN profile p ON p.bg = b.bg
+      GROUP BY b.doc_id)
+    SELECT doc_id, CAST(total_bigrams AS BIGINT) AS total_bigrams,
+           matched_bigrams,
+           CAST(matched_bigrams AS DOUBLE) / CAST(total_bigrams AS DOUBLE)
+             AS familiarity
+    FROM scored
+    """,
+)
+def text_bigram_familiarity(spark, sf_dir):
+    """Language-model-style familiarity scoring without the language
+    model: what fraction of a document's character bigrams fall in the
+    corpus's top-{_FAM_K} bigram head. Gibberish, foreign-language, and
+    encoding-garbage documents score low — the same signal KenLM
+    perplexity filters give a pretraining pipeline, reduced to exact
+    integer counts (a true log-prob sum would ride ``ln``, which is not
+    bit-specified across engines; the head-hit rate is ordinal-
+    equivalent for filtering and bit-exact).
+
+    Two-pass shape, both passes scale-safe: pass 1 builds the corpus
+    profile (explode -> one map-side-combinable count -> global top-K
+    window over the TINY distinct-bigram frame); pass 2 re-explodes and
+    LEFT-joins the {_FAM_K}-row profile (broadcast) then aggregates per
+    doc — one shuffle keyed by doc_id. The profile is self-trained on
+    the same corpus; point it at a reference corpus by swapping the
+    profile input."""
+    d = t(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    ).where((F.length("bg") == 2) & ~F.col("bg").contains(" "))
+    w = Window.orderBy(F.col("cnt").desc(), "bg")
+    profile = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _FAM_K)
+        .select("bg", F.lit(1).alias("hit"))
+    )
+    scored = (
+        bg.join(F.broadcast(profile), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_bigrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "matched_bigrams"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "total_bigrams",
+        "matched_bigrams",
+        (
+            F.col("matched_bigrams").cast("double")
+            / F.col("total_bigrams").cast("double")
+        ).alias("familiarity"),
+    )
