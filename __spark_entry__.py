@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = [
     "graph_triangle_count",
     "text_quality_model_score",
     "text_bigram_familiarity",
+    "dedup_survivorship",
 ]
 
 

@@ -1109,3 +1109,75 @@ def dedup_cluster_size_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+@query(
+    "dedup_survivorship",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs),
+    verts AS (
+      SELECT DISTINCT a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS other FROM verts
+      UNION
+      SELECT r.doc_id, e.b AS other
+      FROM reach r JOIN edges e ON e.a = r.other),
+    comp AS (
+      SELECT doc_id, MIN(other) AS component_id FROM reach GROUP BY doc_id),
+    ranked AS (
+      SELECT c.doc_id, c.component_id, d.n_chars, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT doc_id, component_id, n_chars, source,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END)
+                  OVER (PARTITION BY component_id) AS BIGINT)
+             AS survivor_doc_id,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+    FROM ranked
+    """.replace("WITH corpus", "WITH RECURSIVE corpus"),
+)
+def dedup_survivorship(spark, sf_dir):
+    """Survivorship: the keep/drop DECISION a dedup pipeline emits
+    after clustering — per near-dup cluster, keep the richest document
+    (max ``n_chars``, ties to the smallest ``doc_id``) and mark every
+    other member dropped, with the survivor's id on each row so the
+    drop set carries its replacement (the audit trail a training-data
+    pipeline stores next to the pruned corpus).
+
+    One metadata join (doc_id-keyed, the narrow documents projection)
+    onto the connected-components labeling, then a single per-cluster
+    window for both the rank-1 pick and its broadcast onto members —
+    partition size = cluster size, so the window state is bounded by
+    the largest duplicate cluster, not the corpus. Oracle: the
+    independent recursive-CTE closure plus the same rule in SQL."""
+    comp = dedup_connected_components(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    ranked = comp.join(docs, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component_id").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        ),
+    )
+    wc = Window.partitionBy("component_id")
+    return ranked.select(
+        "doc_id",
+        "component_id",
+        "n_chars",
+        "source",
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).over(wc).alias(
+            "survivor_doc_id"
+        ),
+        F.when(F.col("rk") == 1, 1).otherwise(0).cast("long").alias("is_survivor"),
+    )
