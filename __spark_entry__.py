@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = [
     "text_quality_model_score",
     "text_bigram_familiarity",
     "dedup_survivorship",
+    "graph_pagerank_fixed",
 ]
 
 

@@ -203,3 +203,94 @@ def graph_triangle_count(spark, sf_dir):
             / F.col("n_wedges").cast("double")
         ).alias("clustering_coefficient"),
     )
+
+
+_PR_ROUNDS = 3
+_PR_SCALE = 1_000_000  # micro-rank fixed point
+_PR_DAMP_NUM, _PR_DAMP_DEN = 850, 1000  # damping 0.85 as a ratio
+
+
+def _pr_round_sql(prev):
+    return f"""(
+      SELECT s.dst AS node,
+             CAST({_PR_SCALE - _PR_SCALE * _PR_DAMP_NUM // _PR_DAMP_DEN}
+                  + ({_PR_DAMP_NUM} * SUM(r.r // o.od)) // {_PR_DAMP_DEN}
+                  AS BIGINT) AS r
+      FROM sym s
+      JOIN {prev} r ON r.node = s.src
+      JOIN outdeg o ON o.src = s.src
+      GROUP BY s.dst)"""
+
+
+@query(
+    "graph_pagerank_fixed",
+    f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM sym GROUP BY src),
+    r0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS r FROM outdeg),
+    r1 AS {_pr_round_sql("r0")},
+    r2 AS {_pr_round_sql("r1")},
+    r3 AS {_pr_round_sql("r2")}
+    SELECT node, r AS rank_micro FROM r{_PR_ROUNDS}
+    """,
+)
+def graph_pagerank_fixed(spark, sf_dir):
+    """PageRank over the co-purchase graph, {_PR_ROUNDS} synchronous
+    power-iteration rounds in FIXED-POINT integer arithmetic: ranks are
+    micro-units (1.0 == {_PR_SCALE}), each edge carries
+    ``rank div out_degree``, and damping 0.85 is the exact ratio
+    {_PR_DAMP_NUM}/{_PR_DAMP_DEN} applied with integer division. Floats
+    never appear, so the result is bit-identical on any engine and
+    any partitioning/summation order — the property that makes an
+    iterative algorithm oracle-checkable at all (float PageRank differs
+    run-to-run on a cluster; fixed-point doesn't). Truncation error is
+    bounded by in-degree micro-units per round — noise at rank scale.
+
+    Shape per round: one shuffle (edge join on src rides the same hash
+    partitioning every round, so AQE reuses the exchange; the per-dst
+    aggregate combines map-side). ``localCheckpoint`` truncates lineage
+    between rounds — without it round N's plan re-derives rounds
+    1..N-1 and analysis cost compounds. Rounds are a fixed constant:
+    power iteration converges geometrically, and a pipeline runs a
+    fixed budget, not to convergence. The symmetric graph has no
+    dangling nodes (every vertex has out-degree >= 1 by construction),
+    so no dangling-mass redistribution term is needed."""
+    e = _edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    sym = sym.persist()
+    outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    base = _PR_SCALE - _PR_SCALE * _PR_DAMP_NUM // _PR_DAMP_DEN
+    ranks = outdeg.select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint(eager=False)
+    contrib_src = sym.join(outdeg, "src")
+    for _ in range(_PR_ROUNDS):
+        ranks = (
+            contrib_src.join(ranks, contrib_src.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr(f"r div od").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({_PR_DAMP_NUM} * sum(contrib)) div {_PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("node", F.col("r").alias("rank_micro"))
+    sym.unpersist()
+    return out
