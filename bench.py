@@ -51,6 +51,11 @@ HEADLINE = [
     "orders_market_basket",
     "parts_abc_pareto",
     "text_tfidf_topk",
+    # round-3 additions: time-series RANGE frame, model-based quality
+    # filtering, iterative graph analytics
+    "events_rolling_window_avg",
+    "text_quality_model_score",
+    "graph_pagerank_fixed",
 ]
 
 
@@ -170,6 +175,12 @@ def main():
             clear_similarity_cache()
         except Exception as exc:
             print(f"bench cache clear failed (similarity): {exc!r}", file=sys.stderr)
+        try:
+            from spark_data_test_spark.operators.graph import clear_graph_cache
+
+            clear_graph_cache()
+        except Exception as exc:
+            print(f"bench cache clear failed (graph): {exc!r}", file=sys.stderr)
 
     # Warmup, excluded from timings: touch the biggest input (fs cache)
     # and run the comparison pipeline once at the smallest sf so the

@@ -36,6 +36,18 @@ integers in both engines.
 import pyspark.sql.functions as F
 
 from spark_data_test_spark.operators.relational import query, t
+from spark_data_test_spark.utils.spark_utils import FrameCache
+
+# Every graph query starts from the same projected edge list; memoize
+# it per (session, sf_dir) like the dedup pipeline caches its shingles
+# — the projection self-join runs once per session, not per query.
+_EDGES_CACHE = FrameCache(max_entries=2)
+
+
+def clear_graph_cache():
+    """Release the memoized edge list (bench calls this between passes)."""
+    _EDGES_CACHE.clear()
+
 
 # Shared SQL CTE prefix: distinct bipartite pairs -> undirected edges.
 _EDGES_SQL = """
@@ -48,18 +60,29 @@ _EDGES_SQL = """
 
 
 def _edges(spark, sf_dir):
-    """Undirected co-purchase edge list (u < v, distinct)."""
-    pairs = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a = pairs.alias("a")
-    b = pairs.alias("b")
-    return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
+    """Undirected co-purchase edge list (u < v, distinct), memoized and
+    persisted per (session, sf_dir)."""
+
+    def build():
+        pairs = (
+            t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .distinct()
+        )
+        a = pairs.alias("a")
+        b = pairs.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+            )
+            .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .distinct()
+            .persist()
+        )
+
+    return _EDGES_CACHE.get_or_create(
+        (spark.sparkContext.applicationId, sf_dir), build
     )
 
 
@@ -260,10 +283,12 @@ def graph_pagerank_fixed(spark, sf_dir):
     dangling nodes (every vertex has out-degree >= 1 by construction),
     so no dangling-mass redistribution term is needed."""
     e = _edges(spark, sf_dir)
+    # sym is a cheap union over the persisted edge cache — no extra
+    # persist needed (unpersisting one at build time would be a no-op
+    # anyway: the plan is lazy and executes after this function returns)
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    sym = sym.persist()
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     base = _PR_SCALE - _PR_SCALE * _PR_DAMP_NUM // _PR_DAMP_DEN
     ranks = outdeg.select(
@@ -291,6 +316,4 @@ def graph_pagerank_fixed(spark, sf_dir):
             .select(F.col("dst").alias("node"), "r")
             .localCheckpoint(eager=False)
         )
-    out = ranks.select("node", F.col("r").alias("rank_micro"))
-    sym.unpersist()
-    return out
+    return ranks.select("node", F.col("r").alias("rank_micro"))

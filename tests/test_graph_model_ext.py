@@ -1,0 +1,131 @@
+"""Property tests for the round-3 extension operators: graph analytics,
+model-based quality filtering, RANGE-frame rolling windows, and
+survivorship. check_oracle.py pins cross-engine equality; these pin the
+SEMANTIC invariants an oracle replay can't (brute-force equivalence,
+conservation laws, per-cluster decision rules)."""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.operators import dedup, graph, temporal, text
+from spark_data_test_spark.operators.relational import t
+
+
+def test_rolling_window_matches_bruteforce(spark, sf_dir):
+    """The RANGE-frame trailing hour equals a per-user brute-force scan."""
+    rows = temporal.events_rolling_window_avg(spark, sf_dir).collect()
+    ev = sorted(
+        (
+            (r.user_id, r.ts_us, r.event_id, r.c)
+            for r in t(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                F.round(F.col("value") * 100).cast("long").alias("c"),
+            )
+            .collect()
+        )
+    )
+    by_user = {}
+    for u, ts, eid, c in ev:
+        by_user.setdefault(u, []).append((ts, eid, c))
+    expected = {}
+    for u, lst in by_user.items():
+        for ts, eid, _ in lst:
+            frame = [c for ts2, _, c in lst if ts - 3_600_000_000 <= ts2 <= ts]
+            expected[eid] = (len(frame), sum(frame))
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, cents = expected[r.event_id]
+        assert (r.roll_n, r.roll_cents) == (n, cents)
+        assert r.roll_avg == cents / (100 * n)
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    row = graph.graph_triangle_count(spark, sf_dir).collect()[0]
+    # handshake double-count and wedge/triangle consistency
+    deg = (
+        graph.graph_degree_distribution(spark, sf_dir)
+        .agg(
+            F.sum(F.col("degree") * F.col("n_nodes")).alias("dsum"),
+            F.sum("n_nodes").alias("nodes"),
+        )
+        .collect()[0]
+    )
+    assert deg.dsum == 2 * row.n_edges
+    assert deg.nodes == row.n_nodes
+    # every triangle contributes 3 closed wedges
+    assert 0 <= 3 * row.n_triangles <= row.n_wedges
+    assert row.clustering_coefficient == 3 * row.n_triangles / row.n_wedges
+
+
+def test_triangle_count_on_known_graph(spark, sf_dir, tmp_path):
+    """K4 plus a pendant vertex: C(4,3)=4 triangles, coefficient known.
+    Drives the full query (projection included) through a staged
+    lineitem where order 1 holds the K4 basket and order 2 the pendant
+    edge."""
+    li = spark.createDataFrame(
+        [(1, p) for p in (10, 20, 30, 40)] + [(2, 40), (2, 50)],
+        "l_orderkey long, l_partkey long",
+    )
+    sf = str(tmp_path / "sf")
+    li.write.parquet(f"{sf}/lineitem.parquet")
+    graph.clear_graph_cache()
+    row = graph.graph_triangle_count(spark, sf).collect()[0]
+    graph.clear_graph_cache()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+    # wedges: deg 3,3,3,4,1 -> 3+3+3+6+0 = 15
+    assert row.n_wedges == 15
+    assert row.clustering_coefficient == 12 / 15
+
+
+def test_pagerank_fixed_point_properties(spark, sf_dir):
+    rows = graph.graph_pagerank_fixed(spark, sf_dir).collect()
+    n = len(rows)
+    base = 1_000_000 - 850_000
+    # every node keeps at least the teleport mass; integer-truncation
+    # only LOSES mass, so total rank never exceeds the initial n * 1.0
+    assert all(r.rank_micro >= base for r in rows)
+    assert sum(r.rank_micro for r in rows) <= n * 1_000_000
+    # non-degenerate: ranks must separate hubs from leaves
+    assert len({r.rank_micro for r in rows}) > 1
+    # determinism across runs (fixed point, no float, no rand)
+    again = graph.graph_pagerank_fixed(spark, sf_dir).collect()
+    assert sorted((r.node, r.rank_micro) for r in rows) == sorted(
+        (r.node, r.rank_micro) for r in again
+    )
+
+
+def test_survivorship_rules(spark, sf_dir):
+    rows = dedup.dedup_survivorship(spark, sf_dir).collect()
+    assert rows, "candidate graph is never empty at sf0.001"
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        survivors = [m for m in members if m.is_survivor == 1]
+        assert len(survivors) == 1
+        s = survivors[0]
+        best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
+        assert s.doc_id == best.doc_id
+        assert all(m.survivor_doc_id == s.doc_id for m in members)
+
+
+def test_quality_model_score_threshold(spark, sf_dir):
+    rows = text.text_quality_model_score(spark, sf_dir).collect()
+    w0, ww, wc, wd, ws = text._QM_WEIGHTS
+    for r in rows:
+        z = w0 + ww * r.n_words + wc * r.n_chars + wd * r.n_digit_runs + ws * r.n_stop
+        assert r.score_milli == z
+        assert r.keep == (1 if z >= text._QM_KEEP_MILLI else 0)
+    # the model must actually separate: both classes present
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_bigram_familiarity_bounds(spark, sf_dir):
+    rows = text.text_bigram_familiarity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.matched_bigrams <= r.total_bigrams
+        assert r.familiarity == r.matched_bigrams / r.total_bigrams
