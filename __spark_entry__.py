@@ -133,6 +133,8 @@ _DRIVER_PRIORITY = [
     "text_bigram_familiarity",
     "dedup_survivorship",
     "graph_pagerank_fixed",
+    "source_text_roundtrip",
+    "source_binaryfile_roundtrip",
 ]
 
 

@@ -295,3 +295,118 @@ def sink_partition_pruned_read(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(cents(F.col("value"))).alias("value_cents"),
     )
+
+
+@query(
+    "source_text_roundtrip",
+    """
+    WITH lines AS (
+      SELECT replace(replace(text, chr(10), ' '), chr(13), ' ') AS line
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(strlen(line)) AS BIGINT) AS n_bytes,
+           MIN(md5(line)) AS min_md5,
+           MAX(md5(line)) AS max_md5,
+           BIT_XOR(CAST('0x' || substr(md5(line), 1, 15) AS BIGINT))
+             AS content_xor
+    FROM lines
+    """,
+)
+def source_text_roundtrip(spark, sf_dir):
+    """S2/S4 with the line-delimited TEXT format (the raw-corpus
+    interchange format every scraped-text pipeline starts from): write
+    one document per line, read the directory back with the text
+    source, and fingerprint the content with order-insensitive
+    aggregates (count, byte sum, min/max md5, and a bit_xor content
+    checksum over a 60-bit md5 prefix — XOR commutes, so any line
+    order, and thus any partitioning, hashes identically). Newlines
+    are mapped to spaces BEFORE the sink on both sides — the format's
+    own framing constraint, applied identically in the oracle, which
+    fingerprints the original table directly: any fidelity loss in the
+    sink->source trip (encoding, truncation, line splitting) breaks
+    the hash."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_text/{digest}/documents"
+    lines = t(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.col("text"), "[\\n\\r]", " ").alias("line")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    h = F.md5(F.col("value"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length(F.col("value"))).alias("n_bytes"),
+        F.min(h).alias("min_md5"),
+        F.max(h).alias("max_md5"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(value), 1, 15), 16, 10) as bigint))"
+        ).alias("content_xor"),
+    )
+
+
+def _stage_binary_files(spark, sf_dir, root):
+    """Write documents as one binary file per doc_id, EXECUTOR-side
+    (foreachPartition) — the way a media lake lands: many small opaque
+    objects named by key, written by the tasks that hold them, never
+    funneled through the driver."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    marker = f"{root}/_STAGED"
+    if os.path.exists(marker):
+        return
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+
+    def write_partition(rows):
+        for row in rows:
+            # temp-then-rename: concurrent stagers write identical
+            # bytes, so the last rename wins harmlessly
+            tmp = f"{root}/.doc_{row.doc_id}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(row.content))
+            os.replace(tmp, f"{root}/doc_{row.doc_id}.bin")
+
+    docs.foreachPartition(write_partition)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(sf_dir)
+    os.replace(marker + ".tmp", marker)
+
+
+@query(
+    "source_binaryfile_roundtrip",
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def source_binaryfile_roundtrip(spark, sf_dir):
+    """Binary-object ingestion with the ``binaryFile`` source — the
+    entry point of every multimodal pipeline (images/audio land as
+    opaque files; Spark lists the directory in parallel and each task
+    reads its files' bytes). Documents are staged as one file per doc
+    (executor-side), read back as (path, content) rows, keyed by
+    parsing the id out of the file name, and fingerprinted per object.
+    The oracle fingerprints the ORIGINAL table (md5 over the same
+    UTF-8 bytes), so a lost, truncated, or re-encoded object breaks
+    the per-row hash. At 100 TB the same plan holds: listing
+    parallelizes across the driver's file index, content never moves
+    through the driver, and the downstream join key comes from the
+    path, not the payload."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/spark_graft_binfiles/{digest}"
+    _stage_binary_files(spark, sf_dir, root)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
