@@ -135,6 +135,8 @@ _DRIVER_PRIORITY = [
     "graph_pagerank_fixed",
     "source_text_roundtrip",
     "source_binaryfile_roundtrip",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
 ]
 
 
@@ -156,6 +158,7 @@ def _registry():
         "spark_data_test_spark.operators.grouped",
         "spark_data_test_spark.operators.dedup",
         "spark_data_test_spark.operators.graph",
+        "spark_data_test_spark.operators.sketches",
         "spark_data_test_spark.operators.similarity",
         "spark_data_test_spark.operators.text",
         "spark_data_test_spark.operators.multimodal",
@@ -239,7 +242,11 @@ def oracle_sql() -> dict[str, str]:
     Deliberately omitted: ``approx_count_distinct_parts`` — an
     approximate aggregate (HLL++) has no exact SQL oracle; the driver's
     rows-only check plus the pytest relative-error bound
-    (tests/test_plans.py) are the correctness signal for it.
+    (tests/test_plans.py) are the correctness signal for it. Same for
+    ``sketch_hll_rollup`` / ``sketch_approx_quantiles`` (Datasketches
+    HLL and GK summaries — estimates are implementation functions, not
+    data functions; accuracy bounds pinned in
+    tests/test_graph_model_ext.py).
     """
     _, oracles_map = _registry()
     return dict(oracles_map)

@@ -1,0 +1,93 @@
+"""Mergeable-sketch aggregations (north-star extensions).
+
+The 100 TB pattern these exist for: a sketch is a small, MERGEABLE
+partial state — executors build per-partition sketches map-side, the
+shuffle moves kilobytes instead of the keyed data, and yesterday's
+stored sketch unions with today's without rescanning history. That
+last property (re-aggregable rollups) is what COUNT(DISTINCT) can
+never give an incremental pipeline.
+
+Both queries are registered WITHOUT a DuckDB oracle — a sketch
+estimate is a function of the sketch implementation (Datasketches HLL
+register layout, GK summary compression), not of the data alone, so no
+independent engine can replay it. They take the driver's weaker
+rows-only check, and tests/test_graph_model_ext.py pins the accuracy
+contract against exact answers (the check an approximate operator
+actually owes).
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.operators.relational import query, t
+from spark_data_test_spark.utils.spark_utils import FrameCache
+
+# The per-type sketch frame is read twice (estimate rows + union row);
+# memoized like every other cross-read frame so the second read hits
+# cached sketch bytes, not a second scan of events.
+_SKETCH_CACHE = FrameCache(max_entries=2)
+
+
+def clear_sketch_cache():
+    """Release memoized sketch frames (bench calls this between passes)."""
+    _SKETCH_CACHE.clear()
+
+
+@query("sketch_hll_rollup")
+def sketch_hll_rollup(spark, sf_dir):
+    """Distinct users per event type AND overall, via Datasketches HLL:
+    per-type sketches are built in one map-side-combinable aggregate,
+    then the overall row comes from ``hll_union_agg`` over the stored
+    per-type sketches — history is never rescanned, which is the whole
+    point of sketch rollups (a daily job stores the sketch column and
+    unions arbitrary date ranges later). HLL registers are max-merged,
+    so estimates are insert-order- and partitioning-insensitive —
+    deterministic on any cluster layout."""
+    per_type = _SKETCH_CACHE.get_or_create(
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .persist(),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("distinct_users_est"),
+    )
+    overall = per_type.agg(
+        F.expr("hll_union_agg(sk)").alias("u")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        F.expr("hll_sketch_estimate(u)").cast("long").alias("distinct_users_est"),
+    )
+    return typed.unionByName(overall)
+
+
+_QUANT_PROBS = (0.5, 0.9, 0.99)
+_QUANT_ACC = 10_000  # GK accuracy: eps = 1/accuracy of rank error
+
+
+@query("sketch_approx_quantiles")
+def sketch_approx_quantiles(spark, sf_dir):
+    """Order-value quantiles per order priority via ``approx_percentile``
+    (Greenwald-Khanna summaries): each partition builds a bounded
+    summary, summaries merge in the combiner — rank error <=
+    1/{acc} of n, state O({acc}) per group regardless of n. The
+    quantile values ride as integer cents. Exact percentiles at 100 TB
+    need a full sort per group; the sketch needs one map-side-combined
+    aggregate.""".format(acc=_QUANT_ACC)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"approx_percentile(cents, array({', '.join(map(str, _QUANT_PROBS))}),"
+            f" {_QUANT_ACC})"
+        ).alias("q")
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("q")[0].alias("p50_cents"),
+        F.col("q")[1].alias("p90_cents"),
+        F.col("q")[2].alias("p99_cents"),
+    )

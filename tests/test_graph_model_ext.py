@@ -129,3 +129,65 @@ def test_bigram_familiarity_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r.matched_bigrams <= r.total_bigrams
         assert r.familiarity == r.matched_bigrams / r.total_bigrams
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    from spark_data_test_spark.operators import sketches
+
+    rows = {
+        r.event_type: r.distinct_users_est
+        for r in sketches.sketch_hll_rollup(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    exact["__all__"] = (
+        t(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+    # order/partitioning insensitivity: rerun must match exactly
+    sketches.clear_sketch_cache()
+    again = {
+        r.event_type: r.distinct_users_est
+        for r in sketches.sketch_hll_rollup(spark, sf_dir).collect()
+    }
+    assert rows == again
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    from spark_data_test_spark.operators import sketches
+
+    rows = sketches.sketch_approx_quantiles(spark, sf_dir).collect()
+    assert rows
+    vals = {}
+    for r in (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    ):
+        vals.setdefault(r.o_orderpriority, []).append(r.cents)
+    for r in rows:
+        sorted_v = sorted(vals[r.o_orderpriority])
+        n = len(sorted_v)
+        for p, got in ((0.5, r.p50_cents), (0.9, r.p90_cents), (0.99, r.p99_cents)):
+            # rank of the returned value must sit within eps*n + 1 of p*n
+            import bisect
+
+            lo = bisect.bisect_left(sorted_v, got)
+            hi = bisect.bisect_right(sorted_v, got)
+            target = p * (n - 1)
+            eps_ranks = n / 10_000 + 1
+            assert lo - eps_ranks <= target <= hi + eps_ranks, (
+                r.o_orderpriority,
+                p,
+                got,
+            )
