@@ -137,6 +137,7 @@ _DRIVER_PRIORITY = [
     "source_binaryfile_roundtrip",
     "sketch_hll_rollup",
     "sketch_approx_quantiles",
+    "ml_linear_regression_train",
 ]
 
 
@@ -159,6 +160,7 @@ def _registry():
         "spark_data_test_spark.operators.dedup",
         "spark_data_test_spark.operators.graph",
         "spark_data_test_spark.operators.sketches",
+        "spark_data_test_spark.operators.ml",
         "spark_data_test_spark.operators.similarity",
         "spark_data_test_spark.operators.text",
         "spark_data_test_spark.operators.multimodal",

@@ -191,3 +191,31 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
                 p,
                 got,
             )
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spark_data_test_spark.operators import ml
+
+    row = ml.ml_linear_regression_train(spark, sf_dir).collect()[0]
+    xy = (
+        t(spark, sf_dir, "documents")
+        .select(
+            (
+                F.length(F.trim(F.col("text")))
+                - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("x"),
+            F.length("text").alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([r.x for r in xy], dtype=float)
+    y = np.array([r.y for r in xy], dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope - slope) < 1e-6 * max(1, abs(slope))
+    assert abs(row.intercept - intercept) < 1e-6 * max(1, abs(intercept))
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(row.r_squared - r * r) < 1e-9
+    assert 0 <= row.r_squared <= 1
