@@ -138,6 +138,7 @@ _DRIVER_PRIORITY = [
     "sketch_hll_rollup",
     "sketch_approx_quantiles",
     "ml_linear_regression_train",
+    "streaming_sketch_rollup",
 ]
 
 
@@ -205,6 +206,7 @@ def _registry():
             "streaming_foreachbatch_sink",
             "streaming_cdc_upsert",
             "streaming_sliding_counts",
+            "streaming_sketch_rollup",
         },
     }
     forgivable = set()

@@ -713,3 +713,76 @@ def streaming_sliding_counts(spark, sf_dir):
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def sketch_apply_batch(batch_df, state_path):
+    """Merge one micro-batch of (event_type, user_id) into the
+    versioned HLL sketch state table: build per-type batch sketches
+    (map-side-combinable; the shuffle moves sketch bytes, not users),
+    union_agg them against the committed state, advance the version.
+    HLL registers merge by MAX, so the merge is associative,
+    commutative, AND idempotent — a replayed micro-batch (the
+    at-least-once failure mode of any foreachBatch sink) leaves the
+    state bit-identical, which is why the streaming rollup equals the
+    batch rollup exactly rather than approximately."""
+    spark = batch_df.sparkSession
+    sk = batch_df.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    base = read_state_table(spark, state_path)
+    if base is not None:
+        sk = (
+            base.unionByName(sk)
+            .groupBy("event_type")
+            .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        )
+    write_state_version(sk, state_path)
+
+
+@query("streaming_sketch_rollup")
+def streaming_sketch_rollup(spark, sf_dir):
+    """Incremental distinct-user rollup: each micro-batch folds its HLL
+    sketches into a versioned state table (sketch_apply_batch) and the
+    final answer — per-type estimates plus an overall union row — reads
+    ONLY the stored sketches, never the event history. This is the
+    streaming half of `sketch_hll_rollup`, and because HLL union is
+    order-insensitive and idempotent the two are EXACTLY equal (pinned
+    in tests/test_streaming_state.py across a two-batch split), not
+    merely close — the property that makes stored-sketch rollups safe
+    to re-aggregate over arbitrary date ranges at 100 TB. No SQL
+    oracle (sketch estimates are implementation functions); the driver
+    records the rows-only check."""
+    import shutil
+
+    events = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    run_root = f"/tmp/spark_stream_sketch/{uuid.uuid4().hex[:12]}"
+    state = f"{run_root}/state"
+    try:
+        q = (
+            events.writeStream.foreachBatch(
+                lambda batch_df, batch_id: sketch_apply_batch(batch_df, state)
+            )
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_type = read_state_table(spark, state)
+        typed = per_type.select(
+            "event_type",
+            F.expr("hll_sketch_estimate(sk)").cast("long").alias(
+                "distinct_users_est"
+            ),
+        )
+        overall = per_type.agg(F.expr("hll_union_agg(sk)").alias("u")).select(
+            F.lit("__all__").alias("event_type"),
+            F.expr("hll_sketch_estimate(u)").cast("long").alias(
+                "distinct_users_est"
+            ),
+        )
+        final = typed.unionByName(overall)
+        rows = final.collect()
+        schema = final.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)

@@ -258,3 +258,64 @@ def test_cdc_upsert_merges_across_microbatches(spark, sf_dir, tmp_path):
         r["user_id"] for r in early.select("user_id").distinct().collect()
     ) - set(r["user_id"] for r in late.select("user_id").distinct().collect())
     assert early_only <= set(got)
+
+
+def test_sketch_rollup_equals_batch_across_microbatches(spark, sf_dir, tmp_path):
+    """Two-batch HLL fold must equal the one-shot batch rollup EXACTLY
+    (register max-merge is associative + idempotent)."""
+    from spark_data_test_spark.operators.sketches import (
+        clear_sketch_cache,
+        sketch_hll_rollup,
+    )
+    from spark_data_test_spark.streaming.windows import (
+        read_state_table,
+        sketch_apply_batch,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    median_us = ev.selectExpr("unix_micros(ts) AS us").approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    early = F.unix_micros(F.col("ts")) <= F.lit(int(median_us))
+
+    stage = str(tmp_path / "events_stream")
+    os.makedirs(stage, exist_ok=True)
+    for i, pred in enumerate((early, ~early)):
+        d = f"{stage}/batch_{i}"
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/batch_*")
+        .select("event_type", "user_id")
+    )
+    state = str(tmp_path / "sketch_state")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: sketch_apply_batch(batch_df, state)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.event_type: r.est
+        for r in read_state_table(spark, state)
+        .select(
+            "event_type",
+            F.expr("hll_sketch_estimate(sk)").cast("long").alias("est"),
+        )
+        .collect()
+    }
+    clear_sketch_cache()
+    batch = {
+        r.event_type: r.distinct_users_est
+        for r in sketch_hll_rollup(spark, sf_dir).collect()
+        if r.event_type != "__all__"
+    }
+    assert streamed == batch
