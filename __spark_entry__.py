@@ -139,6 +139,7 @@ _DRIVER_PRIORITY = [
     "sketch_approx_quantiles",
     "ml_linear_regression_train",
     "streaming_sketch_rollup",
+    "sink_clustered_layout",
 ]
 
 

@@ -410,3 +410,47 @@ def source_binaryfile_roundtrip(spark, sf_dir):
         F.length(F.col("content")).alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "sink_clustered_layout",
+    f"""
+    SELECT epoch_us(ts) // {_PRUNE_DAY_US} AS day,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def sink_clustered_layout(spark, sf_dir):
+    """Data-layout control: the CLUSTERED write — repartitionByRange on
+    the filter columns + sortWithinPartitions — is the second pruning
+    lever after hive partitioning (sink_partition_pruned_read covers
+    that one). Range partitioning puts each event_type's rows in few
+    files and the in-file sort tightens parquet row-group min/max
+    bounds, so a selective read-back skips whole files and row groups
+    instead of scanning history; at 100 TB this is the difference
+    between a layout that answers point queries and one that rescans
+    the lake. The oracle runs the same filtered aggregate on the
+    ORIGINAL table: the hash-match proves the clustered round trip is
+    lossless and the skipping read exact."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_clustered/{digest}/events"
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_PRUNE_DAY_US}").alias("day"),
+        "value",
+    )
+    (
+        ev.repartitionByRange(8, "event_type", "day")
+        .sortWithinPartitions("event_type", "day")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )
