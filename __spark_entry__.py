@@ -140,6 +140,7 @@ _DRIVER_PRIORITY = [
     "ml_linear_regression_train",
     "streaming_sketch_rollup",
     "sink_clustered_layout",
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -1181,3 +1181,97 @@ def dedup_survivorship(spark, sf_dir):
         ),
         F.when(F.col("rk") == 1, 1).otherwise(0).cast("long").alias("is_survivor"),
     )
+
+
+@query(
+    "dedup_lsh_recall_report",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    gtexts AS (
+      SELECT DISTINCT md5(text) AS gid, text
+      FROM corpus WHERE length(text) >= 8),
+    gsh AS (
+      SELECT DISTINCT gid, substr(text, i, 8) AS sh
+      FROM gtexts, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)),
+    sizes AS (SELECT gid, COUNT(*) AS n FROM gsh GROUP BY gid),
+    co AS (
+      SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS i
+      FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.gid < b.gid
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT ga, gb FROM co
+      JOIN sizes sa ON sa.gid = ga
+      JOIN sizes sb ON sb.gid = gb
+      WHERE 1000000.0 * i / (sa.n + sb.n - i) >= 500000),
+    sh AS (SELECT gid AS doc_id, sh FROM gsh),
+    {_MINHASH_SQL},
+    {_BANDS_SQL},
+    {_PAIRS_SQL.strip()},
+    hits AS (
+      SELECT t.ga FROM truth t
+      JOIN pairs p ON p.doc_a = t.ga AND p.doc_b = t.gb)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           CAST(ROUND(1000000.0 * (SELECT COUNT(*) FROM hits)
+                      / (SELECT COUNT(*) FROM truth)) AS BIGINT)
+             AS recall_1e6
+    """,
+)
+def dedup_lsh_recall_report(spark, sf_dir):
+    """Recall EVALUATION of the MinHash-LSH pipeline: exact ground
+    truth (every distinct-text pair with true shingle Jaccard >= 0.5)
+    versus the banding candidates, reported as one row — the quality
+    gate a dedup pipeline runs on a sampled slice before trusting LSH
+    parameters at full scale (the ANN analog is
+    `similarity_ann_recall_report`).
+
+    The exact truth is NOT an all-pairs scan: Jaccard >= tau implies a
+    shared shingle, so truth pairs come from the shingle INVERTED INDEX
+    (self-join on the shingle, i.e. one shuffle keyed by shingle; work
+    is sum of per-shingle doc-count squares, not corpus^2). At 100 TB
+    the same plan needs stop-shingle removal first — drop shingles with
+    document frequency above a cap, which cannot evict a tau >= 0.5
+    pair from truth unless ALL its shared shingles are that hot; run
+    the eval on a hash-sampled slice regardless. Both truth and
+    candidates are computed per DISTINCT text (group), which is also
+    what makes recall well-defined on a dup-heavy corpus: identical
+    copies pair by construction and would inflate recall if counted."""
+    sh = _cached_shingles(spark, sf_dir)
+    sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    co = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.gid") < F.col("b.gid")))
+        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        F.lit(1000000.0)
+        * F.col("i")
+        / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    )
+    truth = (
+        co.join(sizes.alias("sa"), F.col("sa.gid") == F.col("ga"))
+        .join(sizes.alias("sb"), F.col("sb.gid") == F.col("gb"))
+        .where(jac >= 500000)
+        .select("ga", "gb")
+    )
+    cands = _cached_gid_pairs(spark, sf_dir)
+    hits = truth.join(
+        cands,
+        (F.col("ga") == F.col("gid_a")) & (F.col("gb") == F.col("gid_b")),
+        "left_semi",
+    )
+    summary = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+    )
+    return summary.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.lit(1000000.0) * F.col("n_hits") / F.col("n_truth")
+        ).cast("long").alias("recall_1e6"),
+    )
