@@ -141,6 +141,8 @@ _DRIVER_PRIORITY = [
     "streaming_sketch_rollup",
     "sink_clustered_layout",
     "dedup_lsh_recall_report",
+    "dedup_containment",
+    "events_cumulative_distinct_users",
 ]
 
 

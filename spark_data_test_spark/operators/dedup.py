@@ -1275,3 +1275,73 @@ def dedup_lsh_recall_report(spark, sf_dir):
             F.lit(1000000.0) * F.col("n_hits") / F.col("n_truth")
         ).cast("long").alias("recall_1e6"),
     )
+
+
+_CONTAIN_1E6 = 800_000  # containment threshold: 80% of the smaller set
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    gtexts AS (
+      SELECT DISTINCT md5(text) AS gid, text
+      FROM corpus WHERE length(text) >= 8),
+    gsh AS (
+      SELECT DISTINCT gid, substr(text, i, 8) AS sh
+      FROM gtexts, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)),
+    sizes AS (SELECT gid, COUNT(*) AS n FROM gsh GROUP BY gid),
+    co AS (
+      SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS i
+      FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.gid < b.gid
+      GROUP BY 1, 2)
+    SELECT CASE WHEN sa.n <= sb.n THEN ga ELSE gb END AS contained_gid,
+           CASE WHEN sa.n <= sb.n THEN gb ELSE ga END AS container_gid,
+           CAST(ROUND(1000000.0 * i / LEAST(sa.n, sb.n)) AS BIGINT)
+             AS containment_1e6
+    FROM co
+    JOIN sizes sa ON sa.gid = ga
+    JOIN sizes sb ON sb.gid = gb
+    WHERE 1000000.0 * i / LEAST(sa.n, sb.n) >= {_CONTAIN_1E6}
+      AND sa.n <> sb.n
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """CONTAINMENT detection: pairs where the smaller document's
+    shingle set is >= 80% inside the larger's — the duplication mode
+    Jaccard misses by construction (a paragraph quoted inside a long
+    article has tiny Jaccard but containment ~1), and the signal
+    contamination tracing actually needs (benchmark questions EMBEDDED
+    in training documents). Same inverted-index shape as
+    `dedup_lsh_recall_report`'s truth side — one shuffle keyed by
+    shingle, work bounded by per-shingle frequency squares, stop-
+    shingle capping at scale — with the asymmetric i/min(|A|,|B|)
+    score and the (contained, container) orientation resolved by set
+    size. Equal-size pairs are excluded: at i/min >= 0.8 they are
+    ordinary near-dups, already owned by the Jaccard query."""
+    sh = _cached_shingles(spark, sf_dir)
+    sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    co = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.gid") < F.col("b.gid")))
+        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    score = (
+        F.lit(1000000.0) * F.col("i") / F.least(F.col("sa.n"), F.col("sb.n"))
+    )
+    small_first = F.col("sa.n") <= F.col("sb.n")
+    return (
+        co.join(sizes.alias("sa"), F.col("sa.gid") == F.col("ga"))
+        .join(sizes.alias("sb"), F.col("sb.gid") == F.col("gb"))
+        .where((score >= _CONTAIN_1E6) & (F.col("sa.n") != F.col("sb.n")))
+        .select(
+            F.when(small_first, F.col("ga")).otherwise(F.col("gb")).alias(
+                "contained_gid"
+            ),
+            F.when(small_first, F.col("gb")).otherwise(F.col("ga")).alias(
+                "container_gid"
+            ),
+            F.round(score).cast("long").alias("containment_1e6"),
+        )
+    )

@@ -944,3 +944,45 @@ def events_rolling_window_avg(spark, sf_dir):
             roll_cents.cast("double") / (100 * roll_n).cast("double")
         ).alias("roll_avg"),
     )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(epoch_us(ts) // {_DAY_US}) AS day
+      FROM events GROUP BY user_id),
+    daily_new AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily_new
+    """,
+)
+def events_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day — the growth curve every
+    product dashboard wants, and a window COUNT(DISTINCT) Spark (and
+    SQL generally) cannot express directly. The scalable rewrite is the
+    FIRST-TOUCH trick: a user contributes to the cumulative count
+    exactly once, on their first-seen day, so distinct-over-prefix
+    collapses to min-day per user -> new-users per day -> running sum.
+    Two map-side-combinable aggregates and ONE window over the tiny
+    day-level frame — event volume never reaches the window, and the
+    only per-user shuffle is the first aggregate. The naive
+    formulation (per-day distinct over an expanding self-join) is
+    O(days * events); this is O(events + days)."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.expr(f"unix_micros(ts) div {_DAY_US}")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
