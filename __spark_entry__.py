@@ -143,6 +143,7 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_recall_report",
     "dedup_containment",
     "events_cumulative_distinct_users",
+    "events_transition_matrix",
 ]
 
 

@@ -986,3 +986,55 @@ def events_cumulative_distinct_users(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    outflow AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / CAST(o.total AS DOUBLE) AS p
+    FROM trans t JOIN outflow o ON o.prev_type = t.prev_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and conditional probabilities of event_type B
+    following A — the sequence-mining primitive behind next-action
+    prediction, anomalous-flow detection, and session modeling (the
+    funnel query is the fixed-path special case; this is the full
+    matrix). Ties on ts break by event_id, the module-wide sequence
+    contract.
+
+    Shape at 100 TB: ONE shuffle on user_id for the lag window (state
+    = one previous row per partition stream), then a
+    map-side-combinable count into a (types x types)-bounded frame;
+    the probability join attaches row totals to a frame that small —
+    broadcast territory regardless of event volume. Each probability
+    is a single IEEE division of exact counts."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outflow = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(outflow), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+    )
