@@ -999,13 +999,11 @@ def events_cumulative_distinct_users(spark, sf_dir):
     trans AS (
       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
-      GROUP BY prev_type, event_type),
-    outflow AS (
-      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
-      FROM trans GROUP BY prev_type)
-    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
-           CAST(t.n AS DOUBLE) / CAST(o.total AS DOUBLE) AS p
-    FROM trans t JOIN outflow o ON o.prev_type = t.prev_type
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM trans
     """,
 )
 def events_transition_matrix(spark, sf_dir):
@@ -1020,9 +1018,11 @@ def events_transition_matrix(spark, sf_dir):
     Shape at 100 TB: ONE shuffle on user_id for the lag window (state
     = one previous row per partition stream), then a
     map-side-combinable count into a (types x types)-bounded frame;
-    the probability join attaches row totals to a frame that small —
-    broadcast territory regardless of event volume. Each probability
-    is a single IEEE division of exact counts."""
+    row totals come from a SUM window over that tiny frame rather than
+    a self-join (a join on `trans` would plan the whole scan->window->
+    agg pipeline twice — measured 5 exchanges and a double events scan
+    vs 3 exchanges, of which two move only the types^2 frame). Each
+    probability is a single IEEE division of exact counts."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -1031,10 +1031,10 @@ def events_transition_matrix(spark, sf_dir):
     trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    outflow = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
-    return trans.join(F.broadcast(outflow), "prev_type").select(
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return trans.select(
         "prev_type",
         "next_type",
         "n",
-        (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+        (F.col("n").cast("double") / total.cast("double")).alias("p"),
     )

@@ -168,3 +168,43 @@ def test_observe_metrics_ride_the_action(spark, sf_dir):
     total = ev.count()
     assert obs.get["n_rows"] == total
     assert obs.get["null_values"] == 0
+
+
+def test_model_score_has_no_shuffle(spark, sf_dir):
+    """Model inference is scan-side: featurize + broadcast weights +
+    filter must plan with ZERO exchanges."""
+    from spark_data_test_spark.operators.text import text_quality_model_score
+
+    df = text_quality_model_score(spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert has_broadcast_join(df) or "BroadcastNestedLoop" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    """The lag window is the only event-volume shuffle; the total comes
+    from a window over the types^2 frame, never a self-join that would
+    scan events twice."""
+    from spark_data_test_spark.operators.temporal import events_transition_matrix
+
+    df = events_transition_matrix(spark, sf_dir)
+    assert count_shuffles(df) <= 3
+    assert len(scan_read_schema(df)) == 1, "events must be scanned once"
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    from spark_data_test_spark.operators.temporal import events_rolling_window_avg
+
+    df = events_rolling_window_avg(spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+
+def test_cumulative_distinct_keeps_window_off_events(spark, sf_dir):
+    """Event volume reaches only the first aggregate; the running-sum
+    window runs over the day-level frame (single-partition window is
+    fine THERE because its input is bounded by distinct days)."""
+    from spark_data_test_spark.operators.temporal import (
+        events_cumulative_distinct_users,
+    )
+
+    df = events_cumulative_distinct_users(spark, sf_dir)
+    assert count_shuffles(df) <= 3
