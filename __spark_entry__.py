@@ -144,6 +144,7 @@ _DRIVER_PRIORITY = [
     "dedup_containment",
     "events_cumulative_distinct_users",
     "events_transition_matrix",
+    "multimodal_chunk_dedup",
 ]
 
 
@@ -199,6 +200,7 @@ def _registry():
             "multimodal_binary_features",
             "multimodal_decode_stub",
             "multimodal_frame_sample",
+            "multimodal_chunk_dedup",
         },
         "spark_data_test_spark.operators.udtf_ops": {"udtf_chunk_documents"},
         "spark_data_test_spark.streaming.windows": {

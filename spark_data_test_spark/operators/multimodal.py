@@ -213,3 +213,63 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("offset").cast("long").alias("offset"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+_CHUNK_BYTES = 256
+
+
+@query(
+    "multimodal_chunk_dedup",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, md5(substr(text, i, {_CHUNK_BYTES})) AS h
+      FROM documents,
+           unnest(generate_series(1, length(text), {_CHUNK_BYTES})) AS u(i)),
+    per_chunk AS (
+      SELECT h, COUNT(*) AS refs FROM chunks GROUP BY h)
+    SELECT CAST(SUM(refs) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+           CAST(SUM(refs) - COUNT(*) AS BIGINT) AS dedupable_chunks,
+           CAST(MAX(refs) AS BIGINT) AS hottest_chunk_refs,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(refs) AS DOUBLE)
+             AS unique_ratio
+    FROM per_chunk
+    """,
+)
+def multimodal_chunk_dedup(spark, sf_dir):
+    """Content-addressable-storage dedup report over the binary corpus:
+    every blob is cut into fixed {bytes}-byte chunks, chunks are keyed
+    by digest, and the report says how much of the byte volume
+    collapses under chunk-level dedup — the fixed-size-chunking CAS
+    model object stores and data lakes use for media (a shared intro
+    sequence or boilerplate header dedups at chunk granularity even
+    when whole-file hashes differ). The Spark side chunks the BINARY
+    column with JVM substring on byte offsets; the oracle re-chunks the
+    source text (ASCII corpus: byte offsets == char offsets, the same
+    equivalence multimodal_frame_sample pins), so a drift in offset
+    arithmetic or encoding breaks the hash.
+
+    Shape at 100 TB: scan-side explode (no shuffle carries content —
+    chunks reduce to 16-byte digests in the same stage), one
+    map-side-combinable count per digest, one final fold to the
+    driver-small summary row.""".format(bytes=_CHUNK_BYTES)
+    b = to_binary_table(spark, sf_dir)
+    chunks = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(content), {_CHUNK_BYTES}),"
+                f" i -> substring(content, i, {_CHUNK_BYTES}))"
+            )
+        ).alias("chunk"),
+    ).select(F.md5("chunk").alias("h"))
+    per_chunk = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("refs"))
+    return per_chunk.agg(
+        F.sum("refs").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        (F.sum("refs") - F.count(F.lit(1))).cast("long").alias("dedupable_chunks"),
+        F.max("refs").alias("hottest_chunk_refs"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("refs").cast("double")
+        ).alias("unique_ratio"),
+    )
