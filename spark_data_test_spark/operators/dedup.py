@@ -253,6 +253,7 @@ def clear_dedup_cache():
     _EMB_GROUPS_CACHE.clear()
     _SIM_FP_CACHE.clear()
     _SIM_MEMB_CACHE.clear()
+    _GID_CO_CACHE.clear()
 
 
 def _minhash(sh):
@@ -1183,10 +1184,11 @@ def dedup_survivorship(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_lsh_recall_report",
-    f"""
-    WITH {_NEAR_CORPUS_SQL.strip()},
+
+# Shared SQL: distinct-text shingle sets -> inverted-index pair
+# intersections with both set sizes attached (the exact-truth engine
+# for the recall report and containment queries).
+_GID_CO_SQL = """
     gtexts AS (
       SELECT DISTINCT md5(text) AS gid, text
       FROM corpus WHERE length(text) >= 8),
@@ -1198,11 +1200,56 @@ def dedup_survivorship(spark, sf_dir):
       SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS i
       FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.gid < b.gid
       GROUP BY 1, 2),
-    truth AS (
-      SELECT ga, gb FROM co
+    cosz AS (
+      SELECT ga, gb, i, sa.n AS na, sb.n AS nb
+      FROM co
       JOIN sizes sa ON sa.gid = ga
-      JOIN sizes sb ON sb.gid = gb
-      WHERE 1000000.0 * i / (sa.n + sb.n - i) >= 500000),
+      JOIN sizes sb ON sb.gid = gb)
+"""
+
+
+_GID_CO_CACHE = FrameCache(max_entries=2)
+
+
+def _cached_gid_co_counts(spark, sf_dir):
+    """(ga, gb, i, na, nb) — shared-shingle count per distinct-text
+    pair with both shingle-set sizes, from the shingle inverted index
+    (ONE shuffle keyed by shingle; work bounded by per-shingle
+    frequency squares, never corpus^2 — stop-shingle capping applies
+    at scale). Memoized: the recall report and containment both
+    consume it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build():
+        sh = _cached_shingles(spark, sf_dir)
+        sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        co = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.gid") < F.col("b.gid")),
+            )
+            .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        return (
+            co.join(sizes.withColumnRenamed("gid", "ga").withColumnRenamed("n", "na"), "ga")
+            .join(sizes.withColumnRenamed("gid", "gb").withColumnRenamed("n", "nb"), "gb")
+            .persist()
+        )
+
+    return _GID_CO_CACHE.get_or_create(key, build)
+
+
+@query(
+    "dedup_lsh_recall_report",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    {_GID_CO_SQL.strip()},
+    truth AS (
+      SELECT ga, gb FROM cosz
+      WHERE 1000000.0 * i / (na + nb - i) >= 500000),
     sh AS (SELECT gid AS doc_id, sh FROM gsh),
     {_MINHASH_SQL},
     {_BANDS_SQL},
@@ -1237,25 +1284,13 @@ def dedup_lsh_recall_report(spark, sf_dir):
     candidates are computed per DISTINCT text (group), which is also
     what makes recall well-defined on a dup-heavy corpus: identical
     copies pair by construction and would inflate recall if counted."""
-    sh = _cached_shingles(spark, sf_dir)
-    sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    co = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.gid") < F.col("b.gid")))
-        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    cosz = _cached_gid_co_counts(spark, sf_dir)
     jac = (
         F.lit(1000000.0)
         * F.col("i")
-        / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+        / (F.col("na") + F.col("nb") - F.col("i"))
     )
-    truth = (
-        co.join(sizes.alias("sa"), F.col("sa.gid") == F.col("ga"))
-        .join(sizes.alias("sb"), F.col("sb.gid") == F.col("gb"))
-        .where(jac >= 500000)
-        .select("ga", "gb")
-    )
+    truth = cosz.where(jac >= 500000).select("ga", "gb")
     cands = _cached_gid_pairs(spark, sf_dir)
     hits = truth.join(
         cands,
@@ -1284,26 +1319,14 @@ _CONTAIN_1E6 = 800_000  # containment threshold: 80% of the smaller set
     "dedup_containment",
     f"""
     WITH {_NEAR_CORPUS_SQL.strip()},
-    gtexts AS (
-      SELECT DISTINCT md5(text) AS gid, text
-      FROM corpus WHERE length(text) >= 8),
-    gsh AS (
-      SELECT DISTINCT gid, substr(text, i, 8) AS sh
-      FROM gtexts, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)),
-    sizes AS (SELECT gid, COUNT(*) AS n FROM gsh GROUP BY gid),
-    co AS (
-      SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS i
-      FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.gid < b.gid
-      GROUP BY 1, 2)
-    SELECT CASE WHEN sa.n <= sb.n THEN ga ELSE gb END AS contained_gid,
-           CASE WHEN sa.n <= sb.n THEN gb ELSE ga END AS container_gid,
-           CAST(ROUND(1000000.0 * i / LEAST(sa.n, sb.n)) AS BIGINT)
+    {_GID_CO_SQL.strip()}
+    SELECT CASE WHEN na <= nb THEN ga ELSE gb END AS contained_gid,
+           CASE WHEN na <= nb THEN gb ELSE ga END AS container_gid,
+           CAST(ROUND(1000000.0 * i / LEAST(na, nb)) AS BIGINT)
              AS containment_1e6
-    FROM co
-    JOIN sizes sa ON sa.gid = ga
-    JOIN sizes sb ON sb.gid = gb
-    WHERE 1000000.0 * i / LEAST(sa.n, sb.n) >= {_CONTAIN_1E6}
-      AND sa.n <> sb.n
+    FROM cosz
+    WHERE 1000000.0 * i / LEAST(na, nb) >= {_CONTAIN_1E6}
+      AND na <> nb
     """,
 )
 def dedup_containment(spark, sf_dir):
@@ -1319,22 +1342,13 @@ def dedup_containment(spark, sf_dir):
     score and the (contained, container) orientation resolved by set
     size. Equal-size pairs are excluded: at i/min >= 0.8 they are
     ordinary near-dups, already owned by the Jaccard query."""
-    sh = _cached_shingles(spark, sf_dir)
-    sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    co = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.gid") < F.col("b.gid")))
-        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    cosz = _cached_gid_co_counts(spark, sf_dir)
     score = (
-        F.lit(1000000.0) * F.col("i") / F.least(F.col("sa.n"), F.col("sb.n"))
+        F.lit(1000000.0) * F.col("i") / F.least(F.col("na"), F.col("nb"))
     )
-    small_first = F.col("sa.n") <= F.col("sb.n")
+    small_first = F.col("na") <= F.col("nb")
     return (
-        co.join(sizes.alias("sa"), F.col("sa.gid") == F.col("ga"))
-        .join(sizes.alias("sb"), F.col("sb.gid") == F.col("gb"))
-        .where((score >= _CONTAIN_1E6) & (F.col("sa.n") != F.col("sb.n")))
+        cosz.where((score >= _CONTAIN_1E6) & (F.col("na") != F.col("nb")))
         .select(
             F.when(small_first, F.col("ga")).otherwise(F.col("gb")).alias(
                 "contained_gid"

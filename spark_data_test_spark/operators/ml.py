@@ -37,20 +37,34 @@ from spark_data_test_spark.operators.relational import query, t
              CAST(SUM(x * x) AS BIGINT) AS sxx,
              CAST(SUM(y * y) AS BIGINT) AS syy
       FROM feat)
+    -- every cross-product is formed in DOUBLE from the exact int64
+    -- sums: int64 products overflow at moderate corpora (sy*sy passes
+    -- 2^63 around 10M average documents) and the engines diverge there
+    -- (Spark wraps or throws by ANSI mode, DuckDB promotes to
+    -- HUGEINT). Converting each SUM first (exact while < 2^53) and
+    -- multiplying in IEEE space is overflow-proof and runs the
+    -- identical op tree on both engines — bit-deterministic always,
+    -- exact at any corpus this data model reaches.
     SELECT n, sx, sy, sxy, sxx,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-           (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS intercept,
-           -- squares leave int64 range (cov_n^2 ~ 1e24): cast each
-           -- exact int64 factor to double FIRST (Spark would wrap,
-           -- DuckDB would promote to HUGEINT — divergent), then
-           -- multiply in IEEE space identically on both engines
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-              * CAST(n * sxy - sx * sy AS DOUBLE))
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE))
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS r_squared
     FROM moments
     """,
@@ -58,9 +72,12 @@ from spark_data_test_spark.operators.relational import query, t
 def ml_linear_regression_train(spark, sf_dir):
     """Train y = slope*x + intercept (document length on word count) by
     closed-form OLS over exact integer moment sums. slope and r² are
-    ratios of integer cross-moments (the textbook n·Σxy − Σx·Σy form —
-    means are never materialized, so no catastrophic float
-    cancellation); the intercept reuses the same integer operands. The
+    ratios of cross-moments in the textbook n·Σxy − Σx·Σy form (means
+    are never materialized); the sums stay exact int64 while the
+    cross-products are formed in double — exact while the sums are
+    below 2^53 and overflow-proof beyond (int64 products would wrap or
+    throw around 10M average documents; go decimal sums past 2^63 row
+    mass). The intercept reuses the same operands. The
     one aggregate is map-side combinable; the output is one row — the
     trained model, ready to broadcast into a scorer exactly like
     `text_quality_model_score` consumes its weights."""
@@ -80,10 +97,15 @@ def ml_linear_regression_train(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n.cast("double") / var_n.cast("double")
+    # cross-moments in double from exact int64 sums — see the SQL
+    # comment: int64 products overflow and diverge across engines; the
+    # double op tree is overflow-proof and identical on both sides
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd, syyd = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    cov_n = nd * sxyd - sxd * syd
+    var_n = nd * sxxd - sxd * sxd
+    vary_n = nd * syyd - syd * syd
+    slope = cov_n / var_n
     return m.select(
         "n",
         "sx",
@@ -91,12 +113,6 @@ def ml_linear_regression_train(spark, sf_dir):
         "sxy",
         "sxx",
         slope.alias("slope"),
-        (
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
-        ).alias("intercept"),
-        (
-            (cov_n.cast("double") * cov_n.cast("double"))
-            / (var_n.cast("double") * vary_n.cast("double"))
-        ).alias("r_squared"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+        ((cov_n * cov_n) / (var_n * vary_n)).alias("r_squared"),
     )

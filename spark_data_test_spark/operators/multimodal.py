@@ -224,7 +224,8 @@ _CHUNK_BYTES = 256
     WITH chunks AS (
       SELECT doc_id, md5(substr(text, i, {_CHUNK_BYTES})) AS h
       FROM documents,
-           unnest(generate_series(1, length(text), {_CHUNK_BYTES})) AS u(i)),
+           unnest(generate_series(1, length(text), {_CHUNK_BYTES})) AS u(i)
+      WHERE length(text) >= 1),
     per_chunk AS (
       SELECT h, COUNT(*) AS refs FROM chunks GROUP BY h)
     SELECT CAST(SUM(refs) AS BIGINT) AS total_chunks,
@@ -238,22 +239,27 @@ _CHUNK_BYTES = 256
 )
 def multimodal_chunk_dedup(spark, sf_dir):
     """Content-addressable-storage dedup report over the binary corpus:
-    every blob is cut into fixed {bytes}-byte chunks, chunks are keyed
-    by digest, and the report says how much of the byte volume
-    collapses under chunk-level dedup — the fixed-size-chunking CAS
-    model object stores and data lakes use for media (a shared intro
-    sequence or boilerplate header dedups at chunk granularity even
-    when whole-file hashes differ). The Spark side chunks the BINARY
-    column with JVM substring on byte offsets; the oracle re-chunks the
-    source text (ASCII corpus: byte offsets == char offsets, the same
-    equivalence multimodal_frame_sample pins), so a drift in offset
-    arithmetic or encoding breaks the hash.
+    every blob is cut into fixed chunks (_CHUNK_BYTES = 256 bytes),
+    chunks are keyed by digest, and the report says how much of the
+    byte volume collapses under chunk-level dedup — the
+    fixed-size-chunking CAS model object stores and data lakes use for
+    media (a shared intro sequence or boilerplate header dedups at
+    chunk granularity even when whole-file hashes differ). The Spark
+    side chunks the BINARY column with JVM substring on byte offsets;
+    the oracle re-chunks the source text (ASCII corpus: byte offsets ==
+    char offsets, the same equivalence multimodal_frame_sample pins),
+    so a drift in offset arithmetic or encoding breaks the hash.
+
+    Empty blobs are filtered on BOTH sides: Spark's sequence(1, 0)
+    throws on the descending boundary where the oracle's
+    generate_series just emits nothing (the same guard the dedup
+    shingle explode carries).
 
     Shape at 100 TB: scan-side explode (no shuffle carries content —
     chunks reduce to 16-byte digests in the same stage), one
     map-side-combinable count per digest, one final fold to the
-    driver-small summary row.""".format(bytes=_CHUNK_BYTES)
-    b = to_binary_table(spark, sf_dir)
+    driver-small summary row."""
+    b = to_binary_table(spark, sf_dir).where(F.length("content") >= 1)
     chunks = b.select(
         "doc_id",
         F.explode(

@@ -71,10 +71,10 @@ def sketch_approx_quantiles(spark, sf_dir):
     """Order-value quantiles per order priority via ``approx_percentile``
     (Greenwald-Khanna summaries): each partition builds a bounded
     summary, summaries merge in the combiner — rank error <=
-    1/{acc} of n, state O({acc}) per group regardless of n. The
-    quantile values ride as integer cents. Exact percentiles at 100 TB
-    need a full sort per group; the sketch needs one map-side-combined
-    aggregate.""".format(acc=_QUANT_ACC)
+    1/_QUANT_ACC (= 1/10000) of n, state O(_QUANT_ACC) per group
+    regardless of n. The quantile values ride as integer cents. Exact
+    percentiles at 100 TB need a full sort per group; the sketch needs
+    one map-side-combined aggregate."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),

@@ -350,11 +350,22 @@ def _stage_binary_files(spark, sf_dir, root):
     objects named by key, written by the tasks that hold them, never
     funneled through the driver."""
     import os
+    import shutil
 
+    # freshness token: staged files are valid only for THIS source file
+    # (mtime+size). A bare marker would serve stale bytes — and phantom
+    # doc_*.bin leftovers — after the testdata is regenerated.
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    token = f"{src}|{st.st_mtime_ns}|{st.st_size}"
     os.makedirs(root, exist_ok=True)
     marker = f"{root}/_STAGED"
     if os.path.exists(marker):
-        return
+        with open(marker) as fh:
+            if fh.read() == token:
+                return
+        shutil.rmtree(root, ignore_errors=True)  # stale: rebuild from scratch
+        os.makedirs(root, exist_ok=True)
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("content")
     )
@@ -370,7 +381,7 @@ def _stage_binary_files(spark, sf_dir, root):
 
     docs.foreachPartition(write_partition)
     with open(marker + ".tmp", "w") as fh:
-        fh.write(sf_dir)
+        fh.write(token)
     os.replace(marker + ".tmp", marker)
 
 
