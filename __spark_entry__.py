@@ -145,6 +145,7 @@ _DRIVER_PRIORITY = [
     "events_cumulative_distinct_users",
     "events_transition_matrix",
     "multimodal_chunk_dedup",
+    "dq_constraint_report",
 ]
 
 

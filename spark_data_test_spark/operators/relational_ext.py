@@ -454,3 +454,115 @@ def variant_json_props(spark, sf_dir):
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "dq_constraint_report",
+    """
+    WITH checks AS (
+      SELECT 'orders_pk_unique' AS constraint_name,
+             CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS violations
+      FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+            GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'orders_custkey_fk',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'orders_not_null_and_range',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_quantity_range',
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL)
+    SELECT constraint_name, violations,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM checks
+    """,
+)
+def dq_constraint_report(spark, sf_dir):
+    """Declarative data-quality gate (the dbt-test / expectations
+    pattern): PK uniqueness, FK integrity, NOT NULL, and range
+    constraints evaluated in one job, one row per constraint with its
+    violation count — the report a pipeline blocks a publish on.
+
+    Shapes, each the scale-correct form of its check: uniqueness is a
+    keyed count (one shuffle, map-side combined); FK orphans are
+    LEFT-ANTI probes (the dimension side broadcasts when small, AQE
+    decides); all single-table row predicates FUSE into one conditional
+    aggregate — one scan covers every NOT NULL + range rule on the
+    table, instead of a scan per rule. Adding a rule is adding a CASE
+    column, not a pass over 100 TB."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("long")
+            .alias("violations")
+        )
+        .select(F.lit("orders_pk_unique").alias("constraint_name"), "violations")
+    )
+    fk_cust = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_custkey_fk").alias("constraint_name"), "violations")
+    )
+    row_rules = orders.agg(
+        (
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+            + F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+            + F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("violations")
+    ).select(
+        F.lit("orders_not_null_and_range").alias("constraint_name"), "violations"
+    )
+    qty = lineitem.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("violations")
+    ).select(
+        F.lit("lineitem_quantity_range").alias("constraint_name"), "violations"
+    )
+    fk_order = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("_ok")),
+            lineitem.l_orderkey == F.col("_ok"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("constraint_name"), "violations")
+    )
+    checks = pk.unionByName(fk_cust).unionByName(row_rules).unionByName(qty).unionByName(fk_order)
+    return checks.select(
+        "constraint_name",
+        "violations",
+        F.when(F.col("violations") == 0, 1).otherwise(0).cast("long").alias("passed"),
+    )
