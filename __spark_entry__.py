@@ -146,6 +146,7 @@ _DRIVER_PRIORITY = [
     "events_transition_matrix",
     "multimodal_chunk_dedup",
     "dq_constraint_report",
+    "part_fuzzy_match",
 ]
 
 
