@@ -147,6 +147,7 @@ _DRIVER_PRIORITY = [
     "multimodal_chunk_dedup",
     "dq_constraint_report",
     "part_fuzzy_match",
+    "text_quality_deciles",
 ]
 
 

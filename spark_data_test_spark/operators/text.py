@@ -771,3 +771,76 @@ def text_bigram_familiarity(spark, sf_dir):
             / F.col("total_bigrams").cast("double")
         ).alias("familiarity"),
     )
+
+
+_DECILES = 10
+
+
+@query(
+    "text_quality_deciles",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             m.w0 + m.w_words * f.n_words + m.w_chars * f.n_chars
+               + m.w_digits * f.n_digit_runs + m.w_stop * f.n_stop
+               AS score_milli
+      FROM (
+        SELECT doc_id,
+               (length(trim(text)) - length(replace(trim(text), ' ', ''))) + 1
+                 AS n_words,
+               length(text) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                 AS n_digit_runs,
+               (length(' ' || text || ' ')
+                  - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+               + (length(' ' || text || ' ')
+                  - length(replace(' ' || text || ' ', ' and ', ''))) // 5
+               + (length(' ' || text || ' ')
+                  - length(replace(' ' || text || ' ', ' of ', ''))) // 4
+                 AS n_stop
+        FROM documents) f
+      CROSS JOIN (SELECT * FROM (VALUES ({", ".join(map(str, _QM_WEIGHTS))}))
+        AS m(w0, w_words, w_chars, w_digits, w_stop)) m),
+    ranked AS (
+      SELECT doc_id, score_milli,
+             NTILE({_DECILES}) OVER (ORDER BY score_milli, doc_id) AS decile
+      FROM scored)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+           CAST(MAX(score_milli) AS BIGINT) AS max_score_milli,
+           CAST(SUM(CASE WHEN score_milli >= {_QM_KEEP_MILLI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM ranked GROUP BY decile
+    """,
+)
+def text_quality_deciles(spark, sf_dir):
+    """Classifier CALIBRATION report: corpus deciles by model score
+    with per-decile score range and keep counts — how a pipeline picks
+    (and defends) its quality threshold before committing a filter at
+    full scale. Deciles come from ntile over the total order
+    (score, doc_id) — the doc_id tie-break makes bucket boundaries
+    bit-deterministic, which raw score ties would not be.
+
+    The global ntile is a single-partition sort window — fine HERE
+    because its input is (doc_id, score) pairs, not documents, and at
+    true 100 TB the two-phase rewrite `parts_abc_pareto` demonstrates
+    (partition-local ranks + broadcast offsets) swaps in without
+    changing the report. Featurization reuses the
+    `text_quality_model_score` weights, so the two queries pin each
+    other."""
+    scored = text_quality_model_score(spark, sf_dir).select(
+        "doc_id", "score_milli"
+    )
+    decile = F.ntile(_DECILES).over(Window.orderBy("score_milli", "doc_id"))
+    return (
+        scored.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+            F.sum(
+                F.when(F.col("score_milli") >= _QM_KEEP_MILLI, 1).otherwise(0)
+            ).cast("long").alias("n_keep"),
+        )
+    )
