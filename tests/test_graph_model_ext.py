@@ -219,3 +219,91 @@ def test_ols_matches_numpy(spark, sf_dir):
     r = np.corrcoef(x, y)[0, 1]
     assert abs(row.r_squared - r * r) < 1e-9
     assert 0 <= row.r_squared <= 1
+
+
+def test_dq_constraints_on_clean_and_dirty_data(spark, sf_dir, tmp_path):
+    from spark_data_test_spark.operators.relational_ext import dq_constraint_report
+
+    clean = {r.constraint_name: r for r in dq_constraint_report(spark, sf_dir).collect()}
+    assert set(clean) == {
+        "orders_pk_unique",
+        "orders_custkey_fk",
+        "orders_not_null_and_range",
+        "lineitem_quantity_range",
+        "lineitem_orderkey_fk",
+    }
+    # the provided testdata satisfies every constraint
+    assert all(r.violations == 0 and r.passed == 1 for r in clean.values())
+
+    # plant violations: dup PK, orphan custkey, negative price, qty 99,
+    # and an orphan lineitem — each lands in exactly one counter
+    sf = str(tmp_path / "sf")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    first = o.limit(1)
+    bad_orders = o.unionByName(first).unionByName(
+        first.withColumn("o_orderkey", F.lit(-1))
+        .withColumn("o_custkey", F.lit(-999))
+        .withColumn("o_totalprice", F.lit(-5.0))
+    )
+    bad_li = li.unionByName(
+        li.limit(1)
+        .withColumn("l_orderkey", F.lit(-12345))
+        .withColumn("l_quantity", F.lit(99.0))
+    )
+    bad_orders.write.parquet(f"{sf}/orders.parquet")
+    bad_li.write.parquet(f"{sf}/lineitem.parquet")
+    c.write.parquet(f"{sf}/customer.parquet")
+    dirty = {r.constraint_name: r.violations for r in dq_constraint_report(spark, sf).collect()}
+    assert dirty["orders_pk_unique"] == 1
+    assert dirty["orders_custkey_fk"] == 1
+    assert dirty["orders_not_null_and_range"] == 1
+    assert dirty["lineitem_quantity_range"] == 1
+    assert dirty["lineitem_orderkey_fk"] == 1
+
+
+def test_fuzzy_match_is_exact_within_block(spark, sf_dir):
+    from spark_data_test_spark.operators.relational_ext import (
+        _FUZZY_MAX_DIST,
+        part_fuzzy_match,
+    )
+
+    got = {(r.name_a, r.name_b): r.edit_distance for r in part_fuzzy_match(spark, sf_dir).collect()}
+    assert got, "the part vocabulary always contains near-identical names"
+    names = [r.p_name for r in t(spark, sf_dir, "part").select("p_name").distinct().collect()]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            x, y = sorted((a, b))
+            if x.rsplit(" ", 1)[-1] == y.rsplit(" ", 1)[-1]:
+                d = lev(x, y)
+                if d <= _FUZZY_MAX_DIST:
+                    expected[(x, y)] = d
+    assert got == expected
+
+
+def test_quality_deciles_partition_docs(spark, sf_dir):
+    from spark_data_test_spark.operators.text import (
+        text_quality_deciles,
+        text_quality_model_score,
+    )
+
+    rows = sorted(text_quality_deciles(spark, sf_dir).collect(), key=lambda r: r.decile)
+    n_docs = text_quality_model_score(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # deciles are score-ordered and near-equal in size
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_score_milli <= hi.min_score_milli
+        assert abs(lo.n_docs - hi.n_docs) <= 1
