@@ -148,6 +148,7 @@ _DRIVER_PRIORITY = [
     "dq_constraint_report",
     "part_fuzzy_match",
     "text_quality_deciles",
+    "sql_api_query",
 ]
 
 

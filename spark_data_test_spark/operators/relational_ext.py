@@ -628,3 +628,38 @@ def part_fuzzy_match(spark, sf_dir):
             dist.cast("long").alias("edit_distance"),
         )
     )
+
+
+_SQL_API_QUERY = """
+    SELECT n.n_name AS nation,
+           o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM sds_orders o
+    JOIN sds_customer c ON c.c_custkey = o.o_custkey
+    JOIN sds_nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+"""
+
+
+@query(
+    "sql_api_query",
+    _SQL_API_QUERY.replace("sds_orders", "orders")
+    .replace("sds_customer", "customer")
+    .replace("sds_nation", "nation"),
+)
+def sql_api_query(spark, sf_dir):
+    """The SQL-first surface: tables registered as temp views and the
+    query expressed as ONE ``spark.sql`` string — the interface a
+    SQL-native user (or a BI tool) drives the engine through. The
+    string is the SAME text the DuckDB oracle runs (modulo view
+    prefixes), which is the portability claim made concrete: Catalyst
+    plans it identically to the DataFrame formulation (same pushdown,
+    same broadcast dimensions), because both lower to the same logical
+    plan — the API choice is syntax, not a different engine path.
+    Views are session-scoped and prefixed to avoid colliding with a
+    caller's own registrations."""
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sds_{name}")
+    return spark.sql(_SQL_API_QUERY)
