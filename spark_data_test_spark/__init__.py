@@ -30,6 +30,9 @@ from spark_data_test_spark.operators.comparison import (
     distribution_report,
     release_comparison_result,
 )
+from spark_data_test_spark.operators.graph import pagerank_fixed, triangle_count
+from spark_data_test_spark.operators.ml import ols_fit
+from spark_data_test_spark.operators.relational_ext import blocked_fuzzy_pairs
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
 from spark_data_test_spark.operators.temporal import (
     asof_join,
@@ -47,16 +50,20 @@ __all__ = [
     "TestParams",
     "asof_join",
     "asof_join_split",
+    "blocked_fuzzy_pairs",
     "compare_dataframes",
     "compare_dataframes_where",
     "distribution_report",
+    "ols_fit",
     "pack_bins",
+    "pagerank_fixed",
     "range_join_binned",
     "release_comparison_result",
     "run_comparison_job",
     "run_comparison_job_from_dfs",
     "scd2_build",
     "split_assign",
+    "triangle_count",
     "write_results",
 ]
 

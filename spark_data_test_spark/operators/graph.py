@@ -113,6 +113,72 @@ def graph_degree_distribution(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+
+
+def triangle_count(edges):
+    """Library operator: exact triangle count + global clustering
+    coefficient over an arbitrary undirected edge frame with columns
+    (u, v), u < v, distinct. Degree-ordered compact-forward wedge
+    closure (see module docstring); returns a one-row DataFrame
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_coefficient).
+    """
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+    ed = (
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "u")
+                               .withColumnRenamed("degree", "du")), "u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")
+                          .withColumnRenamed("degree", "dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
+
+    # normalized undirected key keeps the closure an equi-hash-join
+    closure_edges = oriented.select(
+        F.least("src", "dst").alias("cu"), F.greatest("src", "dst").alias("cv")
+    )
+    closed = wedges.join(
+        closure_edges,
+        (F.least("v", "w") == F.col("cu")) & (F.greatest("v", "w") == F.col("cv")),
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    summary = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                (F.col("degree") * (F.col("degree") - 1)).cast("long") / 2
+            ).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            (3 * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("clustering_coefficient"),
+    )
+
+
 @query(
     "graph_triangle_count",
     f"""
@@ -169,63 +235,9 @@ def graph_triangle_count(spark, sf_dir):
     The closure probes with the UNORIENTED pair (either direction), so
     the wedge->edge join condition is a disjunction of two equi-pairs —
     expressed as an equi-join on the normalized (min, max) pair to stay
-    a hash join, never a nested loop."""
-    e = _edges(spark, sf_dir)
-    nodes = e.select(F.col("u").alias("node")).unionAll(
-        e.select(F.col("v").alias("node"))
-    )
-    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-
-    ed = (
-        e.join(F.broadcast(deg.withColumnRenamed("node", "u")
-                           .withColumnRenamed("degree", "du")), "u")
-        .join(F.broadcast(deg.withColumnRenamed("node", "v")
-                          .withColumnRenamed("degree", "dv")), "v")
-    )
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ed.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
-
-    a = oriented.alias("a")
-    b = oriented.alias("b")
-    wedges = a.join(
-        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
-    ).select(F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
-
-    # normalized undirected key keeps the closure an equi-hash-join
-    closure_edges = oriented.select(
-        F.least("src", "dst").alias("cu"), F.greatest("src", "dst").alias("cv")
-    )
-    closed = wedges.join(
-        closure_edges,
-        (F.least("v", "w") == F.col("cu")) & (F.greatest("v", "w") == F.col("cv")),
-    )
-    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-
-    summary = (
-        deg.agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.sum(
-                (F.col("degree") * (F.col("degree") - 1)).cast("long") / 2
-            ).cast("long").alias("n_wedges"),
-        )
-        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(tri))
-    )
-    return summary.select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        (
-            (3 * F.col("n_triangles")).cast("double")
-            / F.col("n_wedges").cast("double")
-        ).alias("clustering_coefficient"),
-    )
+    a hash join, never a nested loop. Delegates to the exported
+    `triangle_count` library operator over the co-purchase edges."""
+    return triangle_count(_edges(spark, sf_dir))
 
 
 _PR_ROUNDS = 3
@@ -281,34 +293,44 @@ def graph_pagerank_fixed(spark, sf_dir):
     power iteration converges geometrically, and a pipeline runs a
     fixed budget, not to convergence. The symmetric graph has no
     dangling nodes (every vertex has out-degree >= 1 by construction),
-    so no dangling-mass redistribution term is needed."""
-    e = _edges(spark, sf_dir)
-    # sym is a cheap union over the persisted edge cache — no extra
-    # persist needed (unpersisting one at build time would be a no-op
-    # anyway: the plan is lazy and executes after this function returns)
-    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    so no dangling-mass redistribution term is needed. Delegates to
+    the exported `pagerank_fixed` library operator."""
+    return pagerank_fixed(_edges(spark, sf_dir))
+
+
+def pagerank_fixed(edges, rounds=_PR_ROUNDS, damping=(_PR_DAMP_NUM, _PR_DAMP_DEN),
+                   scale=_PR_SCALE):
+    """Library operator: fixed-point integer PageRank over an arbitrary
+    undirected edge frame with columns (u, v). Returns (node,
+    rank_micro) after ``rounds`` synchronous power-iteration rounds;
+    bit-deterministic under any partitioning (see the query docstring).
+    ``damping`` is an exact integer ratio; ``scale`` the fixed-point
+    unit."""
+    damp_num, damp_den = damping
+    # sym is a cheap union over the caller's (typically persisted) edge
+    # frame — no extra persist needed (an unpersist at build time would
+    # be a no-op anyway: the plan is lazy and executes after return)
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     outdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    base = _PR_SCALE - _PR_SCALE * _PR_DAMP_NUM // _PR_DAMP_DEN
+    base = scale - scale * damp_num // damp_den
     ranks = outdeg.select(
-        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("r")
+        F.col("src").alias("node"), F.lit(scale).cast("long").alias("r")
     ).localCheckpoint(eager=False)
     contrib_src = sym.join(outdeg, "src")
-    for _ in range(_PR_ROUNDS):
+    for _ in range(rounds):
         ranks = (
             contrib_src.join(ranks, contrib_src.src == ranks.node)
             .select(
                 F.col("dst"),
-                F.expr(f"r div od").alias("contrib"),
+                F.expr("r div od").alias("contrib"),
             )
             .groupBy("dst")
             .agg(
                 (
                     F.lit(base)
-                    + F.expr(
-                        f"({_PR_DAMP_NUM} * sum(contrib)) div {_PR_DAMP_DEN}"
-                    )
+                    + F.expr(f"({damp_num} * sum(contrib)) div {damp_den}")
                 )
                 .cast("long")
                 .alias("r")

@@ -89,6 +89,17 @@ def ml_linear_regression_train(spark, sf_dir):
         ).alias("x"),
         F.length("text").alias("y"),
     )
+    return ols_fit(feat, "x", "y")
+
+
+def ols_fit(df, x_col, y_col):
+    """Library operator: closed-form simple OLS of ``y_col`` on
+    ``x_col`` (both integer columns) — returns a one-row DataFrame
+    (n, sx, sy, sxy, sxx, slope, intercept, r_squared). One map-side-
+    combinable aggregate over any row count; cross-moments form in
+    double from the exact int64 sums (overflow-proof, bit-deterministic
+    — see the query docstring)."""
+    feat = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
     m = feat.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

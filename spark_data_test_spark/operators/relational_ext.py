@@ -605,26 +605,39 @@ def part_fuzzy_match(spark, sf_dir):
     not join strategy — is the scale lever (length bands or phonetic
     keys split hot blocks). Levenshtein evaluates inside the join
     stage; only (name, name, distance) survivors shuffle onward."""
-    named = (
-        t(spark, sf_dir, "part")
-        .select(
-            "p_name",
-            F.element_at(F.split("p_name", " "), -1).alias("blk_noun"),
-        )
-        .distinct()
+    named = t(spark, sf_dir, "part").select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
     )
+    return blocked_fuzzy_pairs(named, "p_name", "blk", _FUZZY_MAX_DIST).select(
+        F.col("value_a").alias("name_a"),
+        F.col("value_b").alias("name_b"),
+        "edit_distance",
+    )
+
+
+def blocked_fuzzy_pairs(df, value_col, block_col, max_dist):
+    """Library operator: entity-level blocked fuzzy matching. Input is
+    any frame carrying a string ``value_col`` and a ``block_col``
+    blocking key; output is every DISTINCT value pair sharing a block
+    with levenshtein distance <= ``max_dist``, as (value_a, value_b,
+    edit_distance) with value_a < value_b. Values are deduplicated
+    before the block self-join, so cost tracks distinct values per
+    block, not row counts."""
+    named = df.select(
+        F.col(value_col).alias("val"), F.col(block_col).alias("blk")
+    ).distinct()
     a, b = named.alias("a"), named.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("a.val"), F.col("b.val"))
     return (
         a.join(
             b,
-            (F.col("a.blk_noun") == F.col("b.blk_noun"))
-            & (F.col("a.p_name") < F.col("b.p_name")),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") < F.col("b.val")),
         )
-        .where(dist <= _FUZZY_MAX_DIST)
+        .where(dist <= max_dist)
         .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
+            F.col("a.val").alias("value_a"),
+            F.col("b.val").alias("value_b"),
             dist.cast("long").alias("edit_distance"),
         )
     )

@@ -307,3 +307,46 @@ def test_quality_deciles_partition_docs(spark, sf_dir):
     for lo, hi in zip(rows, rows[1:]):
         assert lo.max_score_milli <= hi.min_score_milli
         assert abs(lo.n_docs - hi.n_docs) <= 1
+
+
+def test_library_triangle_count_on_edge_frame(spark):
+    from spark_data_test_spark import triangle_count
+
+    # K4 (10,20,30,40) + pendant edge 40-50
+    k4 = [(a, b) for a in (10, 20, 30, 40) for b in (10, 20, 30, 40) if a < b]
+    edges = spark.createDataFrame(k4 + [(40, 50)], "u long, v long")
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (5, 7, 4, 15)
+
+
+def test_library_pagerank_fixed_hand_computed(spark):
+    from spark_data_test_spark import pagerank_fixed
+
+    # star 1-2, 1-3: three rounds of the fixed-point recurrence by hand
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "u long, v long")
+    got = {r.node: r.rank_micro for r in pagerank_fixed(edges).collect()}
+    assert got == {1: 1741625, 2: 629187, 3: 629187}
+
+
+def test_library_ols_fit_exact_line(spark):
+    from spark_data_test_spark import ols_fit
+
+    df = spark.createDataFrame([(1, 2), (2, 4), (3, 6)], "a long, b long")
+    row = ols_fit(df, "a", "b").collect()[0]
+    assert (row.n, row.sx, row.sy, row.sxy, row.sxx) == (3, 6, 12, 28, 14)
+    assert row.slope == 2.0 and row.intercept == 0.0 and row.r_squared == 1.0
+
+
+def test_library_blocked_fuzzy_pairs(spark):
+    from spark_data_test_spark import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("cold anvil", "anvil"), ("old anvil", "anvil"),
+         ("old anvil", "anvil"),  # duplicate row: entity-level dedup
+         ("blue anvil", "anvil"), ("cold widget", "widget")],
+        "name string, noun string",
+    )
+    got = {(r.value_a, r.value_b): r.edit_distance
+           for r in blocked_fuzzy_pairs(df, "name", "noun", 2).collect()}
+    # "blue anvil" is 4 edits from both others; cross-block pairs never form
+    assert got == {("cold anvil", "old anvil"): 1}
