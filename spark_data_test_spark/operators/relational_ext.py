@@ -471,15 +471,15 @@ def variant_json_props(spark, sf_dir):
       WHERE c.c_custkey IS NULL
       UNION ALL
       SELECT 'orders_not_null_and_range',
-             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
                   + SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
                   + SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                             THEN 1 ELSE 0 END) AS BIGINT)
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
       FROM orders
       UNION ALL
       SELECT 'lineitem_quantity_range',
-             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                           THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END), 0) AS BIGINT)
       FROM lineitem
       UNION ALL
       SELECT 'lineitem_orderkey_fk',
@@ -529,12 +529,15 @@ def dq_constraint_report(spark, sf_dir):
         .select(F.lit("orders_custkey_fk").alias("constraint_name"), "violations")
     )
     row_rules = orders.agg(
-        (
+        # coalesce: SUM over an EMPTY table is NULL, which would report
+        # a vacuously-satisfied constraint as passed=0
+        F.coalesce(
             F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
             + F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
             + F.sum(
                 F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
-            )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("violations")
@@ -542,9 +545,12 @@ def dq_constraint_report(spark, sf_dir):
         F.lit("orders_not_null_and_range").alias("constraint_name"), "violations"
     )
     qty = lineitem.agg(
-        F.sum(
-            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("violations")
@@ -622,7 +628,9 @@ def blocked_fuzzy_pairs(df, value_col, block_col, max_dist):
     with levenshtein distance <= ``max_dist``, as (value_a, value_b,
     edit_distance) with value_a < value_b. Values are deduplicated
     before the block self-join, so cost tracks distinct values per
-    block, not row counts."""
+    block, not row counts; the output is deduplicated too, so a value
+    pair sharing several blocks (the multi-blocking-pass shape) is
+    still emitted once."""
     named = df.select(
         F.col(value_col).alias("val"), F.col(block_col).alias("blk")
     ).distinct()
@@ -640,6 +648,7 @@ def blocked_fuzzy_pairs(df, value_col, block_col, max_dist):
             F.col("b.val").alias("value_b"),
             dist.cast("long").alias("edit_distance"),
         )
+        .distinct()
     )
 
 
@@ -671,8 +680,15 @@ def sql_api_query(spark, sf_dir):
     plans it identically to the DataFrame formulation (same pushdown,
     same broadcast dimensions), because both lower to the same logical
     plan — the API choice is syntax, not a different engine path.
-    Views are session-scoped and prefixed to avoid colliding with a
-    caller's own registrations."""
+    View names carry an sf_dir digest: a fixed name would let a
+    concurrent caller on another sf_dir clobber the views between
+    registration and analysis (and collide with the caller's own
+    registrations)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     for name in ("orders", "customer", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"sds_{name}")
-    return spark.sql(_SQL_API_QUERY)
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sds_{tag}_{name}")
+    return spark.sql(
+        _SQL_API_QUERY.replace("sds_", f"sds_{tag}_")
+    )

@@ -235,8 +235,9 @@ def test_dq_constraints_on_clean_and_dirty_data(spark, sf_dir, tmp_path):
     # the provided testdata satisfies every constraint
     assert all(r.violations == 0 and r.passed == 1 for r in clean.values())
 
-    # plant violations: dup PK, orphan custkey, negative price, qty 99,
-    # and an orphan lineitem — each lands in exactly one counter
+    # plant violations: dup PK; one row with an orphan custkey AND a
+    # negative price (two counters on purpose); one lineitem per
+    # lineitem rule so those counters stay independent
     sf = str(tmp_path / "sf")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -247,10 +248,11 @@ def test_dq_constraints_on_clean_and_dirty_data(spark, sf_dir, tmp_path):
         .withColumn("o_custkey", F.lit(-999))
         .withColumn("o_totalprice", F.lit(-5.0))
     )
+    li_first = li.limit(1)
     bad_li = li.unionByName(
-        li.limit(1)
-        .withColumn("l_orderkey", F.lit(-12345))
-        .withColumn("l_quantity", F.lit(99.0))
+        li_first.withColumn("l_quantity", F.lit(99.0))
+    ).unionByName(
+        li_first.withColumn("l_orderkey", F.lit(-12345))
     )
     bad_orders.write.parquet(f"{sf}/orders.parquet")
     bad_li.write.parquet(f"{sf}/lineitem.parquet")
@@ -261,6 +263,15 @@ def test_dq_constraints_on_clean_and_dirty_data(spark, sf_dir, tmp_path):
     assert dirty["orders_not_null_and_range"] == 1
     assert dirty["lineitem_quantity_range"] == 1
     assert dirty["lineitem_orderkey_fk"] == 1
+
+    # EMPTY tables: every constraint is vacuously satisfied — SUM over
+    # zero rows is NULL and must coalesce to 0, not fail the gate
+    sf_empty = str(tmp_path / "sf_empty")
+    o.limit(0).write.parquet(f"{sf_empty}/orders.parquet")
+    li.limit(0).write.parquet(f"{sf_empty}/lineitem.parquet")
+    c.limit(0).write.parquet(f"{sf_empty}/customer.parquet")
+    empty = dq_constraint_report(spark, sf_empty).collect()
+    assert all(r.violations == 0 and r.passed == 1 for r in empty)
 
 
 def test_fuzzy_match_is_exact_within_block(spark, sf_dir):
