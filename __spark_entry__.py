@@ -87,8 +87,9 @@ _DRIVER_PRIORITY = [
     "streaming_foreachbatch_sink",
     "streaming_cdc_upsert",
     # --- driver window ends after the 50th entry above ---
-    # never-driver-checked twins + queries new in round 3, first in
-    # line for the round-4 window
+    # never-driver-checked twins + queries new in round 3 (the tail
+    # below grew through the round: graph/sketch/ml/linkage/DQ/source
+    # families), first in line for the round-4 window rotation
     "streaming_sessionization_store",
     "corpus_prepare_pipeline",
     "window_lead_lag",
@@ -149,6 +150,7 @@ _DRIVER_PRIORITY = [
     "part_fuzzy_match",
     "text_quality_deciles",
     "sql_api_query",
+    "sink_zorder_layout",
 ]
 
 

@@ -465,3 +465,94 @@ def sink_clustered_layout(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(cents(F.col("value"))).alias("value_cents"),
     )
+
+
+def _spread16_sql(x, shift_fn):
+    """Bit-spreading (Morton interleave half): insert a 0 bit between
+    every bit of a 16-bit value, via the standard magic-mask stages.
+    ``shift_fn`` renders a left shift — DuckDB spells it ``<<``, Spark
+    SQL ``shiftleft`` — over otherwise identical integer arithmetic."""
+    e = f"(({x}) & 65535)"
+    for sh, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        e = f"(({e} | {shift_fn(e, sh)}) & {mask})"
+    return e
+
+
+def _morton_sql(d1, d2, shift_fn):
+    return f"({_spread16_sql(d1, shift_fn)} | {shift_fn(_spread16_sql(d2, shift_fn), 1)})"
+
+
+_Z_DAYS = (19723, 19724)
+_Z_TYPES = ("purchase", "click")
+
+
+@query(
+    "sink_zorder_layout",
+    f"""
+    WITH keyed AS (
+      SELECT epoch_us(ts) // {_PRUNE_DAY_US} AS day, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             {_morton_sql(
+                 f"epoch_us(ts) // {_PRUNE_DAY_US}",
+                 "ascii(substr(event_type, 1, 1))",
+                 lambda e, n: f"({e} << {n})",
+             )} AS zkey
+      FROM events)
+    SELECT day, event_type, COUNT(*) AS cnt,
+           CAST(SUM(c) AS BIGINT) AS value_cents,
+           CAST(MIN(zkey) AS BIGINT) AS zmin,
+           CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM keyed
+    WHERE day IN {_Z_DAYS} AND event_type IN {_Z_TYPES}
+    GROUP BY day, event_type
+    """,
+)
+def sink_zorder_layout(spark, sf_dir):
+    """Z-ORDER (Morton) clustering — the multi-dimensional layout
+    lever: linear clustering (sink_clustered_layout) serves ONE filter
+    column well and the others badly; interleaving the bits of both
+    dimensions into one sort key keeps rows close in EVERY dimension,
+    so a 2-dim selective read skips files and row groups on both
+    predicates (the Databricks/Delta Z-ORDER idea, built from plain
+    Catalyst bit arithmetic — no engine extension). The Morton key is
+    the classic magic-mask bit spread; the oracle replays the IDENTICAL
+    integer stages (validated bit-for-bit) and the emitted per-group
+    zmin/zmax force the value-level check of the interleave itself,
+    not just of the aggregate.
+
+    Shape: key computation is scan-side codegen; the write is ONE
+    range-shuffle on the z-key (repartitionByRange balances output
+    files by key distribution); the read-back pushes both filters to
+    the scan. Layout changes where rows LAND, never what they are —
+    the aggregate must equal the original-table oracle regardless."""
+    day = F.expr(f"unix_micros(ts) div {_PRUNE_DAY_US}")
+    zkey = F.expr(
+        _morton_sql(
+            f"unix_micros(ts) div {_PRUNE_DAY_US}",
+            "ascii(substr(event_type, 1, 1))",
+            lambda e, n: f"shiftleft({e}, {n})",
+        )
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_zorder/{digest}/events"
+    ev = t(spark, sf_dir, "events").select(
+        day.alias("day"),
+        "event_type",
+        cents(F.col("value")).alias("c"),
+        zkey.alias("zkey"),
+    )
+    (
+        ev.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("day").isin(*_Z_DAYS) & F.col("event_type").isin(*_Z_TYPES)
+    )
+    return back.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("c").alias("value_cents"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+    )
