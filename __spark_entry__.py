@@ -151,6 +151,8 @@ _DRIVER_PRIORITY = [
     "text_quality_deciles",
     "sql_api_query",
     "sink_zorder_layout",
+    "text_langid_confusion",
+    "orders_open_backlog_daily",
 ]
 
 

@@ -718,3 +718,64 @@ def orders_market_basket(spark, sf_dir):
         .where(F.col("rn") <= 25)
         .drop("rn")
     )
+
+
+_BACKLOG_DAYS = 30
+
+
+@query(
+    "orders_open_backlog_daily",
+    f"""
+    WITH deltas AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day, 1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT epoch_us(o_orderdate) // 86400000000 + {_BACKLOG_DAYS} AS day,
+             -1 AS delta
+      FROM orders),
+    daily AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS opened,
+             CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS closed,
+             CAST(SUM(delta) AS BIGINT) AS net
+      FROM deltas GROUP BY day)
+    SELECT day, opened, closed,
+           CAST(SUM(net) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_backlog
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    """Interval counting by SWEEP-LINE: how many orders are open on
+    each day, with each order open for {_BACKLOG_DAYS} days after its
+    order date. The naive formulation joins every day against every
+    overlapping interval (O(days x orders)); the sweep-line emits +1
+    at open and -1 at close, reduces to per-day nets (ONE map-side-
+    combinable aggregate over 2 rows/order), and integrates with a
+    running sum over the tiny day-level frame — the same
+    event-volume-never-reaches-the-window discipline as
+    `events_cumulative_distinct_users`, and the standard trick for
+    concurrency/occupancy/backlog curves at any scale. Day keys are
+    exact epoch-day integers (micros div 86400e6 — the stored
+    o_orderdate is a midnight timestamp) on both engines."""
+    o = t(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    )
+    deltas = o.select("day", F.lit(1).alias("delta")).unionAll(
+        o.select((F.col("day") + _BACKLOG_DAYS).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).cast("long").alias("closed"),
+        F.sum("delta").cast("long").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum("net").over(w).cast("long").alias("open_backlog"),
+    )

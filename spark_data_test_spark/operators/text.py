@@ -844,3 +844,34 @@ def text_quality_deciles(spark, sf_dir):
             ).cast("long").alias("n_keep"),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"({_SCORE_SQL[lang]}) AS s_{lang}" for lang in _LANG_ORDER)}
+      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents)),
+    pred AS (
+      SELECT lang AS labeled_lang, ({_PRED_SQL}) AS pred_lang FROM scored)
+    SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY labeled_lang, pred_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier EVALUATION: the confusion matrix of the stopword
+    language detector against the labeled ``lang`` column — the
+    eval-harness primitive behind every model-quality dashboard
+    (per-class precision/recall fall straight out of these counts).
+    Reuses `text_language_id`'s scoring verbatim, so the two queries
+    pin each other; the matrix is bounded by |languages|^2 regardless
+    of corpus size, and the whole computation is one scan-side score
+    plus one map-side-combinable count."""
+    d = _lang_scores_spark(t(spark, sf_dir, "documents"))
+    pred = F.expr(_PRED_SQL)
+    return (
+        d.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
