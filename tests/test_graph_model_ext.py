@@ -361,3 +361,38 @@ def test_library_blocked_fuzzy_pairs(spark):
            for r in blocked_fuzzy_pairs(df, "name", "noun", 2).collect()}
     # "blue anvil" is 4 edits from both others; cross-block pairs never form
     assert got == {("cold anvil", "old anvil"): 1}
+
+
+def test_langid_confusion_totals(spark, sf_dir):
+    rows = text.text_langid_confusion(spark, sf_dir).collect()
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    labels = {
+        r.lang for r in t(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    assert {r.labeled_lang for r in rows} == labels
+    # predictions stay inside the detector's 4-class vocabulary; the
+    # matrix's JOB is to expose degeneracy (this synthetic corpus has
+    # no real language signal, so the detector collapses to the
+    # tie-break class — exactly what the eval must reveal, hence no
+    # accuracy bar here)
+    assert {r.pred_lang for r in rows} <= {"en", "de", "fr", "es"}
+
+
+def test_open_backlog_conserves_orders(spark, sf_dir):
+    from spark_data_test_spark.operators.analytics import orders_open_backlog_daily
+
+    rows = sorted(
+        orders_open_backlog_daily(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    n_orders = t(spark, sf_dir, "orders").count()
+    assert sum(r.opened for r in rows) == n_orders
+    assert sum(r.closed for r in rows) == n_orders
+    # every order closes 30 days after opening: the curve ends at zero
+    assert rows[-1].open_backlog == 0
+    assert all(r.open_backlog >= 0 for r in rows)
+    # running sum consistency
+    run = 0
+    for r in rows:
+        run += r.opened - r.closed
+        assert r.open_backlog == run
