@@ -153,6 +153,7 @@ _DRIVER_PRIORITY = [
     "sink_zorder_layout",
     "text_langid_confusion",
     "orders_open_backlog_daily",
+    "orders_incremental_agg_merge",
 ]
 
 

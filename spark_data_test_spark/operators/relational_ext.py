@@ -692,3 +692,53 @@ def sql_api_query(spark, sf_dir):
     return spark.sql(
         _SQL_API_QUERY.replace("sds_", f"sds_{tag}_")
     )
+
+
+@query(
+    "orders_incremental_agg_merge",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_incremental_agg_merge(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance for distributive
+    aggregates: yesterday's aggregate state merges with the new
+    batch's partial aggregate — count adds, sum adds, max maxes — and
+    the result must equal a full recompute, which is exactly what the
+    oracle checks (it aggregates the whole table; the query only ever
+    aggregates the two halves and MERGES). This is the algebra behind
+    every incremental ETL rollup: history is never rescanned, the
+    update cost is O(batch + groups). Non-distributive measures (exact
+    median, exact distinct) don't merge — they need the sketch
+    variants (`sketch_*`), which is the design reason those exist.
+
+    The split is deterministic (even/odd key) purely to stage the
+    demonstration; in production the halves are yesterday's stored
+    state and today's partition."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("c")
+    )
+
+    def agg_state(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").alias("total_cents"),
+            F.max("c").alias("max_cents"),
+        )
+
+    base = agg_state(o.where(F.col("o_orderkey") % 2 == 1))
+    delta = agg_state(o.where(F.col("o_orderkey") % 2 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
