@@ -727,10 +727,10 @@ _BACKLOG_DAYS = 30
     "orders_open_backlog_daily",
     f"""
     WITH deltas AS (
-      SELECT epoch_us(o_orderdate) // 86400000000 AS day, 1 AS delta
+      SELECT epoch_us(o_orderdate) // {_RFM_DAY_US} AS day, 1 AS delta
       FROM orders
       UNION ALL
-      SELECT epoch_us(o_orderdate) // 86400000000 + {_BACKLOG_DAYS} AS day,
+      SELECT epoch_us(o_orderdate) // {_RFM_DAY_US} + {_BACKLOG_DAYS} AS day,
              -1 AS delta
       FROM orders),
     daily AS (
@@ -750,7 +750,7 @@ _BACKLOG_DAYS = 30
 )
 def orders_open_backlog_daily(spark, sf_dir):
     """Interval counting by SWEEP-LINE: how many orders are open on
-    each day, with each order open for {_BACKLOG_DAYS} days after its
+    each day, with each order open for _BACKLOG_DAYS (= 30) days after its
     order date. The naive formulation joins every day against every
     overlapping interval (O(days x orders)); the sweep-line emits +1
     at open and -1 at close, reduces to per-day nets (ONE map-side-
@@ -762,7 +762,7 @@ def orders_open_backlog_daily(spark, sf_dir):
     exact epoch-day integers (micros div 86400e6 — the stored
     o_orderdate is a midnight timestamp) on both engines."""
     o = t(spark, sf_dir, "orders").select(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+        F.expr(f"unix_micros(o_orderdate) div {_RFM_DAY_US}").alias("day")
     )
     deltas = o.select("day", F.lit(1).alias("delta")).unionAll(
         o.select((F.col("day") + _BACKLOG_DAYS).alias("day"), F.lit(-1).alias("delta"))

@@ -471,8 +471,15 @@ def _spread16_sql(x, shift_fn):
     """Bit-spreading (Morton interleave half): insert a 0 bit between
     every bit of a 16-bit value, via the standard magic-mask stages.
     ``shift_fn`` renders a left shift — DuckDB spells it ``<<``, Spark
-    SQL ``shiftleft`` — over otherwise identical integer arithmetic."""
-    e = f"(({x}) & 65535)"
+    SQL ``shiftleft`` — over otherwise identical integer arithmetic.
+    The operand is forced to BIGINT first: on an INT32 operand a
+    spread value with bit 15 set shifts past 2^31, where DuckDB raises
+    an overflow and Spark silently wraps negative — BIGINT keeps both
+    engines exact. Callers should pass a simple column reference: each
+    magic-mask stage textually doubles the operand, so a compound
+    expression would be embedded 16 times (compute it once in an inner
+    subquery instead)."""
+    e = f"(CAST({x} AS BIGINT) & 65535)"
     for sh, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
         e = f"(({e} | {shift_fn(e, sh)}) & {mask})"
     return e
@@ -489,15 +496,15 @@ _Z_TYPES = ("purchase", "click")
 @query(
     "sink_zorder_layout",
     f"""
-    WITH keyed AS (
+    WITH dims AS (
       SELECT epoch_us(ts) // {_PRUNE_DAY_US} AS day, event_type,
              CAST(ROUND(value * 100) AS BIGINT) AS c,
-             {_morton_sql(
-                 f"epoch_us(ts) // {_PRUNE_DAY_US}",
-                 "ascii(substr(event_type, 1, 1))",
-                 lambda e, n: f"({e} << {n})",
-             )} AS zkey
-      FROM events)
+             ascii(substr(event_type, 1, 1)) AS code
+      FROM events),
+    keyed AS (
+      SELECT day, event_type, c,
+             {_morton_sql("day", "code", lambda e, n: f"({e} << {n})")} AS zkey
+      FROM dims)
     SELECT day, event_type, COUNT(*) AS cnt,
            CAST(SUM(c) AS BIGINT) AS value_cents,
            CAST(MIN(zkey) AS BIGINT) AS zmin,
@@ -525,21 +532,21 @@ def sink_zorder_layout(spark, sf_dir):
     files by key distribution); the read-back pushes both filters to
     the scan. Layout changes where rows LAND, never what they are —
     the aggregate must equal the original-table oracle regardless."""
-    day = F.expr(f"unix_micros(ts) div {_PRUNE_DAY_US}")
-    zkey = F.expr(
-        _morton_sql(
-            f"unix_micros(ts) div {_PRUNE_DAY_US}",
-            "ascii(substr(event_type, 1, 1))",
-            lambda e, n: f"shiftleft({e}, {n})",
-        )
-    )
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"/tmp/spark_graft_zorder/{digest}/events"
-    ev = t(spark, sf_dir, "events").select(
-        day.alias("day"),
+    dims = t(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) div {_PRUNE_DAY_US}").alias("day"),
         "event_type",
         cents(F.col("value")).alias("c"),
-        zkey.alias("zkey"),
+        F.expr("ascii(substr(event_type, 1, 1))").alias("code"),
+    )
+    ev = dims.select(
+        "day",
+        "event_type",
+        "c",
+        F.expr(
+            _morton_sql("day", "code", lambda e, n: f"shiftleft({e}, {n})")
+        ).alias("zkey"),
     )
     (
         ev.repartitionByRange(8, "zkey")
