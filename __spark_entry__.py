@@ -154,6 +154,8 @@ _DRIVER_PRIORITY = [
     "text_langid_confusion",
     "orders_open_backlog_daily",
     "orders_incremental_agg_merge",
+    "source_schema_evolution",
+    "null_safe_join",
 ]
 
 

@@ -742,3 +742,55 @@ def orders_incremental_agg_merge(spark, sf_dir):
             F.max("max_cents").alias("max_cents"),
         )
     )
+
+
+@query(
+    "null_safe_join",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 50 END AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    dim AS (
+      SELECT CASE WHEN g = 50 THEN NULL ELSE g END AS k,
+             CASE WHEN g = 50 THEN 'unknown' ELSE 'bucket_' || (g % 5) END
+               AS segment
+      FROM (SELECT unnest(generate_series(0, 50)) AS g))
+    SELECT d.segment, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(e.c) AS BIGINT) AS value_cents
+    FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.segment
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM): rows whose
+    key is NULL match the dimension's NULL row instead of silently
+    dropping — the semantics a dimension lookup with an explicit
+    'unknown' member needs (a plain equi-join discards every NULL-keyed
+    fact, which is the classic silent-data-loss bug in enrichment
+    joins; `eq_null_safe` covers the scalar predicate, this covers the
+    JOIN operator). Catalyst plans ``eqNullSafe`` as a hash join —
+    NULL hashes like any value under null-safe equality — and the tiny
+    dimension broadcasts, so the NULL-match semantics cost nothing
+    over the plain join."""
+    ev = t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 50)
+        .alias("k"),
+        cents(F.col("value")).alias("c"),
+    )
+    spark_sess = ev.sparkSession
+    dim = spark_sess.range(0, 51).select(
+        F.when(F.col("id") == 50, F.lit(None)).otherwise(F.col("id")).alias("k"),
+        F.when(F.col("id") == 50, F.lit("unknown"))
+        .otherwise(F.concat(F.lit("bucket_"), (F.col("id") % 5).cast("string")))
+        .alias("segment"),
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.k.eqNullSafe(dim.k))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c").alias("value_cents"),
+        )
+    )

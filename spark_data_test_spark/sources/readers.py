@@ -563,3 +563,46 @@ def sink_zorder_layout(spark, sf_dir):
         F.min("zkey").alias("zmin"),
         F.max("zkey").alias("zmax"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS late_col_cents,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS rows_missing_col
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    """Schema EVOLUTION on read: generation-1 files were written before
+    a column existed, generation-2 files carry it; one
+    ``mergeSchema=true`` read unions both generations and surfaces the
+    missing column as NULL on the old rows — the append-only lake
+    reality (backfills are a 100 TB rewrite; evolving the READ is the
+    scalable answer). The aggregate splits the metric by generation,
+    and the oracle reconstructs both generations from the original
+    table — a dropped row, a misaligned column, or a non-NULL default
+    on the old generation all break the hash. By-NAME column
+    resolution is the load-bearing property: parquet footers, not
+    positions, line the generations up."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_schemaevo/{digest}/orders"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    gen1 = o.where(F.col("o_orderkey") % 2 == 1).drop("price_cents")
+    gen2 = o.where(F.col("o_orderkey") % 2 == 0)
+    gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.coalesce(F.sum("price_cents"), F.lit(0)).alias("late_col_cents"),
+        F.sum(
+            F.when(F.col("price_cents").isNull(), 1).otherwise(0)
+        ).cast("long").alias("rows_missing_col"),
+    )
