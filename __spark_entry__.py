@@ -156,6 +156,7 @@ _DRIVER_PRIORITY = [
     "orders_incremental_agg_merge",
     "source_schema_evolution",
     "null_safe_join",
+    "events_ab_test_readout",
 ]
 
 

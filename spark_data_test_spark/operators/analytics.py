@@ -779,3 +779,95 @@ def orders_open_backlog_daily(spark, sf_dir):
         "closed",
         F.sum("net").over(w).cast("long").alias("open_backlog"),
     )
+
+
+@query(
+    "events_ab_test_readout",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    moments AS (
+      SELECT event_type, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM assigned GROUP BY event_type, arm),
+    wide AS (
+      SELECT a.event_type,
+             a.n AS na, a.s AS sa, a.ss AS ssa,
+             b.n AS nb, b.s AS sb, b.ss AS ssb
+      FROM moments a JOIN moments b
+        ON a.event_type = b.event_type AND a.arm = 'A' AND b.arm = 'B')
+    SELECT event_type, na, nb,
+           CAST(sa AS DOUBLE) / CAST(100 * na AS DOUBLE) AS mean_a,
+           CAST(sb AS DOUBLE) / CAST(100 * nb AS DOUBLE) AS mean_b,
+           (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / sqrt(
+                 ((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                         * CAST(na - 1 AS DOUBLE)))
+                 + ((CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                           * CAST(nb - 1 AS DOUBLE)))
+               ) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test_readout(spark, sf_dir):
+    """Experimentation readout: users hash into arms A/B
+    (deterministically — the same rand()-free discipline as
+    `sample_split_stratified`), and each event type gets per-arm means
+    plus the Welch two-sample z-score for the difference — the
+    decision table an A/B platform renders. Everything derives from
+    exact integer moments (n, sum, sum-of-squares in cents) collected
+    in ONE map-side-combinable aggregate; means, variances, and the
+    z-score are a FIXED tree of IEEE ops over those integers —
+    ``sqrt`` is correctly rounded, so even the z-score is
+    bit-deterministic across engines and partitionings (same property
+    as `ml_linear_regression_train`; a streaming engine computing this
+    from per-partition float sums could not hash-match anything).
+    Sample-variance denominators use n-1; the z is in cents-space
+    (scale cancels in the ratio)."""
+    assigned = t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "event_type",
+        cents(F.col("value")).alias("c"),
+    )
+    m = assigned.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    a = m.where(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa"),
+    )
+    b = m.where(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb"),
+    )
+    w = a.join(b, "event_type")
+    nad, sad, ssad = (F.col(c).cast("double") for c in ("na", "sa", "ssa"))
+    nbd, sbd, ssbd = (F.col(c).cast("double") for c in ("nb", "sb", "ssb"))
+    var_term_a = (nad * ssad - sad * sad) / (
+        nad * nad * (F.col("na") - 1).cast("double")
+    )
+    var_term_b = (nbd * ssbd - sbd * sbd) / (
+        nbd * nbd * (F.col("nb") - 1).cast("double")
+    )
+    return w.select(
+        "event_type",
+        "na",
+        "nb",
+        (sad / (100 * F.col("na")).cast("double")).alias("mean_a"),
+        (sbd / (100 * F.col("nb")).cast("double")).alias("mean_b"),
+        (
+            (sad / nad - sbd / nbd) / F.sqrt(var_term_a + var_term_b)
+        ).alias("z_score"),
+    )

@@ -396,3 +396,19 @@ def test_open_backlog_conserves_orders(spark, sf_dir):
     for r in rows:
         run += r.opened - r.closed
         assert r.open_backlog == run
+
+
+def test_ab_readout_null_experiment(spark, sf_dir):
+    """Hash-split arms draw from the SAME distribution (an A/A test):
+    z-scores must be unremarkable and means close."""
+    from spark_data_test_spark.operators.analytics import events_ab_test_readout
+
+    rows = events_ab_test_readout(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.na > 1 and r.nb > 1
+        assert abs(r.z_score) < 5, (r.event_type, r.z_score)
+        assert abs(r.mean_a - r.mean_b) / max(abs(r.mean_a), 1e-9) < 0.5
+    # determinism: identical rerun
+    again = events_ab_test_readout(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
