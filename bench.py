@@ -52,10 +52,14 @@ HEADLINE = [
     "parts_abc_pareto",
     "text_tfidf_topk",
     # round-3 additions: time-series RANGE frame, model-based quality
-    # filtering, iterative graph analytics
+    # filtering, iterative graph analytics, warehouse gates and
+    # experimentation readouts
     "events_rolling_window_avg",
     "text_quality_model_score",
     "graph_pagerank_fixed",
+    "dq_constraint_report",
+    "orders_open_backlog_daily",
+    "events_ab_test_readout",
 ]
 
 

@@ -30,7 +30,11 @@ from spark_data_test_spark.operators.comparison import (
     distribution_report,
     release_comparison_result,
 )
-from spark_data_test_spark.operators.graph import pagerank_fixed, triangle_count
+from spark_data_test_spark.operators.graph import (
+    connected_components,
+    pagerank_fixed,
+    triangle_count,
+)
 from spark_data_test_spark.operators.ml import ols_fit
 from spark_data_test_spark.operators.relational_ext import blocked_fuzzy_pairs
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
@@ -53,6 +57,7 @@ __all__ = [
     "blocked_fuzzy_pairs",
     "compare_dataframes",
     "compare_dataframes_where",
+    "connected_components",
     "distribution_report",
     "ols_fit",
     "pack_bins",

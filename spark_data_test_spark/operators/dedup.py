@@ -1032,31 +1032,11 @@ def dedup_connected_components(spark, sf_dir):
         )
         .persist()
     )
-    labels = verts.select("gid", F.col("min_doc").alias("component_id"))
-    labels = labels.localCheckpoint(eager=True)
-    while True:
-        # pull phase: each group takes the min of its own label and
-        # every neighbor group's label
-        neighbor_labels = (
-            edges.join(labels, edges.b == labels.gid)
-            .select(F.col("a").alias("gid"), "component_id")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("gid")
-            .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "gid")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    from spark_data_test_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        verts.select("gid", F.col("min_doc").alias("component_id")), edges
+    )
     edges.unpersist()
     return members.join(labels, "gid").select("doc_id", "component_id")
 

@@ -240,6 +240,47 @@ def graph_triangle_count(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir))
 
 
+
+def connected_components(labels, edges):
+    """Library operator: BSP min-label propagation (the GraphX/Pregel
+    connected-components formulation in plain DataFrames). ``labels``
+    is the initial (gid, component_id) seeding — vertex id itself for
+    the plain algorithm, or any domain seed (the dedup pipeline seeds
+    text groups with their minimum member doc id). ``edges`` is a
+    DIRECTED (a, b) pair list — pass both directions for an undirected
+    graph. Each round every vertex takes the min of its own and its
+    neighbors' labels; rounds are bounded by the component diameter,
+    and ``localCheckpoint`` truncates the per-round lineage (without
+    it round N re-analyzes rounds 1..N-1 on the driver). Returns the
+    converged (gid, component_id) frame. The caller should persist
+    ``edges``: every round joins against it."""
+    labels = labels.localCheckpoint(eager=True)
+    while True:
+        # pull phase: each vertex takes the min of its own label and
+        # every neighbor's label
+        neighbor_labels = (
+            edges.join(labels, edges.b == labels.gid)
+            .select(F.col("a").alias("gid"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("gid")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "gid")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 _PR_ROUNDS = 3
 _PR_SCALE = 1_000_000  # micro-rank fixed point
 _PR_DAMP_NUM, _PR_DAMP_DEN = 850, 1000  # damping 0.85 as a ratio

@@ -412,3 +412,18 @@ def test_ab_readout_null_experiment(spark, sf_dir):
     # determinism: identical rerun
     again = events_ab_test_readout(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_library_connected_components(spark):
+    from spark_data_test_spark import connected_components
+
+    # two components: {1,2,3} chained, {10,11}; seed = vertex id
+    und = [(1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "a long, b long"
+    )
+    verts = edges.selectExpr("a AS gid").distinct().selectExpr(
+        "gid", "gid AS component_id"
+    )
+    got = {r.gid: r.component_id for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
