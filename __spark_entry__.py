@@ -157,6 +157,8 @@ _DRIVER_PRIORITY = [
     "source_schema_evolution",
     "null_safe_join",
     "events_ab_test_readout",
+    "supplier_hierarchy_rollup",
+    "orders_status_listagg",
 ]
 
 

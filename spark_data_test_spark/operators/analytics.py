@@ -871,3 +871,81 @@ def events_ab_test_readout(spark, sf_dir):
             (sad / nad - sbd / nbd) / F.sqrt(var_term_a + var_term_b)
         ).alias("z_score"),
     )
+
+
+_HIER_ROUNDS = 5  # covers trees to depth 5 (suppkey div-10 tree: depth 4 at sf1)
+
+
+@query(
+    "supplier_hierarchy_rollup",
+    f"""
+    WITH tree AS (
+      SELECT s_suppkey AS node,
+             CASE WHEN s_suppkey = 0 THEN NULL
+                  ELSE (s_suppkey - 1) // 10 END AS parent,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS own
+      FROM supplier),
+    r0 AS (SELECT node, parent, own, own AS total FROM tree),
+    {", ".join(
+        f'''r{k} AS (
+      SELECT t.node, t.parent, t.own,
+             t.own + COALESCE((SELECT SUM(c.total) FROM r{k-1} c
+                               WHERE c.parent = t.node), 0) AS total
+      FROM tree t)'''
+        for k in range(1, _HIER_ROUNDS + 1)
+    )}
+    SELECT node, parent, own AS own_cents,
+           CAST(total AS BIGINT) AS subtree_cents
+    FROM r{_HIER_ROUNDS}
+    """,
+)
+def supplier_hierarchy_rollup(spark, sf_dir):
+    """Hierarchical SUBTREE rollup — the BOM-explosion / org-chart
+    aggregate SQL cannot express without recursion: every supplier
+    rolls up the account balances of its whole div-10 subtree. The
+    scalable formulation is LEVEL-SYNCHRONOUS bottom-up propagation:
+    round k computes each node's total over its k-level subtree from
+    round k-1's child totals (one parent-keyed join + aggregate per
+    round), so _HIER_ROUNDS (= 5) rounds exactly converge any tree of
+    that depth — fixed rounds, like `graph_pagerank_fixed`, because a
+    pipeline provisions for a known max depth rather than looping to
+    convergence. All arithmetic is integer cents; the oracle replays
+    the identical rounds as chained CTEs (correlated form — an
+    independent formulation of the same recurrence).
+
+    At 100 TB: per round one hash join keyed by parent and one
+    map-side-combinable sum — cost is edges, skew bound is max fan-in
+    (a node's direct children), never subtree size."""
+    tree = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.when(F.col("s_suppkey") == 0, F.lit(None))
+        .otherwise(F.expr("(s_suppkey - 1) div 10"))
+        .alias("parent"),
+        cents(F.col("s_acctbal")).alias("own"),
+    )
+    totals = tree.select("node", "parent", "own", F.col("own").alias("total"))
+    totals = totals.localCheckpoint(eager=False)
+    for _ in range(_HIER_ROUNDS):
+        child_sums = (
+            totals.where(F.col("parent").isNotNull())
+            .groupBy(F.col("parent").alias("_p"))
+            .agg(F.sum("total").alias("child_total"))
+        )
+        totals = (
+            tree.join(child_sums, tree.node == F.col("_p"), "left")
+            .select(
+                "node",
+                "parent",
+                "own",
+                (
+                    F.col("own") + F.coalesce(F.col("child_total"), F.lit(0))
+                ).alias("total"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return totals.select(
+        "node",
+        "parent",
+        F.col("own").alias("own_cents"),
+        F.col("total").cast("long").alias("subtree_cents"),
+    )

@@ -794,3 +794,35 @@ def null_safe_join(spark, sf_dir):
             F.sum("c").alias("value_cents"),
         )
     )
+
+
+@query(
+    "orders_status_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_status_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): the distinct
+    statuses per priority as one sorted comma-joined string. Collapsing
+    a group to a delimited list is only deterministic when an explicit
+    order is imposed — Spark's collect_set has no ordering contract, so
+    the portable form is collect_set -> array_sort -> array_join,
+    matching SQL's ``string_agg(DISTINCT ... ORDER BY ...)``. State is
+    bounded by distinct values per group (collect_LIST on a 100 TB
+    group is the OOM to refuse; the distinct set here is tiny by
+    domain)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
