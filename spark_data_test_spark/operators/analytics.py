@@ -785,22 +785,19 @@ def orders_open_backlog_daily(spark, sf_dir):
     "events_ab_test_readout",
     """
     WITH assigned AS (
-      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
              event_type,
              CAST(ROUND(value * 100) AS BIGINT) AS c
       FROM events),
-    moments AS (
-      SELECT event_type, arm,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(c) AS BIGINT) AS s,
-             CAST(SUM(c * c) AS BIGINT) AS ss
-      FROM assigned GROUP BY event_type, arm),
     wide AS (
-      SELECT a.event_type,
-             a.n AS na, a.s AS sa, a.ss AS ssa,
-             b.n AS nb, b.s AS sb, b.ss AS ssb
-      FROM moments a JOIN moments b
-        ON a.event_type = b.event_type AND a.arm = 'A' AND b.arm = 'B')
+      SELECT event_type,
+             CAST(SUM(in_a) AS BIGINT) AS na,
+             CAST(SUM(in_a * c) AS BIGINT) AS sa,
+             CAST(SUM(in_a * c * c) AS BIGINT) AS ssa,
+             CAST(SUM(1 - in_a) AS BIGINT) AS nb,
+             CAST(SUM((1 - in_a) * c) AS BIGINT) AS sb,
+             CAST(SUM((1 - in_a) * c * c) AS BIGINT) AS ssb
+      FROM assigned GROUP BY event_type)
     SELECT event_type, na, nb,
            CAST(sa AS DOUBLE) / CAST(100 * na AS DOUBLE) AS mean_a,
            CAST(sb AS DOUBLE) / CAST(100 * nb AS DOUBLE) AS mean_b,
@@ -827,7 +824,9 @@ def events_ab_test_readout(spark, sf_dir):
     decision table an A/B platform renders. Everything derives from
     exact integer moments (n, sum, sum-of-squares in cents) collected
     in ONE map-side-combinable aggregate; means, variances, and the
-    z-score are a FIXED tree of IEEE ops over those integers —
+    z-score are a FIXED tree of IEEE ops over those integers (the
+    per-arm moments are CONDITIONAL sums in one aggregation keyed by
+    event_type alone — one shuffle, no arm self-join) —
     ``sqrt`` is correctly rounded, so even the z-score is
     bit-deterministic across engines and partitionings (same property
     as `ml_linear_regression_train`; a streaming engine computing this
@@ -835,24 +834,19 @@ def events_ab_test_readout(spark, sf_dir):
     Sample-variance denominators use n-1; the z is in cents-space
     (scale cancels in the ratio)."""
     assigned = t(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
         "event_type",
         cents(F.col("value")).alias("c"),
     )
-    m = assigned.groupBy("event_type", "arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    in_a, c = F.col("in_a"), F.col("c")
+    w = assigned.groupBy("event_type").agg(
+        F.sum(in_a).alias("na"),
+        F.sum(in_a * c).alias("sa"),
+        F.sum(in_a * c * c).alias("ssa"),
+        F.sum(1 - in_a).alias("nb"),
+        F.sum((1 - in_a) * c).alias("sb"),
+        F.sum((1 - in_a) * c * c).alias("ssb"),
     )
-    a = m.where(F.col("arm") == "A").select(
-        "event_type",
-        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa"),
-    )
-    b = m.where(F.col("arm") == "B").select(
-        "event_type",
-        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb"),
-    )
-    w = a.join(b, "event_type")
     nad, sad, ssad = (F.col(c).cast("double") for c in ("na", "sa", "ssa"))
     nbd, sbd, ssbd = (F.col(c).cast("double") for c in ("nb", "sb", "ssb"))
     var_term_a = (nad * ssad - sad * sad) / (
@@ -942,6 +936,31 @@ def supplier_hierarchy_rollup(spark, sf_dir):
                 ).alias("total"),
             )
             .localCheckpoint(eager=False)
+        )
+    # fixed-point guard: one extra round must change nothing, else
+    # the tree is deeper than _HIER_ROUNDS and totals are truncated
+    probe_sums = (
+        totals.where(F.col("parent").isNotNull())
+        .groupBy(F.col("parent").alias("_p"))
+        .agg(F.sum("total").alias("child_total"))
+    )
+    moved = (
+        tree.join(probe_sums, tree.node == F.col("_p"), "left")
+        .select(
+            "node",
+            (F.col("own") + F.coalesce(F.col("child_total"), F.lit(0))).alias(
+                "probe_total"
+            ),
+        )
+        .join(totals.select("node", "total"), "node")
+        .where(F.col("probe_total") != F.col("total"))
+        .limit(1)
+        .count()
+    )
+    if moved:
+        raise RuntimeError(
+            f"supplier_hierarchy_rollup: tree deeper than {_HIER_ROUNDS} "
+            "rounds — raise _HIER_ROUNDS (oracle rounds must match)"
         )
     return totals.select(
         "node",

@@ -253,7 +253,25 @@ def connected_components(labels, edges):
     and ``localCheckpoint`` truncates the per-round lineage (without
     it round N re-analyzes rounds 1..N-1 on the driver). Returns the
     converged (gid, component_id) frame. The caller should persist
-    ``edges``: every round joins against it."""
+    ``edges``: every round joins against it.
+
+    CONTRACT: ``labels`` must cover every edge endpoint — the
+    convergence check compares against the seeded vertex set, so an
+    endpoint missing from the seed would silently keep no label and
+    could end the loop early. Enforced with one anti-join probe up
+    front (cheap next to the per-round convergence counts), because a
+    generic re-seed is impossible: the component id domain (the dedup
+    caller labels md5-string groups with LONG doc ids) is the
+    caller's, not ours."""
+    endpoints = edges.select(F.col("a").alias("gid")).unionAll(
+        edges.select(F.col("b").alias("gid"))
+    )
+    unseeded = endpoints.join(labels, "gid", "left_anti").limit(1).count()
+    if unseeded:
+        raise ValueError(
+            "connected_components: edges reference vertices absent from "
+            "the labels seed; seed every endpoint"
+        )
     labels = labels.localCheckpoint(eager=True)
     while True:
         # pull phase: each vertex takes the min of its own label and

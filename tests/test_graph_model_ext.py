@@ -427,3 +427,14 @@ def test_library_connected_components(spark):
     )
     got = {r.gid: r.component_id for r in connected_components(verts, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_library_connected_components_rejects_partial_seed(spark):
+    import pytest
+
+    from spark_data_test_spark import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (3, 2)], "a long, b long")
+    partial = spark.createDataFrame([(1, 1)], "gid long, component_id long")
+    with pytest.raises(ValueError, match="absent from"):
+        connected_components(partial, edges)
