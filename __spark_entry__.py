@@ -159,6 +159,7 @@ _DRIVER_PRIORITY = [
     "events_ab_test_readout",
     "supplier_hierarchy_rollup",
     "orders_status_listagg",
+    "events_top_session_paths",
 ]
 
 

@@ -1038,3 +1038,92 @@ def events_transition_matrix(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("p"),
     )
+
+
+_PATH_TOP_K = 20
+_PATH_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "events_top_session_paths",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) -
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                       > {_PATH_GAP_US}
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM ordered),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT path, n_sessions FROM (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rn
+      FROM paths GROUP BY path)
+    WHERE rn <= {_PATH_TOP_K}
+    """,
+)
+def events_top_session_paths(spark, sf_dir):
+    """PATH analysis — the product-analytics flow report: each session
+    (30-minute gap rule, the module-wide sessionization contract)
+    collapses to its ordered event-type sequence, and the top-20 paths
+    by session count rank the dominant user flows. The per-session
+    collapse is the one subtle step: ``collect_list`` has NO ordering
+    contract under partitioned execution, so the portable form collects
+    (ts, event_id, type) structs and sorts INSIDE the row —
+    ``sort_array`` on the struct's lexicographic order IS the session
+    order, making the path string deterministic on any cluster; the
+    oracle's ``string_agg(... ORDER BY ts, event_id)`` is the
+    independent formulation.
+
+    Shapes: sessionization and the collapse ride ONE user-keyed
+    shuffle (the window and groupBy share partitioning); path state is
+    bounded by session length (cap ultra-long sessions upstream if a
+    bot's session would blow a row); the final top-k window sees only
+    distinct paths with map-side-combined counts."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_us.isNull() | (F.unix_micros("ts") - lag_us > _PATH_GAP_US), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id,"
+                    " event_type))), x -> x.event_type)"
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("n_sessions").desc(), "path")
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .where(F.col("rn") <= _PATH_TOP_K)
+        .select("path", "n_sessions")
+    )
