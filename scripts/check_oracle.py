@@ -73,6 +73,10 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # the default 1g driver dies at sf0.1 (the harness collects
+        # every result and the engine persists narrow projections);
+        # headroom costs nothing at the small SFs
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
