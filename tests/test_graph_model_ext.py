@@ -438,3 +438,23 @@ def test_library_connected_components_rejects_partial_seed(spark):
     partial = spark.createDataFrame([(1, 1)], "gid long, component_id long")
     with pytest.raises(ValueError, match="absent from"):
         connected_components(partial, edges)
+
+
+def test_hierarchy_guard_fires_on_deep_tree(spark, sf_dir, tmp_path):
+    """A chain deeper than _HIER_ROUNDS must raise, not silently
+    truncate (the one failure the oracle replay cannot catch)."""
+    import pytest
+
+    from spark_data_test_spark.operators.analytics import (
+        supplier_hierarchy_rollup,
+    )
+
+    # chain 0 <- 1*10^0... keys 0,1,11,111,1111,11111,111111: parent
+    # (k-1) div 10 links each to the previous -> depth 6 > 5 rounds
+    keys = [0, 1, 11, 111, 1111, 11111, 111111]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(k, 1.0) for k in keys], "s_suppkey long, s_acctbal double"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    with pytest.raises(RuntimeError, match="deeper than"):
+        supplier_hierarchy_rollup(spark, sf)
