@@ -799,8 +799,11 @@ def orders_open_backlog_daily(spark, sf_dir):
              CAST(SUM((1 - in_a) * c * c) AS BIGINT) AS ssb
       FROM assigned GROUP BY event_type)
     SELECT event_type, na, nb,
-           CAST(sa AS DOUBLE) / CAST(100 * na AS DOUBLE) AS mean_a,
-           CAST(sb AS DOUBLE) / CAST(100 * nb AS DOUBLE) AS mean_b,
+           CASE WHEN na > 0
+                THEN CAST(sa AS DOUBLE) / CAST(100 * na AS DOUBLE) END AS mean_a,
+           CASE WHEN nb > 0
+                THEN CAST(sb AS DOUBLE) / CAST(100 * nb AS DOUBLE) END AS mean_b,
+           CASE WHEN na > 1 AND nb > 1 THEN
            (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
               - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
              / sqrt(
@@ -812,7 +815,7 @@ def orders_open_backlog_daily(spark, sf_dir):
                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
                       / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
                            * CAST(nb - 1 AS DOUBLE)))
-               ) AS z_score
+               ) END AS z_score
     FROM wide
     """,
 )
@@ -855,14 +858,24 @@ def events_ab_test_readout(spark, sf_dir):
     var_term_b = (nbd * ssbd - sbd * sbd) / (
         nbd * nbd * (F.col("nb") - 1).cast("double")
     )
+    # Empty/singleton arms: Spark would emit IEEE Inf/NaN from the 0/0
+    # and x/0 divisions while DuckDB's behavior depends on its
+    # ieee_floating_point_ops setting — guard BOTH engines to NULL so
+    # sparse event types hash identically (means need n > 0, the Welch
+    # variance terms need n > 1).
     return w.select(
         "event_type",
         "na",
         "nb",
-        (sad / (100 * F.col("na")).cast("double")).alias("mean_a"),
-        (sbd / (100 * F.col("nb")).cast("double")).alias("mean_b"),
-        (
-            (sad / nad - sbd / nbd) / F.sqrt(var_term_a + var_term_b)
+        F.when(
+            F.col("na") > 0, sad / (100 * F.col("na")).cast("double")
+        ).alias("mean_a"),
+        F.when(
+            F.col("nb") > 0, sbd / (100 * F.col("nb")).cast("double")
+        ).alias("mean_b"),
+        F.when(
+            (F.col("na") > 1) & (F.col("nb") > 1),
+            (sad / nad - sbd / nbd) / F.sqrt(var_term_a + var_term_b),
         ).alias("z_score"),
     )
 

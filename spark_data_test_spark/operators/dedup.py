@@ -612,9 +612,18 @@ def dedup_simhash_pairs(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     fp = _SIM_FP_CACHE.get_or_create(key, build_fp)
     # integer band keys: band b of the packed fingerprint is one byte
-    # of lo (b < 4) or hi (b >= 4)
+    # of lo (b < 4) or hi (b >= 4). The packed fingerprint (two longs,
+    # 16 bytes) RIDES ALONG on each band row so candidate verification
+    # happens INSIDE the banding self-join — the previous shape joined
+    # the candidate pairs back to fp twice to fetch lo/hi, adding two
+    # sort-merge joins (four shuffles) that carried the full raw
+    # candidate volume; this one-join form verifies in place and the
+    # first post-join shuffle sees only the hamming <= K survivors
+    # (plan audited: 12 shuffles / 6 SMJ -> 6 shuffles / 4 SMJ).
     bands = fp.select(
         "gid",
+        "lo",
+        "hi",
         F.explode(
             F.array(
                 *[
@@ -630,39 +639,29 @@ def dedup_simhash_pairs(spark, sf_dir):
                 ]
             )
         ).alias("bs"),
-    ).select("gid", "bs.band", "bs.sig")
+    ).select("gid", "lo", "hi", "bs.band", "bs.sig")
     a, bb = bands.alias("a"), bands.alias("b")
     # no distinct on raw candidates: a pair sharing k bands appears k
     # times, each copy scores the same exact hamming, so dedup happens
     # AFTER the <= K filter — the only shuffle proportional to
-    # candidate volume is the verify join itself, and the groupBy sees
-    # just the survivors (the same filter-before-pair-shuffle
-    # discipline as the embedding cell join)
-    cand = a.join(
-        bb,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.sig") == F.col("b.sig"))
-        & (F.col("a.gid") < F.col("b.gid")),
-    ).select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
-    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+    # candidate volume is the verify groupBy itself, and it sees just
+    # the survivors (the same filter-before-pair-shuffle discipline as
+    # the embedding cell join)
+    ham = F.expr(
+        "bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)"
+    ).cast("long")
     gpairs = (
-        cand.join(
-            fp.select(
-                F.col("gid").alias("gid_a"),
-                F.col("lo").alias("lo_a"),
-                F.col("hi").alias("hi_a"),
-            ),
-            "gid_a",
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .join(
-            fp.select(
-                F.col("gid").alias("gid_b"),
-                F.col("lo").alias("lo_b"),
-                F.col("hi").alias("hi_b"),
-            ),
-            "gid_b",
+        .select(
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
+            ham.alias("hamming"),
         )
-        .withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= _SP_HAM_K)
         .groupBy("gid_a", "gid_b")
         .agg(F.min("hamming").alias("hamming"))

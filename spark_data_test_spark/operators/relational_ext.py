@@ -143,17 +143,38 @@ def except_rows(spark, sf_dir):
     return a.subtract(b)  # EXCEPT (distinct semantics), matching SQL
 
 
-# rows-only: HyperLogLog sketches differ by engine; the driver records
-# the weaker rows-only check for entries without an oracle.
-@query("approx_count_distinct_parts")
+@query(
+    "approx_count_distinct_parts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct_parts(spark, sf_dir):
-    """Approximate distinct counts (HLL++). No oracle on purpose —
-    sketch estimates are engine-specific; correctness is bounded-error,
-    asserted in tests against the exact count."""
+    """Approximate distinct counts (HLL++) in a CHECKABLE shape: the
+    raw estimate is engine-specific (a function of the sketch
+    implementation, not the data), so the output carries the exact
+    COUNT(DISTINCT) plus a ``within_bound`` flag asserting the estimate
+    landed within 5x the configured relative error — the oracle checks
+    the exact column and expects the flag TRUE, turning the sketch's
+    accuracy contract itself into the hash-checked value (VERDICT r3
+    item 3). rsd = 0.01 (std err 1%) against a 5% acceptance bound
+    keeps the flag deterministic-in-practice at every sf."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("cnt"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")).cast("double")
+    return g.select(
+        "l_returnflag",
+        "cnt",
+        "exact_parts",
+        (err <= 0.05 * F.col("exact_parts").cast("double")).alias("within_bound"),
     )
 
 

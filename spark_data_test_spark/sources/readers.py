@@ -290,7 +290,15 @@ def sink_partition_pruned_read(spark, sf_dir):
         "value",
     )
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
-    back = spark.read.parquet(path).where(F.col("day").isin(*_PRUNE_DAYS))
+    # partition discovery infers the directory-name column as INT; cast
+    # back to the written LONG so the round trip preserves the schema
+    # (the oracle emits BIGINT). Casting after the filter keeps the
+    # pruning predicate on the discovered partition column.
+    back = (
+        spark.read.parquet(path)
+        .where(F.col("day").isin(*_PRUNE_DAYS))
+        .withColumn("day", F.col("day").cast("long"))
+    )
     return back.groupBy("day", "event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(cents(F.col("value"))).alias("value_cents"),
@@ -335,7 +343,10 @@ def source_text_roundtrip(spark, sf_dir):
     h = F.md5(F.col("value"))
     return back.agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.length(F.col("value"))).alias("n_bytes"),
+        # octet_length, not length: the column promises BYTES and the
+        # oracle's strlen counts bytes — identical on this ASCII corpus,
+        # but the equivalence should be structural, not coincidental
+        F.sum(F.octet_length(F.col("value"))).alias("n_bytes"),
         F.min(h).alias("min_md5"),
         F.max(h).alias("max_md5"),
         F.expr(

@@ -61,15 +61,23 @@ def checkpointed(df):
     return ck
 
 
-def release_frame(df):
+def release_frame(df, release_checkpoint=True):
     """Release a frame produced by ``persist`` OR `checkpointed` —
-    the default FrameCache release callback."""
-    jrdd = getattr(df, "_spark_graft_ckpt_rdd", None)
-    if jrdd is not None:
-        try:
-            jrdd.unpersist(False)
-        except Exception:
-            pass
+    the default FrameCache release callback.
+
+    ``release_checkpoint=False`` keeps a localCheckpoint's RDD blocks
+    alive: unlike a persisted frame (which recomputes on access after
+    unpersist), a checkpointed frame whose blocks are freed is
+    permanently unexecutable — so capacity eviction, where an evicted
+    frame may still be referenced by an in-flight plan, must not free
+    them; only ``FrameCache.clear()`` / explicit teardown does."""
+    if release_checkpoint:
+        jrdd = getattr(df, "_spark_graft_ckpt_rdd", None)
+        if jrdd is not None:
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
     try:
         df.unpersist()
     except Exception:
@@ -96,11 +104,21 @@ class FrameCache:
         self._store = {}
         self._max = max_entries
         self._release = release or release_frame
+        # Capacity-evicted frames may still be referenced by in-flight
+        # plans; freeing a localCheckpoint's blocks would make those
+        # frames permanently unexecutable (persist merely recomputes).
+        # Eviction therefore keeps checkpoint blocks (driver GC reaps
+        # them eventually); clear()/teardown does the full release.
+        self._evict_release = (
+            (lambda df: release_frame(df, release_checkpoint=False))
+            if release is None
+            else self._release
+        )
         self._lock = threading.Lock()
 
-    def _safe_release(self, value):
+    def _safe_release(self, value, evict=False):
         try:
-            self._release(value)
+            (self._evict_release if evict else self._release)(value)
         except Exception:
             pass
 
@@ -123,7 +141,7 @@ class FrameCache:
                     evicted.append(self._store.pop(next(iter(self._store))))
                 self._store[key] = value = built
         for stale in evicted:
-            self._safe_release(stale)
+            self._safe_release(stale, evict=True)
         return value
 
     def clear(self):

@@ -136,7 +136,7 @@ def test_hll_rollup_accuracy(spark, sf_dir):
 
     rows = {
         r.event_type: r.distinct_users_est
-        for r in sketches.sketch_hll_rollup(spark, sf_dir).collect()
+        for r in sketches.hll_estimates(spark, sf_dir).collect()
     }
     exact = {
         r.event_type: r.d
@@ -155,16 +155,24 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     sketches.clear_sketch_cache()
     again = {
         r.event_type: r.distinct_users_est
-        for r in sketches.sketch_hll_rollup(spark, sf_dir).collect()
+        for r in sketches.hll_estimates(spark, sf_dir).collect()
     }
     assert rows == again
+    # the registered (oracle-checked) shape must report every estimate
+    # within bound and carry the exact counts
+    for r in sketches.sketch_hll_rollup(spark, sf_dir).collect():
+        assert r.within_bound, r
+        assert r.distinct_users_exact == exact[r.event_type]
 
 
 def test_approx_quantiles_rank_error(spark, sf_dir):
     from spark_data_test_spark.operators import sketches
 
-    rows = sketches.sketch_approx_quantiles(spark, sf_dir).collect()
+    rows = sketches.quantile_values(spark, sf_dir).collect()
     assert rows
+    # the registered (oracle-checked) shape must report the contract met
+    for r in sketches.sketch_approx_quantiles(spark, sf_dir).collect():
+        assert r.p50_ok and r.p90_ok and r.p99_ok, r
     vals = {}
     for r in (
         t(spark, sf_dir, "orders")

@@ -265,7 +265,7 @@ def test_sketch_rollup_equals_batch_across_microbatches(spark, sf_dir, tmp_path)
     (register max-merge is associative + idempotent)."""
     from spark_data_test_spark.operators.sketches import (
         clear_sketch_cache,
-        sketch_hll_rollup,
+        hll_estimates,
     )
     from spark_data_test_spark.streaming.windows import (
         read_state_table,
@@ -315,7 +315,7 @@ def test_sketch_rollup_equals_batch_across_microbatches(spark, sf_dir, tmp_path)
     clear_sketch_cache()
     batch = {
         r.event_type: r.distinct_users_est
-        for r in sketch_hll_rollup(spark, sf_dir).collect()
+        for r in hll_estimates(spark, sf_dir).collect()
         if r.event_type != "__all__"
     }
     assert streamed == batch
