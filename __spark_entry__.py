@@ -14,90 +14,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). Round 2 green-checked the 50 §2/north-star
-# representatives (CORRECTNESS_r02.json: 50/50); this round ROTATES the
-# window so the 55 queries that have only local-oracle rows earn driver
-# rows too (VERDICT r2, next-round item 2). Window = the engine
-# flagship + 49 never-driver-checked queries; the 6 never-checked
-# queries left outside are each the near-twin of a shape that already
-# has a green driver row (window_lead_lag~window_rank_topk,
-# left_anti~left_semi, grouping_sets~cube, except~intersect,
-# text_bigram_profile~text_regex_tokens, source_xml~source_orc) and
-# rotate in next round together with queries new in round 3.
-_DRIVER_PRIORITY = [
+# (registration order). Rounds 1-3 green-checked 104 distinct queries;
+# this round's window (VERDICT r3 item 1) = the flagship + the 4
+# queries whose green rows predate a rewrite (dedup_embedding_cosine /
+# similarity_ivf_ann / dedup_simhash got trained-IVF and group-collapse
+# rewrites in r3; approx_count_distinct_parts was reshaped this round
+# from no_oracle to a checkable form) + 45 never-driver-checked
+# queries, prioritizing everything modified this round and the heavy
+# graph/dedup/similarity/streaming families. The 23 never-checked
+# queries still outside the window are listed in _NEXT_ROTATION (the
+# round-5 queue); tests/test_registry_invariants.py enforces that
+# every registered query is green-checked, in the current window, or
+# in that queue — nothing can silently fall out of rotation.
+_DRIVER_WINDOW = [
     # engine flagship (kept in every window)
     "compare_overall_report",
-    # window / join / set-op variants
-    "json_extract_props",
-    "window_rank_topk",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "events_sessionization",
-    # sampling / packing family
-    "sample_split_stratified",
-    "mix_weighted_sources",
-    "pack_sequences",
-    "sample_topk_per_group",
-    # temporal family
-    "events_asof_join",
-    "events_range_join",
-    "events_hypertable_rollup",
-    "events_funnel_analysis",
-    "events_session_window_native",
-    # comparison extensions
-    "compare_lineitem_overall",
-    "compare_distribution_report",
-    # relational variants
-    "left_semi_join",
-    "cube_agg",
-    "intersect_rows",
+    # green rows stale after r3/r4 rewrites — re-earn them
+    "dedup_embedding_cosine",
+    "similarity_ivf_ann",
+    "dedup_simhash",
     "approx_count_distinct_parts",
-    "percentile_exact",
-    "map_functions_props",
-    "window_distribution_funcs",
-    # warehouse ops
-    "profile_columns",
-    "upsert_latest_wins",
-    "variant_json_props",
-    "schema_drift_report",
-    # sources
-    "source_orc_roundtrip",
-    # TPC-H shapes
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_check",
-    "tpch_q12_priority_bands",
-    "tpch_q13_order_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # north-star: Python/Arrow, dedup clustering, text, multimodal,
-    # skew, UDTF, streaming
-    "pandas_udf_tokens",
-    "dedup_connected_components",
-    "text_regex_tokens",
-    "multimodal_decode_stub",
-    "skew_salted_join_agg",
-    "udtf_chunk_documents",
-    "streaming_static_join",
-    "streaming_dedup",
-    "streaming_foreachbatch_sink",
-    "streaming_cdc_upsert",
-    # --- driver window ends after the 50th entry above ---
-    # never-driver-checked twins + queries new in round 3 (the tail
-    # below grew through the round: graph/sketch/ml/linkage/DQ/source
-    # families), first in line for the round-4 window rotation
+    # new or reshaped this round
+    "similarity_ivf_train",
+    "multimodal_real_image_decode",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
+    "streaming_sketch_rollup",
+    "dedup_simhash_pairs",
+    "source_text_roundtrip",
+    "sink_partition_pruned_read",
+    "events_ab_test_readout",
+    # never-driver-checked: streaming / pipeline
     "streaming_sessionization_store",
+    "streaming_sliding_counts",
     "corpus_prepare_pipeline",
-    "window_lead_lag",
-    "left_anti_join",
-    "grouping_sets_agg",
-    "except_rows",
-    "text_bigram_profile",
-    "source_xml_roundtrip",
+    # never-driver-checked: TPC-H shapes
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -105,44 +56,50 @@ _DRIVER_PRIORITY = [
     "tpch_q16_parts_supplier",
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
+    # never-driver-checked: similarity / dedup
     "similarity_ann_recall_report",
-    "dedup_simhash_pairs",
+    "similarity_cell_report",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "dedup_lsh_recall_report",
+    "dedup_containment",
+    # never-driver-checked: text / corpus
     "corpus_decontaminate",
     "text_vocabulary_topk",
     "text_pii_scrub",
     "text_repetition_profile",
+    "text_tfidf_topk",
+    "text_quality_model_score",
+    "corpus_shard_assignment",
+    # never-driver-checked: events / orders analytics
     "events_retention_cohorts",
     "events_gap_fill",
-    "orders_market_basket",
     "events_scd2_history",
     "events_attribution_last_touch",
+    "events_anomaly_daily",
+    "events_rolling_window_avg",
+    "orders_market_basket",
     "orders_rfm_segments",
     "parts_abc_pareto",
-    "corpus_shard_assignment",
-    "sample_token_budget",
-    "text_tfidf_topk",
-    "events_anomaly_daily",
-    "similarity_cell_report",
-    "sink_partition_pruned_read",
+    # never-driver-checked: multimodal + graph family
     "multimodal_frame_sample",
-    "dedup_cluster_size_stats",
-    "streaming_sliding_counts",
-    "events_rolling_window_avg",
     "graph_degree_distribution",
     "graph_triangle_count",
-    "text_quality_model_score",
-    "text_bigram_familiarity",
-    "dedup_survivorship",
     "graph_pagerank_fixed",
-    "source_text_roundtrip",
+]
+
+# Never-driver-checked queries queued for the round-5 window (mostly
+# near-twins of green shapes or simple warehouse gates). The invariant
+# test asserts none of these already has a green row (the queue must
+# only shrink) and that window + greens + queue covers the registry.
+_NEXT_ROTATION = [
+    "sample_token_budget",
+    "text_bigram_profile",
+    "source_xml_roundtrip",
+    "text_bigram_familiarity",
     "source_binaryfile_roundtrip",
-    "sketch_hll_rollup",
-    "sketch_approx_quantiles",
     "ml_linear_regression_train",
-    "streaming_sketch_rollup",
     "sink_clustered_layout",
-    "dedup_lsh_recall_report",
-    "dedup_containment",
     "events_cumulative_distinct_users",
     "events_transition_matrix",
     "multimodal_chunk_dedup",
@@ -156,11 +113,70 @@ _DRIVER_PRIORITY = [
     "orders_incremental_agg_merge",
     "source_schema_evolution",
     "null_safe_join",
-    "events_ab_test_readout",
     "supplier_hierarchy_rollup",
     "orders_status_listagg",
     "events_top_session_paths",
 ]
+
+# Green-checked queries outside the window (kept in a stable order so
+# the registry ordering — and therefore any future window cut — is
+# deterministic).
+_CHECKED_BACKLOG = [
+    "json_extract_props",
+    "window_rank_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "events_sessionization",
+    "sample_split_stratified",
+    "mix_weighted_sources",
+    "pack_sequences",
+    "sample_topk_per_group",
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "events_funnel_analysis",
+    "events_session_window_native",
+    "compare_lineitem_overall",
+    "compare_distribution_report",
+    "left_semi_join",
+    "cube_agg",
+    "intersect_rows",
+    "percentile_exact",
+    "map_functions_props",
+    "window_distribution_funcs",
+    "profile_columns",
+    "upsert_latest_wins",
+    "variant_json_props",
+    "schema_drift_report",
+    "source_orc_roundtrip",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "tpch_q12_priority_bands",
+    "tpch_q13_order_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "pandas_udf_tokens",
+    "dedup_connected_components",
+    "text_regex_tokens",
+    "multimodal_decode_stub",
+    "skew_salted_join_agg",
+    "udtf_chunk_documents",
+    "streaming_static_join",
+    "streaming_dedup",
+    "streaming_foreachbatch_sink",
+    "streaming_cdc_upsert",
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+]
+
+_DRIVER_PRIORITY = _DRIVER_WINDOW + _NEXT_ROTATION + _CHECKED_BACKLOG
 
 
 def _registry():
@@ -216,6 +232,7 @@ def _registry():
             "multimodal_decode_stub",
             "multimodal_frame_sample",
             "multimodal_chunk_dedup",
+            "multimodal_real_image_decode",
         },
         "spark_data_test_spark.operators.udtf_ops": {"udtf_chunk_documents"},
         "spark_data_test_spark.streaming.windows": {
@@ -262,17 +279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted entries get
-    the driver's weaker rows-only check).
+    """DuckDB-runnable ANSI SQL oracle per query.
 
-    Deliberately omitted: ``approx_count_distinct_parts`` — an
-    approximate aggregate (HLL++) has no exact SQL oracle; the driver's
-    rows-only check plus the pytest relative-error bound
-    (tests/test_plans.py) are the correctness signal for it. Same for
-    ``sketch_hll_rollup`` / ``sketch_approx_quantiles`` (Datasketches
-    HLL and GK summaries — estimates are implementation functions, not
-    data functions; accuracy bounds pinned in
-    tests/test_graph_model_ext.py).
+    EVERY registered query has an oracle (enforced by
+    tests/test_registry_invariants.py). Approximate operators
+    (HLL distinct counts, GK quantiles) emit a checkable shape — the
+    exact answer plus a boolean asserting the estimate met its accuracy
+    contract — so their oracles check the exact columns and expect the
+    flags TRUE; the raw estimates stay pytest-pinned
+    (tests/test_graph_model_ext.py).
     """
     _, oracles_map = _registry()
     return dict(oracles_map)

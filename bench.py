@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_near_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    # training is its own staged, persisted step (always retrains —
+    # the honest training cost); the ANN/near-dup queries below read
+    # the trained state, which is their production steady state
+    "similarity_ivf_train",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_ivf_ann",
@@ -60,6 +64,11 @@ HEADLINE = [
     "dq_constraint_report",
     "orders_open_backlog_daily",
     "events_ab_test_readout",
+    # round-4 additions: real PNG decode through binaryFile/mapInPandas;
+    # the two heavy lines the r3 amplified study missed (VERDICT item 7)
+    "multimodal_real_image_decode",
+    "graph_triangle_count",
+    "dedup_lsh_recall_report",
 ]
 
 

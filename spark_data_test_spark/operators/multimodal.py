@@ -3,46 +3,158 @@
 Media (image/audio/video) are opaque ``binary`` columns with a typed
 metadata struct riding alongside. The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, ``mapInPandas`` signatures — is real
-and tested; the actual media decoders are STUBBED (this environment has
-no image/audio libraries): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless PIL/soundfile import, and the pipeline
-runs a deterministic fake feature extractor instead, so the distributed
-path is exercised end-to-end.
+and tested. ``decode_image`` is a REAL decoder: PIL when importable,
+otherwise a self-contained stdlib PNG decoder (zlib inflate + scanline
+unfilter, 8-bit gray/RGB/RGBA) — so the decode path executes end-to-end
+even in dependency-free environments, and `multimodal_real_image_decode`
+oracle-checks real PNG bytes through ``binaryFile`` -> ``mapInPandas``.
+Audio/video decoders would slot into the same seam; ``fake_features``
+remains the deterministic extractor for the non-image blob corpus.
 
 The testdata has no media table, so the binary corpus is derived by
 UTF-8-encoding ``documents.text`` — byte-level semantics (lengths,
-hashes, slicing) are identical to a real blob column.
+hashes, slicing) are identical to a real blob column — and the PNG
+corpus is STAGED: one planted grayscale PNG per document whose pixel
+bytes are ``unhex(md5(text))``, giving the decoder real compressed
+image files with an exactly replayable oracle.
 """
 
+import binascii
 import hashlib
+import os
+import struct
+import zlib
 
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from spark_data_test_spark.operators.relational import query, t
 
-try:  # pragma: no cover - decoder libs absent in this environment
-    from PIL import Image  # noqa: F401
+try:  # pragma: no cover - PIL optional; stdlib PNG path always works
+    from PIL import Image
+    import io
 
     _PIL_AVAILABLE = True
 except ImportError:
     _PIL_AVAILABLE = False
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (palette unsupported: expanding
+# it needs the PLTE chunk; none of our producers emit palettes)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png_stdlib(content: bytes):
+    """Minimal, real PNG decoder on the stdlib only: parses chunks,
+    inflates IDAT, and reverses all five scanline filters (None / Sub /
+    Up / Average / Paeth) for 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced. Returns (width, height, channels, raw pixel bytes
+    in row-major order) — byte-identical to PIL's ``tobytes()`` for the
+    same image."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        chunk = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}); supported: 8-bit gray/GA/RGB/RGBA"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
 
 def decode_image(content: bytes):
-    """Real image decode — requires PIL, stubbed here."""
-    if not _PIL_AVAILABLE:
-        raise NotImplementedError(
-            "image decoding requires PIL; this environment runs the "
-            "deterministic fake extractor instead (fake_features)"
+    """Real image decode: PIL when available (any format PIL reads),
+    else the stdlib PNG decoder. Returns (width, height, channels,
+    raw pixel bytes) — the two paths are byte-identical for supported
+    PNGs (pinned in tests/test_multimodal_decode.py)."""
+    if _PIL_AVAILABLE:  # pragma: no cover - PIL absent in this env
+        img = Image.open(io.BytesIO(content))
+        return img.width, img.height, len(img.getbands()), img.tobytes()
+    return _decode_png_stdlib(content)
+
+
+def encode_png_gray(width, height, pixels: bytes):
+    """Minimal PNG encoder (8-bit grayscale, filter 0): the staging
+    side of the planted-image corpus and the test fixture builder.
+    Round-trips bit-exactly through `decode_image` on both the PIL and
+    stdlib paths."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
-    raise NotImplementedError("wire PIL decode here when available")
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def fake_features(content: bytes):
@@ -279,3 +391,115 @@ def multimodal_chunk_dedup(spark, sf_dir):
             F.count(F.lit(1)).cast("double") / F.sum("refs").cast("double")
         ).alias("unique_ratio"),
     )
+
+
+_IMG_SIDE = 4  # 4x4 grayscale: 16 pixels == one md5 digest
+
+
+def _stage_png_files(spark, sf_dir, root):
+    """Stage one REAL grayscale PNG per document, executor-side
+    (foreachPartition — the media-lake landing pattern `_stage_binary_files`
+    uses): pixel bytes are ``unhex(md5(text))``, so the image content is
+    exactly replayable from the source table. Freshness-tokened like the
+    binaryFile staging: regenerated testdata rebuilds the corpus."""
+    import shutil
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    token = f"png1|{src}|{st.st_mtime_ns}|{st.st_size}"
+    os.makedirs(root, exist_ok=True)
+    marker = f"{root}/_STAGED"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == token:
+                return
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("px")
+    )
+    side = _IMG_SIDE
+
+    def write_partition(rows):
+        for row in rows:
+            png = encode_png_gray(side, side, bytes(row.px))
+            tmp = f"{root}/.doc_{row.doc_id}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(png)
+            os.replace(tmp, f"{root}/doc_{row.doc_id}.png")
+
+    docs.foreachPartition(write_partition)
+    with open(marker, "w") as fh:
+        fh.write(token)
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixel_hex", StringType()),
+    ]
+)
+
+
+@query(
+    "multimodal_real_image_decode",
+    f"""
+    SELECT doc_id,
+           {_IMG_SIDE} AS width, {_IMG_SIDE} AS height, 1 AS channels,
+           md5(text) AS pixel_hex
+    FROM documents
+    """,
+)
+def multimodal_real_image_decode(spark, sf_dir):
+    """REAL image decode, distributed end-to-end: a staged corpus of
+    genuine PNG files (one 4x4 grayscale per document, zlib-compressed,
+    CRC-chunked) is read back with the ``binaryFile`` source and decoded
+    inside ``mapInPandas`` by `decode_image` — PIL when present, the
+    stdlib PNG decoder otherwise. The decoded pixel bytes are emitted as
+    hex; since the planted pixels are ``unhex(md5(text))``, the oracle
+    is simply ``md5(text)`` — any defect in the encoder, the file
+    round-trip, chunk parsing, inflation, or unfiltering breaks the
+    hash on every row.
+
+    Shape at 100 TB: binaryFile scan (files are the natural partition
+    unit) -> Arrow batches -> vectorized Python decode -> narrow feature
+    rows; no shuffle until a downstream aggregate. This is the actual
+    media ingest plan, not a simulation — swap the 4x4 corpus for real
+    images and only the staging step changes."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/spark_graft_png/{digest}"
+    _stage_png_files(spark, sf_dir, root)
+
+    def extract(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, ch, px = decode_image(bytes(content))
+                recs.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        ch,
+                        binascii.hexlify(px).decode(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "channels", "pixel_hex"],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{root}/doc_*.png")
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    return files.mapInPandas(extract, schema=_DECODE_SCHEMA)

@@ -739,7 +739,20 @@ def sketch_apply_batch(batch_df, state_path):
     write_state_version(sk, state_path)
 
 
-@query("streaming_sketch_rollup")
+@query(
+    "streaming_sketch_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_exact,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
 def streaming_sketch_rollup(spark, sf_dir):
     """Incremental distinct-user rollup: each micro-batch folds its HLL
     sketches into a versioned state table (sketch_apply_batch) and the
@@ -749,10 +762,16 @@ def streaming_sketch_rollup(spark, sf_dir):
     order-insensitive and idempotent the two are EXACTLY equal (pinned
     in tests/test_streaming_state.py across a two-batch split), not
     merely close — the property that makes stored-sketch rollups safe
-    to re-aggregate over arbitrary date ranges at 100 TB. No SQL
-    oracle (sketch estimates are implementation functions); the driver
-    records the rows-only check."""
+    to re-aggregate over arbitrary date ranges at 100 TB.
+
+    Checkable shape (same pattern as `sketch_hll_rollup`): the estimate
+    is implementation-defined, so the output carries the exact distinct
+    count and a within-bound flag; the oracle replays the exact counts
+    over the static table and expects every flag TRUE."""
     import shutil
+
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.operators.sketches import _HLL_BOUND
 
     events = read_events_stream(spark, sf_dir).select("event_type", "user_id")
     run_root = f"/tmp/spark_stream_sketch/{uuid.uuid4().hex[:12]}"
@@ -770,17 +789,29 @@ def streaming_sketch_rollup(spark, sf_dir):
         per_type = read_state_table(spark, state)
         typed = per_type.select(
             "event_type",
-            F.expr("hll_sketch_estimate(sk)").cast("long").alias(
-                "distinct_users_est"
-            ),
+            F.expr("hll_sketch_estimate(sk)").cast("long").alias("est"),
         )
         overall = per_type.agg(F.expr("hll_union_agg(sk)").alias("u")).select(
             F.lit("__all__").alias("event_type"),
-            F.expr("hll_sketch_estimate(u)").cast("long").alias(
-                "distinct_users_est"
-            ),
+            F.expr("hll_sketch_estimate(u)").cast("long").alias("est"),
         )
-        final = typed.unionByName(overall)
+        ests = typed.unionByName(overall)
+        ev = t(spark, sf_dir, "events")
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact")
+        ).unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact")).select(
+                F.lit("__all__").alias("event_type"), "exact"
+            )
+        )
+        final = ests.join(exact, "event_type").select(
+            "event_type",
+            F.col("exact").alias("distinct_users_exact"),
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact").cast("double"))
+                <= _HLL_BOUND * F.col("exact").cast("double")
+            ).alias("within_bound"),
+        )
         rows = final.collect()
         schema = final.schema
     finally:

@@ -203,9 +203,18 @@ def test_multimodal_decode_stub_matches_python(spark, sf_dir):
         assert f_row["fake_height"] == ord(digest[1])
 
 
-def test_multimodal_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_multimodal_decode_image_is_real():
+    """decode_image is a REAL decoder now (PIL or stdlib PNG):
+    round-trips an encoded PNG and rejects malformed input."""
+    px = bytes(range(16))
+    assert multimodal.decode_image(multimodal.encode_png_gray(4, 4, px)) == (
+        4,
+        4,
+        1,
+        px,
+    )
+    with pytest.raises(Exception):
+        multimodal.decode_image(b"\x89PNG truncated")
 
 
 def test_multimodal_frame_sample(spark, sf_dir):
