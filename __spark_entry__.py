@@ -116,6 +116,12 @@ _NEXT_ROTATION = [
     "supplier_hierarchy_rollup",
     "orders_status_listagg",
     "events_top_session_paths",
+    # round-4 additions (never driver-checked yet)
+    "lineitem_correlation_matrix",
+    "text_heavy_hitters",
+    "corpus_duplicate_ngrams",
+    "part_bloom_prefilter_join",
+    "streaming_late_data_audit",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so
@@ -246,6 +252,7 @@ def _registry():
             "streaming_cdc_upsert",
             "streaming_sliding_counts",
             "streaming_sketch_rollup",
+            "streaming_late_data_audit",
         },
     }
     forgivable = set()

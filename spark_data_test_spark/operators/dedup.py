@@ -150,6 +150,10 @@ _EMB_GROUPS_CACHE = FrameCache(max_entries=2)
 # 24 shuffles in the uncached plan vs 5 cached).
 _SIM_FP_CACHE = FrameCache(max_entries=2)
 _SIM_MEMB_CACHE = FrameCache(max_entries=2)
+# (doc_id, g) distinct word-8-gram inverted-index input: consumed by
+# the df-stats aggregate, the per-doc rollup, and both sides of the
+# partner expansion — four subtree reads of one explode.
+_NGRAM_CACHE = FrameCache(max_entries=2)
 
 
 def _cached_members(spark, sf_dir):
@@ -254,6 +258,7 @@ def clear_dedup_cache():
     _SIM_FP_CACHE.clear()
     _SIM_MEMB_CACHE.clear()
     _GID_CO_CACHE.clear()
+    _NGRAM_CACHE.clear()
 
 
 def _minhash(sh):
@@ -1337,4 +1342,122 @@ def dedup_containment(spark, sf_dir):
             ),
             F.round(score).cast("long").alias("containment_1e6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated n-gram spans (Lee et al. 2022 substring-dedup shape)
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8  # word n-gram length for exact span duplication
+_NGRAM_STOP_DF = 1000  # scale guard: drop grams present in > this many docs
+
+
+@query(
+    "corpus_duplicate_ngrams",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT d.doc_id,
+             array_to_string(d.toks[u.i:u.i + {_NGRAM_N - 1}], ' ') AS g
+      FROM docs d, unnest(range(1, len(d.toks) - {_NGRAM_N - 2})) u(i)
+      WHERE len(d.toks) >= {_NGRAM_N}),
+    gstats AS (
+      SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    dup_grams AS (
+      SELECT g FROM gstats WHERE df >= 2 AND df <= {_NGRAM_STOP_DF}),
+    per_doc AS (
+      SELECT gr.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (dg.g IS NOT NULL) AS BIGINT)
+               AS n_dup_grams
+      FROM grams gr LEFT JOIN dup_grams dg ON gr.g = dg.g
+      GROUP BY gr.doc_id),
+    partners AS (
+      SELECT a.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT)
+               AS n_partner_docs
+      FROM grams a
+      JOIN dup_grams dg ON a.g = dg.g
+      JOIN grams b ON b.g = a.g AND b.doc_id <> a.doc_id
+      GROUP BY a.doc_id)
+    SELECT p.doc_id, d.n_grams, d.n_dup_grams, p.n_partner_docs,
+           (1000 * d.n_dup_grams) // d.n_grams AS dup_permille
+    FROM per_doc d JOIN partners p ON d.doc_id = p.doc_id
+    WHERE d.n_dup_grams > 0
+    ORDER BY p.doc_id
+    """,
+)
+def corpus_duplicate_ngrams(spark, sf_dir):
+    """EXACT duplicated-span detection (the substring-dedup signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", at word-8-gram granularity): for every document
+    sharing at least one exact 8-gram with another document, report
+    how much of it is duplicated (distinct grams, duplicated grams,
+    partner-document count, duplicated permille).
+
+    Plan shape: tokens -> adjacent-slice 8-grams (pure Catalyst
+    ``transform(sequence(...))`` — no Python), distinct per doc, then
+    ONE shuffle keyed by gram builds the inverted index. Document
+    frequency per gram gates everything: only grams with 2 <= df <=
+    1000 expand into partner pairs, so the quadratic step is bounded
+    by per-gram df squares (boilerplate mega-grams are dropped by the
+    stop-gram cap exactly like the shingle pipeline's stop-shingle
+    rule — at 100 TB the cap is what keeps licence headers from
+    becoming a cross-join). Per-doc rollups are two further
+    gram/doc-keyed aggregates — no all-pairs step anywhere."""
+    grams = _NGRAM_CACHE.get_or_create(
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x != '') AS toks",
+        )
+        .where(F.expr(f"size(toks) >= {_NGRAM_N}"))
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(1, size(toks) - {_NGRAM_N - 1}),"
+            f" i -> array_join(slice(toks, i, {_NGRAM_N}), ' '))) AS g",
+        )
+        .distinct()
+        .persist(),
+    )
+    gstats = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dup_grams = gstats.where(
+        (F.col("df") >= 2) & (F.col("df") <= _NGRAM_STOP_DF)
+    ).select("g")
+    per_doc = (
+        grams.join(dup_grams.withColumn("is_dup", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    partners = (
+        grams.join(dup_grams, "g")
+        .alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("b.doc_id")).alias("n_partner_docs"))
+    )
+    return (
+        per_doc.where(F.col("n_dup_grams") > 0)
+        .join(partners, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            "n_partner_docs",
+            F.expr("1000 * n_dup_grams div n_grams").alias("dup_permille"),
+        )
+        .orderBy("doc_id")
     )

@@ -127,3 +127,118 @@ def ols_fit(df, x_col, y_col):
         ((syd - slope * sxd) / nd).alias("intercept"),
         ((cov_n * cov_n) / (var_n * vary_n)).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix in ONE aggregate pass
+# ---------------------------------------------------------------------------
+
+_CORR_FEATURES = [
+    # (name, exact-integer SQL feature over lineitem)
+    ("qty", "CAST(ROUND(l_quantity) AS BIGINT)"),
+    ("price", "CAST(ROUND(l_extendedprice) AS BIGINT)"),
+    ("disc", "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(ROUND(l_tax * 100) AS BIGINT)"),
+]
+
+_CORR_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_CORR_FEATURES)
+    for (b, _) in _CORR_FEATURES[i + 1 :]
+]
+
+
+def _corr_matrix_sql():
+    """Oracle: the same moments CTE + per-pair corr rows (UNION ALL)."""
+    feats = ",\n             ".join(f"{expr} AS {n}" for n, expr in _CORR_FEATURES)
+    moment_cols = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for n, _ in _CORR_FEATURES:
+        moment_cols.append(f"CAST(SUM({n}) AS BIGINT) AS s_{n}")
+        moment_cols.append(f"CAST(SUM({n} * {n}) AS BIGINT) AS ss_{n}")
+    for a, b in _CORR_PAIRS:
+        moment_cols.append(f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        cov = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        var_a = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        )
+        var_b = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        rows.append(
+            f"SELECT '{a}' AS var_a, '{b}' AS var_b, n,\n"
+            f"       {cov} / sqrt({var_a} * {var_b}) AS corr\n"
+            f"FROM moments"
+        )
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH feat AS (
+      SELECT {feats}
+      FROM lineitem),
+    moments AS (
+      SELECT {', '.join(moment_cols)}
+      FROM feat)
+    SELECT var_a, var_b, n, corr FROM (
+      {union}
+    ) ORDER BY var_a, var_b
+    """
+
+
+@query("lineitem_correlation_matrix", _corr_matrix_sql())
+def lineitem_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation over the four lineitem metrics in
+    ONE map-side-combinable aggregate: 15 exact-int64 moment sums
+    (n, 4 sums, 4 sums-of-squares, 6 cross sums), then each of the 6
+    correlations is formed driver-free from the one-row moment frame in
+    double space — the n·Σxy − Σx·Σy textbook shape of `ols_fit`, with
+    IEEE sqrt (correctly rounded, so bit-identical across engines).
+    The single scan + single 1-row shuffle is the minimal plan for a
+    full correlation matrix at any scale; features are small exact ints
+    (≤1e7), so the squared sums stay below 2^63 past 1e8 rows and the
+    double cross-products are overflow-proof beyond (same boundary
+    discussion as `ml_linear_regression_train`). The feature-pair
+    expansion is column-wise (k²/2 extra AGGREGATE COLUMNS, zero extra
+    rows or shuffles) — at 100 TB this is exactly one pass."""
+    feat = t(spark, sf_dir, "lineitem").selectExpr(
+        *[f"{expr} AS {n}" for n, expr in _CORR_FEATURES]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n, _ in _CORR_FEATURES:
+        aggs.append(F.sum(F.col(n)).alias(f"s_{n}"))
+        aggs.append(F.sum(F.col(n) * F.col(n)).alias(f"ss_{n}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = feat.agg(*aggs)
+    nd = F.col("n").cast("double")
+    # one exploded struct array, NOT a 6-way union of m: a union would
+    # plant six copies of the scan+aggregate subtree in the plan
+    pair_structs = []
+    for a, b in _CORR_PAIRS:
+        cov = nd * F.col(f"sp_{a}_{b}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        var_a = nd * F.col(f"ss_{a}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{a}").cast("double")
+        var_b = nd * F.col(f"ss_{b}").cast("double") - F.col(
+            f"s_{b}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        pair_structs.append(
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.col("n").alias("n"),
+                (cov / F.sqrt(var_a * var_b)).alias("corr"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*pair_structs)).alias("r"))
+        .select("r.var_a", "r.var_b", "r.n", "r.corr")
+        .orderBy("var_a", "var_b")
+    )

@@ -212,3 +212,116 @@ def sketch_approx_quantiles(spark, sf_dir):
         ) & (F.col(f"le{i}").cast("double") >= target - slack)
         sel.append(ok.alias(f"{label}_ok"))
     return ranks.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: bounded-state candidates + exact verify
+# ---------------------------------------------------------------------------
+
+_MG_COUNTERS = 1024  # per-partition counter budget k
+_HH_DENOM = 1000  # report items with count*_HH_DENOM > stream length
+
+# MG guarantee (mergeable-summaries form, Agarwal et al. 2012): after
+# merging per-partition summaries, every item's undercount error is at
+# most n/(k+1). With k=1024 > _HH_DENOM, any item with true count
+# > n/1000 has a strictly positive merged count, so the candidate set
+# provably contains every reported heavy hitter — which is what makes
+# the exact-verified output deterministic regardless of partitioning.
+
+
+def _bigram_stream(spark, sf_dir):
+    """(g) word-bigram stream over documents — pure Catalyst: split,
+    filter empties, sequence+transform to adjacent pairs, explode."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.where(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("g"))
+    )
+
+
+def _mg_summaries(iterator):
+    """Per-partition Misra-Gries over arrow batches: merge each batch's
+    counts into the running summary, then compress to k counters by
+    subtracting the (k+1)-th largest count (the mergeable-MG step)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    counts = Counter()
+    for pdf in iterator:
+        counts.update(Counter(pdf["g"].value_counts().to_dict()))
+        if len(counts) > _MG_COUNTERS:
+            kth = sorted(counts.values(), reverse=True)[_MG_COUNTERS]
+            counts = Counter(
+                {g: c - kth for g, c in counts.items() if c > kth}
+            )
+    if counts:
+        yield pd.DataFrame(
+            {"g": list(counts.keys()), "mg_cnt": list(counts.values())}
+        )
+
+
+@query(
+    "text_heavy_hitters",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    grams AS (
+      SELECT d.toks[u.i] || ' ' || d.toks[u.i + 1] AS g
+      FROM docs d, unnest(range(1, len(d.toks))) u(i)
+      WHERE len(d.toks) >= 2),
+    c AS (SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY g),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM c)
+    SELECT gram, cnt, n_tok, TRUE AS mg_candidate
+    FROM c, tot
+    WHERE cnt * {_HH_DENOM} > n_tok
+    ORDER BY cnt DESC, gram
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """phi-heavy hitters (word bigrams with share > 1/1000) by the
+    candidate-then-verify sketch pattern: per-partition Misra-Gries
+    summaries (<= 1024 counters each, built in one Arrow `mapInPandas`
+    pass), merged into a candidate set, then ONE exact counting pass
+    restricted to candidates via broadcast semi-join.
+
+    Why this is the 100 TB shape: a direct `groupBy(gram).count()`
+    shuffles the full vocabulary (n-gram vocabularies run to billions
+    of keys); MG moves <= k rows per partition — kilobytes — and the
+    exact-verify shuffle is bounded by the candidate set, not the
+    vocabulary. The mergeable-MG error bound (n/(k+1), k=1024 > 1000)
+    proves the candidates contain every reported item, so the
+    exact-verified output is deterministic for ANY partitioning — the
+    `mg_candidate` flag is that guarantee as a hash-checked value (a
+    missed hitter would surface as a missing row vs the oracle).
+    """
+    grams = _bigram_stream(spark, sf_dir)
+    summaries = grams.mapInPandas(_mg_summaries, "g string, mg_cnt long")
+    cands = summaries.select("g").distinct()
+    exact = (
+        grams.join(F.broadcast(cands), "g")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = grams.agg(F.sum(F.lit(1)).cast("bigint").alias("n_tok"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * _HH_DENOM > F.col("n_tok"))
+        .select(
+            F.col("g").alias("gram"),
+            F.col("cnt"),
+            F.col("n_tok"),
+            F.lit(True).alias("mg_candidate"),
+        )
+        .orderBy(F.col("cnt").desc(), "gram")
+    )

@@ -817,3 +817,120 @@ def streaming_sketch_rollup(spark, sf_dir):
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data accounting (deterministic drop audit)
+# ---------------------------------------------------------------------------
+
+_LATE_DELAY_US = 24 * 86_400 * 1_000_000  # 24-day watermark delay
+_LATE_CUT_Q = 0.25  # arrival split: newest 75% first, oldest 25% late
+
+
+def _late_counts_apply_batch(batch_df, state_path):
+    """Merge one update-mode batch of (hour_us, event_type, cnt) rows
+    into the versioned count store: emitted keys replace their previous
+    rows (update mode re-emits a key's full new value)."""
+    latest = batch_df.localCheckpoint(eager=True)
+    keys = latest.select("hour_us", "event_type").distinct()
+    base = read_state_table(batch_df.sparkSession, state_path)
+    if base is not None:
+        merged = base.join(
+            F.broadcast(keys), ["hour_us", "event_type"], "left_anti"
+        ).unionByName(latest)
+    else:
+        merged = latest
+    write_state_version(merged, state_path)
+
+
+@query(
+    "streaming_late_data_audit",
+    f"""
+    WITH cut AS (
+      SELECT floor(quantile_cont(epoch_us(ts), {_LATE_CUT_Q})) AS c
+      FROM events),
+    wm AS (
+      SELECT MAX(epoch_us(ts)) - {_LATE_DELAY_US} AS w
+      FROM events, cut WHERE epoch_us(ts) > c),
+    kept AS (
+      SELECT ts, event_type FROM events, cut, wm
+      WHERE epoch_us(ts) > c
+         OR epoch_us(date_trunc('hour', ts)) + 3600000000 > w)
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def streaming_late_data_audit(spark, sf_dir):
+    """Watermark LATE-DATA semantics, end-to-end and deterministic: the
+    newest 75% of events stream through an hourly windowed count with a
+    24-day watermark delay (run 1); the pipeline then RESTARTS from its
+    checkpoint and the oldest 25% arrive late (run 2) — the
+    backfill-after-restart posture. The persisted watermark stands at
+    max(ts) - 24d, which lands INSIDE the late tranche's time range, so
+    the stragglers split deterministically: windows whose end is above
+    the watermark accept their late rows, windows at or below it have
+    been evicted and the rows are DROPPED by the engine. The oracle
+    replays the watermark trajectory in SQL (the kept-set CTE), so the
+    hash match pins Spark's eviction boundary — drop iff window_end <=
+    watermark, measured on this engine build — as observable output:
+    the contract a production pipeline's completeness accounting
+    depends on. (Within one availableNow run the engine does NOT apply
+    intra-run watermark advances to the late filter — measured; the
+    restart is what arms it, hence the two-run shape.)
+
+    Each run's update-mode output folds into the versioned count store
+    by key replacement (`_late_counts_apply_batch`); state at scale is
+    bounded by (windows x types) above the watermark, never by event
+    volume."""
+    import shutil
+
+    from spark_data_test_spark.operators.relational import t
+
+    ev = t(spark, sf_dir, "events").select("ts", "event_type")
+    cut = ev.agg(
+        F.expr(f"percentile(unix_micros(ts), {_LATE_CUT_Q})").alias("p")
+    ).first()["p"]
+    newer = F.unix_micros(F.col("ts")) > F.lit(int(cut))
+
+    run_root = f"/tmp/spark_stream_late/{uuid.uuid4().hex[:12]}"
+    src = f"{run_root}/src"
+    store = f"{run_root}/store"
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "24 days")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("hour_us"),
+                "event_type",
+                "cnt",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: _late_counts_apply_batch(df, store)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.where(newer).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        ev.where(~newer).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        final = read_state_table(spark, store).select(
+            "hour_us", "event_type", "cnt"
+        )
+        rows = final.collect()
+        schema = final.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)

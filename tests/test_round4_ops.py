@@ -1,0 +1,140 @@
+"""Property tests for the round-4 operators.
+
+The DuckDB oracle harness already pins cross-engine value equality;
+these tests pin the properties the oracles cannot see — partitioning
+independence, prefilter soundness + selectivity, and the internal
+consistency of the reported numbers.
+"""
+
+import pyspark.sql.functions as F
+
+from spark_data_test_spark.operators.relational import QUERIES, t
+from spark_data_test_spark.operators.relational_ext import bloom_prefilter
+import spark_data_test_spark.operators.dedup  # noqa: F401 (registers)
+import spark_data_test_spark.operators.ml  # noqa: F401 (registers)
+import spark_data_test_spark.operators.sketches as sketches
+import spark_data_test_spark.streaming.windows  # noqa: F401 (registers)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_prefilter_is_sound_and_selective(spark):
+    """No false negatives (prefiltered join == plain join) and the
+    bitmap actually prunes (most non-matching fact rows drop before
+    the join)."""
+    li = t(spark, SF, "lineitem")
+    p = t(spark, SF, "part").where(F.col("p_brand") == "Brand#19")
+    keys = p.select("p_partkey")
+
+    pref = bloom_prefilter(li, "l_partkey", keys)
+    exact = li.join(keys, li.l_partkey == keys.p_partkey).count()
+    pref_exact = pref.join(keys, pref.l_partkey == keys.p_partkey).count()
+    assert pref_exact == exact  # soundness: every true match survives
+
+    n_fact = li.count()
+    n_pref = pref.count()
+    n_match = exact
+    # selectivity: the bitmap keeps the matches plus a small
+    # false-positive tail, far below the full fact table
+    assert n_match <= n_pref < n_fact * 0.5
+
+
+def test_bloom_prefilter_empty_dim_drops_everything(spark):
+    li = t(spark, SF, "lineitem")
+    empty = t(spark, SF, "part").where(F.lit(False)).select("p_partkey")
+    assert bloom_prefilter(li, "l_partkey", empty).count() == 0
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """The exact-verified output must not depend on physical
+    partitioning — run the MG pipeline on a 1-partition and a
+    32-partition layout of the same stream and require identical
+    results (the mergeable-MG guarantee made observable)."""
+    out = {}
+    for n_parts in (1, 32):
+        grams = sketches._bigram_stream(spark, SF).repartition(n_parts)
+        summaries = grams.mapInPandas(
+            sketches._mg_summaries, "g string, mg_cnt long"
+        )
+        cands = summaries.select("g").distinct()
+        exact = (
+            grams.join(F.broadcast(cands), "g")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        total = grams.agg(
+            F.sum(F.lit(1)).cast("bigint").alias("n_tok")
+        )
+        rows = (
+            exact.crossJoin(F.broadcast(total))
+            .where(F.col("cnt") * sketches._HH_DENOM > F.col("n_tok"))
+            .select("g", "cnt")
+            .collect()
+        )
+        out[n_parts] = sorted((r["g"], r["cnt"]) for r in rows)
+    assert out[1] == out[32]
+    assert out[1], "corpus should contain at least one heavy hitter"
+
+
+def test_mg_summary_bounded_state():
+    """A single summary never exceeds the counter budget."""
+    import pandas as pd
+
+    batches = [
+        pd.DataFrame({"g": [f"tok{i}" for i in range(3000)]}),
+        pd.DataFrame({"g": ["hot"] * 500}),
+    ]
+    outs = list(sketches._mg_summaries(iter(batches)))
+    assert len(outs) == 1
+    assert len(outs[0]) <= sketches._MG_COUNTERS
+    # the genuinely frequent item must survive compression
+    assert "hot" in set(outs[0]["g"])
+
+
+# ---------------------------------------------------------- corr matrix
+
+
+def test_correlation_matrix_shape_and_bounds(spark):
+    rows = QUERIES["lineitem_correlation_matrix"](spark, SF).collect()
+    assert len(rows) == 6  # C(4,2) pairs
+    n = {r["n"] for r in rows}
+    assert len(n) == 1  # one shared row count
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0
+        assert r["corr"] == r["corr"]  # not NaN
+    # the synthetic lineitem draws its metrics independently, so every
+    # pairwise correlation should be near zero — a loose sanity band
+    for r in rows:
+        assert abs(r["corr"]) < 0.1
+
+
+# ------------------------------------------------- duplicated n-grams
+
+
+def test_duplicate_ngrams_internally_consistent(spark):
+    rows = QUERIES["corpus_duplicate_ngrams"](spark, SF).collect()
+    assert rows, "planted near-dups should produce duplicated 8-grams"
+    for r in rows:
+        assert 0 < r["n_dup_grams"] <= r["n_grams"]
+        assert r["n_partner_docs"] >= 1
+        assert r["dup_permille"] == 1000 * r["n_dup_grams"] // r["n_grams"]
+
+
+# ------------------------------------------------------ late-data audit
+
+
+def test_late_data_audit_drops_are_real_and_accounted(spark):
+    """The audit's kept-row total must equal the oracle kept-set size,
+    and some rows must actually have been dropped (the watermark did
+    its job)."""
+    out = QUERIES["streaming_late_data_audit"](spark, SF)
+    kept = out.agg(F.sum("cnt")).first()[0]
+    total = t(spark, SF, "events").count()
+    assert kept < total  # late rows were genuinely dropped
+    assert kept > total * 0.7  # but the newer tranche survived intact
