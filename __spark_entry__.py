@@ -122,6 +122,8 @@ _NEXT_ROTATION = [
     "corpus_duplicate_ngrams",
     "part_bloom_prefilter_join",
     "streaming_late_data_audit",
+    "similarity_pq_train",
+    "similarity_pq_ann",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

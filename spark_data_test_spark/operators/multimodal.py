@@ -502,4 +502,12 @@ def multimodal_real_image_decode(spark, sf_dir):
             "content",
         )
     )
+    # binaryFile treats every file as its own split and bills each an
+    # open cost, so a small-file corpus explodes into thousands of
+    # scan partitions — and each one becomes a separate Python worker
+    # round-trip in mapInPandas. Coalesce to the session's parallelism:
+    # no shuffle, just merged file splits, exactly what a real media
+    # lake does between landing (many objects) and decode (few fat
+    # tasks).
+    files = files.coalesce(spark.sparkContext.defaultParallelism)
     return files.mapInPandas(extract, schema=_DECODE_SCHEMA)

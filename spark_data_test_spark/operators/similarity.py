@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import query, t
-from spark_data_test_spark.utils.spark_utils import local_df
+from spark_data_test_spark.utils.spark_utils import FrameCache, local_df
 
 _DIM = 64
 _NQ = 8  # query vectors: vec_id < 8
@@ -177,11 +177,14 @@ _TRAIN_STATE_VERSION = 1
 
 
 def clear_similarity_cache():
-    """Drop the in-session centroid memo. The PERSISTED trained state
-    (parquet under _centroid_state_path) survives on purpose — that is
-    the production shape: training is a separate, stored step and the
-    ANN queries read trained centroids (VERDICT r3 item 2)."""
+    """Drop the in-session centroid memo and the PQ frames. The
+    PERSISTED trained state (parquet under _centroid_state_path)
+    survives on purpose — that is the production shape: training is a
+    separate, stored step and the ANN queries read trained centroids
+    (VERDICT r3 item 2)."""
     _CENTROID_MEMO.clear()
+    _PQ_CODEBOOK_CACHE.clear()
+    _PQ_CODES_CACHE.clear()
 
 
 def _emb_fingerprint(sf_dir):
@@ -669,4 +672,281 @@ def similarity_cell_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + ADC approximate search
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M  # dims per subspace (16)
+_PQ_K = 16  # codebook entries per subspace
+_PQ_TOPK = 3
+
+# Integer L2 over a subvector pair — exact bigint, so every PQ ranking
+# below is bit-deterministic (no float comparisons anywhere).
+_PQ_L2 = (
+    "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+_PQ_CODEBOOK_CACHE = FrameCache(max_entries=2)
+_PQ_CODES_CACHE = FrameCache(max_entries=2)
+
+
+def _pq_ctes():
+    """DuckDB CTE chain replaying PQ training + encoding exactly:
+    subvector split -> seeded initial codebooks -> one Lloyd round in
+    integer L2 -> per-subspace codes. Exposes ``cb1`` (s, cent_id, j, v)
+    and ``codes`` (vec_id, s, cent_id)."""
+    return f"""sub0 AS (
+  SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS s,
+         (i - 1) % {_PQ_SUBDIM} + 1 AS j, v
+  FROM flat),
+seedord AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY (vec_id * {_MIX_A} + {_MIX_C}) % {_MIX_M}, vec_id) AS rn
+  FROM ei),
+cb0 AS (
+  SELECT sb.s, so.vec_id AS cent_id, sb.j, sb.v
+  FROM seedord so JOIN sub0 sb ON sb.vec_id = so.vec_id
+  WHERE so.rn <= {_PQ_K}),
+ad1 AS (
+  SELECT x.vec_id, x.s, c.cent_id,
+         CAST(SUM((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS d
+  FROM sub0 x JOIN cb0 c ON c.s = x.s AND c.j = x.j
+  GROUP BY 1, 2, 3),
+as1 AS (
+  SELECT vec_id, s, cent_id FROM (
+    SELECT vec_id, s, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d, cent_id) AS rn
+    FROM ad1)
+  WHERE rn = 1),
+cb1 AS (
+  SELECT a.s, a.cent_id, x.j,
+         CAST(trunc(CAST(SUM(x.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM as1 a JOIN sub0 x ON x.vec_id = a.vec_id AND x.s = a.s
+  GROUP BY 1, 2, 3),
+ad2 AS (
+  SELECT x.vec_id, x.s, c.cent_id,
+         CAST(SUM((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS d
+  FROM sub0 x JOIN cb1 c ON c.s = x.s AND c.j = x.j
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, s, cent_id FROM (
+    SELECT vec_id, s, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d, cent_id) AS rn
+    FROM ad2)
+  WHERE rn = 1)"""
+
+
+def _pq_subvectors(emb):
+    """(vec_id, s, sub) — each quantized vector split into _PQ_M
+    16-dim subvectors, one row per subspace."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.expr(
+                            f"slice(e, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+                        ).alias("sub"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("r"),
+    ).select("vec_id", "r.s", "r.sub")
+
+
+def _pq_assign(sub, codebook):
+    """Nearest codebook entry per (vec_id, subspace) by exact integer
+    L2 with cent_id tie-break — one map-side-combinable aggregate over
+    the broadcast codebook product."""
+    return (
+        sub.join(F.broadcast(codebook), "s")
+        .withColumn("d", F.expr(_PQ_L2))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                "cent_id", F.struct(F.col("d"), F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("sub").alias("sub"),
+        )
+    )
+
+
+def _pq_codebook(spark, sf_dir):
+    """Trained PQ codebook (s, cent_id, csub): seeded initial entries
+    (the same LCG-ordered sample as IVF training, subvector-split) plus
+    ONE Lloyd round in integer L2 with truncated-mean updates. The
+    whole model is _PQ_M * _PQ_K tiny rows — broadcast-sized by
+    construction at any corpus size."""
+
+    def build():
+        emb = _int_embeddings(spark, sf_dir)
+        sub = _pq_subvectors(emb)
+        seeds = (
+            emb.withColumn(
+                "mix", (F.col("vec_id") * _MIX_A + _MIX_C) % F.lit(_MIX_M)
+            )
+            .orderBy("mix", "vec_id")
+            .limit(_PQ_K)
+            .select(F.col("vec_id").alias("cent_id"))
+        )
+        cb0 = (
+            _pq_subvectors(
+                emb.join(F.broadcast(seeds), emb.vec_id == seeds.cent_id)
+                .select("vec_id", "e", "n2")
+            )
+            .select(F.col("vec_id").alias("cent_id"), "s",
+                    F.col("sub").alias("csub"))
+        )
+        a1 = _pq_assign(sub, cb0)
+        sums = a1.groupBy("s", F.col("cent_id").alias("cell")).agg(
+            F.count(F.lit(1)).alias("c"),
+            *[
+                F.sum(F.col("sub")[j]).alias(f"s{j}")
+                for j in range(_PQ_SUBDIM)
+            ],
+        )
+        return sums.select(
+            "s",
+            F.col("cell").alias("cent_id"),
+            F.array(
+                *[
+                    F.expr(f"cast(cast(s{j} as double) / c as bigint)")
+                    for j in range(_PQ_SUBDIM)
+                ]
+            ).alias("csub"),
+        ).persist()
+
+    return _PQ_CODEBOOK_CACHE.get_or_create(
+        (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _pq_codes(spark, sf_dir):
+    """(vec_id, s, cent_id) — every vector encoded against the trained
+    codebook: the 64-dim float vector compressed to _PQ_M small codes,
+    the representation ADC search scans INSTEAD of raw vectors."""
+    return _PQ_CODES_CACHE.get_or_create(
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: _pq_assign(
+            _pq_subvectors(_int_embeddings(spark, sf_dir)),
+            _pq_codebook(spark, sf_dir),
+        )
+        .select("vec_id", "s", "cent_id")
+        .persist(),
+    )
+
+
+@query(
+    "similarity_pq_train",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_pq_ctes()}
+    SELECT s, cent_id, CAST(j AS INTEGER) AS dim_j, v
+    FROM cb1 ORDER BY s, cent_id, dim_j
+    """,
+)
+def similarity_pq_train(spark, sf_dir):
+    """PQ codebook TRAINING as a query: emit the trained codebook
+    element-wise against the unrolled SQL replay (seeded sample -> one
+    integer-L2 Lloyd round -> truncated-mean update). All arithmetic is
+    exact bigint until the final truncating division, so the codebook
+    is bit-identical across engines — same contract as
+    `similarity_ivf_train`, per-subspace."""
+    cb = _pq_codebook(spark, sf_dir)
+    return (
+        cb.select(
+            "s",
+            "cent_id",
+            F.posexplode("csub").alias("j0", "v"),
+        )
+        .select(
+            "s",
+            "cent_id",
+            (F.col("j0") + 1).cast("int").alias("dim_j"),
+            "v",
+        )
+        .orderBy("s", "cent_id", "dim_j")
+    )
+
+
+@query(
+    "similarity_pq_ann",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_pq_ctes()},
+    qd AS (
+      SELECT q.vec_id AS q, c.s, c.cent_id,
+             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
+      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
+      WHERE q.vec_id < {_NQ}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT qd.q, codes.vec_id AS x, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM codes JOIN qd ON qd.s = codes.s AND qd.cent_id = codes.cent_id
+      WHERE codes.vec_id <> qd.q
+      GROUP BY 1, 2)
+    SELECT q AS q_vec_id, x AS neighbor_id, adc_dist,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT q, x, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q
+                                    ORDER BY adc_dist, x) AS rn
+          FROM adc)
+    WHERE rn <= {_PQ_TOPK}
+    ORDER BY q_vec_id, rank
+    """,
+)
+def similarity_pq_ann(spark, sf_dir):
+    """Approximate nearest neighbors by PQ + ADC (asymmetric distance
+    computation): each query precomputes its tiny distance table to
+    every codebook entry (_PQ_M x _PQ_K integer L2 values), then scans
+    only the CODES — the distance to a database vector is the sum of 4
+    table lookups, never a touch of its raw floats.
+
+    Why this is the third leg of the ANN family (brute-force / IVF /
+    PQ): IVF prunes WHICH vectors to score, PQ compresses WHAT is
+    scored (64 floats -> 4 codes, a 64x memory cut at this config; at
+    100 TB the codes fit where raw vectors cannot, and the scan is
+    bandwidth-bound on kilobyte tables). The broadcast is the distance
+    table (_NQ * 64 rows); the only shuffle is the final per-query
+    top-k. Exact integer arithmetic end-to-end makes the approximate
+    ranking itself bit-deterministic — the oracle replays training,
+    encoding, and ADC in SQL and the hash must match."""
+    codes = _pq_codes(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    queries_sub = _pq_subvectors(
+        _int_embeddings(spark, sf_dir).where(F.col("vec_id") < _NQ)
+    )
+    qd = (
+        queries_sub.join(F.broadcast(cb), "s")
+        .withColumn("d", F.expr(_PQ_L2))
+        .select(F.col("vec_id").alias("q"), "s", "cent_id", "d")
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "cent_id"])
+        .where(F.col("vec_id") != F.col("q"))
+        .groupBy("q", F.col("vec_id").alias("x"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q").orderBy("adc_dist", "x")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select(
+            F.col("q").alias("q_vec_id"),
+            F.col("x").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("q_vec_id", "rank")
     )

@@ -138,3 +138,43 @@ def test_late_data_audit_drops_are_real_and_accounted(spark):
     total = t(spark, SF, "events").count()
     assert kept < total  # late rows were genuinely dropped
     assert kept > total * 0.7  # but the newer tranche survived intact
+
+
+# ------------------------------------------------------------ PQ ANN
+
+
+def test_pq_codebook_and_codes_shape(spark):
+    import spark_data_test_spark.operators.similarity as sim
+
+    cb = sim._pq_codebook(spark, SF)
+    rows = cb.collect()
+    # at most M subspaces x K entries; every csub is a full subvector
+    assert len(rows) <= sim._PQ_M * sim._PQ_K
+    assert {r["s"] for r in rows} == set(range(sim._PQ_M))
+    assert all(len(r["csub"]) == sim._PQ_SUBDIM for r in rows)
+
+    codes = sim._pq_codes(spark, SF)
+    n_vecs = t(spark, SF, "embeddings").count()
+    # exactly one code per (vector, subspace): the 64-float vector is
+    # represented by _PQ_M small ints
+    assert codes.count() == n_vecs * sim._PQ_M
+    bad = codes.join(
+        cb.select("s", "cent_id"), ["s", "cent_id"], "left_anti"
+    ).count()
+    assert bad == 0, "every code must reference a trained codebook entry"
+
+
+def test_pq_ann_output_is_valid_topk(spark):
+    import spark_data_test_spark.operators.similarity as sim
+
+    out = QUERIES["similarity_pq_ann"](spark, SF).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    assert set(by_q) == set(range(sim._NQ))
+    for q, rows in by_q.items():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, sim._PQ_TOPK + 1))
+        dists = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert dists == sorted(dists)  # rank order == distance order
+        assert all(r["neighbor_id"] != q for r in rows)  # self excluded
