@@ -124,6 +124,8 @@ _NEXT_ROTATION = [
     "streaming_late_data_audit",
     "similarity_pq_train",
     "similarity_pq_ann",
+    "similarity_ivfpq_ann",
+    "similarity_pq_recall_report",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

@@ -950,3 +950,244 @@ def similarity_pq_ann(spark, sf_dir):
         )
         .orderBy("q_vec_id", "rank")
     )
+
+
+@query(
+    "similarity_ivfpq_ann",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_final_assign_ctes()},
+    {_pq_ctes()},
+    fassign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore WHERE vec_id < {_NQ})
+      WHERE rn <= {_NPROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN fassign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    qd AS (
+      SELECT q.vec_id AS q, c.s, c.cent_id,
+             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
+      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
+      WHERE q.vec_id < {_NQ}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN qd ON qd.q = c.query_id AND qd.s = k.s AND qd.cent_id = k.cent_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, neighbor_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ — the composed production ANN architecture (the FAISS
+    IVFPQ shape): the trained IVF coarse quantizer prunes WHICH vectors
+    each query inspects (nprobe cells of ~sqrt(n)), and PQ compresses
+    WHAT is scored there (4 codes per candidate, ADC table lookups —
+    never the raw floats). At 100 TB the cell lists hold only
+    (vec_id, 4 codes) — the inverted lists fit in memory where raw
+    vectors cannot, the probed fraction shrinks as the corpus grows,
+    and the per-candidate cost is constant. Both stages reuse their
+    standalone trained models (`train_ivf_centroids` persisted state,
+    `_pq_codebook`); the oracle replays coarse training, probing, PQ
+    training, encoding, and ADC in one CTE chain."""
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+    ranked = _score_against_cents(emb, cents).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    assign = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.where(
+        (F.col("vec_id") < _NQ) & (F.col("rn") <= _NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    cb = _pq_codebook(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    qd = (
+        _pq_subvectors(emb.where(F.col("vec_id") < _NQ))
+        .join(F.broadcast(cb), "s")
+        .withColumn("d", F.expr(_PQ_L2))
+        .select(F.col("vec_id").alias("query_id"), "s", "cent_id", "d")
+    )
+    adc = (
+        cand.join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "s", "cent_id"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qd), ["query_id", "s", "cent_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= _IVF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "similarity_pq_recall_report",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_pq_ctes()},
+    qd AS (
+      SELECT q.vec_id AS q, c.s, c.cent_id,
+             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
+      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
+      WHERE q.vec_id < {_NQ}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT qd.q AS query_id, codes.vec_id AS neighbor_id,
+             CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM codes JOIN qd ON qd.s = codes.s AND qd.cent_id = codes.cent_id
+      WHERE codes.vec_id <> qd.q
+      GROUP BY 1, 2),
+    adc_topk AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
+      WHERE rn <= {_PQ_TOPK}),
+    exd AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             CAST(SUM((q.v - x.v) * (q.v - x.v)) AS BIGINT) AS l2
+      FROM flat q JOIN flat x ON x.i = q.i
+      WHERE q.vec_id < {_NQ} AND x.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    exact_topk AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY l2, neighbor_id) AS rn
+            FROM exd)
+      WHERE rn <= {_PQ_TOPK})
+    SELECT e.query_id, CAST({_PQ_TOPK} AS BIGINT) AS exact_k,
+           COUNT(a.neighbor_id) AS hits,
+           CAST(COUNT(a.neighbor_id) * 100 / {_PQ_TOPK} AS BIGINT)
+             AS recall_pct
+    FROM exact_topk e
+    LEFT JOIN adc_topk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def similarity_pq_recall_report(spark, sf_dir):
+    """Recall EVALUATION of PQ/ADC against the exact integer-L2 ground
+    truth (same metric the quantizer approximates): per query, how many
+    of the true top-{k} nearest neighbors the ADC top-{k} recovered.
+    The quality gate a PQ deployment runs on a sampled slice before
+    trusting (m, K) at full scale — the third member of the recall
+    family (`dedup_lsh_recall_report`, `similarity_ann_recall_report`).
+    Both rankings are exact-integer and fully tie-broken, so the recall
+    numbers are bit-deterministic and the oracle replays them
+    verbatim."""
+    emb = _int_embeddings(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    qd = (
+        _pq_subvectors(emb.where(F.col("vec_id") < _NQ))
+        .join(F.broadcast(cb), "s")
+        .withColumn("d", F.expr(_PQ_L2))
+        .select(F.col("vec_id").alias("q"), "s", "cent_id", "d")
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "cent_id"])
+        .where(F.col("vec_id") != F.col("q"))
+        .groupBy(F.col("q").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    adc_topk = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    qe = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    xe = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("xe"),
+        F.col("n2").alias("xn2"),
+    )
+    # exact integer L2 = qn2 + xn2 - 2*dot: one broadcast of the 8
+    # query vectors over the corpus scan, no pair materialization
+    exd = (
+        xe.crossJoin(F.broadcast(qe))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qe, xe, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("qn2") + F.col("xn2") - 2 * F.col("dot")).alias("l2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("l2", "neighbor_id")
+    exact_topk = (
+        exd.withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact_topk.join(
+        adc_topk.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "query_id",
+            F.lit(_PQ_TOPK).cast("long").alias("exact_k"),
+            "hits",
+            F.expr(f"hits * 100 div {_PQ_TOPK}").cast("long").alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )

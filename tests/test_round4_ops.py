@@ -178,3 +178,42 @@ def test_pq_ann_output_is_valid_topk(spark):
         dists = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert dists == sorted(dists)  # rank order == distance order
         assert all(r["neighbor_id"] != q for r in rows)  # self excluded
+
+
+def test_pq_recall_report_bounds(spark):
+    import spark_data_test_spark.operators.similarity as sim
+
+    rows = QUERIES["similarity_pq_recall_report"](spark, SF).collect()
+    assert len(rows) == sim._NQ
+    for r in rows:
+        assert 0 <= r["hits"] <= sim._PQ_TOPK
+        assert r["recall_pct"] == r["hits"] * 100 // sim._PQ_TOPK
+
+
+def test_ivfpq_subset_of_probed_cells(spark):
+    """Every IVF-PQ result must come from a cell the query probed —
+    the coarse quantizer actually prunes."""
+    import spark_data_test_spark.operators.similarity as sim
+
+    out = QUERIES["similarity_ivfpq_ann"](spark, SF)
+    emb = sim._int_embeddings(spark, SF)
+    cents = sim.train_ivf_centroids(spark, SF)
+    assign = sim._assign_cells(emb, cents, 1).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    probes = sim._assign_cells(
+        emb.where(F.col("vec_id") < sim._NQ), cents, sim._NPROBE
+    ).withColumnRenamed("vec_id", "query_id")
+    outside = (
+        out.join(assign.withColumnRenamed("cell", "ncell"), "neighbor_id")
+        .join(probes.withColumnRenamed("cell", "qcell"), "query_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max(
+                (F.col("ncell") == F.col("qcell")).cast("int")
+            ).alias("in_probe")
+        )
+        .where(F.col("in_probe") == 0)
+        .count()
+    )
+    assert outside == 0
