@@ -126,6 +126,7 @@ _NEXT_ROTATION = [
     "similarity_pq_ann",
     "similarity_ivfpq_ann",
     "similarity_pq_recall_report",
+    "state_time_travel_diff",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

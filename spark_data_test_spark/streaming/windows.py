@@ -572,24 +572,33 @@ def _committed_state_version(state_path):
     return best
 
 
-def read_state_table(spark, state_path):
-    """Read the latest COMMITTED version of a versioned state table
-    (None before the first commit). Missing state means first batch;
-    any other read failure propagates — silently resetting state would
-    drop every key not present in the current batch."""
-    v = _committed_state_version(state_path)
-    if v is None:
-        return None
-    return spark.read.parquet(f"{state_path}/v{v}")
+def read_state_table(spark, state_path, version=None):
+    """Read a versioned state table: the latest COMMITTED version by
+    default, or an exact pinned ``version`` (time travel — requires
+    the writer to have retained it, see ``write_state_version``).
+    Missing state means first batch (None); a PINNED version that is
+    missing or uncommitted raises — time-travel readers must not
+    silently get a different snapshot than they asked for."""
+    if version is None:
+        version = _committed_state_version(state_path)
+        if version is None:
+            return None
+    elif not os.path.exists(f"{state_path}/v{version}/_SUCCESS"):
+        raise FileNotFoundError(
+            f"state version v{version} not committed under {state_path}"
+        )
+    return spark.read.parquet(f"{state_path}/v{version}")
 
 
-def write_state_version(df, state_path):
+def write_state_version(df, state_path, retain=1):
     """Durably advance a versioned state table: write version n+1 into
     its own directory (the previous version stays intact and readable
-    until the new one's _SUCCESS lands), then prune older versions and
-    uncommitted leftovers. Crash-safe at every point: an incomplete
-    write is invisible to readers, and the retried batch re-reads the
-    old committed version."""
+    until the new one's _SUCCESS lands), then prune versions beyond the
+    newest ``retain`` plus uncommitted leftovers. Crash-safe at every
+    point: an incomplete write is invisible to readers, and the retried
+    batch re-reads the old committed version. ``retain > 1`` keeps a
+    time-travel window (the snapshot-retention dial every table format
+    exposes; state growth is bounded by retain x table size)."""
     import shutil
 
     cur = _committed_state_version(state_path)
@@ -597,8 +606,11 @@ def write_state_version(df, state_path):
     # overwrite clobbers an uncommitted leftover of the same version
     df.write.mode("overwrite").parquet(f"{state_path}/v{nxt}")  # _SUCCESS commits it
     for name in os.listdir(state_path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) != nxt:
-            shutil.rmtree(f"{state_path}/{name}", ignore_errors=True)
+        if name.startswith("v") and name[1:].isdigit():
+            v = int(name[1:])
+            committed = os.path.exists(f"{state_path}/{name}/_SUCCESS")
+            if (committed and v <= nxt - retain) or (not committed and v != nxt):
+                shutil.rmtree(f"{state_path}/{name}", ignore_errors=True)
 
 
 def cdc_apply_batch(batch_df, state_path, keys=("user_id",), order_cols=("ts", "event_id")):
@@ -931,6 +943,108 @@ def streaming_late_data_audit(spark, sf_dir):
         )
         rows = final.collect()
         schema = final.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Time travel over versioned state (change-data-feed diff)
+# ---------------------------------------------------------------------------
+
+_TT_CUT = "1999-01-01"
+
+
+@query(
+    "state_time_travel_diff",
+    f"""
+    WITH v0 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT}'
+      GROUP BY o_custkey),
+    v1 AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(v1.o_custkey, v0.o_custkey) AS o_custkey,
+           v0.n_orders AS n_orders_v0, v1.n_orders AS n_orders_v1,
+           v0.spend_cents AS spend_cents_v0,
+           v1.spend_cents AS spend_cents_v1,
+           CASE WHEN v0.o_custkey IS NULL THEN 'insert' ELSE 'update' END
+             AS change_type
+    FROM v1 FULL OUTER JOIN v0 ON v1.o_custkey = v0.o_custkey
+    WHERE v0.o_custkey IS NULL
+       OR v1.n_orders <> v0.n_orders
+       OR v1.spend_cents <> v0.spend_cents
+    ORDER BY o_custkey
+    """,
+)
+def state_time_travel_diff(spark, sf_dir):
+    """TIME TRAVEL + change feed over the versioned state machinery:
+    commit a per-customer order rollup as version 0 (orders before
+    {cut}), commit the refreshed rollup as version 1 (all orders) with
+    ``retain=2``, then read BOTH pinned versions back and emit the
+    change rows between the snapshots — new customers as ``insert``,
+    changed aggregates as ``update`` (deletes are structurally
+    impossible here: the v1 input is a superset). This is the
+    snapshot-diff read every table format (Delta CDF, Iceberg
+    changelog) exposes, built on the same `_SUCCESS`-gated versioned
+    parquet used by the CDC apply, session store, and IVF staging —
+    retention bounds state at retain x table size, and the diff itself
+    is one full-outer join of two narrow snapshots (key + 2 metrics),
+    never a replay of history."""
+    import shutil
+
+    from spark_data_test_spark.operators.relational import cents, t
+
+    o = t(spark, sf_dir, "orders")
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("spend_cents"),
+        )
+
+    run_root = f"/tmp/spark_state_tt/{uuid.uuid4().hex[:12]}"
+    os.makedirs(run_root, exist_ok=True)
+    try:
+        write_state_version(
+            rollup(o.where(F.col("o_orderdate") < _TT_CUT)), run_root, retain=2
+        )
+        write_state_version(rollup(o), run_root, retain=2)
+        v0 = read_state_table(spark, run_root, version=0)
+        v1 = read_state_table(spark, run_root, version=1)
+        diff = (
+            v1.alias("n")
+            .join(
+                v0.alias("p"),
+                F.col("n.o_custkey") == F.col("p.o_custkey"),
+                "full_outer",
+            )
+            .where(
+                F.col("p.o_custkey").isNull()
+                | (F.col("n.n_orders") != F.col("p.n_orders"))
+                | (F.col("n.spend_cents") != F.col("p.spend_cents"))
+            )
+            .select(
+                F.coalesce(F.col("n.o_custkey"), F.col("p.o_custkey")).alias(
+                    "o_custkey"
+                ),
+                F.col("p.n_orders").alias("n_orders_v0"),
+                F.col("n.n_orders").alias("n_orders_v1"),
+                F.col("p.spend_cents").alias("spend_cents_v0"),
+                F.col("n.spend_cents").alias("spend_cents_v1"),
+                F.when(F.col("p.o_custkey").isNull(), "insert")
+                .otherwise("update")
+                .alias("change_type"),
+            )
+            .orderBy("o_custkey")
+        )
+        rows = diff.collect()
+        schema = diff.schema
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)

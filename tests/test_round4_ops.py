@@ -217,3 +217,41 @@ def test_ivfpq_subset_of_probed_cells(spark):
         .count()
     )
     assert outside == 0
+
+
+# --------------------------------------------------- state time travel
+
+
+def test_state_version_retention_and_pinned_reads(spark, tmp_path):
+    from spark_data_test_spark.streaming.windows import (
+        read_state_table,
+        write_state_version,
+    )
+    import pytest
+
+    root = str(tmp_path / "state")
+    import os
+
+    os.makedirs(root)
+    for i in range(3):
+        df = spark.range(1).select(F.lit(i).alias("v"))
+        write_state_version(df, root, retain=2)
+    # retain=2 after three commits: v0 pruned, v1 and v2 readable
+    assert read_state_table(spark, root).first()["v"] == 2
+    assert read_state_table(spark, root, version=1).first()["v"] == 1
+    with pytest.raises(FileNotFoundError):
+        read_state_table(spark, root, version=0)
+
+
+def test_time_travel_diff_is_consistent(spark):
+    rows = QUERIES["state_time_travel_diff"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["change_type"] == "insert":
+            assert r["n_orders_v0"] is None
+        else:
+            assert r["n_orders_v1"] >= r["n_orders_v0"]  # superset input
+            assert (
+                r["n_orders_v1"] != r["n_orders_v0"]
+                or r["spend_cents_v1"] != r["spend_cents_v0"]
+            )
