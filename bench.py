@@ -69,6 +69,18 @@ HEADLINE = [
     "multimodal_real_image_decode",
     "graph_triangle_count",
     "dedup_lsh_recall_report",
+    # round-4 operators: one-pass corr matrix, MG heavy hitters, exact
+    # n-gram span dedup, bloom-bitmap prefilter, PQ/IVF-PQ ANN, state
+    # time travel, watermark late-drop audit
+    "lineitem_correlation_matrix",
+    "text_heavy_hitters",
+    "corpus_duplicate_ngrams",
+    "part_bloom_prefilter_join",
+    "similarity_pq_train",
+    "similarity_pq_ann",
+    "similarity_ivfpq_ann",
+    "state_time_travel_diff",
+    "streaming_late_data_audit",
 ]
 
 
