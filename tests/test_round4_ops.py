@@ -62,14 +62,16 @@ def test_heavy_hitters_partitioning_independent(spark):
         summaries = grams.mapInPandas(
             sketches._mg_summaries, "g string, mg_cnt long"
         )
-        cands = summaries.select("g").distinct()
+        cands = (
+            summaries.where(F.col("g").isNotNull()).select("g").distinct()
+        )
         exact = (
             grams.join(F.broadcast(cands), "g")
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        total = grams.agg(
-            F.sum(F.lit(1)).cast("bigint").alias("n_tok")
+        total = summaries.where(F.col("g").isNull()).agg(
+            F.sum("mg_cnt").alias("n_tok")
         )
         rows = (
             exact.crossJoin(F.broadcast(total))
@@ -92,9 +94,13 @@ def test_mg_summary_bounded_state():
     ]
     outs = list(sketches._mg_summaries(iter(batches)))
     assert len(outs) == 1
-    assert len(outs[0]) <= sketches._MG_COUNTERS
+    counters = outs[0][outs[0]["g"].notna()]
+    total_rows = outs[0][outs[0]["g"].isna()]
+    assert len(counters) <= sketches._MG_COUNTERS
+    # one NULL row carries the exact partition item count
+    assert list(total_rows["mg_cnt"]) == [3500]
     # the genuinely frequent item must survive compression
-    assert "hot" in set(outs[0]["g"])
+    assert "hot" in set(counters["g"])
 
 
 # ---------------------------------------------------------- corr matrix
