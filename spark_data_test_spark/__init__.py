@@ -35,9 +35,13 @@ from spark_data_test_spark.operators.graph import (
     pagerank_fixed,
     triangle_count,
 )
-from spark_data_test_spark.operators.ml import ols_fit
-from spark_data_test_spark.operators.relational_ext import blocked_fuzzy_pairs
+from spark_data_test_spark.operators.ml import corr_matrix, ols_fit
+from spark_data_test_spark.operators.relational_ext import (
+    blocked_fuzzy_pairs,
+    bloom_prefilter,
+)
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
+from spark_data_test_spark.state import read_state_table, write_state_version
 from spark_data_test_spark.operators.temporal import (
     asof_join,
     asof_join_split,
@@ -55,14 +59,17 @@ __all__ = [
     "asof_join",
     "asof_join_split",
     "blocked_fuzzy_pairs",
+    "bloom_prefilter",
     "compare_dataframes",
     "compare_dataframes_where",
     "connected_components",
+    "corr_matrix",
     "distribution_report",
     "ols_fit",
     "pack_bins",
     "pagerank_fixed",
     "range_join_binned",
+    "read_state_table",
     "release_comparison_result",
     "run_comparison_job",
     "run_comparison_job_from_dfs",
@@ -70,6 +77,7 @@ __all__ = [
     "split_assign",
     "triangle_count",
     "write_results",
+    "write_state_version",
 ]
 
 __version__ = "0.1.0"

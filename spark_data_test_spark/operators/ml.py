@@ -208,18 +208,34 @@ def lineitem_correlation_matrix(spark, sf_dir):
     feat = t(spark, sf_dir, "lineitem").selectExpr(
         *[f"{expr} AS {n}" for n, expr in _CORR_FEATURES]
     )
+    return corr_matrix(feat, [n for n, _ in _CORR_FEATURES]).orderBy(
+        "var_a", "var_b"
+    )
+
+
+def corr_matrix(df, cols):
+    """Library operator: pairwise Pearson correlations of the integer
+    columns ``cols`` in ONE map-side-combinable aggregate — k(k+3)/2+1
+    exact-int64 moment sums (n, per-column sums and sums of squares,
+    per-pair cross sums), then every correlation is formed driver-free
+    from the one-row moment frame in double space (the n·Σxy − Σx·Σy
+    shape of `ols_fit`, IEEE sqrt). Returns (var_a, var_b, n, corr)
+    rows, one per unordered column pair. The pair expansion is
+    column-wise — zero extra rows or shuffles — so the full matrix of
+    any row count is exactly one scan."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     aggs = [F.count(F.lit(1)).alias("n")]
-    for n, _ in _CORR_FEATURES:
-        aggs.append(F.sum(F.col(n)).alias(f"s_{n}"))
-        aggs.append(F.sum(F.col(n) * F.col(n)).alias(f"ss_{n}"))
-    for a, b in _CORR_PAIRS:
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in pairs:
         aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
-    m = feat.agg(*aggs)
+    m = df.agg(*aggs)
     nd = F.col("n").cast("double")
-    # one exploded struct array, NOT a 6-way union of m: a union would
-    # plant six copies of the scan+aggregate subtree in the plan
+    # one exploded struct array, NOT a k²-way union of m: a union would
+    # plant one copy of the scan+aggregate subtree per pair
     pair_structs = []
-    for a, b in _CORR_PAIRS:
+    for a, b in pairs:
         cov = nd * F.col(f"sp_{a}_{b}").cast("double") - F.col(
             f"s_{a}"
         ).cast("double") * F.col(f"s_{b}").cast("double")
@@ -237,8 +253,6 @@ def lineitem_correlation_matrix(spark, sf_dir):
                 (cov / F.sqrt(var_a * var_b)).alias("corr"),
             )
         )
-    return (
-        m.select(F.explode(F.array(*pair_structs)).alias("r"))
-        .select("r.var_a", "r.var_b", "r.n", "r.corr")
-        .orderBy("var_a", "var_b")
+    return m.select(F.explode(F.array(*pair_structs)).alias("r")).select(
+        "r.var_a", "r.var_b", "r.n", "r.corr"
     )

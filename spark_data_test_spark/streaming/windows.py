@@ -556,61 +556,13 @@ def _latest_per_key(df, keys, order_cols):
     )
 
 
-def _committed_state_version(state_path):
-    """Highest committed version under a versioned state root, or None.
-    A version directory counts only with Spark's _SUCCESS marker — a
-    crash mid-write leaves an uncommitted directory that is simply
-    ignored (and cleaned) by the next writer."""
-    if not os.path.isdir(state_path):
-        return None
-    best = None
-    for name in os.listdir(state_path):
-        if name.startswith("v") and name[1:].isdigit():
-            if os.path.exists(f"{state_path}/{name}/_SUCCESS"):
-                v = int(name[1:])
-                best = v if best is None or v > best else best
-    return best
-
-
-def read_state_table(spark, state_path, version=None):
-    """Read a versioned state table: the latest COMMITTED version by
-    default, or an exact pinned ``version`` (time travel — requires
-    the writer to have retained it, see ``write_state_version``).
-    Missing state means first batch (None); a PINNED version that is
-    missing or uncommitted raises — time-travel readers must not
-    silently get a different snapshot than they asked for."""
-    if version is None:
-        version = _committed_state_version(state_path)
-        if version is None:
-            return None
-    elif not os.path.exists(f"{state_path}/v{version}/_SUCCESS"):
-        raise FileNotFoundError(
-            f"state version v{version} not committed under {state_path}"
-        )
-    return spark.read.parquet(f"{state_path}/v{version}")
-
-
-def write_state_version(df, state_path, retain=1):
-    """Durably advance a versioned state table: write version n+1 into
-    its own directory (the previous version stays intact and readable
-    until the new one's _SUCCESS lands), then prune versions beyond the
-    newest ``retain`` plus uncommitted leftovers. Crash-safe at every
-    point: an incomplete write is invisible to readers, and the retried
-    batch re-reads the old committed version. ``retain > 1`` keeps a
-    time-travel window (the snapshot-retention dial every table format
-    exposes; state growth is bounded by retain x table size)."""
-    import shutil
-
-    cur = _committed_state_version(state_path)
-    nxt = 0 if cur is None else cur + 1
-    # overwrite clobbers an uncommitted leftover of the same version
-    df.write.mode("overwrite").parquet(f"{state_path}/v{nxt}")  # _SUCCESS commits it
-    for name in os.listdir(state_path):
-        if name.startswith("v") and name[1:].isdigit():
-            v = int(name[1:])
-            committed = os.path.exists(f"{state_path}/{name}/_SUCCESS")
-            if (committed and v <= nxt - retain) or (not committed and v != nxt):
-                shutil.rmtree(f"{state_path}/{name}", ignore_errors=True)
+# Versioned state tables moved to spark_data_test_spark.state
+# (library surface); re-exported here for the existing callers.
+from spark_data_test_spark.state import (  # noqa: E402,F401
+    _committed_state_version,
+    read_state_table,
+    write_state_version,
+)
 
 
 def cdc_apply_batch(batch_df, state_path, keys=("user_id",), order_cols=("ts", "event_id")):
