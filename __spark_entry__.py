@@ -127,6 +127,8 @@ _NEXT_ROTATION = [
     "similarity_ivfpq_ann",
     "similarity_pq_recall_report",
     "state_time_travel_diff",
+    "events_sliding_distinct_users",
+    "similarity_cluster_purity",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

@@ -1191,3 +1191,78 @@ def similarity_pq_recall_report(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "similarity_cluster_purity",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_final_assign_ctes()},
+    fassign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore)
+      WHERE rn = 1),
+    labeled AS (
+      SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM fassign a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2),
+    tops AS (
+      SELECT cell, label AS top_label, n AS top_label_n
+      FROM (SELECT cell, label, n,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY n DESC, label) AS rn
+            FROM labeled)
+      WHERE rn = 1),
+    sizes AS (
+      SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vectors FROM labeled
+      GROUP BY cell)
+    SELECT s.cell, s.n_vectors, t.top_label, t.top_label_n,
+           (100 * t.top_label_n) // s.n_vectors AS purity_pct
+    FROM sizes s JOIN tops t ON t.cell = s.cell
+    ORDER BY s.cell
+    """,
+)
+def similarity_cluster_purity(spark, sf_dir):
+    """Clustering-quality EVALUATION against the labeled ground truth:
+    per trained-IVF cell, the dominant label and its share (purity) —
+    the external-validity check a clustering deployment runs before
+    trusting cell assignments for downstream routing (the label column
+    is exactly the held-out signal such an eval uses). One broadcast
+    scoring pass for the argmax assignment (same tie-break as
+    `similarity_ivf_ann`), one (cell, label)-keyed aggregate, one tiny
+    per-cell window — the eval costs one scan regardless of corpus
+    size. Purity is an integer percentage (floor), so the report is
+    bit-deterministic with a label-ascending tie-break on equal
+    counts."""
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    assign = _assign_cells(emb, cents, nprobe=1)
+    lab = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = (
+        assign.join(lab, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), "label")
+    tops = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("top_label"),
+                F.col("n").alias("top_label_n"))
+    )
+    sizes = labeled.groupBy("cell").agg(F.sum("n").alias("n_vectors"))
+    return (
+        sizes.join(tops, "cell")
+        .select(
+            "cell",
+            "n_vectors",
+            "top_label",
+            "top_label_n",
+            F.expr("100 * top_label_n div n_vectors").alias("purity_pct"),
+        )
+        .orderBy("cell")
+    )

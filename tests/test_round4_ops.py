@@ -261,3 +261,32 @@ def test_time_travel_diff_is_consistent(spark):
                 r["n_orders_v1"] != r["n_orders_v0"]
                 or r["spend_cents_v1"] != r["spend_cents_v0"]
             )
+
+
+# ---------------------------------------- sliding distinct / purity
+
+
+def test_sliding_distinct_hll_error_pinned(spark):
+    """Pin the numeric HLL error behind the within_bound flags."""
+    rows = QUERIES["events_sliding_distinct_users"](spark, SF).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    ests = {
+        r["window_start_us"]: r["est"]
+        for r in sketches.sliding_distinct_estimates(spark, SF).collect()
+    }
+    worst = max(
+        abs(ests[r["window_start_us"]] - r["distinct_users_exact"])
+        / max(r["distinct_users_exact"], 1)
+        for r in rows
+    )
+    assert worst <= sketches._HLL_BOUND
+
+
+def test_cluster_purity_consistent(spark):
+    rows = QUERIES["similarity_cluster_purity"](spark, SF).collect()
+    assert rows
+    n_emb = t(spark, SF, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_emb  # partition of corpus
+    for r in rows:
+        assert 0 < r["top_label_n"] <= r["n_vectors"]
+        assert r["purity_pct"] == 100 * r["top_label_n"] // r["n_vectors"]
