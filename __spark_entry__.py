@@ -129,6 +129,7 @@ _NEXT_ROTATION = [
     "state_time_travel_diff",
     "events_sliding_distinct_users",
     "similarity_cluster_purity",
+    "streaming_heavy_hitters",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so
@@ -260,6 +261,7 @@ def _registry():
             "streaming_sliding_counts",
             "streaming_sketch_rollup",
             "streaming_late_data_audit",
+            "streaming_heavy_hitters",
         },
     }
     forgivable = set()

@@ -235,19 +235,10 @@ _MG_CACHE = FrameCache(max_entries=2)
 # the exact-verified output deterministic regardless of partitioning.
 
 
-def _bigram_stream(spark, sf_dir):
-    """(g) word-bigram stream over documents — pure Catalyst: split,
-    filter empties, sequence+transform to adjacent pairs, explode.
-
-    The doc scan is repartitioned to the session parallelism BEFORE the
-    explode: the corpus arrives as few fat parquet splits, and without
-    the spread the tokenize/explode/MG chain runs on 1-2 tasks (the
-    shuffle moves doc rows — cheap — so every core works the n-gram
-    stream; at cluster scale the input arrives pre-split and Catalyst
-    elides nothing it needs)."""
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def bigrams_of(docs_df):
+    """(g) word-bigram rows of a documents frame — pure Catalyst:
+    split, filter empties, sequence+transform to adjacent pairs,
+    explode."""
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -255,9 +246,24 @@ def _bigram_stream(spark, sf_dir):
             " ", F.element_at(toks, i), F.element_at(toks, i + 1)
         ),
     )
-    return (
-        d.where(F.size(toks) >= 2)
-        .select(F.explode(grams).alias("g"))
+    return docs_df.where(F.size(toks) >= 2).select(
+        F.explode(grams).alias("g")
+    )
+
+
+def _bigram_stream(spark, sf_dir):
+    """Word-bigram stream over the documents table.
+
+    The doc scan is repartitioned to the session parallelism BEFORE the
+    explode: the corpus arrives as few fat parquet splits, and without
+    the spread the tokenize/explode/MG chain runs on 1-2 tasks (the
+    shuffle moves doc rows — cheap — so every core works the n-gram
+    stream; at cluster scale the input arrives pre-split and Catalyst
+    elides nothing it needs)."""
+    return bigrams_of(
+        t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
 
 

@@ -1000,3 +1000,156 @@ def state_time_travel_diff(spark, sf_dir):
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: incremental Misra-Gries state per micro-batch
+# ---------------------------------------------------------------------------
+
+
+def mg_state_apply_batch(batch_docs, state_path, k):
+    """Fold one micro-batch of documents into bounded Misra-Gries
+    state: explode the batch's word bigrams, add their exact counts to
+    the stored counters, then compress back to ``k`` counters by
+    subtracting the (k+1)-th largest count (the mergeable-MG step,
+    Agarwal et al. 2012 — valid for ANY merge tree, so sequential
+    batch folding preserves the n/(k+1) undercount bound). A NULL-gram
+    row carries the exact stream length. State is <= k+1 rows forever;
+    the shuffle per batch is the batch's gram counts, never history."""
+    from spark_data_test_spark.operators.sketches import bigrams_of
+
+    grams = bigrams_of(batch_docs)
+    batch_counts = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).unionByName(
+        grams.select(
+            F.lit(None).cast("string").alias("g"),
+            F.lit(1).alias("cnt"),
+        )
+        .groupBy("g")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    base = read_state_table(batch_docs.sparkSession, state_path)
+    merged = (
+        base.unionByName(batch_counts) if base is not None else batch_counts
+    )
+    merged = (
+        merged.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    counters = merged.where(F.col("g").isNotNull())
+    n_counters = counters.count()
+    if n_counters > k:
+        kth = (
+            counters.orderBy(F.col("cnt").desc(), "g")
+            .limit(k + 1)
+            .collect()[-1]["cnt"]
+        )
+        counters = counters.where(F.col("cnt") > kth).select(
+            "g", (F.col("cnt") - kth).alias("cnt")
+        )
+    write_state_version(
+        counters.unionByName(merged.where(F.col("g").isNull())), state_path
+    )
+
+
+@query(
+    "streaming_heavy_hitters",
+    """
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    grams AS (
+      SELECT d.toks[u.i] || ' ' || d.toks[u.i + 1] AS g
+      FROM docs d, unnest(range(1, len(d.toks))) u(i)
+      WHERE len(d.toks) >= 2),
+    c AS (SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY g),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM c)
+    SELECT gram, cnt, n_tok, TRUE AS mg_candidate
+    FROM c, tot
+    WHERE cnt * 1000 > n_tok
+    ORDER BY cnt DESC, gram
+    """,
+)
+def streaming_heavy_hitters(spark, sf_dir):
+    """STREAMING phi-heavy hitters: the documents table arrives as two
+    micro-batches and each folds into bounded Misra-Gries state
+    (`mg_state_apply_batch`, <= 1024 counters + the exact stream
+    length), then ONE exact counting pass over the candidate set
+    produces the final report — identical output (and oracle) to the
+    batch `text_heavy_hitters`, because the mergeable-MG bound holds
+    across sequential batch merges exactly as it does across
+    partitions. This is the incremental form: tomorrow's batch folds
+    into today's counters without rescanning history, state stays
+    kilobytes at any corpus size, and the exact verify is bounded by
+    the candidate set."""
+    import shutil
+
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.operators.sketches import (
+        _HH_DENOM,
+        _MG_COUNTERS,
+        bigrams_of,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    half = F.col("doc_id") % 2 == 0
+
+    run_root = f"/tmp/spark_stream_mg/{uuid.uuid4().hex[:12]}"
+    src = f"{run_root}/src"
+    store = f"{run_root}/store"
+    os.makedirs(src, exist_ok=True)
+    try:
+        docs.where(half).coalesce(1).write.parquet(f"{src}/b1")
+        docs.where(~half).coalesce(1).write.parquet(f"{src}/b2")
+        for i, d in enumerate(["b1", "b2"]):
+            for f_name in os.listdir(f"{src}/{d}"):
+                os.utime(f"{src}/{d}/{f_name}", (1_700_000_000 + i,) * 2)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: mg_state_apply_batch(
+                    df, store, _MG_COUNTERS
+                )
+            )
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        state = read_state_table(spark, store)
+        cands = state.where(F.col("g").isNotNull()).select("g")
+        total = state.where(F.col("g").isNull()).select(
+            F.col("cnt").alias("n_tok")
+        )
+        grams = bigrams_of(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+        )
+        exact = (
+            grams.join(F.broadcast(cands), "g")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        out = (
+            exact.crossJoin(F.broadcast(total))
+            .where(F.col("cnt") * _HH_DENOM > F.col("n_tok"))
+            .select(
+                F.col("g").alias("gram"),
+                "cnt",
+                "n_tok",
+                F.lit(True).alias("mg_candidate"),
+            )
+            .orderBy(F.col("cnt").desc(), "gram")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)

@@ -290,3 +290,51 @@ def test_cluster_purity_consistent(spark):
     for r in rows:
         assert 0 < r["top_label_n"] <= r["n_vectors"]
         assert r["purity_pct"] == 100 * r["top_label_n"] // r["n_vectors"]
+
+
+# --------------------------------------------- streaming heavy hitters
+
+
+def test_streaming_mg_state_stays_bounded(spark, tmp_path):
+    """After folding batches with far more distinct grams than the
+    counter budget, state holds at most k counters plus the total
+    row, and the stream length is exact."""
+    from spark_data_test_spark.streaming.windows import (
+        mg_state_apply_batch,
+        read_state_table,
+    )
+
+    k = 16
+    root = str(tmp_path / "mg")
+    b1 = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, "hot pair hot pair hot pair") for i in range(10)],
+        "doc_id long, text string",
+    )
+    n_grams = 0
+    for b in (b1, b2):
+        mg_state_apply_batch(b, root, k)
+        n_grams += 4 * b.count()  # 5 tokens -> 4 bigrams; 6 -> 5... b2 has 6 tokens
+    state = read_state_table(spark, root).collect()
+    counters = [r for r in state if r["g"] is not None]
+    totals = [r for r in state if r["g"] is None]
+    assert len(counters) <= k
+    assert len(totals) == 1
+    assert totals[0]["cnt"] == 4 * 40 + 5 * 10  # exact stream length
+    # the genuinely hot bigram survives compression
+    assert any(r["g"] in ("hot pair", "pair hot") for r in counters)
+
+
+def test_streaming_equals_batch_heavy_hitters(spark):
+    a = sorted(
+        (r["gram"], r["cnt"])
+        for r in QUERIES["text_heavy_hitters"](spark, SF).collect()
+    )
+    b = sorted(
+        (r["gram"], r["cnt"])
+        for r in QUERIES["streaming_heavy_hitters"](spark, SF).collect()
+    )
+    assert a == b
