@@ -130,6 +130,7 @@ _NEXT_ROTATION = [
     "events_sliding_distinct_users",
     "similarity_cluster_purity",
     "streaming_heavy_hitters",
+    "sink_inverted_index_roundtrip",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

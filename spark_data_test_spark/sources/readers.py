@@ -617,3 +617,59 @@ def source_schema_evolution(spark, sf_dir):
             F.when(F.col("price_cents").isNull(), 1).otherwise(0)
         ).cast("long").alias("rows_missing_col"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index as a partitioned table artifact
+# ---------------------------------------------------------------------------
+
+_IDX_PROBE_TOKENS = ("join", "hash", "scan")
+
+
+@query(
+    "sink_inverted_index_roundtrip",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '')
+    SELECT tok, doc_id FROM toks
+    WHERE tok IN {_IDX_PROBE_TOKENS}
+    ORDER BY tok, doc_id
+    """,
+)
+def sink_inverted_index_roundtrip(spark, sf_dir):
+    """Inverted index as a PERSISTED, partition-pruned table artifact:
+    build (token -> sorted posting list) from the corpus in one
+    shuffle, write it hive-partitioned by the token's first letter,
+    then answer a 3-token lookup by reading the index BACK — the
+    prefix filter resolves at planning time against directory names,
+    so the probe touches only 3 of 26 partitions and each touched file
+    carries postings arrays, not documents. This is the search-side
+    companion of `corpus_duplicate_ngrams`'s in-flight index: at
+    100 TB the index is the queryable artifact and the corpus is cold
+    storage. The oracle answers the same lookup from the RAW corpus —
+    the hash-match proves the index build, the partitioned round trip,
+    and the pruned probe are lossless end-to-end."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_invidx/{digest}/tokens"
+    d = t(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+        .withColumn("prefix", F.substring("tok", 1, 1))
+    )
+    postings.write.mode("overwrite").partitionBy("prefix").parquet(path)
+    prefixes = sorted({tok[0] for tok in _IDX_PROBE_TOKENS})
+    back = (
+        spark.read.parquet(path)
+        .where(F.col("prefix").isin(prefixes))
+        .where(F.col("tok").isin(*_IDX_PROBE_TOKENS))
+    )
+    return (
+        back.select("tok", F.explode("postings").alias("doc_id"))
+        .orderBy("tok", "doc_id")
+    )

@@ -87,3 +87,16 @@ def test_pruned_read_has_partition_filters_and_prunes_files(spark, sf_dir):
     got = {(r.day, r.event_type): r.cnt for r in df.collect()}
     want = {(r.day, r.event_type): r["count"] for r in direct.collect()}
     assert got == want
+
+
+def test_inverted_index_probe_prunes_prefix_partitions(spark, sf_dir):
+    """The index probe's prefix filter must resolve against the hive
+    partition directories at planning time."""
+    from spark_data_test_spark.plans.audit import formatted_plan
+    from spark_data_test_spark.sources import readers
+
+    df = readers.sink_inverted_index_roundtrip(spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, "index probe lost its PartitionFilters"
+    assert any("prefix" in l for l in scan_lines)
