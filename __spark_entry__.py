@@ -131,6 +131,7 @@ _NEXT_ROTATION = [
     "similarity_cluster_purity",
     "streaming_heavy_hitters",
     "sink_inverted_index_roundtrip",
+    "events_value_histogram",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

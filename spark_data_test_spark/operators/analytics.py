@@ -981,3 +981,47 @@ def supplier_hierarchy_rollup(spark, sf_dir):
         F.col("own").alias("own_cents"),
         F.col("total").cast("long").alias("subtree_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (optimizer-stats / drift-detection shape)
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH_CENTS = 5000  # 50-unit buckets over value cents
+_HIST_MAX_BUCKET = 19  # 20 buckets; the last one clamps the tail
+
+
+@query(
+    "events_value_histogram",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT)
+                     // {_HIST_WIDTH_CENTS}, {_HIST_MAX_BUCKET}) AS bucket
+      FROM events)
+    SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event value per type — the
+    column-statistics shape an optimizer keeps and a drift monitor
+    diffs day-over-day: 20 fixed 50-unit buckets with a clamped tail
+    (fixed bounds, NOT data-dependent min/max, so yesterday's
+    histogram is comparable to today's and partial histograms merge by
+    simple addition — a data-dependent range re-bins on every run and
+    can never be merged). One scan, one (type, bucket)-keyed aggregate
+    with map-side partials; exact integer cents so both engines bucket
+    identically."""
+    ev = t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.expr(f"cast(round(value * 100) as bigint) div {_HIST_WIDTH_CENTS}"),
+        F.lit(_HIST_MAX_BUCKET).cast("long"),
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type", "bucket")
+    )
