@@ -21,9 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 # rewrites in r3; approx_count_distinct_parts was reshaped this round
 # from no_oracle to a checkable form) + 45 never-driver-checked
 # queries, prioritizing everything modified this round and the heavy
-# graph/dedup/similarity/streaming families. The 23 never-checked
-# queries still outside the window are listed in _NEXT_ROTATION (the
-# round-5 queue); tests/test_registry_invariants.py enforces that
+# graph/dedup/similarity/streaming families. The never-checked queries
+# still outside the window — 23 carried over plus the round-4
+# additions (PQ/IVF-PQ, heavy hitters, n-gram dedup, bloom prefilter,
+# time travel, late-data audit, sliding distinct, purity, histogram,
+# inverted index) — are listed in _NEXT_ROTATION (the round-5 queue,
+# 38 names: it fits a single round-5 window with room for re-checks);
+# tests/test_registry_invariants.py enforces that
 # every registered query is green-checked, in the current window, or
 # in that queue — nothing can silently fall out of rotation.
 _DRIVER_WINDOW = [
