@@ -404,9 +404,12 @@ def _stage_png_files(spark, sf_dir, root):
     binaryFile staging: regenerated testdata rebuilds the corpus."""
     import shutil
 
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
+
     src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    token = f"png1|{src}|{st.st_mtime_ns}|{st.st_size}"
+    # per-part-file fingerprint (shared helper): a directory-layout
+    # rewrite that swaps part contents still refreshes the staged corpus
+    token = f"png1|{src}|{source_fingerprint(src)}"
     os.makedirs(root, exist_ok=True)
     marker = f"{root}/_STAGED"
     if os.path.exists(marker):

@@ -188,20 +188,13 @@ def clear_similarity_cache():
 
 
 def _emb_fingerprint(sf_dir):
-    """Digest of the embeddings source bytes (path + mtime + size per
-    file): trained-centroid state is valid only for the exact data it
-    was trained on, so regenerated testdata flows to a fresh state root
+    """Digest of the embeddings source (shared `source_fingerprint`):
+    trained-centroid state is valid only for the exact data it was
+    trained on, so regenerated testdata flows to a fresh state root
     automatically instead of serving stale centroids."""
-    src = f"{sf_dir}/embeddings.parquet"
-    parts = [src]
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(f"{src}/{name}")
-            parts.append(f"{name}|{st.st_mtime_ns}|{st.st_size}")
-    else:
-        st = os.stat(src)
-        parts.append(f"{st.st_mtime_ns}|{st.st_size}")
-    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
+
+    return source_fingerprint(f"{sf_dir}/embeddings.parquet")
 
 
 def _centroid_state_path(sf_dir, rounds):
@@ -319,11 +312,18 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS, force_retrain=False):
         emb.unpersist()
         _CENTROID_MEMO[key] = memo = (rows, schema)
         # commit the trained state (crash-safe versioned write; readers
-        # see the old version until the new _SUCCESS lands). Both racers
-        # of a concurrent double-train write identical deterministic
-        # content, so last-commit-wins is harmless.
+        # see the old version until the new _SUCCESS lands). The state
+        # root is shared across PROCESSES (keyed by data fingerprint),
+        # so retain=2 keeps the previous committed version on disk —
+        # a concurrent reader mid-scan of vN survives a retrainer
+        # committing vN+1 (only vN-1 is pruned). The remaining window —
+        # two same-version writers interleaving deletes inside one
+        # uncommitted directory — yields a failed/retriable write, not
+        # a wrong read: _SUCCESS-gated readers never see partial state.
         os.makedirs(state_path, exist_ok=True)
-        write_state_version(local_df(spark, rows, schema), state_path)
+        write_state_version(
+            local_df(spark, rows, schema), state_path, retain=2
+        )
     rows, schema = memo
     return local_df(spark, rows, schema)
 
@@ -847,6 +847,25 @@ def _pq_codes(spark, sf_dir):
     )
 
 
+def _pq_adc_ctes():
+    """Shared ADC oracle machinery: ``qd`` (per-query distance table to
+    every trained codebook entry, exact integer L2) and ``adc`` (the
+    all-candidates ADC distances, canonical columns q/x/adc_dist).
+    Consumed by all three PQ oracles; `similarity_ivfpq_ann` reuses
+    ``qd`` and restricts its own adc to the probed candidates."""
+    return f"""qd AS (
+      SELECT q.vec_id AS q, c.s, c.cent_id,
+             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
+      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
+      WHERE q.vec_id < {_NQ}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT qd.q, codes.vec_id AS x, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM codes JOIN qd ON qd.s = codes.s AND qd.cent_id = codes.cent_id
+      WHERE codes.vec_id <> qd.q
+      GROUP BY 1, 2)"""
+
+
 @query(
     "similarity_pq_train",
     f"""
@@ -885,17 +904,7 @@ def similarity_pq_train(spark, sf_dir):
     f"""
     WITH {_ORACLE_BASE.strip()},
     {_pq_ctes()},
-    qd AS (
-      SELECT q.vec_id AS q, c.s, c.cent_id,
-             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
-      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
-      WHERE q.vec_id < {_NQ}
-      GROUP BY 1, 2, 3),
-    adc AS (
-      SELECT qd.q, codes.vec_id AS x, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
-      FROM codes JOIN qd ON qd.s = codes.s AND qd.cent_id = codes.cent_id
-      WHERE codes.vec_id <> qd.q
-      GROUP BY 1, 2)
+    {_pq_adc_ctes()}
     SELECT q AS q_vec_id, x AS neighbor_id, adc_dist,
            CAST(rn AS BIGINT) AS rank
     FROM (SELECT q, x, adc_dist,
@@ -977,23 +986,16 @@ def similarity_pq_ann(spark, sf_dir):
       SELECT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN fassign a ON a.cell = p.cell
       WHERE a.vec_id <> p.query_id),
-    qd AS (
-      SELECT q.vec_id AS q, c.s, c.cent_id,
-             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
-      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
-      WHERE q.vec_id < {_NQ}
-      GROUP BY 1, 2, 3),
-    adc AS (
-      SELECT c.query_id, c.neighbor_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+    {_pq_adc_ctes()},
+    cand_adc AS (
+      SELECT c.query_id, c.neighbor_id, a.adc_dist
       FROM cand c
-      JOIN codes k ON k.vec_id = c.neighbor_id
-      JOIN qd ON qd.q = c.query_id AND qd.s = k.s AND qd.cent_id = k.cent_id
-      GROUP BY 1, 2)
+      JOIN adc a ON a.q = c.query_id AND a.x = c.neighbor_id)
     SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
     FROM (SELECT query_id, neighbor_id, adc_dist,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY adc_dist, neighbor_id) AS rank
-          FROM adc)
+          FROM cand_adc)
     WHERE rank <= {_IVF_TOPK}
     ORDER BY query_id, rank
     """,
@@ -1064,23 +1066,12 @@ def similarity_ivfpq_ann(spark, sf_dir):
     f"""
     WITH {_ORACLE_BASE.strip()},
     {_pq_ctes()},
-    qd AS (
-      SELECT q.vec_id AS q, c.s, c.cent_id,
-             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
-      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
-      WHERE q.vec_id < {_NQ}
-      GROUP BY 1, 2, 3),
-    adc AS (
-      SELECT qd.q AS query_id, codes.vec_id AS neighbor_id,
-             CAST(SUM(qd.d) AS BIGINT) AS adc_dist
-      FROM codes JOIN qd ON qd.s = codes.s AND qd.cent_id = codes.cent_id
-      WHERE codes.vec_id <> qd.q
-      GROUP BY 1, 2),
+    {_pq_adc_ctes()},
     adc_topk AS (
-      SELECT query_id, neighbor_id
-      FROM (SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY adc_dist, neighbor_id) AS rn
+      SELECT q AS query_id, x AS neighbor_id
+      FROM (SELECT q, x,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY adc_dist, x) AS rn
             FROM adc)
       WHERE rn <= {_PQ_TOPK}),
     exd AS (
@@ -1098,7 +1089,7 @@ def similarity_ivfpq_ann(spark, sf_dir):
       WHERE rn <= {_PQ_TOPK})
     SELECT e.query_id, CAST({_PQ_TOPK} AS BIGINT) AS exact_k,
            COUNT(a.neighbor_id) AS hits,
-           CAST(COUNT(a.neighbor_id) * 100 / {_PQ_TOPK} AS BIGINT)
+           (COUNT(a.neighbor_id) * 100) // {_PQ_TOPK}
              AS recall_pct
     FROM exact_topk e
     LEFT JOIN adc_topk a

@@ -39,6 +39,18 @@ def clear_sketch_cache():
 _HLL_BOUND = 0.05  # acceptance bound; lgk=12 registers give ~1.6% rse
 
 
+def hll_within_bound(est, exact):
+    """The hash-checked HLL acceptance predicate, shared by every
+    checkable-shape rollup (batch per-type, sliding-window, streaming
+    fold): |est - exact| <= _HLL_BOUND * exact. One definition — the
+    batch and streaming variants must agree on the very flag the
+    oracles pin."""
+    return (
+        F.abs(est.cast("double") - exact.cast("double"))
+        <= _HLL_BOUND * exact.cast("double")
+    )
+
+
 def _per_type_sketches(spark, sf_dir):
     """Cached (event_type, sk, exact) frame shared by the rollup query
     and the estimate helper."""
@@ -101,16 +113,12 @@ def sketch_hll_rollup(spark, sf_dir):
     columns exist for the cross-engine gate; a production rollup would
     ship only the sketch column."""
     per_type = _per_type_sketches(spark, sf_dir)
-    bound = lambda est, exact: (
-        F.abs(est.cast("double") - exact.cast("double"))
-        <= _HLL_BOUND * exact.cast("double")
-    )
     typed = per_type.select(
         "event_type",
         F.col("exact").alias("distinct_users_exact"),
-        bound(F.expr("hll_sketch_estimate(sk)"), F.col("exact")).alias(
-            "within_bound"
-        ),
+        hll_within_bound(
+            F.expr("hll_sketch_estimate(sk)"), F.col("exact")
+        ).alias("within_bound"),
     )
     # overall: sketch side merges the stored per-type sketches (the
     # mergeability being demonstrated); the exact side must rescan —
@@ -124,9 +132,9 @@ def sketch_hll_rollup(spark, sf_dir):
         .select(
             F.lit("__all__").alias("event_type"),
             F.col("exact").alias("distinct_users_exact"),
-            bound(F.expr("hll_sketch_estimate(u)"), F.col("exact")).alias(
-                "within_bound"
-            ),
+            hll_within_bound(
+                F.expr("hll_sketch_estimate(u)"), F.col("exact")
+            ).alias("within_bound"),
         )
     )
     return typed.unionByName(overall)
@@ -296,9 +304,11 @@ def _mg_summaries(iterator):
         )
 
 
-@query(
-    "text_heavy_hitters",
-    f"""
+# One oracle for BOTH heavy-hitter variants (batch MG and streaming MG
+# state): the exact bigram counts above the share threshold. The batch
+# and streaming queries must stay output-identical; sharing the string
+# makes that structural.
+HEAVY_HITTERS_ORACLE_SQL = f"""
     WITH docs AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
                AS toks
@@ -314,8 +324,33 @@ def _mg_summaries(iterator):
     FROM c, tot
     WHERE cnt * {_HH_DENOM} > n_tok
     ORDER BY cnt DESC, gram
-    """,
-)
+    """
+
+
+def verify_heavy_hitters(grams, cands, total):
+    """Shared exact-verify/report tail of both heavy-hitter variants:
+    count the gram stream restricted to the (broadcast) candidate set,
+    apply the share threshold against the (broadcast) 1-row stream
+    length, and emit the report shape the oracle pins."""
+    exact = (
+        grams.join(F.broadcast(cands), "g")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * _HH_DENOM > F.col("n_tok"))
+        .select(
+            F.col("g").alias("gram"),
+            "cnt",
+            "n_tok",
+            F.lit(True).alias("mg_candidate"),
+        )
+        .orderBy(F.col("cnt").desc(), "gram")
+    )
+
+
+@query("text_heavy_hitters", HEAVY_HITTERS_ORACLE_SQL)
 def text_heavy_hitters(spark, sf_dir):
     """phi-heavy hitters (word bigrams with share > 1/1000) by the
     candidate-then-verify sketch pattern: per-partition Misra-Gries
@@ -344,22 +379,7 @@ def text_heavy_hitters(spark, sf_dir):
     total = summaries.where(F.col("g").isNull()).agg(
         F.sum("mg_cnt").alias("n_tok")
     )
-    exact = (
-        grams.join(F.broadcast(cands), "g")
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") * _HH_DENOM > F.col("n_tok"))
-        .select(
-            F.col("g").alias("gram"),
-            F.col("cnt"),
-            F.col("n_tok"),
-            F.lit(True).alias("mg_candidate"),
-        )
-        .orderBy(F.col("cnt").desc(), "gram")
-    )
+    return verify_heavy_hitters(grams, cands, total)
 
 
 # ---------------------------------------------------------------------------
@@ -456,10 +476,7 @@ def events_sliding_distinct_users(spark, sf_dir):
     est = sliding_distinct_estimates(spark, sf_dir).withColumn(
         "w", F.expr(f"window_start_us div {_SLIDE_BUCKET_US}")
     )
-    bound = (
-        F.abs(F.col("est") - F.col("distinct_users_exact")).cast("double")
-        <= F.lit(_HLL_BOUND) * F.col("distinct_users_exact").cast("double")
-    )
+    bound = hll_within_bound(F.col("est"), F.col("distinct_users_exact"))
     return (
         exact.join(est, "w")
         .select(

@@ -768,13 +768,16 @@ def streaming_sketch_rollup(spark, sf_dir):
                 F.lit("__all__").alias("event_type"), "exact"
             )
         )
+        from spark_data_test_spark.operators.sketches import (
+            hll_within_bound,
+        )
+
         final = ests.join(exact, "event_type").select(
             "event_type",
             F.col("exact").alias("distinct_users_exact"),
-            (
-                F.abs(F.col("est").cast("double") - F.col("exact").cast("double"))
-                <= _HLL_BOUND * F.col("exact").cast("double")
-            ).alias("within_bound"),
+            hll_within_bound(F.col("est"), F.col("exact")).alias(
+                "within_bound"
+            ),
         )
         rows = final.collect()
         schema = final.schema
@@ -1053,26 +1056,15 @@ def mg_state_apply_batch(batch_docs, state_path, k):
     )
 
 
-@query(
-    "streaming_heavy_hitters",
-    """
-    WITH docs AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
-               AS toks
-      FROM documents),
-    grams AS (
-      SELECT d.toks[u.i] || ' ' || d.toks[u.i + 1] AS g
-      FROM docs d, unnest(range(1, len(d.toks))) u(i)
-      WHERE len(d.toks) >= 2),
-    c AS (SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM grams GROUP BY g),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM c)
-    SELECT gram, cnt, n_tok, TRUE AS mg_candidate
-    FROM c, tot
-    WHERE cnt * 1000 > n_tok
-    ORDER BY cnt DESC, gram
-    """,
+# The streaming variant registers the SAME oracle as the batch
+# text_heavy_hitters — output identity is the contract (mid-module
+# import: the decorator below needs the string at definition time).
+from spark_data_test_spark.operators.sketches import (  # noqa: E402
+    HEAVY_HITTERS_ORACLE_SQL as _HH_ORACLE,
 )
+
+
+@query("streaming_heavy_hitters", _HH_ORACLE)
 def streaming_heavy_hitters(spark, sf_dir):
     """STREAMING phi-heavy hitters: the documents table arrives as two
     micro-batches and each folds into bounded Misra-Gries state
@@ -1089,9 +1081,9 @@ def streaming_heavy_hitters(spark, sf_dir):
 
     from spark_data_test_spark.operators.relational import t
     from spark_data_test_spark.operators.sketches import (
-        _HH_DENOM,
         _MG_COUNTERS,
         bigrams_of,
+        verify_heavy_hitters,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1132,22 +1124,7 @@ def streaming_heavy_hitters(spark, sf_dir):
         grams = bigrams_of(
             docs.repartition(spark.sparkContext.defaultParallelism)
         )
-        exact = (
-            grams.join(F.broadcast(cands), "g")
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        out = (
-            exact.crossJoin(F.broadcast(total))
-            .where(F.col("cnt") * _HH_DENOM > F.col("n_tok"))
-            .select(
-                F.col("g").alias("gram"),
-                "cnt",
-                "n_tok",
-                F.lit(True).alias("mg_candidate"),
-            )
-            .orderBy(F.col("cnt").desc(), "gram")
-        )
+        out = verify_heavy_hitters(grams, cands, total)
         rows = out.collect()
         schema = out.schema
     finally:

@@ -129,17 +129,24 @@ class FrameCache:
                 self._store[key] = value  # LRU refresh
                 return value
         built = builder()
+        race_loser = None
         evicted = []
         with self._lock:
             value = self._store.pop(key, None)
             if value is not None:
                 # another thread built and inserted first: keep theirs
                 self._store[key] = value
-                evicted.append(built)
+                race_loser = built
             else:
                 while len(self._store) >= self._max:
                     evicted.append(self._store.pop(next(iter(self._store))))
                 self._store[key] = value = built
+        # The race loser was never handed to any caller, so a FULL
+        # release (checkpoint blocks included) is safe — unlike
+        # capacity-evicted entries, which in-flight plans may still
+        # reference.
+        if race_loser is not None:
+            self._safe_release(race_loser)
         for stale in evicted:
             self._safe_release(stale, evict=True)
         return value
@@ -149,3 +156,24 @@ class FrameCache:
             values, self._store = list(self._store.values()), {}
         for value in values:
             self._safe_release(value)
+
+
+def source_fingerprint(path):
+    """Digest of a source file OR directory-layout dataset: per part
+    file name|mtime|size (directories enumerate their entries — a
+    rewrite that swaps part contents without changing the directory
+    entry itself must still change the digest). Staged artifacts keyed
+    by this digest (trained centroids, planted PNG corpora) refresh
+    automatically when the testdata is regenerated."""
+    import hashlib
+    import os
+
+    parts = [path]
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(f"{path}/{name}")
+            parts.append(f"{name}|{st.st_mtime_ns}|{st.st_size}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}|{st.st_size}")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]

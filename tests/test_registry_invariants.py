@@ -25,9 +25,20 @@ def _registry_names():
 
 
 def _driver_green():
-    """Queries whose LATEST driver check is a full hash-match."""
+    """Queries whose LATEST driver check is a full hash-match.
+
+    Files are ordered by ROUND NUMBER, not lexicographically — from
+    round 10 on, "r10" sorts before "r2" as a string, which would let
+    a stale green row mask a later failed re-check."""
+    import re
+
+    def round_no(path):
+        return int(re.search(r"_r(\d+)\.json$", path).group(1))
+
     verdicts = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+    for path in sorted(
+        glob.glob("/root/repo/CORRECTNESS_r*.json"), key=round_no
+    ):
         with open(path) as fh:
             for name, row in json.load(fh).items():
                 verdicts[name] = bool(row.get("hash_match"))
