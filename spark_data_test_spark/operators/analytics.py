@@ -1013,10 +1013,15 @@ def events_value_histogram(spark, sf_dir):
     simple addition — a data-dependent range re-bins on every run and
     can never be merged). One scan, one (type, bucket)-keyed aggregate
     with map-side partials; exact integer cents so both engines bucket
-    identically."""
+    identically. Bucketing is FLOOR division (``(c - pmod(c, w)) div
+    w`` — pure integer, no double rounding) to match DuckDB's ``//``:
+    Spark's ``div`` truncates toward zero, which would send negative
+    values (e.g. -100 cents) to bucket 0 instead of -1."""
     ev = t(spark, sf_dir, "events")
+    c = "cast(round(value * 100) as bigint)"
+    w = _HIST_WIDTH_CENTS
     bucket = F.least(
-        F.expr(f"cast(round(value * 100) as bigint) div {_HIST_WIDTH_CENTS}"),
+        F.expr(f"({c} - pmod({c}, {w})) div {w}"),
         F.lit(_HIST_MAX_BUCKET).cast("long"),
     )
     return (

@@ -871,37 +871,39 @@ def bloom_prefilter(fact, fact_key, dim_keys):
     present key always has its bit set, so the subsequent exact join
     sees every true match and the prefilter never changes semantics.
 
-    Built as (word_idx -> bit_or(1 << bit)) rows — a 16Ki-row frame —
-    then broadcast-joined to the fact on ``word_idx`` with a bit test;
-    fact rows hashing into absent words drop at the join, rows in
-    present words drop on the bit test."""
+    Built as (_bf_word_idx -> bit_or(1 << bit)) rows — a 16Ki-row
+    frame — then broadcast-joined to the fact on the word index with a
+    bit test; fact rows hashing into absent words drop at the join,
+    rows in present words drop on the bit test. All plumbing columns
+    carry a ``_bf_`` prefix so a fact table that already has ``word``
+    or ``word_idx`` columns passes through untouched."""
     dim_col = dim_keys.columns[0]
     bitmap = (
         dim_keys.select(
-            F.expr(f"pmod(xxhash64({dim_col}), {_BLOOM_BITS})").alias("h")
+            F.expr(f"pmod(xxhash64({dim_col}), {_BLOOM_BITS})").alias("_bf_h")
         )
         .select(
-            F.expr("h div 64").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias(
-                "bit"
-            ),
+            F.expr("_bf_h div 64").alias("_bf_word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_bf_h % 64 AS INT))"
+            ).alias("_bf_bit"),
         )
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(bit)").alias("word"))
+        .groupBy("_bf_word_idx")
+        .agg(F.expr("bit_or(_bf_bit)").alias("_bf_word"))
     )
     return (
         fact.withColumn(
-            "_h", F.expr(f"pmod(xxhash64({fact_key}), {_BLOOM_BITS})")
+            "_bf_fact_h", F.expr(f"pmod(xxhash64({fact_key}), {_BLOOM_BITS})")
         )
-        .withColumn("_word_idx", F.expr("_h div 64"))
+        .withColumn("_bf_fact_word_idx", F.expr("_bf_fact_h div 64"))
         .join(
             F.broadcast(bitmap),
-            F.col("_word_idx") == F.col("word_idx"),
+            F.col("_bf_fact_word_idx") == F.col("_bf_word_idx"),
         )
         .where(
-            F.expr("shiftright(word, CAST(_h % 64 AS INT)) & 1 = 1")
+            F.expr("shiftright(_bf_word, CAST(_bf_fact_h % 64 AS INT)) & 1 = 1")
         )
-        .drop("_h", "_word_idx", "word_idx", "word")
+        .drop("_bf_fact_h", "_bf_fact_word_idx", "_bf_word_idx", "_bf_word")
     )
 
 

@@ -599,24 +599,39 @@ def source_schema_evolution(spark, sf_dir):
     table — a dropped row, a misaligned column, or a non-NULL default
     on the old generation all break the hash. By-NAME column
     resolution is the load-bearing property: parquet footers, not
-    positions, line the generations up."""
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"/tmp/spark_graft_schemaevo/{digest}/orders"
+    positions, line the generations up. The two-generation artifact is
+    staged under a per-run uuid root and removed in ``finally`` (same
+    no-shared-path discipline as the streaming scratch roots); the
+    aggregate is materialized before cleanup — it is one row per
+    order status, driver-tiny by domain."""
+    import shutil
+    import uuid
+
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    run_root = f"/tmp/spark_graft_schemaevo/{uuid.uuid4().hex[:12]}"
+    path = f"{run_root}/orders"
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
     )
     gen1 = o.where(F.col("o_orderkey") % 2 == 1).drop("price_cents")
     gen2 = o.where(F.col("o_orderkey") % 2 == 0)
-    gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
-    gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
-    back = spark.read.option("mergeSchema", "true").parquet(path)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.coalesce(F.sum("price_cents"), F.lit(0)).alias("late_col_cents"),
-        F.sum(
-            F.when(F.col("price_cents").isNull(), 1).otherwise(0)
-        ).cast("long").alias("rows_missing_col"),
-    )
+    try:
+        gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        agg = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(F.sum("price_cents"), F.lit(0)).alias("late_col_cents"),
+            F.sum(
+                F.when(F.col("price_cents").isNull(), 1).otherwise(0)
+            ).cast("long").alias("rows_missing_col"),
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -651,9 +666,19 @@ def sink_inverted_index_roundtrip(spark, sf_dir):
     100 TB the index is the queryable artifact and the corpus is cold
     storage. The oracle answers the same lookup from the RAW corpus —
     the hash-match proves the index build, the partitioned round trip,
-    and the pruned probe are lossless end-to-end."""
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"/tmp/spark_graft_invidx/{digest}/tokens"
+    and the pruned probe are lossless end-to-end. The index artifact
+    is staged under a per-run uuid root and removed in ``finally`` —
+    concurrent sessions on the same dataset never race on a shared
+    path, and a crash-looping caller leaves nothing behind (the probe
+    result is materialized before cleanup; it is 3 tokens' postings,
+    driver-tiny by construction)."""
+    import shutil
+    import uuid
+
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    run_root = f"/tmp/spark_graft_invidx/{uuid.uuid4().hex[:12]}"
+    path = f"{run_root}/tokens"
     d = t(spark, sf_dir, "documents")
     postings = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -662,14 +687,20 @@ def sink_inverted_index_roundtrip(spark, sf_dir):
         .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
         .withColumn("prefix", F.substring("tok", 1, 1))
     )
-    postings.write.mode("overwrite").partitionBy("prefix").parquet(path)
-    prefixes = sorted({tok[0] for tok in _IDX_PROBE_TOKENS})
-    back = (
-        spark.read.parquet(path)
-        .where(F.col("prefix").isin(prefixes))
-        .where(F.col("tok").isin(*_IDX_PROBE_TOKENS))
-    )
-    return (
-        back.select("tok", F.explode("postings").alias("doc_id"))
-        .orderBy("tok", "doc_id")
-    )
+    try:
+        postings.write.mode("overwrite").partitionBy("prefix").parquet(path)
+        prefixes = sorted({tok[0] for tok in _IDX_PROBE_TOKENS})
+        back = (
+            spark.read.parquet(path)
+            .where(F.col("prefix").isin(prefixes))
+            .where(F.col("tok").isin(*_IDX_PROBE_TOKENS))
+        )
+        probe = (
+            back.select("tok", F.explode("postings").alias("doc_id"))
+            .orderBy("tok", "doc_id")
+        )
+        rows = probe.collect()
+        schema = probe.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)

@@ -18,6 +18,7 @@ public API.
 """
 
 import os
+import time
 
 
 def _committed_state_version(state_path):
@@ -56,22 +57,58 @@ def read_state_table(spark, state_path, version=None):
 
 def write_state_version(df, state_path, retain=1):
     """Durably advance a versioned state table: write version n+1 into
-    its own directory (the previous version stays intact and readable
-    until the new one's _SUCCESS lands), then prune versions beyond the
-    newest ``retain`` plus uncommitted leftovers. Crash-safe at every
+    a private scratch directory, then atomically ``rename`` it to
+    ``v{n+1}`` (the previous version stays intact and readable until
+    the rename lands), then prune versions beyond the newest
+    ``retain`` plus stale scratch leftovers. Crash-safe at every
     point: an incomplete write is invisible to readers, and the retried
-    batch re-reads the old committed version. ``retain > 1`` keeps a
-    time-travel window (the snapshot-retention dial every table format
-    exposes; state growth is bounded by retain x table size)."""
+    batch re-reads the old committed version. The scratch-then-rename
+    commit also makes CONCURRENT writers safe: two processes racing on
+    the same version each write into their own scratch tree (no shared
+    ``_temporary`` under one destination), and POSIX refuses to rename
+    onto a non-empty directory, so exactly one rename wins — the loser
+    observes the collision, discards its scratch, and retries at the
+    next version so its rows are never silently dropped or mixed.
+    ``retain > 1`` keeps a time-travel window (the snapshot-retention
+    dial every table format exposes; state growth is bounded by
+    retain x table size). Returns the committed version number."""
     import shutil
+    import uuid
 
-    cur = _committed_state_version(state_path)
-    nxt = 0 if cur is None else cur + 1
-    # overwrite clobbers an uncommitted leftover of the same version
-    df.write.mode("overwrite").parquet(f"{state_path}/v{nxt}")  # _SUCCESS commits it
+    scratch = f"{state_path}/.staging-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(scratch)  # _SUCCESS lands in scratch
+    try:
+        while True:
+            cur = _committed_state_version(state_path)
+            nxt = 0 if cur is None else cur + 1
+            dest = f"{state_path}/v{nxt}"
+            # a leftover UNCOMMITTED v{nxt} (crashed pre-rename writer
+            # under the old protocol) would block the rename forever
+            if os.path.isdir(dest) and not os.path.exists(f"{dest}/_SUCCESS"):
+                shutil.rmtree(dest, ignore_errors=True)
+            try:
+                os.rename(scratch, dest)
+                break
+            except OSError:
+                # lost the race: a concurrent writer committed v{nxt}
+                # first — loop and commit ours as the next version
+                continue
+    except BaseException:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
     for name in os.listdir(state_path):
         if name.startswith("v") and name[1:].isdigit():
             v = int(name[1:])
             committed = os.path.exists(f"{state_path}/{name}/_SUCCESS")
             if (committed and v <= nxt - retain) or (not committed and v != nxt):
                 shutil.rmtree(f"{state_path}/{name}", ignore_errors=True)
+        elif name.startswith(".staging-") and f"{state_path}/{name}" != scratch:
+            # orphaned scratch from a crashed writer; the 1 h age guard
+            # keeps a LIVE concurrent writer's in-flight scratch safe
+            try:
+                stale = time.time() - os.path.getmtime(f"{state_path}/{name}") > 3600
+            except OSError:
+                stale = False
+            if stale:
+                shutil.rmtree(f"{state_path}/{name}", ignore_errors=True)
+    return nxt
