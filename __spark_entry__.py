@@ -14,89 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). Rounds 1-3 green-checked 104 distinct queries;
-# this round's window (VERDICT r3 item 1) = the flagship + the 4
-# queries whose green rows predate a rewrite (dedup_embedding_cosine /
-# similarity_ivf_ann / dedup_simhash got trained-IVF and group-collapse
-# rewrites in r3; approx_count_distinct_parts was reshaped this round
-# from no_oracle to a checkable form) + 45 never-driver-checked
-# queries, prioritizing everything modified this round and the heavy
-# graph/dedup/similarity/streaming families. The never-checked queries
-# still outside the window — 23 carried over plus the round-4
-# additions (PQ/IVF-PQ, heavy hitters, n-gram dedup, bloom prefilter,
-# time travel, late-data audit, sliding distinct, purity, histogram,
-# inverted index) — are listed in _NEXT_ROTATION (the round-5 queue,
-# 38 names: it fits a single round-5 window with room for re-checks);
-# tests/test_registry_invariants.py enforces that
-# every registered query is green-checked, in the current window, or
-# in that queue — nothing can silently fall out of rotation.
+# (registration order). Rounds 1-4 green-checked 148 distinct queries
+# on their latest check. This round's window (VERDICT r4 item 1) =
+# the flagship + ALL 38 queries from the round-4 _NEXT_ROTATION queue
+# (the entire never-driver-checked surface: the PQ/IVF-PQ family,
+# heavy hitters, n-gram spans, bloom prefilter, time travel, late-data
+# audit, inverted index, histogram, plus the carried-over warehouse
+# gates) + the 3 NEW incremental-dedup queries + 8 re-earn slots for
+# queries whose code changed this round: the versioned-state consumers
+# (state.py moved to scratch-then-rename commits), the co-count truth
+# side (stop-shingle discovery cap), and the simhash-pairs / triangle
+# perf rewrites. With this window the queue EMPTIES: every registered
+# query is then either driver-green or in the current window.
+# tests/test_registry_invariants.py enforces that invariant.
 _DRIVER_WINDOW = [
-    # engine flagship (kept in every window)
     "compare_overall_report",
-    # green rows stale after r3/r4 rewrites — re-earn them
-    "dedup_embedding_cosine",
-    "similarity_ivf_ann",
-    "dedup_simhash",
-    "approx_count_distinct_parts",
-    # new or reshaped this round
-    "similarity_ivf_train",
-    "multimodal_real_image_decode",
-    "sketch_hll_rollup",
-    "sketch_approx_quantiles",
-    "streaming_sketch_rollup",
-    "dedup_simhash_pairs",
-    "source_text_roundtrip",
-    "sink_partition_pruned_read",
-    "events_ab_test_readout",
-    # never-driver-checked: streaming / pipeline
-    "streaming_sessionization_store",
-    "streaming_sliding_counts",
-    "corpus_prepare_pipeline",
-    # never-driver-checked: TPC-H shapes
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    # never-driver-checked: similarity / dedup
-    "similarity_ann_recall_report",
-    "similarity_cell_report",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
-    "dedup_lsh_recall_report",
-    "dedup_containment",
-    # never-driver-checked: text / corpus
-    "corpus_decontaminate",
-    "text_vocabulary_topk",
-    "text_pii_scrub",
-    "text_repetition_profile",
-    "text_tfidf_topk",
-    "text_quality_model_score",
-    "corpus_shard_assignment",
-    # never-driver-checked: events / orders analytics
-    "events_retention_cohorts",
-    "events_gap_fill",
-    "events_scd2_history",
-    "events_attribution_last_touch",
-    "events_anomaly_daily",
-    "events_rolling_window_avg",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "parts_abc_pareto",
-    # never-driver-checked: multimodal + graph family
-    "multimodal_frame_sample",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_pagerank_fixed",
-]
-
-# Never-driver-checked queries queued for the round-5 window (mostly
-# near-twins of green shapes or simple warehouse gates). The invariant
-# test asserts none of these already has a green row (the queue must
-# only shrink) and that window + greens + queue covers the registry.
-_NEXT_ROTATION = [
     "sample_token_budget",
     "text_bigram_profile",
     "source_xml_roundtrip",
@@ -120,7 +52,6 @@ _NEXT_ROTATION = [
     "supplier_hierarchy_rollup",
     "orders_status_listagg",
     "events_top_session_paths",
-    # round-4 additions (never driver-checked yet)
     "lineitem_correlation_matrix",
     "text_heavy_hitters",
     "corpus_duplicate_ngrams",
@@ -136,12 +67,71 @@ _NEXT_ROTATION = [
     "streaming_heavy_hitters",
     "sink_inverted_index_roundtrip",
     "events_value_histogram",
+    "dedup_index_build",
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "streaming_cdc_upsert",
+    "streaming_sessionization_store",
+    "streaming_sketch_rollup",
+    "similarity_ivf_train",
+    "dedup_lsh_recall_report",
+    "dedup_containment",
+    "dedup_simhash_pairs",
+    "graph_triangle_count",
 ]
+
+# Empty this round: the round-4 queue moved wholesale into the window
+# and the three round-5 additions are in the window too. New queries
+# added mid-round go here first (the invariant test keeps them from
+# silently falling out of rotation).
+_NEXT_ROTATION = []
 
 # Green-checked queries outside the window (kept in a stable order so
 # the registry ordering — and therefore any future window cut — is
 # deterministic).
 _CHECKED_BACKLOG = [
+    "dedup_embedding_cosine",
+    "similarity_ivf_ann",
+    "dedup_simhash",
+    "approx_count_distinct_parts",
+    "multimodal_real_image_decode",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
+    "source_text_roundtrip",
+    "sink_partition_pruned_read",
+    "events_ab_test_readout",
+    "streaming_sliding_counts",
+    "corpus_prepare_pipeline",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "similarity_ann_recall_report",
+    "similarity_cell_report",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "corpus_decontaminate",
+    "text_vocabulary_topk",
+    "text_pii_scrub",
+    "text_repetition_profile",
+    "text_tfidf_topk",
+    "text_quality_model_score",
+    "corpus_shard_assignment",
+    "events_retention_cohorts",
+    "events_gap_fill",
+    "events_scd2_history",
+    "events_attribution_last_touch",
+    "events_anomaly_daily",
+    "events_rolling_window_avg",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "parts_abc_pareto",
+    "multimodal_frame_sample",
+    "graph_degree_distribution",
+    "graph_pagerank_fixed",
     "json_extract_props",
     "window_rank_topk",
     "tpch_q3_shipping_priority",
@@ -189,7 +179,6 @@ _CHECKED_BACKLOG = [
     "streaming_static_join",
     "streaming_dedup",
     "streaming_foreachbatch_sink",
-    "streaming_cdc_upsert",
     "window_lead_lag",
     "left_anti_join",
     "grouping_sets_agg",

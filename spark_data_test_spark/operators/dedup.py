@@ -1461,3 +1461,418 @@ def corpus_duplicate_ngrams(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a PERSISTED index (the production shape)
+# ---------------------------------------------------------------------------
+#
+# Every dedup query above recomputes fingerprints from the full corpus.
+# The production LLM-pipeline shape is different: the historical corpus
+# already has a committed fingerprint index, and each arriving shard is
+# deduped AGAINST that index — the incremental cost tracks the SHARD,
+# never the history. These queries compose the existing builders with
+# the versioned-state machinery (state.py): build the historical index
+# once and commit it (`dedup_index_build`), then shingle/minhash ONLY
+# the new shard, probe the persisted index buckets, verify candidates
+# with exact Jaccard, and commit the MERGED index as the next state
+# version so the following shard sees this one (`dedup_incremental_*`).
+#
+# Split model (derived from doc_id, so both engines agree exactly):
+# historical = documents with doc_id % 4 <> 3; the new shard is the
+# remaining quarter plus planted arrivals copied from HISTORICAL docs —
+# tail-perturbed near-dups at +300000 (doc_id % 11 = 0) for the MinHash
+# flavor and exact copies at +400000 (doc_id % 19 = 0) for the
+# hash-index flavor — so every planted arrival has a true partner in
+# the index. Matching always restricts partners to historical doc_ids,
+# which makes the queries idempotent even after the merged index
+# (history + this shard) has been committed: re-runs read the merged
+# state, filter it back to the historical slice, and produce the same
+# rows, while the state root still genuinely advances (retain=2 keeps
+# the pre-merge version for time travel).
+
+_INC_NEAR_OFFSET = 300000  # planted near-dup arrivals (MinHash flavor)
+_INC_EXACT_OFFSET = 400000  # planted exact-copy arrivals (hash flavor)
+_INC_STATE_VERSION = 1  # bump when index layout/params change
+
+_INC_HIST_SQL = """
+hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3)
+"""
+
+_INC_NEW_NEAR_SQL = f"""
+shard AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + {_INC_NEAR_OFFSET} AS doc_id,
+         text || ' extra tail token' AS text
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 4 <> 3)
+"""
+
+_INC_NEW_EXACT_SQL = f"""
+shard AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + {_INC_EXACT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 19 = 0 AND doc_id % 4 <> 3)
+"""
+
+
+def _inc_sh_sql(src, name):
+    """Named variant of _SHINGLES_SQL over an arbitrary corpus CTE."""
+    return f"""{name} AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM {src}, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)
+  WHERE length(text) >= 8)"""
+
+
+def _inc_mh_sql(src, name):
+    return (
+        f"{name} AS (SELECT doc_id, "
+        + ", ".join(f"min(md5(sh || '#{k}')) AS h{k}" for k in range(_N_HASHES))
+        + f" FROM {src} GROUP BY doc_id)"
+    )
+
+
+def _inc_bands_sql(src, name):
+    return (
+        f"{name} AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band,"
+            f" h{3*b} || h{3*b+1} || h{3*b+2} AS sig FROM {src}"
+            for b in range(_BANDS)
+        )
+        + ")"
+    )
+
+
+def _hist_docs(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 4 != 3)
+    )
+
+
+def _new_shard(spark, sf_dir, offset, modulus):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    arrived = d.where(F.col("doc_id") % 4 == 3)
+    suffix = " extra tail token" if offset == _INC_NEAR_OFFSET else ""
+    planted = d.where(
+        (F.col("doc_id") % modulus == 0) & (F.col("doc_id") % 4 != 3)
+    ).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text")
+        if suffix
+        else F.col("text").alias("text"),
+    )
+    return arrived.unionByName(planted)
+
+
+def _is_historical(col):
+    """Historical-slice membership derived purely from the doc_id —
+    what keeps index probes deterministic after the merged commit."""
+    return (col % 4 != 3) & (col < _INC_NEAR_OFFSET)
+
+
+def _band_index(mh):
+    """(doc_id, band, sig) exploded band index rows from a signature
+    table — the persisted layout: probing is a hash join on
+    (band, sig), and at 100 TB the parquet artifact would be
+    bucketed/sorted by sig so probes co-locate without a shuffle."""
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.concat(
+                            F.col(f"h{3*b}"),
+                            F.col(f"h{3*b+1}"),
+                            F.col(f"h{3*b+2}"),
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _minhash_index_path(sf_dir):
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
+
+    fp = source_fingerprint(f"{sf_dir}/documents.parquet")
+    return f"/tmp/spark_graft_mhidx/{fp}_v{_INC_STATE_VERSION}"
+
+
+def _exact_index_path(sf_dir):
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
+
+    fp = source_fingerprint(f"{sf_dir}/documents.parquet")
+    return f"/tmp/spark_graft_exidx/{fp}_v{_INC_STATE_VERSION}"
+
+
+def _load_or_build_minhash_index(spark, sf_dir, force_rebuild=False):
+    """Committed (doc_id, band, sig) index: versioned state if present,
+    else build from the historical slice and commit v0. Returned as a
+    DataFrame, never collected — unlike the IVF centroids (broadcast-
+    sized by construction) a fingerprint index is a TABLE that scales
+    with the corpus; reading it back as a parquet scan is the shape
+    that survives 100 TB."""
+    import os
+
+    from spark_data_test_spark.state import read_state_table, write_state_version
+
+    state_path = _minhash_index_path(sf_dir)
+    if not force_rebuild:
+        state = read_state_table(spark, state_path)
+        if state is not None:
+            return state.select("doc_id", "band", "sig")
+    index = _band_index(_minhash(_shingles(_hist_docs(spark, sf_dir))))
+    os.makedirs(state_path, exist_ok=True)
+    write_state_version(index, state_path, retain=2)
+    return read_state_table(spark, state_path).select("doc_id", "band", "sig")
+
+
+@query(
+    "dedup_index_build",
+    f"""
+    WITH {_INC_HIST_SQL.strip()},
+    {_inc_sh_sql("hist", "hsh")},
+    {_inc_mh_sql("hsh", "hmh")},
+    {_inc_bands_sql("hmh", "hbands")}
+    SELECT doc_id, band, sig FROM hbands ORDER BY doc_id, band
+    """,
+)
+def dedup_index_build(spark, sf_dir):
+    """The INDEX BUILD as its own registered step (the dedup analog of
+    `similarity_ivf_train`): shingle -> minhash -> band-explode the
+    HISTORICAL corpus slice into the persisted (doc_id, band, sig)
+    layout, commit it through the crash-safe versioned-state machinery,
+    and emit the committed rows so the DuckDB oracle — the same CTE
+    chain the batch LSH query uses, restricted to the historical
+    slice — hash-checks every entry the index claims to hold. One
+    shuffle builds it (the minhash groupBy; the band explode is narrow)
+    and incremental arrivals never pay it again."""
+    import os
+
+    from spark_data_test_spark.state import read_state_table, write_state_version
+
+    index = _band_index(_minhash(_shingles(_hist_docs(spark, sf_dir))))
+    state_path = _minhash_index_path(sf_dir)
+    os.makedirs(state_path, exist_ok=True)
+    write_state_version(index, state_path, retain=2)
+    return read_state_table(spark, state_path).select(
+        "doc_id", "band", "sig"
+    ).orderBy("doc_id", "band")
+
+
+@query(
+    "dedup_incremental_minhash",
+    f"""
+    WITH {_INC_HIST_SQL.strip()},
+    {_INC_NEW_NEAR_SQL.strip()},
+    {_inc_sh_sql("hist", "hsh")},
+    {_inc_mh_sql("hsh", "hmh")},
+    {_inc_bands_sql("hmh", "hbands")},
+    {_inc_sh_sql("shard", "nsh")},
+    {_inc_mh_sql("nsh", "nmh")},
+    {_inc_bands_sql("nmh", "nbands")},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, h.doc_id AS dup_of
+      FROM nbands n JOIN hbands h ON n.band = h.band AND n.sig = h.sig),
+    nsz AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY doc_id),
+    hsz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_doc_id, c.dup_of, COUNT(*) AS i
+      FROM cand c
+      JOIN nsh a ON a.doc_id = c.new_doc_id
+      JOIN hsh b ON b.doc_id = c.dup_of AND b.sh = a.sh
+      GROUP BY c.new_doc_id, c.dup_of)
+    SELECT i.new_doc_id, i.dup_of,
+           CAST(ROUND(1000000.0 * i.i / (sa.n + sb.n - i.i)) AS BIGINT)
+             AS jaccard_1e6,
+           1000000.0 * i.i / (sa.n + sb.n - i.i) >= 500000 AS is_dup
+    FROM inter i
+    JOIN nsz sa ON sa.doc_id = i.new_doc_id
+    JOIN hsz sb ON sb.doc_id = i.dup_of
+    ORDER BY i.new_doc_id, i.dup_of
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """INCREMENTAL near-dedup: dedup an arriving shard against the
+    PERSISTED MinHash index instead of refingerprinting the corpus —
+    the shape a 100 TB ingest actually runs (the index is the asset;
+    history is cold storage). Steps: (1) read the committed
+    (doc_id, band, sig) index from versioned state (building and
+    committing it first if this is the cold start); (2) shingle and
+    minhash ONLY the shard — the incremental cost; (3) probe the index
+    buckets with a broadcast hash join on (band, sig) (the shard side
+    is the small side by construction; at 100 TB the index side would
+    additionally be bucketed by sig so repeated ingests never shuffle
+    it); (4) verify candidates with exact shingle Jaccard, re-shingling
+    ONLY the matched historical partners (a semi-join slice, not
+    history); (5) commit index + shard fingerprints as the next state
+    version (retain=2 keeps the pre-merge snapshot for time travel),
+    so the NEXT shard probes this one too. Matching filters partners
+    to the historical slice (pure doc_id predicate), which is what
+    keeps the query idempotent after the merged commit — re-runs see
+    the merged index, slice it back, and emit identical rows. The
+    DuckDB oracle recomputes both sides from scratch; the hash-match
+    proves the persisted round trip loses nothing."""
+    import os
+
+    from spark_data_test_spark.state import write_state_version
+
+    index = _load_or_build_minhash_index(spark, sf_dir)
+    hist_index = index.where(_is_historical(F.col("doc_id")))
+    shard = _new_shard(spark, sf_dir, _INC_NEAR_OFFSET, 11)
+    nsh = _shingles(shard).persist()
+    try:
+        nbands = _band_index(_minhash(nsh)).persist()
+        try:
+            cand = (
+                hist_index.alias("h")
+                .join(
+                    F.broadcast(nbands.alias("n")),
+                    (F.col("h.band") == F.col("n.band"))
+                    & (F.col("h.sig") == F.col("n.sig")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_doc_id"),
+                    F.col("h.doc_id").alias("dup_of"),
+                )
+                .distinct()
+            )
+            # exact-verify slice: shingle only the matched partners
+            partners = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+            hsh = _shingles(
+                _hist_docs(spark, sf_dir).join(partners, "doc_id", "left_semi")
+            ).persist()
+            try:
+                nsz = nsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+                hsz = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+                a, b = nsh.alias("a"), hsh.alias("b")
+                inter = (
+                    cand.join(a, F.col("a.doc_id") == F.col("new_doc_id"))
+                    .join(
+                        b,
+                        (F.col("b.doc_id") == F.col("dup_of"))
+                        & (F.col("b.sh") == F.col("a.sh")),
+                    )
+                    .groupBy("new_doc_id", "dup_of")
+                    .agg(F.count(F.lit(1)).alias("i"))
+                )
+                jac = (
+                    F.lit(1000000.0)
+                    * F.col("i")
+                    / (F.col("na") + F.col("nb") - F.col("i"))
+                )
+                result = (
+                    inter.join(
+                        nsz.select(
+                            F.col("doc_id").alias("new_doc_id"),
+                            F.col("n").alias("na"),
+                        ),
+                        "new_doc_id",
+                    )
+                    .join(
+                        hsz.select(
+                            F.col("doc_id").alias("dup_of"),
+                            F.col("n").alias("nb"),
+                        ),
+                        "dup_of",
+                    )
+                    .select(
+                        "new_doc_id",
+                        "dup_of",
+                        F.round(jac).cast("long").alias("jaccard_1e6"),
+                        (jac >= 500000).alias("is_dup"),
+                    )
+                    .orderBy("new_doc_id", "dup_of")
+                )
+                rows, schema = result.collect(), result.schema
+                # advance the index: history + this shard, committed as
+                # the next version — the durable side effect the next
+                # shard's probe reads
+                state_path = _minhash_index_path(sf_dir)
+                os.makedirs(state_path, exist_ok=True)
+                write_state_version(
+                    hist_index.unionByName(nbands), state_path, retain=2
+                )
+            finally:
+                hsh.unpersist()
+        finally:
+            nbands.unpersist()
+    finally:
+        nsh.unpersist()
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    return local_df(spark, rows, schema)
+
+
+@query(
+    "dedup_incremental_exact",
+    f"""
+    WITH {_INC_HIST_SQL.strip()},
+    {_INC_NEW_EXACT_SQL.strip()}
+    SELECT s.doc_id AS new_doc_id, h.doc_id AS dup_of,
+           md5(s.text) AS text_hash
+    FROM shard s JOIN hist h ON md5(h.text) = md5(s.text)
+    ORDER BY new_doc_id, dup_of
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """INCREMENTAL exact dedup against a persisted content-hash index:
+    the cheap first gate every ingest runs before near-dedup. The
+    historical (text_hash, doc_id) index lives in versioned state
+    (built and committed on cold start); the arriving shard hashes its
+    OWN texts only and probes the index with a broadcast hash join —
+    at 100 TB the probe is one scan of the shard against a bucketed
+    hash table, zero history recompute. The merged index (history +
+    shard hashes) commits as the next version. Partner filtering to
+    the historical slice keeps re-runs deterministic after the merge,
+    exactly like `dedup_incremental_minhash`."""
+    import os
+
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    state_path = _exact_index_path(sf_dir)
+    index = read_state_table(spark, state_path)
+    if index is None:
+        built = _hist_docs(spark, sf_dir).select(
+            F.md5("text").alias("text_hash"), "doc_id"
+        )
+        os.makedirs(state_path, exist_ok=True)
+        write_state_version(built, state_path, retain=2)
+        index = read_state_table(spark, state_path)
+    hist_index = index.select("text_hash", "doc_id").where(
+        _is_historical(F.col("doc_id"))
+    )
+    shard = _new_shard(spark, sf_dir, _INC_EXACT_OFFSET, 19).select(
+        F.col("doc_id").alias("new_doc_id"), F.md5("text").alias("text_hash")
+    )
+    result = (
+        hist_index.join(F.broadcast(shard), "text_hash")
+        .select(
+            "new_doc_id",
+            F.col("doc_id").alias("dup_of"),
+            "text_hash",
+        )
+        .orderBy("new_doc_id", "dup_of")
+    )
+    rows, schema = result.collect(), result.schema
+    write_state_version(
+        hist_index.unionByName(
+            shard.select("text_hash", F.col("new_doc_id").alias("doc_id"))
+        ),
+        state_path,
+        retain=2,
+    )
+    return local_df(spark, rows, schema)
