@@ -994,11 +994,15 @@ _HIST_MAX_BUCKET = 19  # 20 buckets; the last one clamps the tail
 @query(
     "events_value_histogram",
     f"""
-    WITH b AS (
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    b AS (
       SELECT event_type,
-             LEAST(CAST(ROUND(value * 100) AS BIGINT)
+             LEAST((cents - ((cents % {_HIST_WIDTH_CENTS})
+                             + {_HIST_WIDTH_CENTS}) % {_HIST_WIDTH_CENTS})
                      // {_HIST_WIDTH_CENTS}, {_HIST_MAX_BUCKET}) AS bucket
-      FROM events)
+      FROM c)
     SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM b GROUP BY event_type, bucket
     ORDER BY event_type, bucket
@@ -1013,10 +1017,14 @@ def events_value_histogram(spark, sf_dir):
     simple addition — a data-dependent range re-bins on every run and
     can never be merged). One scan, one (type, bucket)-keyed aggregate
     with map-side partials; exact integer cents so both engines bucket
-    identically. Bucketing is FLOOR division (``(c - pmod(c, w)) div
-    w`` — pure integer, no double rounding) to match DuckDB's ``//``:
-    Spark's ``div`` truncates toward zero, which would send negative
-    values (e.g. -100 cents) to bucket 0 instead of -1."""
+    identically. Bucketing is FLOOR division on BOTH sides — Spark via
+    ``(c - pmod(c, w)) div w`` (pmod is the non-negative remainder, so
+    the numerator is an exact multiple of w and truncating ``div``
+    equals floor), and the DuckDB oracle via the same identity with
+    ``((c % w) + w) % w`` as its non-negative mod, since DuckDB's
+    integer ``//`` (like Spark's bare ``div``) truncates toward zero
+    and would send -100 cents to bucket 0 instead of -1. Pure integer
+    arithmetic throughout — no double rounding at any magnitude."""
     ev = t(spark, sf_dir, "events")
     c = "cast(round(value * 100) as bigint)"
     w = _HIST_WIDTH_CENTS

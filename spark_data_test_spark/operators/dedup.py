@@ -1625,7 +1625,46 @@ def _inc_bands_sql(src, name):
     )
 
 
+_inc_headroom_checked = set()
+
+
+def _assert_offset_headroom(sf_dir):
+    """Fail fast if the corpus has outgrown the planted-arrival offset
+    range: `_is_historical` caps historical membership at
+    doc_id < _INC_NEAR_OFFSET (so committed planted arrivals are never
+    mistaken for history on re-runs), but the DuckDB oracle's `hist`
+    CTE has no such cap — if natural doc_ids ever reach the offset
+    range the two silently diverge and planted ids collide with real
+    ones. Cheap check: read max(doc_id) from the parquet footer
+    statistics (no Spark job), once per sf_dir per process."""
+    if sf_dir in _inc_headroom_checked:
+        return
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    md = pq.ParquetFile(path).metadata
+    idx = next(
+        i for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "doc_id"
+    )
+    mx = max(
+        md.row_group(g).column(idx).statistics.max
+        for g in range(md.num_row_groups)
+    )
+    if mx >= _INC_NEAR_OFFSET:
+        raise ValueError(
+            f"incremental dedup: max(doc_id)={mx} in {path} reaches the "
+            f"planted-arrival offset range (_INC_NEAR_OFFSET="
+            f"{_INC_NEAR_OFFSET}); raise the offsets (and "
+            f"_INC_STATE_VERSION) so planted ids cannot collide with "
+            f"natural ones and _is_historical stays consistent with the "
+            f"oracle's uncapped hist CTE"
+        )
+    _inc_headroom_checked.add(sf_dir)
+
+
 def _hist_docs(spark, sf_dir):
+    _assert_offset_headroom(sf_dir)
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -1634,6 +1673,7 @@ def _hist_docs(spark, sf_dir):
 
 
 def _new_shard(spark, sf_dir, offset, modulus):
+    _assert_offset_headroom(sf_dir)
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     arrived = d.where(F.col("doc_id") % 4 == 3)
     suffix = " extra tail token" if offset == _INC_NEAR_OFFSET else ""

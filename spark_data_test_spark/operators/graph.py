@@ -175,15 +175,20 @@ def triangle_count(edges):
             .cast("long")
             .alias("c")
         )
-        .agg(F.sum("c").alias("n_triangles"))
+        # coalesce: sum() over an empty edge frame is NULL, but the
+        # library surface documents 0 triangles for an empty graph
+        .agg(F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_triangles"))
     )
 
     summary = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.sum(
-                (F.col("degree") * (F.col("degree") - 1)).cast("long") / 2
-            ).cast("long").alias("n_wedges"),
+            F.coalesce(
+                F.sum(
+                    (F.col("degree") * (F.col("degree") - 1)).cast("long") / 2
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("n_wedges"),
         )
         .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
         .crossJoin(F.broadcast(tri))

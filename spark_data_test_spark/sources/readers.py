@@ -640,6 +640,12 @@ def source_schema_evolution(spark, sf_dir):
 
 _IDX_PROBE_TOKENS = ("join", "hash", "scan")
 
+# Test-visible hook: the formatted physical plan of the most recent
+# inverted-index probe, captured INSIDE the staged artifact's lifecycle
+# (the artifact is deleted before the caller sees the result frame, so
+# the pruning assertion cannot be made on the returned localized rows).
+_last_invidx_probe_plan = None
+
 
 @query(
     "sink_inverted_index_roundtrip",
@@ -699,6 +705,10 @@ def sink_inverted_index_roundtrip(spark, sf_dir):
             back.select("tok", F.explode("postings").alias("doc_id"))
             .orderBy("tok", "doc_id")
         )
+        global _last_invidx_probe_plan
+        from spark_data_test_spark.plans.audit import formatted_plan
+
+        _last_invidx_probe_plan = formatted_plan(probe)
         rows = probe.collect()
         schema = probe.schema
     finally:

@@ -17,6 +17,7 @@ re-exported there for compatibility and from the package root as
 public API.
 """
 
+import errno
 import os
 import time
 
@@ -89,9 +90,19 @@ def write_state_version(df, state_path, retain=1):
             try:
                 os.rename(scratch, dest)
                 break
-            except OSError:
+            except OSError as e:
                 # lost the race: a concurrent writer committed v{nxt}
-                # first — loop and commit ours as the next version
+                # first — loop and commit ours as the next version.
+                # Anything other than a dest-collision errno (perms,
+                # read-only fs, cross-device) would spin forever here,
+                # so re-raise it instead.
+                if e.errno not in (
+                    errno.ENOTEMPTY,
+                    errno.EEXIST,
+                    errno.ENOTDIR,
+                    errno.EISDIR,
+                ):
+                    raise
                 continue
     except BaseException:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -75,8 +75,12 @@ def test_incremental_minhash_recalls_planted_and_is_idempotent(spark):
 
 def test_incremental_minhash_merged_index_contains_shard(spark):
     """After a run, the committed index holds band rows for shard docs
-    too — the durable advancement the next shard probes."""
+    too — the durable advancement the next shard probes. Self-contained:
+    resets the state root and runs the query itself, so it passes under
+    -k selection, reordering, or parallel execution."""
     path = _minhash_index_path(SF)
+    _fresh(path)
+    QUERIES["dedup_incremental_minhash"](spark, SF).collect()
     state = read_state_table(spark, path)
     assert state is not None
     n_new = state.where(
