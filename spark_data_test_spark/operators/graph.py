@@ -198,9 +198,11 @@ def triangle_count(edges):
         "n_edges",
         "n_wedges",
         "n_triangles",
-        (
-            (3 * F.col("n_triangles")).cast("double")
-            / F.col("n_wedges").cast("double")
+        # try_divide: a wedge-free graph has an UNDEFINED clustering
+        # coefficient — NULL, not an ANSI divide-by-zero error
+        F.try_divide(
+            (3 * F.col("n_triangles")).cast("double"),
+            F.col("n_wedges").cast("double"),
         ).alias("clustering_coefficient"),
     )
 
