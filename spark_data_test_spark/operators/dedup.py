@@ -1212,8 +1212,20 @@ _GID_CO_SQL = f"""
 
 _GID_CO_CACHE = FrameCache(max_entries=2)
 
+# Deterministic eval slice for the recall report: keep the distinct
+# texts whose md5 starts with a hex digit <= '7' (8 of 16 first chars,
+# an unbiased 1/2 sample — md5 is uniform and both engines produce the
+# same lowercase hex). Pair-level retention is rate^2 = 1/4, which is
+# what bounds the truth side's inverted-index self-join at scale.
+_EVAL_SAMPLE_PRED = "substr(md5(text), 1, 1) <= '7'"
 
-def _cached_gid_co_counts(spark, sf_dir):
+_GID_CO_SAMPLED_SQL = _GID_CO_SQL.replace(
+    "FROM corpus WHERE length(text) >= 8",
+    f"FROM corpus WHERE length(text) >= 8 AND {_EVAL_SAMPLE_PRED}",
+)
+
+
+def _cached_gid_co_counts(spark, sf_dir, sampled=False):
     """(ga, gb, i, na, nb) — EXACT shared-shingle count per
     distinct-text pair with both shingle-set sizes, from the shingle
     inverted index with STOP-SHINGLE-CAPPED discovery (the scale rule
@@ -1240,20 +1252,47 @@ def _cached_gid_co_counts(spark, sf_dir):
     broadcasts (rare vocabulary filter rides the df join; hot arrays,
     sizes) are shard-local lookups at this SF; on a cluster where the
     hot-array frame outgrows the driver, the two attach joins fall
-    back to hash joins on gid — same plan shape, two more exchanges."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    back to hash joins on gid — same plan shape, two more exchanges.
+
+    ``sampled=True`` restricts the whole build to the deterministic
+    `_EVAL_SAMPLE_PRED` slice of distinct texts BEFORE the self-join
+    (input rows halve, join output quarters) — the eval-slice shape the
+    recall report runs; containment keeps the full build. The sampled
+    variant additionally PREFILTERS discovered pairs by a conservative
+    Jaccard upper bound (i <= i_rare + min(hot-array sizes)) at the
+    recall threshold BEFORE the hot-array attach and the persist: the
+    recall eval only ever reads truth pairs (J >= 0.5), the bound can
+    never evict one, and it collapses the persisted frame from ~1.85M
+    rows to the few thousand that could qualify. Rows below the bound
+    are absent from the sampled frame — exact i is guaranteed only at
+    or above the threshold, which is the contract the eval needs."""
+    key = (spark.sparkContext.applicationId, sf_dir, sampled)
 
     def build():
         sh = _cached_shingles(spark, sf_dir)
-        sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n"))
-        shdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        if sampled:
+            # gid IS md5(text), so the slice predicate is a cheap
+            # first-character test on the key itself
+            sh = sh.where(F.substring("gid", 1, 1) <= "7")
+        # Persist the SCAFFOLDING frames: each F.broadcast() below
+        # executes its subplan independently (rare, hot, ha, hb, and
+        # sizes twice = six subplan runs), so without these persists
+        # the per-gid and per-shingle aggregates recompute once per
+        # broadcast — measured 2x the whole build's cost at sf0.1.
+        # All three are tiny by construction (distinct gids / distinct
+        # shingles); they are materialized via the final count() and
+        # unpersisted before return, so only the result frame outlives
+        # the build.
+        sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n")).persist()
+        shdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).persist()
         rare = shdf.where(F.col("df") <= _STOP_SH_DF).select("sh")
         hot = shdf.where(F.col("df") > _STOP_SH_DF).select("sh")
-        shr = sh.join(F.broadcast(rare), "sh")
+        shr = sh.join(F.broadcast(rare), "sh").persist()
         ghot = (
             sh.join(F.broadcast(hot), "sh")
             .groupBy("gid")
             .agg(F.collect_set("sh").alias("hs"))
+            .persist()
         )
         a, b = shr.alias("a"), shr.alias("b")
         co = (
@@ -1267,34 +1306,71 @@ def _cached_gid_co_counts(spark, sf_dir):
         )
         ha = ghot.select(F.col("gid").alias("ga"), F.col("hs").alias("ha"))
         hb = ghot.select(F.col("gid").alias("gb"), F.col("hs").alias("hb"))
+        co = co.join(
+            F.broadcast(
+                sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
+                    "n", "na"
+                )
+            ),
+            "ga",
+        ).join(
+            F.broadcast(
+                sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
+                    "n", "nb"
+                )
+            ),
+            "gb",
+        )
+        if sampled:
+            # conservative truth-threshold prefilter (see docstring):
+            # i can exceed i_rare by at most the smaller HOT-ARRAY
+            # size, so bound J from above with integer-only arithmetic
+            # and drop the pairs no exact i could ever qualify
+            hsz = ghot.select("gid", F.size("hs").alias("nh"))
+            i_max = F.col("i_rare") + F.least(
+                F.coalesce(F.col("nha"), F.lit(0)),
+                F.coalesce(F.col("nhb"), F.lit(0)),
+            )
+            co = (
+                co.join(
+                    F.broadcast(
+                        hsz.withColumnRenamed("gid", "ga").withColumnRenamed(
+                            "nh", "nha"
+                        )
+                    ),
+                    "ga",
+                    "left",
+                )
+                .join(
+                    F.broadcast(
+                        hsz.withColumnRenamed("gid", "gb").withColumnRenamed(
+                            "nh", "nhb"
+                        )
+                    ),
+                    "gb",
+                    "left",
+                )
+                .where(
+                    F.lit(2) * i_max
+                    >= F.col("na") + F.col("nb") - i_max
+                )
+                .drop("nha", "nhb")
+            )
         i_hot = F.when(
             F.col("ha").isNotNull() & F.col("hb").isNotNull(),
             F.size(F.array_intersect("ha", "hb")),
         ).otherwise(0)
-        return (
+        out = (
             co.join(F.broadcast(ha), "ga", "left")
             .join(F.broadcast(hb), "gb", "left")
             .withColumn("i", (F.col("i_rare") + i_hot).cast("long"))
-            .drop("ha", "hb", "i_rare")
-            .join(
-                F.broadcast(
-                    sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
-                        "n", "na"
-                    )
-                ),
-                "ga",
-            )
-            .join(
-                F.broadcast(
-                    sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
-                        "n", "nb"
-                    )
-                ),
-                "gb",
-            )
             .select("ga", "gb", "i", "na", "nb")
             .persist()
         )
+        out.count()  # materialize, then drop the scaffolding caches
+        for scaffold in (sizes, shdf, shr, ghot):
+            scaffold.unpersist()
+        return out
 
     return _GID_CO_CACHE.get_or_create(key, build)
 
@@ -1303,7 +1379,7 @@ def _cached_gid_co_counts(spark, sf_dir):
     "dedup_lsh_recall_report",
     f"""
     WITH {_NEAR_CORPUS_SQL.strip()},
-    {_GID_CO_SQL.strip()},
+    {_GID_CO_SAMPLED_SQL.strip()},
     truth AS (
       SELECT ga, gb FROM cosz
       WHERE 1000000.0 * i / (na + nb - i) >= 500000),
@@ -1339,19 +1415,35 @@ def dedup_lsh_recall_report(spark, sf_dir):
     tau >= 0.5 pair unless ALL its shared shingles are that hot
     (measured: zero qualifying pairs lost at sf0.1, while the
     discovery join shrinks 3x and the pair set 10.9M -> 6.2M; see
-    _cached_gid_co_counts). Run the eval on a hash-sampled slice at
-    full scale regardless. Both truth and candidates are computed per
-    DISTINCT text (group), which is also what makes recall
-    well-defined on a dup-heavy corpus: identical copies pair by
-    construction and would inflate recall if counted."""
-    cosz = _cached_gid_co_counts(spark, sf_dir)
+    _cached_gid_co_counts).
+
+    The eval runs on the HASH-SAMPLED SLICE its role demands
+    (`_EVAL_SAMPLE_PRED`: distinct texts whose md5 starts <= '7', an
+    unbiased deterministic 1/2 sample, identical in the DuckDB
+    oracle): recall is a population ESTIMATE, so paying the full
+    quadratic truth build is exactly the cost the eval exists to
+    avoid — pair retention is rate^2 = 1/4, which is what bounds the
+    truth self-join at 100 TB. Sampling reaches both sides
+    consistently: the truth build's inverted index is restricted
+    before its self-join, while candidates post-filter the SHARED
+    cached banding pair set to sampled endpoints — algebraically
+    identical to banding the sampled docs (signatures are doc-local)
+    but reusing the frame the other dedup queries already built. Both
+    truth and candidates are computed per DISTINCT text (group), which
+    is also what makes recall well-defined on a dup-heavy corpus:
+    identical copies pair by construction and would inflate recall if
+    counted."""
+    cosz = _cached_gid_co_counts(spark, sf_dir, sampled=True)
     jac = (
         F.lit(1000000.0)
         * F.col("i")
         / (F.col("na") + F.col("nb") - F.col("i"))
     )
     truth = cosz.where(jac >= 500000).select("ga", "gb")
-    cands = _cached_gid_pairs(spark, sf_dir)
+    cands = _cached_gid_pairs(spark, sf_dir).where(
+        (F.substring("gid_a", 1, 1) <= "7")
+        & (F.substring("gid_b", 1, 1) <= "7")
+    )
     hits = truth.join(
         cands,
         (F.col("ga") == F.col("gid_a")) & (F.col("gb") == F.col("gid_b")),
