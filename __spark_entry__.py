@@ -80,11 +80,12 @@ _DRIVER_WINDOW = [
     "graph_triangle_count",
 ]
 
-# Empty this round: the round-4 queue moved wholesale into the window
-# and the three round-5 additions are in the window too. New queries
-# added mid-round go here first (the invariant test keeps them from
-# silently falling out of rotation).
-_NEXT_ROTATION = []
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them.
+_NEXT_ROTATION = [
+    "dedup_incremental_simhash",
+]
 
 # Green-checked queries outside the window (kept in a stable order so
 # the registry ordering — and therefore any future window cut — is

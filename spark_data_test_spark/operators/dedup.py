@@ -494,6 +494,44 @@ _SP_HI_SQL = "CAST(" + " + ".join(
 ) + " AS BIGINT)"
 
 
+def _sp_vote_sums(corpus):
+    """Per-DISTINCT-TEXT 64-bit vote sums ``(gid, s0..s63)`` — the
+    fingerprint front half shared by the batch pair query and the
+    incremental shard probe. Every wide (64-column) projection is
+    built as ONE selectExpr/expr string call, not 64 chained Column
+    objects: each Column operation is a py4j round trip, and the
+    when/between/alias trees for 64 bits cost ~2.5 s of pure driver
+    time per cold build at sf0.1 (measured) — the string form hands
+    the whole projection to the JVM parser in a handful of calls and
+    compiles to the identical plan. The bit test
+    ``substr(md5(tok), p, 1) >= '8'`` is the top bit of a hex nibble,
+    exactly the oracle's formulation; vote bits are pure md5 functions
+    of the token, so shard-only sums are bit-identical to what a full
+    rebuild would produce."""
+    reps = corpus.select(
+        F.md5("text").alias("gid"), "text"
+    ).dropDuplicates(["gid"])
+    tokens = reps.select(
+        "gid", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    # two md5 lanes -> 64 vote bits per distinct token
+    vocabulary = tokens.select("tok").distinct().selectExpr(
+        "tok",
+        *[
+            f"CASE WHEN substr(md5(tok), {p + 1}, 1) >= '8'"
+            f" THEN 1 ELSE -1 END AS b{p}"
+            if p < 32
+            else f"CASE WHEN substr(md5(concat(tok, '#')), {p - 31}, 1)"
+            f" >= '8' THEN 1 ELSE -1 END AS b{p}"
+            for p in range(_SP_BITS)
+        ],
+    )
+    return tokens.join(F.broadcast(vocabulary), "tok").groupBy("gid").agg(
+        F.expr("sum(b0) AS s0"),
+        *[F.expr(f"sum(b{p}) AS s{p}") for p in range(1, _SP_BITS)],
+    )
+
+
 @query(
     "dedup_simhash_pairs",
     f"""
@@ -553,37 +591,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     docs = corpus.select("doc_id", F.md5("text").alias("gid"))
 
     def build_fp():
-        # Every wide (64-column) projection below is built as ONE
-        # selectExpr/expr string call, not 64 chained Column objects:
-        # each Column operation is a py4j round trip, and the
-        # when/between/alias trees for 64 bits cost ~2.5 s of pure
-        # driver time per cold build at sf0.1 (measured) — the string
-        # form hands the whole projection to the JVM parser in a
-        # handful of calls and compiles to the identical plan. The bit
-        # test `substr(md5(tok), p, 1) >= '8'` is the top bit of a hex
-        # nibble, exactly the oracle's formulation.
-        reps = corpus.select(
-            F.md5("text").alias("gid"), "text"
-        ).dropDuplicates(["gid"])
-        tokens = reps.select(
-            "gid", F.explode(F.split("text", " ")).alias("tok")
-        ).where(F.col("tok") != "")
-        # two md5 lanes -> 64 vote bits per distinct token
-        vocabulary = tokens.select("tok").distinct().selectExpr(
-            "tok",
-            *[
-                f"CASE WHEN substr(md5(tok), {p + 1}, 1) >= '8'"
-                f" THEN 1 ELSE -1 END AS b{p}"
-                if p < 32
-                else f"CASE WHEN substr(md5(concat(tok, '#')), {p - 31}, 1)"
-                f" >= '8' THEN 1 ELSE -1 END AS b{p}"
-                for p in range(_SP_BITS)
-            ],
-        )
-        sums = tokens.join(F.broadcast(vocabulary), "tok").groupBy("gid").agg(
-            F.expr("sum(b0) AS s0"),
-            *[F.expr(f"sum(b{p}) AS s{p}") for p in range(1, _SP_BITS)],
-        )
+        sums = _sp_vote_sums(corpus)
         # checkpoint the per-group vote sums BEFORE centering: the
         # totals aggregate and the packing projection both consume this
         # frame, and without the truncation the physical plan runs the
@@ -1664,6 +1672,7 @@ def corpus_duplicate_ngrams(spark, sf_dir):
 
 _INC_NEAR_OFFSET = 300000  # planted near-dup arrivals (MinHash flavor)
 _INC_EXACT_OFFSET = 400000  # planted exact-copy arrivals (hash flavor)
+_INC_SIM_OFFSET = 500000  # planted near-dup arrivals (SimHash flavor)
 _INC_STATE_VERSION = 1  # bump when index layout/params change
 
 _INC_HIST_SQL = """
@@ -1768,7 +1777,11 @@ def _new_shard(spark, sf_dir, offset, modulus):
     _assert_offset_headroom(sf_dir)
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     arrived = d.where(F.col("doc_id") % 4 == 3)
-    suffix = " extra tail token" if offset == _INC_NEAR_OFFSET else ""
+    suffix = (
+        " extra tail token"
+        if offset in (_INC_NEAR_OFFSET, _INC_SIM_OFFSET)
+        else ""
+    )
     planted = d.where(
         (F.col("doc_id") % modulus == 0) & (F.col("doc_id") % 4 != 3)
     ).select(
@@ -2083,6 +2096,253 @@ def dedup_incremental_exact(spark, sf_dir):
         hist_index.unionByName(
             shard.select("text_hash", F.col("new_doc_id").alias("doc_id"))
         ),
+        state_path,
+        retain=2,
+    )
+    return local_df(spark, rows, schema)
+
+
+_INC_SIM_MOD = 13  # planted simhash arrivals: doc_id % 13 == 0
+
+_INC_NEW_SIM_SQL = f"""
+shard AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + {_INC_SIM_OFFSET} AS doc_id,
+         text || ' extra tail token' AS text
+  FROM documents WHERE doc_id % {_INC_SIM_MOD} = 0 AND doc_id % 4 <> 3)
+"""
+
+
+def _inc_sp_tokens_sql(src, name):
+    """64-bit two-md5-lane token CTE over an arbitrary reps CTE."""
+    return f"""{name} AS (
+  SELECT gid, md5(tok) AS h1, md5(tok || '#') AS h2
+  FROM (SELECT gid, unnest(string_split(text, ' ')) AS tok FROM {src})
+  WHERE tok <> '')"""
+
+
+def _sim_index_path(sf_dir):
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
+
+    fp = source_fingerprint(f"{sf_dir}/documents.parquet")
+    return f"/tmp/spark_graft_smidx/{fp}_v{_INC_STATE_VERSION}"
+
+
+def _sp_band_rows(docfp):
+    """Exploded (doc_id, band, sig, lo, hi) band rows from packed
+    per-doc fingerprints — the persisted simhash index layout. The
+    packed halves RIDE ALONG on every band row so the probe verifies
+    exact hamming inside the banding join (same one-join discipline as
+    the batch pair query); at 100 TB the artifact would be bucketed by
+    (band, sig) so repeated ingests probe without shuffling it."""
+    return docfp.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.expr(
+                            f"shiftright(lo, {8 * b}) & 255"
+                            if b < 4
+                            else f"shiftright(hi, {8 * (b - 4)}) & 255"
+                        ).cast("long").alias("sig"),
+                    )
+                    for b in range(_SP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig", "lo", "hi")
+
+
+def _load_or_build_simhash_index(spark, sf_dir):
+    """Committed simhash index: historical band rows (doc_id >= 0)
+    PLUS the frozen centering vector as marker rows (doc_id = -1,
+    band = -1, sig = bit position p, lo = t_p; the sig = 64 row
+    carries the distinct-text count d) — the "model card" commits in
+    the SAME atomic state version as the index it normalizes, so a
+    reader can never pair fingerprints with a different centering
+    epoch than the one that produced them."""
+    import os
+
+    from spark_data_test_spark.state import read_state_table, write_state_version
+
+    state_path = _sim_index_path(sf_dir)
+    state = read_state_table(spark, state_path)
+    if state is not None:
+        return state
+    hist = _hist_docs(spark, sf_dir)
+    sums = checkpointed(_sp_vote_sums(hist))
+    totals = sums.agg(
+        F.expr("count(*) AS d"),
+        *[F.expr(f"sum(s{p}) AS t{p}") for p in range(_SP_BITS)],
+    )
+    fp = sums.crossJoin(F.broadcast(totals)).selectExpr(
+        "gid", f"{_SP_LO_SQL} AS lo", f"{_SP_HI_SQL} AS hi"
+    )
+    docfp = (
+        hist.select("doc_id", F.md5("text").alias("gid"))
+        .join(fp, "gid")
+        .select("doc_id", "lo", "hi")
+    )
+    meta = totals.selectExpr(
+        "explode(array("
+        + ", ".join(
+            [
+                f"named_struct('sig', CAST({p} AS BIGINT),"
+                f" 'lo', CAST(t{p} AS BIGINT))"
+                for p in range(_SP_BITS)
+            ]
+            + [
+                f"named_struct('sig', CAST({_SP_BITS} AS BIGINT),"
+                " 'lo', CAST(d AS BIGINT))"
+            ]
+        )
+        + ")) AS m"
+    ).selectExpr(
+        "CAST(-1 AS BIGINT) AS doc_id",
+        "CAST(-1 AS INT) AS band",
+        "m.sig AS sig",
+        "m.lo AS lo",
+        "CAST(0 AS BIGINT) AS hi",
+    )
+    index = _sp_band_rows(docfp).unionByName(meta)
+    os.makedirs(state_path, exist_ok=True)
+    write_state_version(index, state_path, retain=2)
+    return read_state_table(spark, state_path)
+
+
+@query(
+    "dedup_incremental_simhash",
+    f"""
+    WITH {_INC_HIST_SQL.strip()},
+    {_INC_NEW_SIM_SQL.strip()},
+    hreps AS (
+      SELECT md5(text) AS gid, MIN(text) AS text
+      FROM hist GROUP BY md5(text)),
+    {_inc_sp_tokens_sql("hreps", "htokens")},
+    hsums AS (SELECT gid, {_SP_SUMS_SQL} FROM htokens GROUP BY gid),
+    totals AS (SELECT {_SP_TOTALS_SQL} FROM hsums),
+    hfpg AS (SELECT gid, {_SP_LO_SQL} AS lo, {_SP_HI_SQL} AS hi
+             FROM hsums, totals),
+    hfp AS (
+      SELECT h.doc_id, f.lo, f.hi
+      FROM hist h JOIN hfpg f ON f.gid = md5(h.text)),
+    sreps AS (
+      SELECT md5(text) AS gid, MIN(text) AS text
+      FROM shard GROUP BY md5(text)),
+    {_inc_sp_tokens_sql("sreps", "stokens")},
+    ssums AS (SELECT gid, {_SP_SUMS_SQL} FROM stokens GROUP BY gid),
+    sfpg AS (SELECT gid, {_SP_LO_SQL} AS lo, {_SP_HI_SQL} AS hi
+             FROM ssums, totals),
+    sfp AS (
+      SELECT s.doc_id, f.lo, f.hi
+      FROM shard s JOIN sfpg f ON f.gid = md5(s.text))
+    SELECT s.doc_id AS new_doc_id, h.doc_id AS dup_of,
+           CAST(bit_count(xor(s.lo, h.lo)) + bit_count(xor(s.hi, h.hi))
+                AS BIGINT) AS hamming
+    FROM sfp s JOIN hfp h
+      ON bit_count(xor(s.lo, h.lo)) + bit_count(xor(s.hi, h.hi))
+         <= {_SP_HAM_K}
+    ORDER BY new_doc_id, dup_of
+    """,
+)
+def dedup_incremental_simhash(spark, sf_dir):
+    """INCREMENTAL SimHash near-dedup: probe an arriving shard's
+    64-bit fingerprints against the PERSISTED band index — completing
+    the production ingest triad (exact / minhash / simhash) over one
+    index lifecycle. The wrinkle simhash adds over the minhash flavor
+    is the CENTERING EPOCH: fingerprint bits are corpus-mean-centered
+    votes (s_p * d >= t_p), so a shard fingerprinted against *today's*
+    corpus mean would not be comparable with index entries built
+    against *yesterday's*. The index therefore commits its frozen
+    centering vector (65 marker rows: t_0..t_63 and d) in the SAME
+    atomic state version as the band rows, and every shard is packed
+    with those frozen totals — inlined as literals into one selectExpr
+    (65 bounded scalars on the driver; zero joins) — exactly how a
+    production model card travels with the artifact it parameterizes.
+
+    Steps: (1) read the committed index (build-and-commit from the
+    historical slice on cold start); (2) vote-sum ONLY the shard's
+    distinct texts (`_sp_vote_sums` — the incremental cost) and pack
+    with the frozen centering; (3) probe index bands with a broadcast
+    hash join on (band, sig), the packed halves riding the band rows
+    so exact hamming verifies INSIDE the join — by pigeonhole (8 bands,
+    hamming <= 7) banding loses nothing, and the DuckDB oracle IS the
+    all-pairs shard x history brute force with recomputed-from-scratch
+    centering, so the hash-match proves both the banding equivalence
+    and that the persisted round trip (band rows + model card) loses
+    nothing; (4) commit index + shard band rows + the unchanged
+    centering rows as the next version (retain=2 keeps the pre-merge
+    snapshot). Partner filtering to the historical slice keeps re-runs
+    idempotent after the merge, exactly like the sibling flavors."""
+    import os
+
+    from spark_data_test_spark.state import write_state_version
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    state = _load_or_build_simhash_index(spark, sf_dir)
+    meta = state.where(F.col("band") == -1)
+    # 65 bounded rows — the frozen centering "model card", never
+    # data-proportional
+    tvals = {
+        int(r["sig"]): int(r["lo"])
+        for r in meta.select("sig", "lo").collect()
+    }
+    d = tvals.pop(_SP_BITS)
+    lo_sql = "CAST(" + " + ".join(
+        f"(CASE WHEN s{p} * CAST({d} AS BIGINT) >="
+        f" CAST({tvals[p]} AS BIGINT) THEN {1 << p} ELSE 0 END)"
+        for p in range(32)
+    ) + " AS BIGINT)"
+    hi_sql = "CAST(" + " + ".join(
+        f"(CASE WHEN s{p} * CAST({d} AS BIGINT) >="
+        f" CAST({tvals[p]} AS BIGINT) THEN {1 << (p - 32)} ELSE 0 END)"
+        for p in range(32, _SP_BITS)
+    ) + " AS BIGINT)"
+    hist_index = state.where(
+        (F.col("band") >= 0) & _is_historical(F.col("doc_id"))
+    )
+    shard = _new_shard(spark, sf_dir, _INC_SIM_OFFSET, _INC_SIM_MOD)
+    sfp = _sp_vote_sums(shard).selectExpr(
+        "gid", f"{lo_sql} AS lo", f"{hi_sql} AS hi"
+    )
+    sbands = _sp_band_rows(
+        shard.select("doc_id", F.md5("text").alias("gid"))
+        .join(sfp, "gid")
+        .select("doc_id", "lo", "hi")
+    )
+    ham = F.expr("bit_count(h.lo ^ n.lo) + bit_count(h.hi ^ n.hi)").cast(
+        "long"
+    )
+    result = (
+        hist_index.alias("h")
+        .join(
+            F.broadcast(sbands.alias("n")),
+            (F.col("h.band") == F.col("n.band"))
+            & (F.col("h.sig") == F.col("n.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("h.doc_id").alias("dup_of"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SP_HAM_K)
+        # a pair sharing k bands appears k times at the same exact
+        # hamming; dedup AFTER the <= K filter so the only shuffle
+        # proportional to candidate volume is this survivor groupBy
+        .groupBy("new_doc_id", "dup_of")
+        .agg(F.min("hamming").alias("hamming"))
+        .orderBy("new_doc_id", "dup_of")
+    )
+    rows, schema = result.collect(), result.schema
+    state_path = _sim_index_path(sf_dir)
+    os.makedirs(state_path, exist_ok=True)
+    write_state_version(
+        hist_index.unionByName(sbands).unionByName(meta),
         state_path,
         retain=2,
     )

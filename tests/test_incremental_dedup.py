@@ -16,8 +16,12 @@ import pyspark.sql.functions as F
 from spark_data_test_spark.operators.dedup import (
     _INC_EXACT_OFFSET,
     _INC_NEAR_OFFSET,
+    _INC_SIM_MOD,
+    _INC_SIM_OFFSET,
+    _SP_BITS,
     _exact_index_path,
     _minhash_index_path,
+    _sim_index_path,
 )
 from spark_data_test_spark.operators.relational import QUERIES
 from spark_data_test_spark.state import (
@@ -127,6 +131,55 @@ def test_index_build_matches_probe_index(spark):
     assert per_doc and all(r["count"] == 4 for r in per_doc)
     assert all(
         r.doc_id % 4 != 3 and r.doc_id < _INC_NEAR_OFFSET for r in per_doc
+    )
+
+
+def test_incremental_simhash_recalls_planted_and_freezes_centering(spark):
+    """From a cold root: most planted tail-perturbed arrivals
+    (+_INC_SIM_OFFSET) match their historical source within hamming 7;
+    a rerun against the merged index emits identical rows (the frozen
+    centering rows rode the commit, so re-packing the shard cannot
+    drift); the committed index carries exactly 65 model-card rows."""
+    path = _sim_index_path(SF)
+    _fresh(path)
+    q = QUERIES["dedup_incremental_simhash"]
+    first = q(spark, SF).collect()
+
+    planted_hits = {
+        (r.new_doc_id, r.dup_of)
+        for r in first
+        if r.new_doc_id >= _INC_SIM_OFFSET
+    }
+    expected = {
+        (doc + _INC_SIM_OFFSET, doc)
+        for (doc,) in spark.read.parquet(f"{SF}/documents.parquet")
+        .where(
+            (F.col("doc_id") % _INC_SIM_MOD == 0) & (F.col("doc_id") % 4 != 3)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    # a 3-token tail on a short doc can exceed hamming 7; the measured
+    # planted recall at this radius is ~90%
+    assert len(expected & planted_hits) >= (8 * len(expected)) // 10
+    assert all(r.hamming <= 7 for r in first)
+
+    second = q(spark, SF).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+    state = read_state_table(spark, path)
+    meta = state.where(F.col("band") == -1)
+    assert meta.count() == _SP_BITS + 1
+    # shard band rows landed in the merged commit
+    assert (
+        state.where(
+            (F.col("band") >= 0)
+            & (
+                (F.col("doc_id") % 4 == 3)
+                | (F.col("doc_id") >= _INC_SIM_OFFSET)
+            )
+        ).count()
+        > 0
     )
 
 
