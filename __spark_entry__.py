@@ -85,6 +85,7 @@ _DRIVER_WINDOW = [
 # cut promotes them.
 _NEXT_ROTATION = [
     "dedup_incremental_simhash",
+    "compare_incremental_slice",
 ]
 
 # Green-checked queries outside the window (kept in a stable order so

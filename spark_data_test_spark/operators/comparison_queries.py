@@ -127,10 +127,8 @@ def _run_engine(spark, sf_dir):
     return _ENGINE_CACHE.get_or_create(key, build)
 
 
-@query(
-    "compare_overall_report",
-    _BASE_CTES
-    + """,
+# Overall-report flatten shared by the full run and the predicate slice.
+_OVERALL_STATS_SQL = """,
 stats AS (
   SELECT (SELECT COUNT(*) FROM src) AS source_count,
          (SELECT COUNT(*) FROM tgt) AS target_count,
@@ -147,12 +145,10 @@ SELECT source_count, target_count, matched_count,
        CASE WHEN source_count = matched_count AND target_count = matched_count
             THEN 'PASSED' ELSE 'FAILED' END AS test_status
 FROM stats
-""",
-)
-def compare_overall_report(spark, sf_dir):
-    """Flagship: the engine's overall report, flattened (maps -> columns
-    for the DuckDB hash compare)."""
-    overall = _run_engine(spark, sf_dir)[OVERALL_TEST_REPORT_KEY]
+"""
+
+
+def _flatten_overall(overall):
     return overall.select(
         F.col("count").getItem("source").alias("source_count"),
         F.col("count").getItem("target").alias("target_count"),
@@ -162,6 +158,69 @@ def compare_overall_report(spark, sf_dir):
         F.col("missing_rows").getItem("source").alias("missing_at_source"),
         F.col("missing_rows").getItem("target").alias("missing_at_target"),
         F.col("test_status"),
+    )
+
+
+@query("compare_overall_report", _BASE_CTES + _OVERALL_STATS_SQL)
+def compare_overall_report(spark, sf_dir):
+    """Flagship: the engine's overall report, flattened (maps -> columns
+    for the DuckDB hash compare)."""
+    return _flatten_overall(_run_engine(spark, sf_dir)[OVERALL_TEST_REPORT_KEY])
+
+
+# The incremental-comparison predicate: a date-bounded orders slice
+# (the "yesterday's partition changed" shape). It references only an
+# UNPERTURBED column, so filtering the built src/tgt frames (what
+# compare_dataframes_where does) is exactly equivalent to building the
+# pair from a pre-filtered orders — which is how the oracle states it.
+_SLICE_PRED_SQL = "o_orderdate >= DATE '1995-06-01'"
+_SLICE_CTES = (
+    "WITH oslice AS (SELECT * FROM orders WHERE "
+    + _SLICE_PRED_SQL
+    + "),\n"
+    + _BASE_CTES.replace("FROM orders", "FROM oslice").replace(
+        "WITH tb", "tb", 1
+    )
+)
+
+
+@query("compare_incremental_slice", _SLICE_CTES + _OVERALL_STATS_SQL)
+def compare_incremental_slice(spark, sf_dir):
+    """``compare_dataframes_where`` end-to-end: compare ONLY a
+    date-bounded slice of the perturbed orders pair, flattened to the
+    overall report. The engine applies the predicate to both sides
+    before the full-outer pairing, so Catalyst pushes it into both
+    parquet scans (PushedFilters on o_orderdate — asserted by
+    tests/test_comparison_golden.py) and at 100 TB the comparison cost
+    tracks the changed partition, not the table. The DuckDB oracle
+    builds the same pair from a pre-filtered orders, which is
+    equivalent because the perturbation never touches o_orderdate."""
+    key = (spark.sparkContext.applicationId, sf_dir, "slice")
+
+    def build():
+        from spark_data_test_spark.operators.comparison import (
+            compare_dataframes_where,
+        )
+
+        src, tgt = _perturbed_pair(spark, sf_dir)
+        params = DatasetParams(
+            dataset_name="orders_drift_slice",
+            primary_keys=["o_orderkey"],
+            test_params=TestParams(
+                difference_tolerance=TOLERANCE, checksum_mode="xxhash64"
+            ),
+        )
+        return compare_dataframes_where(
+            spark,
+            src,
+            tgt,
+            params,
+            F.col("o_orderdate") >= F.lit("1995-06-01").cast("date"),
+            compute_unmatched_dumps=False,
+        )
+
+    return _flatten_overall(
+        _ENGINE_CACHE.get_or_create(key, build)[OVERALL_TEST_REPORT_KEY]
     )
 
 
