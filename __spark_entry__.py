@@ -14,126 +14,95 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). Rounds 1-4 green-checked 148 distinct queries
-# on their latest check. This round's window (VERDICT r4 item 1) =
-# the flagship + ALL 38 queries from the round-4 _NEXT_ROTATION queue
-# (the entire never-driver-checked surface: the PQ/IVF-PQ family,
-# heavy hitters, n-gram spans, bloom prefilter, time travel, late-data
-# audit, inverted index, histogram, plus the carried-over warehouse
-# gates) + the 3 NEW incremental-dedup queries + 8 re-earn slots for
-# queries whose code changed this round: the versioned-state consumers
-# (state.py moved to scratch-then-rename commits), the co-count truth
-# side (stop-shingle discovery cap), and the simhash-pairs / triangle
-# perf rewrites. With this window the queue EMPTIES: every registered
-# query is then either driver-green or in the current window.
-# tests/test_registry_invariants.py enforces that invariant.
+# (registration order). Rounds 1-5 green-checked all 189 then-registered
+# queries on their latest check and the rotation queue drained. This
+# round's window (VERDICT r5 item 5) = the flagship + the 2 NEW queries
+# (incremental simhash, compare_incremental_slice) + 12 re-earn slots
+# for queries whose code changed since the r5 snapshot (dedup.py's
+# incremental family / sampled LSH recall / simhash banding, graph.py's
+# wedge-free triangle fix, readers.py's plan-capture hook, analytics.py's
+# histogram bucketing, state.py's bounded rename retries) + the 35
+# STALEST greens — every query whose latest driver row is round 1 or 2,
+# three-plus rounds old. tests/test_registry_invariants.py enforces
+# that greens ∪ window ∪ queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "sample_token_budget",
-    "text_bigram_profile",
-    "source_xml_roundtrip",
-    "text_bigram_familiarity",
-    "source_binaryfile_roundtrip",
-    "ml_linear_regression_train",
-    "sink_clustered_layout",
-    "events_cumulative_distinct_users",
-    "events_transition_matrix",
-    "multimodal_chunk_dedup",
-    "dq_constraint_report",
-    "part_fuzzy_match",
-    "text_quality_deciles",
-    "sql_api_query",
-    "sink_zorder_layout",
-    "text_langid_confusion",
-    "orders_open_backlog_daily",
-    "orders_incremental_agg_merge",
-    "source_schema_evolution",
-    "null_safe_join",
-    "supplier_hierarchy_rollup",
-    "orders_status_listagg",
-    "events_top_session_paths",
-    "lineitem_correlation_matrix",
-    "text_heavy_hitters",
-    "corpus_duplicate_ngrams",
-    "part_bloom_prefilter_join",
-    "streaming_late_data_audit",
-    "similarity_pq_train",
-    "similarity_pq_ann",
-    "similarity_ivfpq_ann",
-    "similarity_pq_recall_report",
-    "state_time_travel_diff",
-    "events_sliding_distinct_users",
-    "similarity_cluster_purity",
-    "streaming_heavy_hitters",
-    "sink_inverted_index_roundtrip",
-    "events_value_histogram",
+    "dedup_incremental_simhash",
+    "compare_incremental_slice",
+    "dedup_lsh_recall_report",
     "dedup_index_build",
     "dedup_incremental_minhash",
     "dedup_incremental_exact",
-    "streaming_cdc_upsert",
-    "streaming_sessionization_store",
-    "streaming_sketch_rollup",
-    "similarity_ivf_train",
-    "dedup_lsh_recall_report",
-    "dedup_containment",
     "dedup_simhash_pairs",
+    "dedup_simhash",
     "graph_triangle_count",
+    "sink_inverted_index_roundtrip",
+    "events_value_histogram",
+    "state_time_travel_diff",
+    "streaming_cdc_upsert",
+    "streaming_late_data_audit",
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+    "scan_filter_project",
+    "select_drop_rename",
+    "case_when_bucket",
+    "null_default_coalesce",
+    "checksum_sha2",
+    "numeric_tolerance_abs",
+    "eq_null_safe",
+    "full_outer_join_missing",
+    "conditional_sum_missing",
+    "left_join_enrich",
+    "groupby_dup_count",
+    "create_map_getitem",
+    "window_dup_count",
+    "window_running_sum",
+    "distinct_rows",
+    "drop_duplicates_by_key",
+    "union_consolidate",
+    "orderby_limit_topk",
+    "colwise_mismatch_unpivot",
+    "tpch_q1_pricing_summary",
+    "events_sliding_window",
+    "rollup_agg",
+    "array_higher_order_stats",
+    "pivot_status_by_priority",
+    "compare_row_report",
+    "compare_column_report",
+    "compare_nulls_overall",
+    "compare_unkeyed_multiset",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_bucketed_table_roundtrip",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
 # them from silently falling out of rotation); the end-of-round window
-# cut promotes them.
-_NEXT_ROTATION = [
-    "dedup_incremental_simhash",
-    "compare_incremental_slice",
-]
+# cut promotes them. Empty right now: both round-6 additions were
+# promoted into the window above.
+_NEXT_ROTATION = []
 
-# Green-checked queries outside the window (kept in a stable order so
-# the registry ordering — and therefore any future window cut — is
-# deterministic).
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
-    "dedup_embedding_cosine",
-    "similarity_ivf_ann",
-    "dedup_simhash",
-    "approx_count_distinct_parts",
-    "multimodal_real_image_decode",
-    "sketch_hll_rollup",
-    "sketch_approx_quantiles",
-    "source_text_roundtrip",
-    "sink_partition_pruned_read",
-    "events_ab_test_readout",
-    "streaming_sliding_counts",
-    "corpus_prepare_pipeline",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "similarity_ann_recall_report",
-    "similarity_cell_report",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
-    "corpus_decontaminate",
-    "text_vocabulary_topk",
-    "text_pii_scrub",
-    "text_repetition_profile",
-    "text_tfidf_topk",
-    "text_quality_model_score",
-    "corpus_shard_assignment",
-    "events_retention_cohorts",
-    "events_gap_fill",
-    "events_scd2_history",
-    "events_attribution_last_touch",
-    "events_anomaly_daily",
-    "events_rolling_window_avg",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "parts_abc_pareto",
-    "multimodal_frame_sample",
-    "graph_degree_distribution",
-    "graph_pagerank_fixed",
+    "sink_partitioned_parquet",
+    "tpch_q6_forecast_revenue",
+    "grouped_apply_stats",
+    "similarity_cosine_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_features",
+    "streaming_tumbling_counts",
+    "streaming_sessionization",
+    "streaming_stream_stream_join",
     "json_extract_props",
     "window_rank_topk",
     "tpch_q3_shipping_priority",
@@ -181,10 +150,85 @@ _CHECKED_BACKLOG = [
     "streaming_static_join",
     "streaming_dedup",
     "streaming_foreachbatch_sink",
-    "window_lead_lag",
-    "left_anti_join",
-    "grouping_sets_agg",
-    "except_rows",
+    "dedup_embedding_cosine",
+    "similarity_ivf_ann",
+    "approx_count_distinct_parts",
+    "multimodal_real_image_decode",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
+    "source_text_roundtrip",
+    "sink_partition_pruned_read",
+    "events_ab_test_readout",
+    "streaming_sliding_counts",
+    "corpus_prepare_pipeline",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "similarity_ann_recall_report",
+    "similarity_cell_report",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "corpus_decontaminate",
+    "text_vocabulary_topk",
+    "text_pii_scrub",
+    "text_repetition_profile",
+    "text_tfidf_topk",
+    "text_quality_model_score",
+    "corpus_shard_assignment",
+    "events_retention_cohorts",
+    "events_gap_fill",
+    "events_scd2_history",
+    "events_attribution_last_touch",
+    "events_anomaly_daily",
+    "events_rolling_window_avg",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "parts_abc_pareto",
+    "multimodal_frame_sample",
+    "graph_degree_distribution",
+    "graph_pagerank_fixed",
+    "sample_token_budget",
+    "text_bigram_profile",
+    "source_xml_roundtrip",
+    "text_bigram_familiarity",
+    "source_binaryfile_roundtrip",
+    "ml_linear_regression_train",
+    "sink_clustered_layout",
+    "events_cumulative_distinct_users",
+    "events_transition_matrix",
+    "multimodal_chunk_dedup",
+    "dq_constraint_report",
+    "part_fuzzy_match",
+    "text_quality_deciles",
+    "sql_api_query",
+    "sink_zorder_layout",
+    "text_langid_confusion",
+    "orders_open_backlog_daily",
+    "orders_incremental_agg_merge",
+    "source_schema_evolution",
+    "null_safe_join",
+    "supplier_hierarchy_rollup",
+    "orders_status_listagg",
+    "events_top_session_paths",
+    "lineitem_correlation_matrix",
+    "text_heavy_hitters",
+    "corpus_duplicate_ngrams",
+    "part_bloom_prefilter_join",
+    "similarity_pq_train",
+    "similarity_pq_ann",
+    "similarity_ivfpq_ann",
+    "similarity_pq_recall_report",
+    "events_sliding_distinct_users",
+    "similarity_cluster_purity",
+    "streaming_heavy_hitters",
+    "streaming_sessionization_store",
+    "streaming_sketch_rollup",
+    "similarity_ivf_train",
+    "dedup_containment",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_WINDOW + _NEXT_ROTATION + _CHECKED_BACKLOG

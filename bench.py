@@ -108,7 +108,12 @@ def _stage_amplified(spark, sf_dir, factor):
         "lineitem": {"l_orderkey": 10**9},
         "orders": {"o_orderkey": 10**9},
         "events": {"event_id": 10**9, "user_id": 10**7},
-        "documents": {"doc_id": 10**6},
+        # 10**4 (not 10**6): big enough for uniqueness (sf0.1 max
+        # doc_id is 4999), small enough that a x30 staging stays under
+        # the incremental-dedup planted-arrival offset floor
+        # (_INC_NEAR_OFFSET=300000) so the incremental family can be
+        # scale-benched on amplified stagings too.
+        "documents": {"doc_id": 10**4},
         "embeddings": {"vec_id": 10**5},
     }
     for name in (

@@ -1740,18 +1740,33 @@ def _assert_offset_headroom(sf_dir):
     statistics (no Spark job), once per sf_dir per process."""
     if sf_dir in _inc_headroom_checked:
         return
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/documents.parquet"
-    md = pq.ParquetFile(path).metadata
-    idx = next(
-        i for i in range(md.num_columns)
-        if md.row_group(0).column(i).path_in_schema == "doc_id"
+    # Spark-written datasets are DIRECTORIES of part files (the staged
+    # amplified tables take this shape); the provided testdata is a
+    # single file. Either way the check stays footer-only — no Spark job.
+    files = (
+        sorted(glob.glob(f"{path}/*.parquet"))
+        if os.path.isdir(path)
+        else [path]
     )
-    mx = max(
-        md.row_group(g).column(idx).statistics.max
-        for g in range(md.num_row_groups)
-    )
+
+    def _file_max(fp):
+        md = pq.ParquetFile(fp).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "doc_id"
+        )
+        return max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+
+    mx = max(_file_max(fp) for fp in files)
     if mx >= _INC_NEAR_OFFSET:
         raise ValueError(
             f"incremental dedup: max(doc_id)={mx} in {path} reaches the "
