@@ -81,6 +81,18 @@ HEADLINE = [
     "similarity_ivfpq_ann",
     "state_time_travel_diff",
     "streaming_late_data_audit",
+    # round-6 additions: the incremental-dedup ingest family (warm
+    # index probes + the corpus-proportional build for contrast), the
+    # PQ recall eval, and the curation trio (novelty, source-overlap
+    # matrix, centroid outliers)
+    "dedup_index_build",
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "dedup_incremental_simhash",
+    "similarity_pq_recall_report",
+    "text_ngram_novelty",
+    "corpus_source_similarity",
+    "similarity_centroid_outliers",
 ]
 
 

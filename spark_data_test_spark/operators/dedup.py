@@ -2032,7 +2032,13 @@ def dedup_incremental_minhash(spark, sf_dir):
                     )
                     .orderBy("new_doc_id", "dup_of")
                 )
-                rows, schema = result.collect(), result.schema
+                # Materialize DISTRIBUTED (executor-local checkpoint,
+                # no driver collect — result volume is real-dup-pair-
+                # proportional and driver memory must not bound it)
+                # BEFORE the commit below prunes the pre-merge version
+                # the lineage reads, and before the finally-unpersists
+                # release the frames it derives from.
+                result = result.localCheckpoint()
                 # advance the index: history + this shard, committed as
                 # the next version — the durable side effect the next
                 # shard's probe reads
@@ -2047,9 +2053,7 @@ def dedup_incremental_minhash(spark, sf_dir):
             nbands.unpersist()
     finally:
         nsh.unpersist()
-    from spark_data_test_spark.utils.spark_utils import local_df
-
-    return local_df(spark, rows, schema)
+    return result
 
 
 @query(
@@ -2068,9 +2072,13 @@ def dedup_incremental_exact(spark, sf_dir):
     the cheap first gate every ingest runs before near-dedup. The
     historical (text_hash, doc_id) index lives in versioned state
     (built and committed on cold start); the arriving shard hashes its
-    OWN texts only and probes the index with a broadcast hash join —
-    at 100 TB the probe is one scan of the shard against a bucketed
-    hash table, zero history recompute. The merged index (history +
+    OWN texts only and probes the index with a hash join that AQE
+    plans from the shard's MEASURED size: broadcast while the shard
+    fits executor memory (the common ingest case), degrading to a
+    shuffled hash join on text_hash when it doesn't — no forced hint,
+    so outgrowing broadcast changes the plan, not the outcome — at
+    100 TB the probe is one scan of the shard against a hash table,
+    zero history recompute. The merged index (history +
     shard hashes) commits as the next version. Partner filtering to
     the historical slice keeps re-runs deterministic after the merge,
     exactly like `dedup_incremental_minhash`."""
@@ -2080,7 +2088,6 @@ def dedup_incremental_exact(spark, sf_dir):
         read_state_table,
         write_state_version,
     )
-    from spark_data_test_spark.utils.spark_utils import local_df
 
     state_path = _exact_index_path(sf_dir)
     index = read_state_table(spark, state_path)
@@ -2097,8 +2104,12 @@ def dedup_incremental_exact(spark, sf_dir):
     shard = _new_shard(spark, sf_dir, _INC_EXACT_OFFSET, 19).select(
         F.col("doc_id").alias("new_doc_id"), F.md5("text").alias("text_hash")
     )
+    # no broadcast HINT: the shard is broadcast-sized in the common
+    # case and AQE promotes the join from its measured size; a forced
+    # hint would OOM the day a shard outgrows executor memory instead
+    # of degrading to a shuffled hash join
     result = (
-        hist_index.join(F.broadcast(shard), "text_hash")
+        hist_index.join(shard, "text_hash")
         .select(
             "new_doc_id",
             F.col("doc_id").alias("dup_of"),
@@ -2106,7 +2117,9 @@ def dedup_incremental_exact(spark, sf_dir):
         )
         .orderBy("new_doc_id", "dup_of")
     )
-    rows, schema = result.collect(), result.schema
+    # distributed materialization before the merged commit (see the
+    # minhash flavor) — no driver collect on a dup-proportional frame
+    result = result.localCheckpoint()
     write_state_version(
         hist_index.unionByName(
             shard.select("text_hash", F.col("new_doc_id").alias("doc_id"))
@@ -2114,7 +2127,7 @@ def dedup_incremental_exact(spark, sf_dir):
         state_path,
         retain=2,
     )
-    return local_df(spark, rows, schema)
+    return result
 
 
 _INC_SIM_MOD = 13  # planted simhash arrivals: doc_id % 13 == 0
@@ -2297,7 +2310,6 @@ def dedup_incremental_simhash(spark, sf_dir):
     import os
 
     from spark_data_test_spark.state import write_state_version
-    from spark_data_test_spark.utils.spark_utils import local_df
 
     state = _load_or_build_simhash_index(spark, sf_dir)
     meta = state.where(F.col("band") == -1)
@@ -2353,7 +2365,9 @@ def dedup_incremental_simhash(spark, sf_dir):
         .agg(F.min("hamming").alias("hamming"))
         .orderBy("new_doc_id", "dup_of")
     )
-    rows, schema = result.collect(), result.schema
+    # distributed materialization before the merged commit (see the
+    # minhash flavor) — no driver collect on a dup-proportional frame
+    result = result.localCheckpoint()
     state_path = _sim_index_path(sf_dir)
     os.makedirs(state_path, exist_ok=True)
     write_state_version(
@@ -2361,4 +2375,103 @@ def dedup_incremental_simhash(spark, sf_dir):
         state_path,
         retain=2,
     )
-    return local_df(spark, rows, schema)
+    return result
+
+
+@query(
+    "corpus_source_similarity",
+    """
+    WITH ssh AS (
+      SELECT DISTINCT source, substr(text, i, 8) AS sh
+      FROM documents, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)
+      WHERE length(text) >= 8),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, s.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(ROUND(1000000.0 * s.n_shared / (sa.n + sb.n - s.n_shared))
+                AS BIGINT) AS jaccard_1e6
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.source_a
+    JOIN sizes sb ON sb.source = s.source_b
+    ORDER BY s.source_a, s.source_b
+    """,
+)
+def corpus_source_similarity(spark, sf_dir):
+    """SOURCE-level content-overlap matrix: exact shingle Jaccard
+    between every pair of document sources (char-8-gram stride-4
+    shingles, the dedup family's scheme) — the cross-source
+    contamination / redundancy readout a corpus-mixing pipeline
+    consults before assigning per-source sampling weights (two crawls
+    of the same site should not both get full weight, and an eval
+    source overlapping a training source is a leak). Plan shape: one
+    shingle explode + per-source distinct (hash aggregate), a
+    shingle-keyed self-join whose fan-out is bounded by the SOURCE
+    count squared per shingle — independent of corpus size — and a
+    tiny per-pair aggregate; only pairs with at least one shared
+    shingle are emitted. At thousands of sources the exact join would
+    give way to per-source MinHash sketches (`dedup_minhash_lsh`'s
+    signature machinery over source-concatenated shingle sets); at
+    typical mixing-pipeline source counts (dozens) exact is cheaper
+    and exact."""
+    d = t(spark, sf_dir, "documents")
+    ssh = (
+        d.where(F.length("text") >= 8)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 7, 4),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    # Shingle-grouped source SETS instead of a shingle self-join: one
+    # aggregate collapses each shingle to its (bounded-by-source-count)
+    # member set, and pair expansion happens AFTER the aggregate on
+    # rows whose width is the source count, never corpus-sized — so
+    # the only shingle-cardinality shuffles are the distinct and the
+    # set-building aggregate.
+    srcsets = ssh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pair_expr = (
+        "flatten(transform(srcs, (a, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs)),"
+        " b -> struct(a AS source_a, b AS source_b))))"
+    )
+    shared = (
+        srcsets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = (
+        srcsets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(round(1000000.0 * n_shared / (n_a + n_b - n_shared))"
+                " as bigint)"
+            ).alias("jaccard_1e6"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1257,3 +1257,66 @@ def similarity_cluster_purity(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "similarity_centroid_outliers",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_final_assign_ctes()},
+    fassign AS (
+      SELECT vec_id, cent_id AS cell, cos
+      FROM (SELECT vec_id, cent_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cent_id) AS rn
+            FROM fscore)
+      WHERE rn = 1)
+    SELECT cell, rank, vec_id,
+           CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_1e6
+    FROM (SELECT cell, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY cos ASC, vec_id) AS rank
+          FROM fassign)
+    WHERE rank <= 5
+    ORDER BY cell, rank
+    """,
+)
+def similarity_centroid_outliers(spark, sf_dir):
+    """Embedding-quality OUTLIER detection: per trained-IVF cell, the
+    5 vectors farthest (lowest cosine) from their own argmax centroid —
+    the curation signal a training-data pipeline uses to surface
+    mislabeled / out-of-distribution embeddings before they poison a
+    similarity index (the same per-cell review queue FAISS users build
+    from IVF assignment distances). Reads the COMMITTED trained
+    centroids (never retrains — `train_ivf_centroids` serves the
+    versioned state), scores every vector against the broadcast
+    centroid table in one pass, then runs a per-cell bottom-5 window;
+    cost is one scan + a window over cell-partitioned rows, and the
+    output is ~5 rows per cell regardless of corpus size. Exact
+    integer dot products make the cosine — and therefore the ranking
+    and the emitted cos_1e6 — bit-deterministic against the DuckDB
+    replay (ties broken vec_id-ascending)."""
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "cent_id"
+    )
+    assigned = (
+        _score_against_cents(emb, cents)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "cos")
+    )
+    w_outlier = Window.partitionBy("cell").orderBy(F.col("cos").asc(), "vec_id")
+    return (
+        assigned.withColumn("rank", F.row_number().over(w_outlier))
+        .where(F.col("rank") <= 5)
+        .select(
+            "cell",
+            "rank",
+            "vec_id",
+            F.expr("cast(round(cos * 1000000) as bigint)").alias("cos_1e6"),
+        )
+        .orderBy("cell", "rank")
+    )

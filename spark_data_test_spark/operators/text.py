@@ -875,3 +875,83 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("labeled_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+      FROM documents, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)
+      WHERE length(text) >= 8),
+    first_seen AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(ROUND(1000000.0 *
+                SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                / COUNT(*)) AS BIGINT) AS novelty_1e6
+    FROM sh s JOIN first_seen f ON f.sh = s.sh
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document NOVELTY scoring: the fraction of a doc's distinct
+    char-8-gram shingles (the dedup family's stride-4 scheme,
+    operators/dedup.py `_shingles`) that the corpus had not seen in any
+    earlier document (first_seen = min doc_id over the shingle) — the
+    curation signal pipelines use to rank boilerplate-heavy or
+    template-derived documents below genuinely new content when
+    trimming to a token budget (high novelty = introduces new n-grams;
+    near-zero = restates what earlier docs already contain). Plan
+    shape: one narrow shingle explode, one hash aggregate per shingle
+    (map-side combined min), a shingle-keyed join back (same key as
+    the aggregate, so the exchange is reused), and a per-doc hash
+    aggregate — no windows, no driver collection; every stage keys on
+    hash-distributed columns, so the plan survives a 1000-executor
+    corpus unchanged. The ratio is emitted as an integer micro-units
+    column so the oracle hash compare is float-free."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 7, 4),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    # Two aggregates + a doc-level join instead of joining first_seen
+    # back onto the full shingle set: a shingle is novel for exactly
+    # the doc that owns its min doc_id, so counting first_seen rows BY
+    # first_doc yields per-doc novel counts directly — the expensive
+    # shingle relation is shuffled for the two aggregates only, and
+    # the join runs at document cardinality, not shingle cardinality.
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.expr(
+                "cast(round(1000000.0 * coalesce(n_novel, 0) / n_shingles)"
+                " as bigint)"
+            ).alias("novelty_1e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -17,6 +17,7 @@ from spark_data_test_spark.plans.audit import (
     has_partial_aggregation,
     has_pushed_filter,
     in_wholestage_codegen,
+    plan_op_counts,
     scan_read_schema,
 )
 
@@ -208,3 +209,30 @@ def test_cumulative_distinct_keeps_window_off_events(spark, sf_dir):
 
     df = events_cumulative_distinct_users(spark, sf_dir)
     assert count_shuffles(df) <= 3
+
+
+def test_ngram_novelty_joins_at_doc_level(spark, sf_dir):
+    """The first_seen relation must fold to per-doc counts BEFORE any
+    join: the only join in the plan runs at document cardinality (a
+    shingle-keyed join back onto the full shingle set would shuffle
+    the corpus's shingles a third time for nothing)."""
+    from spark_data_test_spark.operators.text import text_ngram_novelty
+
+    df = text_ngram_novelty(spark, sf_dir)
+    ops = plan_op_counts(df)
+    assert ops["Scan parquet "] <= 2, "documents scanned more than twice"
+    assert count_shuffles(df) <= 6
+
+
+def test_source_similarity_has_no_shingle_self_join(spark, sf_dir):
+    """Source-pair expansion happens inside a post-aggregate array
+    transform (bounded by the source count), never a shingle-keyed
+    self-join — at corpus scale the self-join's probe side would be
+    every (source, shingle) row."""
+    from spark_data_test_spark.operators.dedup import corpus_source_similarity
+
+    df = corpus_source_similarity(spark, sf_dir)
+    ops = plan_op_counts(df)
+    assert "SortMergeJoin" not in ops, "shingle-cardinality join crept in"
+    assert "CartesianProduct" not in ops
+    assert ops["Scan parquet "] <= 3
