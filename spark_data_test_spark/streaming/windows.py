@@ -1130,3 +1130,201 @@ def streaming_heavy_hitters(spark, sf_dir):
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+@query(
+    "streaming_incremental_dedup",
+    """
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+    shard AS (
+      SELECT doc_id, text, doc_id % 3 AS b FROM base
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, text, doc_id % 3 AS b
+      FROM documents WHERE doc_id % 23 = 0 AND doc_id % 4 <> 3
+      UNION ALL
+      SELECT doc_id + 900000 AS doc_id, text, (doc_id + 1) % 3 AS b
+      FROM base WHERE doc_id % 29 = 0
+      UNION ALL
+      SELECT doc_id + 1200000 AS doc_id, text, doc_id % 3 AS b
+      FROM base WHERE doc_id % 31 = 0),
+    hh AS (SELECT md5(text) AS h, doc_id FROM hist),
+    sh AS (SELECT md5(text) AS h, doc_id, b FROM shard)
+    SELECT s.doc_id AS new_doc_id, p.doc_id AS dup_of,
+           'history' AS partner
+    FROM sh s JOIN hh p ON p.h = s.h
+    UNION ALL
+    SELECT s.doc_id AS new_doc_id, p.doc_id AS dup_of,
+           'stream' AS partner
+    FROM sh s JOIN sh p
+      ON p.h = s.h
+     AND (p.b < s.b OR (p.b = s.b AND p.doc_id < s.doc_id))
+    ORDER BY 1, 2, 3
+    """,
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    """STREAMING incremental exact dedup — the ingest loop the batch
+    `dedup_incremental_exact` models, actually run through Structured
+    Streaming across MULTIPLE micro-batches with the index advancing
+    between them. Three deterministic arrival files (batch membership
+    is pure doc_id arithmetic, staged with strictly increasing mtimes
+    so `maxFilesPerTrigger=1` + `availableNow` drains them in a fixed
+    order) each pass through ``foreachBatch``, which (1) probes the
+    batch's content hashes against the CURRENT committed index version
+    — v0 is the historical corpus, later versions include every
+    earlier batch, so cross-batch duplicates are caught exactly like
+    historical ones; (2) self-joins the batch for in-batch duplicates
+    (earlier = smaller doc_id); (3) appends the pair report to the
+    sink; (4) commits index + batch hashes as the next state version —
+    the same read-probe-merge-commit lifecycle per batch that the
+    incremental family runs per shard. The DuckDB oracle recomputes
+    every pair from the batch-ordering rule alone (a partner is any
+    same-hash doc in history, an earlier batch, or earlier in the same
+    batch), so dropped batches, misordered files, a stale index read,
+    or a lost commit all break the hash. The `partner` column records
+    whether the duplicate was caught against history or against an
+    earlier stream arrival. State, sink, and checkpoint live under a
+    per-run uuid root, removed in ``finally``."""
+    import glob as globlib
+    import shutil
+    import time
+
+    from spark_data_test_spark.operators.dedup import (
+        _assert_offset_headroom,
+        _hist_docs,
+    )
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    prepare_session(spark)
+    # planted ranges [600000,900000) / [900000,1200000) / [1200000,...)
+    # stay disjoint from natural ids and each other as long as
+    # max(doc_id) < 300000 — the same headroom the batch family checks
+    _assert_offset_headroom(sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 4 == 3)
+    # expressions in each select read the INPUT doc_id, so batch
+    # residues are computed from the ORIGINAL id exactly as the oracle
+    # derives them back from the shifted id
+    shard = (
+        base.select(
+            "doc_id", "text", (F.col("doc_id") % 3).alias("b")
+        )
+        .unionByName(
+            d.where((F.col("doc_id") % 23 == 0) & (F.col("doc_id") % 4 != 3))
+            .select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                "text",
+                (F.col("doc_id") % 3).alias("b"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 900000).alias("doc_id"),
+                "text",
+                ((F.col("doc_id") + 1) % 3).alias("b"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 31 == 0).select(
+                (F.col("doc_id") + 1200000).alias("doc_id"),
+                "text",
+                (F.col("doc_id") % 3).alias("b"),
+            )
+        )
+    )
+
+    run_root = f"/tmp/spark_stream_incdedup/{uuid.uuid4().hex[:12]}"
+    in_dir = f"{run_root}/in"
+    out_dir = f"{run_root}/out"
+    state_path = f"{run_root}/state"
+    try:
+        os.makedirs(in_dir, exist_ok=True)
+        t0 = time.time()
+        for k in range(3):
+            tmp = f"{run_root}/stage{k}"
+            (
+                shard.where(F.col("b") == k)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = globlib.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{in_dir}/batch{k}.parquet"
+            shutil.move(part, dst)
+            # strictly increasing mtimes: the file source processes in
+            # (timestamp, path) order, so batch k IS file k
+            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        os.makedirs(state_path, exist_ok=True)
+        write_state_version(
+            _hist_docs(spark, sf_dir).select(
+                F.md5("text").alias("h"),
+                "doc_id",
+                F.lit("history").alias("src"),
+            ),
+            state_path,
+        )
+
+        def process(batch_df, batch_id):
+            spk = batch_df.sparkSession
+            idx = read_state_table(spk, state_path)
+            b = batch_df.select(
+                F.md5("text").alias("h"), "doc_id"
+            ).persist()
+            try:
+                index_pairs = (
+                    b.alias("s")
+                    .join(idx.alias("p"), "h")
+                    .select(
+                        F.col("s.doc_id").alias("new_doc_id"),
+                        F.col("p.doc_id").alias("dup_of"),
+                        F.col("p.src").alias("partner"),
+                    )
+                )
+                in_batch = (
+                    b.alias("s")
+                    .join(b.alias("p"), "h")
+                    .where(F.col("p.doc_id") < F.col("s.doc_id"))
+                    .select(
+                        F.col("s.doc_id").alias("new_doc_id"),
+                        F.col("p.doc_id").alias("dup_of"),
+                        F.lit("stream").alias("partner"),
+                    )
+                )
+                index_pairs.unionByName(in_batch).write.mode(
+                    "append"
+                ).parquet(out_dir)
+                write_state_version(
+                    idx.unionByName(
+                        b.select(
+                            "h", "doc_id", F.lit("stream").alias("src")
+                        )
+                    ),
+                    state_path,
+                )
+            finally:
+                b.unpersist()
+
+        q = (
+            spark.readStream.schema(shard.select("doc_id", "text").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(out_dir).orderBy(
+            "new_doc_id", "dup_of", "partner"
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)
