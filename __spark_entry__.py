@@ -16,14 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order). Rounds 1-5 green-checked all 189 then-registered
 # queries on their latest check and the rotation queue drained. This
-# round's window (VERDICT r5 item 5) = the flagship + the 6 NEW queries
+# round's window (VERDICT r5 item 5) = the flagship + the 7 NEW queries
 # (incremental simhash, compare_incremental_slice, n-gram novelty,
 # source-similarity matrix, centroid outliers, multi-batch streaming
-# incremental dedup) + 12 re-earn slots
+# incremental dedup, bucketed index probe) + 12 re-earn slots
 # for queries whose code changed since the r5 snapshot (dedup.py's
 # incremental family / sampled LSH recall / simhash banding, graph.py's
 # wedge-free triangle fix, readers.py's plan-capture hook, analytics.py's
-# histogram bucketing, state.py's bounded rename retries) + the 31
+# histogram bucketing, state.py's bounded rename retries) + the 30
 # STALEST greens — queries whose latest driver row is round 1 or 2,
 # three-plus rounds old. tests/test_registry_invariants.py enforces
 # that greens ∪ window ∪ queue always covers the registry.
@@ -35,6 +35,7 @@ _DRIVER_WINDOW = [
     "corpus_source_similarity",
     "similarity_centroid_outliers",
     "streaming_incremental_dedup",
+    "dedup_bucketed_index_probe",
     "dedup_lsh_recall_report",
     "dedup_index_build",
     "dedup_incremental_minhash",
@@ -77,7 +78,6 @@ _DRIVER_WINDOW = [
     "pivot_status_by_priority",
     "compare_row_report",
     "compare_column_report",
-    "compare_nulls_overall",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
@@ -90,6 +90,7 @@ _NEXT_ROTATION = []
 # driver round ascending, registration order as tie-break) so the next
 # window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
+    "compare_nulls_overall",
     "compare_unkeyed_multiset",
     "source_csv_roundtrip",
     "source_json_roundtrip",

@@ -2475,3 +2475,93 @@ def corpus_source_similarity(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Test-visible hook: formatted physical plan of the most recent
+# bucketed-index probe join, captured inside the managed table's
+# lifecycle (the table is dropped before the caller sees the localized
+# result, so the exchange-free assertion cannot be made on the
+# returned frame).
+_last_bucketed_probe_plan = None
+
+
+@query(
+    "dedup_bucketed_index_probe",
+    f"""
+    WITH {_INC_HIST_SQL.strip()},
+    {_INC_NEW_NEAR_SQL.strip()},
+    {_inc_sh_sql("hist", "hsh")},
+    {_inc_mh_sql("hsh", "hmh")},
+    {_inc_bands_sql("hmh", "hbands")},
+    {_inc_sh_sql("shard", "nsh")},
+    {_inc_mh_sql("nsh", "nmh")},
+    {_inc_bands_sql("nmh", "nbands")}
+    SELECT DISTINCT n.doc_id AS new_doc_id, h.doc_id AS dup_of
+    FROM nbands n JOIN hbands h ON n.band = h.band AND n.sig = h.sig
+    ORDER BY 1, 2
+    """,
+)
+def dedup_bucketed_index_probe(spark, sf_dir):
+    """The 100 TB index layout the incremental family's docstrings
+    promise, actually built: the historical (band, sig) MinHash index
+    persisted as a catalog table BUCKETED AND SORTED by the probe key
+    (band and sig fused into one `sigb` column so bucket hashing,
+    in-bucket sort order, and the join key are the SAME column), then
+    probed by shard band rows. Because the scan itself delivers
+    hash-distributed sorted partitions, a shard too large to broadcast
+    sort-merge-joins against the index with ZERO exchange on the index
+    side — and zero sort too when the reader is told to trust the
+    one-file-per-bucket order (spark.sql.legacy.bucketedTableScan.
+    outputOrdering; write_bucketed's pre-write repartition guarantees
+    the one-file layout) — repeated ingests never shuffle the index,
+    which is the property that makes a fingerprint index viable when
+    it is itself tens of terabytes (pinned by tests/test_plans.py via
+    the `_last_bucketed_probe_plan` hook; at this SF the default plan
+    broadcasts the shard, which is also exchange-free on the index).
+    Candidates emitted are exactly the incremental minhash oracle's
+    `cand` CTE — fusing the key loses nothing (sigb equality iff band
+    and sig both equal). The managed table is uuid-scoped and dropped
+    in ``finally``; at 100 TB it would be the permanent asset."""
+    import uuid as uuidlib
+
+    from spark_data_test_spark.plans.audit import formatted_plan
+    from spark_data_test_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from spark_data_test_spark.utils.spark_utils import local_df
+
+    global _last_bucketed_probe_plan
+
+    def sigb(df):
+        return df.select(
+            F.concat_ws(
+                ":", F.col("band").cast("string"), F.col("sig")
+            ).alias("sigb"),
+            "doc_id",
+        )
+
+    index = sigb(_band_index(_minhash(_shingles(_hist_docs(spark, sf_dir)))))
+    table = f"spark_graft_bidx_{uuidlib.uuid4().hex[:10]}"
+    write_bucketed(index, table, keys=["sigb"], num_buckets=16)
+    try:
+        idx = read_bucketed(spark, table)
+        shard_bands = sigb(
+            _band_index(
+                _minhash(
+                    _shingles(_new_shard(spark, sf_dir, _INC_NEAR_OFFSET, 11))
+                )
+            )
+        ).withColumnRenamed("doc_id", "new_doc_id")
+        joined = shard_bands.join(idx, "sigb").select(
+            "new_doc_id", F.col("doc_id").alias("dup_of")
+        )
+        # hook captures the JOIN stage alone: the exchange-free-index
+        # property lives there; distinct/orderBy add their own
+        # (result-sized) exchanges that would drown the assertion
+        _last_bucketed_probe_plan = formatted_plan(joined)
+        probe = joined.distinct().orderBy("new_doc_id", "dup_of")
+        rows, schema = probe.collect(), probe.schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return local_df(spark, rows, schema)

@@ -22,8 +22,21 @@ def write_bucketed(
     path-based parquet cannot carry bucket metadata. ``path`` makes the
     table external (files land there instead of the session warehouse
     dir, which defaults to ``cwd/spark-warehouse``).
+
+    The pre-write repartition on the bucket keys yields ONE file per
+    bucket: with several writer tasks per bucket each task writes its
+    own (individually sorted) file, and readers must then discard the
+    in-bucket sort order — the scan would satisfy the join's
+    distribution but not its ordering, re-inserting a Sort over the
+    multi-TB side. One file per bucket keeps both properties usable.
     """
-    writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
+    import pyspark.sql.functions as F
+
+    writer = (
+        df.repartition(num_buckets, *[F.col(k) for k in keys])
+        .write.mode(mode)
+        .bucketBy(num_buckets, *keys)
+    )
     if sort:
         writer = writer.sortBy(*keys)
     if path is not None:

@@ -236,3 +236,52 @@ def test_source_similarity_has_no_shingle_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in ops, "shingle-cardinality join crept in"
     assert "CartesianProduct" not in ops
     assert ops["Scan parquet "] <= 3
+
+
+def test_bucketed_index_probe_index_side_is_exchange_free(spark, sf_dir):
+    """With the shard too big to broadcast (threshold forced off), the
+    probe sort-merge-joins against the bucketed index and the ONLY
+    exchange (and the only sort) in the join stage belongs to the
+    shard side: the bucketed-sorted scan itself satisfies the join's
+    distribution and ordering for the index. This is the property that
+    lets a multi-TB fingerprint index be probed by repeated ingests
+    without ever being shuffled."""
+    from spark_data_test_spark.operators import dedup
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # one-file-per-bucket scans only report their in-bucket sort order
+    # under this flag (off by default since 3.0); without it the scan
+    # satisfies the join's distribution but not its ordering
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        dedup.dedup_bucketed_index_probe(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+    plan = dedup._last_bucketed_probe_plan
+    assert plan is not None, "probe plan hook was not captured"
+    assert "SortMergeJoin" in plan, "expected SMJ with broadcast off"
+    assert "Bucketed: true" in plan
+    tree = plan.split("\n\n")[0]  # the numbered operator tree
+    lines = tree.splitlines()
+    smj = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    # child-drawing column of the SMJ: its children are drawn with
+    # ":-"/"+-" at the SMJ's text indent; LEFT-subtree lines keep a
+    # ":" continuation at that column, the RIGHT (index) chain does not
+    col = len(lines[smj]) - len(lines[smj].lstrip("*: +-"))
+    col = lines[smj].index(lines[smj].lstrip("*: +-")[0])
+    right = [
+        l for l in lines[smj + 1 :]
+        if len(l) > col and l[col] != ":"
+    ]
+    # the right chain runs from the SMJ straight down to the bucketed
+    # scan: no Exchange (bucketing provides distribution) and no Sort
+    # (in-bucket sortBy provides ordering)
+    assert any("Scan" in l for l in right), right
+    assert not any("Exchange" in l for l in right), right
+    assert not any(l.strip().lstrip(":+- *").startswith("Sort ") for l in right), right
