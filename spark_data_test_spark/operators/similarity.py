@@ -1320,3 +1320,109 @@ def similarity_centroid_outliers(spark, sf_dir):
         )
         .orderBy("cell", "rank")
     )
+
+
+@query(
+    "similarity_incremental_ingest",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    nei AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(
+               embedding::DOUBLE[],
+               x -> -CAST(round(x * 1000000) AS BIGINT)) AS e
+      FROM embeddings WHERE vec_id % 7 = 0),
+    nflat AS (
+      SELECT vec_id, i, e[i] AS v
+      FROM nei, unnest(generate_series(1, {_DIM})) AS u(i)),
+    nnorms AS (SELECT vec_id, SUM(v * v) AS n2 FROM nflat GROUP BY vec_id),
+    ndot AS (
+      SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * c.v) AS BIGINT) AS dot
+      FROM nflat f JOIN cflat{_KM_ROUNDS} c ON f.i = c.i GROUP BY 1, 2),
+    nscore AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+               AS cos
+      FROM ndot d
+      JOIN nnorms n ON n.vec_id = d.vec_id
+      JOIN cn{_KM_ROUNDS} cn ON cn.cent_id = d.cent_id)
+    SELECT vec_id, cent_id AS cell,
+           CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_1e6
+    FROM (SELECT vec_id, cent_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cent_id) AS rn
+          FROM nscore)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def similarity_incremental_ingest(spark, sf_dir):
+    """INCREMENTAL ANN ingest — the similarity-side twin of the
+    incremental dedup family: a shard of NEW vectors (planted as
+    negations of every 7th corpus vector under shifted ids, so both
+    engines derive them by pure arithmetic) is assigned to cells of
+    the COMMITTED trained centroids — never a retrain, exactly how a
+    FAISS IVF index absorbs adds — and the merged (cell, vec_id)
+    posting table commits as the next versioned-state snapshot so the
+    ANN queries' probe surface includes the arrivals. Cold start
+    scores the corpus once to seed v0 postings; every later ingest
+    pays one broadcast scoring pass over the SHARD alone plus a
+    postings-sized union write — shard-proportional compute, exactly
+    like the dedup index probes. The emitted report is the shard's
+    argmax-cell assignment with integer-exact cosine, which the oracle
+    replays from scratch (training chain included), so a drifted
+    centroid snapshot or a wrong merge breaks the hash. Negation is
+    applied to the QUANTIZED integers on both sides, so no rounding
+    asymmetry can creep in."""
+    import os
+
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+    from spark_data_test_spark.utils.spark_utils import (
+        source_fingerprint,
+    )
+
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir)
+    shard = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr("transform(e, v -> -v)").alias("e"),
+        )
+        .withColumn("n2", F.expr(_NORM2))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+    assigned = (
+        _score_against_cents(shard, cents)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.expr("cast(round(cos * 1000000) as bigint)").alias("cos_1e6"),
+        )
+    )
+    fp = source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    state_path = f"/tmp/spark_graft_ivfpost/{fp}_v1"
+    postings = read_state_table(spark, state_path)
+    if postings is None:
+        # cold start: seed v0 with the corpus's own cell assignments
+        corpus_assign = _assign_cells(emb, cents, nprobe=1).select(
+            "cell", "vec_id"
+        )
+        os.makedirs(state_path, exist_ok=True)
+        write_state_version(corpus_assign, state_path, retain=2)
+        postings = read_state_table(spark, state_path)
+    result = assigned.orderBy("vec_id").localCheckpoint()
+    merged = (
+        postings.select("cell", "vec_id")
+        .unionByName(result.select("cell", "vec_id"))
+        .distinct()
+    )
+    write_state_version(merged, state_path, retain=2)
+    return result
