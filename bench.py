@@ -93,6 +93,10 @@ HEADLINE = [
     "text_ngram_novelty",
     "corpus_source_similarity",
     "similarity_centroid_outliers",
+    "streaming_incremental_dedup",
+    "dedup_bucketed_index_probe",
+    "similarity_incremental_ingest",
+    "ml_logistic_quality_train",
 ]
 
 
