@@ -514,3 +514,110 @@ def multimodal_real_image_decode(spark, sf_dir):
     # tasks).
     files = files.coalesce(spark.sparkContext.defaultParallelism)
     return files.mapInPandas(extract, schema=_DECODE_SCHEMA)
+
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _ahash_sql(hex_expr):
+    """Dialect-shared SQL (valid in Spark SQL and DuckDB alike) for the
+    16-bit average-hash of a 4x4 grayscale image given its 32-char
+    pixel-hex expression: pixel j compares against the mean via the
+    division-free `16*p_j >= sum(p)` (exact integers, no trunc/floor
+    dialect trap), bit j weighs 2^(j-1)."""
+    px = [
+        f"(16 * (instr('{_HEXDIGITS}', substr({hex_expr}, {2 * j - 1}, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substr({hex_expr}, {2 * j}, 1)) - 1))"
+        for j in range(1, 17)
+    ]
+    tot = "(" + " + ".join(px) + ")"
+    bits = " + ".join(
+        f"(CASE WHEN 16 * {px[j - 1]} >= {tot} THEN {1 << (j - 1)} ELSE 0 END)"
+        for j in range(1, 17)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_PHASH_HAM_K = 1  # pigeonhole: hamming <= 1 over 16 bits => one byte equal
+
+
+@query(
+    "multimodal_phash_neardup",
+    f"""
+    WITH ah AS (
+      SELECT doc_id, {_ahash_sql("md5(text)")} AS h
+      FROM documents),
+    bands AS (
+      SELECT doc_id, h, 0 AS band, h % 256 AS sig FROM ah
+      UNION ALL
+      SELECT doc_id, h, 1 AS band,
+             CAST((h - (h % 256)) / 256 AS BIGINT) AS sig
+      FROM ah),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha,
+                      b.doc_id AS doc_b, b.h AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAM_K}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """IMAGE near-duplicate detection through a perceptual hash — the
+    multimodal analog of `dedup_simhash_pairs`, run over the REAL
+    decode path: the staged PNG corpus is binaryFile-scanned and
+    decoded in `mapInPandas` (same pipeline as
+    `multimodal_real_image_decode`), each image reduced to its 16-bit
+    average-hash (bit j = pixel j above the image mean — the
+    classic aHash, division-free in exact integers), and near-dup
+    pairs found by byte-banding: by pigeonhole, hamming <= 1 over 16
+    bits means at least one of the two bytes matches exactly, so a
+    2-band bucket self-join finds every qualifying pair without an
+    all-pairs scan, and the exact bit_count verify runs only inside
+    the buckets. The DuckDB oracle recomputes the hash ANALYTICALLY
+    from the planted pixel truth (pixels are unhex(md5(text))), so a
+    defect anywhere in the PNG round trip, the hash arithmetic, or
+    the banding loses/changes pairs and breaks the match. At 100 TB
+    the shape is unchanged: decode -> 2 band rows per image -> bucket
+    hash join; with real-size perceptual hashes (64-bit, 8 bands) the
+    same pigeonhole covers hamming <= 7, exactly like the text
+    simhash family."""
+    dec = multimodal_real_image_decode(spark, sf_dir).select(
+        "doc_id", "pixel_hex"
+    )
+    ah = dec.selectExpr("doc_id", f"{_ahash_sql('pixel_hex')} AS h")
+    bands = ah.selectExpr(
+        "doc_id", "h", "0 AS band", "h % 256 AS sig"
+    ).unionByName(
+        ah.selectExpr(
+            "doc_id",
+            "h",
+            "1 AS band",
+            "CAST((h - (h % 256)) / 256 AS BIGINT) AS sig",
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.h").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as bigint)"))
+        .where(F.col("hamming") <= _PHASH_HAM_K)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
