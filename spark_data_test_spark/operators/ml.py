@@ -309,6 +309,81 @@ w{r} AS (
     return ",\n".join(ctes)
 
 
+
+
+def _tdiv(a, b):
+    """Truncating integer division (toward zero) — matches Spark's
+    `div` and DuckDB's BIGINT `//`; Python's // floors instead."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _logistic_feat(spark, sf_dir):
+    """The (y, x1, x2, x3) feature frame both logistic queries share."""
+    return t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 400, 1).otherwise(0).alias("y"),
+        F.when(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+            >= 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("x1"),
+        F.when(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %"), 1
+        )
+        .otherwise(0)
+        .alias("x2"),
+        F.when(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% data %"),
+            1,
+        )
+        .otherwise(0)
+        .alias("x3"),
+    )
+
+
+def _fit_logistic(feat):
+    """The integer-exact GD loop (see `ml_logistic_quality_train`):
+    `_GD_ITERS` aggregate passes, each collecting the 4-scalar weight
+    model card to the driver (bounded, like the simhash centering
+    vector) and advancing by a truncating integer step."""
+    w = [0, 0, 0, 0]
+    for _ in range(_GD_ITERS):
+        ri = (
+            f"cast(round((y - (0.5 + (z / 2) / (1 + abs(z)))) * 1000000)"
+            f" as bigint)"
+        )
+        z = (
+            f"cast({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
+            f" as double) / 1000000"
+        )
+        row = (
+            feat.selectExpr("y", "x1", "x2", "x3", f"{z} as z")
+            .selectExpr("x1", "x2", "x3", f"{ri} as ri")
+            .agg(
+                F.sum("ri").alias("g0"),
+                F.sum(F.expr("case when x1 = 1 then ri else 0 end")).alias(
+                    "g1"
+                ),
+                F.sum(F.expr("case when x2 = 1 then ri else 0 end")).alias(
+                    "g2"
+                ),
+                F.sum(F.expr("case when x3 = 1 then ri else 0 end")).alias(
+                    "g3"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        n = int(row["n"])
+        g = [int(row[f"g{j}"]) for j in range(4)]
+        w = [w[j] + _tdiv(_GD_LR_NUM * g[j], n) for j in range(4)]
+    return w
+
+
 @query(
     "ml_logistic_quality_train",
     f"""
@@ -351,69 +426,10 @@ def ml_logistic_quality_train(spark, sf_dir):
     vector); the final row carries n, the trained weights, and an
     integer accuracy readout — at 100 TB each step is one map-side-
     combined pass, and nothing about the arithmetic changes."""
-    feat = t(spark, sf_dir, "documents").select(
-        F.when(F.col("n_chars") >= 400, 1).otherwise(0).alias("y"),
-        F.when(
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            + 1
-            >= 60,
-            1,
-        )
-        .otherwise(0)
-        .alias("x1"),
-        F.when(
-            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% the %"), 1
-        )
-        .otherwise(0)
-        .alias("x2"),
-        F.when(
-            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% data %"),
-            1,
-        )
-        .otherwise(0)
-        .alias("x3"),
-    ).persist()
-
-    def tdiv(a, b):
-        """Truncating integer division (toward zero) — matches Spark's
-        `div` and DuckDB's BIGINT `//`; Python's // floors instead."""
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b >= 0) else -q
+    feat = _logistic_feat(spark, sf_dir).persist()
 
     try:
-        w = [0, 0, 0, 0]
-        n = None
-        for _ in range(_GD_ITERS):
-            ri = (
-                f"cast(round((y - (0.5 + (z / 2) / (1 + abs(z)))) * 1000000)"
-                f" as bigint)"
-            )
-            z = (
-                f"cast({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
-                f" as double) / 1000000"
-            )
-            row = (
-                feat.selectExpr("y", "x1", "x2", "x3", f"{z} as z")
-                .selectExpr("x1", "x2", "x3", f"{ri} as ri")
-                .agg(
-                    F.sum("ri").alias("g0"),
-                    F.sum(F.expr("case when x1 = 1 then ri else 0 end")).alias(
-                        "g1"
-                    ),
-                    F.sum(F.expr("case when x2 = 1 then ri else 0 end")).alias(
-                        "g2"
-                    ),
-                    F.sum(F.expr("case when x3 = 1 then ri else 0 end")).alias(
-                        "g3"
-                    ),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()[0]
-            )
-            n = int(row["n"])
-            g = [int(row[f"g{j}"]) for j in range(4)]
-            w = [w[j] + tdiv(_GD_LR_NUM * g[j], n) for j in range(4)]
+        w = _fit_logistic(feat)
         zi = f"{w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
         return feat.selectExpr("y", f"({zi}) as zi").agg(
             F.count(F.lit(1)).alias("n"),
@@ -432,6 +448,70 @@ def ml_logistic_quality_train(spark, sf_dir):
             "w3_1e6",
             "n_correct",
             "(100 * n_correct) div n as accuracy_pct",
+        )
+    finally:
+        feat.unpersist()
+
+
+@query(
+    "ml_logistic_calibration",
+    f"""
+    WITH {_GD_FEAT_SQL},
+    {_gd_ctes()}
+    SELECT f.x1, f.x2, f.x3,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.y) AS BIGINT) AS n_pos,
+           CAST(ROUND((0.5 + (z / 2) / (1 + abs(z))) * 1000000) AS BIGINT)
+             AS p_pred_1e6,
+           CAST(ROUND(1000000.0 * SUM(f.y) / COUNT(*)) AS BIGINT)
+             AS p_obs_1e6
+    FROM (SELECT f.*,
+                 CAST(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+                      AS DOUBLE) / 1000000 AS z
+          FROM feat f CROSS JOIN w{_GD_ITERS} w) f
+    GROUP BY f.x1, f.x2, f.x3, z
+    ORDER BY f.x1, f.x2, f.x3
+    """,
+)
+def ml_logistic_calibration(spark, sf_dir):
+    """CALIBRATION readout for the trained logistic quality classifier
+    — the eval a weak-supervision pipeline runs before trusting model
+    scores as sampling weights: per feature cell (all three indicators
+    are binary, so the model's prediction is constant within a cell),
+    the predicted probability under the trained weights next to the
+    observed positive rate. A well-calibrated cell has the two within
+    noise; a badly-lr'd or under-trained model shows systematic gaps.
+    Reuses the exact integer-GD trajectory (`_fit_logistic`) so the
+    weights here are bit-identical to `ml_logistic_quality_train`'s,
+    and the DuckDB oracle re-derives them through the same unrolled
+    CTE chain — one aggregate pass over the corpus after training,
+    grouped on the (at most 2^3) feature cells, everything emitted in
+    integer micro-units."""
+    feat = _logistic_feat(spark, sf_dir).persist()
+    try:
+        w = _fit_logistic(feat)
+        z = (
+            f"cast({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
+            f" as double) / 1000000"
+        )
+        return (
+            feat.selectExpr("y", "x1", "x2", "x3", f"{z} as z")
+            .groupBy("x1", "x2", "x3", "z")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("n_pos"),
+            )
+            .selectExpr(
+                "x1",
+                "x2",
+                "x3",
+                "n",
+                "n_pos",
+                "cast(round((0.5 + (z / 2) / (1 + abs(z))) * 1000000)"
+                " as bigint) as p_pred_1e6",
+                "cast(round(1000000.0 * n_pos / n) as bigint) as p_obs_1e6",
+            )
+            .orderBy("x1", "x2", "x3")
         )
     finally:
         feat.unpersist()
