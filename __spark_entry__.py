@@ -16,16 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order). Rounds 1-5 green-checked all 189 then-registered
 # queries on their latest check and the rotation queue drained. This
-# round's window (VERDICT r5 item 5) = the flagship + the 11 NEW queries
+# round's window (VERDICT r5 item 5) = the flagship + the 12 NEW queries
 # (incremental simhash, compare_incremental_slice, n-gram novelty,
 # source-similarity matrix, centroid outliers, multi-batch streaming
 # incremental dedup, bucketed index probe, ANN ingest, integer-exact
-# logistic trainer + calibration, image phash near-dup) + 12 re-earn
+# logistic trainer + calibration, image phash near-dup,
+# knn text graph) + 12 re-earn
 # slots
 # for queries whose code changed since the r5 snapshot (dedup.py's
 # incremental family / sampled LSH recall / simhash banding, graph.py's
 # wedge-free triangle fix, readers.py's plan-capture hook, analytics.py's
-# histogram bucketing, state.py's bounded rename retries) + the 26
+# histogram bucketing, state.py's bounded rename retries) + the 25
 # STALEST greens — queries whose latest driver row is round 1 or 2,
 # three-plus rounds old. tests/test_registry_invariants.py enforces
 # that greens ∪ window ∪ queue always covers the registry.
@@ -42,6 +43,7 @@ _DRIVER_WINDOW = [
     "ml_logistic_quality_train",
     "multimodal_phash_neardup",
     "ml_logistic_calibration",
+    "text_knn_graph",
     "dedup_lsh_recall_report",
     "dedup_index_build",
     "dedup_incremental_minhash",
@@ -79,7 +81,6 @@ _DRIVER_WINDOW = [
     "colwise_mismatch_unpivot",
     "tpch_q1_pricing_summary",
     "events_sliding_window",
-    "rollup_agg",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
@@ -92,6 +93,7 @@ _NEXT_ROTATION = []
 # driver round ascending, registration order as tie-break) so the next
 # window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
+    "rollup_agg",
     "array_higher_order_stats",
     "pivot_status_by_priority",
     "compare_row_report",

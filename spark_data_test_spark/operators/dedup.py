@@ -2565,3 +2565,67 @@ def dedup_bucketed_index_probe(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return local_df(spark, rows, schema)
+
+
+@query(
+    "text_knn_graph",
+    f"""
+    WITH {_NEAR_CORPUS_SQL.strip()},
+    {_GID_CO_SQL.strip()},
+    sym AS (
+      SELECT ga AS g, gb AS p, i, na AS n_self, nb AS n_peer FROM cosz
+      UNION ALL
+      SELECT gb AS g, ga AS p, i, nb AS n_self, na AS n_peer FROM cosz)
+    SELECT g AS gid, rank, p AS peer_gid,
+           CAST(ROUND(1000000.0 * i / (n_self + n_peer - i)) AS BIGINT)
+             AS jaccard_1e6
+    FROM (SELECT g, p, i, n_self, n_peer,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY g
+                   ORDER BY 1000000.0 * i / (n_self + n_peer - i) DESC, p)
+                   AS rank
+          FROM sym)
+    WHERE rank <= 3
+    ORDER BY gid, rank
+    """,
+)
+def text_knn_graph(spark, sf_dir):
+    """k-NEAREST-NEIGHBOR text graph (k=3): for every distinct text,
+    its top-3 most-similar peers by EXACT shingle Jaccard — the edge
+    list a corpus-curation pipeline feeds into clustering, diversity
+    sampling, or near-dup triage when a binary is-dup verdict is too
+    coarse. Built entirely from the memoized stop-shingle-capped
+    co-count frame the recall and containment evals already share
+    (one rare-shingle inverted-index self-join per session, never
+    all-pairs): symmetrize the pair frame, one per-gid top-3 window,
+    done — the marginal cost on top of the dedup family is the window
+    alone. A pair ALL of whose shared shingles are hotter than the
+    stop cap is absent (boilerplate-only overlap, the same documented
+    exclusion the truth build makes); isolated texts simply emit no
+    edges. Ranking ties break on peer gid ascending, so the graph is
+    bit-deterministic against the oracle replay."""
+    cosz = _cached_gid_co_counts(spark, sf_dir, sampled=False)
+    sym = cosz.selectExpr(
+        "ga AS g", "gb AS p", "i", "na AS n_self", "nb AS n_peer"
+    ).unionByName(
+        cosz.selectExpr(
+            "gb AS g", "ga AS p", "i", "nb AS n_self", "na AS n_peer"
+        )
+    )
+    jac = (
+        F.lit(1000000.0)
+        * F.col("i")
+        / (F.col("n_self") + F.col("n_peer") - F.col("i"))
+    )
+    w = Window.partitionBy("g").orderBy(jac.desc(), "p")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("g").alias("gid"),
+            "rank",
+            F.col("p").alias("peer_gid"),
+            F.round(jac).cast("long").alias("jaccard_1e6"),
+        )
+        .orderBy("gid", "rank")
+    )
