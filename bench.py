@@ -97,6 +97,9 @@ HEADLINE = [
     "dedup_bucketed_index_probe",
     "similarity_incremental_ingest",
     "ml_logistic_quality_train",
+    "ml_logistic_calibration",
+    "text_knn_graph",
+    "multimodal_phash_neardup",
 ]
 
 
