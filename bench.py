@@ -236,6 +236,12 @@ def main():
             clear_sketch_cache()
         except Exception as exc:
             print(f"bench cache clear failed (sketches): {exc!r}", file=sys.stderr)
+        try:
+            from spark_data_test_spark.operators.ml import clear_ml_cache
+
+            clear_ml_cache()
+        except Exception as exc:
+            print(f"bench cache clear failed (ml): {exc!r}", file=sys.stderr)
 
     # Warmup, excluded from timings: touch the biggest input (fs cache)
     # and run the comparison pipeline once at the smallest sf so the

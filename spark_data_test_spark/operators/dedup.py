@@ -15,8 +15,8 @@ Each family is a driver-contract query with a DuckDB oracle:
 
 The table has no natural duplicates (seed-42 texts are unique), so each
 query plants deterministic (near-)duplicates inline: exact copies at
-``doc_id % 17 = 0`` (+100000) and tail-perturbed near-copies at
-``doc_id % 13 = 0`` (+200000). Measured on the synthetic corpus:
+``doc_id % 17 = 0`` (+1e7) and tail-perturbed near-copies at
+``doc_id % 13 = 0`` (+2e7). Measured on the synthetic corpus:
 random-pair shingle Jaccard tops out ~0.09 while near-dup pairs are
 >0.5, and the 4x3 LSH recalls every planted pair at every sf while
 keeping false candidates ~J^3 per band (4x2 banding admitted ~n^2
@@ -48,18 +48,29 @@ _BANDS = 4  # rows-per-band = 3
 
 # --- shared SQL fragments -------------------------------------------------
 
-_EXACT_CORPUS_SQL = """
+# Planted-copy id offsets for the BATCH dedup corpora. 1e7/2e7 (not
+# the historical 1e5/2e5): bench.py's amplified staging shifts doc_id
+# by 1e4 per copy, so a x11+ staging's natural ids would collide with
+# a 1e5 exact offset — planted ids must clear every natural range the
+# engine is ever benched on (natural ids stay under the incremental
+# family's 3e5 guard floor; 1e7 clears a x1000 staging).
+_EXACT_PLANT_OFFSET = 10_000_000
+_NEAR_PLANT_OFFSET = 20_000_000
+
+_EXACT_CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0)
+  SELECT doc_id + {_EXACT_PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 17 = 0)
 """
 
-_NEAR_CORPUS_SQL = """
+_NEAR_CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' extra tail token' AS text
+  SELECT doc_id + {_NEAR_PLANT_OFFSET} AS doc_id,
+         text || ' extra tail token' AS text
   FROM documents WHERE doc_id % 13 = 0)
 """
 
@@ -90,7 +101,7 @@ pairs AS (
 def _exact_corpus(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.where(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + _EXACT_PLANT_OFFSET).alias("doc_id"), "text"
     )
     return d.unionByName(planted)
 
@@ -98,7 +109,7 @@ def _exact_corpus(spark, sf_dir):
 def _near_corpus(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.where(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + _NEAR_PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
     )
     return d.unionByName(planted)
@@ -1756,17 +1767,29 @@ def _assert_offset_headroom(sf_dir):
     )
 
     def _file_max(fp):
+        """Max doc_id in one part file's footer, or None when the file
+        is empty (zero row groups — an empty write task's output) or
+        carries no statistics: such a file holds no doc_ids that could
+        violate headroom, so it is skipped, not fatal."""
         md = pq.ParquetFile(fp).metadata
+        if md.num_row_groups == 0:
+            return None
         idx = next(
             i for i in range(md.num_columns)
             if md.row_group(0).column(i).path_in_schema == "doc_id"
         )
-        return max(
+        maxes = [
             md.row_group(g).column(idx).statistics.max
             for g in range(md.num_row_groups)
-        )
+            if md.row_group(g).column(idx).statistics is not None
+        ]
+        return max(maxes) if maxes else None
 
-    mx = max(_file_max(fp) for fp in files)
+    file_maxes = [m for m in (_file_max(fp) for fp in files) if m is not None]
+    if not file_maxes:
+        _inc_headroom_checked.add(sf_dir)
+        return
+    mx = max(file_maxes)
     if mx >= _INC_NEAR_OFFSET:
         raise ValueError(
             f"incremental dedup: max(doc_id)={mx} in {path} reaches the "
@@ -2479,9 +2502,9 @@ def corpus_source_similarity(spark, sf_dir):
 
 # Test-visible hook: formatted physical plan of the most recent
 # bucketed-index probe join, captured inside the managed table's
-# lifecycle (the table is dropped before the caller sees the localized
-# result, so the exchange-free assertion cannot be made on the
-# returned frame).
+# lifecycle (the table is dropped before the caller sees the result,
+# and the returned frame is an executor-local checkpoint whose plan is
+# a block scan — the exchange-free assertion cannot be made on it).
 _last_bucketed_probe_plan = None
 
 
@@ -2529,8 +2552,6 @@ def dedup_bucketed_index_probe(spark, sf_dir):
         read_bucketed,
         write_bucketed,
     )
-    from spark_data_test_spark.utils.spark_utils import local_df
-
     global _last_bucketed_probe_plan
 
     def sigb(df):
@@ -2560,11 +2581,18 @@ def dedup_bucketed_index_probe(spark, sf_dir):
         # property lives there; distinct/orderBy add their own
         # (result-sized) exchanges that would drown the assertion
         _last_bucketed_probe_plan = formatted_plan(joined)
-        probe = joined.distinct().orderBy("new_doc_id", "dup_of")
-        rows, schema = probe.collect(), probe.schema
+        # distributed materialization (pair volume is dup-proportional
+        # — same reasoning as the incremental family's checkpoints);
+        # the checkpoint decouples the frame from the table dropped in
+        # finally without a driver-memory bound
+        probe = (
+            joined.distinct()
+            .orderBy("new_doc_id", "dup_of")
+            .localCheckpoint()
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-    return local_df(spark, rows, schema)
+    return probe
 
 
 @query(

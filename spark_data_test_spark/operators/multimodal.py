@@ -588,7 +588,33 @@ def multimodal_phash_neardup(spark, sf_dir):
     dec = multimodal_real_image_decode(spark, sf_dir).select(
         "doc_id", "pixel_hex"
     )
-    ah = dec.selectExpr("doc_id", f"{_ahash_sql('pixel_hex')} AS h")
+    # Spark-side hash is STAGED into three small projections (pixels,
+    # total, bits): inlining _ahash_sql's single expression (the total
+    # repeated per bit ~ 256 instr() calls) blows the whole-stage
+    # codegen method-size limit and drops the pipeline to interpreted
+    # execution (observed as janino compile failures in the x30
+    # amplified run). The staged columns compute the identical
+    # arithmetic; the DuckDB oracle keeps the one-expression form.
+    px_cols = [
+        f"(16 * (instr('{_HEXDIGITS}', substr(pixel_hex, {2 * j - 1}, 1))"
+        f" - 1)"
+        f" + (instr('{_HEXDIGITS}', substr(pixel_hex, {2 * j}, 1)) - 1))"
+        f" AS p{j}"
+        for j in range(1, 17)
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN 16 * p{j} >= tot THEN {1 << (j - 1)} ELSE 0 END)"
+        for j in range(1, 17)
+    )
+    ah = (
+        dec.selectExpr("doc_id", *px_cols)
+        .selectExpr(
+            "doc_id",
+            *[f"p{j}" for j in range(1, 17)],
+            "(" + " + ".join(f"p{j}" for j in range(1, 17)) + ") AS tot",
+        )
+        .selectExpr("doc_id", f"CAST({bits} AS BIGINT) AS h")
+    )
     bands = ah.selectExpr(
         "doc_id", "h", "0 AS band", "h % 256 AS sig"
     ).unionByName(

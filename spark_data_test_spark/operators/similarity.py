@@ -1322,13 +1322,62 @@ def similarity_centroid_outliers(spark, sf_dir):
     )
 
 
+
+
+_INGEST_OFFSET = 10_000_000  # planted ANN-ingest arrivals
+_vec_headroom_checked = set()
+
+
+def _assert_vec_headroom(sf_dir):
+    """Fail fast if natural vec_ids reach the planted-ingest offset
+    range — bench.py's amplified staging shifts vec_id by 1e5 per
+    copy, so a 1e5 offset would collide with any amplified run (the
+    same failure mode the dedup family guards with
+    `_assert_offset_headroom`). Footer-stats only, no Spark job;
+    tolerant of directory-shaped datasets and stats-less part files."""
+    if sf_dir in _vec_headroom_checked:
+        return
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    files = (
+        sorted(glob.glob(f"{path}/*.parquet"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    mx = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        if md.num_row_groups == 0:
+            continue
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "vec_id"
+        )
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is not None:
+                mx = st.max if mx is None else max(mx, st.max)
+    if mx is not None and mx >= _INGEST_OFFSET:
+        raise ValueError(
+            f"similarity ingest: max(vec_id)={mx} in {path} reaches the "
+            f"planted-arrival offset (_INGEST_OFFSET={_INGEST_OFFSET}); "
+            f"raise the offset so planted ids cannot collide with "
+            f"natural ones"
+        )
+    _vec_headroom_checked.add(sf_dir)
+
+
 @query(
     "similarity_incremental_ingest",
     f"""
     WITH {_ORACLE_BASE.strip()},
     {_kmeans_ctes()},
     nei AS (
-      SELECT vec_id + 100000 AS vec_id,
+      SELECT vec_id + 10000000 AS vec_id,
              list_transform(
                embedding::DOUBLE[],
                x -> -CAST(round(x * 1000000) AS BIGINT)) AS e
@@ -1386,12 +1435,13 @@ def similarity_incremental_ingest(spark, sf_dir):
         source_fingerprint,
     )
 
+    _assert_vec_headroom(sf_dir)
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
     shard = (
         emb.where(F.col("vec_id") % 7 == 0)
         .select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
+            (F.col("vec_id") + _INGEST_OFFSET).alias("vec_id"),
             F.expr("transform(e, v -> -v)").alias("e"),
         )
         .withColumn("n2", F.expr(_NORM2))

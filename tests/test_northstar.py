@@ -28,7 +28,9 @@ def test_dedup_exact_removes_planted_copies(spark, sf_dir):
     assert len(out) == n_docs  # one survivor per distinct text
     planted = [r for r in out if r["n_copies"] > 1]
     assert all(r["n_copies"] == 2 for r in planted)
-    assert all(r["doc_id"] < 100000 for r in out)  # survivor = min doc_id
+    assert all(
+        r["doc_id"] < dedup._EXACT_PLANT_OFFSET for r in out
+    )  # survivor = min doc_id
 
 
 def test_minhash_lsh_recalls_all_planted_near_dups(spark, sf_dir):
@@ -41,7 +43,9 @@ def test_minhash_lsh_recalls_all_planted_near_dups(spark, sf_dir):
         .collect()
     }
     recovered = {
-        r["doc_a"] for r in pairs if r["doc_b"] == r["doc_a"] + 200000
+        r["doc_a"]
+        for r in pairs
+        if r["doc_b"] == r["doc_a"] + dedup._NEAR_PLANT_OFFSET
     }
     assert recovered == planted  # 100% recall on the near-dup plants
 
@@ -57,7 +61,11 @@ def test_near_jaccard_verifies_candidates(spark, sf_dir):
         .select("doc_id")
         .collect()
     }
-    kept = {r["doc_a"] for r in verified if r["doc_b"] == r["doc_a"] + 200000}
+    kept = {
+        r["doc_a"]
+        for r in verified
+        if r["doc_b"] == r["doc_a"] + dedup._NEAR_PLANT_OFFSET
+    }
     assert kept == planted
     # ...and everything that survives clears the threshold. (The corpus
     # also contains *naturally occurring* near-dup pairs planted by the
@@ -386,7 +394,7 @@ def test_simhash_pairs_equal_bruteforce(spark, sf_dir):
     }
     docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
     corpus = [(r["doc_id"], r["text"]) for r in docs] + [
-        (r["doc_id"] + 200000, r["text"] + " extra tail token")
+        (r["doc_id"] + dedup._NEAR_PLANT_OFFSET, r["text"] + " extra tail token")
         for r in docs
         if r["doc_id"] % 13 == 0
     ]

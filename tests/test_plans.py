@@ -273,7 +273,6 @@ def test_bucketed_index_probe_index_side_is_exchange_free(spark, sf_dir):
     # child-drawing column of the SMJ: its children are drawn with
     # ":-"/"+-" at the SMJ's text indent; LEFT-subtree lines keep a
     # ":" continuation at that column, the RIGHT (index) chain does not
-    col = len(lines[smj]) - len(lines[smj].lstrip("*: +-"))
     col = lines[smj].index(lines[smj].lstrip("*: +-")[0])
     right = [
         l for l in lines[smj + 1 :]
