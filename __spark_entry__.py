@@ -21,12 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 # source-similarity matrix, centroid outliers, multi-batch streaming
 # incremental dedup, bucketed index probe, ANN ingest, integer-exact
 # logistic trainer + calibration, image phash near-dup,
-# knn text graph) + 12 re-earn
+# knn text graph) + 19 re-earn
 # slots
 # for queries whose code changed since the r5 snapshot (dedup.py's
 # incremental family / sampled LSH recall / simhash banding, graph.py's
 # wedge-free triangle fix, readers.py's plan-capture hook, analytics.py's
-# histogram bucketing, state.py's bounded rename retries) + the 25
+# histogram bucketing, state.py's bounded rename retries) + the 18
 # STALEST greens — queries whose latest driver row is round 1 or 2,
 # three-plus rounds old. tests/test_registry_invariants.py enforces
 # that greens ∪ window ∪ queue always covers the registry.
@@ -56,6 +56,13 @@ _DRIVER_WINDOW = [
     "state_time_travel_diff",
     "streaming_cdc_upsert",
     "streaming_late_data_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "dedup_containment",
     "window_lead_lag",
     "left_anti_join",
     "grouping_sets_agg",
@@ -74,13 +81,6 @@ _DRIVER_WINDOW = [
     "create_map_getitem",
     "window_dup_count",
     "window_running_sum",
-    "distinct_rows",
-    "drop_duplicates_by_key",
-    "union_consolidate",
-    "orderby_limit_topk",
-    "colwise_mismatch_unpivot",
-    "tpch_q1_pricing_summary",
-    "events_sliding_window",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
@@ -93,6 +93,13 @@ _NEXT_ROTATION = []
 # driver round ascending, registration order as tie-break) so the next
 # window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
+    "events_sliding_window",
+    "tpch_q1_pricing_summary",
+    "colwise_mismatch_unpivot",
+    "orderby_limit_topk",
+    "union_consolidate",
+    "drop_duplicates_by_key",
+    "distinct_rows",
     "rollup_agg",
     "array_higher_order_stats",
     "pivot_status_by_priority",
@@ -107,9 +114,6 @@ _CHECKED_BACKLOG = [
     "tpch_q6_forecast_revenue",
     "grouped_apply_stats",
     "similarity_cosine_topk",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_jaccard",
     "text_language_id",
     "text_quality_score",
     "text_token_count",
@@ -157,7 +161,6 @@ _CHECKED_BACKLOG = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
     "pandas_udf_tokens",
-    "dedup_connected_components",
     "text_regex_tokens",
     "multimodal_decode_stub",
     "skew_salted_join_agg",
@@ -185,8 +188,6 @@ _CHECKED_BACKLOG = [
     "tpch_q21_waiting_supplier",
     "similarity_ann_recall_report",
     "similarity_cell_report",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
     "corpus_decontaminate",
     "text_vocabulary_topk",
     "text_pii_scrub",
@@ -243,7 +244,6 @@ _CHECKED_BACKLOG = [
     "streaming_sessionization_store",
     "streaming_sketch_rollup",
     "similarity_ivf_train",
-    "dedup_containment",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_WINDOW + _NEXT_ROTATION + _CHECKED_BACKLOG
