@@ -242,6 +242,14 @@ def main():
             clear_ml_cache()
         except Exception as exc:
             print(f"bench cache clear failed (ml): {exc!r}", file=sys.stderr)
+        try:
+            from spark_data_test_spark.operators.multimodal import (
+                clear_multimodal_cache,
+            )
+
+            clear_multimodal_cache()
+        except Exception as exc:
+            print(f"bench cache clear failed (multimodal): {exc!r}", file=sys.stderr)
 
     # Warmup, excluded from timings: touch the biggest input (fs cache)
     # and run the comparison pipeline once at the smallest sf so the

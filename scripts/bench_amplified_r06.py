@@ -60,6 +60,9 @@ def main():
         from spark_data_test_spark.operators.dedup import clear_dedup_cache
         from spark_data_test_spark.operators.graph import clear_graph_cache
         from spark_data_test_spark.operators.ml import clear_ml_cache
+        from spark_data_test_spark.operators.multimodal import (
+            clear_multimodal_cache,
+        )
         from spark_data_test_spark.operators.similarity import (
             clear_similarity_cache,
         )
@@ -68,6 +71,7 @@ def main():
         clear_similarity_cache()
         clear_graph_cache()
         clear_ml_cache()
+        clear_multimodal_cache()
 
     per_factor = {}
     for factor in factors:
