@@ -508,29 +508,34 @@ def multimodal_real_image_decode(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "pixel_hex"],
             )
 
-    files = (
-        spark.read.format("binaryFile")
-        .load(f"{root}/doc_*.png")
-        .select(
-            F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
-            .cast("long")
-            .alias("doc_id"),
-            "content",
+    def build():
+        # the binaryFile source runs its distributed LISTING job (one
+        # task per object, ~8 s on the 150k-object amplified corpus)
+        # when the frame is CREATED, not when it is acted on — so the
+        # whole construction lives inside the memo builder and the
+        # listing, like the decode, happens once per (app, sf_dir)
+        files = (
+            spark.read.format("binaryFile")
+            .load(f"{root}/doc_*.png")
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                "content",
+            )
         )
-    )
-    # binaryFile treats every file as its own split and bills each an
-    # open cost, so a small-file corpus explodes into thousands of
-    # scan partitions — and each one becomes a separate Python worker
-    # round-trip in mapInPandas. Coalesce to the session's parallelism:
-    # no shuffle, just merged file splits, exactly what a real media
-    # lake does between landing (many objects) and decode (few fat
-    # tasks).
-    files = files.coalesce(spark.sparkContext.defaultParallelism)
+        # binaryFile treats every file as its own split and bills each
+        # an open cost, so a small-file corpus explodes into thousands
+        # of scan partitions — and each one becomes a separate Python
+        # worker round-trip in mapInPandas. Coalesce to the session's
+        # parallelism: no shuffle, just merged file splits, exactly
+        # what a real media lake does between landing (many objects)
+        # and decode (few fat tasks).
+        files = files.coalesce(spark.sparkContext.defaultParallelism)
+        return files.mapInPandas(extract, schema=_DECODE_SCHEMA).persist()
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    return _DECODE_CACHE.get_or_create(
-        key,
-        lambda: files.mapInPandas(extract, schema=_DECODE_SCHEMA).persist(),
-    )
+    return _DECODE_CACHE.get_or_create(key, build)
 
 
 _HEXDIGITS = "0123456789abcdef"
@@ -605,32 +610,30 @@ def multimodal_phash_neardup(spark, sf_dir):
     dec = multimodal_real_image_decode(spark, sf_dir).select(
         "doc_id", "pixel_hex"
     )
-    # Spark-side hash is STAGED into three small projections (pixels,
-    # total, bits): inlining _ahash_sql's single expression (the total
-    # repeated per bit ~ 256 instr() calls) blows the whole-stage
-    # codegen method-size limit and drops the pipeline to interpreted
-    # execution (observed as janino compile failures in the x30
-    # amplified run). The staged columns compute the identical
-    # arithmetic; the DuckDB oracle keeps the one-expression form.
-    px_cols = [
-        f"(16 * (instr('{_HEXDIGITS}', substr(pixel_hex, {2 * j - 1}, 1))"
-        f" - 1)"
-        f" + (instr('{_HEXDIGITS}', substr(pixel_hex, {2 * j}, 1)) - 1))"
-        f" AS p{j}"
-        for j in range(1, 17)
-    ]
-    bits = " + ".join(
-        f"(CASE WHEN 16 * p{j} >= tot THEN {1 << (j - 1)} ELSE 0 END)"
-        for j in range(1, 17)
+    # Spark-side hash uses HIGHER-ORDER array functions (transform /
+    # aggregate over sequence(1,16)) instead of _ahash_sql's unrolled
+    # 256-call expression: Catalyst's CollapseProject would merge any
+    # staged projections back into one giant expression that blows the
+    # whole-stage-codegen method-size limit and drops the pipeline to
+    # interpreted execution (observed as janino compile failures in
+    # the x30 amplified run). The loop form compiles compactly; the
+    # arithmetic is identical and the DuckDB oracle keeps the
+    # one-expression form.
+    px = (
+        f"transform(sequence(1, 16), j -> "
+        f"16 * (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j - 1, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j, 1)) - 1))"
     )
     ah = (
-        dec.selectExpr("doc_id", *px_cols)
+        dec.selectExpr("doc_id", f"{px} AS p")
+        .selectExpr("doc_id", "p", "aggregate(p, 0, (a, x) -> a + x) AS tot")
         .selectExpr(
             "doc_id",
-            *[f"p{j}" for j in range(1, 17)],
-            "(" + " + ".join(f"p{j}" for j in range(1, 17)) + ") AS tot",
+            "aggregate(sequence(1, 16), cast(0 as bigint), (a, j) -> a +"
+            " (CASE WHEN 16 * element_at(p, j) >= tot"
+            " THEN cast(shiftleft(1, j - 1) as bigint)"
+            " ELSE cast(0 as bigint) END)) AS h",
         )
-        .selectExpr("doc_id", f"CAST({bits} AS BIGINT) AS h")
     )
     bands = ah.selectExpr(
         "doc_id", "h", "0 AS band", "h % 256 AS sig"
