@@ -14,85 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). Rounds 1-5 green-checked all 189 then-registered
-# queries on their latest check and the rotation queue drained. This
-# round's window (VERDICT r5 item 5) = the flagship + the 12 NEW queries
-# (incremental simhash, compare_incremental_slice, n-gram novelty,
-# source-similarity matrix, centroid outliers, multi-batch streaming
-# incremental dedup, bucketed index probe, ANN ingest, integer-exact
-# logistic trainer + calibration, image phash near-dup,
-# knn text graph) + 19 re-earn
-# slots
-# for queries whose code changed since the r5 snapshot (dedup.py's
-# incremental family / sampled LSH recall / simhash banding, graph.py's
-# wedge-free triangle fix, readers.py's plan-capture hook, analytics.py's
-# histogram bucketing, state.py's bounded rename retries) + the 18
-# STALEST greens — queries whose latest driver row is round 1 or 2,
-# three-plus rounds old. tests/test_registry_invariants.py enforces
-# that greens ∪ window ∪ queue always covers the registry.
+# (registration order). CANONICAL round-7 window accounting (this comment
+# is the single source of truth; README.md mirrors it): 1 flagship
+# (compare_overall_report, re-earned every round) + 2 changed-code
+# re-earns (text_knn_graph: co-count build replaced per VERDICT r6 item
+# 2; multimodal_phash_neardup: promoted to the 64-bit/8-band production
+# hash per item 4) + 29 stale greens whose latest driver row was round 2
+# + 18 stalest round-3 greens — a re-earn-only cut (VERDICT r6 item 1)
+# that clears the entire r2 tail. After this round no green is older
+# than round 3, and 28 r3-era rows remain at the head of
+# _CHECKED_BACKLOG for the round-8 cut.
+# tests/test_registry_invariants.py enforces that
+# greens ∪ window ∪ queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "dedup_incremental_simhash",
-    "compare_incremental_slice",
-    "text_ngram_novelty",
-    "corpus_source_similarity",
-    "similarity_centroid_outliers",
-    "streaming_incremental_dedup",
-    "dedup_bucketed_index_probe",
-    "similarity_incremental_ingest",
-    "ml_logistic_quality_train",
-    "multimodal_phash_neardup",
-    "ml_logistic_calibration",
     "text_knn_graph",
-    "dedup_lsh_recall_report",
-    "dedup_index_build",
-    "dedup_incremental_minhash",
-    "dedup_incremental_exact",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "graph_triangle_count",
-    "sink_inverted_index_roundtrip",
-    "events_value_histogram",
-    "state_time_travel_diff",
-    "streaming_cdc_upsert",
-    "streaming_late_data_audit",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_jaccard",
-    "dedup_connected_components",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
-    "dedup_containment",
-    "window_lead_lag",
-    "left_anti_join",
-    "grouping_sets_agg",
-    "except_rows",
-    "scan_filter_project",
-    "select_drop_rename",
-    "case_when_bucket",
-    "null_default_coalesce",
-    "checksum_sha2",
-    "numeric_tolerance_abs",
-    "eq_null_safe",
-    "full_outer_join_missing",
-    "conditional_sum_missing",
-    "left_join_enrich",
-    "groupby_dup_count",
-    "create_map_getitem",
-    "window_dup_count",
-    "window_running_sum",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: both round-6 additions were
-# promoted into the window above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list.
-_CHECKED_BACKLOG = [
+    "multimodal_phash_neardup",
     "events_sliding_window",
     "tpch_q1_pricing_summary",
     "colwise_mismatch_unpivot",
@@ -140,6 +77,18 @@ _CHECKED_BACKLOG = [
     "compare_distribution_report",
     "left_semi_join",
     "cube_agg",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: both round-6 additions were
+# promoted into the window above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list.
+_CHECKED_BACKLOG = [
     "intersect_rows",
     "percentile_exact",
     "map_functions_props",
@@ -244,6 +193,53 @@ _CHECKED_BACKLOG = [
     "streaming_sessionization_store",
     "streaming_sketch_rollup",
     "similarity_ivf_train",
+    "dedup_incremental_simhash",
+    "compare_incremental_slice",
+    "text_ngram_novelty",
+    "corpus_source_similarity",
+    "similarity_centroid_outliers",
+    "streaming_incremental_dedup",
+    "dedup_bucketed_index_probe",
+    "similarity_incremental_ingest",
+    "ml_logistic_quality_train",
+    "ml_logistic_calibration",
+    "dedup_lsh_recall_report",
+    "dedup_index_build",
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "graph_triangle_count",
+    "sink_inverted_index_roundtrip",
+    "events_value_histogram",
+    "state_time_travel_diff",
+    "streaming_cdc_upsert",
+    "streaming_late_data_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "dedup_containment",
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+    "scan_filter_project",
+    "select_drop_rename",
+    "case_when_bucket",
+    "null_default_coalesce",
+    "checksum_sha2",
+    "numeric_tolerance_abs",
+    "eq_null_safe",
+    "full_outer_join_missing",
+    "conditional_sum_missing",
+    "left_join_enrich",
+    "groupby_dup_count",
+    "create_map_getitem",
+    "window_dup_count",
+    "window_running_sum",
 ]
 
 _DRIVER_PRIORITY = _DRIVER_WINDOW + _NEXT_ROTATION + _CHECKED_BACKLOG
