@@ -16,19 +16,21 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order). CANONICAL round-7 window accounting (this comment
 # is the single source of truth; README.md mirrors it): 1 flagship
-# (compare_overall_report, re-earned every round) + 2 changed-code
+# (compare_overall_report, re-earned every round) + 3 changed-code
 # re-earns (text_knn_graph: co-count build replaced per VERDICT r6 item
-# 2; multimodal_phash_neardup: promoted to the 64-bit/8-band production
-# hash per item 4) + 29 stale greens whose latest driver row was round 2
-# + 18 stalest round-3 greens — a re-earn-only cut (VERDICT r6 item 1)
+# 2; multimodal_phash_neardup + multimodal_real_image_decode: promoted
+# to the 8x8 corpus / 64-bit 8-band production hash per item 4) + 29
+# stale greens whose latest driver row was round 2
+# + 17 stalest round-3 greens — a re-earn-only cut (VERDICT r6 item 1)
 # that clears the entire r2 tail. After this round no green is older
-# than round 3, and 28 r3-era rows remain at the head of
+# than round 3, and 29 r3-era rows remain at the head of
 # _CHECKED_BACKLOG for the round-8 cut.
 # tests/test_registry_invariants.py enforces that
 # greens ∪ window ∪ queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
     "text_knn_graph",
+    "multimodal_real_image_decode",
     "multimodal_phash_neardup",
     "events_sliding_window",
     "tpch_q1_pricing_summary",
@@ -76,7 +78,6 @@ _DRIVER_WINDOW = [
     "compare_lineitem_overall",
     "compare_distribution_report",
     "left_semi_join",
-    "cube_agg",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
@@ -89,6 +90,7 @@ _NEXT_ROTATION = []
 # driver round ascending, registration order as tie-break) so the next
 # window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
+    "cube_agg",
     "intersect_rows",
     "percentile_exact",
     "map_functions_props",
@@ -120,7 +122,6 @@ _CHECKED_BACKLOG = [
     "dedup_embedding_cosine",
     "similarity_ivf_ann",
     "approx_count_distinct_parts",
-    "multimodal_real_image_decode",
     "sketch_hll_rollup",
     "sketch_approx_quantiles",
     "source_text_roundtrip",

@@ -406,15 +406,56 @@ def multimodal_chunk_dedup(spark, sf_dir):
     )
 
 
-_IMG_SIDE = 4  # 4x4 grayscale: 16 pixels == one md5 digest
+_IMG_SIDE = 8  # 8x8 grayscale: 64 pixels == four chained md5 digests
+# Planted near-identical image copies (production-width phash needs a
+# non-trivial near-dup population): every 13th document gets a +3e7-id
+# twin whose FIRST PIXEL is forced to 0xff, a one-byte perturbation that
+# leaves most of the 64 aHash bits intact. 3e7 clears every natural and
+# amplified-staging id range (same reasoning as dedup's 1e7/2e7 plants).
+_IMG_PLANT_OFFSET = 30_000_000
+
+# Dialect-shared CTEs: the 128-hex-char pixel truth per image (pixels
+# are unhex of four chained md5 digests of the source text) and the
+# planted-twin image corpus. Valid in DuckDB; the Spark side builds the
+# identical frames with F.md5/F.concat.
+_IMG_PH_SQL = f"""
+phex AS (
+  SELECT doc_id,
+         md5(text) || md5(text || '#1') || md5(text || '#2')
+           || md5(text || '#3') AS ph
+  FROM documents),
+icorpus AS (
+  SELECT doc_id, ph FROM phex
+  UNION ALL
+  SELECT doc_id + {_IMG_PLANT_OFFSET} AS doc_id,
+         'ff' || substr(ph, 3) AS ph
+  FROM phex WHERE doc_id % 13 = 0)
+"""
+
+
+def _image_corpus(spark, sf_dir):
+    """(doc_id, ph) — the planted image corpus, ph the 128-char pixel
+    hex (the Spark mirror of `_IMG_PH_SQL`)."""
+    ph = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("#1"))),
+        F.md5(F.concat(F.col("text"), F.lit("#2"))),
+        F.md5(F.concat(F.col("text"), F.lit("#3"))),
+    )
+    base = t(spark, sf_dir, "documents").select("doc_id", ph.alias("ph"))
+    planted = base.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + _IMG_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.lit("ff"), F.substring("ph", 3, 126)).alias("ph"),
+    )
+    return base.unionByName(planted)
 
 
 def _stage_png_files(spark, sf_dir, root):
-    """Stage one REAL grayscale PNG per document, executor-side
+    """Stage one REAL grayscale PNG per image-corpus row, executor-side
     (foreachPartition — the media-lake landing pattern `_stage_binary_files`
-    uses): pixel bytes are ``unhex(md5(text))``, so the image content is
-    exactly replayable from the source table. Freshness-tokened like the
-    binaryFile staging: regenerated testdata rebuilds the corpus."""
+    uses): pixel bytes are the unhexed `_IMG_PH_SQL` truth, so the image
+    content is exactly replayable from the source table. Freshness-tokened
+    like the binaryFile staging: regenerated testdata rebuilds the corpus."""
     import shutil
 
     from spark_data_test_spark.utils.spark_utils import source_fingerprint
@@ -422,7 +463,7 @@ def _stage_png_files(spark, sf_dir, root):
     src = f"{sf_dir}/documents.parquet"
     # per-part-file fingerprint (shared helper): a directory-layout
     # rewrite that swaps part contents still refreshes the staged corpus
-    token = f"png1|{src}|{source_fingerprint(src)}"
+    token = f"png2|{src}|{source_fingerprint(src)}"
     os.makedirs(root, exist_ok=True)
     marker = f"{root}/_STAGED"
     if os.path.exists(marker):
@@ -431,8 +472,8 @@ def _stage_png_files(spark, sf_dir, root):
                 return
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.unhex(F.md5("text")).alias("px")
+    docs = _image_corpus(spark, sf_dir).select(
+        "doc_id", F.unhex("ph").alias("px")
     )
     side = _IMG_SIDE
 
@@ -463,22 +504,25 @@ _DECODE_SCHEMA = StructType(
 @query(
     "multimodal_real_image_decode",
     f"""
+    WITH {_IMG_PH_SQL.strip()}
     SELECT doc_id,
            {_IMG_SIDE} AS width, {_IMG_SIDE} AS height, 1 AS channels,
-           md5(text) AS pixel_hex
-    FROM documents
+           ph AS pixel_hex
+    FROM icorpus
     """,
 )
 def multimodal_real_image_decode(spark, sf_dir):
     """REAL image decode, distributed end-to-end: a staged corpus of
-    genuine PNG files (one 4x4 grayscale per document, zlib-compressed,
+    genuine PNG files (one 8x8 grayscale per image-corpus row — every
+    document plus its planted one-pixel-perturbed twin, zlib-compressed,
     CRC-chunked) is read back with the ``binaryFile`` source and decoded
     inside ``mapInPandas`` by `decode_image` — PIL when present, the
     stdlib PNG decoder otherwise. The decoded pixel bytes are emitted as
-    hex; since the planted pixels are ``unhex(md5(text))``, the oracle
-    is simply ``md5(text)`` — any defect in the encoder, the file
-    round-trip, chunk parsing, inflation, or unfiltering breaks the
-    hash on every row.
+    hex; since the planted pixels are the unhexed `_IMG_PH_SQL` truth
+    (four chained md5 digests of the text; twins overwrite byte 1 with
+    0xff), the oracle replays that expression analytically — any defect
+    in the encoder, the file round-trip, chunk parsing, inflation, or
+    unfiltering breaks the hash on every row.
 
     Shape at 100 TB: binaryFile scan (files are the natural partition
     unit) -> Arrow batches -> vectorized Python decode -> narrow feature
@@ -540,130 +584,154 @@ def multimodal_real_image_decode(spark, sf_dir):
 
 _HEXDIGITS = "0123456789abcdef"
 
-
-def _ahash_sql(hex_expr):
-    """Dialect-shared SQL (valid in Spark SQL and DuckDB alike) for the
-    16-bit average-hash of a 4x4 grayscale image given its 32-char
-    pixel-hex expression: pixel j compares against the mean via the
-    division-free `16*p_j >= sum(p)` (exact integers, no trunc/floor
-    dialect trap), bit j weighs 2^(j-1)."""
-    px = [
-        f"(16 * (instr('{_HEXDIGITS}', substr({hex_expr}, {2 * j - 1}, 1)) - 1)"
-        f" + (instr('{_HEXDIGITS}', substr({hex_expr}, {2 * j}, 1)) - 1))"
-        for j in range(1, 17)
-    ]
-    tot = "(" + " + ".join(px) + ")"
-    bits = " + ".join(
-        f"(CASE WHEN 16 * {px[j - 1]} >= {tot} THEN {1 << (j - 1)} ELSE 0 END)"
-        for j in range(1, 17)
-    )
-    return f"CAST({bits} AS BIGINT)"
-
-
-_PHASH_HAM_K = 1  # pigeonhole: hamming <= 1 over 16 bits => one byte equal
+_PHASH_BITS = 64  # production-width aHash: one bit per 8x8 pixel
+_PHASH_BANDS = 8  # 8 bands x 8 bits
+_PHASH_HAM_K = 7  # pigeonhole: ham <= 7 over 8 bands => one band equal
 
 
 @query(
     "multimodal_phash_neardup",
     f"""
-    WITH ah AS (
-      SELECT doc_id, {_ahash_sql("md5(text)")} AS h
-      FROM documents),
-    bands AS (
-      SELECT doc_id, h, 0 AS band, h % 256 AS sig FROM ah
-      UNION ALL
-      SELECT doc_id, h, 1 AS band,
-             CAST((h - (h % 256)) / 256 AS BIGINT) AS sig
-      FROM ah),
+    WITH {_IMG_PH_SQL.strip()},
+    px AS (
+      SELECT doc_id, j,
+             16 * (instr('{_HEXDIGITS}', substr(ph, 2*j - 1, 1)) - 1)
+               + (instr('{_HEXDIGITS}', substr(ph, 2*j, 1)) - 1) AS p
+      FROM icorpus, unnest(generate_series(1, {_PHASH_BITS})) AS u(j)),
+    tot AS (SELECT doc_id, SUM(p) AS tot FROM px GROUP BY doc_id),
+    bytes AS (
+      SELECT px.doc_id, (j - 1) // 8 AS k,
+             CAST(SUM(CASE WHEN {_PHASH_BITS} * p >= tot
+                           THEN 1 << ((j - 1) % 8) ELSE 0 END) AS BIGINT)
+               AS sig
+      FROM px JOIN tot ON tot.doc_id = px.doc_id
+      GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha,
-                      b.doc_id AS doc_b, b.h AS hb
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {_PHASH_HAM_K}
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bytes a JOIN bytes b
+        ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(bit_count(xor(x.sig, y.sig))) AS hamming
+      FROM cand c
+      JOIN bytes x ON x.doc_id = c.doc_a
+      JOIN bytes y ON y.doc_id = c.doc_b AND y.k = x.k
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM ham
+    WHERE hamming <= {_PHASH_HAM_K}
     ORDER BY doc_a, doc_b
     """,
 )
 def multimodal_phash_neardup(spark, sf_dir):
-    """IMAGE near-duplicate detection through a perceptual hash — the
-    multimodal analog of `dedup_simhash_pairs`, run over the REAL
-    decode path: the staged PNG corpus is binaryFile-scanned and
-    decoded in `mapInPandas` (same pipeline as
-    `multimodal_real_image_decode`), each image reduced to its 16-bit
-    average-hash (bit j = pixel j above the image mean — the
-    classic aHash, division-free in exact integers), and near-dup
-    pairs found by byte-banding: by pigeonhole, hamming <= 1 over 16
-    bits means at least one of the two bytes matches exactly, so a
-    2-band bucket self-join finds every qualifying pair without an
-    all-pairs scan, and the exact bit_count verify runs only inside
-    the buckets. The DuckDB oracle recomputes the hash ANALYTICALLY
-    from the planted pixel truth (pixels are unhex(md5(text))), so a
-    defect anywhere in the PNG round trip, the hash arithmetic, or
-    the banding loses/changes pairs and breaks the match. At 100 TB
-    the shape is unchanged: decode -> 2 band rows per image -> bucket
-    hash join; with real-size perceptual hashes (64-bit, 8 bands) the
-    same pigeonhole covers hamming <= 7, exactly like the text
-    simhash family."""
+    """IMAGE near-duplicate detection through a PRODUCTION-WIDTH
+    perceptual hash — the multimodal analog of `dedup_simhash_pairs`,
+    run over the REAL decode path: the staged PNG corpus (every
+    document's 8x8 grayscale plus its planted one-pixel-perturbed
+    twin) is binaryFile-scanned and decoded in `mapInPandas` (the
+    pipeline `multimodal_real_image_decode` shares), each image
+    reduced to its 64-BIT average-hash (bit j = pixel j above the
+    image mean — the classic aHash, division-free in exact integers),
+    and near-dup pairs found by byte-banding: by pigeonhole,
+    hamming <= 7 over 8 bands of 8 bits means at least one band
+    matches exactly, so the band bucket self-join finds EVERY
+    qualifying pair (candidacy is complete, not probabilistic) and
+    the exact popcount verify runs only inside the buckets.
+
+    Scale shape, mirroring the text simhash family's exact-dup
+    collapse: hashes are computed once per DISTINCT image content
+    (gid = pixel hex), the band self-join runs over distinct-content
+    fingerprints only — k byte-identical copies of an image cost the
+    join nothing extra — and doc pairs are reconstructed by a members
+    expansion (intra-group pairs are hamming 0 by construction). At
+    real corpus sizes the band width is the knob that bounds random
+    8-bit-band collisions (production simhash dedup runs 4x16-bit
+    bands at ham <= 3, Manku et al.; 8x8-bit at ham <= 7 trades
+    candidate volume for a deeper radius — both are the same plan).
+    The DuckDB oracle recomputes the hash ANALYTICALLY from the
+    planted pixel truth (`_IMG_PH_SQL`), so a defect anywhere in the
+    PNG round trip, the hash arithmetic, the banding, or the group
+    expansion loses/changes pairs and breaks the match."""
     dec = multimodal_real_image_decode(spark, sf_dir).select(
         "doc_id", "pixel_hex"
     )
+    members = dec.select(F.col("pixel_hex").alias("gid"), "doc_id")
     # Spark-side hash uses HIGHER-ORDER array functions (transform /
-    # aggregate over sequence(1,16)) instead of _ahash_sql's unrolled
-    # 256-call expression: Catalyst's CollapseProject would merge any
-    # staged projections back into one giant expression that blows the
-    # whole-stage-codegen method-size limit and drops the pipeline to
-    # interpreted execution (observed as janino compile failures in
-    # the x30 amplified run). The loop form compiles compactly; the
-    # arithmetic is identical and the DuckDB oracle keeps the
-    # one-expression form.
+    # aggregate loops) instead of an unrolled 1024-call expression:
+    # Catalyst's CollapseProject would merge staged projections back
+    # into one giant expression that blows the whole-stage-codegen
+    # method-size limit and drops the pipeline to interpreted
+    # execution (observed as janino compile failures in the x30
+    # amplified run of the 16-bit predecessor). The loop form compiles
+    # compactly; the arithmetic is identical and the DuckDB oracle
+    # keeps the flat relational form.
     px = (
-        f"transform(sequence(1, 16), j -> "
-        f"16 * (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j - 1, 1)) - 1)"
-        f" + (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j, 1)) - 1))"
+        f"transform(sequence(1, {_PHASH_BITS}), j -> "
+        f"16 * (instr('{_HEXDIGITS}', substring(gid, 2*j - 1, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(gid, 2*j, 1)) - 1))"
     )
-    ah = (
-        dec.selectExpr("doc_id", f"{px} AS p")
-        .selectExpr("doc_id", "p", "aggregate(p, 0, (a, x) -> a + x) AS tot")
+    fp = (
+        members.select("gid")
+        .distinct()
+        .selectExpr("gid", f"{px} AS p")
+        .selectExpr("gid", "p", "aggregate(p, 0, (a, x) -> a + x) AS tot")
         .selectExpr(
-            "doc_id",
-            "aggregate(sequence(1, 16), cast(0 as bigint), (a, j) -> a +"
-            " (CASE WHEN 16 * element_at(p, j) >= tot"
-            " THEN cast(shiftleft(1, j - 1) as bigint)"
-            " ELSE cast(0 as bigint) END)) AS h",
+            "gid",
+            f"transform(sequence(0, {_PHASH_BANDS - 1}), k ->"
+            " cast(aggregate(sequence(1, 8), 0, (a, i) -> a +"
+            f" (CASE WHEN {_PHASH_BITS} * element_at(p, 8 * k + i) >= tot"
+            " THEN shiftleft(1, i - 1) ELSE 0 END)) AS bigint)) AS bs",
         )
     )
-    bands = ah.selectExpr(
-        "doc_id", "h", "0 AS band", "h % 256 AS sig"
-    ).unionByName(
-        ah.selectExpr(
-            "doc_id",
-            "h",
-            "1 AS band",
-            "CAST((h - (h % 256)) / 256 AS BIGINT) AS sig",
-        )
-    )
+    bands = fp.selectExpr(
+        "gid", "bs", f"explode(sequence(0, {_PHASH_BANDS - 1})) AS band"
+    ).selectExpr("gid", "bs", "band", "element_at(bs, band + 1) AS sig")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.h").alias("ha"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.h").alias("hb"),
+            F.col("a.gid").alias("gid_a"),
+            F.col("a.bs").alias("bsa"),
+            F.col("b.gid").alias("gid_b"),
+            F.col("b.bs").alias("bsb"),
         )
-        .distinct()
+        .dropDuplicates(["gid_a", "gid_b"])
+        .withColumn(
+            "hamming",
+            F.expr(
+                "aggregate(zip_with(bsa, bsb, (x, y) -> bit_count(x ^ y)),"
+                " cast(0 AS bigint), (a, v) -> a + v)"
+            ),
+        )
+        .where(F.col("hamming") <= _PHASH_HAM_K)
+    )
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db"))
+    cross_docs = (
+        cross.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra_docs = (
+        ma.join(mb, F.col("gid_a") == F.col("gid_b"))
+        .where(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
     )
     return (
-        cand.withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as bigint)"))
-        .where(F.col("hamming") <= _PHASH_HAM_K)
-        .select("doc_a", "doc_b", "hamming")
+        cross_docs.unionByName(intra_docs)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )

@@ -109,15 +109,31 @@ def test_pil_and_stdlib_paths_agree():
     assert mm.decode_image(png) == mm._decode_png_stdlib(png)
 
 
+def _expected_pixel_hex(text):
+    """The `_IMG_PH_SQL` pixel truth: four chained md5 digests."""
+    return "".join(
+        hashlib.md5((text + suffix).encode()).hexdigest()
+        for suffix in ("", "#1", "#2", "#3")
+    )
+
+
 def test_real_image_decode_query(spark, sf_dir):
     """The distributed path: staged real PNGs -> binaryFile ->
-    mapInPandas decode; decoded pixels must equal md5(text)."""
+    mapInPandas decode; decoded pixels must equal the planted
+    chained-md5 truth, twins included (byte 1 overwritten with ff)."""
     rows = mm.multimodal_real_image_decode(spark, sf_dir).collect()
     docs = {
         r.doc_id: r.text
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
     }
-    assert len(rows) == len(docs)
-    for r in rows[:20]:
-        assert (r.width, r.height, r.channels) == (4, 4, 1)
-        assert r.pixel_hex == hashlib.md5(docs[r.doc_id].encode()).hexdigest()
+    planted = {d for d in docs if d % 13 == 0}
+    assert len(rows) == len(docs) + len(planted)
+    for r in sorted(rows, key=lambda r: r.doc_id)[:20] + [
+        r for r in rows if r.doc_id >= mm._IMG_PLANT_OFFSET
+    ][:5]:
+        assert (r.width, r.height, r.channels) == (8, 8, 1)
+        if r.doc_id >= mm._IMG_PLANT_OFFSET:
+            base = _expected_pixel_hex(docs[r.doc_id - mm._IMG_PLANT_OFFSET])
+            assert r.pixel_hex == "ff" + base[2:]
+        else:
+            assert r.pixel_hex == _expected_pixel_hex(docs[r.doc_id])
