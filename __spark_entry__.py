@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 # stale greens whose latest driver row was round 2
 # + 17 stalest round-3 greens — a re-earn-only cut (VERDICT r6 item 1)
 # that clears the entire r2 tail. After this round no green is older
-# than round 3, and 29 r3-era rows remain at the head of
+# than round 3, and 31 r3-era rows remain at the head of
 # _CHECKED_BACKLOG for the round-8 cut.
 # tests/test_registry_invariants.py enforces that
 # greens ∪ window ∪ queue always covers the registry.
@@ -32,6 +32,8 @@ _DRIVER_WINDOW = [
     "text_knn_graph",
     "multimodal_real_image_decode",
     "multimodal_phash_neardup",
+    "streaming_incremental_dedup",
+    "similarity_centroid_outliers",
     "events_sliding_window",
     "tpch_q1_pricing_summary",
     "colwise_mismatch_unpivot",
@@ -76,8 +78,6 @@ _DRIVER_WINDOW = [
     "events_funnel_analysis",
     "events_session_window_native",
     "compare_lineitem_overall",
-    "compare_distribution_report",
-    "left_semi_join",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
@@ -90,6 +90,8 @@ _NEXT_ROTATION = []
 # driver round ascending, registration order as tie-break) so the next
 # window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
+    "compare_distribution_report",
+    "left_semi_join",
     "cube_agg",
     "intersect_rows",
     "percentile_exact",
@@ -198,8 +200,6 @@ _CHECKED_BACKLOG = [
     "compare_incremental_slice",
     "text_ngram_novelty",
     "corpus_source_similarity",
-    "similarity_centroid_outliers",
-    "streaming_incremental_dedup",
     "dedup_bucketed_index_probe",
     "similarity_incremental_ingest",
     "ml_logistic_quality_train",

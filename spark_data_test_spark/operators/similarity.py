@@ -1296,17 +1296,34 @@ def similarity_centroid_outliers(spark, sf_dir):
     output is ~5 rows per cell regardless of corpus size. Exact
     integer dot products make the cosine — and therefore the ranking
     and the emitted cos_1e6 — bit-deterministic against the DuckDB
-    replay (ties broken vec_id-ascending)."""
+    replay (ties broken vec_id-ascending).
+
+    Scale note (the round-7 decomposition of this query's x30 slope):
+    the growing term is the argmax over the N x k score rows. A
+    row_number window shuffles ALL of them on vec_id; the max-struct
+    aggregate below computes the same argmax (lexicographic max on
+    (cos, -cent_id) == cos desc, cent_id asc — the oracle's fassign
+    rule) with MAP-SIDE partial aggregation, so only one pre-combined
+    row per (vec_id, task) reaches the exchange — the difference
+    between shuffling N x k and ~N rows at 1000 executors."""
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), "cent_id"
-    )
     assigned = (
         _score_against_cents(emb, cents)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"), "cos")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col("cent_id")).cast("long").alias("negc"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.negc")).alias("cell"),
+            F.col("m.cos").alias("cos"),
+        )
     )
     w_outlier = Window.partitionBy("cell").orderBy(F.col("cos").asc(), "vec_id")
     return (
