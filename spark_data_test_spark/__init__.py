@@ -41,7 +41,12 @@ from spark_data_test_spark.operators.relational_ext import (
     bloom_prefilter,
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
-from spark_data_test_spark.state import read_state_table, write_state_version
+from spark_data_test_spark.state import (
+    compact_state_versions,
+    read_state_table,
+    read_state_union,
+    write_state_version,
+)
 from spark_data_test_spark.operators.temporal import (
     asof_join,
     asof_join_split,
@@ -69,7 +74,9 @@ __all__ = [
     "pack_bins",
     "pagerank_fixed",
     "range_join_binned",
+    "compact_state_versions",
     "read_state_table",
+    "read_state_union",
     "release_comparison_result",
     "run_comparison_job",
     "run_comparison_job_from_dfs",

@@ -56,6 +56,42 @@ def read_state_table(spark, state_path, version=None):
     return spark.read.parquet(f"{state_path}/v{version}")
 
 
+def read_state_union(spark, state_path):
+    """LOG-STRUCTURED read path: the union of EVERY committed version
+    under the root — the view a delta-commit writer's readers need
+    (v0 a base snapshot, later versions per-batch deltas, as the
+    streaming incremental dedup commits them). Tolerant of a pruned
+    prefix: after `compact_state_versions` folds the log into one
+    snapshot, only the surviving committed versions are unioned.
+    Missing state means first batch (None)."""
+    cur = _committed_state_version(state_path)
+    if cur is None:
+        return None
+    out = None
+    for v in range(cur + 1):
+        if not os.path.exists(f"{state_path}/v{v}/_SUCCESS"):
+            continue
+        part = spark.read.parquet(f"{state_path}/v{v}")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def compact_state_versions(spark, state_path, retain=1):
+    """Fold a log-structured state root into one snapshot: commit the
+    union of every committed version as the NEXT version and prune the
+    log behind it (``retain`` keeps a time-travel window of the newest
+    snapshots, as in `write_state_version`). The LSM compaction step
+    that bounds the per-read version count a delta-commit writer
+    accumulates; crash-safe for the same reason every commit is — the
+    union lands as an ordinary next version, so a reader either sees
+    the old log or the folded snapshot, never half of either. Returns
+    the committed snapshot version, or None for missing state."""
+    union = read_state_union(spark, state_path)
+    if union is None:
+        return None
+    return write_state_version(union, state_path, retain=retain)
+
+
 def write_state_version(df, state_path, retain=1):
     """Durably advance a versioned state table: write version n+1 into
     a private scratch directory, then atomically ``rename`` it to

@@ -1285,16 +1285,9 @@ def streaming_incremental_dedup(spark, sf_dir):
             # cost a real deployment bounds with compaction, exactly
             # the LSM shape every log-structured table format uses.
             spk = batch_df.sparkSession
-            from spark_data_test_spark.state import (
-                _committed_state_version,
-            )
+            from spark_data_test_spark.state import read_state_union
 
-            cur = _committed_state_version(state_path)
-            idx = read_state_table(spk, state_path, version=0)
-            for v in range(1, cur + 1):
-                idx = idx.unionByName(
-                    read_state_table(spk, state_path, version=v)
-                )
+            idx = read_state_union(spk, state_path)
             b = batch_df.select(
                 F.md5("text").alias("h"), "doc_id"
             ).persist()

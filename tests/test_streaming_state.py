@@ -319,3 +319,49 @@ def test_sketch_rollup_equals_batch_across_microbatches(spark, sf_dir, tmp_path)
         if r.event_type != "__all__"
     }
     assert streamed == batch
+
+
+def test_log_structured_union_and_compaction(spark, tmp_path):
+    """The delta-commit lifecycle the streaming incremental dedup runs:
+    v0 base + per-batch deltas read through read_state_union; compaction
+    folds the log into one snapshot whose content is the same union and
+    prunes the log behind it (crash-safe ordinary commit)."""
+    from spark_data_test_spark.state import (
+        _committed_state_version,
+        compact_state_versions,
+        read_state_table,
+        read_state_union,
+        write_state_version,
+    )
+
+    root = str(tmp_path / "log_state")
+    assert read_state_union(spark, root) is None
+    assert compact_state_versions(spark, root) is None
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "h string, doc_id long")
+
+    write_state_version(frame([("a", 1), ("b", 2)]), root)  # v0 base
+    write_state_version(frame([("c", 3)]), root, retain=64)  # delta v1
+    write_state_version(frame([("a", 4)]), root, retain=64)  # delta v2
+
+    union = read_state_union(spark, root)
+    got = sorted((r.h, r.doc_id) for r in union.collect())
+    assert got == [("a", 1), ("a", 4), ("b", 2), ("c", 3)]
+
+    snap_v = compact_state_versions(spark, root)
+    assert snap_v == 3
+    assert _committed_state_version(root) == 3
+    # the log is pruned; the folded snapshot carries the full union
+    assert not os.path.exists(f"{root}/v0")
+    snap = read_state_table(spark, root)
+    assert sorted((r.h, r.doc_id) for r in snap.collect()) == got
+    # union read after compaction sees exactly the surviving snapshot
+    assert sorted(
+        (r.h, r.doc_id) for r in read_state_union(spark, root).collect()
+    ) == got
+    # the log can keep growing on top of the folded snapshot
+    write_state_version(frame([("d", 5)]), root, retain=64)
+    assert (
+        len(read_state_union(spark, root).collect()) == 5
+    )
