@@ -515,7 +515,7 @@ def multimodal_real_image_decode(spark, sf_dir):
     """REAL image decode, distributed end-to-end: a staged corpus of
     genuine PNG files (one 8x8 grayscale per image-corpus row — every
     document plus its planted one-pixel-perturbed twin, zlib-compressed,
-    CRC-chunked) is read back with the ``binaryFile`` source and decoded
+    CRC-chunked) is read back through a MANIFEST-DRIVEN scan and decoded
     inside ``mapInPandas`` by `decode_image` — PIL when present, the
     stdlib PNG decoder otherwise. The decoded pixel bytes are emitted as
     hex; since the planted pixels are the unhexed `_IMG_PH_SQL` truth
@@ -524,11 +524,18 @@ def multimodal_real_image_decode(spark, sf_dir):
     in the encoder, the file round-trip, chunk parsing, inflation, or
     unfiltering breaks the hash on every row.
 
-    Shape at 100 TB: binaryFile scan (files are the natural partition
-    unit) -> Arrow batches -> vectorized Python decode -> narrow feature
-    rows; no shuffle until a downstream aggregate. This is the actual
-    media ingest plan, not a simulation — swap the 4x4 corpus for real
-    images and only the staging step changes."""
+    Shape at 100 TB: the staging step owns the corpus layout, so file
+    identity is METADATA — the image-corpus frame IS the manifest
+    (deterministic ``doc_{id}.png`` paths), exactly how Iceberg/Delta
+    manifests and WebDataset index files make object-store ingest a
+    metadata read instead of a LIST call. Earlier rounds scanned with
+    the ``binaryFile`` source, whose distributed listing job bills one
+    task per object (the recorded 8-9 s floor at 150k objects; 5.4k
+    tasks at sf0.1); the manifest path distributes the tiny id frame
+    and opens files executor-side at session parallelism, no listing
+    job, no shuffle. (`source_binaryfile_roundtrip` keeps the
+    listing-based source covered for corpora that really do arrive
+    unmanifested.)"""
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     root = f"/tmp/spark_graft_png/{digest}"
     _stage_png_files(spark, sf_dir, root)
@@ -536,8 +543,10 @@ def multimodal_real_image_decode(spark, sf_dir):
     def extract(batches):
         for pdf in batches:
             recs = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                w, h, ch, px = decode_image(bytes(content))
+            for doc_id in pdf["doc_id"]:
+                with open(f"{root}/doc_{int(doc_id)}.png", "rb") as fh:
+                    content = fh.read()
+                w, h, ch, px = decode_image(content)
                 recs.append(
                     (
                         int(doc_id),
@@ -553,30 +562,14 @@ def multimodal_real_image_decode(spark, sf_dir):
             )
 
     def build():
-        # the binaryFile source runs its distributed LISTING job (one
-        # task per object, ~8 s on the 150k-object amplified corpus)
-        # when the frame is CREATED, not when it is acted on — so the
-        # whole construction lives inside the memo builder and the
-        # listing, like the decode, happens once per (app, sf_dir)
-        files = (
-            spark.read.format("binaryFile")
-            .load(f"{root}/doc_*.png")
-            .select(
-                F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
-                .cast("long")
-                .alias("doc_id"),
-                "content",
-            )
+        manifest = _image_corpus(spark, sf_dir).select("doc_id")
+        # repartition (one narrow-long shuffle of the id frame) spreads
+        # the file opens evenly across the session's cores; the staged
+        # marker guarantees every manifest row's file exists
+        manifest = manifest.repartition(
+            spark.sparkContext.defaultParallelism
         )
-        # binaryFile treats every file as its own split and bills each
-        # an open cost, so a small-file corpus explodes into thousands
-        # of scan partitions — and each one becomes a separate Python
-        # worker round-trip in mapInPandas. Coalesce to the session's
-        # parallelism: no shuffle, just merged file splits, exactly
-        # what a real media lake does between landing (many objects)
-        # and decode (few fat tasks).
-        files = files.coalesce(spark.sparkContext.defaultParallelism)
-        return files.mapInPandas(extract, schema=_DECODE_SCHEMA).persist()
+        return manifest.mapInPandas(extract, schema=_DECODE_SCHEMA).persist()
 
     key = (spark.sparkContext.applicationId, sf_dir)
     return _DECODE_CACHE.get_or_create(key, build)
