@@ -84,7 +84,11 @@ _DRIVER_WINDOW = [
 # them from silently falling out of rotation); the end-of-round window
 # cut promotes them. Empty right now: both round-6 additions were
 # promoted into the window above.
-_NEXT_ROTATION = []
+_NEXT_ROTATION = [
+    # registered + oracle-checked this round; takes a window slot in
+    # the round-8 cut (the r7 window was a re-earn-only stale drain)
+    "streaming_incremental_minhash",
+]
 
 # Green-checked queries outside the window, STALEST FIRST (latest
 # driver round ascending, registration order as tie-break) so the next
@@ -303,6 +307,7 @@ def _registry():
         },
         "spark_data_test_spark.operators.udtf_ops": {"udtf_chunk_documents"},
         "spark_data_test_spark.streaming.windows": {
+            "streaming_incremental_minhash",
             "streaming_tumbling_counts",
             "streaming_sessionization",
             "streaming_sessionization_store",

@@ -1341,3 +1341,284 @@ def streaming_incremental_dedup(spark, sf_dir):
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+# Planted-arrival offsets for the STREAMING near-dup flavor. Natural
+# doc_ids stay under the incremental family's 300k guard floor
+# (_assert_offset_headroom), so [700k, 1000k) and [1500k, 1800k) are
+# disjoint from natural ids, from each other, and from every other
+# planted range in the engine.
+_STREAM_NEAR_HIST_OFFSET = 700_000  # near-dups of HISTORY docs
+_STREAM_NEAR_BASE_OFFSET = 1_500_000  # near-dups of earlier ARRIVALS
+
+
+def _stream_minhash_sql():
+    from spark_data_test_spark.operators.dedup import (
+        _inc_bands_sql,
+        _inc_mh_sql,
+        _inc_sh_sql,
+    )
+
+    return f"""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+    shard AS (
+      SELECT doc_id, text, doc_id % 3 AS b FROM base
+      UNION ALL
+      SELECT doc_id + {_STREAM_NEAR_HIST_OFFSET} AS doc_id,
+             text || ' extra tail token' AS text, doc_id % 3 AS b
+      FROM documents WHERE doc_id % 11 = 0 AND doc_id % 4 <> 3
+      UNION ALL
+      SELECT doc_id + {_STREAM_NEAR_BASE_OFFSET} AS doc_id,
+             text || ' extra tail token' AS text, (doc_id + 1) % 3 AS b
+      FROM base WHERE doc_id % 29 = 0),
+    {_inc_sh_sql("hist", "hsh")},
+    {_inc_mh_sql("hsh", "hmh")},
+    {_inc_bands_sql("hmh", "hbands")},
+    {_inc_sh_sql("shard", "ssh")},
+    {_inc_mh_sql("ssh", "smh")},
+    {_inc_bands_sql("smh", "sbands")},
+    sb AS (SELECT doc_id, b FROM shard),
+    cand AS (
+      SELECT DISTINCT s.doc_id AS new_doc_id, h.doc_id AS dup_of,
+                      'history' AS partner
+      FROM sbands s JOIN hbands h ON s.band = h.band AND s.sig = h.sig
+      UNION
+      SELECT DISTINCT s.doc_id, p.doc_id, 'stream'
+      FROM sbands s
+      JOIN sbands p ON p.band = s.band AND p.sig = s.sig
+                   AND p.doc_id <> s.doc_id
+      JOIN sb bs ON bs.doc_id = s.doc_id
+      JOIN sb bp ON bp.doc_id = p.doc_id
+      WHERE bp.b < bs.b OR (bp.b = bs.b AND bp.doc_id < bs.doc_id)),
+    ssz AS (SELECT doc_id, COUNT(*) AS n FROM ssh GROUP BY doc_id),
+    hsz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id),
+    allsh AS (SELECT doc_id, sh FROM hsh UNION ALL
+              SELECT doc_id, sh FROM ssh),
+    allsz AS (SELECT doc_id, n FROM hsz UNION ALL
+              SELECT doc_id, n FROM ssz),
+    inter AS (
+      SELECT c.new_doc_id, c.dup_of, c.partner, COUNT(*) AS i
+      FROM cand c
+      JOIN ssh a ON a.doc_id = c.new_doc_id
+      JOIN allsh p ON p.doc_id = c.dup_of AND p.sh = a.sh
+      GROUP BY 1, 2, 3)
+    SELECT i.new_doc_id, i.dup_of, i.partner,
+           CAST(ROUND(1000000.0 * i.i / (sa.n + sz.n - i.i)) AS BIGINT)
+             AS jaccard_1e6,
+           1000000.0 * i.i / (sa.n + sz.n - i.i) >= 500000 AS is_dup
+    FROM inter i
+    JOIN ssz sa ON sa.doc_id = i.new_doc_id
+    JOIN allsz sz ON sz.doc_id = i.dup_of
+    ORDER BY 1, 2, 3
+    """
+
+
+@query("streaming_incremental_minhash", _stream_minhash_sql())
+def streaming_incremental_minhash(spark, sf_dir):
+    """STREAMING incremental NEAR-dedup — the LSH analog of
+    `streaming_incremental_dedup`, completing the incremental matrix
+    (batch exact/minhash/simhash + streaming exact all exist; this is
+    streaming near-dup). Three deterministic arrival batches pass
+    through ``foreachBatch``; each batch (1) shingles and minhashes
+    ONLY its own docs — the incremental cost; (2) probes the committed
+    LOG-STRUCTURED band index through `read_state_union` (v0 = the
+    historical corpus's band rows, later versions = earlier batches'
+    deltas), so cross-batch near-dups are caught exactly like
+    historical ones; (3) self-joins its own bands for in-batch pairs
+    (earlier = smaller doc_id); (4) verifies every banding candidate
+    with EXACT shingle Jaccard, re-shingling only the matched partner
+    docs (a semi-join slice against the text resolver, never history
+    wholesale); (5) appends the verified pair report to the sink and
+    commits its own band rows as the next delta version — an O(batch)
+    commit. The DuckDB oracle recomputes every candidate from the
+    batch-ordering rule alone (a partner is any band-colliding doc in
+    history, an earlier batch, or earlier in the same batch), so a
+    dropped batch, a stale index read, a lost delta, or a verify
+    defect all break the hash. `partner` records history vs stream;
+    `is_dup` applies the tau=0.5 exact-Jaccard verdict to each
+    candidate."""
+    import glob as globlib
+    import shutil
+    import time
+
+    from spark_data_test_spark.operators.dedup import (
+        _assert_offset_headroom,
+        _band_index,
+        _hist_docs,
+        _minhash,
+        _shingles,
+    )
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.state import (
+        read_state_union,
+        write_state_version,
+    )
+
+    prepare_session(spark)
+    _assert_offset_headroom(sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 4 == 3)
+    tail = F.concat(F.col("text"), F.lit(" extra tail token"))
+    shard = (
+        base.select("doc_id", "text", (F.col("doc_id") % 3).alias("b"))
+        .unionByName(
+            d.where((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 4 != 3))
+            .select(
+                (F.col("doc_id") + _STREAM_NEAR_HIST_OFFSET).alias("doc_id"),
+                tail.alias("text"),
+                (F.col("doc_id") % 3).alias("b"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + _STREAM_NEAR_BASE_OFFSET).alias("doc_id"),
+                tail.alias("text"),
+                ((F.col("doc_id") + 1) % 3).alias("b"),
+            )
+        )
+    )
+
+    run_root = f"/tmp/spark_stream_incminhash/{uuid.uuid4().hex[:12]}"
+    in_dir = f"{run_root}/in"
+    out_dir = f"{run_root}/out"
+    state_path = f"{run_root}/state"
+    # doc_id -> text for partner re-shingling (hist and shard ids are
+    # disjoint by construction); persisted once, sliced per batch
+    resolver = (
+        _hist_docs(spark, sf_dir)
+        .unionByName(shard.select("doc_id", "text"))
+        .persist()
+    )
+    try:
+        os.makedirs(in_dir, exist_ok=True)
+        t0 = time.time()
+        for k in range(3):
+            tmp = f"{run_root}/stage{k}"
+            (
+                shard.where(F.col("b") == k)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = globlib.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{in_dir}/batch{k}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        os.makedirs(state_path, exist_ok=True)
+        write_state_version(
+            _band_index(_minhash(_shingles(_hist_docs(spark, sf_dir))))
+            .select("doc_id", "band", "sig", F.lit("history").alias("src")),
+            state_path,
+        )
+
+        def process(batch_df, batch_id):
+            spk = batch_df.sparkSession
+            idx = read_state_union(spk, state_path)
+            bsh = _shingles(batch_df.select("doc_id", "text")).persist()
+            bands = _band_index(_minhash(bsh)).persist()
+            try:
+                probe = (
+                    bands.alias("s")
+                    .join(idx.alias("p"), ["band", "sig"])
+                    .select(
+                        F.col("s.doc_id").alias("new_doc_id"),
+                        F.col("p.doc_id").alias("dup_of"),
+                        F.col("p.src").alias("partner"),
+                    )
+                )
+                in_batch = (
+                    bands.alias("s")
+                    .join(bands.alias("p"), ["band", "sig"])
+                    .where(F.col("p.doc_id") < F.col("s.doc_id"))
+                    .select(
+                        F.col("s.doc_id").alias("new_doc_id"),
+                        F.col("p.doc_id").alias("dup_of"),
+                        F.lit("stream").alias("partner"),
+                    )
+                )
+                cand = probe.unionByName(in_batch).distinct()
+                partners = resolver.join(
+                    cand.select(F.col("dup_of").alias("doc_id")).distinct(),
+                    "doc_id",
+                )
+                psh = _shingles(partners).persist()
+                try:
+                    na = bsh.groupBy("doc_id").agg(
+                        F.count(F.lit(1)).alias("na")
+                    )
+                    nb = psh.groupBy("doc_id").agg(
+                        F.count(F.lit(1)).alias("nb")
+                    )
+                    inter = (
+                        cand.join(
+                            bsh.select(
+                                F.col("doc_id").alias("new_doc_id"), "sh"
+                            ),
+                            "new_doc_id",
+                        )
+                        .join(
+                            psh.select(F.col("doc_id").alias("dup_of"), "sh"),
+                            ["dup_of", "sh"],
+                        )
+                        .groupBy("new_doc_id", "dup_of", "partner")
+                        .agg(F.count(F.lit(1)).alias("i"))
+                    )
+                    jac = (
+                        F.lit(1000000.0)
+                        * F.col("i")
+                        / (F.col("na") + F.col("nb") - F.col("i"))
+                    )
+                    (
+                        inter.join(
+                            na.withColumnRenamed("doc_id", "new_doc_id"),
+                            "new_doc_id",
+                        )
+                        .join(
+                            nb.withColumnRenamed("doc_id", "dup_of"),
+                            "dup_of",
+                        )
+                        .select(
+                            "new_doc_id",
+                            "dup_of",
+                            "partner",
+                            F.round(jac).cast("long").alias("jaccard_1e6"),
+                            (jac >= 500000).alias("is_dup"),
+                        )
+                        .write.mode("append")
+                        .parquet(out_dir)
+                    )
+                finally:
+                    psh.unpersist()
+                write_state_version(
+                    bands.select(
+                        "doc_id", "band", "sig", F.lit("stream").alias("src")
+                    ),
+                    state_path,
+                    retain=64,
+                )
+            finally:
+                bands.unpersist()
+                bsh.unpersist()
+
+        q = (
+            spark.readStream.schema(shard.select("doc_id", "text").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", f"{run_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(out_dir).orderBy(
+            "new_doc_id", "dup_of", "partner"
+        )
+        rows, schema = res.collect(), res.schema
+    finally:
+        resolver.unpersist()
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)
