@@ -88,6 +88,7 @@ _NEXT_ROTATION = [
     # registered + oracle-checked this round; takes a window slot in
     # the round-8 cut (the r7 window was a re-earn-only stale drain)
     "streaming_incremental_minhash",
+    "state_compaction_roundtrip",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest
@@ -307,6 +308,7 @@ def _registry():
         },
         "spark_data_test_spark.operators.udtf_ops": {"udtf_chunk_documents"},
         "spark_data_test_spark.streaming.windows": {
+            "state_compaction_roundtrip",
             "streaming_incremental_minhash",
             "streaming_tumbling_counts",
             "streaming_sessionization",

@@ -1005,6 +1005,90 @@ def state_time_travel_diff(spark, sf_dir):
     return local_df(spark, rows, schema)
 
 
+@query(
+    "state_compaction_roundtrip",
+    """
+    WITH st AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 IN (0, 1, 2))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(3 AS BIGINT) AS snapshot_version,
+           CAST(1 AS BIGINT) AS versions_on_disk
+    FROM st GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def state_compaction_roundtrip(spark, sf_dir):
+    """LSM COMPACTION roundtrip over the versioned-state library API:
+    commit a base slice of orders as v0 and two more slices as delta
+    versions (the log-structured shape the streaming incremental dedup
+    writes), fold the log with `compact_state_versions` (retain=1),
+    then aggregate the FOLDED SNAPSHOT read back through
+    `read_state_table`. The emitted per-status rollup breaks on any
+    row lost or duplicated by the union read, the fold, or the prune;
+    `snapshot_version` pins that the fold committed as the next
+    ordinary version (v3 after v0+2 deltas) and `versions_on_disk`
+    pins that the log behind it was actually pruned — both replayed as
+    constants by the oracle, so a compaction that silently kept (or
+    ate) versions hash-mismatches."""
+    import shutil
+
+    from spark_data_test_spark.operators.relational import cents, t
+    from spark_data_test_spark.state import (
+        compact_state_versions,
+        read_state_table,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    run_root = f"/tmp/spark_state_compact/{uuid.uuid4().hex[:12]}"
+    os.makedirs(run_root, exist_ok=True)
+    try:
+        for k in range(3):
+            write_state_version(
+                o.where(F.col("o_orderkey") % 5 == k), run_root, retain=64
+            )
+        snap_v = compact_state_versions(spark, run_root, retain=1)
+        n_disk = sum(
+            1
+            for name in os.listdir(run_root)
+            if name.startswith("v")
+            and name[1:].isdigit()
+            and os.path.exists(f"{run_root}/{name}/_SUCCESS")
+        )
+        out = (
+            read_state_table(spark, run_root)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .select(
+                "o_orderstatus",
+                "n_orders",
+                "total_cents",
+                "min_key",
+                "max_key",
+                F.lit(snap_v).cast("long").alias("snapshot_version"),
+                F.lit(n_disk).cast("long").alias("versions_on_disk"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(run_root, ignore_errors=True)
+    return local_df(spark, rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # Streaming heavy hitters: incremental Misra-Gries state per micro-batch
 # ---------------------------------------------------------------------------
