@@ -89,6 +89,7 @@ _NEXT_ROTATION = [
     # the round-8 cut (the r7 window was a re-earn-only stale drain)
     "streaming_incremental_minhash",
     "state_compaction_roundtrip",
+    "multimodal_crossmodal_agreement",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest
@@ -300,6 +301,7 @@ def _registry():
             "pandas_udf_tokens",
         },
         "spark_data_test_spark.operators.multimodal": {
+            "multimodal_crossmodal_agreement",
             "multimodal_binary_features",
             "multimodal_decode_stub",
             "multimodal_frame_sample",

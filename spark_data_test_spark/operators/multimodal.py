@@ -582,10 +582,10 @@ _PHASH_BANDS = 8  # 8 bands x 8 bits
 _PHASH_HAM_K = 7  # pigeonhole: ham <= 7 over 8 bands => one band equal
 
 
-@query(
-    "multimodal_phash_neardup",
-    f"""
-    WITH {_IMG_PH_SQL.strip()},
+# Dialect-shared CTE chain ending in `ipairs` (doc_a, doc_b, hamming):
+# the verified image near-dup pairs. Shared by the phash query's oracle
+# and the cross-modal agreement oracle.
+_PHASH_PAIRS_SQL = f"""{_IMG_PH_SQL.strip()},
     px AS (
       SELECT doc_id, j,
              16 * (instr('{_HEXDIGITS}', substr(ph, 2*j - 1, 1)) - 1)
@@ -609,10 +609,18 @@ _PHASH_HAM_K = 7  # pigeonhole: ham <= 7 over 8 bands => one band equal
       FROM cand c
       JOIN bytes x ON x.doc_id = c.doc_a
       JOIN bytes y ON y.doc_id = c.doc_b AND y.k = x.k
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-    FROM ham
-    WHERE hamming <= {_PHASH_HAM_K}
+      GROUP BY 1, 2),
+    ipairs AS (
+      SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= {_PHASH_HAM_K})"""
+
+
+@query(
+    "multimodal_phash_neardup",
+    f"""
+    WITH {_PHASH_PAIRS_SQL}
+    SELECT doc_a, doc_b, hamming
+    FROM ipairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -733,5 +741,113 @@ def multimodal_phash_neardup(spark, sf_dir):
     return (
         cross_docs.unionByName(intra_docs)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "multimodal_crossmodal_agreement",
+    f"""
+    WITH {_PHASH_PAIRS_SQL},
+    norm AS (
+      SELECT doc_a, doc_b, hamming,
+             CASE WHEN doc_a >= {_IMG_PLANT_OFFSET}
+                  THEN doc_a - {_IMG_PLANT_OFFSET} ELSE doc_a END AS ta,
+             CASE WHEN doc_b >= {_IMG_PLANT_OFFSET}
+                  THEN doc_b - {_IMG_PLANT_OFFSET} ELSE doc_b END AS tb
+      FROM ipairs),
+    need AS (SELECT DISTINCT ta AS doc_id FROM norm
+             UNION SELECT DISTINCT tb AS doc_id FROM norm),
+    ndocs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN need n ON n.doc_id = d.doc_id),
+    nsh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+      FROM ndocs, unnest(generate_series(1, length(text) - 7, 4)) AS u(i)
+      WHERE length(text) >= 8),
+    nsz AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY doc_id),
+    it AS (
+      SELECT m.doc_a, m.doc_b, m.hamming, m.ta, m.tb, COUNT(b.sh) AS i
+      FROM norm m
+      JOIN nsh a ON a.doc_id = m.ta
+      LEFT JOIN nsh b ON b.doc_id = m.tb AND b.sh = a.sh
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT it.doc_a, it.doc_b, it.hamming,
+           CAST(ROUND(1000000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+             AS text_jaccard_1e6,
+           CASE WHEN 1000000.0 * i / (sa.n + sb.n - i) >= 500000
+                THEN 'both_modalities' ELSE 'image_only' END AS agreement
+    FROM it
+    JOIN nsz sa ON sa.doc_id = it.ta
+    JOIN nsz sb ON sb.doc_id = it.tb
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_crossmodal_agreement(spark, sf_dir):
+    """CROSS-MODAL near-dup triage: every verified IMAGE near-dup pair
+    (the 64-bit phash pipeline, shared with `multimodal_phash_neardup`)
+    is cross-checked against the EXACT text Jaccard of the two docs'
+    captions — the agreement report a multimodal curation pipeline uses
+    to separate re-encoded assets (`both_modalities`: image twins whose
+    text also matches) from caption-variation / coincidental-pixel
+    cases (`image_only`), before deciding which modality's verdict
+    drives survivorship. Planted image twins map back to their base
+    document's text (twin id = base id + offset), so twin pairs score
+    text Jaccard 1.0 while random byte-collision pairs that survive
+    hamming <= 7 score near zero. Text verification re-shingles ONLY
+    the docs appearing in image pairs (a semi-join slice, never the
+    corpus), joins the pair frame to per-doc shingle arrays, and
+    intersects in-task — candidate-bounded, no self-join. Pairs where
+    either doc cannot shingle (text < 8 chars) drop on both engines
+    identically."""
+    from spark_data_test_spark.operators.dedup import _shingles
+
+    pairs = multimodal_phash_neardup(spark, sf_dir)
+    off = F.lit(_IMG_PLANT_OFFSET)
+    norm = pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.when(F.col("doc_a") >= off, F.col("doc_a") - off)
+        .otherwise(F.col("doc_a"))
+        .alias("ta"),
+        F.when(F.col("doc_b") >= off, F.col("doc_b") - off)
+        .otherwise(F.col("doc_b"))
+        .alias("tb"),
+    )
+    need = (
+        norm.select(F.col("ta").alias("doc_id"))
+        .unionByName(norm.select(F.col("tb").alias("doc_id")))
+        .distinct()
+    )
+    docs = (
+        t(spark, sf_dir, "documents").select("doc_id", "text").join(need, "doc_id")
+    )
+    gsets = (
+        _shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    joined = norm.join(
+        gsets.select(F.col("doc_id").alias("ta"), F.col("shs").alias("sa")),
+        "ta",
+    ).join(
+        gsets.select(F.col("doc_id").alias("tb"), F.col("shs").alias("sb")),
+        "tb",
+    )
+    i = F.size(F.array_intersect("sa", "sb")).cast("long")
+    na = F.size("sa").cast("long")
+    nb = F.size("sb").cast("long")
+    jac = F.lit(1000000.0) * i / (na + nb - i)
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.round(jac).cast("long").alias("text_jaccard_1e6"),
+            F.when(jac >= 500000, "both_modalities")
+            .otherwise("image_only")
+            .alias("agreement"),
+        )
         .orderBy("doc_a", "doc_b")
     )
