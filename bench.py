@@ -100,6 +100,9 @@ HEADLINE = [
     "ml_logistic_calibration",
     "text_knn_graph",
     "multimodal_phash_neardup",
+    "streaming_incremental_minhash",
+    "state_compaction_roundtrip",
+    "multimodal_crossmodal_agreement",
 ]
 
 

@@ -1530,6 +1530,8 @@ def streaming_incremental_minhash(spark, sf_dir):
         _assert_offset_headroom,
         _band_index,
         _hist_docs,
+        _is_historical,
+        _load_or_build_minhash_index,
         _minhash,
         _shingles,
     )
@@ -1593,8 +1595,15 @@ def streaming_incremental_minhash(spark, sf_dir):
             shutil.rmtree(tmp, ignore_errors=True)
 
         os.makedirs(state_path, exist_ok=True)
+        # v0 reuses the PERSISTENT minhash index the batch incremental
+        # family maintains ("the index is the asset") — sliced back to
+        # the historical docs exactly like dedup_incremental_minhash —
+        # instead of refingerprinting history per run; the slice is
+        # identical to _band_index(_minhash(_shingles(hist))) because
+        # the committed index was built from it
         write_state_version(
-            _band_index(_minhash(_shingles(_hist_docs(spark, sf_dir))))
+            _load_or_build_minhash_index(spark, sf_dir)
+            .where(_is_historical(F.col("doc_id")))
             .select("doc_id", "band", "sig", F.lit("history").alias("src")),
             state_path,
         )
@@ -1629,54 +1638,49 @@ def streaming_incremental_minhash(spark, sf_dir):
                     cand.select(F.col("dup_of").alias("doc_id")).distinct(),
                     "doc_id",
                 )
-                psh = _shingles(partners).persist()
-                try:
-                    na = bsh.groupBy("doc_id").agg(
-                        F.count(F.lit(1)).alias("na")
+                # array-attach verify (the text_knn_graph shape): per-doc
+                # shingle SETS join onto the candidate frame and intersect
+                # in-task — two hash joins sized by the candidate count
+                # instead of shingle-level joins + two groupBys (measured
+                # ~3s/batch -> ~1.5s/batch of the foreachBatch cost at
+                # sf0.1). `i > 0` mirrors the oracle's inner shingle join,
+                # which drops a (theoretical) band collision with zero
+                # shared shingles.
+                bset = (
+                    bsh.groupBy("doc_id")
+                    .agg(F.collect_set("sh").alias("sa"))
+                    .withColumnRenamed("doc_id", "new_doc_id")
+                )
+                pset = (
+                    _shingles(partners)
+                    .groupBy("doc_id")
+                    .agg(F.collect_set("sh").alias("sb"))
+                    .withColumnRenamed("doc_id", "dup_of")
+                )
+                i = F.size(F.array_intersect("sa", "sb")).cast("long")
+                jac = (
+                    F.lit(1000000.0)
+                    * i
+                    / (
+                        F.size("sa").cast("long")
+                        + F.size("sb").cast("long")
+                        - i
                     )
-                    nb = psh.groupBy("doc_id").agg(
-                        F.count(F.lit(1)).alias("nb")
+                )
+                (
+                    cand.join(bset, "new_doc_id")
+                    .join(pset, "dup_of")
+                    .where(i > 0)
+                    .select(
+                        "new_doc_id",
+                        "dup_of",
+                        "partner",
+                        F.round(jac).cast("long").alias("jaccard_1e6"),
+                        (jac >= 500000).alias("is_dup"),
                     )
-                    inter = (
-                        cand.join(
-                            bsh.select(
-                                F.col("doc_id").alias("new_doc_id"), "sh"
-                            ),
-                            "new_doc_id",
-                        )
-                        .join(
-                            psh.select(F.col("doc_id").alias("dup_of"), "sh"),
-                            ["dup_of", "sh"],
-                        )
-                        .groupBy("new_doc_id", "dup_of", "partner")
-                        .agg(F.count(F.lit(1)).alias("i"))
-                    )
-                    jac = (
-                        F.lit(1000000.0)
-                        * F.col("i")
-                        / (F.col("na") + F.col("nb") - F.col("i"))
-                    )
-                    (
-                        inter.join(
-                            na.withColumnRenamed("doc_id", "new_doc_id"),
-                            "new_doc_id",
-                        )
-                        .join(
-                            nb.withColumnRenamed("doc_id", "dup_of"),
-                            "dup_of",
-                        )
-                        .select(
-                            "new_doc_id",
-                            "dup_of",
-                            "partner",
-                            F.round(jac).cast("long").alias("jaccard_1e6"),
-                            (jac >= 500000).alias("is_dup"),
-                        )
-                        .write.mode("append")
-                        .parquet(out_dir)
-                    )
-                finally:
-                    psh.unpersist()
+                    .write.mode("append")
+                    .parquet(out_dir)
+                )
                 write_state_version(
                     bands.select(
                         "doc_id", "band", "sig", F.lit("stream").alias("src")
