@@ -90,6 +90,8 @@ _NEXT_ROTATION = [
     "streaming_incremental_minhash",
     "state_compaction_roundtrip",
     "multimodal_crossmodal_agreement",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

@@ -851,3 +851,449 @@ def multimodal_crossmodal_agreement(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# AUDIO: real WAV round trip + PCM feature extraction + fingerprint dedup.
+#
+# The audio analog of the staged-PNG image family (reference scope:
+# opaque media columns with typed metadata, `jobs/comparison_job.py`
+# has no media support — this is north-star LLM-pipeline surface).
+# One REAL RIFF/WAVE file per corpus row (PCM16 mono, canonical
+# fmt+data chunk layout), sample bytes derived from chained md5
+# digests of the source text so the DuckDB oracle can replay the
+# waveform ANALYTICALLY — any defect in the WAV encoder, the file
+# round trip, the chunk walker, or the sample arithmetic breaks the
+# hash on every row.
+
+_AUD_SR = 8000  # Hz; PCM16 mono
+_AUD_N = 64  # samples per clip == 128 bytes == eight chained md5 digests
+_AUD_FRAMES = 8  # 8 frames x 8 samples for the energy-envelope signature
+# Planted near-identical audio twins: every 17th document gets a
+# +4e7-id twin whose FIRST SAMPLE is zeroed — a 2-byte perturbation
+# confined to frame 0, so 7 of the 8 frame energies stay intact.
+# 4e7 clears the natural, amplified-staging, and image-plant (3e7)
+# id ranges.
+_AUD_PLANT_OFFSET = 40_000_000
+
+
+def encode_wav_pcm16(sample_rate, pcm):
+    """A REAL canonical RIFF/WAVE container around little-endian PCM16
+    mono bytes: RIFF size header, 16-byte ``fmt `` chunk (format 1,
+    1 channel, 16 bits), ``data`` chunk. Byte-exactly what `decode_wav`
+    walks back out."""
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(content):
+    """A REAL (if minimal) WAV decoder: validates the RIFF/WAVE
+    signature, WALKS the chunk list (word-aligned, arbitrary order,
+    unknown chunks skipped — not fixed offsets), and returns
+    ``(sample_rate, channels, bits, pcm_bytes)``. Raises ``ValueError``
+    on malformed containers or non-PCM encodings."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"not PCM (format {audio_format})")
+    return sample_rate, channels, bits, data
+
+
+# Dialect-shared CTE: the 256-hex-char PCM16 truth per clip (sample
+# bytes are unhex of eight chained md5 digests of the source text)
+# and the planted-twin audio corpus. Valid in DuckDB; the Spark side
+# builds the identical frames with F.md5/F.concat.
+_AUD_HEX_SQL = f"""
+awav AS (
+  SELECT doc_id,
+         md5(text || '~a0') || md5(text || '~a1') || md5(text || '~a2')
+           || md5(text || '~a3') || md5(text || '~a4') || md5(text || '~a5')
+           || md5(text || '~a6') || md5(text || '~a7') AS aw
+  FROM documents),
+acorpus AS (
+  SELECT doc_id, aw FROM awav
+  UNION ALL
+  SELECT doc_id + {_AUD_PLANT_OFFSET} AS doc_id,
+         '0000' || substr(aw, 5) AS aw
+  FROM awav WHERE doc_id % 17 = 0),
+asmp AS (
+  SELECT doc_id, j,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT doc_id, j,
+           16 * (instr('{_HEXDIGITS}', substr(aw, 4*j - 3, 1)) - 1)
+             + (instr('{_HEXDIGITS}', substr(aw, 4*j - 2, 1)) - 1)
+             + 256 * (16 * (instr('{_HEXDIGITS}', substr(aw, 4*j - 1, 1)) - 1)
+                      + (instr('{_HEXDIGITS}', substr(aw, 4*j, 1)) - 1)) AS u
+    FROM acorpus, unnest(generate_series(1, {_AUD_N})) AS t(j)))
+"""
+
+
+def _audio_corpus(spark, sf_dir):
+    """(doc_id, aw) — the planted audio corpus, aw the 256-char PCM hex
+    (the Spark mirror of `_AUD_HEX_SQL`'s ``acorpus``)."""
+    aw = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(f"~a{i}"))) for i in range(8)]
+    )
+    base = t(spark, sf_dir, "documents").select("doc_id", aw.alias("aw"))
+    planted = base.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + _AUD_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.lit("0000"), F.substring("aw", 5, 4 * _AUD_N - 4)).alias("aw"),
+    )
+    return base.unionByName(planted)
+
+
+def _stage_wav_files(spark, sf_dir, root):
+    """Stage one REAL PCM16 WAV per audio-corpus row, executor-side
+    (the `_stage_png_files` landing pattern): sample bytes are the
+    unhexed `_AUD_HEX_SQL` truth, so the clip content is exactly
+    replayable from the source table. Freshness-tokened — regenerated
+    testdata rebuilds the corpus."""
+    import shutil
+
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    token = f"wav1|{src}|{source_fingerprint(src)}"
+    os.makedirs(root, exist_ok=True)
+    marker = f"{root}/_STAGED"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == token:
+                return
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+    docs = _audio_corpus(spark, sf_dir).select(
+        "doc_id", F.unhex("aw").alias("pcm")
+    )
+    rate = _AUD_SR
+
+    def write_partition(rows):
+        for row in rows:
+            wav = encode_wav_pcm16(rate, bytes(row.pcm))
+            tmp = f"{root}/.doc_{row.doc_id}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(wav)
+            os.replace(tmp, f"{root}/doc_{row.doc_id}.wav")
+
+    docs.foreachPartition(write_partition)
+    with open(marker, "w") as fh:
+        fh.write(token)
+
+
+_AUDIO_CACHE = FrameCache(max_entries=2)
+
+_AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("pcm_hex", StringType()),
+    ]
+)
+
+
+def audio_decoded(spark, sf_dir):
+    """(doc_id, sample_rate, n_samples, pcm_hex) — the staged WAV
+    corpus read back through the manifest-driven scan (the corpus
+    frame IS the manifest: deterministic ``doc_{id}.wav`` paths — no
+    listing job, same reasoning as `multimodal_real_image_decode`) and
+    decoded inside ``mapInPandas`` by the chunk-walking `decode_wav`.
+    Memoized per (application, sf_dir): the features report and the
+    fingerprint near-dup consume the identical frame."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/spark_graft_wav/{digest}"
+    _stage_wav_files(spark, sf_dir, root)
+
+    def extract(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                with open(f"{root}/doc_{int(doc_id)}.wav", "rb") as fh:
+                    content = fh.read()
+                rate, channels, bits, pcm = decode_wav(content)
+                if channels != 1 or bits != 16:
+                    raise ValueError("corpus clips are PCM16 mono")
+                recs.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        len(pcm) // 2,
+                        binascii.hexlify(pcm).decode(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "sample_rate", "n_samples", "pcm_hex"],
+            )
+
+    def build():
+        manifest = _audio_corpus(spark, sf_dir).select("doc_id")
+        manifest = manifest.repartition(spark.sparkContext.defaultParallelism)
+        return manifest.mapInPandas(
+            extract, schema=_AUDIO_DECODE_SCHEMA
+        ).persist()
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _AUDIO_CACHE.get_or_create(key, build)
+
+
+def _aud_signed_expr(col):
+    """SQL expression: the signed-sample array (little-endian int16)
+    decoded from the PCM hex column ``col`` — a transform LOOP, not an
+    unrolled expression (the phash codegen lesson: CollapseProject
+    would fold an unrolled 64-sample expression past janino's
+    method-size limit)."""
+    u = (
+        f"transform(sequence(1, {_AUD_N}), j -> ("
+        f"16 * (instr('{_HEXDIGITS}', substring({col}, 4*j - 3, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring({col}, 4*j - 2, 1)) - 1)"
+        f" + 256 * (16 * (instr('{_HEXDIGITS}', substring({col}, 4*j - 1, 1)) - 1)"
+        f"          + (instr('{_HEXDIGITS}', substring({col}, 4*j, 1)) - 1))"
+        f") )"
+    )
+    return f"transform({u}, u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)"
+
+
+@query(
+    "multimodal_audio_features",
+    f"""
+    WITH {_AUD_HEX_SQL.strip()},
+    afeat AS (
+      SELECT doc_id,
+             MAX(abs(s)) AS peak_abs,
+             SUM(abs(s)) AS sum_abs
+      FROM asmp GROUP BY doc_id),
+    azc AS (
+      SELECT a.doc_id,
+             SUM(CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END) AS zc
+      FROM asmp a JOIN asmp b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+      GROUP BY a.doc_id)
+    SELECT f.doc_id,
+           CAST({_AUD_SR} AS BIGINT) AS sample_rate,
+           CAST({_AUD_N} AS BIGINT) AS n_samples,
+           CAST({_AUD_N} * 1000000 // {_AUD_SR} AS BIGINT) AS duration_us,
+           CAST(f.peak_abs AS BIGINT) AS peak_abs,
+           CAST(f.sum_abs AS BIGINT) AS sum_abs,
+           CAST(z.zc AS BIGINT) AS zero_crossings
+    FROM afeat f JOIN azc z ON z.doc_id = f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode + feature extraction, distributed end-to-end:
+    a staged corpus of genuine RIFF/WAVE files (one PCM16-mono clip per
+    audio-corpus row — every document plus its planted first-sample-
+    zeroed twin) is read back through a manifest-driven scan, decoded
+    inside ``mapInPandas`` by the chunk-walking `decode_wav`, and the
+    classic integer clip features — peak amplitude, L1 energy, zero
+    crossings, duration from the decoded header fields — are computed
+    JVM-side in Catalyst over the signed-sample array (higher-order
+    transform/aggregate loops, no Python in the feature math). Since
+    the planted samples are the unhexed `_AUD_HEX_SQL` truth (eight
+    chained md5 digests of the text; twins zero sample 1), the oracle
+    replays the waveform analytically — any defect in the WAV encoder,
+    the container round trip, the chunk walk, little-endian int16
+    reassembly, or the feature arithmetic breaks the match on every
+    row.
+
+    Shape at 100 TB: identical to the image decode — staging owns the
+    layout so file identity is metadata (the corpus frame IS the
+    manifest; no listing job), the decode is one Arrow-batched pass,
+    features are a narrow per-row fold with no shuffle, and the
+    decoded frame is memoized so the fingerprint query reuses it. A
+    real lake would swap `decode_wav` for libsndfile behind the same
+    ``mapInPandas`` seam; header-field propagation (sample_rate /
+    n_samples come from the DECODED file, not the synth constants)
+    is what a curation pipeline audits."""
+    dec = audio_decoded(spark, sf_dir)
+    zc = (
+        f"aggregate(sequence(1, {_AUD_N - 1}), cast(0 AS bigint), (a, j) ->"
+        " a + IF((element_at(s, j) < 0) != (element_at(s, j + 1) < 0),"
+        " cast(1 AS bigint), cast(0 AS bigint)))"
+    )
+    return (
+        dec.selectExpr(
+            "doc_id",
+            "sample_rate",
+            "n_samples",
+            f"{_aud_signed_expr('pcm_hex')} AS s",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(sample_rate AS bigint) AS sample_rate",
+            "cast(n_samples AS bigint) AS n_samples",
+            "cast(n_samples * 1000000 div sample_rate AS bigint)"
+            " AS duration_us",
+            "aggregate(s, cast(0 AS bigint), (a, x) ->"
+            " greatest(a, cast(abs(x) AS bigint))) AS peak_abs",
+            "aggregate(s, cast(0 AS bigint), (a, x) ->"
+            " a + cast(abs(x) AS bigint)) AS sum_abs",
+            f"{zc} AS zero_crossings",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    f"""
+    WITH {_AUD_HEX_SQL.strip()},
+    afr AS (
+      SELECT doc_id, (j - 1) // {_AUD_N // _AUD_FRAMES} AS k,
+             SUM(abs(s)) AS e
+      FROM asmp GROUP BY 1, 2),
+    acand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM afr a JOIN afr b
+        ON a.k = b.k AND a.e = b.e AND a.doc_id < b.doc_id),
+    adiff AS (
+      SELECT c.da, c.db,
+             SUM(CASE WHEN x.e <> y.e THEN 1 ELSE 0 END) AS frames_diff
+      FROM acand c
+      JOIN afr x ON x.doc_id = c.da
+      JOIN afr y ON y.doc_id = c.db AND y.k = x.k
+      GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(frames_diff AS BIGINT) AS frames_diff
+    FROM adiff WHERE frames_diff <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """AUDIO near-duplicate detection via an energy-envelope
+    fingerprint over the REAL decode path — the audio member of the
+    banded near-dup family (text MinHash/SimHash, image phash): each
+    decoded clip is reduced to its 8-frame L1-energy envelope (frame
+    energy = exact integer sum of |sample| over 8 samples — the
+    shape Shazam-style landmark fingerprints coarsen), and near-dup
+    pairs are found by banding on (frame index, exact frame energy).
+    Candidacy is COMPLETE for the reported radius by pigeonhole:
+    frames_diff <= 2 over 8 frames means at least 6 bands match
+    exactly. The planted twins perturb only frame 0, so they differ
+    in exactly one band and every twin pair is found.
+
+    Scale shape, mirroring the phash family discipline: envelopes are
+    computed once per DISTINCT clip content (gid = pcm hex) so
+    byte-identical copies cost the band join nothing; the envelope
+    frame is CHECKPOINTED because both sides of the self-join consume
+    it (the round-7 fp lesson — without truncation each side re-runs
+    the decode+envelope lineage); the frames_diff verify runs INSIDE
+    the banding join with the <= 2 filter BEFORE the pair dedup. The
+    verify compares two 8-int arrays per candidate; unlike the phash
+    popcount it is not packable into one BIGINT (8 frames x ~18-bit
+    energies = 144 bits), but band signatures here are exact ~18-bit
+    integer energies, so random band collisions are birthday-bounded
+    (~n^2/2^18 per band — a few hundred candidates at sf0.1, measured,
+    vs the phash family's ~450k 8-bit collisions), and the interpreted
+    array compare touches only that trickle. Doc pairs are
+    reconstructed by members expansion; intra-group pairs (identical
+    clips) are frames_diff 0 by construction."""
+    dec = audio_decoded(spark, sf_dir).select("doc_id", "pcm_hex")
+    members = dec.select(F.col("pcm_hex").alias("gid"), "doc_id")
+    fsz = _AUD_N // _AUD_FRAMES
+    # Frame energies decode DIRECTLY from the hex in one pass —
+    # |int16| as least(u, 65536 - u), no intermediate sample array: a
+    # staged `s` column gets CollapseProject-inlined into every
+    # element_at(s, j) site of the nested aggregate, re-evaluating the
+    # full 64-sample decode per access (measured 71 s single-task at
+    # sf0.1 for the staged form vs sub-second for this one — the
+    # interpreted-higher-order cousin of the phash codegen lesson).
+    u = (
+        f"(16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 3, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(gid, 4*j - 2, 1)) - 1)"
+        f" + 256 * (16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 1, 1)) - 1)"
+        f"          + (instr('{_HEXDIGITS}', substring(gid, 4*j, 1)) - 1)))"
+    )
+    env = (
+        f"transform(sequence(0, {_AUD_FRAMES - 1}), k ->"
+        f" aggregate(sequence(k * {fsz} + 1, k * {fsz} + {fsz}),"
+        " cast(0 AS bigint), (acc, j) ->"
+        f" acc + cast(least({u}, 65536 - {u}) AS bigint)))"
+    )
+    fp = checkpointed(
+        members.select("gid").distinct().selectExpr("gid", f"{env} AS ea")
+    )
+    bands = fp.selectExpr(
+        "gid", "ea", f"explode(sequence(1, {_AUD_FRAMES})) AS k"
+    ).selectExpr("gid", "ea", "k", "element_at(ea, k) AS sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    diff = (
+        f"aggregate(sequence(1, {_AUD_FRAMES}), cast(0 AS bigint), (acc, i) ->"
+        " acc + IF(element_at(a.ea, i) != element_at(b.ea, i),"
+        " cast(1 AS bigint), cast(0 AS bigint)))"
+    )
+    cross = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
+            F.expr(diff).alias("frames_diff"),
+        )
+        .where(F.col("frames_diff") <= 2)
+        .groupBy("gid_a", "gid_b")
+        .agg(F.min("frames_diff").alias("frames_diff"))
+    )
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db"))
+    cross_docs = (
+        cross.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "frames_diff",
+        )
+    )
+    intra_docs = (
+        ma.join(mb, F.col("gid_a") == F.col("gid_b"))
+        .where(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.lit(0).cast("long").alias("frames_diff"),
+        )
+    )
+    return (
+        cross_docs.unionByName(intra_docs)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("frames_diff").cast("long").alias("frames_diff"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
