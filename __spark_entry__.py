@@ -92,6 +92,7 @@ _NEXT_ROTATION = [
     "multimodal_crossmodal_agreement",
     "multimodal_audio_features",
     "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest
