@@ -93,6 +93,7 @@ _NEXT_ROTATION = [
     "multimodal_audio_features",
     "multimodal_audio_fingerprint",
     "multimodal_video_scene_cuts",
+    "dedup_semantic_prune_curve",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

@@ -103,6 +103,12 @@ HEADLINE = [
     "streaming_incremental_minhash",
     "state_compaction_roundtrip",
     "multimodal_crossmodal_agreement",
+    # round-7 continuation: the real audio/video container families
+    # and the SemDeDup prune curve (rides the embedding-family memos)
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
+    "dedup_semantic_prune_curve",
 ]
 
 

@@ -41,7 +41,11 @@ from spark_data_test_spark.operators.similarity import (
     _final_assign_ctes,
     _kmeans_ctes,
 )
-from spark_data_test_spark.utils.spark_utils import FrameCache, checkpointed
+from spark_data_test_spark.utils.spark_utils import (
+    FrameCache,
+    checkpointed,
+    local_df,
+)
 
 _N_HASHES = 12
 _BANDS = 4  # rows-per-band = 3
@@ -820,11 +824,10 @@ def dedup_near_jaccard(spark, sf_dir):
 
 _EMB_NPROBE = 3  # trained cells each vector lands in (multi-probe)
 
-
-@query(
-    "dedup_embedding_cosine",
-    f"""
-    WITH {_SIM_ORACLE_BASE.strip()},
+# Dialect-shared CTE chain ending in `apairs` (vec_a, vec_b, cos_1e6):
+# the IVF-cell embedding near-dup pairs. Shared by the pair query's
+# oracle and the SemDeDup prune-curve oracle.
+_EMB_PAIRS_CTE_SQL = f"""{_SIM_ORACLE_BASE.strip()},
     {_kmeans_ctes()},
     {_final_assign_ctes()},
     vgroups AS (
@@ -855,18 +858,26 @@ _EMB_NPROBE = 3  # trained cells each vector lands in (multi-probe)
       JOIN norms na ON na.vec_id = gid_a
       JOIN norms nb ON nb.vec_id = gid_b
       WHERE CAST(dot AS DOUBLE) /
-            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3)
-    SELECT LEAST(ma.vec_id, mb.vec_id) AS vec_a,
-           GREATEST(ma.vec_id, mb.vec_id) AS vec_b,
-           CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_1e6
-    FROM gscored
-    JOIN vgroups ma ON ma.gid = gid_a
-    JOIN vgroups mb ON mb.gid = gid_b
-    UNION ALL
-    SELECT m1.vec_id AS vec_a, m2.vec_id AS vec_b,
-           CAST(1000000 AS BIGINT) AS cos_1e6
-    FROM vgroups m1 JOIN vgroups m2
-      ON m1.gid = m2.gid AND m1.vec_id < m2.vec_id
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3),
+    apairs AS (
+      SELECT LEAST(ma.vec_id, mb.vec_id) AS vec_a,
+             GREATEST(ma.vec_id, mb.vec_id) AS vec_b,
+             CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_1e6
+      FROM gscored
+      JOIN vgroups ma ON ma.gid = gid_a
+      JOIN vgroups mb ON mb.gid = gid_b
+      UNION ALL
+      SELECT m1.vec_id AS vec_a, m2.vec_id AS vec_b,
+             CAST(1000000 AS BIGINT) AS cos_1e6
+      FROM vgroups m1 JOIN vgroups m2
+        ON m1.gid = m2.gid AND m1.vec_id < m2.vec_id)"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMB_PAIRS_CTE_SQL}
+    SELECT vec_a, vec_b, cos_1e6 FROM apairs
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -987,6 +998,91 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
     )
     return cross.unionByName(intra)
+
+
+# SemDeDup prune thresholds (cos * 1e6): the sweep a curation team
+# runs before committing a semantic-dedup pass — exact copies only
+# (1.0), near-identical (0.95), paraphrase-radius (0.5), and the pair
+# frame's own floor (0.3).
+_SEMDEDUP_TAUS = [300000, 500000, 950000, 1000000]
+
+
+@query(
+    "dedup_semantic_prune_curve",
+    f"""
+    WITH {_EMB_PAIRS_CTE_SQL},
+    taus AS (SELECT * FROM (VALUES (300000), (500000), (950000),
+                                   (1000000)) AS t(tau_1e6)),
+    tot AS (SELECT COUNT(*) AS n_total FROM norms),
+    pruned AS (
+      SELECT t.tau_1e6, COUNT(DISTINCT p.vec_b) AS n_pruned
+      FROM taus t LEFT JOIN apairs p ON p.cos_1e6 >= t.tau_1e6
+      GROUP BY t.tau_1e6)
+    SELECT CAST(pr.tau_1e6 AS BIGINT) AS tau_1e6,
+           CAST(tot.n_total AS BIGINT) AS n_total,
+           CAST(pr.n_pruned AS BIGINT) AS n_pruned,
+           CAST(tot.n_total - pr.n_pruned AS BIGINT) AS n_kept
+    FROM pruned pr, tot
+    ORDER BY tau_1e6
+    """,
+)
+def dedup_semantic_prune_curve(spark, sf_dir):
+    """SemDeDup-style semantic prune curve (Abbas et al. 2023: prune
+    near-identical embeddings inside k-means cells, keep one
+    representative per semantic-duplicate group) swept over a
+    threshold grid — the kept/pruned accounting a curation team reads
+    before committing a semantic-dedup pass at a given radius.
+
+    Semantics: a vector is PRUNED at threshold tau if any
+    smaller-vec_id vector shares an IVF cell with it at cosine >= tau
+    (the deterministic min-id survivor rule the exact/minhash dedup
+    family uses, applied per semantic group — SemDeDup keeps a random
+    cluster member; min-id is the reproducible choice). The pair frame
+    is `dedup_embedding_cosine`'s — trained IVF cells, multi-probe
+    assignment, exact integer re-scoring, never all-pairs — so this
+    query adds only: a broadcast 4-row threshold grid joined against
+    the ~threshold-survivor pairs, a distinct on (tau, pruned vec),
+    and one count per tau. All the heavy state (centroids, groups,
+    assignment payload) comes from the session memos shared with the
+    pair query, so the marginal cost is the curve itself.
+
+    Shape at 100 TB: the curve inherits the pair frame's posture
+    (candidate-bounded cell self-join, filter before pair shuffle);
+    the sweep multiplies the SURVIVOR pairs by 4 grid rows, not the
+    candidates. The oracle replays training + grouping + assignment +
+    scoring + the EXISTS-smaller-neighbor rule analytically
+    (`_EMB_PAIRS_CTE_SQL`), so the curve is bit-deterministic."""
+    from spark_data_test_spark.operators.similarity import _int_embeddings
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    taus = local_df(
+        spark,
+        [(t,) for t in _SEMDEDUP_TAUS],
+        "tau_1e6 long",
+    )
+    total = _int_embeddings(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    pruned = (
+        F.broadcast(taus)
+        .join(pairs, pairs["cos_1e6"] >= taus["tau_1e6"])
+        .select("tau_1e6", "vec_b")
+        .distinct()
+        .groupBy("tau_1e6")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pruned"))
+    )
+    return (
+        taus.join(pruned, "tau_1e6", "left")
+        .withColumn("n_pruned", F.coalesce("n_pruned", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tau_1e6",
+            "n_total",
+            "n_pruned",
+            (F.col("n_total") - F.col("n_pruned")).cast("long").alias("n_kept"),
+        )
+        .orderBy("tau_1e6")
+    )
 
 
 @query(

@@ -47,8 +47,10 @@ _DECODE_CACHE = FrameCache(max_entries=2)
 
 
 def clear_multimodal_cache():
-    """Release the decoded-frame memo (bench harness hook)."""
+    """Release the decoded-frame memos (bench harness hook)."""
     _DECODE_CACHE.clear()
+    _AUDIO_CACHE.clear()
+    _VIDEO_CACHE.clear()
 
 
 try:  # pragma: no cover - PIL optional; stdlib PNG path always works

@@ -518,3 +518,25 @@ def test_short_text_duplicates_never_pair(spark, sf_dir, tmp_path):
         )
     finally:
         dedup.clear_dedup_cache()
+
+
+def test_semantic_prune_curve_invariants(spark, sf_dir):
+    """The SemDeDup curve must be internally consistent with its own
+    pair frame: kept + pruned = total at every threshold, pruned is
+    monotone non-increasing in tau, and the count at each tau equals
+    the distinct higher-id endpoints of the >=tau pairs."""
+    curve = {
+        r.tau_1e6: r
+        for r in dedup.dedup_semantic_prune_curve(spark, sf_dir).collect()
+    }
+    pairs = dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    taus = sorted(curve)
+    prev = None
+    for tau in taus:
+        r = curve[tau]
+        assert r.n_kept + r.n_pruned == r.n_total
+        expected = len({p.vec_b for p in pairs if p.cos_1e6 >= tau})
+        assert r.n_pruned == expected
+        if prev is not None:
+            assert r.n_pruned <= prev
+        prev = r.n_pruned
