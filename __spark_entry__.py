@@ -94,6 +94,7 @@ _NEXT_ROTATION = [
     "multimodal_audio_fingerprint",
     "multimodal_video_scene_cuts",
     "dedup_semantic_prune_curve",
+    "mix_temperature_rebalance",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

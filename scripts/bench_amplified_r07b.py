@@ -1,0 +1,134 @@
+"""Round-7 amplified study, addendum B: the continuation families.
+
+Adds x1/x10/x30 points for the queries that landed after the main
+r07 study was recorded — the real audio family (WAV decode features +
+energy-envelope fingerprint), the Y4M video scene-cut report, the
+SemDeDup prune curve, and the two round-7 lines the main study left
+out (`streaming_incremental_minhash`, the top headline line, and
+`multimodal_crossmodal_agreement`). Results MERGE into
+BENCH_AMPLIFIED_r07.json (same protocol: min of two passes per
+factor, memo caches cleared between passes; staged file corpora and
+committed incremental state persist across passes, so pass 1 pays
+cold-start and pass 2 measures the steady state).
+
+Usage: python scripts/bench_amplified_r07b.py [factor ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
+    "dedup_semantic_prune_curve",
+    "streaming_incremental_minhash",
+    "multimodal_crossmodal_agreement",
+]
+
+
+def main():
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 30]
+    sf_base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    import bench
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-data-test-bench-amplified-r07b")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entry_mod.queries()
+
+    def clear_memo_caches():
+        from spark_data_test_spark.operators import comparison_queries as cq
+        from spark_data_test_spark.operators.dedup import clear_dedup_cache
+        from spark_data_test_spark.operators.multimodal import (
+            clear_multimodal_cache,
+        )
+        from spark_data_test_spark.operators.similarity import (
+            clear_similarity_cache,
+        )
+
+        cq.clear_engine_cache()
+        clear_dedup_cache()
+        clear_similarity_cache()
+        clear_multimodal_cache()
+
+    per_factor = {}
+    for factor in factors:
+        sf_dir = (
+            sf_base_dir
+            if factor == 1
+            else bench._stage_amplified(spark, sf_base_dir, factor)
+        )
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        timings = {}
+        for _pass in range(2):
+            clear_memo_caches()
+            for name in QUERIES:
+                t0 = time.time()
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+                print(
+                    f"x{factor} pass{_pass + 1} {name}: {dt}s",
+                    file=sys.stderr,
+                )
+        per_factor[f"x{factor}"] = timings
+
+    path = "/root/repo/BENCH_AMPLIFIED_r07.json"
+    with open(path) as fh:
+        result = json.load(fh)
+    base = per_factor.get("x1", {})
+    for fx, timings in per_factor.items():
+        result["queries_min_sec"].setdefault(fx, {}).update(timings)
+        if fx == "x1":
+            continue
+        result["slopes_vs_x1"].setdefault(fx, {}).update(
+            {
+                name: round(timings[name] / base[name], 2)
+                for name in timings
+                if base.get(name)
+            }
+        )
+    result["totals_min_per_line"] = {
+        fx: round(sum(t.values()), 1)
+        for fx, t in result["queries_min_sec"].items()
+    }
+    result["note"] += (
+        " Addendum B (same protocol) adds the continuation families: "
+        "real audio (WAV features + envelope fingerprint), Y4M video "
+        "scene cuts, the SemDeDup prune curve, and first amplified "
+        "points for streaming_incremental_minhash and "
+        "multimodal_crossmodal_agreement."
+    )
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result["totals_min_per_line"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -357,3 +357,93 @@ def sample_topk_per_group(spark, sf_dir):
         .where(F.col("rn") <= _EVAL_K)
         .drop("rn")
     )
+
+
+# Temperature exponent alpha = 1/2, realized as INTEGER sqrt of the
+# per-language token supply — floor(sqrt(bigint)) is bit-identical in
+# Spark and DuckDB (IEEE sqrt is correctly rounded, inputs < 2^52),
+# and all shares/boosts below are truncating integer division, so the
+# whole table is order-independent exact integers.
+_TEMP_ISQRT_SQL = "CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT)"
+
+
+@query(
+    "mix_temperature_rebalance",
+    f"""
+    WITH toks AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM({_N_TOK_SQL}) AS BIGINT) AS tok_total
+      FROM documents GROUP BY lang),
+    wts AS (
+      SELECT lang, n_docs, tok_total,
+             {_TEMP_ISQRT_SQL.format(t="tok_total")} AS w
+      FROM toks),
+    tot AS (
+      SELECT CAST(SUM(tok_total) AS BIGINT) AS tok_all,
+             CAST(SUM(w) AS BIGINT) AS w_all
+      FROM wts)
+    SELECT w.lang, w.n_docs, w.tok_total,
+           CAST(w.tok_total * 1000000 // t.tok_all AS BIGINT)
+             AS natural_share_1e6,
+           CAST(w.w * 1000000 // t.w_all AS BIGINT) AS temp_share_1e6,
+           CAST((w.w * 1000000 // t.w_all) * 1000000
+                // (w.tok_total * 1000000 // t.tok_all) AS BIGINT)
+             AS boost_1e6
+    FROM wts w, tot t
+    ORDER BY lang
+    """,
+)
+def mix_temperature_rebalance(spark, sf_dir):
+    """Temperature-scaled language re-balancing — the mT5/XLM-R
+    sampling rule ``p_i ∝ share_i^alpha`` at alpha = 1/2, computed
+    FROM the corpus (vs `mix_weighted_sources`' fixed keep-rates):
+    per language, the natural token share, the temperature-flattened
+    sampling share, and the resulting up/down-sampling boost a
+    multilingual training pipeline applies so high-resource languages
+    stop drowning out the tail. Exactness discipline: the temperature
+    power is an integer sqrt of the token supply and every share is
+    micro-unit truncating division, so both engines produce identical
+    rows with no cross-row float accumulation anywhere.
+
+    Shape at 100 TB: one partial-agg-friendly groupBy(lang) over the
+    corpus (map-side combine does nearly all the work; language
+    cardinality is tiny), then a broadcast 1-row total joined onto the
+    per-language frame — no window over the corpus, no second scan."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tok_col()).cast("long").alias("tok_total"),
+    )
+    wts = toks.withColumn(
+        "w",
+        F.expr(_TEMP_ISQRT_SQL.format(t="tok_total")),
+    )
+    tot = wts.agg(
+        F.sum("tok_total").cast("long").alias("tok_all"),
+        F.sum("w").cast("long").alias("w_all"),
+    )
+    natural = F.expr("tok_total * 1000000 div tok_all")
+    temp = F.expr("w * 1000000 div w_all")
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tok_total",
+            natural.cast("long").alias("natural_share_1e6"),
+            temp.cast("long").alias("temp_share_1e6"),
+            (temp * 1000000)
+            .cast("long")
+            .alias("_t"),
+            natural.cast("long").alias("_n"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "tok_total",
+            "natural_share_1e6",
+            "temp_share_1e6",
+            "cast(_t div _n AS bigint) AS boost_1e6",
+        )
+        .orderBy("lang")
+    )
