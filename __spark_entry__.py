@@ -16,15 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order). CANONICAL round-7 window accounting (this comment
 # is the single source of truth; README.md mirrors it): 1 flagship
-# (compare_overall_report, re-earned every round) + 3 changed-code
+# (compare_overall_report, re-earned every round) + 6 changed-code
 # re-earns (text_knn_graph: co-count build replaced per VERDICT r6 item
 # 2; multimodal_phash_neardup + multimodal_real_image_decode: promoted
-# to the 8x8 corpus / 64-bit 8-band production hash per item 4) + 29
-# stale greens whose latest driver row was round 2
-# + 17 stalest round-3 greens — a re-earn-only cut (VERDICT r6 item 1)
-# that clears the entire r2 tail. After this round no green is older
-# than round 3, and 31 r3-era rows remain at the head of
-# _CHECKED_BACKLOG for the round-8 cut.
+# to the 8x8 corpus / 64-bit 8-band production hash per item 4;
+# streaming_incremental_dedup: log-structured delta commits;
+# similarity_centroid_outliers: map-combinable argmax;
+# dedup_embedding_cosine: pair oracle factored into the shared apairs
+# CTE for the SemDeDup curve) + 29 stale greens whose latest driver
+# row was round 2 + 14 stalest round-3 greens — a re-earn-heavy cut
+# (VERDICT r6 item 1) that clears the entire r2 tail. After this round
+# no green is older than round 3, and 32 r3-era rows remain at the
+# head of _CHECKED_BACKLOG for the round-8 cut.
 # tests/test_registry_invariants.py enforces that
 # greens ∪ window ∪ queue always covers the registry.
 _DRIVER_WINDOW = [
@@ -77,7 +80,7 @@ _DRIVER_WINDOW = [
     "events_hypertable_rollup",
     "events_funnel_analysis",
     "events_session_window_native",
-    "compare_lineitem_overall",
+    "dedup_embedding_cosine",
 ]
 
 # New queries added mid-round go here first (the invariant test keeps
@@ -101,6 +104,7 @@ _NEXT_ROTATION = [
 # driver round ascending, registration order as tie-break) so the next
 # window cut can just take the head of this list.
 _CHECKED_BACKLOG = [
+    "compare_lineitem_overall",
     "compare_distribution_report",
     "left_semi_join",
     "cube_agg",
@@ -132,7 +136,6 @@ _CHECKED_BACKLOG = [
     "streaming_static_join",
     "streaming_dedup",
     "streaming_foreachbatch_sink",
-    "dedup_embedding_cosine",
     "similarity_ivf_ann",
     "approx_count_distinct_parts",
     "sketch_hll_rollup",
