@@ -98,6 +98,7 @@ _NEXT_ROTATION = [
     "multimodal_video_scene_cuts",
     "dedup_semantic_prune_curve",
     "mix_temperature_rebalance",
+    "corpus_dedup_waterfall",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "multimodal_video_scene_cuts",
     "dedup_semantic_prune_curve",
+    "corpus_dedup_waterfall",
 ]
 
 

@@ -267,3 +267,26 @@ def test_cluster_size_stats_conserve_documents(spark, sf_dir):
     # LSH-vertex clusters are >= 2 docs by construction (only banded
     # candidates or exact-dup groups enter the graph)
     assert all(r.cluster_size >= 2 for r in stats)
+
+
+def test_dedup_waterfall_chain(spark, sf_dir):
+    """Stage accounting must chain (n_out -> next n_in, in - removed =
+    out) and both dedup stages must bite on the planted corpus."""
+    from spark_data_test_spark.operators.pipeline import corpus_dedup_waterfall
+
+    rows = sorted(
+        corpus_dedup_waterfall(spark, sf_dir).collect(),
+        key=lambda r: r.stage_id,
+    )
+    assert [r.stage for r in rows] == [
+        "short_filter",
+        "exact_dedup",
+        "near_dedup",
+    ]
+    for r in rows:
+        assert r.n_in - r.n_removed == r.n_out
+        assert r.n_removed >= 0
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.n_out == nxt.n_in
+    assert rows[1].n_removed > 0  # exact twins planted at +1e7
+    assert rows[2].n_removed > 0  # near twins planted at +2e7
