@@ -264,6 +264,10 @@ def corpus_dedup_waterfall(spark, sf_dir):
     # + %17 byte-identical twins (twin length = base length)
     d = t(spark, sf_dir, "documents")
     len8 = F.length("text") >= 8
+    # a %13 tail twin passes the length filter iff its base text is
+    # non-null (tail adds 17 chars; a NULL base concats to NULL and is
+    # filtered on both engines) — null-safe even though the provided
+    # testdata has no null texts
     c01 = d.agg(
         (
             F.count(F.lit(1))
@@ -272,7 +276,11 @@ def corpus_dedup_waterfall(spark, sf_dir):
         ).alias("n0"),
         (
             F.sum(F.when(len8, 1).otherwise(0))
-            + F.sum(F.when(F.col("doc_id") % 13 == 0, 1).otherwise(0))
+            + F.sum(
+                F.when(
+                    (F.col("doc_id") % 13 == 0) & F.col("text").isNotNull(), 1
+                ).otherwise(0)
+            )
             + F.sum(F.when(len8 & (F.col("doc_id") % 17 == 0), 1).otherwise(0))
         ).alias("n1"),
     )

@@ -387,7 +387,7 @@ _TEMP_ISQRT_SQL = "CAST(floor(sqrt(CAST({t} AS DOUBLE))) AS BIGINT)"
              AS natural_share_1e6,
            CAST(w.w * 1000000 // t.w_all AS BIGINT) AS temp_share_1e6,
            CAST((w.w * 1000000 // t.w_all) * 1000000
-                // (w.tok_total * 1000000 // t.tok_all) AS BIGINT)
+                // GREATEST(w.tok_total * 1000000 // t.tok_all, 1) AS BIGINT)
              AS boost_1e6
     FROM wts w, tot t
     ORDER BY lang
@@ -443,7 +443,11 @@ def mix_temperature_rebalance(spark, sf_dir):
             "tok_total",
             "natural_share_1e6",
             "temp_share_1e6",
-            "cast(_t div _n AS bigint) AS boost_1e6",
+            # greatest(..., 1) guard: a sub-ppm language truncates its
+            # natural share to 0; the boost then reads as the raw
+            # temperature share instead of dividing by zero (DuckDB //0
+            # errors, Spark div 0 returns NULL — neither is a report)
+            "cast(_t div greatest(_n, 1) AS bigint) AS boost_1e6",
         )
         .orderBy("lang")
     )
