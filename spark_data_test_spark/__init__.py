@@ -36,6 +36,14 @@ from spark_data_test_spark.operators.graph import (
     triangle_count,
 )
 from spark_data_test_spark.operators.ml import corr_matrix, ols_fit
+from spark_data_test_spark.operators.multimodal import (
+    decode_image,
+    decode_wav,
+    decode_y4m,
+    encode_png_gray,
+    encode_wav_pcm16,
+    encode_y4m,
+)
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
@@ -75,6 +83,12 @@ __all__ = [
     "pagerank_fixed",
     "range_join_binned",
     "compact_state_versions",
+    "decode_image",
+    "decode_wav",
+    "decode_y4m",
+    "encode_png_gray",
+    "encode_wav_pcm16",
+    "encode_y4m",
     "read_state_table",
     "read_state_union",
     "release_comparison_result",
