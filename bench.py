@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_video_scene_cuts",
     "dedup_semantic_prune_curve",
     "corpus_dedup_waterfall",
+    "mix_temperature_rebalance",
 ]
 
 

@@ -102,29 +102,32 @@ def main():
     path = "/root/repo/BENCH_AMPLIFIED_r07.json"
     with open(path) as fh:
         result = json.load(fh)
-    base = per_factor.get("x1", {})
     for fx, timings in per_factor.items():
         result["queries_min_sec"].setdefault(fx, {}).update(timings)
+    # slopes from the merged table (not just this invocation), so a
+    # partial re-run (e.g. `... 30`) still ratios against recorded x1
+    base = result["queries_min_sec"].get("x1", {})
+    for fx, timings in result["queries_min_sec"].items():
         if fx == "x1":
             continue
-        result["slopes_vs_x1"].setdefault(fx, {}).update(
-            {
-                name: round(timings[name] / base[name], 2)
-                for name in timings
-                if base.get(name)
-            }
-        )
+        result["slopes_vs_x1"][fx] = {
+            name: round(timings[name] / base[name], 2)
+            for name in timings
+            if base.get(name)
+        }
     result["totals_min_per_line"] = {
         fx: round(sum(t.values()), 1)
         for fx, t in result["queries_min_sec"].items()
     }
-    result["note"] += (
+    addendum = (
         " Addendum B (same protocol) adds the continuation families: "
         "real audio (WAV features + envelope fingerprint), Y4M video "
         "scene cuts, the SemDeDup prune curve, and first amplified "
         "points for streaming_incremental_minhash and "
         "multimodal_crossmodal_agreement."
     )
+    if "Addendum B" not in result["note"]:
+        result["note"] += addendum
     with open(path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result["totals_min_per_line"]))

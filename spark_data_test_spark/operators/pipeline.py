@@ -20,7 +20,14 @@ both engines — instead of float accumulation order lottery.
 
 import pyspark.sql.functions as F
 
-from spark_data_test_spark.operators.dedup import _EXACT_CORPUS_SQL, _exact_corpus
+from spark_data_test_spark.operators.dedup import (
+    _BANDS,
+    _EXACT_CORPUS_SQL,
+    _EXACT_PLANT_OFFSET,
+    _N_HASHES,
+    _NEAR_PLANT_OFFSET,
+    _exact_corpus,
+)
 from spark_data_test_spark.operators.relational import query, t
 from spark_data_test_spark.operators.sampling import _bucket_sql, _hash_bucket
 
@@ -105,13 +112,18 @@ def corpus_prepare_pipeline(spark, sf_dir):
     )
 
 
+# built from dedup.py's own tuning constants so the waterfall oracle
+# can never silently diverge from the memoized Spark-side machinery
+# (_cached_gid_pairs) it rides
+_WF_ROWS = _N_HASHES // _BANDS
 _WF_MH = "".join(
-    f", min(md5(sh || '#{k}')) AS h{k}" for k in range(12)
+    f", min(md5(sh || '#{k}')) AS h{k}" for k in range(_N_HASHES)
 ).lstrip(", ")
 _WF_BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, h{3*b} || h{3*b+1} || h{3*b+2} AS sig"
-    " FROM wmh"
-    for b in range(4)
+    f"SELECT doc_id, {b} AS band, "
+    + " || ".join(f"h{_WF_ROWS * b + r}" for r in range(_WF_ROWS))
+    + " AS sig FROM wmh"
+    for b in range(_BANDS)
 )
 
 
@@ -121,10 +133,11 @@ _WF_BANDS = " UNION ALL ".join(
     WITH wcorpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000000 AS doc_id, text
+      SELECT doc_id + {_EXACT_PLANT_OFFSET} AS doc_id, text
       FROM documents WHERE doc_id % 17 = 0
       UNION ALL
-      SELECT doc_id + 20000000 AS doc_id, text || ' extra tail token' AS text
+      SELECT doc_id + {_NEAR_PLANT_OFFSET} AS doc_id,
+             text || ' extra tail token' AS text
       FROM documents WHERE doc_id % 13 = 0),
     s1 AS (SELECT doc_id, text FROM wcorpus WHERE length(text) >= 8),
     e AS (
