@@ -99,6 +99,7 @@ _NEXT_ROTATION = [
     "dedup_semantic_prune_curve",
     "mix_temperature_rebalance",
     "corpus_dedup_waterfall",
+    "streaming_media_arrivals",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_semantic_prune_curve",
     "corpus_dedup_waterfall",
     "mix_temperature_rebalance",
+    "streaming_media_arrivals",
 ]
 
 

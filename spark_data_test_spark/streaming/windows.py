@@ -21,10 +21,13 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from spark_data_test_spark.utils.spark_utils import local_df
@@ -1710,3 +1713,130 @@ def streaming_incremental_minhash(spark, sf_dir):
         resolver.unpersist()
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+@query(
+    "streaming_media_arrivals",
+    """
+    WITH awav AS (
+      SELECT doc_id,
+             md5(text || '~a0') || md5(text || '~a1') || md5(text || '~a2')
+               || md5(text || '~a3') || md5(text || '~a4') || md5(text || '~a5')
+               || md5(text || '~a6') || md5(text || '~a7') AS aw
+      FROM documents),
+    acorpus AS (
+      SELECT doc_id, aw FROM awav
+      UNION ALL
+      SELECT doc_id + 40000000 AS doc_id, '0000' || substr(aw, 5) AS aw
+      FROM awav WHERE doc_id % 17 = 0),
+    asmp AS (
+      SELECT doc_id,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM (
+        SELECT doc_id, j,
+               16 * (instr('0123456789abcdef', substr(aw, 4*j - 3, 1)) - 1)
+                 + (instr('0123456789abcdef', substr(aw, 4*j - 2, 1)) - 1)
+                 + 256 * (16 * (instr('0123456789abcdef',
+                                      substr(aw, 4*j - 1, 1)) - 1)
+                          + (instr('0123456789abcdef', substr(aw, 4*j, 1)) - 1))
+                 AS u
+        FROM acorpus, unnest(generate_series(1, 64)) AS t(j))),
+    feats AS (
+      SELECT doc_id, SUM(abs(s)) AS sum_abs, MAX(abs(s)) AS peak_abs
+      FROM asmp GROUP BY doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(sum_abs) AS BIGINT) AS total_abs_energy,
+           CAST(MAX(peak_abs) AS BIGINT) AS max_peak_abs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM feats
+    """,
+)
+def streaming_media_arrivals(spark, sf_dir):
+    """FILE-ARRIVAL media ingest through Spark's streaming binary
+    source — the landing-zone pattern a multimodal lake runs: the
+    staged WAV corpus directory is read with
+    ``readStream.format("binaryFile")`` (``maxFilesPerTrigger`` caps
+    each micro-batch, ``availableNow`` drains the backlog in multiple
+    batches exactly like a catch-up run on a real landing bucket),
+    every arriving clip is decoded INSIDE the stream by the
+    chunk-walking `decode_wav` in Arrow-batched ``mapInPandas``, the
+    integer clip features are computed JVM-side per arrival row, and
+    the append-mode sink accumulates the per-clip feature rows; the
+    returned frame is the batch-side roll-up of the sink table.
+
+    This exercises a source kind the rest of the streaming family
+    does not (file-discovery streaming over BINARY payloads vs the
+    parquet table sources) while keeping the streaming-equals-batch
+    oracle discipline: per-clip features are independent of batch
+    boundaries, so the roll-up equals the analytic batch truth no
+    matter how the file listing splits into triggers. At 100 TB the
+    same topology is the production shape — checkpointed file-source
+    offsets make each landing file exactly-once, per-batch work is
+    bounded by maxFilesPerTrigger, and the decode parallelism is the
+    file count per batch, not the corpus size."""
+    import binascii
+
+    from spark_data_test_spark.operators.multimodal import (
+        _AUD_N,
+        _aud_signed_expr,
+        _stage_wav_files,
+        decode_wav,
+    )
+
+    prepare_session(spark)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/spark_graft_wav/{digest}"
+    _stage_wav_files(spark, sf_dir, root)
+
+    def extract(batches):
+        for pdf in batches:
+            recs = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(path.rsplit("doc_", 1)[1].split(".")[0])
+                rate, channels, bits, pcm = decode_wav(bytes(content))
+                recs.append((doc_id, binascii.hexlify(pcm).decode()))
+            yield pd.DataFrame(recs, columns=["doc_id", "pcm_hex"])
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField("modificationTime", TimestampType()),
+                    StructField("length", LongType()),
+                    StructField("content", BinaryType()),
+                ]
+            )
+        )
+        .option("pathGlobFilter", "*.wav")
+        .option("maxFilesPerTrigger", 2048)
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(
+            extract,
+            schema=StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("pcm_hex", StringType()),
+                ]
+            ),
+        )
+        .selectExpr("doc_id", f"{_aud_signed_expr('pcm_hex')} AS s")
+        .selectExpr(
+            "doc_id",
+            "aggregate(s, cast(0 AS bigint), (a, x) ->"
+            " a + cast(abs(x) AS bigint)) AS sum_abs",
+            "aggregate(s, cast(0 AS bigint), (a, x) ->"
+            " greatest(a, cast(abs(x) AS bigint))) AS peak_abs",
+        )
+    )
+    sink = _run_to_memory(stream, "append")
+    return sink.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("sum_abs").cast("long").alias("total_abs_energy"),
+        F.max("peak_abs").cast("long").alias("max_peak_abs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
