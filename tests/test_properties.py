@@ -174,3 +174,58 @@ def test_frame_cache_eviction_order_and_release():
     assert released == ["vb", "va"]  # a evicted next (append-only log)
     cache.clear()
     assert set(released) == {"va", "vb", "vc", "vb2"}
+
+
+# --- media codec roundtrips (no Spark session needed) ---------------------
+
+_pcm_bytes = st.binary(min_size=0, max_size=256).map(
+    lambda b: b[: len(b) - (len(b) % 2)]  # PCM16 needs whole samples
+)
+
+
+@given(pcm=_pcm_bytes, rate=st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_property(pcm, rate):
+    from spark_data_test_spark import decode_wav, encode_wav_pcm16
+
+    out_rate, channels, bits, data = decode_wav(encode_wav_pcm16(rate, pcm))
+    assert (out_rate, channels, bits) == (rate, 1, 16)
+    assert data == pcm
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    n=st.integers(0, 6),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_y4m_roundtrip_property(w, h, n, data):
+    from spark_data_test_spark import decode_y4m, encode_y4m
+
+    frames = [
+        data.draw(st.binary(min_size=w * h, max_size=w * h))
+        for _ in range(n)
+    ]
+    ow, oh, out = decode_y4m(encode_y4m(w, h, frames))
+    assert (ow, oh) == (w, h)
+    assert out == frames
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_wav_decoder_never_misparses_junk(junk):
+    """Arbitrary bytes either fail loudly (ValueError) or are a real
+    RIFF/WAVE container — the decoder never returns garbage silently."""
+    import pytest as _pytest
+
+    from spark_data_test_spark import decode_wav
+
+    if junk[:4] == b"RIFF" and junk[8:12] == b"WAVE":
+        try:
+            decode_wav(junk)
+        except ValueError:
+            pass
+    else:
+        with _pytest.raises(ValueError):
+            decode_wav(junk)
