@@ -100,6 +100,8 @@ _NEXT_ROTATION = [
     "mix_temperature_rebalance",
     "corpus_dedup_waterfall",
     "streaming_media_arrivals",
+    "multimodal_audio_silence_segments",
+    "events_seasonal_naive_backtest",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

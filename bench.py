@@ -112,6 +112,8 @@ HEADLINE = [
     "corpus_dedup_waterfall",
     "mix_temperature_rebalance",
     "streaming_media_arrivals",
+    "multimodal_audio_silence_segments",
+    "events_seasonal_naive_backtest",
 ]
 
 

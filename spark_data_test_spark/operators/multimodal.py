@@ -1600,3 +1600,112 @@ def multimodal_video_scene_cuts(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_AUD_SILENCE_THRESHOLD = 100_000  # frame L1 energy below this = silent
+
+
+@query(
+    "multimodal_audio_silence_segments",
+    f"""
+    WITH {_AUD_HEX_SQL.strip()},
+    afr AS (
+      SELECT doc_id, (j - 1) // {_AUD_N // _AUD_FRAMES} AS k,
+             SUM(abs(s)) AS e
+      FROM asmp GROUP BY 1, 2),
+    aflag AS (
+      SELECT doc_id, k,
+             CASE WHEN e < {_AUD_SILENCE_THRESHOLD} THEN 1 ELSE 0 END
+               AS silent
+      FROM afr),
+    aseg AS (
+      SELECT doc_id, k, silent,
+             k - SUM(silent) OVER (
+               PARTITION BY doc_id ORDER BY k) AS grp
+      FROM aflag),
+    aruns AS (
+      SELECT doc_id, grp, COUNT(*) AS run_len
+      FROM aseg WHERE silent = 0 GROUP BY doc_id, grp)
+    SELECT f.doc_id,
+           CAST(SUM(f.silent) AS BIGINT) AS silent_frames,
+           CAST({_AUD_FRAMES} - SUM(f.silent) AS BIGINT) AS active_frames,
+           CAST(COALESCE(MAX(r.longest), 0) AS BIGINT)
+             AS longest_active_run
+    FROM aflag f
+    LEFT JOIN (SELECT doc_id, MAX(run_len) AS longest
+               FROM aruns GROUP BY doc_id) r
+      ON r.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def multimodal_audio_silence_segments(spark, sf_dir):
+    """Silence segmentation over the decoded audio corpus — the
+    VAD-style pass a speech-data pipeline runs before trimming or
+    splitting clips: each clip's 8 frames are flagged silent when
+    their exact integer L1 energy falls under the threshold, and the
+    report carries per-clip silent/active frame counts plus the
+    longest contiguous ACTIVE run (the segment a trimmer would keep).
+    The planted first-sample-zeroed twins shift frame-0 energy toward
+    the threshold, so twin clips exercise the flag boundary.
+
+    Relational shape, mirroring the video scene-cut discipline: frame
+    energies decode from hex in one pass per frame (the
+    CollapseProject inlining lesson), silence runs come from the
+    classic gaps-and-islands transform (k - running_sum(silent) is
+    constant within a contiguous active run), and the report is two
+    doc_id-keyed aggregations — every shuffle on the natural key, no
+    joins beyond the per-doc run roll-up. Shares the audio decode
+    memo with the features and fingerprint queries."""
+    dec = audio_decoded(spark, sf_dir).select("doc_id", "pcm_hex")
+    fsz = _AUD_N // _AUD_FRAMES
+    u = (
+        f"(16 * (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j - 3, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j - 2, 1)) - 1)"
+        f" + 256 * (16 * (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j - 1, 1)) - 1)"
+        f"          + (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j, 1)) - 1)))"
+    )
+    env = (
+        f"transform(sequence(0, {_AUD_FRAMES - 1}), k ->"
+        f" aggregate(sequence(k * {fsz} + 1, k * {fsz} + {fsz}),"
+        " cast(0 AS bigint), (acc, j) ->"
+        f" acc + cast(least({u}, 65536 - {u}) AS bigint)))"
+    )
+    flags = (
+        dec.selectExpr("doc_id", f"{env} AS ea")
+        .selectExpr(
+            "doc_id", f"explode(sequence(1, {_AUD_FRAMES})) AS k1", "ea"
+        )
+        .selectExpr(
+            "doc_id",
+            "k1 - 1 AS k",
+            f"IF(element_at(ea, k1) < {_AUD_SILENCE_THRESHOLD}, 1, 0)"
+            " AS silent",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("k")
+    seg = flags.withColumn("grp", F.col("k") - F.sum("silent").over(w))
+    runs = (
+        seg.where(F.col("silent") == 0)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest"))
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(F.sum("silent").cast("long").alias("silent_frames"))
+        .withColumn(
+            "active_frames",
+            (F.lit(_AUD_FRAMES) - F.col("silent_frames")).cast("long"),
+        )
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "silent_frames",
+            "active_frames",
+            F.coalesce("longest", F.lit(0)).cast("long")
+            .alias("longest_active_run"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1127,3 +1127,78 @@ def events_top_session_paths(spark, sf_dir):
         .where(F.col("rn") <= _PATH_TOP_K)
         .select("path", "n_sessions")
     )
+
+
+_SEASON_DAYS = 7  # weekly seasonality for the naive baseline
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT d.event_type,
+             abs(d.c - p.c) AS abs_err,
+             d.c - p.c AS err
+      FROM daily d
+      JOIN daily p ON p.event_type = d.event_type
+                  AND p.day = d.day - {_SEASON_DAYS})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_forecast_days,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err_cents,
+           CAST(SUM(err) AS BIGINT) AS bias_cents,
+           CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mae_cents
+    FROM scored GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest — the baseline every demand /
+    volume forecasting pipeline must beat (forecast for day d = the
+    actual {_SEASON_DAYS} days earlier), scored over the historical
+    window: per event type, the number of backtestable days, total and
+    mean absolute error, and the signed bias. All money flows in exact
+    integer cents and MAE is truncating integer division, so the
+    report is bit-identical across engines. Days with no prior-season
+    actual (the first week, gaps in the series) drop out of scoring on
+    both engines identically via the inner self-join on day - 7.
+
+    Shape at 100 TB: one partial-agg-friendly groupBy to the daily
+    grain (map-side combines do the heavy lifting; the daily frame is
+    types x days), then a tiny equi self-join on (type, day-7) and a
+    per-type roll-up — the raw event scan happens exactly once."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("c"))
+    )
+    prior = daily.select(
+        F.col("event_type").alias("event_type"),
+        (F.col("day") + _SEASON_DAYS).alias("day"),
+        F.col("c").alias("pc"),
+    )
+    scored = daily.join(prior, ["event_type", "day"]).select(
+        "event_type",
+        F.abs(F.col("c") - F.col("pc")).alias("abs_err"),
+        (F.col("c") - F.col("pc")).alias("err"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_forecast_days"),
+            F.sum("abs_err").cast("long").alias("total_abs_err_cents"),
+            F.sum("err").cast("long").alias("bias_cents"),
+            F.expr("cast(sum(abs_err) div count(*) AS bigint)").alias(
+                "mae_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
