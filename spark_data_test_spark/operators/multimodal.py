@@ -1167,6 +1167,37 @@ def multimodal_audio_features(spark, sf_dir):
     )
 
 
+def _audio_envelope_fp(members):
+    """(gid, ea) — the 8-frame L1-energy envelope per DISTINCT clip
+    content, checkpointed (both sides of the band self-join consume
+    it). Frame energies decode DIRECTLY from the hex in one pass —
+    |int16| as least(u, 65536 - u), no intermediate sample array: a
+    staged `s` column gets CollapseProject-inlined into every
+    element_at(s, j) site of the nested aggregate, re-evaluating the
+    full 64-sample decode per access (measured 71 s single-task at
+    sf0.1 for the staged form vs sub-second for this one — the
+    interpreted-higher-order cousin of the phash codegen lesson).
+    The ``distinct()`` is the exact-dup collapse: k byte-identical
+    clips cost the banding self-join nothing extra (pinned by
+    tests/test_skew_banding.py)."""
+    fsz = _AUD_N // _AUD_FRAMES
+    u = (
+        f"(16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 3, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(gid, 4*j - 2, 1)) - 1)"
+        f" + 256 * (16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 1, 1)) - 1)"
+        f"          + (instr('{_HEXDIGITS}', substring(gid, 4*j, 1)) - 1)))"
+    )
+    env = (
+        f"transform(sequence(0, {_AUD_FRAMES - 1}), k ->"
+        f" aggregate(sequence(k * {fsz} + 1, k * {fsz} + {fsz}),"
+        " cast(0 AS bigint), (acc, j) ->"
+        f" acc + cast(least({u}, 65536 - {u}) AS bigint)))"
+    )
+    return checkpointed(
+        members.select("gid").distinct().selectExpr("gid", f"{env} AS ea")
+    )
+
+
 @query(
     "multimodal_audio_fingerprint",
     f"""
@@ -1223,29 +1254,7 @@ def multimodal_audio_fingerprint(spark, sf_dir):
     clips) are frames_diff 0 by construction."""
     dec = audio_decoded(spark, sf_dir).select("doc_id", "pcm_hex")
     members = dec.select(F.col("pcm_hex").alias("gid"), "doc_id")
-    fsz = _AUD_N // _AUD_FRAMES
-    # Frame energies decode DIRECTLY from the hex in one pass —
-    # |int16| as least(u, 65536 - u), no intermediate sample array: a
-    # staged `s` column gets CollapseProject-inlined into every
-    # element_at(s, j) site of the nested aggregate, re-evaluating the
-    # full 64-sample decode per access (measured 71 s single-task at
-    # sf0.1 for the staged form vs sub-second for this one — the
-    # interpreted-higher-order cousin of the phash codegen lesson).
-    u = (
-        f"(16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 3, 1)) - 1)"
-        f" + (instr('{_HEXDIGITS}', substring(gid, 4*j - 2, 1)) - 1)"
-        f" + 256 * (16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 1, 1)) - 1)"
-        f"          + (instr('{_HEXDIGITS}', substring(gid, 4*j, 1)) - 1)))"
-    )
-    env = (
-        f"transform(sequence(0, {_AUD_FRAMES - 1}), k ->"
-        f" aggregate(sequence(k * {fsz} + 1, k * {fsz} + {fsz}),"
-        " cast(0 AS bigint), (acc, j) ->"
-        f" acc + cast(least({u}, 65536 - {u}) AS bigint)))"
-    )
-    fp = checkpointed(
-        members.select("gid").distinct().selectExpr("gid", f"{env} AS ea")
-    )
+    fp = _audio_envelope_fp(members)
     bands = fp.selectExpr(
         "gid", "ea", f"explode(sequence(1, {_AUD_FRAMES})) AS k"
     ).selectExpr("gid", "ea", "k", "element_at(ea, k) AS sig")

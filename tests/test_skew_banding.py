@@ -119,3 +119,47 @@ def test_boilerplate_does_not_inflate_lsh_candidates(
     stay at the planted-twin population, not 10^4 x 10^4."""
     n_pairs = dd._cached_gid_pairs(spark, hot_boilerplate_dir).count()
     assert n_pairs < 20_000
+
+
+def test_audio_envelope_banding_collapses_identical_clips(spark, tmp_path):
+    """AUDIO analog of the exact-dup collapse pin: 2000 byte-identical
+    clips (same text -> same md5-derived PCM) must contribute ONE
+    distinct fingerprint to the envelope band self-join — candidate
+    volume is bounded by distinct CONTENT, not doc count."""
+    from spark_data_test_spark.operators import multimodal as mm
+
+    n_hot, n_distinct = 2000, 50
+    boiler = "the same clip text stamped onto thousands of documents"
+    texts = [boiler] * n_hot + [
+        f"clip {i} {hashlib.md5(str(i).encode()).hexdigest()}"
+        for i in range(n_distinct)
+    ]
+    root = _write_documents(spark, tmp_path / "audio_hot", texts)
+    mm.clear_multimodal_cache()
+    try:
+        dec = mm.audio_decoded(spark, root).select("doc_id", "pcm_hex")
+        members = dec.select(F.col("pcm_hex").alias("gid"), "doc_id")
+        fp = mm._audio_envelope_fp(members)
+        # hot corpus collapses to n_distinct + 1 fingerprints (plus the
+        # %17 planted twins' own contents, which are also distinct)
+        n_fp = fp.count()
+        n_docs = members.count()
+        assert n_docs >= n_hot  # twins add more
+        assert n_fp <= n_distinct + 1 + (n_docs - n_hot - n_distinct) + 1
+        # the band self-join input is fingerprints x frames — thousands,
+        # never doc-quadratic
+        bands = fp.selectExpr(
+            "gid", f"explode(sequence(1, {mm._AUD_FRAMES})) AS k", "ea"
+        ).selectExpr("gid", "k", "element_at(ea, k) AS sig")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        ).count()
+        # random 18-bit-energy collisions among ~100 distinct contents:
+        # a handful at most; doc-level banding would give ~2e6 per band
+        assert cand < 1000
+    finally:
+        mm.clear_multimodal_cache()
