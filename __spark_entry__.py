@@ -102,6 +102,7 @@ _NEXT_ROTATION = [
     "streaming_media_arrivals",
     "multimodal_audio_silence_segments",
     "events_seasonal_naive_backtest",
+    "events_cohort_ltv",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

@@ -114,6 +114,7 @@ HEADLINE = [
     "streaming_media_arrivals",
     "multimodal_audio_silence_segments",
     "events_seasonal_naive_backtest",
+    "events_cohort_ltv",
 ]
 
 

@@ -1202,3 +1202,91 @@ def events_seasonal_naive_backtest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_cohort_ltv",
+    f"""
+    WITH ev0 AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS d0 FROM ev0 GROUP BY user_id),
+    wk AS (
+      SELECT f.d0 // 7 AS cohort_week,
+             (e.day - f.d0) // 7 AS week_offset, e.c
+      FROM ev0 e JOIN firsts f ON f.user_id = e.user_id),
+    csize AS (
+      SELECT d0 // 7 AS cohort_week, COUNT(*) AS cohort_users
+      FROM firsts GROUP BY 1),
+    weekly AS (
+      SELECT cohort_week, week_offset,
+             CAST(SUM(c) AS BIGINT) AS weekly_value_cents
+      FROM wk GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, week_offset, weekly_value_cents,
+             CAST(SUM(weekly_value_cents) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset)
+               AS BIGINT) AS cum_value_cents
+      FROM weekly)
+    SELECT c.cohort_week, c.week_offset, c.weekly_value_cents,
+           c.cum_value_cents,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(c.cum_value_cents // s.cohort_users AS BIGINT)
+             AS ltv_per_user_cents
+    FROM cum c JOIN csize s ON s.cohort_week = c.cohort_week
+    ORDER BY c.cohort_week, c.week_offset
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves — the value companion to
+    `events_retention_cohorts`' count triangle: users grouped by
+    first-activity week, their event value accumulated per
+    week-of-life, with cumulative cohort value and per-user LTV (exact
+    integer cents; truncating division matches across engines). The
+    curve a growth team reads to see how much a signup week is worth
+    by week N — retention tells you WHO comes back, this tells you
+    what that's WORTH.
+
+    Shape at 100 TB: first-day is one user-keyed groupBy, the join
+    back is user-keyed, and everything after lives on the tiny
+    (cohorts x offsets) grid — the cumulative window and the
+    per-cohort size join never touch raw events. One scan, two
+    user-keyed shuffles, then grid-sized work."""
+    ev = t(spark, sf_dir, "events")
+    ev0 = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        cents(F.col("value")).alias("c"),
+    )
+    firsts = ev0.groupBy("user_id").agg(F.min("day").alias("d0"))
+    wk = ev0.join(firsts, "user_id").select(
+        F.expr("d0 div 7").alias("cohort_week"),
+        F.expr("(day - d0) div 7").alias("week_offset"),
+        "c",
+    )
+    csize = firsts.select(F.expr("d0 div 7").alias("cohort_week")).groupBy(
+        "cohort_week"
+    ).agg(F.count(F.lit(1)).alias("cohort_users"))
+    weekly = wk.groupBy("cohort_week", "week_offset").agg(
+        F.sum("c").cast("long").alias("weekly_value_cents")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    cum = weekly.withColumn(
+        "cum_value_cents",
+        F.sum("weekly_value_cents").over(w).cast("long"),
+    )
+    return (
+        cum.join(csize, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "weekly_value_cents",
+            "cum_value_cents",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.expr("cast(cum_value_cents div cohort_users AS bigint)").alias(
+                "ltv_per_user_cents"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
