@@ -103,6 +103,7 @@ _NEXT_ROTATION = [
     "multimodal_audio_silence_segments",
     "events_seasonal_naive_backtest",
     "events_cohort_ltv",
+    "orders_duplicate_payment_scan",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

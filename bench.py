@@ -115,6 +115,7 @@ HEADLINE = [
     "multimodal_audio_silence_segments",
     "events_seasonal_naive_backtest",
     "events_cohort_ltv",
+    "orders_duplicate_payment_scan",
 ]
 
 

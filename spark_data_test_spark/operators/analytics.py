@@ -1038,3 +1038,81 @@ def events_value_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("event_type", "bucket")
     )
+
+
+_DUP_PAY_PCT_NUM = 10  # amount tolerance: |a-b| <= 1% of the smaller
+_DUP_PAY_PCT_DEN = 1000
+_DUP_PAY_DAYS = 14  # date window
+
+
+@query(
+    "orders_duplicate_payment_scan",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc,
+             epoch_us(o_orderdate) // {_RFM_DAY_US} AS day
+      FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.pc AS amount_a_cents, b.pc AS amount_b_cents,
+           CAST(abs(a.day - b.day) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.day - b.day) <= {_DUP_PAY_DAYS}
+     AND {_DUP_PAY_PCT_DEN} * abs(a.pc - b.pc)
+         <= {_DUP_PAY_PCT_NUM} * LEAST(a.pc, b.pc)
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def orders_duplicate_payment_scan(spark, sf_dir):
+    """Duplicate-payment detection — structured near-dup on ORDERS
+    (the finance-ops cousin of the text/media dedup family): two
+    orders from the same customer, within {_DUP_PAY_DAYS} days of each
+    other, whose totals agree within 1% (integer cross-multiply —
+    ``1000 * |a - b| <= 10 * least(a, b)`` — the division-free
+    tolerance discipline) are flagged as suspected duplicates for
+    review.
+
+    Shape at 100 TB: blocking IS the plan — the self-join key is the
+    customer, so candidate volume is sum of per-customer order counts
+    squared (bounded fan-out, ~24 max here; real AP data is similar),
+    never corpus-quadratic, and both predicates evaluate INSIDE the
+    equi-join before anything pair-shaped shuffles. A skewed mega-
+    customer would surface in AQE's skew-join splitting; the exact
+    analog of the text family's banded candidates + in-join verify."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("pc"),
+        F.expr(f"unix_micros(o_orderdate) div {_RFM_DAY_US}").alias("day"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.abs(F.col("a.day") - F.col("b.day")) <= _DUP_PAY_DAYS
+            )
+            & (
+                F.lit(_DUP_PAY_PCT_DEN)
+                * F.abs(F.col("a.pc") - F.col("b.pc"))
+                <= F.lit(_DUP_PAY_PCT_NUM)
+                * F.least(F.col("a.pc"), F.col("b.pc"))
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.pc").alias("amount_a_cents"),
+            F.col("b.pc").alias("amount_b_cents"),
+            F.abs(F.col("a.day") - F.col("b.day"))
+            .cast("long")
+            .alias("days_apart"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )
