@@ -1658,30 +1658,24 @@ def multimodal_audio_silence_segments(spark, sf_dir):
     The planted first-sample-zeroed twins shift frame-0 energy toward
     the threshold, so twin clips exercise the flag boundary.
 
-    Relational shape, mirroring the video scene-cut discipline: frame
-    energies decode from hex in one pass per frame (the
-    CollapseProject inlining lesson), silence runs come from the
+    Relational shape, mirroring the video scene-cut discipline:
+    envelopes come from `_audio_envelope_fp` — computed once per
+    DISTINCT clip content and CHECKPOINTED, so the two consumers of
+    the flag frame (silent-frame counts and the run roll-up) re-read a
+    truncated leaf instead of re-running the hex decode, and k
+    byte-identical clips decode once (the fingerprint query's
+    exact-dup collapse, shared here). Silence runs come from the
     classic gaps-and-islands transform (k - running_sum(silent) is
-    constant within a contiguous active run), and the report is two
+    constant within a contiguous active run); the report is two
     doc_id-keyed aggregations — every shuffle on the natural key, no
-    joins beyond the per-doc run roll-up. Shares the audio decode
-    memo with the features and fingerprint queries."""
+    joins beyond the membership expansion and the per-doc run
+    roll-up. Shares the audio decode memo with the features and
+    fingerprint queries."""
     dec = audio_decoded(spark, sf_dir).select("doc_id", "pcm_hex")
-    fsz = _AUD_N // _AUD_FRAMES
-    u = (
-        f"(16 * (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j - 3, 1)) - 1)"
-        f" + (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j - 2, 1)) - 1)"
-        f" + 256 * (16 * (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j - 1, 1)) - 1)"
-        f"          + (instr('{_HEXDIGITS}', substring(pcm_hex, 4*j, 1)) - 1)))"
-    )
-    env = (
-        f"transform(sequence(0, {_AUD_FRAMES - 1}), k ->"
-        f" aggregate(sequence(k * {fsz} + 1, k * {fsz} + {fsz}),"
-        " cast(0 AS bigint), (acc, j) ->"
-        f" acc + cast(least({u}, 65536 - {u}) AS bigint)))"
-    )
+    members = dec.select(F.col("pcm_hex").alias("gid"), "doc_id")
+    fp = _audio_envelope_fp(members)
     flags = (
-        dec.selectExpr("doc_id", f"{env} AS ea")
+        members.join(fp, "gid")
         .selectExpr(
             "doc_id", f"explode(sequence(1, {_AUD_FRAMES})) AS k1", "ea"
         )
