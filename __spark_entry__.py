@@ -104,6 +104,7 @@ _NEXT_ROTATION = [
     "events_seasonal_naive_backtest",
     "events_cohort_ltv",
     "orders_duplicate_payment_scan",
+    "multimodal_image_resize",
 ]
 
 # Green-checked queries outside the window, STALEST FIRST (latest

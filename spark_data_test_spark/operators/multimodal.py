@@ -1712,3 +1712,69 @@ def multimodal_audio_silence_segments(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_image_resize",
+    f"""
+    WITH {_IMG_PH_SQL.strip()},
+    px AS (
+      SELECT doc_id, j,
+             16 * (instr('{_HEXDIGITS}', substr(ph, 2*j - 1, 1)) - 1)
+               + (instr('{_HEXDIGITS}', substr(ph, 2*j, 1)) - 1) AS p
+      FROM icorpus, unnest(generate_series(1, {_IMG_SIDE * _IMG_SIDE})) AS u(j))
+    SELECT doc_id,
+           CAST(((j - 1) // {_IMG_SIDE}) // 2 AS BIGINT) AS y,
+           CAST(((j - 1) % {_IMG_SIDE}) // 2 AS BIGINT) AS x,
+           CAST(SUM(p) // 4 AS BIGINT) AS v
+    FROM px
+    GROUP BY 1, 2, 3
+    ORDER BY doc_id, y, x
+    """,
+)
+def multimodal_image_resize(spark, sf_dir):
+    """IMAGE RESIZE over the real decode path — the downsampling pass
+    a multimodal curation pipeline runs to normalize thumbnails before
+    hashing/embedding: each decoded 8x8 clip (the staged PNG corpus,
+    twins included, via the shared decode memo) is reduced 2x by BOX
+    AVERAGING — every output pixel is the truncating integer mean of
+    its 2x2 source block, the area-filter kernel production
+    thumbnailers use for power-of-two reduction.
+
+    The kernel is PURE RELATIONAL ALGEBRA, which is the 100 TB point:
+    pixels explode to (doc, j, p) rows with each pixel decoded from
+    hex exactly once, and the resize is one GROUP BY (doc, y, x) with
+    SUM(p) div 4 — map-side partial aggregation does the averaging, so
+    the shuffle carries one row per OUTPUT pixel (a 4x reduction), and
+    arbitrary integer scale factors are the same plan with a different
+    block id. No UDF, no array marshalling; the oracle replays the
+    planted pixel truth analytically so any defect in the decode, the
+    block mapping, or the truncating mean breaks every row."""
+    dec = multimodal_real_image_decode(spark, sf_dir).select(
+        "doc_id", "pixel_hex"
+    )
+    side = _IMG_SIDE
+    p = (
+        f"16 * (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j - 1, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j, 1)) - 1)"
+    )
+    px = dec.selectExpr(
+        "doc_id", f"explode(sequence(1, {side * side})) AS j", "pixel_hex"
+    ).selectExpr("doc_id", "j", f"{p} AS p")
+    return (
+        px.selectExpr(
+            "doc_id",
+            f"((j - 1) div {side}) div 2 AS y",
+            f"((j - 1) % {side}) div 2 AS x",
+            "p",
+        )
+        .groupBy("doc_id", "y", "x")
+        .agg(F.expr("cast(sum(p) div 4 AS bigint)").alias("v"))
+        .select(
+            "doc_id",
+            F.col("y").cast("long").alias("y"),
+            F.col("x").cast("long").alias("x"),
+            "v",
+        )
+        .orderBy("doc_id", "y", "x")
+    )
