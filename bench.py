@@ -116,6 +116,7 @@ HEADLINE = [
     "events_seasonal_naive_backtest",
     "events_cohort_ltv",
     "orders_duplicate_payment_scan",
+    "multimodal_image_resize",
 ]
 
 
