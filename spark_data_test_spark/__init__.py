@@ -37,6 +37,7 @@ from spark_data_test_spark.operators.graph import (
 )
 from spark_data_test_spark.operators.ml import corr_matrix, ols_fit
 from spark_data_test_spark.operators.multimodal import (
+    box_downsample,
     decode_image,
     decode_wav,
     decode_y4m,
@@ -73,6 +74,7 @@ __all__ = [
     "asof_join_split",
     "blocked_fuzzy_pairs",
     "bloom_prefilter",
+    "box_downsample",
     "compare_dataframes",
     "compare_dataframes_where",
     "connected_components",

@@ -1714,6 +1714,56 @@ def multimodal_audio_silence_segments(spark, sf_dir):
     )
 
 
+def box_downsample(df, *, side, factor, id_col="doc_id",
+                   pixel_col="pixel_hex"):
+    """Generic integer box-average image downsample (library API).
+
+    ``df`` carries one row per image: ``id_col`` plus ``pixel_col``, a
+    hex string of ``side * side`` grayscale bytes in row-major order
+    (the engine's decoded-image representation). Returns one row per
+    OUTPUT pixel ``(id_col, y, x, v)`` at ``side/factor`` resolution,
+    where ``v`` is the truncating integer mean of the ``factor x
+    factor`` source block — the area-filter kernel thumbnailers use.
+
+    Pure relational algebra at any scale: pixels explode to
+    ``(id, j, p)`` rows with each pixel hex-decoded exactly once, and
+    the resize is one GROUP BY ``(id, y, x)`` with ``SUM(p) div
+    factor^2``. Map-side partial aggregation does the averaging, so
+    the shuffle carries one row per output pixel (a ``factor^2``
+    reduction); changing ``factor`` only changes the block-id
+    expression, not the plan shape. Unordered — callers sort."""
+    if side % factor != 0:
+        raise ValueError(
+            f"side {side} not divisible by factor {factor}"
+        )
+    p = (
+        f"16 * (instr('{_HEXDIGITS}', substring({pixel_col}, 2*j - 1, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring({pixel_col}, 2*j, 1)) - 1)"
+    )
+    px = df.selectExpr(
+        id_col, f"explode(sequence(1, {side * side})) AS j", pixel_col
+    ).selectExpr(id_col, "j", f"{p} AS p")
+    return (
+        px.selectExpr(
+            id_col,
+            f"((j - 1) div {side}) div {factor} AS y",
+            f"((j - 1) % {side}) div {factor} AS x",
+            "p",
+        )
+        .groupBy(id_col, "y", "x")
+        .agg(
+            F.expr(f"cast(sum(p) div {factor * factor} AS bigint)")
+            .alias("v")
+        )
+        .select(
+            id_col,
+            F.col("y").cast("long").alias("y"),
+            F.col("x").cast("long").alias("x"),
+            "v",
+        )
+    )
+
+
 @query(
     "multimodal_image_resize",
     f"""
@@ -1749,32 +1799,11 @@ def multimodal_image_resize(spark, sf_dir):
     arbitrary integer scale factors are the same plan with a different
     block id. No UDF, no array marshalling; the oracle replays the
     planted pixel truth analytically so any defect in the decode, the
-    block mapping, or the truncating mean breaks every row."""
+    block mapping, or the truncating mean breaks every row. The
+    kernel itself is the exported ``box_downsample`` library API."""
     dec = multimodal_real_image_decode(spark, sf_dir).select(
         "doc_id", "pixel_hex"
     )
-    side = _IMG_SIDE
-    p = (
-        f"16 * (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j - 1, 1)) - 1)"
-        f" + (instr('{_HEXDIGITS}', substring(pixel_hex, 2*j, 1)) - 1)"
-    )
-    px = dec.selectExpr(
-        "doc_id", f"explode(sequence(1, {side * side})) AS j", "pixel_hex"
-    ).selectExpr("doc_id", "j", f"{p} AS p")
-    return (
-        px.selectExpr(
-            "doc_id",
-            f"((j - 1) div {side}) div 2 AS y",
-            f"((j - 1) % {side}) div 2 AS x",
-            "p",
-        )
-        .groupBy("doc_id", "y", "x")
-        .agg(F.expr("cast(sum(p) div 4 AS bigint)").alias("v"))
-        .select(
-            "doc_id",
-            F.col("y").cast("long").alias("y"),
-            F.col("x").cast("long").alias("x"),
-            "v",
-        )
-        .orderBy("doc_id", "y", "x")
+    return box_downsample(dec, side=_IMG_SIDE, factor=2).orderBy(
+        "doc_id", "y", "x"
     )
