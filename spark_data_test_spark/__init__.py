@@ -52,6 +52,7 @@ from spark_data_test_spark.operators.relational_ext import (
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
 from spark_data_test_spark.state import (
     compact_state_versions,
+    fresh_run_root,
     read_state_table,
     read_state_union,
     write_state_version,
@@ -91,6 +92,7 @@ __all__ = [
     "encode_png_gray",
     "encode_wav_pcm16",
     "encode_y4m",
+    "fresh_run_root",
     "read_state_table",
     "read_state_union",
     "release_comparison_result",

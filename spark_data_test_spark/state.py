@@ -22,6 +22,39 @@ import os
 import time
 
 
+def fresh_run_root(kind, key="", base="/tmp/spark_graft_runs", ttl_seconds=3600):
+    """Per-run scratch root that OUTLIVES the call that created it, so a
+    query can return a LAZY frame over files it wrote (state tables,
+    foreachBatch sinks) instead of ``collect()``-ing them ahead of a
+    finally-``rmtree`` — the consumer reads the frame after the function
+    returns, and nothing per-key ever materializes on the driver.
+
+    Lifecycle: roots live under ``base/kind/md5(key)``; each call prunes
+    sibling roots older than ``ttl_seconds`` (mtime) and returns a fresh
+    uuid-named root. Age-based pruning keeps CONCURRENT runs of the same
+    query safe — they never share or delete each other's live root — while
+    bounding scratch garbage to one TTL window."""
+    import hashlib
+    import shutil
+    import uuid
+
+    digest = hashlib.md5(str(key).encode()).hexdigest()[:12]
+    parent = f"{base}/{kind}/{digest}"
+    os.makedirs(parent, exist_ok=True)
+    now = time.time()
+    for name in os.listdir(parent):
+        path = f"{parent}/{name}"
+        try:
+            stale = now - os.path.getmtime(path) > ttl_seconds
+        except OSError:
+            stale = False  # concurrently pruned by another run
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
+    root = f"{parent}/{uuid.uuid4().hex[:12]}"
+    os.makedirs(root)
+    return root
+
+
 def _committed_state_version(state_path):
     """Highest committed version under a versioned state root, or None.
     A version directory counts only with Spark's _SUCCESS marker — a
