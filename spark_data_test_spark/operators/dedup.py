@@ -119,18 +119,25 @@ def _near_corpus(spark, sf_dir):
     return d.unionByName(planted)
 
 
+# The ONE definition of the engine's shingling: strided char-8-grams.
+# _shingles explodes it to (doc_id, sh) rows for corpus-level pipelines
+# (the dictionary-hashed MinHash below); the streaming incremental path
+# consumes it as a per-doc ARRAY (array_distinct of this expression) so
+# a micro-batch fingerprints with ZERO shuffles — both produce the same
+# shingle SET, which is what every Jaccard/minhash downstream consumes.
+SHINGLES_EXPR = (
+    "transform(sequence(1, length(text) - 7, 4),"
+    " i -> substring(text, i, 8))"
+)
+
+
 def _shingles(corpus):
     """Distinct strided char-8-gram shingles per doc (set semantics)."""
     return (
         corpus.where(F.length("text") >= 8)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 7, 4),"
-                    " i -> substring(text, i, 8))"
-                )
-            ).alias("sh"),
+            F.explode(F.expr(SHINGLES_EXPR)).alias("sh"),
         )
         .distinct()
     )
