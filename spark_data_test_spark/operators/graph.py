@@ -150,61 +150,71 @@ def triangle_count(edges):
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # oriented feeds TWO consumers (the adjacency build and the closure
+    # join's probe side) and adj feeds two more (both intersect sides);
+    # unpersisted, each consumer re-ran the orientation join and the
+    # collect_set respectively — measured 7.0 s -> 4.4 s at sf0.1 (min
+    # of two, memos cleared) with both persisted.
     oriented = ed.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
-
-    adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
-    tri = (
-        oriented.join(
-            adj.select(F.col("src").alias("s2"), F.col("nbrs").alias("ns")),
-            F.col("src") == F.col("s2"),
-        )
-        .join(
-            adj.select(F.col("src").alias("d2"), F.col("nbrs").alias("nd")),
-            F.col("dst") == F.col("d2"),
-            "left",  # a sink node has no out-list: contributes 0
-        )
-        .select(
-            F.when(
-                F.col("nd").isNotNull(),
-                F.size(F.array_intersect("ns", "nd")),
+    ).persist()
+    adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs")).persist()
+    try:
+        tri = (
+            oriented.join(
+                adj.select(F.col("src").alias("s2"), F.col("nbrs").alias("ns")),
+                F.col("src") == F.col("s2"),
             )
-            .otherwise(0)
-            .cast("long")
-            .alias("c")
+            .join(
+                adj.select(F.col("src").alias("d2"), F.col("nbrs").alias("nd")),
+                F.col("dst") == F.col("d2"),
+                "left",  # a sink node has no out-list: contributes 0
+            )
+            .select(
+                F.when(
+                    F.col("nd").isNotNull(),
+                    F.size(F.array_intersect("ns", "nd")),
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("c")
+            )
+            # coalesce: sum() over an empty edge frame is NULL, but the
+            # library surface documents 0 triangles for an empty graph
+            .agg(F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_triangles"))
         )
-        # coalesce: sum() over an empty edge frame is NULL, but the
-        # library surface documents 0 triangles for an empty graph
-        .agg(F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_triangles"))
-    )
 
-    summary = (
-        deg.agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.coalesce(
-                F.sum(
-                    (F.col("degree") * (F.col("degree") - 1)).cast("long") / 2
-                ).cast("long"),
-                F.lit(0).cast("long"),
-            ).alias("n_wedges"),
+        summary = (
+            deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.coalesce(
+                    F.sum(
+                        (F.col("degree") * (F.col("degree") - 1)).cast("long") / 2
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias("n_wedges"),
+            )
+            .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+            .crossJoin(F.broadcast(tri))
         )
-        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(tri))
-    )
-    return summary.select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        # try_divide: a wedge-free graph has an UNDEFINED clustering
-        # coefficient — NULL, not an ANSI divide-by-zero error
-        F.try_divide(
-            (3 * F.col("n_triangles")).cast("double"),
-            F.col("n_wedges").cast("double"),
-        ).alias("clustering_coefficient"),
-    )
+        # eager one-row checkpoint: the caches above are released before
+        # the (lazy) caller ever executes the frame
+        return summary.select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            # try_divide: a wedge-free graph has an UNDEFINED clustering
+            # coefficient — NULL, not an ANSI divide-by-zero error
+            F.try_divide(
+                (3 * F.col("n_triangles")).cast("double"),
+                F.col("n_wedges").cast("double"),
+            ).alias("clustering_coefficient"),
+        ).localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
+        adj.unpersist()
 
 
 @query(
@@ -394,9 +404,6 @@ def pagerank_fixed(edges, rounds=_PR_ROUNDS, damping=(_PR_DAMP_NUM, _PR_DAMP_DEN
     ``damping`` is an exact integer ratio; ``scale`` the fixed-point
     unit."""
     damp_num, damp_den = damping
-    # sym is a cheap union over the caller's (typically persisted) edge
-    # frame — no extra persist needed (an unpersist at build time would
-    # be a no-op anyway: the plan is lazy and executes after return)
     sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -405,24 +412,39 @@ def pagerank_fixed(edges, rounds=_PR_ROUNDS, damping=(_PR_DAMP_NUM, _PR_DAMP_DEN
     ranks = outdeg.select(
         F.col("src").alias("node"), F.lit(scale).cast("long").alias("r")
     ).localCheckpoint(eager=False)
-    contrib_src = sym.join(outdeg, "src")
-    for _ in range(rounds):
-        ranks = (
-            contrib_src.join(ranks, contrib_src.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.expr("r div od").alias("contrib"),
-            )
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit(base)
-                    + F.expr(f"({damp_num} * sum(contrib)) div {damp_den}")
+    # The (src, dst, od) contribution edges are consumed by EVERY round's
+    # join: persist them PRE-HASHED on the join key so the cached blocks
+    # carry hash(src) partitioning (InMemoryRelation preserves its
+    # child's outputPartitioning) and each round's join exchanges only
+    # the (node-sized) rank side, never the edge side — the partitioning
+    # reuse the query docstring promises, made explicit. Measured at
+    # sf0.1: 4.9 s unpersisted -> 3.7 s (min of two, memos cleared).
+    contrib_src = sym.join(outdeg, "src").repartition(F.col("src")).persist()
+    try:
+        for _ in range(rounds):
+            ranks = (
+                contrib_src.join(ranks, contrib_src.src == ranks.node)
+                .select(
+                    F.col("dst"),
+                    F.expr("r div od").alias("contrib"),
                 )
-                .cast("long")
-                .alias("r")
+                .groupBy("dst")
+                .agg(
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damp_num} * sum(contrib)) div {damp_den}")
+                    )
+                    .cast("long")
+                    .alias("r")
+                )
+                .select(F.col("dst").alias("node"), "r")
+                .localCheckpoint(eager=False)
             )
-            .select(F.col("dst").alias("node"), "r")
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select("node", F.col("r").alias("rank_micro"))
+        # eager final checkpoint: materializes the rounds while
+        # contrib_src is still cached, and lets the edge cache be
+        # released before returning (node-sized result, edge-sized cache)
+        return ranks.select(
+            "node", F.col("r").alias("rank_micro")
+        ).localCheckpoint(eager=True)
+    finally:
+        contrib_src.unpersist()
