@@ -21,13 +21,11 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
     ArrayType,
-    BinaryType,
     BooleanType,
     LongType,
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 from spark_data_test_spark.utils.spark_utils import local_df
@@ -1764,30 +1762,35 @@ def streaming_incremental_minhash(spark, sf_dir):
     """,
 )
 def streaming_media_arrivals(spark, sf_dir):
-    """FILE-ARRIVAL media ingest through Spark's streaming binary
-    source — the landing-zone pattern a multimodal lake runs: an
+    """FILE-ARRIVAL media ingest through a streamed LANDING LOG — the
+    notification-driven pattern a multimodal lake runs at scale: an
     ARRIVAL SHARD of the staged WAV corpus (doc_id % 4 == 0 — the
     files "landing" this run; backfill over the historical corpus is
-    the batch manifest path's job) is read with
-    ``readStream.format("binaryFile")`` (``maxFilesPerTrigger`` caps
-    each micro-batch, ``availableNow`` drains the backlog in multiple
-    batches exactly like a catch-up run on a real landing bucket),
-    every arriving clip is decoded INSIDE the stream by the
+    the batch manifest path's job) is announced by a manifest of
+    (doc_id, path) rows written as several parquet files (the landing
+    bucket's event log: S3 notification -> queue -> log is the
+    production feed), the STREAM reads the manifest — never the
+    objects — with ``maxFilesPerTrigger`` capping each micro-batch and
+    ``availableNow`` draining the backlog in multiple batches, each
+    arriving clip is opened and decoded INSIDE the stream by the
     chunk-walking `decode_wav` in Arrow-batched ``mapInPandas``, the
     integer clip features are computed JVM-side per arrival row, and
     the append-mode sink accumulates the per-clip feature rows; the
     returned frame is the batch-side roll-up of the sink table.
 
-    This exercises a source kind the rest of the streaming family
-    does not (file-discovery streaming over BINARY payloads vs the
-    parquet table sources) while keeping the streaming-equals-batch
-    oracle discipline: per-clip features are independent of batch
+    The first cut streamed ``binaryFile`` over the landing directory —
+    retired (round 8) because that source pays ONE LISTING TASK PER
+    OBJECT per trigger and ships every payload through the source: its
+    x30 amplified slope was 27x, linear in the shard BY CONSTRUCTION of
+    the listing. Streaming the log instead bounds per-trigger source
+    cost by manifest rows per trigger (a scan of a few KB of parquet),
+    decode parallelism stays the file count per batch, and checkpointed
+    manifest-file offsets keep each landing file exactly-once — the
+    same manifest-over-listing move the batch decode family measured at
+    9 s -> 0.8 s. Per-clip features are independent of batch
     boundaries, so the roll-up equals the analytic batch truth no
-    matter how the file listing splits into triggers. At 100 TB the
-    same topology is the production shape — checkpointed file-source
-    offsets make each landing file exactly-once, per-batch work is
-    bounded by maxFilesPerTrigger, and the decode parallelism is the
-    file count per batch, not the corpus size."""
+    matter how the log splits into triggers — the streaming-equals-
+    batch oracle discipline."""
     import binascii
     import shutil
 
@@ -1801,17 +1804,11 @@ def streaming_media_arrivals(spark, sf_dir):
 
     prepare_session(spark)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    # LANDING dir = the ARRIVAL SHARD (doc_id % 4 == 0), not the whole
-    # historical corpus: a streaming ingest's per-run cost is the
-    # arrivals it drains, while backfill over the full corpus belongs
-    # to the batch manifest path (`audio_decoded`). binaryFile bills
-    # one listing task per object, so this is also what keeps the
-    # catch-up drain proportional to the shard (the incremental-dedup
-    # family's shard-proportionality discipline).
     root = f"/tmp/spark_graft_wav_arrivals/{digest}"
     src = f"{sf_dir}/documents.parquet"
-    token = f"wavarr1|{src}|{source_fingerprint(src)}"
+    token = f"wavarr2|{src}|{source_fingerprint(src)}"
     marker = f"{root}/_STAGED"
+    manifest_dir = f"{root}/manifest"
     stale = True
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -1821,45 +1818,46 @@ def streaming_media_arrivals(spark, sf_dir):
         os.makedirs(root, exist_ok=True)
         full = f"/tmp/spark_graft_wav/{digest}"
         _stage_wav_files(spark, sf_dir, full)
-        ids = [
-            r.doc_id
-            for r in _audio_corpus(spark, sf_dir)
+        # the manifest is written DISTRIBUTED (no driver-side id list);
+        # 4 files so the availableNow drain is a genuine multi-batch
+        # catch-up under maxFilesPerTrigger=1
+        (
+            _audio_corpus(spark, sf_dir)
             .where(F.col("doc_id") % 4 == 0)
-            .select("doc_id")
-            .collect()
-        ]
-        for doc_id in ids:
-            os.link(
-                f"{full}/doc_{doc_id}.wav", f"{root}/doc_{doc_id}.wav"
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit(f"{full}/doc_"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".wav"),
+                ).alias("path"),
             )
+            .repartition(4)
+            .write.parquet(manifest_dir)
+        )
         with open(marker, "w") as fh:
             fh.write(token)
 
     def extract(batches):
         for pdf in batches:
             recs = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                doc_id = int(path.rsplit("doc_", 1)[1].split(".")[0])
-                rate, channels, bits, pcm = decode_wav(bytes(content))
-                recs.append((doc_id, binascii.hexlify(pcm).decode()))
+            for doc_id, path in zip(pdf["doc_id"], pdf["path"]):
+                with open(path, "rb") as fh:
+                    rate, channels, bits, pcm = decode_wav(fh.read())
+                recs.append((int(doc_id), binascii.hexlify(pcm).decode()))
             yield pd.DataFrame(recs, columns=["doc_id", "pcm_hex"])
 
     stream = (
-        spark.readStream.format("binaryFile")
-        .schema(
+        spark.readStream.schema(
             StructType(
                 [
+                    StructField("doc_id", LongType()),
                     StructField("path", StringType()),
-                    StructField("modificationTime", TimestampType()),
-                    StructField("length", LongType()),
-                    StructField("content", BinaryType()),
                 ]
             )
         )
-        .option("pathGlobFilter", "*.wav")
-        .option("maxFilesPerTrigger", 512)
-        .load(root)
-        .select("path", "content")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(manifest_dir)
         .mapInPandas(
             extract,
             schema=StructType(
