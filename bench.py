@@ -135,14 +135,27 @@ def _stage_amplified(spark, sf_dir, factor):
     from spark_data_test_spark.operators.relational import t
 
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"/tmp/spark_graft_amplified/{digest}_x{factor}"
+    # v2: per-copy o_custkey/c_custkey shifts (VERDICT r7 item 4) — the
+    # version tag busts stagings built with the old shift map
+    root = f"/tmp/spark_graft_amplified/{digest}_x{factor}_v2"
     if os.path.exists(f"{root}/_STAGED"):
         return root
     os.makedirs(root, exist_ok=True)
     shifts = {
         # table -> {column: per-copy offset}
         "lineitem": {"l_orderkey": 10**9},
-        "orders": {"o_orderkey": 10**9},
+        # o_custkey shifts WITH the copy (and customer amplifies with
+        # the same shift) so customer-blocked self-joins
+        # (orders_duplicate_payment_scan, RFM) measure organic growth —
+        # an unshifted custkey grew per-customer fan-out by the factor
+        # itself, which is a staging artifact, not a plan property
+        # (VERDICT r7 item 4). Dimension FKs that stay unshifted
+        # (l_partkey, l_suppkey, c_nationkey) model the realistic
+        # "facts grow faster than dimensions" regime: per-part/supplier
+        # fan-in grows with the factor BY DESIGN and is documented
+        # wherever an amplified line rides it.
+        "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
+        "customer": {"c_custkey": 10**7},
         "events": {"event_id": 10**9, "user_id": 10**7},
         # 10**4 (not 10**6): big enough for uniqueness (sf0.1 max
         # doc_id is 4999), small enough that a x30 staging stays under

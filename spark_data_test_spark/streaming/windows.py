@@ -46,11 +46,18 @@ def read_events_stream(spark, sf_dir):
     streaming-equals-batch oracles hold by construction."""
     prepare_session(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The streaming file source requires a *directory*; the testdata is
-    # a single read-only file -> stage a symlink dir. Bucket by a STABLE
-    # digest (hash() is seed-randomized per process); replace anything
-    # stale at the link path, and tolerate a concurrent process winning
-    # the create race.
+    # A directory dataset (e.g. the amplified bench stagings) IS a
+    # valid streaming source path — stream it directly. The symlink
+    # staging below exists only for the single-FILE testdata layout,
+    # because the streaming file source requires a directory.
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        return events_ts_to_micros(
+            spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+        )
+    # The testdata is a single read-only file -> stage a symlink dir.
+    # Bucket by a STABLE digest (hash() is seed-randomized per
+    # process); replace anything stale at the link path, and tolerate
+    # a concurrent process winning the create race.
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stage = f"/tmp/spark_stream_src/{digest}/events"
     os.makedirs(stage, exist_ok=True)
