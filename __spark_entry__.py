@@ -14,28 +14,216 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-7 window accounting (this comment
+# (registration order). CANONICAL round-8 window accounting (this comment
 # is the single source of truth; README.md mirrors it): 1 flagship
-# (compare_overall_report, re-earned every round) + 6 changed-code
-# re-earns (text_knn_graph: co-count build replaced per VERDICT r6 item
-# 2; multimodal_phash_neardup + multimodal_real_image_decode: promoted
-# to the 8x8 corpus / 64-bit 8-band production hash per item 4;
-# streaming_incremental_dedup: log-structured delta commits;
-# similarity_centroid_outliers: map-combinable argmax;
-# dedup_embedding_cosine: pair oracle factored into the shared apairs
-# CTE for the SemDeDup curve) + 29 stale greens whose latest driver
-# row was round 2 + 14 stalest round-3 greens — a re-earn-heavy cut
-# (VERDICT r6 item 1) that clears the entire r2 tail. After this round
-# no green is older than round 3, and 32 r3-era rows remain at the
-# head of _CHECKED_BACKLOG for the round-8 cut.
-# tests/test_registry_invariants.py enforces that
-# greens ∪ window ∪ queue always covers the registry.
+# (compare_overall_report, re-earned every round) + the 15 round-7
+# additions from _NEXT_ROTATION (their first driver rows) + 7
+# changed-code re-earns (VERDICT r7 items 2/3/5 changed them this
+# round: the state/streaming queries converted to lazy
+# persistent-run-root returns — streaming_sessionization_store,
+# streaming_cdc_upsert, streaming_sketch_rollup, state_time_travel_diff,
+# streaming_incremental_dedup, the last also moving to the
+# persisted-index probe + one-pass staging + in-row batch hashing —
+# and the graph pair's persisted-frame plans) + 27 of the 32 r3-era
+# stale greens (backlog-head order, with streaming_foreachbatch_sink
+# pulled forward from position 32 because its code also changed). The
+# mandated re-earns exceed the ~2 spare slots VERDICT r7 item 1
+# budgeted, so 5 unchanged r3-era rows slip to the round-9 cut; they
+# stay at the head of _CHECKED_BACKLOG (stalest-first) and are listed
+# there first. Round-8-changed queries that already held a slot
+# (streaming_incremental_minhash, state_compaction_roundtrip,
+# streaming_media_arrivals) re-earn through their rotation slots.
+# tests/test_registry_invariants.py enforces that greens ∪ window ∪
+# queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
+    "streaming_incremental_minhash",
+    "state_compaction_roundtrip",
+    "multimodal_crossmodal_agreement",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
+    "dedup_semantic_prune_curve",
+    "mix_temperature_rebalance",
+    "corpus_dedup_waterfall",
+    "streaming_media_arrivals",
+    "multimodal_audio_silence_segments",
+    "events_seasonal_naive_backtest",
+    "events_cohort_ltv",
+    "orders_duplicate_payment_scan",
+    "multimodal_image_resize",
+    "streaming_sessionization_store",
+    "streaming_cdc_upsert",
+    "streaming_sketch_rollup",
+    "state_time_travel_diff",
+    "streaming_incremental_dedup",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "compare_lineitem_overall",
+    "compare_distribution_report",
+    "left_semi_join",
+    "cube_agg",
+    "intersect_rows",
+    "percentile_exact",
+    "map_functions_props",
+    "window_distribution_funcs",
+    "profile_columns",
+    "upsert_latest_wins",
+    "variant_json_props",
+    "schema_drift_report",
+    "source_orc_roundtrip",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "tpch_q12_priority_bands",
+    "tpch_q13_order_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "pandas_udf_tokens",
+    "text_regex_tokens",
+    "streaming_foreachbatch_sink",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: all 15 round-7 additions were
+# promoted into the round-8 window above, and round 8 added no new
+# queries (VERDICT r7 item 1 — additive work went to the library
+# surface instead).
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The first five are
+# the r3-era rows the round-8 cut could not seat (see the window
+# comment); the list ends with the 48 r7-green rows the round-8 cut
+# displaced.
+_CHECKED_BACKLOG = [
+    "multimodal_decode_stub",
+    "skew_salted_join_agg",
+    "udtf_chunk_documents",
+    "streaming_static_join",
+    "streaming_dedup",
+    "similarity_ivf_ann",
+    "approx_count_distinct_parts",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
+    "source_text_roundtrip",
+    "sink_partition_pruned_read",
+    "events_ab_test_readout",
+    "streaming_sliding_counts",
+    "corpus_prepare_pipeline",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "similarity_ann_recall_report",
+    "similarity_cell_report",
+    "corpus_decontaminate",
+    "text_vocabulary_topk",
+    "text_pii_scrub",
+    "text_repetition_profile",
+    "text_tfidf_topk",
+    "text_quality_model_score",
+    "corpus_shard_assignment",
+    "events_retention_cohorts",
+    "events_gap_fill",
+    "events_scd2_history",
+    "events_attribution_last_touch",
+    "events_anomaly_daily",
+    "events_rolling_window_avg",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "parts_abc_pareto",
+    "multimodal_frame_sample",
+    "graph_degree_distribution",
+    "sample_token_budget",
+    "text_bigram_profile",
+    "source_xml_roundtrip",
+    "text_bigram_familiarity",
+    "source_binaryfile_roundtrip",
+    "ml_linear_regression_train",
+    "sink_clustered_layout",
+    "events_cumulative_distinct_users",
+    "events_transition_matrix",
+    "multimodal_chunk_dedup",
+    "dq_constraint_report",
+    "part_fuzzy_match",
+    "text_quality_deciles",
+    "sql_api_query",
+    "sink_zorder_layout",
+    "text_langid_confusion",
+    "orders_open_backlog_daily",
+    "orders_incremental_agg_merge",
+    "source_schema_evolution",
+    "null_safe_join",
+    "supplier_hierarchy_rollup",
+    "orders_status_listagg",
+    "events_top_session_paths",
+    "lineitem_correlation_matrix",
+    "text_heavy_hitters",
+    "corpus_duplicate_ngrams",
+    "part_bloom_prefilter_join",
+    "similarity_pq_train",
+    "similarity_pq_ann",
+    "similarity_ivfpq_ann",
+    "similarity_pq_recall_report",
+    "events_sliding_distinct_users",
+    "similarity_cluster_purity",
+    "streaming_heavy_hitters",
+    "similarity_ivf_train",
+    "dedup_incremental_simhash",
+    "compare_incremental_slice",
+    "text_ngram_novelty",
+    "corpus_source_similarity",
+    "dedup_bucketed_index_probe",
+    "similarity_incremental_ingest",
+    "ml_logistic_quality_train",
+    "ml_logistic_calibration",
+    "dedup_lsh_recall_report",
+    "dedup_index_build",
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "sink_inverted_index_roundtrip",
+    "events_value_histogram",
+    "streaming_late_data_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "dedup_containment",
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+    "scan_filter_project",
+    "select_drop_rename",
+    "case_when_bucket",
+    "null_default_coalesce",
+    "checksum_sha2",
+    "numeric_tolerance_abs",
+    "eq_null_safe",
+    "full_outer_join_missing",
+    "conditional_sum_missing",
+    "left_join_enrich",
+    "groupby_dup_count",
+    "create_map_getitem",
+    "window_dup_count",
+    "window_running_sum",
     "text_knn_graph",
     "multimodal_real_image_decode",
     "multimodal_phash_neardup",
-    "streaming_incremental_dedup",
     "similarity_centroid_outliers",
     "events_sliding_window",
     "tpch_q1_pricing_summary",
@@ -83,186 +271,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
 ]
 
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: both round-6 additions were
-# promoted into the window above.
-_NEXT_ROTATION = [
-    # registered + oracle-checked this round; takes a window slot in
-    # the round-8 cut (the r7 window was a re-earn-only stale drain)
-    "streaming_incremental_minhash",
-    "state_compaction_roundtrip",
-    "multimodal_crossmodal_agreement",
-    "multimodal_audio_features",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_scene_cuts",
-    "dedup_semantic_prune_curve",
-    "mix_temperature_rebalance",
-    "corpus_dedup_waterfall",
-    "streaming_media_arrivals",
-    "multimodal_audio_silence_segments",
-    "events_seasonal_naive_backtest",
-    "events_cohort_ltv",
-    "orders_duplicate_payment_scan",
-    "multimodal_image_resize",
-]
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list.
-_CHECKED_BACKLOG = [
-    "compare_lineitem_overall",
-    "compare_distribution_report",
-    "left_semi_join",
-    "cube_agg",
-    "intersect_rows",
-    "percentile_exact",
-    "map_functions_props",
-    "window_distribution_funcs",
-    "profile_columns",
-    "upsert_latest_wins",
-    "variant_json_props",
-    "schema_drift_report",
-    "source_orc_roundtrip",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_check",
-    "tpch_q12_priority_bands",
-    "tpch_q13_order_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "pandas_udf_tokens",
-    "text_regex_tokens",
-    "multimodal_decode_stub",
-    "skew_salted_join_agg",
-    "udtf_chunk_documents",
-    "streaming_static_join",
-    "streaming_dedup",
-    "streaming_foreachbatch_sink",
-    "similarity_ivf_ann",
-    "approx_count_distinct_parts",
-    "sketch_hll_rollup",
-    "sketch_approx_quantiles",
-    "source_text_roundtrip",
-    "sink_partition_pruned_read",
-    "events_ab_test_readout",
-    "streaming_sliding_counts",
-    "corpus_prepare_pipeline",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "similarity_ann_recall_report",
-    "similarity_cell_report",
-    "corpus_decontaminate",
-    "text_vocabulary_topk",
-    "text_pii_scrub",
-    "text_repetition_profile",
-    "text_tfidf_topk",
-    "text_quality_model_score",
-    "corpus_shard_assignment",
-    "events_retention_cohorts",
-    "events_gap_fill",
-    "events_scd2_history",
-    "events_attribution_last_touch",
-    "events_anomaly_daily",
-    "events_rolling_window_avg",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "parts_abc_pareto",
-    "multimodal_frame_sample",
-    "graph_degree_distribution",
-    "graph_pagerank_fixed",
-    "sample_token_budget",
-    "text_bigram_profile",
-    "source_xml_roundtrip",
-    "text_bigram_familiarity",
-    "source_binaryfile_roundtrip",
-    "ml_linear_regression_train",
-    "sink_clustered_layout",
-    "events_cumulative_distinct_users",
-    "events_transition_matrix",
-    "multimodal_chunk_dedup",
-    "dq_constraint_report",
-    "part_fuzzy_match",
-    "text_quality_deciles",
-    "sql_api_query",
-    "sink_zorder_layout",
-    "text_langid_confusion",
-    "orders_open_backlog_daily",
-    "orders_incremental_agg_merge",
-    "source_schema_evolution",
-    "null_safe_join",
-    "supplier_hierarchy_rollup",
-    "orders_status_listagg",
-    "events_top_session_paths",
-    "lineitem_correlation_matrix",
-    "text_heavy_hitters",
-    "corpus_duplicate_ngrams",
-    "part_bloom_prefilter_join",
-    "similarity_pq_train",
-    "similarity_pq_ann",
-    "similarity_ivfpq_ann",
-    "similarity_pq_recall_report",
-    "events_sliding_distinct_users",
-    "similarity_cluster_purity",
-    "streaming_heavy_hitters",
-    "streaming_sessionization_store",
-    "streaming_sketch_rollup",
-    "similarity_ivf_train",
-    "dedup_incremental_simhash",
-    "compare_incremental_slice",
-    "text_ngram_novelty",
-    "corpus_source_similarity",
-    "dedup_bucketed_index_probe",
-    "similarity_incremental_ingest",
-    "ml_logistic_quality_train",
-    "ml_logistic_calibration",
-    "dedup_lsh_recall_report",
-    "dedup_index_build",
-    "dedup_incremental_minhash",
-    "dedup_incremental_exact",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "graph_triangle_count",
-    "sink_inverted_index_roundtrip",
-    "events_value_histogram",
-    "state_time_travel_diff",
-    "streaming_cdc_upsert",
-    "streaming_late_data_audit",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_jaccard",
-    "dedup_connected_components",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
-    "dedup_containment",
-    "window_lead_lag",
-    "left_anti_join",
-    "grouping_sets_agg",
-    "except_rows",
-    "scan_filter_project",
-    "select_drop_rename",
-    "case_when_bucket",
-    "null_default_coalesce",
-    "checksum_sha2",
-    "numeric_tolerance_abs",
-    "eq_null_safe",
-    "full_outer_join_missing",
-    "conditional_sum_missing",
-    "left_join_enrich",
-    "groupby_dup_count",
-    "create_map_getitem",
-    "window_dup_count",
-    "window_running_sum",
-]
 
 _DRIVER_PRIORITY = _DRIVER_WINDOW + _NEXT_ROTATION + _CHECKED_BACKLOG
 
