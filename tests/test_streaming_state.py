@@ -365,3 +365,47 @@ def test_log_structured_union_and_compaction(spark, tmp_path):
     assert (
         len(read_state_union(spark, root).collect()) == 5
     )
+
+
+def test_fresh_run_root_outlives_call_and_prunes_by_age(spark, tmp_path):
+    """The persistent-run-root lifecycle behind the lazy state-query
+    returns (VERDICT r7 item 2): a root must outlive the function that
+    created it so the returned lazy frame stays readable; the NEXT
+    run's setup prunes stale siblings by age, and a live sibling (a
+    concurrent run) is never deleted."""
+    import time
+
+    from spark_data_test_spark.state import (
+        fresh_run_root,
+        write_state_version,
+    )
+
+    base = str(tmp_path / "runs")
+
+    def produce():
+        root = fresh_run_root("demo", "k1", base=base, ttl_seconds=3600)
+        df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        write_state_version(df, f"{root}/state")
+        # the LAZY read is the whole point: nothing collected here
+        return read_state_table(spark, f"{root}/state"), root
+
+    lazy, root = produce()
+    # readable AFTER the producing function returned
+    assert sorted(tuple(r) for r in lazy.collect()) == [(1, 10), (2, 20)]
+    assert os.path.isdir(root)
+
+    parent = os.path.dirname(root)
+    stale = f"{parent}/stalerun"
+    os.makedirs(stale)
+    os.utime(stale, (time.time() - 7200,) * 2)
+    live = f"{parent}/liverun"
+    os.makedirs(live)  # fresh mtime: a concurrent run's root
+
+    root2 = fresh_run_root("demo", "k1", base=base, ttl_seconds=3600)
+    assert not os.path.exists(stale), "stale sibling must be pruned"
+    assert os.path.isdir(live), "live sibling must survive"
+    assert os.path.isdir(root), "recent root must survive"
+    assert root2 != root and os.path.isdir(root2)
+    # different key -> different namespace, old roots untouched
+    other = fresh_run_root("demo", "k2", base=base, ttl_seconds=3600)
+    assert os.path.dirname(other) != parent
