@@ -45,6 +45,11 @@ from spark_data_test_spark.operators.multimodal import (
     encode_wav_pcm16,
     encode_y4m,
 )
+from spark_data_test_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_band_index,
+    near_dup_pairs,
+)
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
@@ -81,6 +86,9 @@ __all__ = [
     "connected_components",
     "corr_matrix",
     "distribution_report",
+    "exact_dup_groups",
+    "minhash_band_index",
+    "near_dup_pairs",
     "ols_fit",
     "pack_bins",
     "pagerank_fixed",

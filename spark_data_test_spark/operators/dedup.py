@@ -2813,3 +2813,149 @@ def text_knn_graph(spark, sf_dir):
         )
         .orderBy("gid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Library surface: frame-level dedup APIs (round 8)
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs):
+    """Library operator: exact duplicate grouping over an arbitrary
+    ``(doc_id, text)`` frame. Returns ``(doc_id, gid, is_survivor)``
+    where ``gid = md5(text)`` is the content-hash group and the
+    survivor is the group's minimum ``doc_id`` — the same
+    content-hash-groupBy + min-id survivorship rule the registered
+    `dedup_exact`/`dedup_survivorship` queries pin against their
+    oracles, exposed for frames the registry does not know about.
+    One shuffle (the group-min aggregate); the join back is
+    AQE-planned, broadcast while the group table is small."""
+    g = docs.select("doc_id", F.md5("text").alias("gid"))
+    mins = g.groupBy("gid").agg(F.min("doc_id").alias("_survivor"))
+    return g.join(mins, "gid").select(
+        "doc_id",
+        "gid",
+        (F.col("doc_id") == F.col("_survivor")).alias("is_survivor"),
+    )
+
+
+def minhash_band_index(docs):
+    """Library operator: banded MinHash fingerprint rows
+    ``(doc_id, band, sig)`` for an arbitrary ``(doc_id, text)`` frame —
+    the exact persisted-index layout the incremental dedup family
+    probes (``_N_HASHES`` = 12 hashes in ``_BANDS`` = 4 bands of 3;
+    strided char-8-gram shingle sets; docs shorter than 8 chars produce
+    no rows). Two frames with equal texts produce identical rows, so an
+    index built here is probe-compatible with every banding join in
+    the engine."""
+    return _band_index(_minhash(_shingles(docs.select("doc_id", "text"))))
+
+
+def near_dup_pairs(docs, tau_1e6=500000):
+    """Library operator: MinHash-LSH verified near-duplicate pairs over
+    an arbitrary ``(doc_id, text)`` frame. Returns
+    ``(doc_a, doc_b, jaccard_1e6)`` with ``doc_a < doc_b``. A pair with
+    DIFFERENT texts appears iff its distinct-text groups collide in at
+    least one band AND their exact shingle-set Jaccard (integer
+    micro-units) is ``>= tau_1e6``; pairs with IDENTICAL texts are
+    always emitted with ``jaccard_1e6 = 1000000`` (exact dups need no
+    fingerprint — this includes texts shorter than the 8-char shingle
+    width, which have no bands at all).
+
+    Architecture matches the registered pipeline
+    (`dedup_minhash_lsh` -> `dedup_near_jaccard`):
+    EXACT-DEDUP-BEFORE-NEAR-DUP — the whole LSH pipeline runs once per
+    DISTINCT text, the banding self-join and the Jaccard verify are
+    bounded by candidate GROUPS (k exact copies of a text shrink both
+    by k^2), and doc pairs are reconstructed by a members join at the
+    end. The verify is computed once per distinct text pair on the
+    candidate slice of the group-shingle table; join strategies are
+    left to AQE. The returned frame is an executor-local checkpoint
+    (pair-volume-sized, dup-proportional) so the internal caches are
+    released before the caller executes it."""
+    docs = docs.select("doc_id", "text")
+    members = docs.select("doc_id", F.md5("text").alias("gid")).persist()
+    gsh = (
+        _shingles(
+            docs.where(F.length("text") >= 8)
+            .select(F.md5("text").alias("doc_id"), "text")
+            .dropDuplicates(["doc_id"])
+        )
+        .withColumnRenamed("doc_id", "gid")
+        .persist()
+    )
+    try:
+        bands = _band_index(
+            _minhash(gsh.withColumnRenamed("gid", "doc_id"))
+        ).withColumnRenamed("doc_id", "gid")
+        a, b = bands.alias("a"), bands.alias("b")
+        gpairs = (
+            a.join(b, ["band", "sig"])
+            .where(F.col("a.gid") < F.col("b.gid"))
+            .select(
+                F.col("a.gid").alias("gid_a"),
+                F.col("b.gid").alias("gid_b"),
+            )
+            .distinct()
+        )
+        cand_gids = (
+            gpairs.select(F.col("gid_a").alias("gid"))
+            .union(gpairs.select(F.col("gid_b").alias("gid")))
+            .distinct()
+        )
+        sh_cand = gsh.join(cand_gids, "gid")
+        sizes = sh_cand.groupBy("gid").agg(F.count("*").alias("n"))
+        ca, cb = sh_cand.alias("ca"), sh_cand.alias("cb")
+        inter = (
+            gpairs.join(ca, F.col("ca.gid") == F.col("gid_a"))
+            .join(
+                cb,
+                (F.col("cb.gid") == F.col("gid_b"))
+                & (F.col("cb.sh") == F.col("ca.sh")),
+            )
+            .groupBy("gid_a", "gid_b")
+            .agg(F.count("*").alias("i"))
+        )
+        jac = (
+            F.lit(1000000.0)
+            * F.col("i")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+        )
+        cross_groups = (
+            inter.join(sizes.alias("sa"), F.col("sa.gid") == F.col("gid_a"))
+            .join(sizes.alias("sb"), F.col("sb.gid") == F.col("gid_b"))
+            .where(jac >= F.lit(int(tau_1e6)))
+            .select(
+                "gid_a",
+                "gid_b",
+                F.round(jac).cast("long").alias("jaccard_1e6"),
+            )
+        )
+        ma = members.select(
+            F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da")
+        )
+        mb = members.select(
+            F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db")
+        )
+        cross = (
+            cross_groups.join(ma, "gid_a")
+            .join(mb, "gid_b")
+            .select(
+                F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"),
+                "jaccard_1e6",
+            )
+        )
+        intra = (
+            ma.join(mb, F.col("gid_a") == F.col("gid_b"))
+            .where(F.col("_da") < F.col("_db"))
+            .select(
+                F.col("_da").alias("doc_a"),
+                F.col("_db").alias("doc_b"),
+                F.lit(1000000).cast("long").alias("jaccard_1e6"),
+            )
+        )
+        return cross.unionByName(intra).localCheckpoint(eager=True)
+    finally:
+        members.unpersist()
+        gsh.unpersist()

@@ -1179,7 +1179,16 @@ def _audio_envelope_fp(members):
     interpreted-higher-order cousin of the phash codegen lesson).
     The ``distinct()`` is the exact-dup collapse: k byte-identical
     clips cost the banding self-join nothing extra (pinned by
-    tests/test_skew_banding.py)."""
+    tests/test_skew_banding.py).
+
+    The explicit ``repartition`` after the distinct is load-bearing:
+    AQE coalesces the small distinct output to ONE partition, which
+    serializes this heavy interpreted projection onto one core
+    (measured 4.1 s vs 0.7 s on 32 at sf0.1 — the same
+    one-core-after-small-distinct trap the round-7 audio rebuild hit).
+    The rows are tiny (one hex string per distinct clip), so the extra
+    round-robin exchange is noise; at cluster scale it is exactly the
+    spread you want before a per-row decode."""
     fsz = _AUD_N // _AUD_FRAMES
     u = (
         f"(16 * (instr('{_HEXDIGITS}', substring(gid, 4*j - 3, 1)) - 1)"
@@ -1193,8 +1202,12 @@ def _audio_envelope_fp(members):
         " cast(0 AS bigint), (acc, j) ->"
         f" acc + cast(least({u}, 65536 - {u}) AS bigint)))"
     )
+    spark = members.sparkSession
     return checkpointed(
-        members.select("gid").distinct().selectExpr("gid", f"{env} AS ea")
+        members.select("gid")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("gid", f"{env} AS ea")
     )
 
 

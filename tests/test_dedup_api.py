@@ -1,0 +1,127 @@
+"""Frame-level dedup library APIs (`exact_dup_groups`,
+`minhash_band_index`, `near_dup_pairs`) cross-checked against a
+brute-force Python replica of the pipeline's math: strided char-8-gram
+shingle sets, md5 minhash signatures (12 hashes, 4 bands of 3), band
+collisions, exact Jaccard. The library contract is deterministic, so
+the comparison is exact set equality, not approximate recall."""
+
+import hashlib
+from itertools import combinations
+
+from spark_data_test_spark import (
+    exact_dup_groups,
+    minhash_band_index,
+    near_dup_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog today"),  # near dup
+    (4, "completely different content about spark shuffles"),
+    (5, "tiny"),  # below shingle width: no bands
+    (6, "tiny"),  # exact dup of 5, also below shingle width
+    (7, "completely different content about spark shuffling"),  # near of 4
+    (8, "nothing shares any gram with this one either ok"),
+]
+
+
+def _shingle_set(text):
+    if len(text) < 8:
+        return set()
+    return {text[i : i + 8] for i in range(0, len(text) - 7, 4)}
+
+
+def _minhash_sig(shingles):
+    return [
+        min(
+            hashlib.md5(f"{sh}#{k}".encode()).hexdigest() for sh in shingles
+        )
+        for k in range(12)
+    ]
+
+
+def _bands(sig):
+    return {(b, sig[3 * b] + sig[3 * b + 1] + sig[3 * b + 2]) for b in range(4)}
+
+
+def _brute_pairs(docs, tau_1e6=500000):
+    """Replicates the documented near_dup_pairs contract in plain
+    Python: identical texts always pair at 1e6; different texts pair
+    iff >= 1 band collides and exact Jaccard >= tau."""
+    out = set()
+    for (ida, ta), (idb, tb) in combinations(docs, 2):
+        a, b = min(ida, idb), max(ida, idb)
+        if ta == tb:
+            out.add((a, b, 1000000))
+            continue
+        sa, sb = _shingle_set(ta), _shingle_set(tb)
+        if not sa or not sb:
+            continue
+        if not (_bands(_minhash_sig(sa)) & _bands(_minhash_sig(sb))):
+            continue
+        i = len(sa & sb)
+        jac = 1000000.0 * i / (len(sa) + len(sb) - i)
+        if jac >= tau_1e6:
+            out.add((a, b, round(jac)))
+    return out
+
+
+def test_exact_dup_groups_survivorship(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = {r.doc_id: (r.gid, r.is_survivor) for r in exact_dup_groups(df).collect()}
+    assert len(rows) == len(DOCS)
+    assert rows[1][0] == rows[2][0] and rows[1][1] and not rows[2][1]
+    assert rows[5][0] == rows[6][0] and rows[5][1] and not rows[6][1]
+    # non-dups are their own surviving group
+    singles = [3, 4, 7, 8]
+    assert all(rows[d][1] for d in singles)
+    assert len({rows[d][0] for d in singles}) == len(singles)
+    expected_gid = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert rows[1][0] == expected_gid
+
+
+def test_minhash_band_index_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.band, r.sig)
+        for r in minhash_band_index(df).collect()
+    }
+    expected = set()
+    for doc_id, text in DOCS:
+        sh = _shingle_set(text)
+        if not sh:
+            continue
+        for band, sig in _bands(_minhash_sig(sh)):
+            expected.add((doc_id, band, sig))
+    assert got == expected
+    # short docs contribute no fingerprint rows
+    assert not any(d in (5, 6) for d, _, _ in got)
+
+
+def test_near_dup_pairs_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_1e6)
+        for r in near_dup_pairs(df).collect()
+    }
+    expected = _brute_pairs(DOCS)
+    assert got == expected
+    # the fixture must actually exercise every class: exact pair,
+    # short exact pair, two near pairs, and exact-dup expansion
+    # pulling the near partner onto BOTH copies
+    assert (1, 2, 1000000) in expected
+    assert (5, 6, 1000000) in expected
+    assert any(p[:2] == (4, 7) for p in expected)
+    assert any(p[:2] == (1, 3) for p in expected)
+    assert any(p[:2] == (2, 3) for p in expected)
+
+
+def test_near_dup_pairs_threshold_is_exact(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # raise tau until the near pairs fall out but exact dups remain
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_1e6)
+        for r in near_dup_pairs(df, tau_1e6=1000000).collect()
+    }
+    assert got == {(1, 2, 1000000), (5, 6, 1000000)}
