@@ -49,6 +49,7 @@ from spark_data_test_spark.operators.dedup import (
     exact_dup_groups,
     minhash_band_index,
     near_dup_pairs,
+    simhash_near_dup_pairs,
 )
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
@@ -107,6 +108,7 @@ __all__ = [
     "run_comparison_job",
     "run_comparison_job_from_dfs",
     "scd2_build",
+    "simhash_near_dup_pairs",
     "split_assign",
     "triangle_count",
     "write_results",

@@ -2959,3 +2959,109 @@ def near_dup_pairs(docs, tau_1e6=500000):
     finally:
         members.unpersist()
         gsh.unpersist()
+
+
+def simhash_near_dup_pairs(docs, max_hamming=_SP_HAM_K):
+    """Library operator: SimHash near-duplicate pairs over an arbitrary
+    ``(doc_id, text)`` frame with EXACT recall. Returns
+    ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``: every pair of
+    docs whose 64-bit mean-centered Manku fingerprints differ in at
+    most ``max_hamming`` positions, plus identical-text pairs at
+    hamming 0. ``max_hamming`` must stay <= 7: recall is exact by
+    pigeonhole over the 8 bands (7 differing bits cannot dirty all 8),
+    so the banded plan provably equals the all-pairs brute force — the
+    same contract the registered `dedup_simhash_pairs` hash-matches
+    per SF. Docs with no whitespace tokens carry no fingerprint and
+    never pair (matching the registered query's semantics).
+
+    Group-level like the rest of the family: fingerprints, banding,
+    and the packed-popcount hamming verify (INSIDE the banding join)
+    run once per DISTINCT text; doc pairs are reconstructed by a
+    members join. The result is an executor-local checkpoint
+    (pair-volume-sized) so the fingerprint checkpoints release before
+    the caller executes it."""
+    from spark_data_test_spark.utils.spark_utils import release_frame
+
+    if not 0 <= max_hamming <= _SP_HAM_K:
+        raise ValueError(
+            f"max_hamming must be in [0, {_SP_HAM_K}] — banding recall "
+            f"is only exact up to {_SP_HAM_K} differing bits"
+        )
+    docs = docs.select("doc_id", "text")
+    members = docs.select("doc_id", F.md5("text").alias("gid")).persist()
+    sums = checkpointed(_sp_vote_sums(docs))
+    totals = sums.agg(
+        F.expr("count(*) AS d"),
+        *[F.expr(f"sum(s{p}) AS t{p}") for p in range(_SP_BITS)],
+    )
+    fp = checkpointed(
+        sums.crossJoin(F.broadcast(totals)).selectExpr(
+            "gid", f"{_SP_LO_SQL} AS lo", f"{_SP_HI_SQL} AS hi"
+        )
+    )
+    try:
+        bands = fp.select(
+            "gid",
+            "lo",
+            "hi",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                f"shiftright(lo, {8 * b}) & 255"
+                                if b < 4
+                                else f"shiftright(hi, {8 * (b - 4)}) & 255"
+                            ).alias("sig"),
+                        )
+                        for b in range(_SP_BANDS)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("gid", "lo", "hi", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        a, b = bands.alias("a"), bands.alias("b")
+        gpairs = (
+            a.join(b, ["band", "sig"])
+            .where(F.expr("a.gid < b.gid"))
+            .select(
+                F.expr("a.gid").alias("gid_a"),
+                F.expr("b.gid").alias("gid_b"),
+                F.expr(
+                    "CAST(bit_count(a.lo ^ b.lo)"
+                    " + bit_count(a.hi ^ b.hi) AS BIGINT)"
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= F.lit(int(max_hamming)))
+            .distinct()
+        )
+        m_fp = members.join(fp.select("gid"), "gid")
+        ma = m_fp.select(
+            F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da")
+        )
+        mb = m_fp.select(
+            F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db")
+        )
+        cross = (
+            gpairs.join(ma, "gid_a")
+            .join(mb, "gid_b")
+            .select(
+                F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"),
+                "hamming",
+            )
+        )
+        intra = (
+            ma.join(mb, F.col("gid_a") == F.col("gid_b"))
+            .where(F.col("_da") < F.col("_db"))
+            .select(
+                F.col("_da").alias("doc_a"),
+                F.col("_db").alias("doc_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        return cross.unionByName(intra).localCheckpoint(eager=True)
+    finally:
+        members.unpersist()
+        release_frame(sums)
+        release_frame(fp)

@@ -125,3 +125,89 @@ def test_near_dup_pairs_threshold_is_exact(spark):
         for r in near_dup_pairs(df, tau_1e6=1000000).collect()
     }
     assert got == {(1, 2, 1000000), (5, 6, 1000000)}
+
+
+def _simhash_fp(texts):
+    """Brute-force 64-bit mean-centered simhash per distinct text:
+    two md5 vote lanes per token (multiplicity kept), corpus-mean
+    centering via the exact integer comparison s_p * d >= t_p."""
+    sums = {}
+    for t in texts:
+        toks = [tok for tok in t.split(" ") if tok != ""]
+        if not toks:
+            continue
+        s = [0] * 64
+        for tok in toks:
+            h1 = hashlib.md5(tok.encode()).hexdigest()
+            h2 = hashlib.md5((tok + "#").encode()).hexdigest()
+            for p in range(64):
+                bit = (h1[p] if p < 32 else h2[p - 32]) >= "8"
+                s[p] += 1 if bit else -1
+        sums[t] = s
+    d = len(sums)
+    totals = [sum(s[p] for s in sums.values()) for p in range(64)]
+    return {
+        t: sum(
+            1 << p for p in range(64) if s[p] * d >= totals[p]
+        )
+        for t, s in sums.items()
+    }
+
+
+def _brute_simhash_pairs(docs, k):
+    fps = _simhash_fp({t for _, t in docs})
+    out = set()
+    for (ida, ta), (idb, tb) in combinations(docs, 2):
+        a, b = min(ida, idb), max(ida, idb)
+        if ta not in fps or tb not in fps:
+            continue  # tokenless docs never pair
+        ham = bin(fps[ta] ^ fps[tb]).count("1")
+        if ham <= k:
+            out.add((a, b, ham))
+    return out
+
+
+# 40-token docs so a one-token edit stays inside the hamming-7 radius
+# (on tiny docs one token flips too many mean-centered vote bits);
+# the pair (1, 3) measures hamming 4 in the brute-force replica.
+_BASE = " ".join(f"w{i}" for i in range(40))
+SIM_DOCS = [
+    (1, _BASE),
+    (2, _BASE),  # identical text: hamming 0 by construction
+    (3, " ".join(f"w{i}" for i in range(39)) + " zz"),  # one-token edit
+    (4, " ".join(f"q{i}" for i in range(40))),
+    (5, " ".join(f"r{i}" for i in range(40))),
+    (6, "unrelated corpus filler words everywhere and nothing shared"),
+    (7, "   "),  # tokenless: no fingerprint, never pairs
+    (8, "   "),  # identical tokenless text: still never pairs
+]
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce(spark):
+    from spark_data_test_spark import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(SIM_DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(df).collect()
+    }
+    expected = _brute_simhash_pairs(SIM_DOCS, 7)
+    assert got == expected
+    # the fixture exercises the contract's classes
+    assert (1, 2, 0) in expected  # identical texts at hamming 0
+    assert not any(7 in p[:2] or 8 in p[:2] for p in expected)
+    # the one-token edit lands inside the radius on BOTH exact copies
+    assert any(p[:2] == (1, 3) for p in expected)
+    assert any(p[:2] == (2, 3) for p in expected)
+    # unrelated 40-token docs stay outside it
+    assert not any(p[:2] == (4, 5) for p in expected)
+
+
+def test_simhash_near_dup_pairs_rejects_unsound_radius(spark):
+    import pytest as _pytest
+
+    from spark_data_test_spark import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(SIM_DOCS[:2], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=8)
