@@ -366,17 +366,20 @@ def streaming_sessionization_store(spark, sf_dir):
     newer = F.unix_micros(F.col("ts")) > F.lit(int(cut))
 
     run_root = fresh_run_root("sess_store", sf_dir)
-    src = f"{run_root}/src"
-    # batch 1 = newer half, batch 2 = older half (late arrival)
-    ev.where(newer).coalesce(1).write.parquet(f"{src}/b1")
-    ev.where(~newer).coalesce(1).write.parquet(f"{src}/b2")
-    for i, d in enumerate(["b1", "b2"]):
-        for f_name in os.listdir(f"{src}/{d}"):
-            os.utime(f"{src}/{d}/{f_name}", (1_700_000_000 + i,) * 2)
+    in_dir = f"{run_root}/in"
+    # batch 0 = newer half, batch 1 = older half (late arrival), staged
+    # in ONE dynamic-partitioned pass over events instead of one
+    # filtered write per batch (the incremental family's stager)
+    _stage_arrival_files(
+        ev.withColumn("b", F.when(newer, F.lit(0)).otherwise(F.lit(1))),
+        run_root,
+        in_dir,
+        n_batches=2,
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{src}/b*")
+        .parquet(in_dir)
     )
     q = sessionize_to_store(stream, f"{run_root}/store", f"{run_root}/ckpt")
     q.awaitTermination()
@@ -1201,16 +1204,17 @@ def streaming_heavy_hitters(spark, sf_dir):
 
 
 def _stage_arrival_files(shard, run_root, in_dir, n_batches=3):
-    """ONE pass over a (doc_id, text, b) shard stages every arrival
-    file: dynamic partitioning by the batch residue writes all batches
-    in a single job — ``repartition(n, b)`` lands each residue in
-    exactly one task, so each ``b=k`` directory holds exactly one part
-    file — replacing the per-batch filter+coalesce(1) writes that
-    re-ran the shard's union lineage once per batch (measured
-    2.3 s -> ~0.9 s at sf0.1). Files get strictly increasing mtimes so
-    the file source's (timestamp, path) order makes batch k BE file k;
-    ``partitionBy`` drops ``b`` from the file schema, which is exactly
-    the (doc_id, text) schema the stream reads."""
+    """ONE pass over a shard frame with a ``b`` batch-residue column
+    stages every arrival file: dynamic partitioning by the residue
+    writes all batches in a single job — ``repartition(n, b)`` lands
+    each residue in exactly one task, so each ``b=k`` directory holds
+    exactly one part file — replacing the per-batch filter+coalesce(1)
+    writes that re-ran the shard's lineage once per batch (measured
+    2.3 s -> ~0.9 s at sf0.1 on the incremental dedup shard). Files
+    get strictly increasing mtimes so the file source's
+    (timestamp, path) order makes batch k BE file k; ``partitionBy``
+    drops ``b`` from the file schema, so the stream reads exactly the
+    shard's remaining columns."""
     import glob as globlib
     import shutil
     import time as timemod
