@@ -69,6 +69,11 @@ from spark_data_test_spark.operators.temporal import (
     range_join_binned,
     scd2_build,
 )
+from spark_data_test_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_counts,
+)
 
 __all__ = [
     "ComparisonJobConfig",
@@ -102,6 +107,8 @@ __all__ = [
     "encode_wav_pcm16",
     "encode_y4m",
     "fresh_run_root",
+    "language_id",
+    "quality_score",
     "read_state_table",
     "read_state_union",
     "release_comparison_result",
@@ -110,6 +117,7 @@ __all__ = [
     "scd2_build",
     "simhash_near_dup_pairs",
     "split_assign",
+    "token_counts",
     "triangle_count",
     "write_results",
     "write_state_version",

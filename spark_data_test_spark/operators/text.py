@@ -955,3 +955,61 @@ def text_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Library surface: frame-level text-analysis APIs (round 8)
+# ---------------------------------------------------------------------------
+
+
+def language_id(docs):
+    """Library operator: n-gram-marker language identification over an
+    arbitrary frame with a ``text`` column. Returns the input columns
+    plus ``pred_lang`` (one of en/de/fr/es — stopword-trigram voting
+    with the fixed-priority argmax tie-break en > de > fr > es), the
+    same pure-Catalyst expression tree the registered
+    `text_language_id` query hash-matches against DuckDB. No UDFs, no
+    shuffles — a map-only projection."""
+    scored = _lang_scores_spark(docs)
+    return scored.withColumn("pred_lang", F.expr(_PRED_SQL)).drop(
+        "padded", *[f"s_{lang}" for lang in _LANG_ORDER]
+    )
+
+
+def quality_score(docs):
+    """Library operator: length/word-shape quality heuristics over an
+    arbitrary frame with a ``text`` column. Returns the input columns
+    plus ``n_chars``, ``n_words``, ``avg_word_len``, and a bounded
+    composite ``quality`` in [0, 1] — the registered
+    `text_quality_score` arithmetic (exact integer word counts from
+    trimmed space counting; identical on any engine). Map-only."""
+    n_chars = F.length("text")
+    n_words = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    d = docs.withColumn("n_chars", n_chars).withColumn("n_words", n_words)
+    avg_wl = (F.col("n_chars") - F.col("n_words") + 1).cast("double") / F.col(
+        "n_words"
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_words").cast("double") / 100.0) * 0.5
+        + F.least(F.lit(1.0), avg_wl / 8.0) * 0.5
+    )
+    return d.withColumn("avg_word_len", avg_wl).withColumn("quality", quality)
+
+
+def token_counts(docs):
+    """Library operator: whitespace token count plus the 4-chars-per-
+    token BPE estimate over an arbitrary frame with a ``text`` column —
+    the registered `text_token_count` arithmetic. Returns the input
+    columns plus ``ws_tokens`` and ``est_bpe_tokens``. Map-only."""
+    ws = (
+        F.length(F.trim(F.col("text")))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return docs.withColumn("ws_tokens", ws).withColumn(
+        "est_bpe_tokens", F.expr("CAST((length(text) + 3) div 4 AS BIGINT)")
+    )

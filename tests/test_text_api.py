@@ -1,0 +1,69 @@
+"""Frame-level text-analysis APIs (`language_id`, `quality_score`,
+`token_counts`) cross-checked against plain-Python replicas of the
+registered queries' arithmetic (which hash-match DuckDB registry-wide;
+these tests pin the frame-level plumbing and the exact math on frames
+the registry does not know about)."""
+
+from spark_data_test_spark import language_id, quality_score, token_counts
+from spark_data_test_spark.operators.text import LANG_MARKERS
+
+TEXTS = [
+    (1, "the cat and the dog walked with the others to the end"),
+    (2, "der hund und die katze mit der zeit und das ist"),
+    (3, "le chat et les chiens dans la maison des amis est"),
+    (4, "el gato y los perros en la casa de los amigos"),
+    (5, "word " * 150),  # long: n_words caps the first quality term
+    (6, "x"),  # single char, one word
+]
+
+
+def _py_lang(text):
+    padded = f" {text} "
+    scores = {
+        lang: sum(padded.count(p) for p in pats)
+        for lang, pats in LANG_MARKERS.items()
+    }
+    for lang in ["en", "de", "fr", "es"]:  # fixed-priority argmax
+        if all(scores[lang] >= scores[o] for o in scores):
+            return lang
+    return "es"
+
+
+def _py_quality(text):
+    n_chars = len(text)
+    trimmed = text.strip()
+    n_words = trimmed.count(" ") + 1
+    avg_wl = (n_chars - n_words + 1) / n_words
+    quality = min(1.0, n_words / 100.0) * 0.5 + min(1.0, avg_wl / 8.0) * 0.5
+    return n_chars, n_words, avg_wl, quality
+
+
+def test_language_id_matches_python_replica(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert got == {d: _py_lang(t) for d, t in TEXTS}
+    # the marker fixtures actually vote for all four languages
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "es"
+    # input columns survive (the API adds, never drops)
+    assert set(language_id(df).columns) == {"doc_id", "text", "pred_lang"}
+
+
+def test_quality_score_matches_python_replica(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_score(df).collect()}
+    for d, t in TEXTS:
+        n_chars, n_words, avg_wl, q = _py_quality(t)
+        r = rows[d]
+        assert (r.n_chars, r.n_words) == (n_chars, n_words)
+        assert abs(r.avg_word_len - avg_wl) < 1e-12
+        assert abs(r.quality - q) < 1e-12
+    assert rows[5].n_words == 150  # trailing-space trim pins the count
+
+
+def test_token_counts_matches_python_replica(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    rows = {r.doc_id: r for r in token_counts(df).collect()}
+    for d, t in TEXTS:
+        assert rows[d].ws_tokens == t.strip().count(" ") + 1
+        assert rows[d].est_bpe_tokens == (len(t) + 3) // 4
