@@ -211,3 +211,69 @@ def test_simhash_near_dup_pairs_rejects_unsound_radius(spark):
     df = spark.createDataFrame(SIM_DOCS[:2], "doc_id long, text string")
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the dedup triad equals its brute-force replica on
+# RANDOM corpora (hypothesis) — dup-heavy alphabets so exact groups,
+# band collisions, and verify rejections all occur organically.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "common", "filler", "zz"]
+)
+_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+_prop_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@st.composite
+def corpora(draw, max_docs=10):
+    n = draw(st.integers(2, max_docs))
+    return [(i + 1, draw(_texts)) for i in range(n)]
+
+
+@given(docs=corpora())
+@_prop_settings
+def test_near_dup_pairs_property(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_1e6)
+        for r in near_dup_pairs(df).collect()
+    }
+    assert got == _brute_pairs(docs)
+
+
+@given(docs=corpora())
+@_prop_settings
+def test_simhash_pairs_property(spark, docs):
+    from spark_data_test_spark import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(df).collect()
+    }
+    assert got == _brute_simhash_pairs(docs, 7)
+
+
+@given(docs=corpora())
+@_prop_settings
+def test_exact_dup_groups_property(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: (r.gid, r.is_survivor) for r in exact_dup_groups(df).collect()}
+    assert set(rows) == {d for d, _ in docs}
+    by_text = {}
+    for d, t in docs:
+        by_text.setdefault(t, []).append(d)
+    for t, ids in by_text.items():
+        gids = {rows[d][0] for d in ids}
+        assert len(gids) == 1  # same text -> same group
+        survivors = [d for d in ids if rows[d][1]]
+        assert survivors == [min(ids)]  # exactly the min id survives
