@@ -56,6 +56,7 @@ from spark_data_test_spark.operators.relational_ext import (
     bloom_prefilter,
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
+from spark_data_test_spark.operators.similarity import cosine_topk
 from spark_data_test_spark.state import (
     compact_state_versions,
     fresh_run_root,
@@ -91,6 +92,7 @@ __all__ = [
     "compare_dataframes_where",
     "connected_components",
     "corr_matrix",
+    "cosine_topk",
     "distribution_report",
     "exact_dup_groups",
     "minhash_band_index",

@@ -1493,3 +1493,64 @@ def similarity_incremental_ingest(spark, sf_dir):
     )
     write_state_version(merged, state_path, retain=2)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Library surface: frame-level ANN baseline (round 8)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(corpus, queries, k=10, id_col="vec_id", vec_col="emb"):
+    """Library operator: brute-force cosine top-k over arbitrary frames
+    — ``corpus`` and ``queries`` each carry an id column and a numeric
+    array column (named by ``id_col``/``vec_col``). The deliberate
+    EXACT baseline, same topology as the registered
+    `similarity_cosine_topk`: the query set is broadcast, the corpus is
+    scanned once, the dot product runs as a JVM-side
+    ``zip_with``/``aggregate`` (no Python in the loop), and a per-query
+    window keeps the top ``k``. Returns
+    ``(query_id, neighbor_id, rank, cosine)`` with ties broken by
+    ``neighbor_id``; a corpus row sharing the query's id is excluded
+    (self-match), and zero-norm vectors on either side are dropped
+    (cosine undefined). Use the trained IVF/PQ family when the query
+    set no longer broadcasts or the corpus no longer rescans."""
+    qn2 = F.expr(
+        "aggregate(qe, cast(0.0 AS double), (acc, x) ->"
+        " acc + cast(x AS double) * cast(x AS double))"
+    )
+    cn2 = F.expr(
+        "aggregate(ce, cast(0.0 AS double), (acc, x) ->"
+        " acc + cast(x AS double) * cast(x AS double))"
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) ->"
+        " cast(x AS double) * cast(y AS double)),"
+        " cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+        )
+        .withColumn("qn2", qn2)
+        .where(F.col("qn2") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce")
+        )
+        .withColumn("cn2", cn2)
+        .where(F.col("cn2") > 0)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot / F.sqrt(F.col("qn2") * F.col("cn2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

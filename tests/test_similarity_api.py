@@ -1,0 +1,77 @@
+"""Frame-level `cosine_topk` cross-checked against a numpy brute
+force: exact ranks (ties broken by neighbor_id) and cosine values to
+double precision on a seeded random corpus."""
+
+import math
+import random
+
+from spark_data_test_spark import cosine_topk
+
+
+def _fixture(n=30, nq=4, dim=8, seed=7):
+    rng = random.Random(seed)
+    corpus = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    corpus.append((n, [0.0] * dim))  # zero vector: must never appear
+    queries = [corpus[i] for i in range(nq)]
+    return corpus, queries
+
+
+def _brute(corpus, queries, k):
+    out = set()
+    for qid, qv in queries:
+        qn = math.sqrt(sum(x * x for x in qv))
+        if qn == 0:
+            continue
+        scored = []
+        for cid, cv in corpus:
+            cn = math.sqrt(sum(x * x for x in cv))
+            if cid == qid or cn == 0:
+                continue
+            dot = sum(x * y for x, y in zip(qv, cv))
+            scored.append((-dot / (qn * cn), cid))
+        scored.sort()
+        for rank, (neg_cos, cid) in enumerate(scored[:k], start=1):
+            out.add((qid, cid, rank, round(-neg_cos, 9)))
+    return out
+
+
+def test_cosine_topk_matches_bruteforce(spark):
+    corpus, queries = _fixture()
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in cosine_topk(cdf, qdf, k=5).collect()
+    }
+    expected = _brute(corpus, queries, 5)
+    assert got == expected
+    # 4 queries x 5 ranks, zero vector excluded everywhere
+    assert len(got) == 20
+    assert not any(n == 30 for _, n, _, _ in got)
+
+
+def test_cosine_topk_custom_columns_and_float_arrays(spark):
+    corpus, queries = _fixture(n=12, nq=2, dim=4, seed=11)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in corpus],
+        "id long, vec array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in queries],
+        "id long, vec array<float>",
+    )
+    rows = cosine_topk(cdf, qdf, k=3, id_col="id", vec_col="vec").collect()
+    assert len(rows) == 6  # 2 queries x 3 ranks
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for ranks in by_q.values():
+        ranks.sort()
+        # ranks are 1..k and cosine is non-increasing along them
+        assert [r for r, _ in ranks] == [1, 2, 3]
+        assert all(
+            ranks[i][1] >= ranks[i + 1][1] - 1e-12
+            for i in range(len(ranks) - 1)
+        )
