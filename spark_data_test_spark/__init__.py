@@ -57,6 +57,7 @@ from spark_data_test_spark.operators.relational_ext import (
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
 from spark_data_test_spark.operators.similarity import cosine_topk
+from spark_data_test_spark.operators.skew import salted_groupby, salted_join
 from spark_data_test_spark.state import (
     compact_state_versions,
     fresh_run_root,
@@ -101,6 +102,8 @@ __all__ = [
     "pack_bins",
     "pagerank_fixed",
     "range_join_binned",
+    "salted_groupby",
+    "salted_join",
     "compact_state_versions",
     "decode_image",
     "decode_wav",
