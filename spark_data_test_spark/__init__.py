@@ -57,6 +57,7 @@ from spark_data_test_spark.operators.relational_ext import (
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
 from spark_data_test_spark.operators.similarity import cosine_topk
+from spark_data_test_spark.operators.sketches import heavy_hitters
 from spark_data_test_spark.operators.skew import salted_groupby, salted_join
 from spark_data_test_spark.state import (
     compact_state_versions,
@@ -112,6 +113,7 @@ __all__ = [
     "encode_wav_pcm16",
     "encode_y4m",
     "fresh_run_root",
+    "heavy_hitters",
     "language_id",
     "quality_score",
     "read_state_table",

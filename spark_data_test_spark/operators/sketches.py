@@ -485,3 +485,55 @@ def events_sliding_distinct_users(spark, sf_dir):
             bound.alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Library surface: frame-level heavy hitters (round 8)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(items, item_col="g", denom=_HH_DENOM):
+    """Library operator: EXACT phi-heavy hitters over an arbitrary
+    frame's ``item_col`` — every item whose count exceeds
+    ``1/denom`` of the stream length, by the registered
+    `text_heavy_hitters` candidate-then-verify pattern. One Arrow
+    ``mapInPandas`` pass builds per-partition Misra-Gries summaries
+    (bounded at 1024 counters each — kilobytes per partition, never
+    the vocabulary); the mergeable-summaries bound (undercount at most
+    n/(k+1), Agarwal et al. 2012) proves the merged candidates contain
+    every true hitter while ``denom <= 1024``, so the single exact
+    counting pass restricted to the broadcast candidate set is
+    deterministic for ANY partitioning. ``denom > 1024`` raises — the
+    guarantee would be silently broken. Returns
+    ``(item, cnt, n_total)`` ordered by descending count."""
+    if not 1 <= denom <= _MG_COUNTERS:
+        raise ValueError(
+            f"denom must be in [1, {_MG_COUNTERS}]: the Misra-Gries "
+            f"counter budget bounds the undercount at n/{_MG_COUNTERS + 1}, "
+            "so larger thresholds could miss true hitters"
+        )
+    g = items.select(F.col(item_col).cast("string").alias("g"))
+    summaries = g.mapInPandas(_mg_summaries, "g string, mg_cnt long").persist()
+    try:
+        cands = summaries.where(F.col("g").isNotNull()).select("g").distinct()
+        total = summaries.where(F.col("g").isNull()).agg(
+            F.sum("mg_cnt").alias("n_tok")
+        )
+        exact = (
+            g.join(F.broadcast(cands), "g")
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return (
+            exact.crossJoin(F.broadcast(total))
+            .where(F.col("cnt") * F.lit(int(denom)) > F.col("n_tok"))
+            .select(
+                F.col("g").alias("item"),
+                "cnt",
+                F.col("n_tok").alias("n_total"),
+            )
+            .orderBy(F.col("cnt").desc(), "item")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        summaries.unpersist()
