@@ -73,6 +73,7 @@ from spark_data_test_spark.operators.temporal import (
     scd2_build,
 )
 from spark_data_test_spark.operators.text import (
+    decontaminate,
     language_id,
     quality_score,
     token_counts,
@@ -95,6 +96,7 @@ __all__ = [
     "connected_components",
     "corr_matrix",
     "cosine_topk",
+    "decontaminate",
     "distribution_report",
     "exact_dup_groups",
     "minhash_band_index",

@@ -1013,3 +1013,58 @@ def token_counts(docs):
     return docs.withColumn("ws_tokens", ws).withColumn(
         "est_bpe_tokens", F.expr("CAST((length(text) + 3) div 4 AS BIGINT)")
     )
+
+
+def decontaminate(corpus, eval_docs, n=16, stride=4):
+    """Library operator: benchmark decontamination over arbitrary
+    frames — flag every ``corpus`` document (``doc_id``, ``text``)
+    sharing at least one ``n``-char character n-gram with any
+    ``eval_docs`` document, GPT-3/PaLM-style. Returns
+    ``(doc_id, n_shared_ngrams, n_eval_docs)`` for flagged docs only.
+
+    The registered `corpus_decontaminate` shape, parameterized: the
+    SMALL eval side shingles at EVERY offset (containment is caught
+    regardless of alignment), the big corpus side at ``stride``, and
+    the match is the corpus scan exploded against the BROADCAST eval
+    n-gram dictionary — at 100 TB one scan-side explode + broadcast
+    join + per-doc aggregate; the only corpus-proportional shuffle
+    carries the matching slice. The corpus side is deliberately not
+    pre-distinct'd (that would shuffle every shingle before the join;
+    the final COUNT(DISTINCT ...) dedups instead). A ``stride`` above
+    ``n - 1`` would skip characters entirely and can miss containment
+    even with every-offset eval shingling, so it raises."""
+    if not 1 <= stride <= n - 1:
+        raise ValueError(
+            f"stride must be in [1, {n - 1}] (= n - 1): a larger "
+            "stride skips characters and can miss contained n-grams"
+        )
+    csh = corpus.where(F.length("text") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {n - 1},"
+                f" {int(stride)}), i -> substring(text, i, {int(n)}))"
+            )
+        ).alias("sh"),
+    )
+    esh = (
+        eval_docs.where(F.length("text") >= n)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {n - 1}),"
+                    f" i -> substring(text, i, {int(n)}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    return (
+        csh.join(F.broadcast(esh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )

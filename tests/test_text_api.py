@@ -67,3 +67,56 @@ def test_token_counts_matches_python_replica(spark):
     for d, t in TEXTS:
         assert rows[d].ws_tokens == t.strip().count(" ") + 1
         assert rows[d].est_bpe_tokens == (len(t) + 3) // 4
+
+
+def _py_decon(corpus, eval_docs, n=16, stride=4):
+    out = {}
+    eval_grams = {}
+    for eid, t in eval_docs:
+        if len(t) < n:
+            continue
+        for i in range(len(t) - n + 1):
+            eval_grams.setdefault(t[i : i + n], set()).add(eid)
+    for d, t in corpus:
+        if len(t) < n:
+            continue
+        shared, evals = set(), set()
+        for i in range(0, len(t) - n + 1, stride):
+            g = t[i : i + n]
+            if g in eval_grams:
+                shared.add(g)
+                evals |= eval_grams[g]
+        if shared:
+            out[d] = (len(shared), len(evals))
+    return out
+
+
+def test_decontaminate_matches_python_replica(spark):
+    import pytest
+
+    from spark_data_test_spark import decontaminate
+
+    eval_docs = [
+        (100, "the secret eval passage nobody should train on"),
+        (101, "another held out benchmark answer string here"),
+    ]
+    corpus = [
+        # leak with an alignment-breaking prefix (odd length) — the
+        # every-offset eval shingling must still catch it
+        (1, "xy " + eval_docs[0][1]),
+        (2, "clean document with plenty of ordinary text inside"),
+        (3, eval_docs[1][1]),  # verbatim leak
+        (4, "short"),  # below n: never flagged
+        (5, "the secret eval pass"),  # shares a prefix gram run
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    edf = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_eval_docs)
+        for r in decontaminate(cdf, edf).collect()
+    }
+    assert got == _py_decon(corpus, eval_docs)
+    assert 1 in got and 3 in got and 2 not in got and 4 not in got
+
+    with pytest.raises(ValueError):
+        decontaminate(cdf, edf, n=16, stride=16)
