@@ -69,6 +69,7 @@ from spark_data_test_spark.state import (
 from spark_data_test_spark.operators.temporal import (
     asof_join,
     asof_join_split,
+    gap_fill,
     range_join_binned,
     scd2_build,
 )
@@ -115,6 +116,7 @@ __all__ = [
     "encode_wav_pcm16",
     "encode_y4m",
     "fresh_run_root",
+    "gap_fill",
     "heavy_hitters",
     "language_id",
     "quality_score",

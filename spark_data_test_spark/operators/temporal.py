@@ -1290,3 +1290,47 @@ def events_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def gap_fill(df, keys, bucket_col, value_cols=(), step=1):
+    """Library operator: per-key time-series densification — one row
+    per integer bucket between each key group's first and last
+    observed bucket, zero-filling the silent buckets (the TimescaleDB
+    ``time_bucket_gapfill`` shape the registered `events_gap_fill`
+    query pins). ``df`` must already be aggregated to one row per
+    (keys..., bucket); ``value_cols`` are zero-filled on generated
+    rows and a ``gap_filled`` flag marks them. With ``step > 1`` the
+    spine walks the grid anchored at each key's first bucket, and
+    observed rows OFF that grid are dropped (the caller's bucketing
+    is expected to match the step).
+
+    Shape at 100 TB: the generated spine explodes BOUNDED per-key
+    ranges (span drives the blowup, never the corpus), and the fill
+    join is an equi-join on (keys..., bucket) between two frames
+    aggregated from one scan — no calendar cross join anywhere."""
+    keys = list(keys)
+    value_cols = list(value_cols)
+    span = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_d0"), F.max(bucket_col).alias("_d1")
+    )
+    spine = span.select(
+        *keys,
+        F.explode(F.expr(f"sequence(_d0, _d1, {int(step)})")).alias(
+            bucket_col
+        ),
+    )
+    filled = spine.join(df, keys + [bucket_col], "left")
+    # the gap flag reads a value column BEFORE the zero-fill coalesce
+    # rewrites it (generated spine rows have NULL there by definition)
+    probe = value_cols[0] if value_cols else None
+    return filled.select(
+        *(keys + [bucket_col]),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in value_cols],
+        (
+            F.when(F.col(probe).isNull(), 1).otherwise(0)
+            if probe is not None
+            else F.lit(0)
+        )
+        .cast("long")
+        .alias("gap_filled"),
+    )
