@@ -71,6 +71,7 @@ from spark_data_test_spark.operators.temporal import (
     asof_join_split,
     gap_fill,
     range_join_binned,
+    retention_cohorts,
     scd2_build,
 )
 from spark_data_test_spark.operators.text import (
@@ -106,6 +107,7 @@ __all__ = [
     "pack_bins",
     "pagerank_fixed",
     "range_join_binned",
+    "retention_cohorts",
     "salted_groupby",
     "salted_join",
     "compact_state_versions",

@@ -1334,3 +1334,33 @@ def gap_fill(df, keys, bucket_col, value_cols=(), step=1):
         .cast("long")
         .alias("gap_filled"),
     )
+
+
+def retention_cohorts(
+    events, user_col="user_id", bucket_col="day", period=7
+):
+    """Library operator: cohort retention matrix over an arbitrary
+    activity frame — users grouped by first-activity period, counted
+    in each later period they return (the product-analytics retention
+    triangle the registered `events_retention_cohorts` query pins, on
+    exact integer bucket arithmetic). ``events`` carries a user column
+    and an INTEGER activity bucket (e.g. epoch days); ``period``
+    buckets per cohort row (7 = weekly cohorts over daily activity).
+    Returns ``(cohort, period_offset, n_users)``.
+
+    Shape at 100 TB: activity dedups to (user, bucket) with map-side
+    partial aggregation, first-bucket is one user-keyed groupBy, the
+    join back is user-keyed, and the matrix itself is tiny
+    (cohorts x offsets) — raw events are never re-scanned per cohort."""
+    act = events.select(
+        F.col(user_col).alias("_u"), F.col(bucket_col).alias("_b")
+    ).distinct()
+    firsts = act.groupBy("_u").agg(F.min("_b").alias("_b0"))
+    offsets = act.join(firsts, "_u").select(
+        "_u",
+        F.expr(f"_b0 div {int(period)}").alias("cohort"),
+        F.expr(f"(_b - _b0) div {int(period)}").alias("period_offset"),
+    )
+    return offsets.groupBy("cohort", "period_offset").agg(
+        F.countDistinct("_u").alias("n_users")
+    )
