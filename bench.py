@@ -192,6 +192,40 @@ def _stage_amplified(spark, sf_dir, factor):
     return root
 
 
+def _clear_all_memo_caches():
+    """Release session memo caches (engine results, dedup
+    shingles/pairs). A failed clear would silently turn later
+    timings into cache hits, so failures are REPORTED, not
+    swallowed — the timing harness depends on this running.
+    Module-level so ad-hoc timing scripts (scripts/time_queries.py,
+    the amplified studies) share the exact same clear set."""
+    clearers = [
+        ("engine", "spark_data_test_spark.operators.comparison_queries",
+         "clear_engine_cache"),
+        ("dedup", "spark_data_test_spark.operators.dedup",
+         "clear_dedup_cache"),
+        ("similarity", "spark_data_test_spark.operators.similarity",
+         "clear_similarity_cache"),
+        ("graph", "spark_data_test_spark.operators.graph",
+         "clear_graph_cache"),
+        ("sketches", "spark_data_test_spark.operators.sketches",
+         "clear_sketch_cache"),
+        ("ml", "spark_data_test_spark.operators.ml", "clear_ml_cache"),
+        ("multimodal", "spark_data_test_spark.operators.multimodal",
+         "clear_multimodal_cache"),
+    ]
+    import importlib
+
+    for label, mod_name, fn_name in clearers:
+        try:
+            getattr(importlib.import_module(mod_name), fn_name)()
+        except Exception as exc:
+            print(
+                f"bench cache clear failed ({label}): {exc!r}",
+                file=sys.stderr,
+            )
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -228,58 +262,7 @@ def main():
         sf = round(sf * amplify, 4)
 
     qmap = entry_mod.queries()
-
-    def clear_memo_caches():
-        """Release session memo caches (engine results, dedup
-        shingles/pairs). A failed clear would silently turn later
-        timings into cache hits, so failures are REPORTED, not
-        swallowed — the timing harness depends on this running."""
-        try:
-            from spark_data_test_spark.operators import comparison_queries as cq
-
-            cq.clear_engine_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (engine): {exc!r}", file=sys.stderr)
-        try:
-            from spark_data_test_spark.operators.dedup import clear_dedup_cache
-
-            clear_dedup_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (dedup): {exc!r}", file=sys.stderr)
-        try:
-            from spark_data_test_spark.operators.similarity import (
-                clear_similarity_cache,
-            )
-
-            clear_similarity_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (similarity): {exc!r}", file=sys.stderr)
-        try:
-            from spark_data_test_spark.operators.graph import clear_graph_cache
-
-            clear_graph_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (graph): {exc!r}", file=sys.stderr)
-        try:
-            from spark_data_test_spark.operators.sketches import clear_sketch_cache
-
-            clear_sketch_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (sketches): {exc!r}", file=sys.stderr)
-        try:
-            from spark_data_test_spark.operators.ml import clear_ml_cache
-
-            clear_ml_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (ml): {exc!r}", file=sys.stderr)
-        try:
-            from spark_data_test_spark.operators.multimodal import (
-                clear_multimodal_cache,
-            )
-
-            clear_multimodal_cache()
-        except Exception as exc:
-            print(f"bench cache clear failed (multimodal): {exc!r}", file=sys.stderr)
+    clear_memo_caches = _clear_all_memo_caches
 
     # Warmup, excluded from timings: touch the biggest input (fs cache)
     # and run the comparison pipeline once at the smallest sf so the

@@ -165,6 +165,14 @@ _EMB_PAYLOAD_CACHE = FrameCache(max_entries=2)
 # (vec_id, e, n2, gid) exact-dup vector groups: consumed by the rep
 # filter, both expansion joins, and the intra-group pair join.
 _EMB_GROUPS_CACHE = FrameCache(max_entries=2)
+# (vec_a, vec_b, cos_1e6) the FINAL verified embedding near-dup pair
+# frame: `dedup_embedding_cosine` returns it and
+# `dedup_semantic_prune_curve` sweeps its threshold grid over it —
+# before this memo the curve re-executed the whole cell self-join per
+# consumer (the cross-consumer recompute wart PLANS_r08.md:62-70
+# logged; the payload/group memos above were shared, the pair frame
+# was not).
+_EMB_PAIRS_CACHE = FrameCache(max_entries=2)
 # (gid, simhash) per-distinct-text fingerprints and (gid, doc_id)
 # membership for the simhash pair query: the banding, both verify
 # joins, and both expansion joins reference them — without a persist
@@ -277,6 +285,7 @@ def clear_dedup_cache():
     _PAIRS_CACHE.clear()
     _EMB_PAYLOAD_CACHE.clear()
     _EMB_GROUPS_CACHE.clear()
+    _EMB_PAIRS_CACHE.clear()
     _SIM_FP_CACHE.clear()
     _SIM_MEMB_CACHE.clear()
     _GID_CO_CACHE.clear()
@@ -916,7 +925,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     tests/test_northstar.py. On real clustered data the same plan
     prunes harder at higher recall. The oracle replays the identical
     training + grouping + assignment, so the result is
-    bit-deterministic."""
+    bit-deterministic. The pair frame itself is the `_embedding_pairs`
+    session memo shared with `dedup_semantic_prune_curve`."""
+    return _embedding_pairs(spark, sf_dir)
+
+
+def _embedding_pairs(spark, sf_dir):
+    """(vec_a, vec_b, cos_1e6) — the verified embedding near-dup pair
+    frame, memoized per (application, sf_dir) and persisted so each
+    consumer pays the IVF cell self-join at most once per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _EMB_PAIRS_CACHE.get_or_create(
+        key, lambda: _build_embedding_pairs(spark, sf_dir).persist()
+    )
+
+
+def _build_embedding_pairs(spark, sf_dir):
     from spark_data_test_spark.operators.similarity import (
         _assign_cells,
         _cosine,
@@ -1061,7 +1085,7 @@ def dedup_semantic_prune_curve(spark, sf_dir):
     (`_EMB_PAIRS_CTE_SQL`), so the curve is bit-deterministic."""
     from spark_data_test_spark.operators.similarity import _int_embeddings
 
-    pairs = dedup_embedding_cosine(spark, sf_dir)
+    pairs = _embedding_pairs(spark, sf_dir)
     taus = local_df(
         spark,
         [(t,) for t in _SEMDEDUP_TAUS],

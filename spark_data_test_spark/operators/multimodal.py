@@ -51,6 +51,7 @@ def clear_multimodal_cache():
     _DECODE_CACHE.clear()
     _AUDIO_CACHE.clear()
     _VIDEO_CACHE.clear()
+    _PHASH_PAIRS_CACHE.clear()
 
 
 try:  # pragma: no cover - PIL optional; stdlib PNG path always works
@@ -618,6 +619,26 @@ _PHASH_PAIRS_SQL = f"""{_IMG_PH_SQL.strip()},
       FROM ham WHERE hamming <= {_PHASH_HAM_K})"""
 
 
+# Verified phash pair-frame memo: `multimodal_phash_neardup` (which
+# only adds the output ORDER BY) and `multimodal_crossmodal_agreement`
+# (which re-scores the pairs against exact text Jaccard) consume the
+# IDENTICAL pair frame; before the memo the second consumer re-ran the
+# whole decode + hash + band-join pipeline (~2 s of its 3.2 s line at
+# sf0.1 — the cross-consumer recompute wart PLANS_r08.md:62-70 logged).
+_PHASH_PAIRS_CACHE = FrameCache(max_entries=2)
+
+
+def _phash_pairs(spark, sf_dir):
+    """(doc_a, doc_b, hamming) — every verified image near-dup pair,
+    memoized per (application, sf_dir) and persisted so each consumer
+    pays the decode + hash + banding pipeline at most once per
+    session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _PHASH_PAIRS_CACHE.get_or_create(
+        key, lambda: _build_phash_pairs(spark, sf_dir).persist()
+    )
+
+
 @query(
     "multimodal_phash_neardup",
     f"""
@@ -655,7 +676,14 @@ def multimodal_phash_neardup(spark, sf_dir):
     The DuckDB oracle recomputes the hash ANALYTICALLY from the
     planted pixel truth (`_IMG_PH_SQL`), so a defect anywhere in the
     PNG round trip, the hash arithmetic, the banding, or the group
-    expansion loses/changes pairs and breaks the match."""
+    expansion loses/changes pairs and breaks the match. The pair frame
+    itself is the `_phash_pairs` session memo shared with
+    `multimodal_crossmodal_agreement`; this query adds only the output
+    ordering."""
+    return _phash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _build_phash_pairs(spark, sf_dir):
     dec = multimodal_real_image_decode(spark, sf_dir).select(
         "doc_id", "pixel_hex"
     )
@@ -687,10 +715,18 @@ def multimodal_phash_neardup(spark, sf_dir):
     # milliseconds for the packed popcount.)
     # checkpointed: BOTH sides of the band self-join consume fp, and
     # without truncation each side re-runs the distinct + 64-pixel
-    # hash lineage (measured 6.5 s vs 0.7 s for the join at sf0.1)
+    # hash lineage (measured 6.5 s vs 0.7 s for the join at sf0.1).
+    # The explicit repartition after the distinct is load-bearing,
+    # exactly as in `_audio_envelope_fp`: AQE coalesces the small
+    # distinct output to ONE partition, serializing the heavy
+    # interpreted 64-term aggregate projection onto one core
+    # (~1-1.5 s of the 2.2 s sf0.1 line; a 100x corpus would turn the
+    # single core into the whole job). The rows are one hex string
+    # each, so the extra round-robin exchange is noise.
     fp = checkpointed(
         members.select("gid")
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
         .selectExpr("gid", f"{px} AS p")
         .selectExpr("gid", "p", "aggregate(p, 0, (a, x) -> a + x) AS tot")
         .selectExpr(
@@ -741,10 +777,8 @@ def multimodal_phash_neardup(spark, sf_dir):
             F.lit(0).cast("long").alias("hamming"),
         )
     )
-    return (
-        cross_docs.unionByName(intra_docs)
-        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
+    return cross_docs.unionByName(intra_docs).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
@@ -802,10 +836,13 @@ def multimodal_crossmodal_agreement(spark, sf_dir):
     corpus), joins the pair frame to per-doc shingle arrays, and
     intersects in-task — candidate-bounded, no self-join. Pairs where
     either doc cannot shingle (text < 8 chars) drop on both engines
-    identically."""
+    identically. The pair frame is the `_phash_pairs` session memo
+    shared with `multimodal_phash_neardup`, so the marginal cost here
+    is the text-side semi-join + shingle intersect, not a second run
+    of the image pipeline."""
     from spark_data_test_spark.operators.dedup import _shingles
 
-    pairs = multimodal_phash_neardup(spark, sf_dir)
+    pairs = _phash_pairs(spark, sf_dir)
     off = F.lit(_IMG_PLANT_OFFSET)
     norm = pairs.select(
         "doc_a",
