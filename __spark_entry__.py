@@ -14,100 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-8 window accounting (this comment
+# (registration order). CANONICAL round-9 window accounting (this comment
 # is the single source of truth; README.md mirrors it): 1 flagship
-# (compare_overall_report, re-earned every round) + the 15 round-7
-# additions from _NEXT_ROTATION (their first driver rows) + 7
-# changed-code re-earns (VERDICT r7 items 2/3/5 changed them this
-# round: the state/streaming queries converted to lazy
-# persistent-run-root returns — streaming_sessionization_store,
-# streaming_cdc_upsert, streaming_sketch_rollup, state_time_travel_diff,
-# streaming_incremental_dedup, the last also moving to the
-# persisted-index probe + one-pass staging + in-row batch hashing —
-# and the graph pair's persisted-frame plans) + 27 of the 32 r3-era
-# stale greens (backlog-head order, with streaming_foreachbatch_sink
-# pulled forward from position 32 because its code also changed). The
-# mandated re-earns exceed the ~2 spare slots VERDICT r7 item 1
-# budgeted, so 5 unchanged r3-era rows slip to the round-9 cut; they
-# stay at the head of _CHECKED_BACKLOG (stalest-first) and are listed
-# there first. Round-8-changed queries that already held a slot
-# (streaming_incremental_minhash, state_compaction_roundtrip,
-# streaming_media_arrivals) re-earn through their rotation slots.
-# tests/test_registry_invariants.py enforces that greens ∪ window ∪
-# queue always covers the registry.
+# (compare_overall_report, re-earned every round) + the 5 r3-era rows
+# that slipped the round-8 cut (multimodal_decode_stub,
+# skew_salted_join_agg, udtf_chunk_documents, streaming_static_join,
+# streaming_dedup — VERDICT r8 item 1) + 4 changed-code re-earns
+# (VERDICT r8 items 2-3 changed them this round: the phash pipeline
+# gained the one-core repartition fix and the `_phash_pairs` memo that
+# multimodal_phash_neardup / multimodal_crossmodal_agreement now share,
+# and the embedding family gained the `_embedding_pairs` memo that
+# dedup_embedding_cosine / dedup_semantic_prune_curve now share) + ALL
+# 36 r4-era stale greens (backlog-head order — this drains the r4
+# cohort completely, so after this round no registry row's latest
+# driver green is older than round 5) + 1 new registration
+# (events_tumbling_window, the batch date_trunc twin re-registered per
+# VERDICT r8 item 8 so no query-shaped operator sits outside the
+# oracle regime) + the first 3 r5-era backlog rows. That is exactly
+# 50. tests/test_registry_invariants.py enforces that greens ∪ window
+# ∪ queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "streaming_incremental_minhash",
-    "state_compaction_roundtrip",
-    "multimodal_crossmodal_agreement",
-    "multimodal_audio_features",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_scene_cuts",
-    "dedup_semantic_prune_curve",
-    "mix_temperature_rebalance",
-    "corpus_dedup_waterfall",
-    "streaming_media_arrivals",
-    "multimodal_audio_silence_segments",
-    "events_seasonal_naive_backtest",
-    "events_cohort_ltv",
-    "orders_duplicate_payment_scan",
-    "multimodal_image_resize",
-    "streaming_sessionization_store",
-    "streaming_cdc_upsert",
-    "streaming_sketch_rollup",
-    "state_time_travel_diff",
-    "streaming_incremental_dedup",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "compare_lineitem_overall",
-    "compare_distribution_report",
-    "left_semi_join",
-    "cube_agg",
-    "intersect_rows",
-    "percentile_exact",
-    "map_functions_props",
-    "window_distribution_funcs",
-    "profile_columns",
-    "upsert_latest_wins",
-    "variant_json_props",
-    "schema_drift_report",
-    "source_orc_roundtrip",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_check",
-    "tpch_q12_priority_bands",
-    "tpch_q13_order_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "pandas_udf_tokens",
-    "text_regex_tokens",
-    "streaming_foreachbatch_sink",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: all 15 round-7 additions were
-# promoted into the round-8 window above, and round 8 added no new
-# queries (VERDICT r7 item 1 — additive work went to the library
-# surface instead).
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The first five are
-# the r3-era rows the round-8 cut could not seat (see the window
-# comment); the list ends with the 48 r7-green rows the round-8 cut
-# displaced.
-_CHECKED_BACKLOG = [
     "multimodal_decode_stub",
     "skew_salted_join_agg",
     "udtf_chunk_documents",
     "streaming_static_join",
     "streaming_dedup",
+    "multimodal_phash_neardup",
+    "multimodal_crossmodal_agreement",
+    "dedup_embedding_cosine",
+    "dedup_semantic_prune_curve",
     "similarity_ivf_ann",
     "approx_count_distinct_parts",
     "sketch_hll_rollup",
@@ -144,9 +80,27 @@ _CHECKED_BACKLOG = [
     "parts_abc_pareto",
     "multimodal_frame_sample",
     "graph_degree_distribution",
+    "events_tumbling_window",
     "sample_token_budget",
     "text_bigram_profile",
     "source_xml_roundtrip",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# remainder of the r5-era cohort (32 rows after the 3 promoted into
+# the round-9 window), then the r6-era (42) and r7-era (46) cohorts,
+# and the list ends with the 47 r8-green rows the round-9 cut
+# displaced.
+_CHECKED_BACKLOG = [
     "text_bigram_familiarity",
     "source_binaryfile_roundtrip",
     "ml_linear_regression_train",
@@ -223,7 +177,6 @@ _CHECKED_BACKLOG = [
     "window_running_sum",
     "text_knn_graph",
     "multimodal_real_image_decode",
-    "multimodal_phash_neardup",
     "similarity_centroid_outliers",
     "events_sliding_window",
     "tpch_q1_pricing_summary",
@@ -268,7 +221,53 @@ _CHECKED_BACKLOG = [
     "events_hypertable_rollup",
     "events_funnel_analysis",
     "events_session_window_native",
-    "dedup_embedding_cosine",
+    "streaming_incremental_minhash",
+    "state_compaction_roundtrip",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
+    "mix_temperature_rebalance",
+    "corpus_dedup_waterfall",
+    "streaming_media_arrivals",
+    "multimodal_audio_silence_segments",
+    "events_seasonal_naive_backtest",
+    "events_cohort_ltv",
+    "orders_duplicate_payment_scan",
+    "multimodal_image_resize",
+    "streaming_sessionization_store",
+    "streaming_cdc_upsert",
+    "streaming_sketch_rollup",
+    "state_time_travel_diff",
+    "streaming_incremental_dedup",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "compare_lineitem_overall",
+    "compare_distribution_report",
+    "left_semi_join",
+    "cube_agg",
+    "intersect_rows",
+    "percentile_exact",
+    "map_functions_props",
+    "window_distribution_funcs",
+    "profile_columns",
+    "upsert_latest_wins",
+    "variant_json_props",
+    "schema_drift_report",
+    "source_orc_roundtrip",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "tpch_q12_priority_bands",
+    "tpch_q13_order_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "pandas_udf_tokens",
+    "text_regex_tokens",
+    "streaming_foreachbatch_sink",
 ]
 
 

@@ -792,14 +792,26 @@ def tpch_q5_local_supplier(spark, sf_dir):
     )
 
 
+@query(
+    "events_tumbling_window",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
 def events_tumbling_window(spark, sf_dir):
     """Tumbling 1-hour aggregation over the event stream (batch form).
 
-    Not registered as a driver query: ``streaming_tumbling_counts``
-    carries the identical oracle through the Structured Streaming path,
-    and one registration per oracle keeps the driver's 50-query
-    correctness window for distinct operators. Batch-equals-streaming is
-    asserted in tests/test_northstar.py."""
+    The BATCH ``date_trunc`` twin of ``streaming_tumbling_counts``
+    (same oracle text — the streaming run on a finite table must equal
+    the batch group-by, and batch-equals-streaming is additionally
+    asserted in tests/test_northstar.py). Registered in its own right
+    so no query-shaped operator sits outside the oracle regime
+    (VERDICT r8 item 8): the two registrations check DIFFERENT engine
+    paths (Catalyst date_trunc aggregate here; the availableNow
+    micro-batch pipeline there) against one ground truth."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(
