@@ -56,7 +56,7 @@ from spark_data_test_spark.operators.relational_ext import (
     bloom_prefilter,
 )
 from spark_data_test_spark.operators.sampling import pack_bins, split_assign
-from spark_data_test_spark.operators.similarity import cosine_topk
+from spark_data_test_spark.operators.similarity import cosine_topk, ivf_topk
 from spark_data_test_spark.operators.sketches import heavy_hitters
 from spark_data_test_spark.operators.skew import salted_groupby, salted_join
 from spark_data_test_spark.state import (
@@ -73,6 +73,7 @@ from spark_data_test_spark.operators.temporal import (
     range_join_binned,
     retention_cohorts,
     scd2_build,
+    sessionize,
 )
 from spark_data_test_spark.operators.text import (
     decontaminate,
@@ -120,6 +121,7 @@ __all__ = [
     "fresh_run_root",
     "gap_fill",
     "heavy_hitters",
+    "ivf_topk",
     "language_id",
     "quality_score",
     "read_state_table",
@@ -128,6 +130,7 @@ __all__ = [
     "run_comparison_job",
     "run_comparison_job_from_dfs",
     "scd2_build",
+    "sessionize",
     "simhash_near_dup_pairs",
     "split_assign",
     "token_counts",

@@ -1554,3 +1554,192 @@ def cosine_topk(corpus, queries, k=10, id_col="vec_id", vec_col="emb"):
         .where(F.col("rank") <= F.lit(int(k)))
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_topk(
+    corpus,
+    queries,
+    k=10,
+    nprobe=2,
+    ncells=None,
+    rounds=2,
+    id_col="vec_id",
+    vec_col="emb",
+):
+    """Library operator: TRAINED-IVF approximate top-k over arbitrary
+    frames — the scale path complementing the exact `cosine_topk`
+    baseline (same output shape: ``(query_id, neighbor_id, rank,
+    cosine)``, same (cosine desc, neighbor_id) tie-break, same
+    self-match and zero-norm exclusions, so the two are drop-in
+    comparable and recall is a direct frame diff).
+
+    The FAISS IVF-Flat architecture re-expressed as DataFrame ops, the
+    same plan the registered `similarity_ivf_ann` family runs on the
+    embeddings table: deterministic spherical k-means over the corpus
+    (``ncells = ceil(sqrt(n))`` by default, seeds = smallest xxhash64
+    mix of the id — no global sort, a TakeOrdered; ``rounds`` Lloyd
+    rounds chained LAZILY with ONE driver collect at the end, each
+    round two map-side-combinable aggregations), corpus vectors
+    assigned to their argmax-cosine cell, queries probing their
+    ``nprobe`` nearest cells, and the exact cosine re-scored only
+    inside the probed cells — the scanned fraction is ~nprobe/sqrt(n)
+    and keeps SHRINKING as the corpus grows. With ``nprobe >= ncells``
+    the probe set is every cell and the result provably equals
+    `cosine_topk` (pinned in tests/test_similarity_api.py).
+
+    Scale posture: centroids are broadcast-sized (~sqrt(n) rows) and
+    ride F.broadcast; the only corpus-sized shuffles are the per-round
+    assignment aggregate and the final cell equi-join; the per-dim
+    mean uses known-width sum columns (dimension read once from the
+    first corpus row), keeping every aggregation whole-stage-codegen.
+    Vectors are cast to double once on entry, so integer and float
+    embedding columns both work."""
+    n_dims = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if n_dims is None:
+        raise ValueError("ivf_topk: corpus is empty")
+    dim = n_dims["d"]
+
+    as_vec = f"transform({vec_col}, x -> cast(x AS double))"
+    norm2 = "aggregate(_v, cast(0.0 AS double), (acc, x) -> acc + x * x)"
+    c = (
+        corpus.select(F.col(id_col).alias("_id"), F.expr(as_vec).alias("_v"))
+        .withColumn("_n2", F.expr(norm2))
+        .where(F.col("_n2") > 0)
+    )
+    q = (
+        queries.select(F.col(id_col).alias("_id"), F.expr(as_vec).alias("_v"))
+        .withColumn("_n2", F.expr(norm2))
+        .where(F.col("_n2") > 0)
+    )
+    spark = corpus.sparkSession
+
+    # -- train: deterministic spherical k-means on the corpus ---------
+    c = c.persist()  # seeds + every Lloyd round + assignment re-consume it
+    n = c.count()
+    if n == 0:
+        raise ValueError("ivf_topk: corpus has no nonzero vectors")
+    cells = int(ncells) if ncells else int(math.ceil(math.sqrt(n)))
+    seeds = (
+        c.withColumn("_mix", F.xxhash64(F.col("_id").cast("string")))
+        .orderBy("_mix", "_id")
+        .limit(cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("_mix", "_id"))
+            .cast("long")
+            .alias("cent_id"),
+            F.col("_v").alias("_cv"),
+            F.col("_n2").alias("_cn2"),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_v, _cv, (x, y) -> x * y),"
+        " cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+
+    def scored_against(frame, cents):
+        return (
+            frame.crossJoin(F.broadcast(cents))
+            .withColumn("_dot", dot)
+            .withColumn(
+                "_cos", F.col("_dot") / F.sqrt(F.col("_n2") * F.col("_cn2"))
+            )
+        )
+
+    cents = seeds
+    for _ in range(int(rounds)):
+        per_vec = (
+            scored_against(c, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("_cell"),
+                F.first("_v").alias("_v"),
+            )
+        )
+        sums = per_vec.groupBy("_cell").agg(
+            F.count("*").alias("_c"),
+            *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)],
+        )
+        cents = sums.select(
+            F.col("_cell").alias("cent_id"),
+            F.array(
+                *[(F.col(f"_s{i}") / F.col("_c")) for i in range(dim)]
+            ).alias("_cv"),
+        ).withColumn(
+            "_cn2",
+            F.expr(
+                "aggregate(_cv, cast(0.0 AS double),"
+                " (acc, x) -> acc + x * x)"
+            ),
+        )
+    # one driver materialization of the broadcast-sized centroid frame
+    # (the lazy Lloyd chain otherwise re-trains once per consumer below)
+    cent_rows = cents.collect()
+    cents = F.broadcast(
+        local_df(spark, cent_rows, cents.schema)
+    )
+
+    # -- probe: corpus -> argmax cell, queries -> nprobe cells --------
+    assign = (
+        scored_against(c, cents)
+        .groupBy("_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(
+                    F.col("_cos").alias("c"), (-F.col("cent_id")).alias("nc")
+                ),
+            ).alias("_cell")
+        )
+        .select(F.col("_id").alias("neighbor_id"), "_cell")
+    )
+    wq = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "cent_id")
+    probes = (
+        scored_against(q, cents)
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= int(nprobe))
+        .select(F.col("_id").alias("query_id"), F.col("cent_id").alias("_cell"))
+    )
+    cand = (
+        probes.join(assign, "_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    # -- exact rescore inside the probed cells ------------------------
+    qe = q.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n2").alias("_qn2"),
+    )
+    ce = c.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cv2"),
+        F.col("_n2").alias("_cn22"),
+    )
+    exact_dot = F.expr(
+        "aggregate(zip_with(_qv, _cv2, (x, y) -> x * y),"
+        " cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn(
+            "cosine", exact_dot / F.sqrt(F.col("_qn2") * F.col("_cn22"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1364,3 +1364,39 @@ def retention_cohorts(
     return offsets.groupBy("cohort", "period_offset").agg(
         F.countDistinct("_u").alias("n_users")
     )
+
+
+def sessionize(events, gap="30 minutes", keys="user_id", ts_col="ts"):
+    """Library operator: gap-based sessionization for arbitrary frames
+    — the frame-level form of the registered `events_sessionization`
+    query (and the batch twin of `streaming.windows.sessionize_stateful`).
+    Events belonging to the same ``keys`` group whose timestamps are
+    within ``gap`` of the previous event share a session. Returns one
+    row per session: ``(keys..., session_start, session_end,
+    n_events)`` where start/end are the min/max event timestamps in
+    the session.
+
+    Implementation is Spark's native ``F.session_window`` — a single
+    hash-shuffle on the keys with Catalyst's built-in gap merging, the
+    exact plan Structured Streaming uses for stateful session windows,
+    so the batch and streaming paths stay one semantics. (Note
+    ``session_window.end`` is last-event + gap by contract; this
+    returns the OBSERVED extent, ``max(ts)``, which is what batch
+    analytics over closed sessions wants.)
+
+    Shape at 100 TB: one shuffle on the session keys; per-key work is
+    linear in that key's events; skew is bounded by the hottest key
+    (the same bound the gaps-and-islands window formulation has, minus
+    its second windowed pass)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        events.groupBy(
+            *keys, F.session_window(ts_col, gap).alias("_w")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(*keys, "session_start", "session_end", "n_events")
+    )

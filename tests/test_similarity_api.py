@@ -75,3 +75,77 @@ def test_cosine_topk_custom_columns_and_float_arrays(spark):
             ranks[i][1] >= ranks[i + 1][1] - 1e-12
             for i in range(len(ranks) - 1)
         )
+
+
+# ---------------------------------------------------------------------------
+# ivf_topk: trained-IVF ANN over arbitrary frames
+# ---------------------------------------------------------------------------
+
+
+def _clustered_fixture(n_clusters=3, per_cluster=12, dim=6, seed=13):
+    """Clustered corpus (the regime IVF is built for): each cluster is
+    a distinct orthant-anchored center plus small perturbations, so
+    true neighbors share a cluster."""
+    rng = random.Random(seed)
+    corpus = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [(10.0 if (c >> b) & 1 else -10.0) for b in range(dim)]
+        for _ in range(per_cluster):
+            corpus.append(
+                (vid, [x + rng.uniform(-1, 1) for x in center])
+            )
+            vid += 1
+    queries = [corpus[0], corpus[per_cluster], corpus[2 * per_cluster]]
+    return corpus, queries
+
+
+def test_ivf_topk_probe_all_equals_bruteforce(spark):
+    """With nprobe >= ncells every cell is probed, so the IVF result
+    must EQUAL the exact baseline bit-for-bit (same tie-break)."""
+    from spark_data_test_spark import ivf_topk
+
+    corpus, queries = _fixture(n=25, nq=3, dim=6, seed=23)
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_topk(
+            cdf, qdf, k=4, ncells=4, nprobe=4, rounds=2
+        ).collect()
+    }
+    expected = _brute(corpus, queries, 4)
+    assert got == expected
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """On clustered data with nprobe=1 the probe finds the query's own
+    cluster: top-k recall vs brute force should be total (every true
+    neighbor is a same-cluster vector)."""
+    from spark_data_test_spark import ivf_topk
+
+    corpus, queries = _clustered_fixture()
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    k = 5
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            cdf, qdf, k=k, ncells=3, nprobe=1, rounds=3
+        ).collect()
+    }
+    expected = {(q, n) for q, n, _, _ in _brute(corpus, queries, k)}
+    hits = len(got & expected)
+    assert hits == len(expected), (hits, len(expected))
+
+
+def test_ivf_topk_excludes_self_and_zero_vectors(spark):
+    from spark_data_test_spark import ivf_topk
+
+    corpus, queries = _fixture(n=15, nq=2, dim=4, seed=5)
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    rows = ivf_topk(cdf, qdf, k=3, ncells=2, nprobe=2).collect()
+    assert rows
+    assert not any(r.neighbor_id == r.query_id for r in rows)
+    assert not any(r.neighbor_id == 15 for r in rows)  # the zero vector
