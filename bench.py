@@ -322,6 +322,20 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Permanent accounting note (VERDICT r8 item 5): memo caches are
+        # cleared between passes, so the FIRST graph query of each pass
+        # (graph_pagerank_fixed in HEADLINE order) is charged the shared
+        # co-purchase edge-list memo build (~2.7 s at sf0.1) that every
+        # later graph query reuses; PLANS_r08.md:44-52 decomposes the
+        # line (plan alone ~3.7 s). This is a deliberate charge — at
+        # cluster scale the edge list is a materialized table, but the
+        # bench measures the cold build so the recorded line never
+        # understates a fresh session's cost.
+        "note": (
+            "graph_pagerank_fixed carries the shared graph edge-list "
+            "memo build (cleared between passes); see PLANS_r08.md for "
+            "the decomposition"
+        ),
     }
     if amplify > 1:
         result["amplified"] = amplify
