@@ -74,11 +74,13 @@ from spark_data_test_spark.operators.temporal import (
     retention_cohorts,
     scd2_build,
     sessionize,
+    transition_matrix,
 )
 from spark_data_test_spark.operators.text import (
     decontaminate,
     language_id,
     quality_score,
+    tfidf_topk,
     token_counts,
 )
 
@@ -133,7 +135,9 @@ __all__ = [
     "sessionize",
     "simhash_near_dup_pairs",
     "split_assign",
+    "tfidf_topk",
     "token_counts",
+    "transition_matrix",
     "triangle_count",
     "write_results",
     "write_state_version",

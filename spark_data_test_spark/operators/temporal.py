@@ -1400,3 +1400,38 @@ def sessionize(events, gap="30 minutes", keys="user_id", ts_col="ts"):
         )
         .select(*keys, "session_start", "session_end", "n_events")
     )
+
+
+def transition_matrix(
+    events, state_col="event_type", keys="user_id", order_cols=("ts",)
+):
+    """Library operator: first-order Markov transition matrix for
+    arbitrary frames — the frame-level form of the registered
+    `events_transition_matrix` query. Each ``keys`` group is ordered
+    by ``order_cols`` and every consecutive (prev, next) state pair is
+    counted; returns ``(prev_state, next_state, n, p)`` where ``p`` is
+    the row-conditional probability P(next | prev).
+
+    Shape at 100 TB: ONE shuffle on the keys for the lag window
+    (per-partition state is one previous row), a map-side-combinable
+    count into a (states x states)-bounded frame, and row totals from
+    a SUM window over that tiny frame — never a self-join (which would
+    re-plan the scan->window->agg pipeline twice; see the registered
+    query's plan note)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = list(order_cols)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    seq = events.select(
+        F.col(state_col).alias("next_state"),
+        F.lag(state_col).over(w).alias("prev_state"),
+    ).where(F.col("prev_state").isNotNull())
+    trans = seq.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_state"))
+    return trans.select(
+        "prev_state",
+        "next_state",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("p"),
+    )

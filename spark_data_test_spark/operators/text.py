@@ -1068,3 +1068,32 @@ def decontaminate(corpus, eval_docs, n=16, stride=4):
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def tfidf_topk(docs, k=5, id_col="doc_id", text_col="text"):
+    """Library operator: top-``k`` distinctive terms per document by
+    tf/df over whitespace tokens — the frame-level form of the
+    registered `text_tfidf_topk` query (raw reciprocal-df idf: the
+    rank-equivalent of tf-idf without the bit-unspecified ``ln``, so
+    per-doc ordering is deterministic; ties break by token). Returns
+    ``(id_col, tok, tf, df, rank)``.
+
+    Shape at 100 TB: per-(doc, token) counts shuffle once on the
+    explode output with map-side partials; df aggregates FROM tf (no
+    second corpus scan); the df join is token-keyed; the top-k window
+    shuffles on the doc id. No global sorts, no re-tokenization."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), "tok"
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select(F.col("_id").alias(id_col), "tok", "tf", "df", "rank")
+    )
