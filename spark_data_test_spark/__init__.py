@@ -69,6 +69,7 @@ from spark_data_test_spark.state import (
 from spark_data_test_spark.operators.temporal import (
     asof_join,
     asof_join_split,
+    funnel,
     gap_fill,
     range_join_binned,
     retention_cohorts,
@@ -104,6 +105,7 @@ __all__ = [
     "decontaminate",
     "distribution_report",
     "exact_dup_groups",
+    "funnel",
     "minhash_band_index",
     "near_dup_pairs",
     "ols_fit",

@@ -37,6 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import cents, query, t
+from spark_data_test_spark.utils.spark_utils import local_df
 
 _RANGE_US = 600_000_000  # 10-minute window, in microseconds
 
@@ -1434,4 +1435,72 @@ def transition_matrix(
         "next_state",
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("p"),
+    )
+
+
+def funnel(events, steps, keys="user_id", state_col="event_type", ts_col="ts"):
+    """Library operator: ordered conversion funnel over arbitrary
+    frames — the frame-level, depth-generic form of the registered
+    `events_funnel_analysis` query. ``steps`` is the ordered list of
+    state values; a key converts through step N+1 only with an event
+    at-or-after its step-N conversion time (earliest qualifying event
+    wins each stage). Returns one row per step:
+    ``(step_idx, step, n_converted)`` with ``step_idx`` 1-based.
+
+    Shape at 100 TB: ONE shuffle total — every step is a chained
+    conditional-min window over the same key partitioning, so funnel
+    depth adds map-side expressions, not shuffles (the naive
+    formulation self-joins the event table once per step). The final
+    rollup is a per-key reduce plus one count aggregate per step over
+    the key-level frame."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    w = Window.partitionBy(*keys)
+    us = F.unix_micros(F.col(ts_col))
+    cur = events.select(
+        *keys, F.col(state_col).alias("_state"), us.alias("_us")
+    )
+    prev_t = None
+    tcols = []
+    for i, step in enumerate(steps):
+        tcol = f"_t{i}"
+        cond = F.col("_state") == F.lit(step)
+        if prev_t is not None:
+            cond = cond & (F.col("_us") >= F.col(prev_t))
+        cur = cur.withColumn(
+            tcol, F.min(F.when(cond, F.col("_us"))).over(w)
+        )
+        prev_t = tcol
+        tcols.append(tcol)
+    per_key = cur.groupBy(*keys).agg(
+        *[F.max(c).alias(c) for c in tcols]
+    )
+    counts = per_key.agg(
+        *[F.count(c).cast("long").alias(f"_n{i}") for i, c in enumerate(tcols)]
+    )
+    spark = events.sparkSession
+    step_names = local_df(
+        spark,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string",
+    )
+    stacked = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.col(f"_n{i}").alias("n_converted"),
+                    )
+                    for i in range(len(steps))
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.step_idx", "_s.n_converted")
+    return (
+        step_names.join(stacked, "step_idx")
+        .select("step_idx", "step", "n_converted")
+        .orderBy("step_idx")
     )
