@@ -95,3 +95,55 @@ def test_sessionize_multi_key(spark):
         )
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# RANDOM event logs (hypothesis): session boundaries must match the
+# brute-force replica for ANY step pattern, including all-in-one-gap
+# and all-isolated extremes the seeded fixture may miss.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_prop_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@st.composite
+def event_logs(draw, max_users=3, max_events=12):
+    n = draw(st.integers(1, max_events))
+    rows = []
+    for _ in range(n):
+        u = draw(st.integers(0, max_users - 1))
+        mins = draw(st.integers(0, 300))
+        rows.append((u, _T0 + datetime.timedelta(minutes=mins)))
+    return rows
+
+
+def test_sessionize_exact_gap_boundary_merges(spark):
+    """Events exactly `gap` apart MERGE (Spark's session_window extends
+    each session to last-event + gap and merges on touch; the brute
+    replica's `> gap` split matches). Pinned explicitly because a
+    half-open reading of the window would split here."""
+    rows = [(1, _T0), (1, _T0 + datetime.timedelta(minutes=30))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap="30 minutes").collect()
+    ]
+    assert got == [(1, rows[0][1], rows[1][1], 2)]
+    assert _brute(rows) == set(got)
+
+
+@given(rows=event_logs())
+@_prop_settings
+def test_sessionize_property(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+    assert got == _brute(rows)
