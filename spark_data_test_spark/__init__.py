@@ -67,8 +67,10 @@ from spark_data_test_spark.state import (
     write_state_version,
 )
 from spark_data_test_spark.operators.temporal import (
+    anomaly_zscore,
     asof_join,
     asof_join_split,
+    cumulative_distinct,
     funnel,
     gap_fill,
     range_join_binned,
@@ -92,8 +94,10 @@ __all__ = [
     "DatasetParams",
     "OutputConfig",
     "TestParams",
+    "anomaly_zscore",
     "asof_join",
     "asof_join_split",
+    "cumulative_distinct",
     "blocked_fuzzy_pairs",
     "bloom_prefilter",
     "box_downsample",

@@ -1504,3 +1504,71 @@ def funnel(events, steps, keys="user_id", state_col="event_type", ts_col="ts"):
         .select("step_idx", "step", "n_converted")
         .orderBy("step_idx")
     )
+
+
+def anomaly_zscore(df, keys, bucket_col, value_col, n_sigmas=3):
+    """Library operator: per-key z-score anomaly flags for an already
+    bucketed series — the frame-level form of the registered
+    `events_anomaly_daily` query. A (keys..., bucket) row is anomalous
+    when its value sits more than ``n_sigmas`` population standard
+    deviations from that key group's mean. Returns the input columns
+    plus ``is_anomaly``.
+
+    Mean and sigma are never materialized: |x - S/n| > k*sigma is
+    cross-multiplied into (n*x - S)^2 > k^2 * (n*SS - S^2) with exact
+    integer n/S/SS per key — deterministic across engines while
+    |n*x - S| < 2^26.5 (go decimal(38) past that).
+
+    Shape at 100 TB: one map-side-combinable stats aggregate over the
+    (already bounded) bucketed frame and a broadcast join back —
+    per-key stats are three integers."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    k2 = float(n_sigmas) * float(n_sigmas)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(value_col).alias("_s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("_ss"),
+    )
+    dev = (F.col("_n") * F.col(value_col) - F.col("_s")).cast("double")
+    spread = (
+        F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    ).cast("double")
+    return df.join(F.broadcast(stats), keys).select(
+        *keys,
+        bucket_col,
+        value_col,
+        F.when(dev * dev > k2 * spread, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    )
+
+
+def cumulative_distinct(df, entity_col, bucket_col):
+    """Library operator: cumulative distinct entities per bucket — the
+    growth curve (`events_cumulative_distinct_users` generalized), a
+    windowed COUNT(DISTINCT) SQL cannot express directly. The scalable
+    rewrite is the FIRST-TOUCH trick: an entity contributes exactly
+    once, at its min bucket, so distinct-over-prefix collapses to
+    min-bucket per entity -> new per bucket -> running sum. Returns
+    ``(bucket_col, new_entities, cumulative_entities)``.
+
+    Shape at 100 TB: two map-side-combinable aggregates and ONE window
+    over the tiny bucket-level frame — row volume never reaches the
+    window; the only entity-level shuffle is the first aggregate. The
+    naive per-bucket expanding distinct is O(buckets * rows); this is
+    O(rows + buckets)."""
+    first_seen = df.groupBy(entity_col).agg(
+        F.min(bucket_col).alias(bucket_col)
+    )
+    per_bucket = first_seen.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    w = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        bucket_col,
+        "new_entities",
+        F.sum("new_entities").over(w).alias("cumulative_entities"),
+    )
