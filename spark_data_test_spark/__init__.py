@@ -75,6 +75,7 @@ from spark_data_test_spark.operators.temporal import (
     gap_fill,
     range_join_binned,
     retention_cohorts,
+    rolling_agg,
     scd2_build,
     sessionize,
     transition_matrix,
@@ -117,6 +118,7 @@ __all__ = [
     "pagerank_fixed",
     "range_join_binned",
     "retention_cohorts",
+    "rolling_agg",
     "salted_groupby",
     "salted_join",
     "compact_state_versions",

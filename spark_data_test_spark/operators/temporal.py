@@ -33,6 +33,8 @@ are compared and emitted as epoch microseconds (see
 relational.events_ts_to_micros).
 """
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -1571,4 +1573,59 @@ def cumulative_distinct(df, entity_col, bucket_col):
         bucket_col,
         "new_entities",
         F.sum("new_entities").over(w).alias("cumulative_entities"),
+    )
+
+
+def rolling_agg(df, keys, ts_col, value_col, window):
+    """Library operator: per-row trailing TIME window aggregate — for
+    every row, the count/sum/mean of ``value_col`` over the same key
+    group's rows in the preceding ``window`` (inclusive of the current
+    timestamp; a `datetime.timedelta`, a number of seconds, or an
+    interval string like ``"1 hour"``). The frame-level form of the
+    registered `events_rolling_window_avg` query: a RANGE frame over
+    the numeric epoch key, which neither a groupBy (fixed grid) nor a
+    self-join (O(n*m)) expresses. Returns the input key/ts/value
+    columns plus ``roll_n``, ``roll_sum``, ``roll_avg``.
+
+    Determinism: RANGE frames include all order-key peers in both
+    engines, and the frame aggregates are order-insensitive.
+
+    Shape at 100 TB: one hash shuffle on the keys, in-partition sort
+    by time, then a streaming two-pointer frame scan — state is
+    bounded by the densest single window of one key; skew bound is the
+    hottest key."""
+    import datetime as _dt
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if isinstance(window, _dt.timedelta):
+        span_us = int(window.total_seconds() * 1_000_000)
+    elif isinstance(window, (int, float)):
+        span_us = int(window * 1_000_000)
+    else:
+        m = re.match(
+            r"\s*(\d+)\s*(second|minute|hour|day)s?\s*$", str(window)
+        )
+        if not m:
+            raise ValueError(f"rolling_agg: unparseable window {window!r}")
+        mult = {
+            "second": 1,
+            "minute": 60,
+            "hour": 3600,
+            "day": 86400,
+        }[m.group(2)]
+        span_us = int(m.group(1)) * mult * 1_000_000
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-span_us, 0)
+    )
+    roll_n = F.count(value_col).over(w).cast("long")
+    roll_sum = F.sum(value_col).over(w)
+    return df.select(
+        *keys,
+        ts_col,
+        value_col,
+        roll_n.alias("roll_n"),
+        roll_sum.alias("roll_sum"),
+        (roll_sum.cast("double") / roll_n.cast("double")).alias("roll_avg"),
     )

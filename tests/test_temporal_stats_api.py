@@ -119,3 +119,87 @@ def test_cumulative_distinct_repeat_visits_count_once(spark):
         for r in cumulative_distinct(df, "user_id", "day").collect()
     )
     assert got == [(0, 1, 1), (5, 1, 2), (9, 1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# rolling_agg
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from spark_data_test_spark import rolling_agg
+
+_T0 = datetime.datetime(2024, 6, 1)
+
+
+def _ts_fixture(n_keys=4, n_rows=120, seed=97):
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(n_keys),
+            _T0 + datetime.timedelta(seconds=rng.randrange(20_000)),
+            rng.randint(-50, 100),
+        )
+        for _ in range(n_rows)
+    ]
+
+
+def _brute_rolling(rows, span_s):
+    out = []
+    by_key = defaultdict(list)
+    for k, t, v in rows:
+        by_key[k].append((t, v))
+    for k, t, v in rows:
+        frame = [
+            x
+            for tt, x in by_key[k]
+            if t - datetime.timedelta(seconds=span_s) <= tt <= t
+        ]
+        n, s = len(frame), sum(frame)
+        out.append((k, t, v, n, s, round(s / n, 9)))
+    return sorted(out)
+
+
+def test_rolling_agg_matches_bruteforce(spark):
+    rows = _ts_fixture()
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v long")
+    for window in ("1 hour", datetime.timedelta(minutes=10), 600):
+        got = sorted(
+            (r.key, r.ts, r.v, r.roll_n, r.roll_sum, round(r.roll_avg, 9))
+            for r in rolling_agg(
+                df, keys="key", ts_col="ts", value_col="v", window=window
+            ).collect()
+        )
+        span_s = (
+            3600
+            if window == "1 hour"
+            else (600 if not isinstance(window, str) else 600)
+        )
+        assert got == _brute_rolling(rows, span_s), window
+
+
+def test_rolling_agg_duplicate_timestamps_are_peers(spark):
+    """RANGE frames include order-key peers: two events at the same
+    second each see BOTH values in their frame."""
+    rows = [
+        (1, _T0, 10),
+        (1, _T0, 20),
+        (1, _T0 + datetime.timedelta(hours=2), 5),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, v long")
+    got = sorted(
+        (r.v, r.roll_n, r.roll_sum)
+        for r in rolling_agg(
+            df, keys="key", ts_col="ts", value_col="v", window="1 hour"
+        ).collect()
+    )
+    assert got == [(5, 1, 5), (10, 2, 30), (20, 2, 30)]
+
+
+def test_rolling_agg_rejects_bad_window(spark):
+    df = spark.createDataFrame([(1, _T0, 1)], "key long, ts timestamp, v long")
+    try:
+        rolling_agg(df, "key", "ts", "v", window="fortnight")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
