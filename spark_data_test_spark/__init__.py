@@ -55,7 +55,11 @@ from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
 )
-from spark_data_test_spark.operators.sampling import pack_bins, split_assign
+from spark_data_test_spark.operators.sampling import (
+    pack_bins,
+    split_assign,
+    temperature_shares,
+)
 from spark_data_test_spark.operators.similarity import cosine_topk, ivf_topk
 from spark_data_test_spark.operators.sketches import heavy_hitters
 from spark_data_test_spark.operators.skew import salted_groupby, salted_join
@@ -143,6 +147,7 @@ __all__ = [
     "sessionize",
     "simhash_near_dup_pairs",
     "split_assign",
+    "temperature_shares",
     "tfidf_topk",
     "token_counts",
     "transition_matrix",

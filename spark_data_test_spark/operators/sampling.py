@@ -451,3 +451,47 @@ def mix_temperature_rebalance(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def temperature_shares(df, source_col, weight_col=None, alpha=0.5):
+    """Library operator: temperature-scaled source re-balancing for
+    arbitrary frames — the mT5/XLM-R sampling rule ``p_i ∝ share_i^α``
+    (Xue et al. 2021), the frame-level generalization of the
+    registered `mix_temperature_rebalance` query (which pins α = 1/2
+    in integer arithmetic for the oracle; this export takes any
+    0 < α <= 1 and returns doubles). Per source: row count, weight
+    total (``weight_col``; 1 per row when None), the natural share,
+    the temperature-flattened sampling share, and the up/down-sampling
+    ``boost = temp_share / natural_share`` a mixing pipeline applies so
+    high-resource sources stop drowning out the tail.
+
+    Shape at 100 TB: one map-side-combinable groupBy(source) over the
+    corpus (source cardinality is tiny), then a broadcast 1-row total
+    joined back — no window over the corpus, no second scan."""
+    if not (0 < alpha <= 1):
+        raise ValueError(f"temperature_shares: alpha must be in (0, 1], got {alpha}")
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(w).cast("double").alias("weight_total"),
+    )
+    tot = per_src.agg(
+        F.sum("weight_total").alias("_wall"),
+    )
+    shared = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "natural_share", F.col("weight_total") / F.col("_wall")
+    ).withColumn("_pow", F.pow("natural_share", F.lit(float(alpha))))
+    pow_tot = shared.agg(F.sum("_pow").alias("_pall"))
+    return (
+        shared.crossJoin(F.broadcast(pow_tot))
+        .withColumn("temp_share", F.col("_pow") / F.col("_pall"))
+        .select(
+            "source",
+            "n_rows",
+            "weight_total",
+            "natural_share",
+            "temp_share",
+            (F.col("temp_share") / F.col("natural_share")).alias("boost"),
+        )
+        .orderBy("source")
+    )
