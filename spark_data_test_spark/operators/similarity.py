@@ -1593,7 +1593,14 @@ def ivf_topk(
     mean uses known-width sum columns (dimension read once from the
     first corpus row), keeping every aggregation whole-stage-codegen.
     Vectors are cast to double once on entry, so integer and float
-    embedding columns both work."""
+    embedding columns both work.
+
+    Cache lifetime: the normalized corpus projection is persisted for
+    the call (training forces it; the returned frame's assignment and
+    rescore sides reuse it). The blocks use Spark's default
+    MEMORY_AND_DISK storage and are LRU-evicted under pressure; call
+    ``spark.catalog.clearCache()`` (or unpersist via the storage tab)
+    to reclaim them eagerly after consuming the result."""
     n_dims = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if n_dims is None:
         raise ValueError("ivf_topk: corpus is empty")
