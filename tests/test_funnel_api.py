@@ -88,3 +88,41 @@ def test_funnel_counts_are_monotone_nonincreasing(spark):
     )
     counts = [n for _, n in out]
     assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# RANDOM event logs (hypothesis): the chained conditional-min windows
+# must match the brute-force sequential resolution for ANY event
+# arrangement, including repeated states and absent steps.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_prop_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@st.composite
+def event_logs(draw, max_users=3, max_events=14):
+    n = draw(st.integers(1, max_events))
+    rows = []
+    for _ in range(n):
+        u = draw(st.integers(0, max_users - 1))
+        secs = draw(st.integers(0, 500))
+        s = draw(st.sampled_from(["a", "b", "c"]))
+        rows.append((u, _T0 + datetime.timedelta(seconds=secs), s))
+    return rows
+
+
+@given(rows=event_logs())
+@_prop_settings
+def test_funnel_property(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.step_idx, r.step, r.n_converted)
+        for r in funnel(df, ["a", "b", "c"]).collect()
+    }
+    assert got == _brute(rows, ["a", "b", "c"])
