@@ -55,6 +55,10 @@ from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
 )
+from spark_data_test_spark.operators.analytics import (
+    pareto_classes,
+    value_histogram,
+)
 from spark_data_test_spark.operators.sampling import (
     pack_bins,
     split_assign,
@@ -120,6 +124,7 @@ __all__ = [
     "ols_fit",
     "pack_bins",
     "pagerank_fixed",
+    "pareto_classes",
     "range_join_binned",
     "retention_cohorts",
     "rolling_agg",
@@ -152,6 +157,7 @@ __all__ = [
     "token_counts",
     "transition_matrix",
     "triangle_count",
+    "value_histogram",
     "write_results",
     "write_state_version",
 ]

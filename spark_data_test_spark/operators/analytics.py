@@ -1116,3 +1116,114 @@ def orders_duplicate_payment_scan(spark, sf_dir):
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+def pareto_classes(
+    df,
+    key_col,
+    value_col,
+    thresholds=(0.8, 0.95),
+    labels=("A", "B", "C"),
+    n_buckets=256,
+):
+    """Library operator: ABC/Pareto classification for arbitrary
+    frames — each key is classed by the running share of total value
+    it completes when keys are ranked by value descending (ties break
+    by key ascending): label i while the inclusive running share is
+    <= thresholds[i], the last label after. The frame-level form of
+    the registered `parts_abc_pareto` query, same two-phase
+    distributed cumsum — NO single-partition global window:
+
+    per-key values are range-bucketed by magnitude (equi-width buckets
+    from one max() aggregate, <= ``n_buckets`` of them regardless of
+    key count), the per-bucket totals form a tiny frame whose
+    descending prefix sums broadcast back, and each key's global
+    cumulative = its bucket's prefix + an intra-bucket running sum
+    (window partitioned BY BUCKET — bounded partitions, no global
+    sort). Returns ``(key_col, value_col, cum_value, cum_share,
+    cls)``.
+
+    ``df`` must carry one row per key with a non-negative numeric
+    value (aggregate first if not)."""
+    if len(labels) != len(thresholds) + 1:
+        raise ValueError(
+            "pareto_classes: need exactly len(thresholds) + 1 labels"
+        )
+    vmax_row = df.agg(F.max(value_col).alias("m")).first()
+    vmax = vmax_row["m"] if vmax_row else None
+    if vmax is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            df.select(
+                key_col, value_col
+            ).schema.add("cum_value", "double").add(
+                "cum_share", "double"
+            ).add("cls", "string"),
+        )
+    width = max(float(vmax) / int(n_buckets), 1e-12)
+    keyed = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumn("_bkt", F.floor(F.col("_v") / F.lit(width)))
+    tot = keyed.agg(F.sum("_v").alias("_total"))
+    bkt_prefix = (
+        keyed.groupBy("_bkt")
+        .agg(F.sum("_v").alias("_bsum"))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select("_bkt", "_prefix")
+    )
+    w_intra = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_v").desc(), "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        keyed.join(F.broadcast(bkt_prefix), "_bkt")
+        .withColumn("_cum", F.col("_prefix") + F.sum("_v").over(w_intra))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_share", F.col("_cum") / F.col("_total"))
+    )
+    cls = F.when(F.col("_share") <= thresholds[0], labels[0])
+    for t_i, lab in zip(thresholds[1:], labels[1:-1]):
+        cls = cls.when(F.col("_share") <= t_i, lab)
+    cls = cls.otherwise(labels[-1])
+    return ranked.select(
+        F.col("_k").alias(key_col),
+        F.col("_v").alias(value_col),
+        F.col("_cum").alias("cum_value"),
+        F.col("_share").alias("cum_share"),
+        cls.alias("cls"),
+    )
+
+
+def value_histogram(df, value_col, width, max_bucket=None, keys=()):
+    """Library operator: fixed-width, MERGEABLE histogram — the
+    frame-level form of the registered `events_value_histogram` query.
+    Fixed bounds (bucket = floor(value / width), optionally clamped at
+    ``max_bucket``), NOT data-dependent min/max, so yesterday's
+    histogram is comparable to today's and partial histograms merge by
+    simple addition. Bucketing is true FLOOR division (negative values
+    land in negative buckets, never bucket 0). Returns
+    ``(keys..., bucket, cnt)``.
+
+    Shape at 100 TB: one scan, one (keys, bucket)-keyed aggregate with
+    map-side partials."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    bucket = F.floor(F.col(value_col).cast("double") / F.lit(float(width)))
+    if max_bucket is not None:
+        bucket = F.least(bucket, F.lit(int(max_bucket)))
+    return (
+        df.select(*keys, bucket.cast("long").alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

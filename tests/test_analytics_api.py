@@ -1,0 +1,148 @@
+"""Frame-level `pareto_classes` and `value_histogram` cross-checked
+against brute-force Python replicas."""
+
+import math
+import random
+from collections import Counter
+
+from spark_data_test_spark import pareto_classes, value_histogram
+
+# ---------------------------------------------------------------------------
+# pareto_classes
+# ---------------------------------------------------------------------------
+
+
+def _pareto_fixture(n=60, seed=113):
+    rng = random.Random(seed)
+    # heavy-tailed values (pareto-ish) plus exact ties to exercise the
+    # (value desc, key asc) tie-break
+    rows = [(i, float(int(rng.paretovariate(1.2) * 100))) for i in range(n)]
+    rows += [(n, rows[0][1]), (n + 1, rows[1][1])]
+    return rows
+
+
+def _brute_pareto(rows, thresholds, labels):
+    total = sum(v for _, v in rows)
+    ranked = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+    out = {}
+    cum = 0.0
+    for k, v in ranked:
+        cum += v
+        share = cum / total
+        cls = labels[-1]
+        for t, lab in zip(thresholds, labels):
+            if share <= t:
+                cls = lab
+                break
+        out[k] = (v, round(cum, 6), round(share, 9), cls)
+    return out
+
+
+def test_pareto_classes_matches_bruteforce(spark):
+    rows = _pareto_fixture()
+    df = spark.createDataFrame(rows, "pk long, rev double")
+    got = {
+        r.pk: (r.rev, round(r.cum_value, 6), round(r.cum_share, 9), r.cls)
+        for r in pareto_classes(df, "pk", "rev").collect()
+    }
+    expected = _brute_pareto(rows, (0.8, 0.95), ("A", "B", "C"))
+    assert got == expected
+    # heavy tail: all three classes occur
+    assert {c for _, _, _, c in got.values()} == {"A", "B", "C"}
+
+
+def test_pareto_classes_custom_thresholds(spark):
+    rows = _pareto_fixture(seed=127)
+    df = spark.createDataFrame(rows, "pk long, rev double")
+    got = {
+        r.pk: r.cls
+        for r in pareto_classes(
+            df, "pk", "rev", thresholds=(0.5,), labels=("hot", "cold")
+        ).collect()
+    }
+    expected = {
+        k: v[3]
+        for k, v in _brute_pareto(rows, (0.5,), ("hot", "cold")).items()
+    }
+    assert got == expected
+
+
+def test_pareto_classes_rejects_mismatched_labels(spark):
+    df = spark.createDataFrame([(1, 1.0)], "pk long, rev double")
+    try:
+        pareto_classes(df, "pk", "rev", thresholds=(0.8,), labels=("A",))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# value_histogram
+# ---------------------------------------------------------------------------
+
+
+def _hist_fixture(n=300, seed=131):
+    rng = random.Random(seed)
+    return [
+        (rng.choice(["a", "b"]), rng.uniform(-200, 1500)) for _ in range(n)
+    ]
+
+
+def _brute_hist(rows, width, max_bucket=None):
+    c = Counter()
+    for k, v in rows:
+        b = math.floor(v / width)
+        if max_bucket is not None:
+            b = min(b, max_bucket)
+        c[(k, b)] += 1
+    return {(k, b, n) for (k, b), n in c.items()}
+
+
+def test_value_histogram_matches_bruteforce(spark):
+    rows = _hist_fixture()
+    df = spark.createDataFrame(rows, "typ string, v double")
+    got = {
+        (r.typ, r.bucket, r.cnt)
+        for r in value_histogram(df, "v", width=50, keys="typ").collect()
+    }
+    assert got == _brute_hist(rows, 50)
+    # negatives land in negative buckets (true floor, never bucket 0)
+    assert any(b < 0 for _, b, _ in got)
+
+
+def test_value_histogram_clamped_tail_and_no_keys(spark):
+    rows = _hist_fixture(seed=139)
+    df = spark.createDataFrame(rows, "typ string, v double")
+    got = {
+        (r.bucket, r.cnt)
+        for r in value_histogram(df, "v", width=50, max_bucket=19).collect()
+    }
+    expected = {
+        (b, n)
+        for (_, b, n) in _brute_hist([("x", v) for _, v in rows], 50, 19)
+    }
+    assert got == expected
+    assert max(b for b, _ in got) == 19
+
+
+def test_value_histogram_merges_by_addition(spark):
+    """The histogram of a union equals the bucket-wise sum of the
+    parts' histograms — the mergeability fixed bounds buy."""
+    rows = _hist_fixture(seed=149)
+    half = len(rows) // 2
+    d1 = spark.createDataFrame(rows[:half], "typ string, v double")
+    d2 = spark.createDataFrame(rows[half:], "typ string, v double")
+    dall = spark.createDataFrame(rows, "typ string, v double")
+    h1 = Counter(
+        {(r.typ, r.bucket): r.cnt
+         for r in value_histogram(d1, "v", 50, keys="typ").collect()}
+    )
+    h2 = Counter(
+        {(r.typ, r.bucket): r.cnt
+         for r in value_histogram(d2, "v", 50, keys="typ").collect()}
+    )
+    hall = {
+        (r.typ, r.bucket): r.cnt
+        for r in value_histogram(dall, "v", 50, keys="typ").collect()
+    }
+    assert dict(h1 + h2) == hall
