@@ -47,6 +47,7 @@ from spark_data_test_spark.operators.multimodal import (
 )
 from spark_data_test_spark.operators.dedup import (
     exact_dup_groups,
+    knn_text_graph,
     minhash_band_index,
     near_dup_pairs,
     simhash_near_dup_pairs,
@@ -141,6 +142,7 @@ __all__ = [
     "gap_fill",
     "heavy_hitters",
     "ivf_topk",
+    "knn_text_graph",
     "language_id",
     "quality_score",
     "read_state_table",

@@ -3089,3 +3089,40 @@ def simhash_near_dup_pairs(docs, max_hamming=_SP_HAM_K):
         members.unpersist()
         release_frame(sums)
         release_frame(fp)
+
+
+def knn_text_graph(docs, k=3):
+    """Library operator: k-nearest-neighbor TEXT graph over the banded
+    candidate set — for every document, its top-``k`` most-similar
+    peers by exact shingle Jaccard among the MinHash-LSH candidates
+    (the frame-level form of the registered `text_knn_graph` query;
+    the edge list a corpus-curation pipeline feeds into clustering,
+    diversity sampling, or near-dup triage when a binary is-dup
+    verdict is too coarse). Returns ``(doc_id, peer_id, rank,
+    jaccard_1e6)`` with rank 1..k per doc, ties broken by peer id
+    ascending. Exact-dup texts are each other's strongest neighbors
+    (jaccard 1e6); documents with no banding candidate emit no rows.
+
+    Candidacy is the LSH contract, not all-pairs: a pair at Jaccard J
+    collides in >= 1 of the 4 bands with probability 1-(1-J^3)^4 (94%
+    at J=0.8; always, for exact dups), and below the near-dup range
+    candidacy decays by design — that decay is what bounds edge volume
+    at 100 TB, where an exact all-range k-NN graph has no
+    sub-quadratic plan. The pipeline is `near_dup_pairs` at the
+    minimum verify floor (any shared shingle), so the whole build is
+    bounded by candidate pairs; the top-k window shuffles edges, not
+    the corpus."""
+    pairs = near_dup_pairs(docs, tau_1e6=1)
+    sym = pairs.selectExpr(
+        "doc_a AS doc_id", "doc_b AS peer_id", "jaccard_1e6"
+    ).unionByName(
+        pairs.selectExpr("doc_b AS doc_id", "doc_a AS peer_id", "jaccard_1e6")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard_1e6").desc(), "peer_id"
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select("doc_id", "peer_id", "rank", "jaccard_1e6")
+    )

@@ -277,3 +277,51 @@ def test_exact_dup_groups_property(spark, docs):
         assert len(gids) == 1  # same text -> same group
         survivors = [d for d in ids if rows[d][1]]
         assert survivors == [min(ids)]  # exactly the min id survives
+
+
+# ---------------------------------------------------------------------------
+# knn_text_graph: top-k peers among the banded candidates
+# ---------------------------------------------------------------------------
+
+
+def _brute_knn(docs, k):
+    pairs = _brute_pairs(docs, tau_1e6=1)
+    sym = {}
+    for a, b, j in pairs:
+        sym.setdefault(a, []).append((-j, b))
+        sym.setdefault(b, []).append((-j, a))
+    out = set()
+    for d, peers in sym.items():
+        peers.sort()
+        for rank, (nj, p) in enumerate(peers[:k], start=1):
+            out.add((d, p, rank, -nj))
+    return out
+
+
+def test_knn_text_graph_matches_bruteforce(spark):
+    from spark_data_test_spark import knn_text_graph
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.peer_id, r.rank, r.jaccard_1e6)
+        for r in knn_text_graph(df, k=3).collect()
+    }
+    expected = _brute_knn(DOCS, 3)
+    assert got == expected
+    # exact dups rank each other first at 1e6
+    assert (1, 2, 1, 1000000) in got and (2, 1, 1, 1000000) in got
+    # isolated docs emit no rows
+    assert not any(d == 8 for d, _, _, _ in got)
+
+
+@given(docs=corpora())
+@_prop_settings
+def test_knn_text_graph_property(spark, docs):
+    from spark_data_test_spark import knn_text_graph
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.peer_id, r.rank, r.jaccard_1e6)
+        for r in knn_text_graph(df, k=2).collect()
+    }
+    assert got == _brute_knn(docs, 2)
