@@ -65,7 +65,11 @@ from spark_data_test_spark.operators.sampling import (
     split_assign,
     temperature_shares,
 )
-from spark_data_test_spark.operators.similarity import cosine_topk, ivf_topk
+from spark_data_test_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    semantic_prune,
+)
 from spark_data_test_spark.operators.sketches import heavy_hitters
 from spark_data_test_spark.operators.skew import salted_groupby, salted_join
 from spark_data_test_spark.state import (
@@ -151,6 +155,7 @@ __all__ = [
     "run_comparison_job",
     "run_comparison_job_from_dfs",
     "scd2_build",
+    "semantic_prune",
     "sessionize",
     "simhash_near_dup_pairs",
     "split_assign",

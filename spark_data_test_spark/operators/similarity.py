@@ -1556,6 +1556,102 @@ def cosine_topk(corpus, queries, k=10, id_col="vec_id", vec_col="emb"):
     )
 
 
+def _norm_vectors(frame, id_col, vec_col, op):
+    """(_id, _v double array, _n2) with zero-norm vectors dropped —
+    the shared entry normalization of the frame-level ANN operators."""
+    if frame.select(F.size(F.col(vec_col)).alias("d")).first() is None:
+        raise ValueError(f"{op}: input frame is empty")
+    as_vec = f"transform({vec_col}, x -> cast(x AS double))"
+    norm2 = "aggregate(_v, cast(0.0 AS double), (acc, x) -> acc + x * x)"
+    return (
+        frame.select(F.col(id_col).alias("_id"), F.expr(as_vec).alias("_v"))
+        .withColumn("_n2", F.expr(norm2))
+        .where(F.col("_n2") > 0)
+    )
+
+
+def _cell_scored(frame, cents):
+    """Every (_id, _v, _n2) row scored against every broadcast
+    centroid (cent_id, _cv, _cn2): adds _dot and _cos."""
+    dot = F.expr(
+        "aggregate(zip_with(_v, _cv, (x, y) -> x * y),"
+        " cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .withColumn("_dot", dot)
+        .withColumn(
+            "_cos", F.col("_dot") / F.sqrt(F.col("_n2") * F.col("_cn2"))
+        )
+    )
+
+
+def _train_double_cells(c, ncells, rounds, op):
+    """Deterministic spherical k-means over a persisted (_id, _v, _n2)
+    frame: ``ncells = ceil(sqrt(n))`` by default, seeds = smallest
+    xxhash64 mix of the id (a TakeOrdered, no global sort), ``rounds``
+    Lloyd rounds chained LAZILY (each round two map-side-combinable
+    aggregations; per-dim means as known-width sum columns so every
+    aggregate stays whole-stage-codegen) with ONE driver collect at
+    the end. Returns the broadcast-wrapped local centroid frame
+    (cent_id, _cv, _cn2)."""
+    spark = c.sparkSession
+    dim = c.select(F.size("_v").alias("d")).first()["d"]
+    n = c.count()
+    if n == 0:
+        raise ValueError(f"{op}: corpus has no nonzero vectors")
+    cells = int(ncells) if ncells else int(math.ceil(math.sqrt(n)))
+    seeds = (
+        c.withColumn("_mix", F.xxhash64(F.col("_id").cast("string")))
+        .orderBy("_mix", "_id")
+        .limit(cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("_mix", "_id"))
+            .cast("long")
+            .alias("cent_id"),
+            F.col("_v").alias("_cv"),
+            F.col("_n2").alias("_cn2"),
+        )
+    )
+    cents = seeds
+    for _ in range(int(rounds)):
+        per_vec = (
+            _cell_scored(c, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("_cell"),
+                F.first("_v").alias("_v"),
+            )
+        )
+        sums = per_vec.groupBy("_cell").agg(
+            F.count("*").alias("_c"),
+            *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)],
+        )
+        cents = sums.select(
+            F.col("_cell").alias("cent_id"),
+            F.array(
+                *[(F.col(f"_s{i}") / F.col("_c")) for i in range(dim)]
+            ).alias("_cv"),
+        ).withColumn(
+            "_cn2",
+            F.expr(
+                "aggregate(_cv, cast(0.0 AS double),"
+                " (acc, x) -> acc + x * x)"
+            ),
+        )
+    # one driver materialization of the broadcast-sized centroid frame
+    # (the lazy Lloyd chain otherwise re-trains once per consumer)
+    rows = cents.collect()
+    return F.broadcast(local_df(spark, rows, cents.schema))
+
+
 def ivf_topk(
     corpus,
     queries,
@@ -1601,100 +1697,16 @@ def ivf_topk(
     MEMORY_AND_DISK storage and are LRU-evicted under pressure; call
     ``spark.catalog.clearCache()`` (or unpersist via the storage tab)
     to reclaim them eagerly after consuming the result."""
-    n_dims = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if n_dims is None:
-        raise ValueError("ivf_topk: corpus is empty")
-    dim = n_dims["d"]
-
-    as_vec = f"transform({vec_col}, x -> cast(x AS double))"
-    norm2 = "aggregate(_v, cast(0.0 AS double), (acc, x) -> acc + x * x)"
-    c = (
-        corpus.select(F.col(id_col).alias("_id"), F.expr(as_vec).alias("_v"))
-        .withColumn("_n2", F.expr(norm2))
-        .where(F.col("_n2") > 0)
-    )
-    q = (
-        queries.select(F.col(id_col).alias("_id"), F.expr(as_vec).alias("_v"))
-        .withColumn("_n2", F.expr(norm2))
-        .where(F.col("_n2") > 0)
-    )
-    spark = corpus.sparkSession
+    c = _norm_vectors(corpus, id_col, vec_col, "ivf_topk")
+    q = _norm_vectors(queries, id_col, vec_col, "ivf_topk")
 
     # -- train: deterministic spherical k-means on the corpus ---------
     c = c.persist()  # seeds + every Lloyd round + assignment re-consume it
-    n = c.count()
-    if n == 0:
-        raise ValueError("ivf_topk: corpus has no nonzero vectors")
-    cells = int(ncells) if ncells else int(math.ceil(math.sqrt(n)))
-    seeds = (
-        c.withColumn("_mix", F.xxhash64(F.col("_id").cast("string")))
-        .orderBy("_mix", "_id")
-        .limit(cells)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("_mix", "_id"))
-            .cast("long")
-            .alias("cent_id"),
-            F.col("_v").alias("_cv"),
-            F.col("_n2").alias("_cn2"),
-        )
-    )
-    dot = F.expr(
-        "aggregate(zip_with(_v, _cv, (x, y) -> x * y),"
-        " cast(0.0 AS double), (acc, x) -> acc + x)"
-    )
-
-    def scored_against(frame, cents):
-        return (
-            frame.crossJoin(F.broadcast(cents))
-            .withColumn("_dot", dot)
-            .withColumn(
-                "_cos", F.col("_dot") / F.sqrt(F.col("_n2") * F.col("_cn2"))
-            )
-        )
-
-    cents = seeds
-    for _ in range(int(rounds)):
-        per_vec = (
-            scored_against(c, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("_cell"),
-                F.first("_v").alias("_v"),
-            )
-        )
-        sums = per_vec.groupBy("_cell").agg(
-            F.count("*").alias("_c"),
-            *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)],
-        )
-        cents = sums.select(
-            F.col("_cell").alias("cent_id"),
-            F.array(
-                *[(F.col(f"_s{i}") / F.col("_c")) for i in range(dim)]
-            ).alias("_cv"),
-        ).withColumn(
-            "_cn2",
-            F.expr(
-                "aggregate(_cv, cast(0.0 AS double),"
-                " (acc, x) -> acc + x * x)"
-            ),
-        )
-    # one driver materialization of the broadcast-sized centroid frame
-    # (the lazy Lloyd chain otherwise re-trains once per consumer below)
-    cent_rows = cents.collect()
-    cents = F.broadcast(
-        local_df(spark, cent_rows, cents.schema)
-    )
+    cents = _train_double_cells(c, ncells, rounds, "ivf_topk")
 
     # -- probe: corpus -> argmax cell, queries -> nprobe cells --------
     assign = (
-        scored_against(c, cents)
+        _cell_scored(c, cents)
         .groupBy("_id")
         .agg(
             F.max_by(
@@ -1708,7 +1720,7 @@ def ivf_topk(
     )
     wq = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "cent_id")
     probes = (
-        scored_against(q, cents)
+        _cell_scored(q, cents)
         .withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= int(nprobe))
         .select(F.col("_id").alias("query_id"), F.col("cent_id").alias("_cell"))
@@ -1749,4 +1761,103 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(int(k)))
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def semantic_prune(
+    vectors,
+    tau=0.95,
+    nprobe=2,
+    ncells=None,
+    rounds=2,
+    id_col="vec_id",
+    vec_col="emb",
+):
+    """Library operator: SemDeDup-style semantic pruning for arbitrary
+    frames (Abbas et al. 2023: drop near-identical embeddings inside
+    trained cells, keep one representative per semantic-duplicate
+    group) — the frame-level form of the registered
+    `dedup_embedding_cosine` + `dedup_semantic_prune_curve` pair. A
+    vector is PRUNED when any smaller-id vector shares a probed IVF
+    cell with it at cosine >= ``tau`` (the deterministic min-id
+    survivor rule the exact/minhash dedup family uses — SemDeDup keeps
+    a random cluster member; min-id is the reproducible choice).
+    Returns one row per nonzero input vector:
+    ``(id_col, gid, is_survivor, pruned_by)`` where ``gid`` is the
+    min-id of the vector's EXACT-duplicate group and ``pruned_by`` is
+    the smallest id that prunes it (NULL for survivors).
+
+    Architecture, same as the registered pipeline:
+    EXACT-DEDUP-BEFORE-ANN — identical vectors collapse into groups
+    (one shuffle on the vector itself; k copies shrink the cell
+    self-join by k^2 — the dup-heavy 100 TB shape), only group
+    representatives are multi-probe assigned to their ``nprobe``
+    nearest trained cells, candidate pairs are representatives sharing
+    a cell, every candidate is exact-rescored INSIDE the join and
+    threshold-filtered before any pair-level shuffle. Non-representative
+    members are pruned by their group's min id (cosine exactly 1);
+    representatives are pruned by the smallest smaller-id
+    representative within ``tau``. With ``nprobe >= ncells`` candidacy
+    is all-pairs and the result is the exact threshold dedup (pinned
+    in tests/test_similarity_api.py); at real nprobe the miss rate is
+    the IVF recall trade-off the registered recall report measures.
+
+    Cache lifetime: same contract as `ivf_topk` (the normalized
+    projection and group frame persist for the call)."""
+    if not (-1.0 <= tau <= 1.0):
+        raise ValueError(f"semantic_prune: tau must be in [-1, 1], got {tau}")
+    v = _norm_vectors(vectors, id_col, vec_col, "semantic_prune")
+    memb = v.withColumn(
+        "_gid", F.min("_id").over(Window.partitionBy("_v"))
+    ).persist()
+    reps = memb.where(F.col("_id") == F.col("_gid")).select("_id", "_v", "_n2")
+    reps = reps.persist()
+    cents = _train_double_cells(reps, ncells, rounds, "semantic_prune")
+
+    wq = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "cent_id")
+    assign = (
+        _cell_scored(reps, cents)
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= int(nprobe))
+        .select("_id", F.col("cent_id").alias("_cell"))
+    )
+    payload = assign.join(reps, "_id")
+    a = payload.select(
+        F.col("_id").alias("_ga"),
+        "_cell",
+        F.col("_v").alias("_va"),
+        F.col("_n2").alias("_na"),
+    )
+    b = payload.select(
+        F.col("_id").alias("_gb"),
+        "_cell",
+        F.col("_v").alias("_vb"),
+        F.col("_n2").alias("_nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_va, _vb, (x, y) -> x * y),"
+        " cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    # filter INSIDE the join, before the pair-level groupBy shuffle
+    rep_pruned = (
+        a.join(b, "_cell")
+        .where(F.col("_ga") < F.col("_gb"))
+        .withColumn("_cos", dot / F.sqrt(F.col("_na") * F.col("_nb")))
+        .where(F.col("_cos") >= F.lit(float(tau)))
+        .groupBy(F.col("_gb").alias("_gid"))
+        .agg(F.min("_ga").alias("_rep_pruned_by"))
+    )
+    return (
+        memb.join(rep_pruned, "_gid", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_gid").alias("gid"),
+            # a non-rep member is pruned by its group min id; a rep is
+            # pruned by the smallest cell-sharing rep within tau
+            F.when(F.col("_id") != F.col("_gid"), F.col("_gid"))
+            .otherwise(F.col("_rep_pruned_by"))
+            .alias("pruned_by"),
+        )
+        .withColumn("is_survivor", F.col("pruned_by").isNull())
+        .select(id_col, "gid", "is_survivor", "pruned_by")
     )

@@ -149,3 +149,77 @@ def test_ivf_topk_excludes_self_and_zero_vectors(spark):
     assert rows
     assert not any(r.neighbor_id == r.query_id for r in rows)
     assert not any(r.neighbor_id == 15 for r in rows)  # the zero vector
+
+
+# ---------------------------------------------------------------------------
+# semantic_prune: SemDeDup-style min-id survivor pruning
+# ---------------------------------------------------------------------------
+
+
+def _brute_prune(corpus, tau):
+    """Exact threshold dedup with the min-id rule: v pruned by the
+    smallest u < v with cos(u, v) >= tau (exact dups count; zero-norm
+    vectors are dropped)."""
+    norms = {
+        i: math.sqrt(sum(x * x for x in v))
+        for i, v in corpus
+    }
+    live = [(i, v) for i, v in corpus if norms[i] > 0]
+    out = {}
+    for i, vi in live:
+        pruned_by = None
+        for j, vj in live:
+            if j >= i:
+                continue
+            cos = sum(x * y for x, y in zip(vi, vj)) / (norms[i] * norms[j])
+            if cos >= tau - 1e-12:
+                pruned_by = j if pruned_by is None else min(pruned_by, j)
+        out[i] = pruned_by
+    return out
+
+
+def test_semantic_prune_probe_all_equals_bruteforce(spark):
+    """With nprobe >= ncells candidacy is all-pairs: the result must
+    equal the exact threshold dedup, including exact-dup groups."""
+    from spark_data_test_spark import semantic_prune
+
+    corpus, _ = _fixture(n=20, nq=0, dim=6, seed=41)
+    corpus = corpus + [(100, list(corpus[3][1])), (101, list(corpus[3][1]))]
+    df = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    got = {
+        r.vec_id: (r.gid, r.is_survivor, r.pruned_by)
+        for r in semantic_prune(
+            df, tau=0.9, ncells=3, nprobe=3, rounds=2
+        ).collect()
+    }
+    expected = _brute_prune(corpus, 0.9)
+    assert set(got) == set(expected)  # zero vector dropped on both sides
+    for i, pruned_by in expected.items():
+        assert got[i][2] == pruned_by, (i, got[i], pruned_by)
+        assert got[i][1] == (pruned_by is None)
+    # the planted exact dups share doc 3's group and are pruned by it
+    assert got[100] == (3, False, 3) and got[101] == (3, False, 3)
+    assert got[3][0] == 3
+
+
+def test_semantic_prune_tau_one_keeps_distinct_vectors(spark):
+    """At tau just above 1.0-epsilon only exact duplicates prune."""
+    from spark_data_test_spark import semantic_prune
+
+    corpus, _ = _fixture(n=12, nq=0, dim=4, seed=59)
+    corpus = corpus + [(50, list(corpus[0][1]))]
+    df = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    rows = semantic_prune(df, tau=1.0 - 1e-9, ncells=2, nprobe=2).collect()
+    pruned = {r.vec_id for r in rows if not r.is_survivor}
+    assert pruned == {50}
+
+
+def test_semantic_prune_rejects_bad_tau(spark):
+    from spark_data_test_spark import semantic_prune
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, emb array<double>")
+    try:
+        semantic_prune(df, tau=1.5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
