@@ -55,6 +55,7 @@ from spark_data_test_spark.operators.dedup import (
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
+    latest_wins,
 )
 from spark_data_test_spark.operators.analytics import (
     pareto_classes,
@@ -96,7 +97,9 @@ from spark_data_test_spark.operators.temporal import (
 from spark_data_test_spark.operators.text import (
     decontaminate,
     language_id,
+    pii_scrub,
     quality_score,
+    repetition_profile,
     tfidf_topk,
     token_counts,
 )
@@ -130,6 +133,8 @@ __all__ = [
     "pack_bins",
     "pagerank_fixed",
     "pareto_classes",
+    "pii_scrub",
+    "repetition_profile",
     "range_join_binned",
     "retention_cohorts",
     "rolling_agg",
@@ -148,6 +153,7 @@ __all__ = [
     "ivf_topk",
     "knn_text_graph",
     "language_id",
+    "latest_wins",
     "quality_score",
     "read_state_table",
     "read_state_union",

@@ -945,3 +945,34 @@ def part_bloom_prefilter_join(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+def latest_wins(base, updates, keys, order_col=None):
+    """Library operator: last-write-wins keyed MERGE without a table
+    format — the frame-level form of the registered
+    `upsert_latest_wins` query. Union both sides tagged with recency
+    and keep one row per key in ONE shuffle; ``updates`` beats
+    ``base`` on a key collision. With ``order_col`` the largest order
+    value wins ACROSS both frames (side only breaks order ties), which
+    is the CDC-batch shape where updates may carry several versions of
+    a key. Without ``order_col`` each side should carry at most one
+    row per key or the winner within a side is undefined.
+
+    This is the Spark-native upsert when Delta/Iceberg MERGE isn't
+    available; at scale pair it with dynamic partition overwrite so
+    only touched partitions rewrite."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tagged = base.withColumn("_side", F.lit(0)).unionByName(
+        updates.withColumn("_side", F.lit(1))
+    )
+    order = [F.col("_side").desc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc(), F.col("_side").desc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_side", "_rn")
+    )

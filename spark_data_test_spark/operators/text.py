@@ -401,6 +401,14 @@ def text_vocabulary_topk(spark, sf_dir):
 _EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
 _PHONE_RE = r"555-[0-9]{4}"
 
+# word-bigram array from a `ws` token-array column; the size guard is
+# load-bearing on arbitrary frames (sequence(1, -1) DESCENDS in Spark)
+_BIGRAMS_EXPR = (
+    "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),"
+    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    " ELSE array() END"
+)
+
 
 @query(
     "text_pii_scrub",
@@ -509,14 +517,15 @@ def text_repetition_profile(spark, sf_dir):
     ws = F.expr("filter(split(text, ' '), w -> w <> '')")
     base = d.select("doc_id", ws.alias("ws"))
     toks = base.select("doc_id", F.explode("ws").alias("g"))
+    # the size >= 2 guard matters beyond this corpus: Spark's
+    # sequence(1, size - 1) on a 0-token doc is sequence(1, -1), which
+    # generates DESCENDING [1, 0, -1] and faults element_at — the
+    # synthetic documents always have >= 2 tokens, but the shared
+    # expression (repetition_profile runs on arbitrary frames) must not
+    # rely on that
     bgs = base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws) - 1),"
-                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
-            )
-        ).alias("g"),
+        F.explode(F.expr(_BIGRAMS_EXPR)).alias("g"),
     )
 
     def stats(grams, maxc, total):
@@ -1096,4 +1105,70 @@ def tfidf_topk(docs, k=5, id_col="doc_id", text_col="text"):
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(int(k)))
         .select(F.col("_id").alias(id_col), "tok", "tf", "df", "rank")
+    )
+
+
+def pii_scrub(docs, text_col="text", patterns=None):
+    """Library operator: PII detection + redaction for arbitrary
+    frames — the frame-level form of the registered `text_pii_scrub`
+    query. ``patterns`` maps a label to a regex (defaults to the
+    module's email/phone patterns); every input row comes back with
+    one ``n_<label>`` count per pattern and a ``scrubbed`` column in
+    which each match is replaced by ``<LABEL>``. All rows are
+    returned; filter on the counts to keep only affected docs.
+
+    Keep patterns in the dialect-portable subset (character classes +
+    bounded quantifiers — identical semantics in Java regex and RE2).
+    Pure scan-side regexp_extract_all / regexp_replace: whole-stage
+    codegen, zero shuffles, trivially linear at 100 TB."""
+    if patterns is None:
+        patterns = {"email": _EMAIL_RE, "phone": _PHONE_RE}
+    scrubbed = F.col(text_col)
+    counts = []
+    for label, pat in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{label}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{label.upper()}>")
+    return docs.select("*", *counts, scrubbed.alias("scrubbed"))
+
+
+def repetition_profile(docs, id_col="doc_id", text_col="text"):
+    """Library operator: repetition filtering signals
+    (Gopher/RefinedWeb-style quality rules) for arbitrary frames — per
+    document, the fraction of whitespace tokens taken by the most
+    frequent token and the fraction of word-bigrams taken by the most
+    frequent bigram, as exact 1e-6 integers. Highly repetitive docs
+    (boilerplate, keyword stuffing, generation loops) spike both.
+    Docs with < 2 tokens have no bigram and drop out (inner join).
+
+    Shape at 100 TB: ONE shuffle on the doc id (bigrams are built
+    inside the scan with higher-order array functions), per-(doc,
+    gram) counts ride the same partitioning with partial aggregation —
+    no window over raw tokens, no second scan."""
+    ws = F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
+    base = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+    toks = base.select("_id", F.explode("ws").alias("g"))
+    bgs = base.select("_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("g"))
+
+    def stats(grams, maxc, total):
+        return (
+            grams.groupBy("_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("_id")
+            .agg(F.max("c").alias(maxc), F.sum("c").alias(total))
+        )
+
+    ts = stats(toks, "max_tok", "n_toks")
+    bs = stats(bgs, "max_bg", "n_bgs")
+
+    def ratio(a, b):
+        return F.round(F.lit(1000000.0) * F.col(a) / F.col(b)).cast("long")
+
+    return ts.join(bs, "_id").select(
+        F.col("_id").alias(id_col),
+        ratio("max_tok", "n_toks").alias("top_token_1e6"),
+        ratio("max_bg", "n_bgs").alias("top_bigram_1e6"),
     )

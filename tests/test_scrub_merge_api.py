@@ -1,0 +1,112 @@
+"""Frame-level `pii_scrub`, `repetition_profile`, and `latest_wins`
+cross-checked against brute-force Python replicas."""
+
+import random
+import re
+from collections import Counter
+
+from spark_data_test_spark import latest_wins, pii_scrub, repetition_profile
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    (1, "reach me at bob123@mail.com or 555-0001 thanks"),
+    (2, "two mails a@b.c and x9@y.z plus 555-1234 555-9999"),
+    (3, "perfectly clean prose with no contact info"),
+    (4, "call 555-0000"),
+]
+
+
+def test_pii_scrub_default_patterns(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {r.doc_id: (r.n_email, r.n_phone, r.scrubbed)
+           for r in pii_scrub(df).collect()}
+    email, phone = r"[a-z0-9]+@[a-z]+\.[a-z]+", r"555-[0-9]{4}"
+    for doc_id, text in _DOCS:
+        ne = len(re.findall(email, text))
+        np_ = len(re.findall(phone, text))
+        scr = re.sub(phone, "<PHONE>", re.sub(email, "<EMAIL>", text))
+        assert got[doc_id] == (ne, np_, scr), doc_id
+    # all rows returned, clean rows included with zero counts
+    assert got[3][0] == 0 and got[3][1] == 0 and got[3][2] == _DOCS[2][1]
+
+
+def test_pii_scrub_custom_patterns(spark):
+    df = spark.createDataFrame([(1, "ssn 123-45-6789 ok")], "doc_id long, text string")
+    r = pii_scrub(df, patterns={"ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}"}).collect()[0]
+    assert r.n_ssn == 1 and r.scrubbed == "ssn <SSN> ok"
+
+
+# ---------------------------------------------------------------------------
+# repetition_profile
+# ---------------------------------------------------------------------------
+
+
+def _brute_rep(docs):
+    out = {}
+    for did, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        if len(ws) < 2:
+            continue
+        tc = Counter(ws)
+        bc = Counter(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        out[did] = (
+            round(1e6 * max(tc.values()) / sum(tc.values())),
+            round(1e6 * max(bc.values()) / sum(bc.values())),
+        )
+    return out
+
+
+def test_repetition_profile_matches_bruteforce(spark):
+    rng = random.Random(151)
+    vocab = ["spam", "ham", "eggs", "the", "loop"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(25)
+    ]
+    docs.append((100, "loop loop loop loop"))  # degenerate repeater
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.top_token_1e6, r.top_bigram_1e6)
+        for r in repetition_profile(df).collect()
+    }
+    assert got == _brute_rep(docs)
+    assert got[100] == (1000000, 1000000)
+
+
+# ---------------------------------------------------------------------------
+# latest_wins
+# ---------------------------------------------------------------------------
+
+
+def test_latest_wins_updates_beat_base(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {r.k: (r.s, r.v) for r in latest_wins(base, updates, "k").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_latest_wins_order_col_across_sides(spark):
+    """With order_col the largest version wins regardless of side; the
+    update side only breaks version ties."""
+    base = spark.createDataFrame([(1, 5, "base-v5")], "k long, ver long, s string")
+    updates = spark.createDataFrame(
+        [(1, 3, "upd-v3"), (1, 4, "upd-v4"), (2, 1, "new")],
+        "k long, ver long, s string",
+    )
+    got = {r.k: (r.ver, r.s)
+           for r in latest_wins(base, updates, "k", order_col="ver").collect()}
+    # base's v5 beats the updates' v3/v4 - stale CDC batches never regress
+    assert got == {1: (5, "base-v5"), 2: (1, "new")}
+    # same version on both sides: the update wins the tie
+    base2 = spark.createDataFrame([(1, 5, "base-v5")], "k long, ver long, s string")
+    upd2 = spark.createDataFrame([(1, 5, "upd-v5")], "k long, ver long, s string")
+    got2 = {r.k: r.s
+            for r in latest_wins(base2, upd2, "k", order_col="ver").collect()}
+    assert got2 == {1: "upd-v5"}
