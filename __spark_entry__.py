@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 # gained the one-core repartition fix and the `_phash_pairs` memo that
 # multimodal_phash_neardup / multimodal_crossmodal_agreement now share,
 # and the embedding family gained the `_embedding_pairs` memo that
-# dedup_embedding_cosine / dedup_semantic_prune_curve now share) + ALL
+# dedup_embedding_cosine / dedup_semantic_prune_curve now share; a
+# fifth changed query, text_repetition_profile — its bigram expression
+# was hardened against 0-token docs for the frame-level export —
+# re-earns through the r4-cohort slot it already holds below) + ALL
 # 36 r4-era stale greens (backlog-head order — this drains the r4
 # cohort completely, so after this round no registry row's latest
 # driver green is older than round 5) + 1 new registration
