@@ -46,6 +46,7 @@ from spark_data_test_spark.operators.multimodal import (
     encode_y4m,
 )
 from spark_data_test_spark.operators.dedup import (
+    dedup_corpus,
     exact_dup_groups,
     knn_text_graph,
     minhash_band_index,
@@ -124,6 +125,7 @@ __all__ = [
     "corr_matrix",
     "cosine_topk",
     "decontaminate",
+    "dedup_corpus",
     "distribution_report",
     "exact_dup_groups",
     "funnel",

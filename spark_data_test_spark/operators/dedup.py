@@ -3126,3 +3126,62 @@ def knn_text_graph(docs, k=3):
         .where(F.col("rank") <= F.lit(int(k)))
         .select("doc_id", "peer_id", "rank", "jaccard_1e6")
     )
+
+
+def dedup_corpus(docs, tau_1e6=500000, min_chars=8):
+    """Library operator: the full curation dedup WATERFALL for an
+    arbitrary ``(doc_id, text)`` frame — short-text filter -> exact
+    dedup (min-id survivor per byte-identical text) -> MinHash+LSH
+    near-dedup (banded candidates, exact-Jaccard >= ``tau_1e6``
+    verify, min-id survivor), each stage running only on the previous
+    stage's survivors (the frame-level form of the registered
+    `corpus_dedup_waterfall`, which reports the per-stage counts this
+    returns per-document). Returns one row per input doc:
+    ``(doc_id, stage, survivor_of)`` where ``stage`` is the stage that
+    removed the doc (``'short'`` | ``'exact'`` | ``'near'``) or
+    ``'kept'``, and ``survivor_of`` is the doc it deduplicated to
+    (NULL for kept/short rows).
+
+    Removal rule at stage 3 matches the family's survivorship
+    semantics: a doc is removed when ANY verified partner has a
+    smaller id (reproducible min-id, not order-dependent greedy); its
+    ``survivor_of`` is the smallest such partner. Exact-before-near is
+    the production ordering because it makes the band self-join run
+    over distinct texts only (k exact copies shrink the buckets by
+    k^2) — here obtained structurally, since stage 3's input is one
+    doc per distinct text. NULL or sub-``min_chars`` texts drop at
+    stage 1 (too short to shingle)."""
+    docs = docs.select("doc_id", "text")
+    is_short = F.col("text").isNull() | (F.length("text") < int(min_chars))
+    base = docs.withColumn("_short", is_short)
+    long_docs = base.where(~F.col("_short"))
+    grouped = long_docs.withColumn(
+        "_smin", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    survivors2 = grouped.where(F.col("doc_id") == F.col("_smin")).select(
+        "doc_id", "text"
+    )
+    pairs = near_dup_pairs(survivors2, tau_1e6=tau_1e6)
+    near_removed = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("_near_by")
+    )
+    verdicts = (
+        base.join(
+            grouped.select("doc_id", "_smin"), "doc_id", "left"
+        )
+        .join(near_removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_short"), "short")
+            .when(F.col("doc_id") != F.col("_smin"), "exact")
+            .when(F.col("_near_by").isNotNull(), "near")
+            .otherwise("kept")
+            .alias("stage"),
+            F.when(F.col("_short"), F.lit(None).cast("long"))
+            .when(F.col("doc_id") != F.col("_smin"), F.col("_smin"))
+            .otherwise(F.col("_near_by"))
+            .cast("long")
+            .alias("survivor_of"),
+        )
+    )
+    return verdicts

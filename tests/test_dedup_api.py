@@ -325,3 +325,68 @@ def test_knn_text_graph_property(spark, docs):
         for r in knn_text_graph(df, k=2).collect()
     }
     assert got == _brute_knn(docs, 2)
+
+
+# ---------------------------------------------------------------------------
+# dedup_corpus: the full waterfall (short -> exact -> near) per doc
+# ---------------------------------------------------------------------------
+
+
+def _brute_waterfall(docs, tau_1e6=500000, min_chars=8):
+    out = {}
+    long_docs = []
+    for did, text in docs:
+        if text is None or len(text) < min_chars:
+            out[did] = ("short", None)
+        else:
+            long_docs.append((did, text))
+    smin = {}
+    for did, text in long_docs:
+        smin[text] = min(smin.get(text, did), did)
+    survivors = []
+    for did, text in long_docs:
+        if smin[text] != did:
+            out[did] = ("exact", smin[text])
+        else:
+            survivors.append((did, text))
+    pairs = _brute_pairs(survivors, tau_1e6=tau_1e6)
+    near_by = {}
+    for a, b, _ in pairs:
+        near_by[b] = min(near_by.get(b, a), a)
+    for did, _ in survivors:
+        if did in near_by:
+            out[did] = ("near", near_by[did])
+        else:
+            out[did] = ("kept", None)
+    return out
+
+
+def test_dedup_corpus_matches_bruteforce(spark):
+    from spark_data_test_spark import dedup_corpus
+
+    docs = DOCS + [(9, None), (10, "the quick brown fox jumps over the lazy dog today!")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.stage, r.survivor_of)
+        for r in dedup_corpus(df).collect()
+    }
+    expected = _brute_waterfall(docs)
+    assert got == expected
+    # the fixture exercises every verdict
+    assert {s for s, _ in got.values()} == {"short", "exact", "near", "kept"}
+    # exact twin of 1 removed by 1; near twin of 1 removed at stage 3
+    assert got[2] == ("exact", 1)
+    assert got[3] == ("near", 1)
+
+
+@given(docs=corpora())
+@_prop_settings
+def test_dedup_corpus_property(spark, docs):
+    from spark_data_test_spark import dedup_corpus
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.stage, r.survivor_of)
+        for r in dedup_corpus(df).collect()
+    }
+    assert got == _brute_waterfall(docs)
