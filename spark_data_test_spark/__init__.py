@@ -59,6 +59,7 @@ from spark_data_test_spark.operators.relational_ext import (
     latest_wins,
 )
 from spark_data_test_spark.operators.analytics import (
+    ab_readout,
     pareto_classes,
     value_histogram,
 )
@@ -107,6 +108,7 @@ from spark_data_test_spark.operators.text import (
 
 __all__ = [
     "ComparisonJobConfig",
+    "ab_readout",
     "DataframeConfig",
     "DatasetConfig",
     "DatasetParams",

@@ -1227,3 +1227,49 @@ def value_histogram(df, value_col, width, max_bucket=None, keys=()):
         .groupBy(*keys, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ab_readout(events, arm_col, value_col, keys=()):
+    """Library operator: A/B experimentation readout for arbitrary
+    frames — the frame-level, two-arm-generic form of the registered
+    `events_ab_test_readout` query. ``arm_col`` is a boolean (or 0/1)
+    treatment flag; per ``keys`` group the readout returns arm sizes,
+    arm means, and the Welch two-sample z-score of the difference
+    (treatment minus control). Empty/singleton arms yield NULL mean/z
+    instead of IEEE Inf/NaN (means need n > 0; Welch variance terms
+    need n > 1). Sample variances use n-1.
+
+    Shape at 100 TB: ONE map-side-combinable aggregate collects exact
+    per-arm moments (n, sum, sum-of-squares) as CONDITIONAL sums keyed
+    by the group alone — one shuffle, no arm self-join; the z-score is
+    a fixed tree of IEEE ops over those moments."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    in_a = F.col(arm_col).cast("int")
+    c = F.col(value_col).cast("double")
+    w = events.groupBy(*keys).agg(
+        F.sum(in_a).alias("na"),
+        F.sum(in_a * c).alias("sa"),
+        F.sum(in_a * c * c).alias("ssa"),
+        F.sum(1 - in_a).alias("nb"),
+        F.sum((1 - in_a) * c).alias("sb"),
+        F.sum((1 - in_a) * c * c).alias("ssb"),
+    )
+    nad, sad, ssad = (F.col(x).cast("double") for x in ("na", "sa", "ssa"))
+    nbd, sbd, ssbd = (F.col(x).cast("double") for x in ("nb", "sb", "ssb"))
+    var_term_a = (nad * ssad - sad * sad) / (
+        nad * nad * (F.col("na") - 1).cast("double")
+    )
+    var_term_b = (nbd * ssbd - sbd * sbd) / (
+        nbd * nbd * (F.col("nb") - 1).cast("double")
+    )
+    return w.select(
+        *keys,
+        F.col("na").cast("long").alias("n_treat"),
+        F.col("nb").cast("long").alias("n_control"),
+        F.when(F.col("na") > 0, sad / nad).alias("mean_treat"),
+        F.when(F.col("nb") > 0, sbd / nbd).alias("mean_control"),
+        F.when(
+            (F.col("na") > 1) & (F.col("nb") > 1),
+            (sad / nad - sbd / nbd) / F.sqrt(var_term_a + var_term_b),
+        ).alias("z_score"),
+    )

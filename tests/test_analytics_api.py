@@ -146,3 +146,68 @@ def test_value_histogram_merges_by_addition(spark):
         for r in value_histogram(dall, "v", 50, keys="typ").collect()
     }
     assert dict(h1 + h2) == hall
+
+
+# ---------------------------------------------------------------------------
+# ab_readout
+# ---------------------------------------------------------------------------
+
+
+def _brute_ab(rows):
+    """rows: (key, in_treat, value). Welch z with n-1 variances."""
+    from collections import defaultdict
+
+    arms = defaultdict(lambda: {True: [], False: []})
+    for k, t, v in rows:
+        arms[k][bool(t)].append(v)
+    out = {}
+    for k, d in arms.items():
+        a, b = d[True], d[False]
+        na, nb = len(a), len(b)
+        mean_a = sum(a) / na if na else None
+        mean_b = sum(b) / nb if nb else None
+        z = None
+        if na > 1 and nb > 1:
+            va = sum((x - mean_a) ** 2 for x in a) / (na - 1)
+            vb = sum((x - mean_b) ** 2 for x in b) / (nb - 1)
+            z = (mean_a - mean_b) / math.sqrt(va / na + vb / nb)
+        out[k] = (na, nb, mean_a, mean_b, z)
+    return out
+
+
+def test_ab_readout_matches_bruteforce(spark):
+    from spark_data_test_spark import ab_readout
+
+    rng = random.Random(163)
+    rows = [
+        (rng.choice(["click", "buy"]), rng.random() < 0.5,
+         rng.uniform(0, 100) + 5 * (rng.random() < 0.5))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, treat boolean, v double")
+    got = {
+        r.event_type: (r.n_treat, r.n_control, r.mean_treat,
+                       r.mean_control, r.z_score)
+        for r in ab_readout(df, "treat", "v", keys="event_type").collect()
+    }
+    expected = _brute_ab(rows)
+    assert set(got) == set(expected)
+    for k in got:
+        for g, e in zip(got[k], expected[k]):
+            if e is None:
+                assert g is None
+            else:
+                assert abs(g - e) < 1e-9, (k, got[k], expected[k])
+
+
+def test_ab_readout_singleton_arms_yield_null(spark):
+    from spark_data_test_spark import ab_readout
+
+    rows = [("x", True, 1.0), ("x", False, 2.0), ("y", True, 3.0)]
+    df = spark.createDataFrame(rows, "k string, treat boolean, v double")
+    got = {r.k: (r.n_treat, r.n_control, r.mean_treat, r.mean_control, r.z_score)
+           for r in ab_readout(df, "treat", "v", keys="k").collect()}
+    # singleton arms: means present, z NULL
+    assert got["x"] == (1, 1, 1.0, 2.0, None)
+    # empty control arm: its mean and z both NULL
+    assert got["y"] == (1, 0, 3.0, None, None)
