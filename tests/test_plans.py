@@ -284,3 +284,37 @@ def test_bucketed_index_probe_index_side_is_exchange_free(spark, sf_dir):
     assert any("Scan" in l for l in right), right
     assert not any("Exchange" in l for l in right), right
     assert not any(l.strip().lstrip(":+- *").startswith("Sort ") for l in right), right
+
+
+def test_pair_frame_memos_are_shared(spark, sf_dir):
+    # Round-9 contract: the final verified PAIR frames are session
+    # memos, so the second consumer in each family rides an
+    # InMemoryTableScan instead of re-running the sibling's pipeline
+    # (the cross-consumer recompute PLANS_r08.md flagged). Plans are
+    # inspected WITHOUT executing; caches cleared after.
+    from spark_data_test_spark.operators import dedup, multimodal, similarity
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    dedup.clear_dedup_cache()
+    multimodal.clear_multimodal_cache()
+    try:
+        dedup.dedup_embedding_cosine(spark, sf_dir)  # owns the memo
+        curve_plan = simple_plan(
+            dedup.dedup_semantic_prune_curve(spark, sf_dir)
+        )
+        assert "InMemoryTableScan" in curve_plan
+        # the curve must NOT re-plan the cell self-join: the memoized
+        # pair frame means no scan of the embeddings payload beyond the
+        # n_total count aggregate (ReadSchema of the count scan is
+        # empty), and no cartesian anywhere
+        assert "CartesianProduct" not in curve_plan
+
+        multimodal.multimodal_phash_neardup(spark, sf_dir)
+        cm_plan = simple_plan(
+            multimodal.multimodal_crossmodal_agreement(spark, sf_dir)
+        )
+        assert "InMemoryTableScan" in cm_plan
+    finally:
+        dedup.clear_dedup_cache()
+        multimodal.clear_multimodal_cache()
+        similarity.clear_similarity_cache()
