@@ -94,6 +94,7 @@ from spark_data_test_spark.operators.temporal import (
     rolling_agg,
     scd2_build,
     sessionize,
+    top_session_paths,
     transition_matrix,
 )
 from spark_data_test_spark.operators.text import (
@@ -172,6 +173,7 @@ __all__ = [
     "temperature_shares",
     "tfidf_topk",
     "token_counts",
+    "top_session_paths",
     "transition_matrix",
     "triangle_count",
     "value_histogram",

@@ -1629,3 +1629,54 @@ def rolling_agg(df, keys, ts_col, value_col, window):
         roll_sum.alias("roll_sum"),
         (roll_sum.cast("double") / roll_n.cast("double")).alias("roll_avg"),
     )
+
+
+def top_session_paths(
+    events,
+    k=20,
+    keys="user_id",
+    state_col="event_type",
+    ts_col="ts",
+    gap="30 minutes",
+    sep=">",
+):
+    """Library operator: PATH analysis for arbitrary frames — each
+    gap-bounded session collapses to its ordered state sequence and
+    the top-``k`` paths by session count come back as
+    ``(path, n_sessions)`` (ties by path ascending) — the frame-level
+    form of the registered `events_top_session_paths` query, riding
+    the same native `F.session_window` the `sessionize` export uses.
+    Within a session, events order by (ts, state) — pass data with a
+    tie-breaking timestamp if exact intra-second ordering matters.
+
+    Shape at 100 TB: one shuffle on the keys for the session window,
+    one per-session aggregate (collect_list is bounded by the longest
+    single session), a path-level count with map-side partials, and a
+    top-k over the path-level frame (bounded by distinct paths, never
+    by event volume)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    paths = (
+        events.groupBy(
+            *keys, F.session_window(ts_col, gap).alias("_w")
+        )
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct("
+                    f"{ts_col} AS _t, {state_col} AS _s))), x -> x._s)"
+                ),
+                sep,
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("n_sessions").desc(), "path")
+    )
+    return (
+        counts.withColumn("_rn", rn)
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .select("path", "n_sessions")
+    )

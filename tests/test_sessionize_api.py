@@ -147,3 +147,70 @@ def test_sessionize_property(spark, rows):
         for r in sessionize(df, gap="30 minutes").collect()
     }
     assert got == _brute(rows)
+
+
+# ---------------------------------------------------------------------------
+# top_session_paths: session path mining over the same gap rule
+# ---------------------------------------------------------------------------
+
+
+def _brute_paths(rows, k, gap_minutes=30, sep=">"):
+    """rows: (user, ts, state). Sessions by the gap rule; paths order
+    by (ts, state); top-k by (count desc, path asc)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, s in rows:
+        by_user[u].append((t, s))
+    gap = datetime.timedelta(minutes=gap_minutes)
+    counts = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        cur, end = [], None
+        for t, s in seq:
+            if end is not None and t - end > gap:
+                counts[sep.join(s2 for _, s2 in sorted(cur))] += 1
+                cur = []
+            cur.append((t, s))
+            end = t
+        counts[sep.join(s2 for _, s2 in sorted(cur))] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return set(ranked[:k])
+
+
+def test_top_session_paths_matches_bruteforce(spark):
+    from spark_data_test_spark import top_session_paths
+
+    rng = random.Random(173)
+    rows = [
+        (
+            rng.randrange(5),
+            _T0 + datetime.timedelta(minutes=rng.randrange(600)),
+            rng.choice(["view", "cart", "buy"]),
+        )
+        for _ in range(150)
+    ]
+    # dedupe (user, ts) so intra-second ordering is total on both sides
+    rows = list({(u, t): (u, t, s) for u, t, s in rows}.values())
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.path, r.n_sessions)
+        for r in top_session_paths(df, k=10).collect()
+    }
+    assert got == _brute_paths(rows, 10)
+
+
+def test_top_session_paths_k_and_sep(spark):
+    from spark_data_test_spark import top_session_paths
+
+    rows = [
+        (1, _T0, "a"),
+        (1, _T0 + datetime.timedelta(minutes=1), "b"),
+        (2, _T0, "a"),
+        (2, _T0 + datetime.timedelta(minutes=1), "b"),
+        (3, _T0, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = [(r.path, r.n_sessions)
+           for r in top_session_paths(df, k=1, sep="->").collect()]
+    assert got == [("a->b", 2)]
