@@ -61,6 +61,7 @@ from spark_data_test_spark.operators.relational_ext import (
 from spark_data_test_spark.operators.analytics import (
     ab_readout,
     pareto_classes,
+    rfm_segments,
     value_histogram,
 )
 from spark_data_test_spark.operators.sampling import (
@@ -142,6 +143,7 @@ __all__ = [
     "repetition_profile",
     "range_join_binned",
     "retention_cohorts",
+    "rfm_segments",
     "rolling_agg",
     "salted_groupby",
     "salted_join",

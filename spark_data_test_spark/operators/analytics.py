@@ -1273,3 +1273,74 @@ def ab_readout(events, arm_col, value_col, keys=()):
             (sad / nad - sbd / nbd) / F.sqrt(var_term_a + var_term_b),
         ).alias("z_score"),
     )
+
+
+def rfm_segments(
+    orders,
+    anchor,
+    customer_col="customer_id",
+    ts_col="ts",
+    value_col="value",
+    recency_days=(180, 365, 730),
+    frequency=(15, 10, 5),
+    monetary=None,
+):
+    """Library operator: RFM customer segmentation for arbitrary
+    frames — per customer, recency (days since last order at the fixed
+    ``anchor`` timestamp), frequency (order count), and monetary
+    (lifetime value), each banded 4..1 against FIXED business
+    thresholds, rolled up to the segment grid
+    ``(r_score, f_score, m_score, n_customers, value_total)`` — the
+    frame-level, threshold-parameterized form of the registered
+    `orders_rfm_segments` query.
+
+    ``recency_days`` are the <= cutoffs for scores 4/3/2 (older is 1);
+    ``frequency`` and ``monetary`` are the >= cutoffs for 4/3/2. When
+    ``monetary`` is None the cutoffs are derived from one total: mean
+    lifetime value x (4, 2.5, 1) — a deterministic aggregate, not a
+    quantile. Fixed bands instead of ntile-quartiles is the scale
+    decision: a global ntile needs a total order over all customers
+    (single-partition window), while fixed thresholds keep the whole
+    query two map-side-combinable hash aggregates (customer, then the
+    <= 64-cell grid) with zero sorts."""
+    per_cust = orders.groupBy(F.col(customer_col).alias("_c")).agg(
+        F.expr(
+            f"(unix_micros(timestamp'{anchor}') - unix_micros(max({ts_col})))"
+            " div 86400000000"
+        ).alias("_r_days"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(F.col(value_col).cast("double")).alias("_m"),
+    )
+    if monetary is None:
+        totals = per_cust.agg(
+            (F.sum("_m") / F.count(F.lit(1))).alias("_mean")
+        )
+        per_cust = per_cust.crossJoin(F.broadcast(totals))
+        m4, m3, m2 = (
+            F.col("_mean") * 4.0,
+            F.col("_mean") * 2.5,
+            F.col("_mean") * 1.0,
+        )
+    else:
+        m4, m3, m2 = (F.lit(float(x)) for x in monetary)
+
+    def band_ge(c, b4, b3, b2):
+        return F.when(c >= b4, 4).when(c >= b3, 3).when(c >= b2, 2).otherwise(1)
+
+    r4, r3, r2 = recency_days
+    scored = per_cust.select(
+        F.when(F.col("_r_days") <= int(r4), 4)
+        .when(F.col("_r_days") <= int(r3), 3)
+        .when(F.col("_r_days") <= int(r2), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        band_ge(F.col("_freq"), *[F.lit(int(x)) for x in frequency]).alias(
+            "f_score"
+        ),
+        band_ge(F.col("_m"), m4, m3, m2).alias("m_score"),
+        F.col("_m"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_m").alias("value_total"),
+    )

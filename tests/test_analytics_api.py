@@ -211,3 +211,84 @@ def test_ab_readout_singleton_arms_yield_null(spark):
     assert got["x"] == (1, 1, 1.0, 2.0, None)
     # empty control arm: its mean and z both NULL
     assert got["y"] == (1, 0, 3.0, None, None)
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments
+# ---------------------------------------------------------------------------
+
+import datetime
+
+_ANCHOR = "2024-12-31 00:00:00"
+_ANCHOR_DT = datetime.datetime(2024, 12, 31)
+
+
+def _rfm_fixture(n_cust=40, n_orders=300, seed=167):
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(n_cust),
+            _ANCHOR_DT - datetime.timedelta(days=rng.randrange(1, 1200)),
+            float(rng.randrange(10, 5000)),
+        )
+        for _ in range(n_orders)
+    ]
+
+
+def _brute_rfm(rows, recency=(180, 365, 730), frequency=(15, 10, 5),
+               monetary=None):
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [None, 0, 0.0])
+    for c, t, v in rows:
+        p = per[c]
+        p[0] = t if p[0] is None else max(p[0], t)
+        p[1] += 1
+        p[2] += v
+    if monetary is None:
+        mean = sum(p[2] for p in per.values()) / len(per)
+        monetary = (mean * 4.0, mean * 2.5, mean * 1.0)
+
+    def band_ge(x, cuts):
+        b4, b3, b2 = cuts
+        return 4 if x >= b4 else 3 if x >= b3 else 2 if x >= b2 else 1
+
+    grid = defaultdict(lambda: [0, 0.0])
+    for last, freq, m in per.values():
+        # integer truncating day division, like Spark's div
+        r_days = int((_ANCHOR_DT - last).total_seconds() * 1e6) // 86400000000
+        r4, r3, r2 = recency
+        r = 4 if r_days <= r4 else 3 if r_days <= r3 else 2 if r_days <= r2 else 1
+        f = band_ge(freq, frequency)
+        ms = band_ge(m, monetary)
+        g = grid[(r, f, ms)]
+        g[0] += 1
+        g[1] += m
+    return {k: (n, round(v, 6)) for k, (n, v) in grid.items()}
+
+
+def test_rfm_segments_matches_bruteforce(spark):
+    from spark_data_test_spark import rfm_segments
+
+    rows = _rfm_fixture()
+    df = spark.createDataFrame(rows, "customer_id long, ts timestamp, value double")
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, round(r.value_total, 6))
+        for r in rfm_segments(df, _ANCHOR).collect()
+    }
+    assert got == _brute_rfm(rows)
+    # grid totals reconcile to the corpus
+    assert sum(n for n, _ in got.values()) == len({c for c, _, _ in rows})
+
+
+def test_rfm_segments_explicit_monetary_cutoffs(spark):
+    from spark_data_test_spark import rfm_segments
+
+    rows = _rfm_fixture(seed=179)
+    df = spark.createDataFrame(rows, "customer_id long, ts timestamp, value double")
+    cuts = (40000.0, 20000.0, 5000.0)
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, round(r.value_total, 6))
+        for r in rfm_segments(df, _ANCHOR, monetary=cuts).collect()
+    }
+    assert got == _brute_rfm(rows, monetary=cuts)
