@@ -50,6 +50,8 @@ from spark_data_test_spark.operators.dedup import (
     exact_dup_groups,
     knn_text_graph,
     minhash_band_index,
+    minhash_index_build,
+    minhash_index_probe,
     near_dup_pairs,
     simhash_near_dup_pairs,
 )
@@ -134,6 +136,8 @@ __all__ = [
     "exact_dup_groups",
     "funnel",
     "minhash_band_index",
+    "minhash_index_build",
+    "minhash_index_probe",
     "near_dup_pairs",
     "ols_fit",
     "pack_bins",

@@ -3185,3 +3185,111 @@ def dedup_corpus(docs, tau_1e6=500000, min_chars=8):
         )
     )
     return verdicts
+
+
+def minhash_index_build(docs, index_path):
+    """Library operator: commit the banded MinHash fingerprint rows of
+    ``docs`` as version 0 of a persisted, versioned index at
+    ``index_path`` — "the index is the asset": history is fingerprinted
+    ONCE, and every later arrival batch probes the committed rows
+    instead of re-fingerprinting the corpus (the incremental posture
+    the registered `dedup_index_build` / `dedup_incremental_minhash` /
+    `streaming_incremental_minhash` family runs). The write is the
+    engine's crash-safe `write_state_version` commit (scratch write +
+    atomic rename; readers never see a partial index)."""
+    import os
+
+    from spark_data_test_spark.state import write_state_version
+
+    os.makedirs(index_path, exist_ok=True)
+    write_state_version(minhash_band_index(docs), index_path, retain=2)
+
+
+def minhash_index_probe(
+    new_docs, index_path, resolver, tau_1e6=500000, commit=False
+):
+    """Library operator: incremental near-dup detection — fingerprint
+    ONLY ``new_docs`` and probe the persisted band index (every
+    committed version unioned, so earlier committed batches count as
+    history too). Returns ``(new_doc_id, dup_of, jaccard_1e6)``: one
+    row per (new doc, indexed partner) pair that collides in >= 1 band
+    AND verifies at exact shingle Jaccard >= ``tau_1e6``. ``resolver``
+    is a ``(doc_id, text)`` frame that can resolve partner ids to
+    texts (the historical corpus frame is fine — only the matched
+    partner SLICE is ever shingled, via a semi-join). With
+    ``commit=True`` the batch's own band rows are appended as the next
+    delta version after the probe plan is built, making the call an
+    ingestion step (probe-then-commit, the log-structured pattern the
+    streaming family uses; run `compact_state_versions` periodically
+    to bound the version count).
+
+    Pairs WITHIN ``new_docs`` are deliberately out of scope — run
+    `near_dup_pairs(new_docs)` for those; this operator's cost is
+    O(batch) fingerprinting + a candidate-bounded verify, never
+    O(history). Docs shorter than the 8-char shingle width produce no
+    bands and therefore no probe hits."""
+    from spark_data_test_spark.state import (
+        read_state_union,
+        write_state_version,
+    )
+
+    spark = new_docs.sparkSession
+    new_docs = new_docs.select("doc_id", "text")
+    idx = read_state_union(spark, index_path)
+    if idx is None:
+        raise ValueError(
+            f"minhash_index_probe: no committed index at {index_path}"
+            " (run minhash_index_build first)"
+        )
+    bands = minhash_band_index(new_docs).persist()
+    try:
+        cand = (
+            bands.alias("s")
+            .join(idx.alias("p"), ["band", "sig"])
+            .select(
+                F.col("s.doc_id").alias("new_doc_id"),
+                F.col("p.doc_id").alias("dup_of"),
+            )
+            .distinct()
+        )
+        # exact verify on the candidate slice only: per-doc shingle
+        # SETS attach to the pair frame and intersect in-task
+        def sset(df, out):
+            return df.where(F.length("text") >= 8).select(
+                F.col("doc_id").alias(out),
+                F.expr(f"array_distinct({SHINGLES_EXPR})").alias(f"_{out}_sa"),
+            )
+
+        partners = resolver.select("doc_id", "text").join(
+            cand.select(F.col("dup_of").alias("doc_id")).distinct(), "doc_id"
+        )
+        a = sset(new_docs, "new_doc_id")
+        b = sset(partners, "dup_of")
+        i = F.size(F.array_intersect("_new_doc_id_sa", "_dup_of_sa")).cast(
+            "long"
+        )
+        jac = (
+            F.lit(1000000.0)
+            * i
+            / (
+                F.size("_new_doc_id_sa").cast("long")
+                + F.size("_dup_of_sa").cast("long")
+                - i
+            )
+        )
+        result = (
+            cand.join(a, "new_doc_id")
+            .join(b, "dup_of")
+            .where(F.round(jac).cast("long") >= int(tau_1e6))
+            .select(
+                "new_doc_id",
+                "dup_of",
+                F.round(jac).cast("long").alias("jaccard_1e6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if commit:
+            write_state_version(bands, index_path, retain=64)
+        return result
+    finally:
+        bands.unpersist()

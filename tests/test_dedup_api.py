@@ -390,3 +390,88 @@ def test_dedup_corpus_property(spark, docs):
         for r in dedup_corpus(df).collect()
     }
     assert got == _brute_waterfall(docs)
+
+
+# ---------------------------------------------------------------------------
+# minhash_index_build / minhash_index_probe: the incremental story
+# ---------------------------------------------------------------------------
+
+
+def _brute_probe(new_docs, history, tau_1e6=500000):
+    """Cross pairs (new x history) under the probe contract: band
+    collision between the two fingerprints AND exact Jaccard >= tau.
+    Identical texts collide trivially (identical band rows)."""
+    out = set()
+    for nid, nt in new_docs:
+        sa = _shingle_set(nt)
+        if not sa:
+            continue
+        ba = _bands(_minhash_sig(sa))
+        for hid, ht in history:
+            sb = _shingle_set(ht)
+            if not sb:
+                continue
+            if not (ba & _bands(_minhash_sig(sb))):
+                continue
+            i = len(sa & sb)
+            jac = 1000000.0 * i / (len(sa) + len(sb) - i)
+            if round(jac) >= tau_1e6:
+                out.add((nid, hid, round(jac)))
+    return out
+
+
+def test_minhash_index_build_and_probe(spark, tmp_path):
+    from spark_data_test_spark import minhash_index_build, minhash_index_probe
+
+    history = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content about spark shuffles"),
+        (3, "nothing shares any gram with this one either ok"),
+        (4, "tiny"),
+    ]
+    batch1 = [
+        (101, "the quick brown fox jumps over the lazy dog today"),  # near 1
+        (102, "the quick brown fox jumps over the lazy dog"),  # exact of 1
+        (103, "entirely novel arrival with fresh content here"),
+        (104, "abc"),  # too short: no bands
+    ]
+    batch2 = [
+        (201, "entirely novel arrival with fresh content here too"),  # near 103
+    ]
+    hdf = spark.createDataFrame(history, "doc_id long, text string")
+    idx_path = str(tmp_path / "mhidx")
+    minhash_index_build(hdf, idx_path)
+
+    b1 = spark.createDataFrame(batch1, "doc_id long, text string")
+    got1 = {
+        (r.new_doc_id, r.dup_of, r.jaccard_1e6)
+        for r in minhash_index_probe(
+            b1, idx_path, resolver=hdf, commit=True
+        ).collect()
+    }
+    assert got1 == _brute_probe(batch1, history)
+    assert (102, 1, 1000000) in got1  # exact arrival caught
+    assert any(n == 101 and d == 1 for n, d, _ in got1)  # near caught
+    assert not any(n in (103, 104) for n, _, _ in got1)
+
+    # batch 2 probes history AND the committed batch-1 delta; the
+    # resolver must cover both id spaces
+    b2 = spark.createDataFrame(batch2, "doc_id long, text string")
+    resolver = hdf.unionByName(b1)
+    got2 = {
+        (r.new_doc_id, r.dup_of, r.jaccard_1e6)
+        for r in minhash_index_probe(b2, idx_path, resolver=resolver).collect()
+    }
+    assert got2 == _brute_probe(batch2, history + batch1)
+    assert any(d == 103 for _, d, _ in got2)  # cross-batch near-dup
+
+
+def test_minhash_index_probe_requires_index(spark, tmp_path):
+    from spark_data_test_spark import minhash_index_probe
+
+    df = spark.createDataFrame([(1, "whatever text")], "doc_id long, text string")
+    try:
+        minhash_index_probe(df, str(tmp_path / "missing"), resolver=df)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
