@@ -85,6 +85,7 @@ from spark_data_test_spark.state import (
     read_state_union,
     write_state_version,
 )
+from spark_data_test_spark.sources.readers import zorder_key
 from spark_data_test_spark.operators.temporal import (
     anomaly_zscore,
     asof_join,
@@ -185,6 +186,7 @@ __all__ = [
     "value_histogram",
     "write_results",
     "write_state_version",
+    "zorder_key",
 ]
 
 __version__ = "0.1.0"

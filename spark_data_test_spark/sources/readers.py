@@ -714,3 +714,39 @@ def sink_inverted_index_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(run_root, ignore_errors=True)
     return local_df(spark, rows, schema)
+
+
+def zorder_key(df, cols, bits=16, key_col="zkey"):
+    """Library operator: N-dimensional Z-ORDER (Morton) key for
+    arbitrary frames — adds ``key_col`` interleaving the low ``bits``
+    bits of each column in ``cols`` (column i owns bit positions
+    ``b * n + i``), the multi-dimensional clustering lever the
+    registered `sink_zorder_layout` query pins for the 2-dim
+    magic-mask case. Write with
+    ``df.repartitionByRange(N, key_col).sortWithinPartitions(key_col)``
+    and a selective read on ANY keyed dimension skips files and row
+    groups (the Databricks/Delta Z-ORDER idea from plain Catalyst bit
+    arithmetic — no engine extension).
+
+    Values are masked to their low ``bits`` bits (callers should
+    offset-normalize negatives or wider domains first);
+    ``len(cols) * bits`` must fit a signed 64-bit key. The key is a
+    scan-side whole-stage-codegen expression (one bounded
+    ``aggregate`` loop per column, OR-combined) — no shuffle, no UDF."""
+    cols = list(cols)
+    n = len(cols)
+    if not cols:
+        raise ValueError("zorder_key: need at least one column")
+    if n * int(bits) > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits exceeds a 63-bit key"
+        )
+    parts = []
+    for i, c in enumerate(cols):
+        masked = f"(CAST({c} AS BIGINT) & {(1 << int(bits)) - 1})"
+        parts.append(
+            f"aggregate(sequence(0, {int(bits) - 1}), cast(0 AS bigint),"
+            f" (acc, b) -> acc | shiftleft(shiftright({masked}, b) & 1,"
+            f" b * {n} + {i}))"
+        )
+    return df.withColumn(key_col, F.expr(" | ".join(parts)))

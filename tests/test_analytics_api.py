@@ -292,3 +292,67 @@ def test_rfm_segments_explicit_monetary_cutoffs(spark):
         for r in rfm_segments(df, _ANCHOR, monetary=cuts).collect()
     }
     assert got == _brute_rfm(rows, monetary=cuts)
+
+
+# ---------------------------------------------------------------------------
+# zorder_key
+# ---------------------------------------------------------------------------
+
+
+def _brute_z(vals, bits):
+    n = len(vals)
+    key = 0
+    for i, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            key |= ((v >> b) & 1) << (b * n + i)
+    return key
+
+
+def test_zorder_key_matches_bruteforce(spark):
+    from spark_data_test_spark import zorder_key
+
+    rng = random.Random(191)
+    rows = [
+        (i, rng.randrange(1 << 16), rng.randrange(1 << 16),
+         rng.randrange(1 << 16))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "i long, x long, y long, z long")
+    # 2-dim at 16 bits (the registered query's case) and 3-dim at 20
+    got2 = {r.i: r.zkey for r in zorder_key(df, ["x", "y"]).collect()}
+    assert got2 == {i: _brute_z([x, y], 16) for i, x, y, _ in rows}
+    got3 = {r.i: r.zkey
+            for r in zorder_key(df, ["x", "y", "z"], bits=20).collect()}
+    assert got3 == {i: _brute_z([x, y, z], 20) for i, x, y, z in rows}
+
+
+def test_zorder_key_matches_registered_morton(spark):
+    """The generic interleave at n=2 must equal the registered query's
+    magic-mask Morton spread bit-for-bit."""
+    from spark_data_test_spark import zorder_key
+    from spark_data_test_spark.sources.readers import _morton_sql
+
+    rng = random.Random(193)
+    rows = [(i, rng.randrange(1 << 16), rng.randrange(256))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "i long, day long, code long")
+    import pyspark.sql.functions as F
+
+    magic = df.withColumn(
+        "m",
+        F.expr(_morton_sql("day", "code", lambda e, n: f"shiftleft({e}, {n})")),
+    )
+    both = zorder_key(magic, ["day", "code"]).collect()
+    assert all(r.zkey == r.m for r in both)
+
+
+def test_zorder_key_rejects_overflow(spark):
+    from spark_data_test_spark import zorder_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    try:
+        zorder_key(df, ["a", "b", "c", "d"], bits=16)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
