@@ -76,7 +76,11 @@ from spark_data_test_spark.operators.similarity import (
     ivf_topk,
     semantic_prune,
 )
-from spark_data_test_spark.operators.sketches import heavy_hitters
+from spark_data_test_spark.operators.sketches import (
+    distinct_sketch,
+    heavy_hitters,
+    sketch_union,
+)
 from spark_data_test_spark.operators.skew import salted_groupby, salted_join
 from spark_data_test_spark.state import (
     compact_state_versions,
@@ -133,6 +137,7 @@ __all__ = [
     "cosine_topk",
     "decontaminate",
     "dedup_corpus",
+    "distinct_sketch",
     "distribution_report",
     "exact_dup_groups",
     "funnel",
@@ -176,6 +181,7 @@ __all__ = [
     "semantic_prune",
     "sessionize",
     "simhash_near_dup_pairs",
+    "sketch_union",
     "split_assign",
     "temperature_shares",
     "tfidf_topk",

@@ -537,3 +537,40 @@ def heavy_hitters(items, item_col="g", denom=_HH_DENOM):
         )
     finally:
         summaries.unpersist()
+
+
+def distinct_sketch(df, keys, value_col, lg_k=12):
+    """Library operator: MERGEABLE per-group distinct-count sketches —
+    one Apache DataSketches HLL sketch per ``keys`` group over
+    ``value_col`` (Spark's built-in ``hll_sketch_agg``; ``lg_k`` sets
+    the register count, 2^12 by default ~ 1.6% relative error).
+    Returns ``(keys..., sketch binary, estimate long)``.
+
+    This is the pre-aggregation 100 TB pattern the exact
+    `approx_count_distinct_parts` / `sketch_hll_rollup` queries pin:
+    persist the per-partition/per-day SKETCHES, answer any distinct
+    question later by `sketch_union` — never rescan raw data. Union is
+    lossless in the HLL register representation (register-wise max),
+    but DataSketches keeps SMALL sketches in exact sparse modes while
+    the union gadget works in dense HLL, so a rolled-up estimate can
+    differ slightly from a single-pass sketch — both stay within the
+    configured error (pinned in tests)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sk = F.hll_sketch_agg(value_col, F.lit(int(lg_k)))
+    return df.groupBy(*keys).agg(
+        sk.alias("sketch")
+    ).withColumn("estimate", F.hll_sketch_estimate("sketch"))
+
+
+def sketch_union(df, keys, sketch_col="sketch"):
+    """Library operator: fold persisted HLL sketches up a hierarchy —
+    group by the coarser ``keys`` and union the sketches
+    (``hll_union_agg``; register-wise max, one combinable aggregate).
+    Returns ``(keys..., sketch, estimate)`` so further roll-ups chain.
+    The companion to `distinct_sketch`."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.groupBy(*keys)
+        .agg(F.hll_union_agg(sketch_col).alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch"))
+    )

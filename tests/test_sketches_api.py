@@ -54,3 +54,68 @@ def test_heavy_hitters_rejects_broken_guarantee(spark):
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError):
         heavy_hitters(df, denom=2000)
+
+
+# ---------------------------------------------------------------------------
+# distinct_sketch / sketch_union: mergeable HLL distinct counts
+# ---------------------------------------------------------------------------
+
+import random
+
+
+def _sketch_fixture(n=4000, seed=211):
+    rng = random.Random(seed)
+    return [
+        (
+            rng.choice(["us", "eu", "ap"]),
+            rng.randrange(10),
+            f"user{rng.randrange(800)}",
+        )
+        for _ in range(n)
+    ]
+
+
+def test_distinct_sketch_estimates_within_error(spark):
+    from spark_data_test_spark import distinct_sketch
+
+    rows = _sketch_fixture()
+    df = spark.createDataFrame(rows, "region string, day long, user string")
+    got = {
+        r.region: r.estimate
+        for r in distinct_sketch(df, "region", "user").collect()
+    }
+    exact = {}
+    for reg, _, u in rows:
+        exact.setdefault(reg, set()).add(u)
+    for reg, est in got.items():
+        assert abs(est - len(exact[reg])) <= 0.05 * len(exact[reg]), (
+            reg, est, len(exact[reg]))
+
+
+def test_sketch_union_rollup_tracks_exact(spark):
+    """Folding per-(region, day) sketches up to region (and further to
+    global) must stay within the configured error of the EXACT distinct
+    counts — the roll-up answers the same question the raw data would,
+    without rescanning it. (Not asserted equal to a single-pass sketch:
+    DataSketches keeps small sketches in exact sparse modes while the
+    union gadget works in dense HLL, so the two estimates may differ
+    slightly; both must track exact.)"""
+    from spark_data_test_spark import distinct_sketch, sketch_union
+
+    rows = _sketch_fixture(seed=223)
+    df = spark.createDataFrame(rows, "region string, day long, user string")
+    parts = distinct_sketch(df, ["region", "day"], "user")
+    rolled = {
+        r.region: r.estimate
+        for r in sketch_union(parts, "region").collect()
+    }
+    exact = {}
+    for reg, _, u in rows:
+        exact.setdefault(reg, set()).add(u)
+    for reg, est in rolled.items():
+        assert abs(est - len(exact[reg])) <= 0.05 * len(exact[reg]), (
+            reg, est, len(exact[reg]))
+    # a second-level fold (region -> global) chains and tracks exact too
+    top = sketch_union(sketch_union(parts, "region"), []).collect()
+    n_all = len({u for _, _, u in rows})
+    assert abs(top[0].estimate - n_all) <= 0.05 * n_all
