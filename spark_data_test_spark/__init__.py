@@ -67,9 +67,11 @@ from spark_data_test_spark.operators.analytics import (
     value_histogram,
 )
 from spark_data_test_spark.operators.sampling import (
+    hash_sample,
     pack_bins,
     split_assign,
     temperature_shares,
+    topk_per_group,
 )
 from spark_data_test_spark.operators.similarity import (
     cosine_topk,
@@ -166,6 +168,7 @@ __all__ = [
     "encode_y4m",
     "fresh_run_root",
     "gap_fill",
+    "hash_sample",
     "heavy_hitters",
     "ivf_topk",
     "knn_text_graph",
@@ -187,6 +190,7 @@ __all__ = [
     "tfidf_topk",
     "token_counts",
     "top_session_paths",
+    "topk_per_group",
     "transition_matrix",
     "triangle_count",
     "value_histogram",

@@ -495,3 +495,64 @@ def temperature_shares(df, source_col, weight_col=None, alpha=0.5):
         )
         .orderBy("source")
     )
+
+
+def hash_sample(df, fraction, cols, salt=0):
+    """Library operator: deterministic, reproducible sampling — keep a
+    row iff ``xxhash64(cols..., salt)`` lands below ``fraction`` of the
+    hash space. Unlike ``df.sample()`` (rand()-seeded per task,
+    partitioning-dependent), the verdict is a pure function of the
+    named columns: re-running, repartitioning, or growing the dataset
+    never changes which rows are kept, and hashing an ENTITY column
+    (e.g. user_id) keeps each entity's rows together — the consistent
+    sampling a privacy-safe panel or a train-set downsample needs.
+    ``salt`` selects an independent sample. Scan-side codegen filter;
+    zero shuffles."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"hash_sample: fraction must be in [0, 1], got {fraction}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.lit(int(salt))),
+        F.lit(1_000_000),
+    )
+    return df.where(bucket < F.lit(int(round(fraction * 1_000_000))))
+
+
+def topk_per_group(df, keys, order_col, k=1, descending=True, tie_cols=()):
+    """Library operator: the top-``k`` rows of each ``keys`` group by
+    ``order_col`` (ties broken by ``tie_cols``, then arbitrary),
+    returning the input columns plus ``rank``. The plan embodies the
+    argmax lesson: at ``k = 1`` this is a ``max_by``/``min_by``
+    AGGREGATE over a packed struct — map-side combinable, the shuffle
+    carries ONE row per group — while ``k > 1`` uses the row_number
+    window (one shuffle + in-partition sort, state bounded by the
+    frame). A row_number window at k=1 would shuffle every row of
+    every group instead.
+
+    Tie semantics match across both paths: with ``descending`` the
+    largest (order, ties...) tuple wins; ascending, the smallest."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tie_cols = list(tie_cols)
+    payload_cols = [c for c in df.columns if c not in keys]
+    if int(k) == 1:
+        ordering = F.struct(
+            F.col(order_col), *[F.col(c) for c in tie_cols]
+        )
+        pick = F.max_by if descending else F.min_by
+        agg = df.groupBy(*keys).agg(
+            pick(F.struct(*payload_cols), ordering).alias("_row")
+        )
+        return agg.select(
+            *keys,
+            *[F.col(f"_row.{c}").alias(c) for c in payload_cols],
+            F.lit(1).alias("rank"),
+        )
+    order = [
+        F.col(c).desc() if descending else F.col(c).asc()
+        for c in [order_col, *tie_cols]
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )

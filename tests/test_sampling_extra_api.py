@@ -1,0 +1,133 @@
+"""Frame-level `hash_sample` and `topk_per_group` cross-checked
+against brute-force Python replicas."""
+
+import random
+from collections import defaultdict
+
+from spark_data_test_spark import hash_sample, topk_per_group
+
+# ---------------------------------------------------------------------------
+# hash_sample
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    rows = [(i, i % 7) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, grp long")
+    s1 = {r.id for r in hash_sample(df, 0.3, "id").collect()}
+    s2 = {r.id for r in hash_sample(df, 0.3, "id").collect()}
+    assert s1 == s2  # pure function of the id: re-runs identical
+    assert abs(len(s1) / 5000 - 0.3) < 0.03  # calibrated
+    # a larger fraction is a SUPERSET (the hash threshold only moves)
+    s_half = {r.id for r in hash_sample(df, 0.5, "id").collect()}
+    assert s1 <= s_half
+    # a different salt draws an (essentially) independent sample
+    s_salted = {r.id for r in hash_sample(df, 0.3, "id", salt=1).collect()}
+    assert s_salted != s1
+
+
+def test_hash_sample_entity_consistency(spark):
+    """Sampling on an entity column keeps each entity all-or-none."""
+    rows = [(u, e) for u in range(300) for e in range(u % 4 + 1)]
+    df = spark.createDataFrame(rows, "user_id long, event long")
+    kept = defaultdict(set)
+    for r in hash_sample(df, 0.4, "user_id").collect():
+        kept[r.user_id].add(r.event)
+    full = defaultdict(set)
+    for u, e in rows:
+        full[u].add(e)
+    for u, evs in kept.items():
+        assert evs == full[u]  # never a partial entity
+
+
+def test_hash_sample_growth_never_reassigns(spark):
+    """Adding rows never changes earlier verdicts (the reproducible
+    incremental-build property rand() sampling lacks)."""
+    small = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    big = spark.createDataFrame([(i,) for i in range(3000)], "id long")
+    ks = {r.id for r in hash_sample(small, 0.25, "id").collect()}
+    kb = {r.id for r in hash_sample(big, 0.25, "id").collect()}
+    assert ks == {i for i in kb if i < 1000}
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        hash_sample(df, 1.5, "id")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# topk_per_group
+# ---------------------------------------------------------------------------
+
+
+def _fixture(n=200, seed=227):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(8), i, rng.randrange(50), rng.randrange(1000))
+        for i in range(n)
+    ]
+
+
+def _brute_topk(rows, k, descending):
+    by_g = defaultdict(list)
+    for g, i, v, extra in rows:
+        by_g[g].append((v, i, extra))
+    out = set()
+    for g, items in by_g.items():
+        items.sort(reverse=descending)
+        for rank, (v, i, extra) in enumerate(items[:k], start=1):
+            out.add((g, i, v, extra, rank))
+    return out
+
+
+def test_topk_per_group_k1_aggregate_path(spark):
+    rows = _fixture()
+    df = spark.createDataFrame(rows, "g long, i long, v long, extra long")
+    for descending in (True, False):
+        got = {
+            (r.g, r.i, r.v, r.extra, r.rank)
+            for r in topk_per_group(
+                df, "g", "v", k=1, descending=descending, tie_cols=["i"]
+            ).collect()
+        }
+        # tie contract: largest (v, i) wins descending; smallest ascending
+        expected = set()
+        by_g = defaultdict(list)
+        for g, i, v, extra in rows:
+            by_g[g].append((v, i, extra))
+        for g, items in by_g.items():
+            items.sort(reverse=descending)
+            v, i, extra = items[0]
+            expected.add((g, i, v, extra, 1))
+        assert got == expected, descending
+
+
+def test_topk_per_group_window_path_matches_bruteforce(spark):
+    rows = _fixture(seed=229)
+    df = spark.createDataFrame(rows, "g long, i long, v long, extra long")
+    got = {
+        (r.g, r.i, r.v, r.extra, r.rank)
+        for r in topk_per_group(df, "g", "v", k=3, tie_cols=["i"]).collect()
+    }
+    assert got == _brute_topk(rows, 3, True)
+
+
+def test_topk_paths_agree_at_k1(spark):
+    """The k=1 aggregate path and a k=1-sliced window path must pick
+    identical rows (the tie contract is shared)."""
+    rows = _fixture(seed=233)
+    df = spark.createDataFrame(rows, "g long, i long, v long, extra long")
+    agg = {
+        (r.g, r.i, r.v)
+        for r in topk_per_group(df, "g", "v", k=1, tie_cols=["i"]).collect()
+    }
+    win = {
+        (r.g, r.i, r.v)
+        for r in topk_per_group(df, "g", "v", k=2, tie_cols=["i"]).collect()
+        if r.rank == 1
+    }
+    assert agg == win
