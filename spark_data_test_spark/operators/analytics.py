@@ -1149,16 +1149,30 @@ def pareto_classes(
         raise ValueError(
             "pareto_classes: need exactly len(thresholds) + 1 labels"
         )
-    vmax_row = df.agg(F.max(value_col).alias("m")).first()
-    vmax = vmax_row["m"] if vmax_row else None
+    stats = df.agg(
+        F.max(F.col(value_col).cast("double")).alias("m"),
+        F.sum(F.col(value_col).cast("double")).alias("t"),
+    ).first()
+    vmax = stats["m"] if stats else None
     if vmax is None:
+        # empty input: emit the SAME schema as the non-empty path
+        # (value_col is cast to double there, so it must be double here
+        # too — a branch-dependent schema breaks downstream unions).
         return df.sparkSession.createDataFrame(
             [],
             df.select(
-                key_col, value_col
+                key_col, F.col(value_col).cast("double").alias(value_col)
             ).schema.add("cum_value", "double").add(
                 "cum_share", "double"
             ).add("cls", "string"),
+        )
+    if not float(stats["t"]) > 0.0:
+        # an all-zero (or NULL-summing) value column makes every
+        # cum_share NULL, which would silently class every key into the
+        # last label; the classification is undefined, so say so.
+        raise ValueError(
+            "pareto_classes: total of value column is not positive; "
+            "running-share classification is undefined"
         )
     width = max(float(vmax) / int(n_buckets), 1e-12)
     keyed = df.select(

@@ -3150,8 +3150,11 @@ def dedup_corpus(docs, tau_1e6=500000, min_chars=8):
     over distinct texts only (k exact copies shrink the buckets by
     k^2) — here obtained structurally, since stage 3's input is one
     doc per distinct text. NULL or sub-``min_chars`` texts drop at
-    stage 1 (too short to shingle)."""
+    stage 1 (too short to shingle). ``survivor_of`` keeps the input
+    ``doc_id`` type (string ids — which the rest of the family
+    supports — must not be cast away into NULLs)."""
     docs = docs.select("doc_id", "text")
+    id_type = docs.schema["doc_id"].dataType
     is_short = F.col("text").isNull() | (F.length("text") < int(min_chars))
     base = docs.withColumn("_short", is_short)
     long_docs = base.where(~F.col("_short"))
@@ -3177,10 +3180,10 @@ def dedup_corpus(docs, tau_1e6=500000, min_chars=8):
             .when(F.col("_near_by").isNotNull(), "near")
             .otherwise("kept")
             .alias("stage"),
-            F.when(F.col("_short"), F.lit(None).cast("long"))
+            F.when(F.col("_short"), F.lit(None).cast(id_type))
             .when(F.col("doc_id") != F.col("_smin"), F.col("_smin"))
             .otherwise(F.col("_near_by"))
-            .cast("long")
+            .cast(id_type)
             .alias("survivor_of"),
         )
     )
@@ -3220,8 +3223,12 @@ def minhash_index_probe(
     ``commit=True`` the batch's own band rows are appended as the next
     delta version after the probe plan is built, making the call an
     ingestion step (probe-then-commit, the log-structured pattern the
-    streaming family uses; run `compact_state_versions` periodically
-    to bound the version count).
+    streaming family uses). Delta commits retain EVERY version — the
+    log IS the index, so pruning would silently lose history (base
+    snapshot first, as an advisory review pointed out); space is
+    reclaimed by folding the log with `compact_state_versions`, which
+    replaces the versions with one equivalent snapshot and is safe at
+    any cadence.
 
     Pairs WITHIN ``new_docs`` are deliberately out of scope — run
     `near_dup_pairs(new_docs)` for those; this operator's cost is
@@ -3289,7 +3296,14 @@ def minhash_index_probe(
             .localCheckpoint(eager=True)
         )
         if commit:
-            write_state_version(bands, index_path, retain=64)
+            # retain must cover the whole log: with a finite retain the
+            # commit at version retain+1 would prune v0 — the full-corpus
+            # base fingerprints — and probes would silently stop matching
+            # history. Unbounded retention here; compact_state_versions
+            # is the space lever (it folds the log into one snapshot).
+            import sys
+
+            write_state_version(bands, index_path, retain=sys.maxsize)
         return result
     finally:
         bands.unpersist()

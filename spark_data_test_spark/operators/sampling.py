@@ -530,8 +530,15 @@ def topk_per_group(df, keys, order_col, k=1, descending=True, tie_cols=()):
     every group instead.
 
     Tie semantics match across both paths: with ``descending`` the
-    largest (order, ties...) tuple wins; ascending, the smallest."""
+    largest (order, ties...) tuple wins; ascending, the smallest.
+    NULL contract, also identical across both paths: rows whose
+    ``order_col`` is NULL never qualify (a group of only-NULL order
+    values emits no rows). Without the explicit filter the paths would
+    diverge — max_by/min_by skips null-ordered rows while row_number
+    sorts them NULLS LAST — so the same data would answer differently
+    depending on k."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    df = df.where(F.col(order_col).isNotNull())
     tie_cols = list(tie_cols)
     payload_cols = [c for c in df.columns if c not in keys]
     if int(k) == 1:

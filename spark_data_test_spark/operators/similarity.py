@@ -1747,8 +1747,13 @@ def ivf_topk(
         "aggregate(zip_with(_qv, _cv2, (x, y) -> x * y),"
         " cast(0.0 AS double), (acc, x) -> acc + x)"
     )
+    # no broadcast hint on the query side: queries can be corpus-sized
+    # (all-pairs recall studies probe the corpus against itself), and a
+    # forced broadcast of an arbitrary frame risks driver/executor OOM.
+    # AQE picks broadcast on its own when qe is genuinely small; only
+    # the ~sqrt(n) centroid frame is unconditionally broadcast above.
     scored = (
-        cand.join(F.broadcast(qe), "query_id")
+        cand.join(qe, "query_id")
         .join(ce, "neighbor_id")
         .withColumn(
             "cosine", exact_dot / F.sqrt(F.col("_qn2") * F.col("_cn22"))

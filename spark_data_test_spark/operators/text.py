@@ -243,18 +243,18 @@ def text_bigram_profile(spark, sf_dir):
     bigrams = d.select(
         "lang",
         F.explode(
+            # explicit guard: Spark's sequence(1, n) DESCENDS when n < 1,
+            # so a 0/1-char text would otherwise emit spurious short
+            # "bigrams" (the oracle's empty generate_series never does) —
+            # guarded at the source, same pattern as _BIGRAMS_EXPR, not
+            # left to the post-filter
             F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
+                "CASE WHEN length(text) >= 2 THEN"
+                " transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2)) ELSE array() END"
             )
         ).alias("bg"),
-    ).where(
-        # length guard: Spark's sequence(1, n) DESCENDS when n < 1, so a
-        # 0/1-char text would emit spurious short "bigrams" the oracle's
-        # empty generate_series never produces
-        (F.length("bg") == 2)
-        & ~F.col("bg").contains(" ")
-    )
+    ).where((F.length("bg") == 2) & ~F.col("bg").contains(" "))
     counts = bigrams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bg")
     return (
@@ -747,9 +747,12 @@ def text_bigram_familiarity(spark, sf_dir):
     bg = d.select(
         "doc_id",
         F.explode(
+            # guarded at the source (sequence(1, -1) DESCENDS in Spark;
+            # see _BIGRAMS_EXPR), not left to the length-2 post-filter
             F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
+                "CASE WHEN length(text) >= 2 THEN"
+                " transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2)) ELSE array() END"
             )
         ).alias("bg"),
     ).where((F.length("bg") == 2) & ~F.col("bg").contains(" "))

@@ -356,3 +356,26 @@ def test_zorder_key_rejects_overflow(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_pareto_classes_empty_input_schema_matches_nonempty(spark):
+    """Advisory regression: the empty-input branch must emit the SAME
+    dtypes as the non-empty path (which casts value_col to double) —
+    a branch-dependent schema breaks downstream unions."""
+    full = spark.createDataFrame([("p1", 5), ("p2", 3)], "pk string, rev long")
+    out_full = pareto_classes(full, "pk", "rev")
+    out_empty = pareto_classes(full.limit(0), "pk", "rev")
+    assert out_empty.dtypes == out_full.dtypes
+    assert out_empty.count() == 0
+
+
+def test_pareto_classes_zero_total_raises(spark):
+    """Advisory regression: an all-zero value column makes every
+    cum_share NULL (every key would silently land in the last label);
+    the classification is undefined and must raise, not mislabel."""
+    df = spark.createDataFrame([("p1", 0), ("p2", 0)], "pk string, rev long")
+    try:
+        pareto_classes(df, "pk", "rev")
+        assert False, "expected ValueError on zero value total"
+    except ValueError:
+        pass

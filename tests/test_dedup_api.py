@@ -475,3 +475,74 @@ def test_minhash_index_probe_requires_index(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_dedup_corpus_preserves_string_doc_ids(spark):
+    """Advisory regression: survivor_of must keep the input doc_id
+    type — the old hard cast to long turned string survivors into
+    NULL, making a removed doc indistinguishable from a kept one."""
+    from spark_data_test_spark import dedup_corpus
+
+    docs = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy dog"),  # exact of a
+        ("c", "the quick brown fox jumps over the lazy dog today"),  # near a
+        ("d", "x"),  # short
+        ("e", "completely different content about spark shuffles"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = dedup_corpus(df)
+    assert dict(out.dtypes)["survivor_of"] == "string"
+    got = {r.doc_id: (r.stage, r.survivor_of) for r in out.collect()}
+    assert got == {
+        "a": ("kept", None),
+        "b": ("exact", "a"),
+        "c": ("near", "a"),
+        "d": ("short", None),
+        "e": ("kept", None),
+    }
+
+
+def test_minhash_index_probe_commit_never_prunes_history(spark, tmp_path):
+    """Advisory regression: a long uncompacted delta log must never
+    drop the base index. Simulate 66 prior probe-commits (direct
+    unbounded-retention delta commits — exactly what probe(commit=True)
+    appends), then make one real probe-commit: under the old finite
+    retain=64 that commit (v67) pruned v0 — the full-corpus
+    fingerprints — and later probes silently stopped matching history.
+    Space management belongs to compact_state_versions, which folds the
+    log into one equivalent snapshot."""
+    import os
+    import sys
+
+    from spark_data_test_spark import minhash_index_build, minhash_index_probe
+    from spark_data_test_spark.state import write_state_version
+
+    history = [(1, "the quick brown fox jumps over the lazy dog")]
+    hdf = spark.createDataFrame(history, "doc_id long, text string")
+    idx_path = str(tmp_path / "mhidx_long_log")
+    minhash_index_build(hdf, idx_path)
+    empty_delta = spark.read.parquet(f"{idx_path}/v0").limit(0)
+    for _ in range(66):  # 66 no-match batches committed their (empty) bands
+        write_state_version(empty_delta, idx_path, retain=sys.maxsize)
+
+    batch = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_doc_id, r.dup_of, r.jaccard_1e6)
+        for r in minhash_index_probe(
+            batch, idx_path, resolver=hdf, commit=True
+        ).collect()
+    }
+    assert got == {(900, 1, 1000000)}
+    # the commit (version 67) retained the base snapshot and the log
+    assert os.path.exists(f"{idx_path}/v0/_SUCCESS")
+    assert os.path.exists(f"{idx_path}/v67/_SUCCESS")
+    # and history still answers after the commit
+    again = {
+        (r.new_doc_id, r.dup_of)
+        for r in minhash_index_probe(batch, idx_path, resolver=hdf).collect()
+    }
+    assert (900, 1) in again

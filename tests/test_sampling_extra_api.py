@@ -131,3 +131,29 @@ def test_topk_paths_agree_at_k1(spark):
         if r.rank == 1
     }
     assert agg == win
+
+
+def test_topk_per_group_null_order_consistent_across_paths(spark):
+    """Advisory regression: both plans share one NULL contract — rows
+    with a NULL order value never qualify, so an all-NULL group emits
+    no rows at ANY k. Before the explicit filter the paths diverged:
+    max_by (k=1) skipped null-ordered rows while row_number (k>1)
+    sorted them NULLS LAST and returned one."""
+    rows = [
+        ("g1", 1, None),
+        ("g1", 2, 5.0),
+        ("g1", 3, 7.0),
+        ("g2", 4, None),
+        ("g2", 5, None),  # all-NULL group
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    k1 = {
+        (r.g, r.i)
+        for r in topk_per_group(df, "g", "v", k=1, tie_cols=["i"]).collect()
+    }
+    k3 = {
+        (r.g, r.i)
+        for r in topk_per_group(df, "g", "v", k=3, tie_cols=["i"]).collect()
+    }
+    assert k1 == {("g1", 3)}
+    assert k3 == {("g1", 3), ("g1", 2)}
