@@ -14,96 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-9 window accounting (this comment
-# is the single source of truth; README.md mirrors it): 1 flagship
-# (compare_overall_report, re-earned every round) + the 5 r3-era rows
-# that slipped the round-8 cut (multimodal_decode_stub,
-# skew_salted_join_agg, udtf_chunk_documents, streaming_static_join,
-# streaming_dedup — VERDICT r8 item 1) + 4 changed-code re-earns
-# (VERDICT r8 items 2-3 changed them this round: the phash pipeline
-# gained the one-core repartition fix and the `_phash_pairs` memo that
-# multimodal_phash_neardup / multimodal_crossmodal_agreement now share,
-# and the embedding family gained the `_embedding_pairs` memo that
-# dedup_embedding_cosine / dedup_semantic_prune_curve now share; a
-# fifth changed query, text_repetition_profile — its bigram expression
-# was hardened against 0-token docs for the frame-level export —
-# re-earns through the r4-cohort slot it already holds below) + ALL
-# 36 r4-era stale greens (backlog-head order — this drains the r4
-# cohort completely, so after this round no registry row's latest
-# driver green is older than round 5) + 1 new registration
-# (events_tumbling_window, the batch date_trunc twin re-registered per
-# VERDICT r8 item 8 so no query-shaped operator sits outside the
-# oracle regime) + the first 3 r5-era backlog rows. That is exactly
-# 50. tests/test_registry_invariants.py enforces that greens ∪ window
-# ∪ queue always covers the registry.
+# (registration order). CANONICAL round-10 window accounting (this
+# comment is the single source of truth; README.md mirrors it): 1
+# flagship (compare_overall_report, re-earned every round) + 1
+# changed-code re-earn (text_bigram_profile — its char-bigram
+# expression gained the explicit CASE WHEN length>=2 source guard per
+# VERDICT r9 item 6) + ALL 32 r5-era stale greens in backlog-head
+# order (VERDICT r9 item 1 — this drains the r5 cohort completely;
+# text_bigram_familiarity, whose bigram expression gained the same
+# guard, re-earns through the r5-cohort slot it already holds) + the
+# first 16 r6-era backlog rows. That is exactly 50; after this round
+# no registry row's latest driver green is older than round 6.
+# tests/test_registry_invariants.py enforces that greens ∪ window ∪
+# queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "multimodal_decode_stub",
-    "skew_salted_join_agg",
-    "udtf_chunk_documents",
-    "streaming_static_join",
-    "streaming_dedup",
-    "multimodal_phash_neardup",
-    "multimodal_crossmodal_agreement",
-    "dedup_embedding_cosine",
-    "dedup_semantic_prune_curve",
-    "similarity_ivf_ann",
-    "approx_count_distinct_parts",
-    "sketch_hll_rollup",
-    "sketch_approx_quantiles",
-    "source_text_roundtrip",
-    "sink_partition_pruned_read",
-    "events_ab_test_readout",
-    "streaming_sliding_counts",
-    "corpus_prepare_pipeline",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "similarity_ann_recall_report",
-    "similarity_cell_report",
-    "corpus_decontaminate",
-    "text_vocabulary_topk",
-    "text_pii_scrub",
-    "text_repetition_profile",
-    "text_tfidf_topk",
-    "text_quality_model_score",
-    "corpus_shard_assignment",
-    "events_retention_cohorts",
-    "events_gap_fill",
-    "events_scd2_history",
-    "events_attribution_last_touch",
-    "events_anomaly_daily",
-    "events_rolling_window_avg",
-    "orders_market_basket",
-    "orders_rfm_segments",
-    "parts_abc_pareto",
-    "multimodal_frame_sample",
-    "graph_degree_distribution",
-    "events_tumbling_window",
-    "sample_token_budget",
     "text_bigram_profile",
-    "source_xml_roundtrip",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# remainder of the r5-era cohort (32 rows after the 3 promoted into
-# the round-9 window), then the r6-era (42) and r7-era (46) cohorts,
-# and the list ends with the 47 r8-green rows the round-9 cut
-# displaced.
-_CHECKED_BACKLOG = [
     "text_bigram_familiarity",
     "source_binaryfile_roundtrip",
     "ml_linear_regression_train",
@@ -152,6 +78,23 @@ _CHECKED_BACKLOG = [
     "dedup_simhash",
     "sink_inverted_index_roundtrip",
     "events_value_histogram",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# remainder of the r6-era cohort (26 rows after the 16 promoted into
+# the round-10 window), then the r7-era (46) and r8-era (47) cohorts,
+# and the list ends with the 48 r9-green rows the round-10 cut
+# displaced.
+_CHECKED_BACKLOG = [
     "streaming_late_data_audit",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -271,6 +214,54 @@ _CHECKED_BACKLOG = [
     "pandas_udf_tokens",
     "text_regex_tokens",
     "streaming_foreachbatch_sink",
+    "multimodal_decode_stub",
+    "skew_salted_join_agg",
+    "udtf_chunk_documents",
+    "streaming_static_join",
+    "streaming_dedup",
+    "multimodal_phash_neardup",
+    "multimodal_crossmodal_agreement",
+    "dedup_embedding_cosine",
+    "dedup_semantic_prune_curve",
+    "similarity_ivf_ann",
+    "approx_count_distinct_parts",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
+    "source_text_roundtrip",
+    "sink_partition_pruned_read",
+    "events_ab_test_readout",
+    "streaming_sliding_counts",
+    "corpus_prepare_pipeline",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "similarity_ann_recall_report",
+    "similarity_cell_report",
+    "corpus_decontaminate",
+    "text_vocabulary_topk",
+    "text_pii_scrub",
+    "text_repetition_profile",
+    "text_tfidf_topk",
+    "text_quality_model_score",
+    "corpus_shard_assignment",
+    "events_retention_cohorts",
+    "events_gap_fill",
+    "events_scd2_history",
+    "events_attribution_last_touch",
+    "events_anomaly_daily",
+    "events_rolling_window_avg",
+    "orders_market_basket",
+    "orders_rfm_segments",
+    "parts_abc_pareto",
+    "multimodal_frame_sample",
+    "graph_degree_distribution",
+    "events_tumbling_window",
+    "sample_token_budget",
+    "source_xml_roundtrip",
 ]
 
 
