@@ -75,6 +75,8 @@ from spark_data_test_spark.operators.sampling import (
 )
 from spark_data_test_spark.operators.similarity import (
     cosine_topk,
+    ivf_index_build,
+    ivf_index_probe,
     ivf_topk,
     semantic_prune,
 )
@@ -170,6 +172,8 @@ __all__ = [
     "gap_fill",
     "hash_sample",
     "heavy_hitters",
+    "ivf_index_build",
+    "ivf_index_probe",
     "ivf_topk",
     "knn_text_graph",
     "language_id",

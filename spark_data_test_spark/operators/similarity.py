@@ -1866,3 +1866,213 @@ def semantic_prune(
         .withColumn("is_survivor", F.col("pruned_by").isNull())
         .select(id_col, "gid", "is_survivor", "pruned_by")
     )
+
+
+# ---------------------------------------------------------------------------
+# Library surface: persisted ANN index (round 10) — the embedding
+# analog of dedup.minhash_index_build / minhash_index_probe: "the
+# index is the asset". Build trains + commits once; probes answer
+# query batches against the committed index without retraining, and
+# can append their own batch as an ingest delta (FAISS IVF-Flat add).
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    corpus, index_path, ncells=None, rounds=2, id_col="vec_id", vec_col="emb"
+):
+    """Library operator: train an IVF-Flat index over ``corpus`` and
+    COMMIT it as two versioned state tables under ``index_path`` —
+    ``centroids/`` (one snapshot: the trained spherical k-means cells,
+    ~sqrt(n) rows) and ``postings/`` (the inverted lists: one row per
+    corpus vector with its argmax cell AND the vector itself, v0 of a
+    log-structured table that later `ivf_index_probe(commit=True)`
+    ingest batches append to). The corpus is fingerprinted ONCE; every
+    later query batch probes the committed rows — the same
+    index-is-the-asset posture the registered
+    `similarity_incremental_ingest` proves query-side and
+    `minhash_index_build` provides for text. Training and assignment
+    ride the exact machinery of `ivf_topk` (deterministic seeds,
+    lazily-chained Lloyd rounds, broadcast centroids, one driver
+    collect of the ~sqrt(n) centroid frame), so a probe-all read of
+    the committed index provably equals `cosine_topk` (pinned in
+    tests/test_similarity_api.py). Writes are the engine's crash-safe
+    `write_state_version` commits (scratch write + atomic rename;
+    readers never see a partial index). Returns the number of indexed
+    vectors (zero-norm vectors are dropped: cosine is undefined for
+    them, matching the whole ANN family)."""
+    from spark_data_test_spark.state import write_state_version
+
+    c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
+    try:
+        cents = _train_double_cells(c, ncells, rounds, "ivf_index_build")
+        assign = (
+            _cell_scored(c, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("cell"),
+                F.first("_v").alias("v"),
+                F.first("_n2").alias("n2"),
+            )
+            .select(F.col("_id").alias("vec_id"), "cell", "v", "n2")
+        )
+        os.makedirs(index_path, exist_ok=True)
+        # centroids: a SNAPSHOT table (retrains replace it; retain=2
+        # keeps the previous snapshot for time travel). postings: a
+        # LOG — v0 base + ingest deltas — so retention must cover the
+        # whole log (a finite retain would silently prune the base
+        # lists; compact_state_versions is the space lever).
+        write_state_version(
+            cents.select(
+                "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
+            ),
+            f"{index_path}/centroids",
+            retain=2,
+        )
+        import sys
+
+        n = assign.persist().count()
+        write_state_version(
+            assign, f"{index_path}/postings", retain=sys.maxsize
+        )
+        assign.unpersist()
+        return n
+    finally:
+        c.unpersist()
+
+
+def ivf_index_probe(
+    queries,
+    index_path,
+    k=10,
+    nprobe=2,
+    id_col="vec_id",
+    vec_col="emb",
+    commit=False,
+):
+    """Library operator: answer an ANN query batch against the
+    COMMITTED IVF index at ``index_path`` — no retraining, no corpus
+    rescan: cost is O(batch x probed cells). Each query scores the
+    broadcast committed centroids, probes its ``nprobe`` best cells,
+    and exact-rescores only those cells' posting rows (the postings
+    carry the vectors, so no resolver frame is needed — IVF-Flat
+    inverted lists). Returns ``(query_id, neighbor_id, rank, cosine)``
+    with the family's shared contract: (cosine desc, neighbor_id)
+    tie-break, self-matches excluded, zero-norm queries dropped. With
+    ``nprobe`` >= the committed cell count the probe is exhaustive and
+    provably equals `cosine_topk` over the indexed corpus.
+
+    With ``commit=True`` the batch's own vectors are assigned to their
+    argmax committed cell and appended as the next postings delta
+    AFTER the probe result materializes — ingestion without retrain,
+    exactly how a FAISS IVF index absorbs adds (and the probe-then-
+    commit pattern of `minhash_index_probe`). Delta commits retain
+    every version — the log IS the index; fold it with
+    `compact_state_versions(spark, f"{index_path}/postings")` to
+    reclaim space at any cadence. Re-committing an id it already holds
+    is idempotent (postings dedupe on (cell, vec_id) at read). Drifted
+    centroids from heavy ingest are the operator's documented limit:
+    recall degrades gracefully, and a fresh `ivf_index_build` over the
+    grown corpus is the re-train lever."""
+    from spark_data_test_spark.state import (
+        read_state_table,
+        read_state_union,
+        write_state_version,
+    )
+
+    spark = queries.sparkSession
+    cents_raw = read_state_table(spark, f"{index_path}/centroids")
+    if cents_raw is None:
+        raise ValueError(
+            f"ivf_index_probe: no committed index at {index_path}"
+            " (run ivf_index_build first)"
+        )
+    cents = F.broadcast(
+        cents_raw.select(
+            "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
+        )
+    )
+    postings = (
+        read_state_union(spark, f"{index_path}/postings")
+        # a re-ingested id may appear in several deltas; one posting
+        # row per (cell, vec_id) keeps ranks duplicate-free
+        .dropDuplicates(["cell", "vec_id"])
+    )
+    q = _norm_vectors(queries, id_col, vec_col, "ivf_index_probe").persist()
+    try:
+        wq = Window.partitionBy("_id").orderBy(
+            F.col("_cos").desc(), "cent_id"
+        )
+        probes = (
+            _cell_scored(q, cents)
+            .withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") <= int(nprobe))
+            .select(
+                F.col("_id").alias("query_id"),
+                F.col("cent_id").alias("cell"),
+            )
+        )
+        # posting lists join on cell; the query side joins WITHOUT a
+        # broadcast hint (batches can be large — AQE broadcasts small
+        # ones on its own; only the ~sqrt(n) centroid frame above is
+        # unconditionally broadcast)
+        qe = q.select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_n2").alias("_qn2"),
+        )
+        dot = F.expr(
+            "aggregate(zip_with(_qv, v, (x, y) -> x * y),"
+            " cast(0.0 AS double), (acc, x) -> acc + x)"
+        )
+        scored = (
+            probes.join(postings, "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(qe, "query_id")
+            .withColumn("cosine", dot / F.sqrt(F.col("_qn2") * F.col("n2")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "vec_id"
+        )
+        result = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(int(k)))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "rank",
+                "cosine",
+            )
+        )
+        if not commit:
+            return result
+        result = result.localCheckpoint(eager=True)
+        batch = (
+            _cell_scored(q, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("cell"),
+                F.first("_v").alias("v"),
+                F.first("_n2").alias("n2"),
+            )
+            .select(F.col("_id").alias("vec_id"), "cell", "v", "n2")
+        )
+        import sys
+
+        write_state_version(
+            batch, f"{index_path}/postings", retain=sys.maxsize
+        )
+        return result
+    finally:
+        q.unpersist()

@@ -223,3 +223,97 @@ def test_semantic_prune_rejects_bad_tau(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# ivf_index_build / ivf_index_probe: the persisted ANN index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_probe_all_equals_cosine_topk(spark, tmp_path):
+    """With nprobe >= the committed cell count the probe is exhaustive:
+    the committed index must answer EXACTLY like the brute-force
+    baseline (same ranks, ties, self/zero exclusions) — across two
+    separate probe calls (the index, not the session, holds state)."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+
+    corpus, queries = _fixture(n=25, nq=3, dim=6, seed=23)
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    idx = str(tmp_path / "ivfidx")
+    n = ivf_index_build(cdf, idx, ncells=4, rounds=2)
+    assert n == 25  # the zero vector is dropped
+    expected = _brute(corpus, queries, 4)
+    for _ in range(2):  # same committed index answers repeatedly
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+            for r in ivf_index_probe(qdf, idx, k=4, nprobe=4).collect()
+        }
+        assert got == expected
+
+
+def test_ivf_index_probe_clustered_recall(spark, tmp_path):
+    """nprobe=1 on clustered data: the probe lands in the query's own
+    cluster, so recall vs brute force is total."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+
+    corpus, queries = _clustered_fixture()
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(cdf, idx, ncells=3, rounds=3)
+    k = 5
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_index_probe(qdf, idx, k=k, nprobe=1).collect()
+    }
+    expected = {(q, n) for q, n, _, _ in _brute(corpus, queries, k)}
+    assert got & expected == expected
+
+
+def test_ivf_index_ingest_then_probe_equals_rebuild(spark, tmp_path):
+    """probe(commit=True) ingests the batch without retraining; at
+    probe-all a later probe must equal BOTH a fresh rebuild over the
+    grown corpus and the brute-force baseline (the pin that the
+    committed postings, not a retrain, answer the query). Re-ingesting
+    the same batch is idempotent (postings dedupe at read)."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+
+    corpus, queries = _fixture(n=20, nq=3, dim=6, seed=31)
+    batch = [(200 + i, [x + 0.25 for x in v]) for i, (_, v) in enumerate(corpus[:5])]
+    cdf = spark.createDataFrame(corpus, "vec_id long, emb array<double>")
+    bdf = spark.createDataFrame(batch, "vec_id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(cdf, idx, ncells=3, rounds=2)
+    ivf_index_probe(bdf, idx, k=2, nprobe=3, commit=True).collect()
+    ivf_index_probe(bdf, idx, k=2, nprobe=3, commit=True).collect()  # re-ingest
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
+    }
+    assert got == _brute(corpus + batch, queries, 4)
+
+    idx2 = str(tmp_path / "ivfidx_rebuild")
+    cdf2 = spark.createDataFrame(
+        corpus + batch, "vec_id long, emb array<double>"
+    )
+    ivf_index_build(cdf2, idx2, ncells=3, rounds=2)
+    rebuilt = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, idx2, k=4, nprobe=3).collect()
+    }
+    assert got == rebuilt
+
+
+def test_ivf_index_probe_requires_index(spark, tmp_path):
+    from spark_data_test_spark import ivf_index_probe
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, emb array<double>")
+    try:
+        ivf_index_probe(df, str(tmp_path / "missing"))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
