@@ -336,6 +336,43 @@ def main():
             "memo build (cleared between passes); see PLANS_r08.md for "
             "the decomposition"
         ),
+        # Permanent per-line accounting (VERDICT r9 item 4): the heavy
+        # streaming_* lines deliberately run REAL availableNow
+        # micro-batch lifecycles (checkpoint commits, restarts, per-run
+        # source listing), so the raw seconds overstate engine cost.
+        # The stage-replay decompositions split each measured line into
+        # engine stages vs harness floor; read the cited DECOMP files
+        # for per-stage seconds and the counts that make the scaling
+        # claims auditable.
+        "streaming_harness_share": {
+            "streaming_late_data_audit": (
+                "engine ~2.2 s of the sf0.1 line (DECOMP_LATEAUDIT"
+                ".json x1: split 0.69 / agg_run1 0.38 / late_merge "
+                "0.99 / report 0.16); the rest is the two availableNow "
+                "runs + checkpoint restart. x30: engine 6.3 s, report "
+                "keys flat at windows x types (2885)"
+            ),
+            "streaming_incremental_minhash": (
+                "engine stages ~cover the sf0.1 line; at x30 engine "
+                "16.0 s of the 44 s line (DECOMP_INCMINHASH.json) - "
+                "the ~28 s remainder is the availableNow micro-batch "
+                "harness; verify cost tracks CANDIDATES, not shard"
+            ),
+            "streaming_incremental_dedup": (
+                "not stage-decomposed; same foreachBatch shape as the "
+                "minhash twin (persisted-index probe, delta commits), "
+                "one streaming run"
+            ),
+            "streaming_media_arrivals": (
+                "not stage-decomposed; linear-in-shard BY DESIGN "
+                "(manifest landing log), see BENCH_AMPLIFIED_r08 "
+                "addendum"
+            ),
+            "state_compaction_roundtrip": (
+                "not stage-decomposed; line is dominated by the "
+                "deliberate multi-version commit/compact/read cycle"
+            ),
+        },
     }
     if amplify > 1:
         result["amplified"] = amplify
