@@ -58,7 +58,9 @@ from spark_data_test_spark.operators.dedup import (
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
+    dq_check,
     latest_wins,
+    profile,
 )
 from spark_data_test_spark.operators.analytics import (
     ab_readout,
@@ -133,6 +135,7 @@ __all__ = [
     "cumulative_distinct",
     "blocked_fuzzy_pairs",
     "bloom_prefilter",
+    "dq_check",
     "box_downsample",
     "compare_dataframes",
     "compare_dataframes_where",
@@ -154,6 +157,7 @@ __all__ = [
     "pagerank_fixed",
     "pareto_classes",
     "pii_scrub",
+    "profile",
     "repetition_profile",
     "range_join_binned",
     "retention_cohorts",

@@ -976,3 +976,181 @@ def latest_wins(base, updates, keys, order_col=None):
         .where(F.col("_rn") == 1)
         .drop("_side", "_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Library surface: frame-level warehouse gates (round 10) — the
+# arbitrary-frame forms of `dq_constraint_report` (fused declarative
+# constraint gate) and `profile_columns` (one-pass column profiler).
+# ---------------------------------------------------------------------------
+
+
+def dq_check(df, rules):
+    """Library operator: declarative data-quality gate over an
+    arbitrary frame — the dbt-test / expectations pattern of the
+    registered `dq_constraint_report`, parameterized. ``rules`` is a
+    list of dicts, each with a ``name`` and a ``type``:
+
+    - ``{"name", "type": "not_null", "cols": [...]}`` — violations =
+      total NULLs across the listed columns.
+    - ``{"name", "type": "expr", "expr": "<boolean SQL>"}`` — a row
+      violates when the predicate is NOT satisfied; a NULL predicate
+      counts as a violation (unknown does not pass a gate).
+    - ``{"name", "type": "unique", "cols": [...]}`` — violations =
+      sum(group count - 1) over duplicated key tuples (the number of
+      surplus rows, matching the registered gate).
+    - ``{"name", "type": "fk", "cols": [...], "ref": <DataFrame>,
+      "ref_cols": [...]}`` — violations = rows whose key tuple finds
+      no partner in ``ref`` (LEFT ANTI probe; a NULL foreign key never
+      matches and therefore counts — add a not_null rule or pre-filter
+      if NULLs are legitimate).
+
+    Returns one row per rule: ``(constraint_name, violations,
+    passed)``. The plan keeps the registered gate's 100 TB shape:
+    every not_null/expr rule FUSES into ONE conditional aggregate —
+    one scan covers all row-predicate rules, adding a rule adds a CASE
+    column, not a pass over the data — while each unique rule is a
+    keyed count (one map-side-combined shuffle) and each fk rule a
+    LEFT ANTI probe (the ref side broadcasts when small, AQE
+    decides)."""
+    fused_exprs = []
+    fused = []  # (constraint name, its alias in the fused agg row)
+    pieces = []
+    for i, rule in enumerate(rules):
+        name, typ = rule["name"], rule["type"]
+        if typ == "not_null":
+            cols = rule["cols"]
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            v = None
+            for c in cols:
+                term = F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                v = term if v is None else v + term
+            fused_exprs.append(
+                F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}")
+            )
+            fused.append((name, f"_v{i}"))
+        elif typ == "expr":
+            pred = F.expr(rule["expr"])
+            fused_exprs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(pred, F.lit(False)), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"_v{i}")
+            )
+            fused.append((name, f"_v{i}"))
+        elif typ == "unique":
+            cols = rule["cols"]
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            pieces.append(
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .where(F.col("_cnt") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("_cnt") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("violations")
+                )
+                .select(
+                    F.lit(name).alias("constraint_name"), "violations"
+                )
+            )
+        elif typ == "fk":
+            cols = rule["cols"]
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            ref_cols = rule.get("ref_cols", cols)
+            ref_cols = (
+                [ref_cols] if isinstance(ref_cols, str) else list(ref_cols)
+            )
+            ref = rule["ref"].select(
+                *[
+                    F.col(rc).alias(f"_ref{j}")
+                    for j, rc in enumerate(ref_cols)
+                ]
+            )
+            cond = None
+            for j, c in enumerate(cols):
+                term = df[c] == F.col(f"_ref{j}")
+                cond = term if cond is None else cond & term
+            pieces.append(
+                df.join(ref, cond, "left_anti")
+                .agg(F.count(F.lit(1)).alias("violations"))
+                .select(
+                    F.lit(name).alias("constraint_name"), "violations"
+                )
+            )
+        else:
+            raise ValueError(f"dq_check: unknown rule type {typ!r}")
+    if fused_exprs:
+        fused_frame = df.agg(*fused_exprs).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("constraint_name"),
+                            F.col(alias).alias("violations"),
+                        )
+                        for n, alias in fused
+                    ]
+                )
+            ).alias("r")
+        ).select("r.constraint_name", "r.violations")
+        pieces.insert(0, fused_frame)
+    if not pieces:
+        raise ValueError("dq_check: no rules given")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "constraint_name",
+        "violations",
+        F.when(F.col("violations") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("passed"),
+    )
+
+
+def profile(df, cols=None):
+    """Library operator: per-column profiling for an arbitrary frame —
+    the frame-level form of the registered `profile_columns`: exact
+    NULL and distinct counts for every named column (default: all
+    columns) in ONE aggregation job, unpivoted to
+    ``(column_name, n_nulls, n_distinct)``. Multiple exact
+    COUNT(DISTINCT) ride one agg plan through Spark's Expand — a
+    single pass and shuffle set, vs the naive one-job-per-column
+    profiler. At 100 TB swap the exact distincts for
+    ``approx_count_distinct`` to drop the Expand row replication; the
+    exact form is the testable contract."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile: no columns to profile")
+    stats = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"_distinct_{c}"),
+            )
+        ]
+    )
+    return stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"_nulls_{c}").alias("n_nulls"),
+                        F.col(f"_distinct_{c}").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.n_nulls", "p.n_distinct")

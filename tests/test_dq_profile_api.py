@@ -1,0 +1,151 @@
+"""Frame-level `dq_check` and `profile` cross-checked against
+brute-force Python replicas."""
+
+from spark_data_test_spark import dq_check, profile
+
+ROWS = [
+    # (id, cust, status, price)
+    (1, 10, "O", 50.0),
+    (2, 10, "F", 0.0),     # price range violation
+    (2, 11, "O", 20.0),    # duplicate id
+    (3, None, "X", 30.0),  # NULL cust + bad status
+    (4, 99, "O", None),    # orphan cust + NULL price (expr -> violation)
+    (5, 12, "F", 10.0),
+]
+CUSTS = [(10,), (11,), (12,)]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        ROWS, "id long, cust long, status string, price double"
+    )
+
+
+def _rules(spark):
+    return [
+        {"name": "id_unique", "type": "unique", "cols": ["id"]},
+        {"name": "cust_not_null", "type": "not_null", "cols": ["cust"]},
+        {
+            "name": "status_valid",
+            "type": "expr",
+            "expr": "status IN ('O', 'F', 'P')",
+        },
+        {"name": "price_positive", "type": "expr", "expr": "price > 0"},
+        {
+            "name": "cust_fk",
+            "type": "fk",
+            "cols": ["cust"],
+            "ref": spark.createDataFrame(CUSTS, "c long"),
+            "ref_cols": ["c"],
+        },
+    ]
+
+
+def test_dq_check_matches_bruteforce(spark):
+    got = {
+        r.constraint_name: (r.violations, r.passed)
+        for r in dq_check(_df(spark), _rules(spark)).collect()
+    }
+    # brute force: 1 surplus dup row; 1 NULL cust; 1 bad status;
+    # price > 0 violated by 0.0 AND the NULL price (unknown never
+    # passes a gate); fk orphans = the NULL cust and cust 99 (a NULL
+    # key never matches, per the documented LEFT ANTI contract)
+    assert got == {
+        "id_unique": (1, 0),
+        "cust_not_null": (1, 0),
+        "status_valid": (1, 0),
+        "price_positive": (2, 0),
+        "cust_fk": (2, 0),
+    }
+
+
+def test_dq_check_all_pass_and_empty_frame(spark):
+    clean = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (2, 11, "F", 6.0)],
+        "id long, cust long, status string, price double",
+    )
+    got = {
+        r.constraint_name: (r.violations, r.passed)
+        for r in dq_check(clean, _rules(spark)).collect()
+    }
+    assert all(v == (0, 1) for v in got.values()), got
+    # empty frame: every rule vacuously passes (coalesce guards the
+    # NULL SUM) — the registered gate's contract
+    empty = clean.limit(0)
+    got0 = {
+        r.constraint_name: (r.violations, r.passed)
+        for r in dq_check(empty, _rules(spark)).collect()
+    }
+    assert all(v == (0, 1) for v in got0.values()), got0
+
+
+def test_dq_check_composite_unique_and_fk(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 7), (1, "a", 8), (1, "b", 9), (2, "a", 7)],
+        "k1 long, k2 string, ref long",
+    )
+    ref = spark.createDataFrame([(7, 0), (9, 0)], "r long, pad long")
+    rules = [
+        {"name": "pk", "type": "unique", "cols": ["k1", "k2"]},
+        {
+            "name": "fk",
+            "type": "fk",
+            "cols": ["ref"],
+            "ref": ref,
+            "ref_cols": ["r"],
+        },
+    ]
+    got = {
+        r.constraint_name: r.violations
+        for r in dq_check(df, rules).collect()
+    }
+    assert got == {"pk": 1, "fk": 1}  # one surplus (1,a); ref 8 orphan
+
+
+def test_dq_check_rejects_unknown_rule(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        dq_check(df, [{"name": "x", "type": "median"}])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        dq_check(df, [])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_profile_matches_bruteforce(spark):
+    rows = [
+        (1, "a", None),
+        (2, "a", 5.0),
+        (None, "b", 5.0),
+        (None, None, 7.0),
+        (2, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "x long, s string, v double")
+    got = {
+        r.column_name: (r.n_nulls, r.n_distinct)
+        for r in profile(df).collect()
+    }
+    expected = {}
+    for i, c in enumerate(["x", "s", "v"]):
+        vals = [r[i] for r in rows]
+        expected[c] = (
+            sum(1 for v in vals if v is None),
+            len({v for v in vals if v is not None}),
+        )
+    assert got == expected
+    # column subset preserves selection
+    sub = {r.column_name for r in profile(df, cols=["s"]).collect()}
+    assert sub == {"s"}
+
+
+def test_profile_rejects_empty_column_list(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        profile(df, cols=[])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
