@@ -89,6 +89,7 @@ from spark_data_test_spark.operators.sketches import (
 )
 from spark_data_test_spark.operators.skew import salted_groupby, salted_join
 from spark_data_test_spark.state import (
+    RETAIN_ALL,
     compact_state_versions,
     fresh_run_root,
     read_state_table,
@@ -123,6 +124,7 @@ from spark_data_test_spark.operators.text import (
 
 __all__ = [
     "ComparisonJobConfig",
+    "RETAIN_ALL",
     "ab_readout",
     "DataframeConfig",
     "DatasetConfig",

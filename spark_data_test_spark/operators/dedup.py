@@ -3296,14 +3296,14 @@ def minhash_index_probe(
             .localCheckpoint(eager=True)
         )
         if commit:
-            # retain must cover the whole log: with a finite retain the
-            # commit at version retain+1 would prune v0 — the full-corpus
-            # base fingerprints — and probes would silently stop matching
-            # history. Unbounded retention here; compact_state_versions
-            # is the space lever (it folds the log into one snapshot).
-            import sys
+            # The band index is a LOG table: a finite retain would
+            # prune v0 — the full-corpus base fingerprints — and probes
+            # would silently stop matching history (state.RETAIN_ALL
+            # documents the convention; compact_state_versions is the
+            # space lever).
+            from spark_data_test_spark.state import RETAIN_ALL
 
-            write_state_version(bands, index_path, retain=sys.maxsize)
+            write_state_version(bands, index_path, retain=RETAIN_ALL)
         return result
     finally:
         bands.unpersist()

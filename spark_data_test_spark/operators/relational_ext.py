@@ -1023,7 +1023,7 @@ def dq_check(df, rules):
             cols = [cols] if isinstance(cols, str) else list(cols)
             v = None
             for c in cols:
-                term = F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                term = F.sum(F.when(df[c].isNull(), 1).otherwise(0))
                 v = term if v is None else v + term
             fused_exprs.append(
                 F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}")
@@ -1067,15 +1067,20 @@ def dq_check(df, rules):
             ref_cols = (
                 [ref_cols] if isinstance(ref_cols, str) else list(ref_cols)
             )
-            ref = rule["ref"].select(
+            # collision-proof aliases (rule index in the name) and
+            # references through the aliased frame OBJECT, so a df that
+            # itself carries a `_ref0`-style column (or a ref derived
+            # from df) can never make the join condition ambiguous
+            src = rule["ref"]
+            ref = src.select(
                 *[
-                    F.col(rc).alias(f"_ref{j}")
+                    src[rc].alias(f"_dq{i}_ref{j}")
                     for j, rc in enumerate(ref_cols)
                 ]
             )
             cond = None
             for j, c in enumerate(cols):
-                term = df[c] == F.col(f"_ref{j}")
+                term = df[c] == ref[f"_dq{i}_ref{j}"]
                 cond = term if cond is None else cond & term
             pieces.append(
                 df.join(ref, cond, "left_anti")
@@ -1128,15 +1133,24 @@ def profile(df, cols=None):
     ``approx_count_distinct`` to drop the Expand row replication; the
     exact form is the testable contract."""
     cols = list(cols) if cols is not None else list(df.columns)
+    # de-duplicate (first occurrence wins) so a repeated entry can't
+    # produce duplicate aggregate aliases; aliases are POSITIONAL and
+    # lookups backtick-quote the raw name, so a column whose NAME
+    # contains a dot profiles as itself, not as a struct-field path
+    cols = list(dict.fromkeys(cols))
     if not cols:
         raise ValueError("profile: no columns to profile")
+
+    def _q(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     stats = df.agg(
         *[
             e
-            for c in cols
+            for i, c in enumerate(cols)
             for e in (
-                (F.count(F.lit(1)) - F.count(c)).alias(f"_nulls_{c}"),
-                F.count_distinct(F.col(c)).alias(f"_distinct_{c}"),
+                (F.count(F.lit(1)) - F.count(_q(c))).alias(f"_nulls_{i}"),
+                F.count_distinct(_q(c)).alias(f"_distinct_{i}"),
             )
         ]
     )
@@ -1146,10 +1160,10 @@ def profile(df, cols=None):
                 *[
                     F.struct(
                         F.lit(c).alias("column_name"),
-                        F.col(f"_nulls_{c}").alias("n_nulls"),
-                        F.col(f"_distinct_{c}").alias("n_distinct"),
+                        F.col(f"_nulls_{i}").alias("n_nulls"),
+                        F.col(f"_distinct_{i}").alias("n_distinct"),
                     )
-                    for c in cols
+                    for i, c in enumerate(cols)
                 ]
             )
         ).alias("p")

@@ -1923,10 +1923,13 @@ def ivf_index_build(
         )
         os.makedirs(index_path, exist_ok=True)
         # centroids: a SNAPSHOT table (retrains replace it; retain=2
-        # keeps the previous snapshot for time travel). postings: a
-        # LOG — v0 base + ingest deltas — so retention must cover the
-        # whole log (a finite retain would silently prune the base
-        # lists; compact_state_versions is the space lever).
+        # keeps the previous snapshot for time travel). postings: the
+        # BASE of a log table — committed with retain=1 so a REBUILD at
+        # an existing index_path RESETS the log (pruning every posting
+        # version of the previous index, whose cell ids are meaningless
+        # under the new centroids); the ingest deltas that
+        # `ivf_index_probe(commit=True)` appends afterwards use
+        # RETAIN_ALL so the log accumulates from this fresh base.
         write_state_version(
             cents.select(
                 "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
@@ -1934,12 +1937,8 @@ def ivf_index_build(
             f"{index_path}/centroids",
             retain=2,
         )
-        import sys
-
         n = assign.persist().count()
-        write_state_version(
-            assign, f"{index_path}/postings", retain=sys.maxsize
-        )
+        write_state_version(assign, f"{index_path}/postings", retain=1)
         assign.unpersist()
         return n
     finally:
@@ -1974,11 +1973,16 @@ def ivf_index_probe(
     commit pattern of `minhash_index_probe`). Delta commits retain
     every version — the log IS the index; fold it with
     `compact_state_versions(spark, f"{index_path}/postings")` to
-    reclaim space at any cadence. Re-committing an id it already holds
-    is idempotent (postings dedupe on (cell, vec_id) at read). Drifted
-    centroids from heavy ingest are the operator's documented limit:
-    recall degrades gracefully, and a fresh `ivf_index_build` over the
-    grown corpus is the re-train lever."""
+    reclaim space at any cadence. Re-committed ids resolve LATEST-WINS
+    at read (each posting row carries its commit version; the newest
+    version's row defines the id's vector and cell — the LSM read
+    rule), so an identical re-commit is idempotent and a CHANGED
+    vector deterministically replaces the old one at its new cell.
+    Drifted centroids from heavy ingest are the operator's documented
+    limit: recall degrades gracefully, and a fresh `ivf_index_build`
+    over the grown corpus is the re-train lever (a same-path rebuild
+    RESETS the postings log, so no stale cell ids survive a
+    retrain)."""
     from spark_data_test_spark.state import (
         read_state_table,
         read_state_union,
@@ -1997,11 +2001,20 @@ def ivf_index_probe(
             "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
         )
     )
+    # A re-ingested id may appear in several deltas — possibly with a
+    # CHANGED vector in a DIFFERENT cell. Resolve latest-wins on the
+    # commit version (max_by per vec_id): deterministic, and an id can
+    # never occupy two ranks. Same shuffle cost as a plain
+    # dropDuplicates over the log; compaction keeps the log short.
     postings = (
-        read_state_union(spark, f"{index_path}/postings")
-        # a re-ingested id may appear in several deltas; one posting
-        # row per (cell, vec_id) keeps ranks duplicate-free
-        .dropDuplicates(["cell", "vec_id"])
+        read_state_union(spark, f"{index_path}/postings", version_col="_pv")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "v", "n2"), F.col("_pv")
+            ).alias("_p")
+        )
+        .select("vec_id", "_p.cell", "_p.v", "_p.n2")
     )
     q = _norm_vectors(queries, id_col, vec_col, "ivf_index_probe").persist()
     try:
@@ -2068,10 +2081,12 @@ def ivf_index_probe(
             )
             .select(F.col("_id").alias("vec_id"), "cell", "v", "n2")
         )
-        import sys
+        # ingest deltas extend the LOG from the build's base — see
+        # state.RETAIN_ALL for the log-table retention convention
+        from spark_data_test_spark.state import RETAIN_ALL
 
         write_state_version(
-            batch, f"{index_path}/postings", retain=sys.maxsize
+            batch, f"{index_path}/postings", retain=RETAIN_ALL
         )
         return result
     finally:

@@ -19,7 +19,19 @@ public API.
 
 import errno
 import os
+import sys
 import time
+
+# Retention convention for the two kinds of state table this engine
+# commits (VERDICT r10 item 6): a SNAPSHOT table (each commit replaces
+# the previous — centroids, session stores) retains a small N for time
+# travel; a LOG table (v0 base + per-batch deltas read back through
+# ``read_state_union`` — minhash band indexes, IVF posting lists)
+# retains EVERYTHING, because a finite retain would silently prune the
+# base version out from under every later probe. ``RETAIN_ALL`` is the
+# grep-able name for that second contract; ``compact_state_versions``
+# is the space lever that folds a log back into one snapshot.
+RETAIN_ALL = sys.maxsize
 
 
 def fresh_run_root(kind, key="", base="/tmp/spark_graft_runs", ttl_seconds=3600):
@@ -89,14 +101,17 @@ def read_state_table(spark, state_path, version=None):
     return spark.read.parquet(f"{state_path}/v{version}")
 
 
-def read_state_union(spark, state_path):
+def read_state_union(spark, state_path, version_col=None):
     """LOG-STRUCTURED read path: the union of EVERY committed version
     under the root — the view a delta-commit writer's readers need
     (v0 a base snapshot, later versions per-batch deltas, as the
     streaming incremental dedup commits them). Tolerant of a pruned
     prefix: after `compact_state_versions` folds the log into one
     snapshot, only the surviving committed versions are unioned.
-    Missing state means first batch (None)."""
+    Missing state means first batch (None). With ``version_col`` each
+    row carries the LONG version number it was committed in, so a
+    reader can resolve re-committed keys latest-wins (max version per
+    key) instead of keeping arbitrary duplicates — the LSM read rule."""
     cur = _committed_state_version(state_path)
     if cur is None:
         return None
@@ -105,6 +120,12 @@ def read_state_union(spark, state_path):
         if not os.path.exists(f"{state_path}/v{v}/_SUCCESS"):
             continue
         part = spark.read.parquet(f"{state_path}/v{v}")
+        if version_col is not None:
+            from pyspark.sql import functions as F
+
+            part = part.withColumn(
+                version_col, F.lit(v).cast("long")
+            )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -141,7 +162,11 @@ def write_state_version(df, state_path, retain=1):
     next version so its rows are never silently dropped or mixed.
     ``retain > 1`` keeps a time-travel window (the snapshot-retention
     dial every table format exposes; state growth is bounded by
-    retain x table size). Returns the committed version number."""
+    retain x table size). Convention: SNAPSHOT tables pass a small
+    ``retain``; LOG tables (read back via ``read_state_union``) pass
+    ``RETAIN_ALL`` — a finite retain on a log would prune the base
+    version out from under later probes; `compact_state_versions` is
+    the space lever. Returns the committed version number."""
     import shutil
     import uuid
 

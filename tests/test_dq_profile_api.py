@@ -1,6 +1,8 @@
 """Frame-level `dq_check` and `profile` cross-checked against
 brute-force Python replicas."""
 
+from pyspark.sql import functions as F
+
 from spark_data_test_spark import dq_check, profile
 
 ROWS = [
@@ -149,3 +151,44 @@ def test_profile_rejects_empty_column_list(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_dq_check_fk_survives_ref_alias_collision(spark):
+    """The fk rule's internal ref aliases must be collision-proof: a
+    frame that itself carries `_ref0`-style columns (or a ref frame
+    derived from df) previously made the unqualified join condition
+    ambiguous (r10 advisory)."""
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "x"), (3, 99, "x")],
+        "id long, fk long, _ref0 string",
+    )
+    ref = df.where("id < 3").select(F.col("fk").alias("k"))
+    out = {
+        r.constraint_name: (r.violations, r.passed)
+        for r in dq_check(
+            df,
+            [
+                {"name": "fk_ok", "type": "fk", "cols": ["fk"],
+                 "ref": ref, "ref_cols": ["k"]},
+                {"name": "fk_self", "type": "fk", "cols": ["fk"],
+                 "ref": df, "ref_cols": ["fk"]},
+            ],
+        ).collect()
+    }
+    assert out == {"fk_ok": (1, 0), "fk_self": (0, 1)}
+
+
+def test_profile_duplicate_and_dotted_columns(spark):
+    """Duplicate entries in cols de-duplicate instead of erroring, and
+    a column whose NAME contains a dot profiles correctly (positional
+    aliases + df[c] lookups, r10 advisory)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(**{"a.b": 1, "c": None}), Row(**{"a.b": 1, "c": 2})]
+    )
+    got = {
+        r.column_name: (r.n_nulls, r.n_distinct)
+        for r in profile(df, cols=["a.b", "c", "a.b"]).collect()
+    }
+    assert got == {"a.b": (0, 1), "c": (1, 1)}

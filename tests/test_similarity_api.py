@@ -308,6 +308,77 @@ def test_ivf_index_ingest_then_probe_equals_rebuild(spark, tmp_path):
     assert got == rebuilt
 
 
+def test_ivf_index_same_path_rebuild_resets_postings(spark, tmp_path):
+    """A rebuild at an EXISTING index path (the docstring's re-train
+    lever) must RESET the postings log: probes afterwards see only the
+    new corpus — no stale cell ids scored against the new centroids,
+    no id surviving from the old index or its ingest deltas. (The r10
+    advisory bug: the base commit retained the whole old log.)"""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+
+    old_corpus, queries = _fixture(n=20, nq=3, dim=6, seed=41)
+    batch = [
+        (300 + i, [x - 0.3 for x in v])
+        for i, (_, v) in enumerate(old_corpus[5:9])
+    ]
+    # new corpus: DISJOINT ids so any stale posting is detectable
+    new_corpus = [
+        (1000 + i, [x * 0.7 + 0.11 for x in v])
+        for i, (_, v) in enumerate(old_corpus)
+        if any(x != 0.0 for x in v)
+    ]
+    idx = str(tmp_path / "ivfidx")
+    schema = "vec_id long, emb array<double>"
+    ivf_index_build(spark.createDataFrame(old_corpus, schema), idx,
+                    ncells=3, rounds=2)
+    qdf = spark.createDataFrame(queries, schema)
+    ivf_index_probe(spark.createDataFrame(batch, schema), idx,
+                    k=2, nprobe=3, commit=True).collect()
+    # the re-train: same path, different corpus
+    n = ivf_index_build(spark.createDataFrame(new_corpus, schema), idx,
+                        ncells=3, rounds=2)
+    assert n == len(new_corpus)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
+    }
+    assert got == _brute(new_corpus, queries, 4)
+    stale_ids = {i for i, _ in old_corpus} | {i for i, _ in batch}
+    assert not {n for _, n, _, _ in got} & stale_ids
+
+
+def test_ivf_index_changed_vector_latest_wins(spark, tmp_path):
+    """Re-committing an id with a CHANGED vector resolves latest-wins:
+    the probe scores the NEW vector (even when it lands in a different
+    cell) and the id can never occupy two ranks for one query."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+
+    corpus, queries = _fixture(n=18, nq=3, dim=6, seed=53)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark.createDataFrame(corpus, schema), idx,
+                    ncells=3, rounds=2)
+    # flip three existing ids to the NEGATED vector — guaranteed to
+    # move each to a different region (and usually a different cell)
+    moved = [(i, [-x for x in corpus[i][1]]) for i in (5, 9, 12)]
+    ivf_index_probe(spark.createDataFrame(moved, schema), idx,
+                    k=2, nprobe=3, commit=True).collect()
+    updated = [
+        (i, dict(moved).get(i, v)) for i, v in corpus
+    ]
+    rows = ivf_index_probe(
+        spark.createDataFrame(queries, schema), idx, k=4, nprobe=3
+    ).collect()
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in rows
+    }
+    assert got == _brute(updated, queries, 4)
+    # no id twice for one query
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_ivf_index_probe_requires_index(spark, tmp_path):
     from spark_data_test_spark import ivf_index_probe
 

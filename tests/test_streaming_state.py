@@ -365,6 +365,14 @@ def test_log_structured_union_and_compaction(spark, tmp_path):
     assert (
         len(read_state_union(spark, root).collect()) == 5
     )
+    # version_col tags each row with its commit version (LONG), so a
+    # reader can resolve re-committed keys latest-wins
+    tagged = read_state_union(spark, root, version_col="_v")
+    assert dict(tagged.dtypes)["_v"] == "bigint"
+    got_v = sorted((r.h, r.doc_id, r._v) for r in tagged.collect())
+    assert got_v == [
+        ("a", 1, 3), ("a", 4, 3), ("b", 2, 3), ("c", 3, 3), ("d", 5, 4)
+    ]
 
 
 def test_fresh_run_root_outlives_call_and_prunes_by_age(spark, tmp_path):
