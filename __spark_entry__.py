@@ -14,87 +14,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-10 window accounting (this
+# (registration order). CANONICAL round-11 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
-# flagship (compare_overall_report, re-earned every round) + 1
-# changed-code re-earn (text_bigram_profile — its char-bigram
-# expression gained the explicit CASE WHEN length>=2 source guard per
-# VERDICT r9 item 6) + ALL 32 r5-era stale greens in backlog-head
-# order (VERDICT r9 item 1 — this drains the r5 cohort completely;
-# text_bigram_familiarity, whose bigram expression gained the same
-# guard, re-earns through the r5-cohort slot it already holds) + the
-# first 16 r6-era backlog rows. That is exactly 50; after this round
-# no registry row's latest driver green is older than round 6.
+# flagship (compare_overall_report, re-earned every round) + 2
+# changed-code re-earns (streaming_incremental_minhash and
+# streaming_incremental_dedup — the two registered queries that
+# execute `read_state_union`, whose body gained the optional
+# version_col tag this round; behavior with the default argument is
+# unchanged, but changed code re-earns by policy) + ALL 26 remaining
+# r6-era stale greens in backlog-head order (VERDICT r10 item 2 —
+# this drains the r6 cohort completely) + the first 21 r7-era backlog
+# rows. That is exactly 50; after this round no registry row's latest
+# driver green is older than round 7.
 # tests/test_registry_invariants.py enforces that greens ∪ window ∪
 # queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "text_bigram_profile",
-    "text_bigram_familiarity",
-    "source_binaryfile_roundtrip",
-    "ml_linear_regression_train",
-    "sink_clustered_layout",
-    "events_cumulative_distinct_users",
-    "events_transition_matrix",
-    "multimodal_chunk_dedup",
-    "dq_constraint_report",
-    "part_fuzzy_match",
-    "text_quality_deciles",
-    "sql_api_query",
-    "sink_zorder_layout",
-    "text_langid_confusion",
-    "orders_open_backlog_daily",
-    "orders_incremental_agg_merge",
-    "source_schema_evolution",
-    "null_safe_join",
-    "supplier_hierarchy_rollup",
-    "orders_status_listagg",
-    "events_top_session_paths",
-    "lineitem_correlation_matrix",
-    "text_heavy_hitters",
-    "corpus_duplicate_ngrams",
-    "part_bloom_prefilter_join",
-    "similarity_pq_train",
-    "similarity_pq_ann",
-    "similarity_ivfpq_ann",
-    "similarity_pq_recall_report",
-    "events_sliding_distinct_users",
-    "similarity_cluster_purity",
-    "streaming_heavy_hitters",
-    "similarity_ivf_train",
-    "dedup_incremental_simhash",
-    "compare_incremental_slice",
-    "text_ngram_novelty",
-    "corpus_source_similarity",
-    "dedup_bucketed_index_probe",
-    "similarity_incremental_ingest",
-    "ml_logistic_quality_train",
-    "ml_logistic_calibration",
-    "dedup_lsh_recall_report",
-    "dedup_index_build",
-    "dedup_incremental_minhash",
-    "dedup_incremental_exact",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "sink_inverted_index_roundtrip",
-    "events_value_histogram",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# remainder of the r6-era cohort (26 rows after the 16 promoted into
-# the round-10 window), then the r7-era (46) and r8-era (47) cohorts,
-# and the list ends with the 48 r9-green rows the round-10 cut
-# displaced.
-_CHECKED_BACKLOG = [
+    "streaming_incremental_minhash",
+    "streaming_incremental_dedup",
     "streaming_late_data_audit",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -142,6 +79,24 @@ _CHECKED_BACKLOG = [
     "source_json_roundtrip",
     "source_bucketed_table_roundtrip",
     "sink_partitioned_parquet",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# remainder of the r7-era cohort (25 rows after the 21 promoted into
+# the round-11 window), then the r8-era cohort (45 rows — 47 minus
+# the two changed-code re-earns, both last green in r8), the r9-era
+# cohort (48), and the list ends with the 49 r10-green rows the
+# round-11 cut displaced.
+_CHECKED_BACKLOG = [
     "tpch_q6_forecast_revenue",
     "grouped_apply_stats",
     "similarity_cosine_topk",
@@ -167,7 +122,6 @@ _CHECKED_BACKLOG = [
     "events_hypertable_rollup",
     "events_funnel_analysis",
     "events_session_window_native",
-    "streaming_incremental_minhash",
     "state_compaction_roundtrip",
     "multimodal_audio_features",
     "multimodal_audio_fingerprint",
@@ -184,7 +138,6 @@ _CHECKED_BACKLOG = [
     "streaming_cdc_upsert",
     "streaming_sketch_rollup",
     "state_time_travel_diff",
-    "streaming_incremental_dedup",
     "graph_pagerank_fixed",
     "graph_triangle_count",
     "compare_lineitem_overall",
@@ -262,6 +215,55 @@ _CHECKED_BACKLOG = [
     "events_tumbling_window",
     "sample_token_budget",
     "source_xml_roundtrip",
+    "text_bigram_profile",
+    "text_bigram_familiarity",
+    "source_binaryfile_roundtrip",
+    "ml_linear_regression_train",
+    "sink_clustered_layout",
+    "events_cumulative_distinct_users",
+    "events_transition_matrix",
+    "multimodal_chunk_dedup",
+    "dq_constraint_report",
+    "part_fuzzy_match",
+    "text_quality_deciles",
+    "sql_api_query",
+    "sink_zorder_layout",
+    "text_langid_confusion",
+    "orders_open_backlog_daily",
+    "orders_incremental_agg_merge",
+    "source_schema_evolution",
+    "null_safe_join",
+    "supplier_hierarchy_rollup",
+    "orders_status_listagg",
+    "events_top_session_paths",
+    "lineitem_correlation_matrix",
+    "text_heavy_hitters",
+    "corpus_duplicate_ngrams",
+    "part_bloom_prefilter_join",
+    "similarity_pq_train",
+    "similarity_pq_ann",
+    "similarity_ivfpq_ann",
+    "similarity_pq_recall_report",
+    "events_sliding_distinct_users",
+    "similarity_cluster_purity",
+    "streaming_heavy_hitters",
+    "similarity_ivf_train",
+    "dedup_incremental_simhash",
+    "compare_incremental_slice",
+    "text_ngram_novelty",
+    "corpus_source_similarity",
+    "dedup_bucketed_index_probe",
+    "similarity_incremental_ingest",
+    "ml_logistic_quality_train",
+    "ml_logistic_calibration",
+    "dedup_lsh_recall_report",
+    "dedup_index_build",
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "sink_inverted_index_roundtrip",
+    "events_value_histogram",
 ]
 
 
