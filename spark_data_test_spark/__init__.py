@@ -59,8 +59,10 @@ from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
     dq_check,
+    fuzzy_match,
     latest_wins,
     profile,
+    schema_drift,
 )
 from spark_data_test_spark.operators.analytics import (
     ab_readout,
@@ -138,6 +140,7 @@ __all__ = [
     "blocked_fuzzy_pairs",
     "bloom_prefilter",
     "dq_check",
+    "fuzzy_match",
     "box_downsample",
     "compare_dataframes",
     "compare_dataframes_where",
@@ -191,6 +194,7 @@ __all__ = [
     "run_comparison_job",
     "run_comparison_job_from_dfs",
     "scd2_build",
+    "schema_drift",
     "semantic_prune",
     "sessionize",
     "simhash_near_dup_pairs",

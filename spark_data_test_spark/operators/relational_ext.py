@@ -673,6 +673,91 @@ def blocked_fuzzy_pairs(df, value_col, block_col, max_dist):
     )
 
 
+def fuzzy_match(
+    df_a,
+    df_b,
+    value_col,
+    block_col,
+    max_dist=2,
+    value_col_b=None,
+    block_col_b=None,
+    keep="all",
+):
+    """Library operator: cross-frame record linkage by blocked fuzzy
+    matching — the two-dataset form of `blocked_fuzzy_pairs` (one
+    frame linked against itself) and the frame-level form of the
+    registered `part_fuzzy_match` gate. Each side is deduplicated to
+    its DISTINCT (value, block) entities first (edit distance depends
+    only on the strings, so k rows sharing a value cost nothing
+    extra), candidate pairs come from an equi-join on the blocking
+    key, and levenshtein refines inside the join stage. ``value_col_b``
+    / ``block_col_b`` default to the left-side names, so differently
+    named columns link without a rename pass.
+
+    Returns ``(value_a, value_b, edit_distance)``. With
+    ``keep="all"`` every within-threshold pair is emitted once (a pair
+    sharing several blocks still appears once); with ``keep="best"``
+    each left value keeps only its single best partner — smallest
+    distance, then smallest value_b — computed as a map-combinable
+    min_by aggregate, never a window over all candidates.
+
+    At 100 TB: one hash shuffle per side on the blocking key; the
+    quadratic refine is confined to each block over distinct values,
+    so blocking-key choice is the scale lever (run several
+    complementary passes and union them — the output dedupe makes
+    that safe). Recall is bounded by the blocking key BY DESIGN: a
+    typo in the key escapes the block, exactly as in the registered
+    gate's docstring."""
+    if keep not in ("all", "best"):
+        raise ValueError(f"fuzzy_match: keep must be all|best, got {keep!r}")
+    vb = value_col_b if value_col_b is not None else value_col
+    bb = block_col_b if block_col_b is not None else block_col
+    a = df_a.select(
+        F.col(value_col).alias("value_a"), F.col(block_col).alias("_blk")
+    ).distinct()
+    b = df_b.select(
+        F.col(vb).alias("value_b"), F.col(bb).alias("_blk")
+    ).distinct()
+    dist = F.levenshtein(F.col("value_a"), F.col("value_b"))
+    pairs = (
+        a.join(b, "_blk")
+        .where(dist <= int(max_dist))
+        .select(
+            "value_a", "value_b", dist.cast("long").alias("edit_distance")
+        )
+        .distinct()
+    )
+    if keep == "all":
+        return pairs
+    return (
+        pairs.groupBy("value_a")
+        .agg(
+            F.min_by(
+                F.struct("value_b", "edit_distance"),
+                F.struct("edit_distance", "value_b"),
+            ).alias("_best")
+        )
+        .select("value_a", "_best.value_b", "_best.edit_distance")
+    )
+
+
+def schema_drift(source_df, target_df):
+    """Library operator: per-column schema-drift report between two
+    frames — the frame-level form of the registered
+    `schema_drift_report` (same statuses: MATCHED / TYPE_MISMATCH /
+    MISSING_AT_SOURCE / MISSING_AT_TARGET). Pure catalog metadata: no
+    job runs, the result is a 1-partition local frame at any data
+    scale — run it as the free pre-flight gate before a comparison or
+    ingest touches data. Duplicate column names on either side are
+    rejected (they would silently collapse in a name-keyed report —
+    exactly the conflict the gate exists to catch)."""
+    from spark_data_test_spark.operators.schema_drift import (
+        compare_schemas,
+    )
+
+    return compare_schemas(source_df.sparkSession, source_df, target_df)
+
+
 _SQL_API_QUERY = """
     SELECT n.n_name AS nation,
            o.o_orderpriority AS priority,
