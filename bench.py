@@ -359,9 +359,13 @@ def main():
                 "harness; verify cost tracks CANDIDATES, not shard"
             ),
             "streaming_incremental_dedup": (
-                "not stage-decomposed; same foreachBatch shape as the "
-                "minhash twin (persisted-index probe, delta commits), "
-                "one streaming run"
+                "engine ~1.7 s of the sf0.1 line (DECOMP_INCDEDUP"
+                ".json x1: staging 0.35 / probe 1.00 / commit 0.36); "
+                "the rest is the availableNow run. x30: engine 4.8 s "
+                "(2.8x on 30x data); pair OUTPUT grows ~factor^2 on "
+                "the amplified staging because key-shifted copies "
+                "share text (the isotropic-corpus artifact, as in "
+                "crossmodal) - probe seconds stay sub-linear anyway"
             ),
             "streaming_media_arrivals": (
                 "not stage-decomposed; linear-in-shard BY DESIGN "
