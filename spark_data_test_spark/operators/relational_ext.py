@@ -1206,7 +1206,7 @@ def dq_check(df, rules):
     )
 
 
-def profile(df, cols=None):
+def profile(df, cols=None, approx=False, rsd=0.05):
     """Library operator: per-column profiling for an arbitrary frame —
     the frame-level form of the registered `profile_columns`: exact
     NULL and distinct counts for every named column (default: all
@@ -1214,9 +1214,13 @@ def profile(df, cols=None):
     ``(column_name, n_nulls, n_distinct)``. Multiple exact
     COUNT(DISTINCT) ride one agg plan through Spark's Expand — a
     single pass and shuffle set, vs the naive one-job-per-column
-    profiler. At 100 TB swap the exact distincts for
-    ``approx_count_distinct`` to drop the Expand row replication; the
-    exact form is the testable contract."""
+    profiler. ``approx=True`` is the 100 TB lever: HLL++
+    ``approx_count_distinct`` (relative error ``rsd``) replaces the
+    exact distincts, dropping the Expand's row-per-column replication
+    — the whole profile becomes one ordinary map-combined pass whose
+    shuffle carries only fixed-size sketches. The exact form is the
+    testable contract; the approx form is cross-checked against it
+    within rsd in pytest."""
     cols = list(cols) if cols is not None else list(df.columns)
     # de-duplicate (first occurrence wins) so a repeated entry can't
     # produce duplicate aggregate aliases; aliases are POSITIONAL and
@@ -1229,13 +1233,18 @@ def profile(df, cols=None):
     def _q(c):
         return F.col("`" + c.replace("`", "``") + "`")
 
+    def _distinct(c):
+        if approx:
+            return F.approx_count_distinct(_q(c), rsd=float(rsd))
+        return F.count_distinct(_q(c))
+
     stats = df.agg(
         *[
             e
             for i, c in enumerate(cols)
             for e in (
                 (F.count(F.lit(1)) - F.count(_q(c))).alias(f"_nulls_{i}"),
-                F.count_distinct(_q(c)).alias(f"_distinct_{i}"),
+                _distinct(c).alias(f"_distinct_{i}"),
             )
         ]
     )

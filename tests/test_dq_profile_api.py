@@ -192,3 +192,31 @@ def test_profile_duplicate_and_dotted_columns(spark):
         for r in profile(df, cols=["a.b", "c", "a.b"]).collect()
     }
     assert got == {"a.b": (0, 1), "c": (1, 1)}
+
+
+def test_profile_approx_tracks_exact_and_drops_expand(spark):
+    """approx=True must track the exact distincts within rsd (nulls
+    stay exact either way) and must plan WITHOUT the Expand row
+    replication the exact multi-COUNT(DISTINCT) form pays."""
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "id % 997 AS k", "CASE WHEN id % 10 = 0 THEN NULL "
+        "ELSE CAST(id % 37 AS STRING) END AS s"
+    )
+    exact = {
+        r.column_name: (r.n_nulls, r.n_distinct)
+        for r in profile(df).collect()
+    }
+    approx = {
+        r.column_name: (r.n_nulls, r.n_distinct)
+        for r in profile(df, approx=True, rsd=0.05).collect()
+    }
+    assert set(approx) == set(exact)
+    for c in exact:
+        assert approx[c][0] == exact[c][0]  # nulls exact in both modes
+        assert abs(approx[c][1] - exact[c][1]) <= max(
+            3, 0.15 * exact[c][1]
+        ), (c, exact[c], approx[c])
+    assert "Expand" in simple_plan(profile(df))
+    assert "Expand" not in simple_plan(profile(df, approx=True))
