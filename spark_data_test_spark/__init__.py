@@ -80,6 +80,7 @@ from spark_data_test_spark.operators.sampling import (
 from spark_data_test_spark.operators.similarity import (
     cosine_topk,
     ivf_index_build,
+    ivf_index_compact,
     ivf_index_probe,
     ivf_topk,
     semantic_prune,
@@ -182,6 +183,7 @@ __all__ = [
     "hash_sample",
     "heavy_hitters",
     "ivf_index_build",
+    "ivf_index_compact",
     "ivf_index_probe",
     "ivf_topk",
     "knn_text_graph",

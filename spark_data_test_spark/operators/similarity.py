@@ -1945,6 +1945,51 @@ def ivf_index_build(
         c.unpersist()
 
 
+def _resolved_postings(spark, index_path):
+    """LATEST-WINS view of the postings log: a re-ingested id may
+    appear in several deltas — possibly with a CHANGED vector in a
+    DIFFERENT cell — so each read resolves per vec_id on the commit
+    version (max_by): deterministic, and an id can never occupy two
+    ranks. Same shuffle cost as a plain dropDuplicates over the log;
+    `ivf_index_compact` keeps the log short. Returns None for a
+    missing/empty log."""
+    from spark_data_test_spark.state import read_state_union
+
+    log = read_state_union(
+        spark, f"{index_path}/postings", version_col="_pv"
+    )
+    if log is None:
+        return None
+    return (
+        log.groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct("cell", "v", "n2"), F.col("_pv")).alias("_p")
+        )
+        .select("vec_id", "_p.cell", "_p.v", "_p.n2")
+    )
+
+
+def ivf_index_compact(spark, index_path):
+    """Library operator: fold the IVF postings LOG into one resolved
+    snapshot — the LSM compaction step for the persisted ANN index.
+    NOT the generic `compact_state_versions`: that folds the raw union,
+    which would freeze superseded rows of a re-ingested id at the SAME
+    version as their replacements and break the latest-wins read. This
+    compactor applies the index's merge rule (newest commit per vec_id)
+    BEFORE committing, so the folded snapshot holds exactly one row per
+    indexed vector; later `ivf_index_probe(commit=True)` deltas extend
+    the log from this fresh base. Returns the committed snapshot
+    version, or None for a missing index."""
+    from spark_data_test_spark.state import write_state_version
+
+    resolved = _resolved_postings(spark, index_path)
+    if resolved is None:
+        return None
+    return write_state_version(
+        resolved, f"{index_path}/postings", retain=1
+    )
+
+
 def ivf_index_probe(
     queries,
     index_path,
@@ -1972,8 +2017,10 @@ def ivf_index_probe(
     exactly how a FAISS IVF index absorbs adds (and the probe-then-
     commit pattern of `minhash_index_probe`). Delta commits retain
     every version — the log IS the index; fold it with
-    `compact_state_versions(spark, f"{index_path}/postings")` to
-    reclaim space at any cadence. Re-committed ids resolve LATEST-WINS
+    `ivf_index_compact(spark, index_path)` to reclaim space at any
+    cadence (NOT the generic `compact_state_versions`, which would
+    freeze superseded rows at the same version as their replacements
+    and break the latest-wins read). Re-committed ids resolve LATEST-WINS
     at read (each posting row carries its commit version; the newest
     version's row defines the id's vector and cell — the LSM read
     rule), so an identical re-commit is idempotent and a CHANGED
@@ -1985,7 +2032,6 @@ def ivf_index_probe(
     retrain)."""
     from spark_data_test_spark.state import (
         read_state_table,
-        read_state_union,
         write_state_version,
     )
 
@@ -2001,21 +2047,14 @@ def ivf_index_probe(
             "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
         )
     )
-    # A re-ingested id may appear in several deltas — possibly with a
-    # CHANGED vector in a DIFFERENT cell. Resolve latest-wins on the
-    # commit version (max_by per vec_id): deterministic, and an id can
-    # never occupy two ranks. Same shuffle cost as a plain
-    # dropDuplicates over the log; compaction keeps the log short.
-    postings = (
-        read_state_union(spark, f"{index_path}/postings", version_col="_pv")
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cell", "v", "n2"), F.col("_pv")
-            ).alias("_p")
+    postings = _resolved_postings(spark, index_path)
+    if postings is None:
+        # centroids committed but no postings: a build that crashed
+        # between its two commits — surface it, don't join against None
+        raise ValueError(
+            f"ivf_index_probe: index at {index_path} has centroids but "
+            "no committed postings (re-run ivf_index_build)"
         )
-        .select("vec_id", "_p.cell", "_p.v", "_p.n2")
-    )
     q = _norm_vectors(queries, id_col, vec_col, "ivf_index_probe").persist()
     try:
         wq = Window.partitionBy("_id").orderBy(

@@ -379,6 +379,59 @@ def test_ivf_index_changed_vector_latest_wins(spark, tmp_path):
     assert len(pairs) == len(set(pairs))
 
 
+def test_ivf_index_compact_preserves_latest_wins(spark, tmp_path):
+    """`ivf_index_compact` folds the postings log through the index's
+    OWN merge rule: after a changed-vector re-ingest, compaction must
+    keep only the newest row per id (the generic version-blind fold
+    would freeze both rows at one version and re-break latest-wins),
+    leave probe-all answers identical, shrink the log to one committed
+    version, and accept further ingest deltas on top."""
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_probe,
+    )
+    from spark_data_test_spark.state import _committed_state_version
+
+    corpus, queries = _fixture(n=16, nq=3, dim=6, seed=61)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark.createDataFrame(corpus, schema), idx,
+                    ncells=3, rounds=2)
+    moved = [(i, [-x for x in corpus[i][1]]) for i in (4, 7)]
+    ivf_index_probe(spark.createDataFrame(moved, schema), idx,
+                    k=2, nprobe=3, commit=True).collect()
+    qdf = spark.createDataFrame(queries, schema)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
+    }
+    v = ivf_index_compact(spark, idx)
+    assert v is not None
+    root = f"{idx}/postings"
+    survivors = [
+        n for n in __import__("os").listdir(root) if n.startswith("v")
+    ]
+    assert survivors == [f"v{v}"]
+    after = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
+    }
+    assert after == before
+    # the folded base keeps absorbing deltas
+    extra = [(500, [x * 0.5 + 0.2 for x in corpus[2][1]])]
+    ivf_index_probe(spark.createDataFrame(extra, schema), idx,
+                    k=2, nprobe=3, commit=True).collect()
+    assert _committed_state_version(root) == v + 1
+    updated = [(i, dict(moved).get(i, vv)) for i, vv in corpus] + extra
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
+    }
+    assert got == _brute(updated, queries, 4)
+    assert ivf_index_compact(spark, str(tmp_path / "nope")) is None
+
+
 def test_ivf_index_probe_requires_index(spark, tmp_path):
     from spark_data_test_spark import ivf_index_probe
 
