@@ -373,3 +373,26 @@ def test_ivf_index_probe_constant_plan_shape(spark, sf_dir, tmp_path):
     # postings log (1 committed version) + centroids + 2 query-side
     # reads of the persisted batch: the corpus itself is NEVER rescanned
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_fuzzy_match_is_block_equi_join(spark, sf_dir):
+    """`fuzzy_match` must stay an equi-join on the blocking key with
+    the levenshtein refine INSIDE the join stage — never a cartesian —
+    and a bounded shuffle count (two side-distincts + pair dedupe;
+    keep="best" adds one keyed aggregate, not a window over all
+    candidates)."""
+    from spark_data_test_spark import fuzzy_match
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    a = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_name", "split_part(p_name, ' ', -1) AS blk"
+    )
+    b = a.selectExpr("p_name AS label", "blk AS grp")
+    for keep, max_shuffles in (("all", 3), ("best", 4)):
+        f = fuzzy_match(
+            a, b, "p_name", "blk",
+            value_col_b="label", block_col_b="grp", keep=keep,
+        )
+        plan = simple_plan(f)
+        assert "CartesianProduct" not in plan
+        assert count_shuffles(f) <= max_shuffles, (keep, plan)
