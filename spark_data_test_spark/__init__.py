@@ -102,6 +102,7 @@ from spark_data_test_spark.state import (
 from spark_data_test_spark.sources.readers import zorder_key
 from spark_data_test_spark.operators.temporal import (
     anomaly_zscore,
+    hypertable_rollup,
     asof_join,
     asof_join_split,
     cumulative_distinct,
@@ -117,6 +118,7 @@ from spark_data_test_spark.operators.temporal import (
 )
 from spark_data_test_spark.operators.text import (
     decontaminate,
+    fingerprint,
     language_id,
     pii_scrub,
     quality_score,
@@ -154,6 +156,7 @@ __all__ = [
     "distribution_report",
     "exact_dup_groups",
     "funnel",
+    "fingerprint",
     "minhash_band_index",
     "minhash_index_build",
     "minhash_index_probe",
@@ -182,6 +185,7 @@ __all__ = [
     "gap_fill",
     "hash_sample",
     "heavy_hitters",
+    "hypertable_rollup",
     "ivf_index_build",
     "ivf_index_compact",
     "ivf_index_probe",

@@ -1680,3 +1680,60 @@ def top_session_paths(
         .where(F.col("_rn") <= F.lit(int(k)))
         .select("path", "n_sessions")
     )
+
+
+def hypertable_rollup(df, ts_col, aggs, buckets, keys=()):
+    """Library operator: hypertable-style continuous aggregate — every
+    resolution of a NESTED time hierarchy (plus the per-key total) from
+    ONE pass over the raw frame, the frame-level form of the registered
+    `events_hypertable_rollup`. ``buckets`` maps output column name ->
+    bucket width in SECONDS, e.g. ``{"day": 86400, "hour": 3600}``;
+    widths must strictly decrease and each coarser width must be an
+    exact multiple of the next finer one, so the hierarchy genuinely
+    nests (a 7-day bucket over 1-day nests; 1-day over 7-hour does not
+    — rejected rather than silently producing overlapping windows).
+    ``aggs`` are ready-aliased aggregate Columns; ``keys`` are fixed
+    grouping dimensions present at EVERY resolution.
+
+    Output: one row per (keys, bucket-prefix) grouping set — finest
+    first conceptually: (keys, b1..bn), (keys, b1..bn-1), ..., (keys,)
+    — with rolled-up bucket columns NULL, exactly like SQL ROLLUP
+    restricted to the time hierarchy while keys stay fixed.
+
+    At 100 TB this is the multi-resolution dashboard materialization:
+    GROUPING SETS plans as one aggregate over an Expand, partial
+    aggregation combines map-side per finest bucket before the single
+    shuffle, and coarser levels reduce from the finer — no
+    per-resolution re-scan of raw events."""
+    items = list(buckets.items())
+    if not items:
+        raise ValueError("hypertable_rollup: at least one bucket required")
+    for name, width in items:
+        if int(width) < 1:
+            raise ValueError(
+                f"hypertable_rollup: bucket {name!r} width must be >= 1s"
+            )
+    for (cn, cw), (fn, fw) in zip(items, items[1:]):
+        if int(cw) <= int(fw) or int(cw) % int(fw) != 0:
+            raise ValueError(
+                "hypertable_rollup: buckets must nest - "
+                f"{cn!r} ({cw}s) must be a strict exact multiple of "
+                f"{fn!r} ({fw}s)"
+            )
+    keys = list(keys)
+    staged = df
+    for name, width in items:
+        # truncating `div` on micros: bucket ids nest exactly because
+        # the widths do (validated above)
+        staged = staged.withColumn(
+            name,
+            F.expr(f"unix_micros(`{ts_col}`) div {int(width) * 1_000_000}"),
+        )
+    names = [n for n, _ in items]
+    sets = [
+        keys + names[: i]
+        for i in range(len(names), -1, -1)
+    ]
+    return staged.groupingSets(
+        [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in keys + names]
+    ).agg(*aggs)

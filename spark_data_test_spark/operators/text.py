@@ -1175,3 +1175,48 @@ def repetition_profile(docs, id_col="doc_id", text_col="text"):
         ratio("max_tok", "n_toks").alias("top_token_1e6"),
         ratio("max_bg", "n_bgs").alias("top_bigram_1e6"),
     )
+
+
+def fingerprint(
+    docs,
+    n_hashes=4,
+    shingle_len=8,
+    stride=4,
+    id_col="doc_id",
+    text_col="text",
+):
+    """Library operator: document fingerprinting — ``n_hashes`` MinHash
+    values over strided character shingles (the rolling-hash-sketch
+    idea; md5 is the portable hash family, seeded by suffixing the
+    seed index), the frame-level form of the registered
+    `text_fingerprint`. Equal fingerprints <=> likely near-identical
+    shingle sets, so the fp tuple is the cheap pre-key for clustering,
+    sampling, and change detection on document stores.
+
+    Plan shape: ENTIRELY in-row — the shingle array, the per-seed
+    transforms, and the `array_min` reductions all run inside one
+    codegen projection, so the operator adds ZERO shuffles (the
+    registered query's explode + groupBy formulation shuffles every
+    shingle; this is the round-8 in-row minhash lesson applied).
+    Documents shorter than ``shingle_len`` are dropped, matching the
+    registered contract (they have no shingles; `sequence()` would
+    DESCEND on a negative span, so the filter is also the source
+    guard)."""
+    if shingle_len < 1 or stride < 1 or n_hashes < 1:
+        raise ValueError(
+            "fingerprint: n_hashes, shingle_len, and stride must be >= 1"
+        )
+    tcol = "`" + text_col.replace("`", "``") + "`"
+    sh = (
+        f"transform(sequence(1, length({tcol}) - {shingle_len - 1}, "
+        f"{stride}), i -> substring({tcol}, i, {shingle_len}))"
+    )
+    return docs.where(F.length(F.col(text_col)) >= shingle_len).select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.expr(f"transform({sh}, s -> md5(concat(s, '#{k}')))")
+            ).alias(f"fp{k}")
+            for k in range(int(n_hashes))
+        ],
+    )
