@@ -66,6 +66,7 @@ from spark_data_test_spark.operators.relational_ext import (
 )
 from spark_data_test_spark.operators.analytics import (
     ab_readout,
+    market_basket,
     pareto_classes,
     rfm_segments,
     value_histogram,
@@ -103,6 +104,7 @@ from spark_data_test_spark.sources.readers import zorder_key
 from spark_data_test_spark.operators.temporal import (
     anomaly_zscore,
     hypertable_rollup,
+    last_touch_attribution,
     asof_join,
     asof_join_split,
     cumulative_distinct,
@@ -157,6 +159,7 @@ __all__ = [
     "exact_dup_groups",
     "funnel",
     "fingerprint",
+    "market_basket",
     "minhash_band_index",
     "minhash_index_build",
     "minhash_index_probe",
@@ -192,6 +195,7 @@ __all__ = [
     "ivf_topk",
     "knn_text_graph",
     "language_id",
+    "last_touch_attribution",
     "latest_wins",
     "quality_score",
     "read_state_table",

@@ -1358,3 +1358,78 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("_m").alias("value_total"),
     )
+
+
+def market_basket(df, basket_col, item_col, min_support=1, k=None):
+    """Library operator: market-basket pair affinity — the frame-level
+    form of the registered `orders_market_basket`, extended with the
+    lift statistic. Input is any (basket, item) frame; output is one
+    row per unordered item pair sharing a basket: ``(item_a, item_b,
+    support, count_a, count_b, lift)`` with item_a < item_b, support =
+    co-occurrence baskets (>= ``min_support``), count_x = the item's
+    own basket count, and lift = support * n_baskets /
+    (count_a * count_b) — lift > 1 means the pair co-occurs more than
+    independence predicts, the association-rule screening statistic.
+
+    Scale shape: (basket, item) rows are deduplicated FIRST, the
+    quadratic step is a self-equi-join on the basket key so pair
+    volume is bounded by BASKET size, not corpus size (the canonical
+    co-occurrence discipline — a TPC-H order holds <= 7 items, a
+    retail basket tens; a hot basket is the skew lever, cap or salt
+    it upstream). Item counts and the basket total attach as ordinary
+    aggregates-then-joins (AQE broadcasts the small sides); no
+    collect anywhere. With ``k`` the result is the deterministic
+    global top-k by (support desc, item_a, item_b) — a bounded
+    output, so the single-partition window cut is fine at any input
+    scale."""
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    a = items.select("_b", F.col("_i").alias("item_a"))
+    b = items.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    counts = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    nb = items.agg(F.count_distinct("_b").alias("_nb"))
+    out = (
+        pairs.join(
+            counts.select(
+                F.col("_i").alias("item_a"), F.col("_c").alias("count_a")
+            ),
+            "item_a",
+        )
+        .join(
+            counts.select(
+                F.col("_i").alias("item_b"), F.col("_c").alias("count_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "count_a",
+            "count_b",
+            (
+                F.col("support").cast("double")
+                * F.col("_nb")
+                / (F.col("count_a") * F.col("count_b"))
+            ).alias("lift"),
+        )
+    )
+    if k is None:
+        return out
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("support").desc(), "item_a", "item_b")
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

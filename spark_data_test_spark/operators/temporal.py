@@ -1737,3 +1737,46 @@ def hypertable_rollup(df, ts_col, aggs, buckets, keys=()):
     return staged.groupingSets(
         [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in keys + names]
     ).agg(*aggs)
+
+
+def last_touch_attribution(
+    df,
+    user_col,
+    ts_col,
+    type_col,
+    tie_col,
+    conv_type,
+    value_col=None,
+    none_label="(none)",
+):
+    """Library operator: last-touch conversion attribution — the
+    frame-level form of the registered `events_attribution_last_touch`.
+    Rows whose ``type_col`` equals ``conv_type`` are conversions;
+    every other row is a touch. Each conversion is credited to the
+    user's most recent touch type at-or-before it (conversions with no
+    preceding touch land in ``none_label``), then the report
+    aggregates ``(channel, n_conversions[, value])``.
+
+    The carry-forward is ``last(touch, ignorenulls=True)`` over a
+    running per-user frame — attribution IS an as-of join of
+    conversions against touches, fused into one stream instead of
+    two, so the whole operator costs ONE hash shuffle on the user key
+    plus a partial aggregation over the tiny channel dimension.
+    ``tie_col`` must be unique within (user, ts) for bit-determinism
+    when a touch and a conversion share a timestamp (the touch
+    ordered before the conversion IS credited to it)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col) != F.lit(conv_type), F.col(type_col))
+    conv = df.withColumn(
+        "_ch", F.last(touch, ignorenulls=True).over(w)
+    ).where(F.col(type_col) == F.lit(conv_type))
+    aggs = [F.count(F.lit(1)).alias("n_conversions")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value"))
+    return conv.groupBy(
+        F.coalesce("_ch", F.lit(none_label)).alias("channel")
+    ).agg(*aggs)

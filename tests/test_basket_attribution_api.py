@@ -1,0 +1,149 @@
+"""Frame-level `market_basket` and `last_touch_attribution`
+cross-checked against brute-force Python replicas (round 11)."""
+
+import itertools
+import random
+
+from spark_data_test_spark import last_touch_attribution, market_basket
+
+
+def _baskets(seed=23, n_baskets=40, catalog=9):
+    rng = random.Random(seed)
+    rows = []
+    for b in range(n_baskets):
+        for it in rng.sample(range(catalog), rng.randrange(1, 6)):
+            rows.append((b, it))
+            if rng.random() < 0.2:
+                rows.append((b, it))  # duplicate line: must not inflate
+    return rows
+
+
+def _brute_basket(rows, min_support):
+    sets = {}
+    for b, it in rows:
+        sets.setdefault(b, set()).add(it)
+    nb = len(sets)
+    item_counts = {}
+    for s in sets.values():
+        for it in s:
+            item_counts[it] = item_counts.get(it, 0) + 1
+    sup = {}
+    for s in sets.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            sup[(a, b)] = sup.get((a, b), 0) + 1
+    return {
+        (a, b): (
+            c,
+            item_counts[a],
+            item_counts[b],
+            c * nb / (item_counts[a] * item_counts[b]),
+        )
+        for (a, b), c in sup.items()
+        if c >= min_support
+    }
+
+
+def test_market_basket_matches_bruteforce(spark):
+    rows = _baskets()
+    df = spark.createDataFrame(rows, "order_id long, part long")
+    got = {
+        (r.item_a, r.item_b): (
+            r.support, r.count_a, r.count_b, round(r.lift, 9)
+        )
+        for r in market_basket(df, "order_id", "part", min_support=2).collect()
+    }
+    expected = {
+        k: (s, ca, cb, round(l, 9))
+        for k, (s, ca, cb, l) in _brute_basket(rows, 2).items()
+    }
+    assert got == expected
+    assert got, "fixture produced no pairs"
+
+
+def test_market_basket_topk_deterministic_cut(spark):
+    rows = _baskets(seed=31)
+    df = spark.createDataFrame(rows, "b long, i long")
+    full = sorted(
+        (
+            (-s, a, b)
+            for (a, b), (s, _, _, _) in _brute_basket(rows, 1).items()
+        )
+    )[:5]
+    got = [
+        (-r.support, r.item_a, r.item_b)
+        for r in market_basket(df, "b", "i", k=5)
+        .orderBy("item_a", "item_b")
+        .collect()
+    ]
+    assert sorted(got) == full
+
+
+def _touches(seed=41, users=12, n=120):
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                rng.randrange(users),
+                rng.randrange(0, 1000),
+                rng.choice(["ad", "email", "social", "buy", "buy"]),
+                rng.randrange(1, 50),
+            )
+        )
+    return rows
+
+
+def _brute_attrib(rows, conv="buy"):
+    out = {}
+    by_user = {}
+    for eid, u, ts, typ, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, typ, v))
+    for u, evs in by_user.items():
+        ch = None
+        for ts, eid, typ, v in sorted(evs):
+            if typ != conv:
+                ch = typ
+            else:
+                key = ch if ch is not None else "(none)"
+                n, sv = out.get(key, (0, 0))
+                out[key] = (n + 1, sv + v)
+    return out
+
+
+def test_last_touch_attribution_matches_bruteforce(spark):
+    rows = _touches()
+    df = spark.createDataFrame(
+        rows, "event_id long, user long, ts long, typ string, v long"
+    )
+    got = {
+        r.channel: (r.n_conversions, r.value)
+        for r in last_touch_attribution(
+            df, "user", "ts", "typ", "event_id", "buy", value_col="v"
+        ).collect()
+    }
+    assert got == _brute_attrib(rows)
+    assert "(none)" not in got or got["(none)"][0] > 0
+    # without value_col: counts only
+    counts = {
+        r.channel: r.n_conversions
+        for r in last_touch_attribution(
+            df, "user", "ts", "typ", "event_id", "buy"
+        ).collect()
+    }
+    assert counts == {c: n for c, (n, _) in _brute_attrib(rows).items()}
+
+
+def test_last_touch_same_ts_touch_ordered_first_is_credited(spark):
+    # tie_col orders the touch before the conversion at the same ts
+    df = spark.createDataFrame(
+        [(1, 7, 100, "ad", 5), (2, 7, 100, "buy", 5)],
+        "event_id long, user long, ts long, typ string, v long",
+    )
+    got = {
+        r.channel: r.n_conversions
+        for r in last_touch_attribution(
+            df, "user", "ts", "typ", "event_id", "buy"
+        ).collect()
+    }
+    assert got == {"ad": 1}
