@@ -1724,10 +1724,16 @@ def hypertable_rollup(df, ts_col, aggs, buckets, keys=()):
     staged = df
     for name, width in items:
         # truncating `div` on micros: bucket ids nest exactly because
-        # the widths do (validated above)
+        # the widths do (validated above). The cast accepts
+        # TIMESTAMP_NTZ sources too (interpreted in the session
+        # timezone — pin it to UTC, as this engine's sessions do, for
+        # deterministic bucket ids).
         staged = staged.withColumn(
             name,
-            F.expr(f"unix_micros(`{ts_col}`) div {int(width) * 1_000_000}"),
+            F.expr(
+                f"unix_micros(cast(`{ts_col}` as timestamp)) "
+                f"div {int(width) * 1_000_000}"
+            ),
         )
     names = [n for n, _ in items]
     sets = [

@@ -396,3 +396,26 @@ def test_fuzzy_match_is_block_equi_join(spark, sf_dir):
         plan = simple_plan(f)
         assert "CartesianProduct" not in plan
         assert count_shuffles(f) <= max_shuffles, (keep, plan)
+
+
+def test_hypertable_rollup_is_one_expand_aggregate(spark, sf_dir):
+    """`hypertable_rollup` must plan as ONE aggregate over an Expand
+    (every resolution from one pass — no per-resolution rescan or
+    union of grouped subplans): exactly one scan of the input and one
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import hypertable_rollup
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = hypertable_rollup(
+        ev, "ts",
+        [F.count(F.lit(1)).alias("n")],
+        {"day": 86400, "hour": 3600},
+        keys=["event_type"],
+    )
+    plan = simple_plan(res)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert count_shuffles(res) == 1, plan

@@ -133,3 +133,55 @@ def test_schema_drift_rejects_duplicate_columns(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# RANDOM linkage inputs (hypothesis) — short alphabets so blocks
+# collide and distances straddle the threshold organically.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_names = st.text(alphabet="abcx", min_size=1, max_size=5)
+
+
+@st.composite
+def _sides(draw):
+    def side():
+        n = draw(st.integers(1, 8))
+        return [(draw(_names),) for _ in range(n)]
+    return side(), side()
+
+
+@given(sides=_sides(), max_dist=st.integers(0, 2))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_fuzzy_match_property(spark, sides, max_dist):
+    """Property sweep: for any two small string sets blocked on the
+    first character, fuzzy_match == the brute-force blocked levenshtein
+    filter, and keep="best" is the (min dist, min value) argmin of the
+    keep="all" result."""
+    a_rows = [(v, v[0]) for (v,) in sides[0]]
+    b_rows = [(v, v[0]) for (v,) in sides[1]]
+    dfa = spark.createDataFrame(a_rows, "v string, b string")
+    dfb = spark.createDataFrame(b_rows, "v string, b string")
+    got = {
+        (r.value_a, r.value_b, r.edit_distance)
+        for r in fuzzy_match(dfa, dfb, "v", "b", max_dist=max_dist).collect()
+    }
+    expected = _brute(a_rows, b_rows, max_dist)
+    assert got == expected
+    best = {}
+    for va, vb, d in expected:
+        if va not in best or (d, vb) < (best[va][1], best[va][0]):
+            best[va] = (vb, d)
+    got_best = {
+        (r.value_a, r.value_b, r.edit_distance)
+        for r in fuzzy_match(
+            dfa, dfb, "v", "b", max_dist=max_dist, keep="best"
+        ).collect()
+    }
+    assert got_best == {(va, vb, d) for va, (vb, d) in best.items()}
