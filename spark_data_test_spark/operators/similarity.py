@@ -1897,9 +1897,14 @@ def ivf_index_build(
     the committed index provably equals `cosine_topk` (pinned in
     tests/test_similarity_api.py). Writes are the engine's crash-safe
     `write_state_version` commits (scratch write + atomic rename;
-    readers never see a partial index). Returns the number of indexed
-    vectors (zero-norm vectors are dropped: cosine is undefined for
-    them, matching the whole ANN family)."""
+    readers never see a partial index). A SAME-PATH rebuild resets the
+    postings log (see the retention note below), but its two commits
+    are not atomic TOGETHER: a probe racing a rebuild can transiently
+    score old postings against new centroids — rebuild in a
+    maintenance window, or build at a fresh path and swap the path
+    handed to probes. Returns the number of indexed vectors (zero-norm
+    vectors are dropped: cosine is undefined for them, matching the
+    whole ANN family)."""
     from spark_data_test_spark.state import write_state_version
 
     c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
