@@ -66,6 +66,7 @@ from spark_data_test_spark.operators.relational_ext import (
 )
 from spark_data_test_spark.operators.analytics import (
     ab_readout,
+    duplicate_scan,
     market_basket,
     pareto_classes,
     rfm_segments,
@@ -103,6 +104,7 @@ from spark_data_test_spark.state import (
 from spark_data_test_spark.sources.readers import zorder_key
 from spark_data_test_spark.operators.temporal import (
     anomaly_zscore,
+    cohort_ltv,
     hypertable_rollup,
     last_touch_attribution,
     asof_join,
@@ -149,12 +151,14 @@ __all__ = [
     "box_downsample",
     "compare_dataframes",
     "compare_dataframes_where",
+    "cohort_ltv",
     "connected_components",
     "corr_matrix",
     "cosine_topk",
     "decontaminate",
     "dedup_corpus",
     "distinct_sketch",
+    "duplicate_scan",
     "distribution_report",
     "exact_dup_groups",
     "funnel",

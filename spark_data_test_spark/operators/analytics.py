@@ -1433,3 +1433,58 @@ def market_basket(df, basket_col, item_col, min_support=1, k=None):
         .where(F.col("_rn") <= int(k))
         .drop("_rn")
     )
+
+
+def duplicate_scan(
+    df,
+    entity_col,
+    id_col,
+    amount_col,
+    time_col,
+    max_time_apart,
+    tol_num=10,
+    tol_den=1000,
+):
+    """Library operator: duplicate-transaction detection — the
+    frame-level form of the registered `orders_duplicate_payment_scan`
+    (structured near-dup for finance ops / AP review queues). Two rows
+    of the same ``entity_col`` (the blocking key: customer, vendor,
+    account), within ``max_time_apart`` of each other on an INTEGER
+    ``time_col`` (same unit as the threshold: day number, hour id),
+    whose NON-NEGATIVE integer amounts agree within
+    ``tol_num / tol_den`` of the smaller (division-free integer
+    cross-multiply: ``tol_den * |a-b| <= tol_num * least(a, b)`` — the
+    engine's tolerance discipline, exact at any magnitude) are flagged
+    once as ``(entity, id_a, id_b, amount_a, amount_b, time_apart)``
+    with ``id_a < id_b``.
+
+    Shape at 100 TB: blocking IS the plan — the self-join key is the
+    entity, so candidate volume is the sum of per-entity row counts
+    squared (bounded fan-out on real ledgers), never
+    corpus-quadratic, and every predicate evaluates INSIDE the
+    equi-join before anything pair-shaped shuffles; a skewed
+    mega-entity surfaces in AQE's skew-join splitting."""
+    o = df.select(
+        F.col(entity_col).alias("_e"),
+        F.col(id_col).alias("_id"),
+        F.col(amount_col).cast("long").alias("_amt"),
+        F.col(time_col).cast("long").alias("_t"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        (F.col("a._e") == F.col("b._e"))
+        & (F.col("a._id") < F.col("b._id"))
+        & (F.abs(F.col("a._t") - F.col("b._t")) <= int(max_time_apart))
+        & (
+            F.lit(int(tol_den)) * F.abs(F.col("a._amt") - F.col("b._amt"))
+            <= F.lit(int(tol_num)) * F.least(F.col("a._amt"), F.col("b._amt"))
+        ),
+    ).select(
+        F.col("a._e").alias("entity"),
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._amt").alias("amount_a"),
+        F.col("b._amt").alias("amount_b"),
+        F.abs(F.col("a._t") - F.col("b._t")).alias("time_apart"),
+    )

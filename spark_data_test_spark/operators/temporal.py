@@ -1786,3 +1786,64 @@ def last_touch_attribution(
     return conv.groupBy(
         F.coalesce("_ch", F.lit(none_label)).alias("channel")
     ).agg(*aggs)
+
+
+def cohort_ltv(df, user_col, bucket_col, value_col, cohort_width=7):
+    """Library operator: cohort value (LTV) curves — the frame-level
+    form of the registered `events_cohort_ltv`. Input is any frame
+    with a user key, an INTEGER time bucket (e.g. day number; bucket
+    upstream with the same floor discipline as `gap_fill`), and a
+    numeric value. Users are cohorted by the floor-``cohort_width``
+    period of their FIRST bucket; output is one row per
+    (cohort, period_offset): the cohort's value in that period of
+    life, the running cumulative, the cohort's user count, and
+    per-user LTV (``cum_value / cohort_users`` as double — callers on
+    the integer-cents discipline can recompute the truncating-div
+    form from the exact columns).
+
+    Shape at 100 TB: first-bucket is one user-keyed groupBy, the join
+    back is user-keyed, and everything after lives on the tiny
+    (cohorts x offsets) grid — the cumulative window and the cohort
+    size join never touch raw rows. Cohort assignment uses the
+    pmod/floor identity, so pre-epoch (negative) buckets land in the
+    correct cohort instead of truncating toward zero."""
+    w = int(cohort_width)
+    if w < 1:
+        raise ValueError("cohort_ltv: cohort_width must be >= 1")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(bucket_col).cast("long").alias("_d"),
+        F.col(value_col).alias("_v"),
+    )
+    firsts = ev.groupBy("_u").agg(F.min("_d").alias("_d0"))
+    cohort = F.expr(f"(_d0 - pmod(_d0, {w})) div {w}")
+    per = (
+        ev.join(firsts, "_u")
+        .select(
+            cohort.alias("cohort"),
+            F.expr(f"(_d - _d0) div {w}").alias("period_offset"),
+            "_v",
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.sum("_v").alias("period_value"))
+    )
+    csize = (
+        firsts.select(cohort.alias("cohort"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("cohort_users"))
+    )
+    cw = Window.partitionBy("cohort").orderBy("period_offset")
+    return (
+        per.withColumn("cum_value", F.sum("period_value").over(cw))
+        .join(csize, "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "period_value",
+            "cum_value",
+            "cohort_users",
+            (F.col("cum_value") / F.col("cohort_users")).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
