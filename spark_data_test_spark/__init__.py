@@ -121,6 +121,7 @@ from spark_data_test_spark.operators.temporal import (
     transition_matrix,
 )
 from spark_data_test_spark.operators.text import (
+    chunk_documents,
     decontaminate,
     fingerprint,
     language_id,
@@ -151,6 +152,7 @@ __all__ = [
     "box_downsample",
     "compare_dataframes",
     "compare_dataframes_where",
+    "chunk_documents",
     "cohort_ltv",
     "connected_components",
     "corr_matrix",

@@ -1220,3 +1220,52 @@ def fingerprint(
             for k in range(int(n_hashes))
         ],
     )
+
+
+def chunk_documents(
+    docs, chunk_chars, overlap=0, id_col="doc_id", text_col="text"
+):
+    """Library operator: context-window chunking — slice each document
+    into ``chunk_chars``-character pieces with ``overlap`` shared
+    characters between consecutive chunks (the RAG/pretraining
+    windowing primitive). This is the JVM-side formulation the
+    registered `udtf_chunk_documents` names as its 100 TB path:
+    ``posexplode(sequence(...))`` + ``substring`` run entirely inside
+    whole-stage codegen — a generate over a scan, ZERO shuffles and no
+    Python in the loop (the UDTF query exists as the
+    Python-row-expansion equivalence check; this export is what a
+    pipeline should call).
+
+    Returns ``(id, chunk_id, chunk, n_chars)``; the last chunk may be
+    short. NULL and empty documents emit no rows (the start-position
+    ``sequence()`` is CASE-guarded — Spark's sequence DESCENDS on a
+    negative span, the engine-wide source-guard discipline).
+    ``overlap`` must satisfy ``0 <= overlap < chunk_chars`` so the
+    stride stays positive and every character lands in at least one
+    chunk."""
+    n = int(chunk_chars)
+    ov = int(overlap)
+    if n < 1:
+        raise ValueError("chunk_documents: chunk_chars must be >= 1")
+    if ov < 0 or ov >= n:
+        raise ValueError(
+            "chunk_documents: overlap must satisfy 0 <= overlap < "
+            f"chunk_chars, got {ov}"
+        )
+    stride = n - ov
+    tcol = "`" + text_col.replace("`", "``") + "`"
+    starts = F.expr(
+        f"CASE WHEN length({tcol}) >= 1 "
+        f"THEN sequence(1, length({tcol}), {stride}) END"
+    )
+    chunk = F.expr(f"substring({tcol}, _start, {n})")
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("n_chars"),
+    )

@@ -136,3 +136,57 @@ def test_hypertable_rollup_rejects_non_nesting_buckets(spark):
             assert False, f"expected ValueError for {bad}"
         except ValueError:
             pass
+
+
+def test_chunk_documents_matches_bruteforce_no_shuffle(spark):
+    from spark_data_test_spark import chunk_documents
+    from spark_data_test_spark.plans.audit import count_shuffles
+
+    rows = [
+        (1, "abcdefghijklmnop"),   # 16 chars
+        (2, "xyz"),                # shorter than a chunk
+        (3, ""),                   # empty: no rows
+        (4, None),                 # NULL: no rows
+        (5, "a" * 23),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(chunk, ov):
+        stride = chunk - ov
+        out = set()
+        for did, text in rows:
+            if not text:
+                continue
+            for cid, start in enumerate(range(0, len(text), stride)):
+                piece = text[start : start + chunk]
+                out.add((did, cid, piece, len(piece)))
+        return out
+
+    for chunk, ov in ((5, 0), (5, 2), (100, 10)):
+        res = chunk_documents(df, chunk, overlap=ov)
+        got = {
+            (r.doc_id, r.chunk_id, r.chunk, r.n_chars) for r in res.collect()
+        }
+        assert got == brute(chunk, ov), (chunk, ov)
+        assert count_shuffles(res) == 0
+    # overlap reconstruction: stride-offset chunks cover every char
+    covered = sorted(
+        (r.chunk_id, r.chunk)
+        for r in chunk_documents(df.where("doc_id = 1"), 5, 2).collect()
+    )
+    text = rows[0][1]
+    rebuilt = covered[0][1] + "".join(c[2:] for _, c in covered[1:])
+    assert rebuilt == text
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from spark_data_test_spark import chunk_documents
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    for kw in ({"chunk_chars": 0}, {"chunk_chars": 5, "overlap": 5},
+               {"chunk_chars": 5, "overlap": -1}):
+        try:
+            chunk_documents(df, **kw)
+            assert False, f"expected ValueError for {kw}"
+        except ValueError:
+            pass
