@@ -35,7 +35,7 @@ from spark_data_test_spark.operators.graph import (
     pagerank_fixed,
     triangle_count,
 )
-from spark_data_test_spark.operators.ml import corr_matrix, ols_fit
+from spark_data_test_spark.operators.ml import corr_matrix, logit_fit, ols_fit
 from spark_data_test_spark.operators.multimodal import (
     box_downsample,
     decode_image,
@@ -203,6 +203,7 @@ __all__ = [
     "language_id",
     "last_touch_attribution",
     "latest_wins",
+    "logit_fit",
     "quality_score",
     "read_state_table",
     "read_state_union",

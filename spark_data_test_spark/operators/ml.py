@@ -536,3 +536,112 @@ def ml_logistic_calibration(spark, sf_dir):
         )
     finally:
         feat.unpersist()
+
+
+def logit_fit(df, x_cols, y_col, iters=2, lr_num=4):
+    """Library operator: distributed logistic regression with the
+    bit-deterministic integer-GD trajectory of
+    `ml_logistic_quality_train`, generalized to ANY integer feature
+    columns. Same two substitutions that make iterative training
+    order-independent: the link is the rational sigmoid
+    0.5 + (z/2)/(1+|z|) (no libm), and each row's residual is rounded
+    to integer micro-units BEFORE accumulation, so every gradient is
+    an exact int64 sum — map-side combinable, immune to float
+    reduction order. Weights live in integer micro-units and advance
+    by a truncating integer step w += (lr_num·g) div n. The gradient
+    here is sum(x_j · ri), which on 0/1 indicator features is exactly
+    the registered trainer's CASE-WHEN form (parity pinned in
+    tests/test_graph_model_ext.py). Per step: ONE aggregate scan
+    collecting len(x_cols)+2 scalars to the driver (the bounded
+    'model card') — at 100 TB each step is one map-side-combined
+    pass, and nothing about the arithmetic changes.
+
+    Rows with a NULL label or NULL in any feature are EXCLUDED before
+    training (sum() would silently skip them while count() kept them,
+    skewing the n in the update step). Features should be small
+    integers (cast to long internally; x·ri products must stay inside
+    int64). Returns a one-row DataFrame
+    (n, w0_1e6 [bias], w1_1e6..wp_1e6 [one per feature, positional],
+    n_correct, accuracy_pct) — weights in integer micro-units,
+    accuracy by sign agreement, truncating integer percent."""
+    cols = list(x_cols)
+    if not cols:
+        raise ValueError("logit_fit: x_cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError("logit_fit: duplicate names in x_cols")
+    iters = int(iters)
+    lr_num = int(lr_num)
+    if iters < 1 or lr_num < 1:
+        raise ValueError("logit_fit: iters and lr_num must be >= 1")
+    p = len(cols)
+
+    def _q(c):
+        return "`" + c.replace("`", "``") + "`"
+
+    xnames = [f"x{j}" for j in range(1, p + 1)]
+    feat = df.select(
+        F.col(_q(y_col)).cast("long").alias("y"),
+        *[
+            F.col(_q(c)).cast("long").alias(x)
+            for c, x in zip(cols, xnames)
+        ],
+    )
+    keep = F.col("y").isNotNull()
+    for x in xnames:
+        keep = keep & F.col(x).isNotNull()
+    feat = feat.where(keep).persist()
+    try:
+        w = [0] * (p + 1)
+        for _ in range(iters):
+            z = (
+                "cast("
+                + " + ".join([str(w[0])]
+                             + [f"{w[j]} * x{j}" for j in range(1, p + 1)])
+                + " as double) / 1000000"
+            )
+            ri = (
+                "cast(round((y - (0.5 + (z / 2) / (1 + abs(z))))"
+                " * 1000000) as bigint)"
+            )
+            row = (
+                feat.selectExpr("y", *xnames, f"{z} as z")
+                .selectExpr(*xnames, f"{ri} as ri")
+                .agg(
+                    F.sum("ri").alias("g0"),
+                    *[
+                        F.sum(F.col(x) * F.col("ri")).alias(f"g{j}")
+                        for j, x in enumerate(xnames, start=1)
+                    ],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            n = int(row["n"])
+            if n == 0:
+                raise ValueError("logit_fit: no non-NULL training rows")
+            g = [int(row[f"g{j}"]) for j in range(p + 1)]
+            w = [w[j] + _tdiv(lr_num * g[j], n) for j in range(p + 1)]
+        zi = " + ".join(
+            [str(w[0])] + [f"{w[j]} * x{j}" for j in range(1, p + 1)]
+        )
+        return (
+            feat.selectExpr("y", f"({zi}) as zi")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.lit(w[j]).cast("long").alias(f"w{j}_1e6")
+                    for j in range(p + 1)
+                ],
+                F.sum(
+                    F.expr("case when (zi >= 0) = (y = 1) then 1 else 0 end")
+                ).cast("long").alias("n_correct"),
+            )
+            .selectExpr(
+                "n",
+                *[f"w{j}_1e6" for j in range(p + 1)],
+                "n_correct",
+                "(100 * n_correct) div n as accuracy_pct",
+            )
+        )
+    finally:
+        feat.unpersist()

@@ -466,3 +466,94 @@ def test_hierarchy_guard_fires_on_deep_tree(spark, sf_dir, tmp_path):
     ).write.parquet(f"{sf}/supplier.parquet")
     with pytest.raises(RuntimeError, match="deeper than"):
         supplier_hierarchy_rollup(spark, sf)
+
+
+def test_library_logit_fit_matches_bruteforce(spark):
+    import math
+
+    from spark_data_test_spark import logit_fit
+
+    def rhalf(x):
+        # Spark round() on double = BigDecimal HALF_UP: half away from zero
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = [
+        # (y, f1, f2) — non-binary small-int features
+        (1, 3, 0), (1, 5, 1), (0, 0, 2), (0, 1, 4), (1, 4, 1),
+        (0, 2, 3), (1, 6, 0), (0, 0, 5), (1, 3, 2), (0, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "y long, f1 long, f2 long")
+
+    iters, lr = 3, 4
+    w = [0, 0, 0]
+    for _ in range(iters):
+        g = [0, 0, 0]
+        for y, f1, f2 in rows:
+            z = float(w[0] + w[1] * f1 + w[2] * f2) / 1000000
+            ri = rhalf((y - (0.5 + (z / 2) / (1 + abs(z)))) * 1000000)
+            g[0] += ri
+            g[1] += f1 * ri
+            g[2] += f2 * ri
+        w = [w[j] + tdiv(lr * g[j], len(rows)) for j in range(3)]
+    n_correct = sum(
+        1
+        for y, f1, f2 in rows
+        if (w[0] + w[1] * f1 + w[2] * f2 >= 0) == (y == 1)
+    )
+
+    got = logit_fit(df, ["f1", "f2"], "y", iters=iters, lr_num=lr).collect()[0]
+    assert (got.w0_1e6, got.w1_1e6, got.w2_1e6) == tuple(w)
+    assert got.n == len(rows)
+    assert got.n_correct == n_correct
+    assert got.accuracy_pct == (100 * n_correct) // len(rows)
+
+
+def test_library_logit_fit_parity_with_registered_trainer(spark):
+    from spark_data_test_spark import logit_fit
+    from spark_data_test_spark.operators.ml import _GD_ITERS, _fit_logistic
+
+    rows = [
+        (1, 1, 0, 1), (1, 1, 1, 0), (0, 0, 0, 1), (0, 0, 1, 0),
+        (1, 1, 1, 1), (0, 0, 0, 0), (1, 0, 1, 1), (0, 1, 0, 0),
+    ]
+    feat = spark.createDataFrame(rows, "y long, x1 long, x2 long, x3 long")
+    want = _fit_logistic(feat)  # the registered queries' CASE-WHEN gradient
+    got = logit_fit(feat, ["x1", "x2", "x3"], "y", iters=_GD_ITERS).collect()[0]
+    # sum(x·ri) == CASE WHEN x=1 THEN ri form on indicator features
+    assert [got.w0_1e6, got.w1_1e6, got.w2_1e6, got.w3_1e6] == want
+
+
+def test_library_logit_fit_null_rows_excluded(spark):
+    from spark_data_test_spark import logit_fit
+
+    base = [(1, 2, 1), (0, 0, 3), (1, 4, 0), (0, 1, 2)]
+    clean = spark.createDataFrame(base, "y long, f1 long, f2 long")
+    dirty = spark.createDataFrame(
+        base + [(None, 1, 1), (1, None, 0), (0, 2, None)],
+        "y long, f1 long, f2 long",
+    )
+    a = logit_fit(clean, ["f1", "f2"], "y").collect()[0]
+    b = logit_fit(dirty, ["f1", "f2"], "y").collect()[0]
+    assert a == b and a.n == len(base)
+
+    empty = spark.createDataFrame([], "y long, f1 long, f2 long")
+    try:
+        logit_fit(empty, ["f1"], "y")
+        assert False, "expected ValueError on zero training rows"
+    except ValueError:
+        pass
+    for bad in (
+        {"x_cols": [], "y_col": "y"},
+        {"x_cols": ["f1", "f1"], "y_col": "y"},
+        {"x_cols": ["f1"], "y_col": "y", "iters": 0},
+        {"x_cols": ["f1"], "y_col": "y", "lr_num": 0},
+    ):
+        try:
+            logit_fit(clean, **bad)
+            assert False, f"expected ValueError for {bad}"
+        except ValueError:
+            pass
