@@ -77,6 +77,7 @@ from spark_data_test_spark.operators.sampling import (
     pack_bins,
     split_assign,
     temperature_shares,
+    token_budget,
     topk_per_group,
 )
 from spark_data_test_spark.operators.similarity import (
@@ -219,6 +220,7 @@ __all__ = [
     "split_assign",
     "temperature_shares",
     "tfidf_topk",
+    "token_budget",
     "token_counts",
     "top_session_paths",
     "topk_per_group",

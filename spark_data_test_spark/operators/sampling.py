@@ -110,6 +110,42 @@ def pack_bins(df, partition_cols, order_col, size_col, budget, bin_col="bin"):
     )
 
 
+def token_budget(df, group_cols, id_col, size_col, budget, salt=0):
+    """Library operator: per-group budget-capped sampling — the
+    frame-level form of `sample_token_budget`. Each group keeps its
+    prefix of rows, in deterministic hash order of ``id_col`` (a
+    stable "random" order: a pure function of the id, so re-running
+    never reshuffles the sample), until the cumulative ``size_col``
+    reaches ``budget``; the straddling row is KEPT (greedy next-fit,
+    the `pack_bins` boundary rule). Re-running with a bigger budget
+    EXTENDS each group's sample instead of resampling it — the
+    property that keeps dataset ablations comparable.
+
+    Returns the surviving rows with the original columns. One window
+    cumsum partitioned by the group (a single shuffle); at 100 TB the
+    per-group sort is the cost, so group by a real domain column —
+    an empty ``group_cols`` means ONE global budget computed in a
+    single task (fine for reports, wrong for corpus-scale data).
+    Rows with a NULL ``size_col`` are dropped (a NULL cumsum can
+    never pass the budget predicate); ``id_col`` must be int64 (the
+    same contract as `split_assign` / `hash_sample`)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    budget = int(budget)
+    if budget < 1:
+        raise ValueError("token_budget: budget must be >= 1")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_hash_bucket(F.col(id_col), salt), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(size_col).over(w))
+        .where((F.col("_cum") - F.col(size_col)) < budget)
+        .drop("_cum")
+    )
+
+
 @query(
     "sample_split_stratified",
     f"""

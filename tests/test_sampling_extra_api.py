@@ -157,3 +157,98 @@ def test_topk_per_group_null_order_consistent_across_paths(spark):
     }
     assert k1 == {("g1", 3)}
     assert k3 == {("g1", 3), ("g1", 2)}
+
+
+def _bucket_py(v, salt=0):
+    from spark_data_test_spark.operators.sampling import _HASH_PRIME, _KNUTH
+
+    return ((v + salt) % _HASH_PRIME) * _KNUTH % 1000
+
+
+def test_token_budget_matches_bruteforce(spark):
+    from spark_data_test_spark import token_budget
+
+    rows = [
+        (i, "web" if i % 3 else "books", 50 + (i * 37) % 400)
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    def brute(budget):
+        kept = set()
+        by_src = {}
+        for did, src, nt in rows:
+            by_src.setdefault(src, []).append((did, nt))
+        for src, docs in by_src.items():
+            docs.sort(key=lambda d: (_bucket_py(d[0]), d[0]))
+            c = 0
+            for did, nt in docs:
+                if c < budget:  # c - n_tok < budget with straddler kept
+                    kept.add(did)
+                c += nt
+        return kept
+
+    for budget in (1, 300, 1500, 10**9):
+        got = {
+            r.doc_id
+            for r in token_budget(df, "source", "doc_id", "n_tok", budget).collect()
+        }
+        assert got == brute(budget), budget
+    # bigger budget EXTENDS the sample (prefix property)
+    assert brute(300) <= brute(1500)
+    got_small = {
+        r.doc_id for r in token_budget(df, "source", "doc_id", "n_tok", 300).collect()
+    }
+    got_big = {
+        r.doc_id for r in token_budget(df, "source", "doc_id", "n_tok", 1500).collect()
+    }
+    assert got_small <= got_big
+
+
+def test_token_budget_matches_registered_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import token_budget
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.operators.sampling import (
+        _TOK_BUDGET,
+        _n_tok_col,
+        sample_token_budget,
+    )
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _n_tok_col().alias("n_tok")
+    )
+    lib = (
+        token_budget(toks, "source", "doc_id", "n_tok", _TOK_BUDGET, salt=53)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("tok_kept"),
+        )
+    )
+    want = {
+        (r.source, r.n_kept, r.tok_kept)
+        for r in sample_token_budget(spark, sf_dir).collect()
+    }
+    got = {(r.source, r.n_kept, r.tok_kept) for r in lib.collect()}
+    assert got == want and got
+
+
+def test_token_budget_null_sizes_dropped_and_bad_budget(spark):
+    from spark_data_test_spark import token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "a", 10)],
+        "doc_id long, source string, n_tok long",
+    )
+    got = {
+        r.doc_id
+        for r in token_budget(df, "source", "doc_id", "n_tok", 10**6).collect()
+    }
+    assert got == {1, 3}
+    try:
+        token_budget(df, "source", "doc_id", "n_tok", 0)
+        assert False, "expected ValueError for budget=0"
+    except ValueError:
+        pass
