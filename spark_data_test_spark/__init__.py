@@ -61,6 +61,7 @@ from spark_data_test_spark.operators.relational_ext import (
     dq_check,
     fuzzy_match,
     latest_wins,
+    merge_agg_state,
     profile,
     schema_drift,
 )
@@ -167,6 +168,7 @@ __all__ = [
     "funnel",
     "fingerprint",
     "market_basket",
+    "merge_agg_state",
     "minhash_band_index",
     "minhash_index_build",
     "minhash_index_probe",

@@ -850,6 +850,57 @@ def orders_incremental_agg_merge(spark, sf_dir):
     )
 
 
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_agg_state(state, delta, keys, merge_spec):
+    """Library operator: incremental materialized-view maintenance for
+    distributive aggregates — the frame-level form of
+    `orders_incremental_agg_merge`. ``state`` is yesterday's stored
+    aggregate, ``delta`` the new batch's partial aggregate over the
+    SAME schema; ``merge_spec`` maps each measure column to its merge
+    function (``"sum"`` | ``"min"`` | ``"max"`` — count state is a
+    count column merged by ``"sum"``). Returns the merged state ==
+    a full recompute, at O(batch + groups) cost: history is never
+    rescanned. Groups present on only one side pass through unchanged
+    (union + re-aggregate handles them; no outer-join NULL pitfalls).
+    Non-distributive measures (exact median/distinct) don't merge —
+    use the sketch variants (`distinct_sketch`/`sketch_union`,
+    `value_histogram`), which is the design reason those exist.
+
+    At 100 TB this is THE rollup maintenance pattern: one shuffle of
+    (groups_state + groups_batch) rows — group-cardinality-sized, not
+    data-sized."""
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    if not keys or not merge_spec:
+        raise ValueError("merge_agg_state: keys and merge_spec required")
+    bad = [f for f in merge_spec.values() if f not in _MERGE_FNS]
+    if bad:
+        raise ValueError(
+            f"merge_agg_state: unsupported merge fn(s) {bad}; "
+            f"supported: {sorted(_MERGE_FNS)}"
+        )
+    overlap = set(keys) & set(merge_spec)
+    if overlap:
+        raise ValueError(
+            f"merge_agg_state: {sorted(overlap)} appear in both keys "
+            "and merge_spec"
+        )
+    cols = keys + list(merge_spec)
+    for side, df in (("state", state), ("delta", delta)):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"merge_agg_state: {side} missing {missing}")
+    return (
+        state.select(*cols)
+        .unionByName(delta.select(*cols))
+        .groupBy(*keys)
+        .agg(*[_MERGE_FNS[fn](c).alias(c) for c, fn in merge_spec.items()])
+    )
+
+
 @query(
     "null_safe_join",
     """

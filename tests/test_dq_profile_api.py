@@ -220,3 +220,72 @@ def test_profile_approx_tracks_exact_and_drops_expand(spark):
         ), (c, exact[c], approx[c])
     assert "Expand" in simple_plan(profile(df))
     assert "Expand" not in simple_plan(profile(df, approx=True))
+
+
+def test_merge_agg_state_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import merge_agg_state
+    from spark_data_test_spark.operators.relational import t
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+    )
+
+    def agg_state(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").alias("total_cents"),
+            F.max("c").alias("max_cents"),
+            F.min("c").alias("min_cents"),
+        )
+
+    state = agg_state(o.where("o_orderkey % 2 = 1"))
+    delta = agg_state(o.where("o_orderkey % 2 = 0"))
+    merged = merge_agg_state(
+        state,
+        delta,
+        "o_orderstatus",
+        {"n_orders": "sum", "total_cents": "sum",
+         "max_cents": "max", "min_cents": "min"},
+    )
+    want = {tuple(r) for r in agg_state(o).collect()}
+    got = {
+        (r.o_orderstatus, r.n_orders, r.total_cents, r.max_cents, r.min_cents)
+        for r in merged.collect()
+    }
+    assert got == want and got
+
+
+def test_merge_agg_state_one_sided_groups_and_validation(spark):
+    from spark_data_test_spark import merge_agg_state
+
+    state = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 3, 7), ("c", 1, 2)], "k string, n long, s long"
+    )
+    got = {
+        (r.k, r.n, r.s)
+        for r in merge_agg_state(
+            state, delta, "k", {"n": "sum", "s": "sum"}
+        ).collect()
+    }
+    # a: state only; c: delta only; b: merged
+    assert got == {("a", 2, 10), ("b", 4, 12), ("c", 1, 2)}
+
+    for bad in (
+        ([], {"n": "sum"}),               # no keys
+        (["k"], {}),                      # no measures
+        (["k"], {"n": "avg"}),            # non-distributive fn
+        (["k"], {"k": "sum"}),            # key also a measure
+        (["k"], {"missing": "sum"}),      # absent column
+    ):
+        try:
+            merge_agg_state(state, delta, bad[0], bad[1])
+            assert False, f"expected ValueError for {bad}"
+        except ValueError:
+            pass
