@@ -118,6 +118,7 @@ from spark_data_test_spark.operators.temporal import (
     retention_cohorts,
     rolling_agg,
     scd2_build,
+    seasonal_backtest,
     sessionize,
     top_session_paths,
     transition_matrix,
@@ -214,6 +215,7 @@ __all__ = [
     "run_comparison_job",
     "run_comparison_job_from_dfs",
     "scd2_build",
+    "seasonal_backtest",
     "schema_drift",
     "semantic_prune",
     "sessionize",

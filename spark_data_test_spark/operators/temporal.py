@@ -1207,6 +1207,48 @@ def events_seasonal_naive_backtest(spark, sf_dir):
     )
 
 
+def seasonal_backtest(df, keys, period_col, value_col, season):
+    """Library operator: seasonal-naive forecast backtest — the
+    frame-level form of `events_seasonal_naive_backtest`, generalized
+    to any series. ``df`` holds observations at ANY grain; they are
+    first summed to the (keys, period) grain (map-side combinable —
+    the raw scan's heavy lifting), then each period is scored against
+    the actual ``season`` periods earlier (the naive baseline every
+    forecasting pipeline must beat) via a tiny equi self-join on the
+    aggregated series. Periods with no prior-season actual (the first
+    season, gaps) drop out of scoring — inner-join semantics.
+
+    Returns per-key (n_forecast, total_abs_err, bias, mae) with MAE
+    as truncating integer division when the summed values are
+    integers (bit-deterministic — keep values in integer micro-units
+    for cross-engine identity). Shape at 100 TB: one partial-agg
+    groupBy to the series grain, then a series-sized (not data-sized)
+    self-join and roll-up."""
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    season = int(season)
+    if season < 1:
+        raise ValueError("seasonal_backtest: season must be >= 1")
+    series = df.groupBy(*keys, F.col(period_col).alias("_p")).agg(
+        F.sum(value_col).alias("_c")
+    )
+    prior = series.select(
+        *keys, (F.col("_p") + season).alias("_p"), F.col("_c").alias("_pc")
+    )
+    scored = series.join(prior, keys + ["_p"]).select(
+        *keys,
+        F.abs(F.col("_c") - F.col("_pc")).alias("_abs_err"),
+        (F.col("_c") - F.col("_pc")).alias("_err"),
+    )
+    return scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecast"),
+        F.sum("_abs_err").alias("total_abs_err"),
+        F.sum("_err").alias("bias"),
+        F.expr("sum(_abs_err) div count(*)").alias("mae"),
+    )
+
+
 @query(
     "events_cohort_ltv",
     f"""

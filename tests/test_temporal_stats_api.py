@@ -203,3 +203,71 @@ def test_rolling_agg_rejects_bad_window(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_seasonal_backtest_matches_registered_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import seasonal_backtest
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.operators.temporal import (
+        _DAY_US,
+        _SEASON_DAYS,
+        events_seasonal_naive_backtest,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        F.expr("cast(round(value * 100) as bigint)").alias("c"),
+    )
+    lib = seasonal_backtest(ev, "event_type", "day", "c", _SEASON_DAYS)
+    got = {
+        (r.event_type, r.n_forecast, r.total_abs_err, r.bias, r.mae)
+        for r in lib.collect()
+    }
+    want = {
+        (r.event_type, r.n_forecast_days, r.total_abs_err_cents,
+         r.bias_cents, r.mae_cents)
+        for r in events_seasonal_naive_backtest(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_seasonal_backtest_bruteforce_and_gaps(spark):
+    from spark_data_test_spark import seasonal_backtest
+
+    # key "a": periods 1..6 (season=2 scores 3..6); key "b" has a GAP
+    # at period 4 so periods 4 and 6 lose their pairings asymmetrically
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), ("a", 3, 13), ("a", 4, 17),
+        ("a", 5, 11), ("a", 6, 25),
+        ("a", 3, 5),  # duplicate (key, period): must pre-aggregate to 18
+        ("b", 2, 7), ("b", 3, 9), ("b", 5, 8), ("b", 6, 30),
+    ]
+    df = spark.createDataFrame(rows, "k string, p long, v long")
+
+    series = {}
+    for k, p, v in rows:
+        series[(k, p)] = series.get((k, p), 0) + v
+    per_key = {}
+    for (k, p), c in series.items():
+        prior = series.get((k, p - 2))
+        if prior is None:
+            continue
+        n, tot, bias = per_key.get(k, (0, 0, 0))
+        per_key[k] = (n + 1, tot + abs(c - prior), bias + (c - prior))
+    want = {
+        (k, n, tot, bias, tot // n) for k, (n, tot, bias) in per_key.items()
+    }
+    got = {
+        (r.k, r.n_forecast, r.total_abs_err, r.bias, r.mae)
+        for r in seasonal_backtest(df, "k", "p", "v", 2).collect()
+    }
+    assert got == want and len(got) == 2
+
+    try:
+        seasonal_backtest(df, "k", "p", "v", 0)
+        assert False, "expected ValueError for season=0"
+    except ValueError:
+        pass
