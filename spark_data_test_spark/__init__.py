@@ -46,6 +46,7 @@ from spark_data_test_spark.operators.multimodal import (
     encode_y4m,
 )
 from spark_data_test_spark.operators.dedup import (
+    containment_pairs,
     dedup_corpus,
     exact_dup_groups,
     knn_text_graph,
@@ -158,6 +159,7 @@ __all__ = [
     "chunk_documents",
     "cohort_ltv",
     "connected_components",
+    "containment_pairs",
     "corr_matrix",
     "cosine_topk",
     "decontaminate",

@@ -2985,6 +2985,138 @@ def near_dup_pairs(docs, tau_1e6=500000):
         gsh.unpersist()
 
 
+def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
+    """Library operator: asymmetric CONTAINMENT pairs over an arbitrary
+    ``(doc_id, text)`` frame — the frame-level form of
+    `dedup_containment`, detecting the duplication mode Jaccard misses
+    by construction (a short doc quoted inside a long one has tiny
+    Jaccard but containment ~1 — the signal contamination tracing
+    needs). Returns ``(contained_id, container_id, containment_1e6)``
+    where containment = |A∩B| / min(|A|,|B|) over the engine's strided
+    char-8-gram shingle sets and the orientation is resolved by
+    shingle-set size. Pairs with EQUAL set sizes are excluded (at
+    containment >= 0.8 they are ordinary near-dups — `near_dup_pairs`'
+    jurisdiction), identical texts never pair, and docs shorter than
+    the 8-char shingle width have no set and never pair.
+
+    NOT an LSH plan: MinHash banding targets Jaccard and provably
+    misses low-Jaccard containment pairs, so discovery runs on the
+    shingle INVERTED INDEX with stop-shingle-capped discovery — the
+    self-join is restricted to shingles in <= ``stop_df`` distinct
+    texts (work bounded by per-rare-shingle frequency squares; at
+    100 TB the cap is the difference between an index plan and a
+    licence-header cross-join) while the intersection stays EXACT:
+    the hot remainder folds in from broadcast per-text hot-shingle
+    arrays, no second self-join. The one documented miss (shared with
+    the registered query): a qualifying pair ALL of whose shared
+    shingles sit in more than ``stop_df`` texts — boilerplate-only
+    overlap by construction, measured zero lost at sf0.1. Group-level
+    like the rest of the family: everything runs once per DISTINCT
+    text; doc pairs are reconstructed by a members join, and the
+    result is an executor-local checkpoint so the scaffolding caches
+    release before the caller executes it."""
+    tau_1e6 = int(tau_1e6)
+    if not 0 < tau_1e6 <= 1_000_000:
+        raise ValueError(
+            "containment_pairs: tau_1e6 must be in (0, 1000000]"
+        )
+    docs = docs.select("doc_id", "text")
+    members = docs.select("doc_id", F.md5("text").alias("gid")).persist()
+    gsh = (
+        _shingles(
+            docs.where(F.length("text") >= 8)
+            .select(F.md5("text").alias("doc_id"), "text")
+            .dropDuplicates(["doc_id"])
+        )
+        .withColumnRenamed("doc_id", "gid")
+        .persist()
+    )
+    # scaffolding persists: every F.broadcast() below executes its
+    # subplan independently (rare, hot, ha, hb, sizes twice), so
+    # without these the per-gid / per-shingle aggregates recompute
+    # once per broadcast — same hazard _cached_gid_co_counts documents
+    sizes = gsh.groupBy("gid").agg(F.count(F.lit(1)).alias("n")).persist()
+    shdf = gsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).persist()
+    ghot = (
+        gsh.join(
+            F.broadcast(shdf.where(F.col("df") > stop_df).select("sh")), "sh"
+        )
+        .groupBy("gid")
+        .agg(F.collect_set("sh").alias("hs"))
+        .persist()
+    )
+    try:
+        shr = gsh.join(
+            F.broadcast(shdf.where(F.col("df") <= stop_df).select("sh")),
+            "sh",
+        )
+        a, b = shr.alias("a"), shr.alias("b")
+        co = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.gid") < F.col("b.gid")),
+            )
+            .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+            .agg(F.count(F.lit(1)).alias("i_rare"))
+        )
+        ha = ghot.select(F.col("gid").alias("ga"), F.col("hs").alias("ha"))
+        hb = ghot.select(F.col("gid").alias("gb"), F.col("hs").alias("hb"))
+        i_hot = F.when(
+            F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+            F.size(F.array_intersect("ha", "hb")),
+        ).otherwise(0)
+        co = (
+            co.join(
+                F.broadcast(
+                    sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
+                        "n", "na"
+                    )
+                ),
+                "ga",
+            )
+            .join(
+                F.broadcast(
+                    sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
+                        "n", "nb"
+                    )
+                ),
+                "gb",
+            )
+            .join(F.broadcast(ha), "ga", "left")
+            .join(F.broadcast(hb), "gb", "left")
+            .withColumn("i", (F.col("i_rare") + i_hot).cast("long"))
+        )
+        score = F.lit(1000000.0) * F.col("i") / F.least("na", "nb")
+        small_first = F.col("na") <= F.col("nb")
+        gp = co.where(
+            (score >= F.lit(tau_1e6)) & (F.col("na") != F.col("nb"))
+        ).select(
+            F.when(small_first, F.col("ga")).otherwise(F.col("gb")).alias(
+                "gid_s"
+            ),
+            F.when(small_first, F.col("gb")).otherwise(F.col("ga")).alias(
+                "gid_l"
+            ),
+            F.round(score).cast("long").alias("containment_1e6"),
+        )
+        ms = members.select(
+            F.col("gid").alias("gid_s"), F.col("doc_id").alias("contained_id")
+        )
+        ml = members.select(
+            F.col("gid").alias("gid_l"), F.col("doc_id").alias("container_id")
+        )
+        return (
+            gp.join(ms, "gid_s")
+            .join(ml, "gid_l")
+            .select("contained_id", "container_id", "containment_1e6")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for frame in (members, gsh, sizes, shdf, ghot):
+            frame.unpersist()
+
+
 def simhash_near_dup_pairs(docs, max_hamming=_SP_HAM_K):
     """Library operator: SimHash near-duplicate pairs over an arbitrary
     ``(doc_id, text)`` frame with EXACT recall. Returns

@@ -546,3 +546,79 @@ def test_minhash_index_probe_commit_never_prunes_history(spark, tmp_path):
         for r in minhash_index_probe(batch, idx_path, resolver=hdf).collect()
     }
     assert (900, 1) in again
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    from spark_data_test_spark import containment_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = {
+        1: base,
+        2: base + " and then it kept running through the meadow until dusk",
+        3: "completely unrelated content about cooking pasta with garlic",
+        4: base + " and then it kept running through the meadow until dusk",
+        5: "short",
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+    def sh(t):
+        return {t[i:i + 8] for i in range(0, len(t) - 7, 4)}
+
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a >= b or len(texts[a]) < 8 or len(texts[b]) < 8:
+                continue
+            if texts[a] == texts[b]:
+                continue  # same gid: never a containment pair
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if len(sa) == len(sb):
+                continue
+            i = len(sa & sb)
+            score = 1000000.0 * i / min(len(sa), len(sb))
+            if score >= 800000:
+                small, large = (a, b) if len(sa) < len(sb) else (b, a)
+                want.add((small, large, round(score)))
+
+    got = {
+        (r.contained_id, r.container_id, r.containment_1e6)
+        for r in containment_pairs(df, 800000).collect()
+    }
+    assert got == want
+    # the planted containment exists and the exact-dup group expands
+    assert (1, 2, 1000000) in got and (1, 4, 1000000) in got
+
+    try:
+        containment_pairs(df, 0)
+        assert False, "expected ValueError for tau=0"
+    except ValueError:
+        pass
+
+
+def test_containment_pairs_parity_with_registered_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import containment_pairs
+    from spark_data_test_spark.operators.dedup import (
+        _near_corpus,
+        dedup_containment,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    members = {
+        r.doc_id: r.gid
+        for r in corpus.select(
+            "doc_id", F.md5("text").alias("gid")
+        ).collect()
+    }
+    got = {
+        (members[r.contained_id], members[r.container_id], r.containment_1e6)
+        for r in containment_pairs(corpus).collect()
+    }
+    want = {
+        (r.contained_gid, r.container_gid, r.containment_1e6)
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    assert got == want and got
