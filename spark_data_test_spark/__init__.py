@@ -44,6 +44,7 @@ from spark_data_test_spark.operators.multimodal import (
     encode_png_gray,
     encode_wav_pcm16,
     encode_y4m,
+    phash_near_dup_pairs,
 )
 from spark_data_test_spark.operators.dedup import (
     containment_pairs,
@@ -180,6 +181,7 @@ __all__ = [
     "pack_bins",
     "pagerank_fixed",
     "pareto_classes",
+    "phash_near_dup_pairs",
     "pii_scrub",
     "profile",
     "repetition_profile",

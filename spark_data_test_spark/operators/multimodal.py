@@ -782,6 +782,130 @@ def _build_phash_pairs(spark, sf_dir):
     )
 
 
+def phash_near_dup_pairs(
+    images, max_hamming=_PHASH_HAM_K, id_col="doc_id", pixels_col="pixel_hex"
+):
+    """Library operator: IMAGE near-duplicate pairs by 64-bit
+    average-hash over an arbitrary frame of decoded 8x8 grayscale
+    images — the frame-level form of `multimodal_phash_neardup`
+    (parity pinned in tests/test_multimodal_api.py). ``pixels_col``
+    holds the 128-hex-char row-major pixel string the exported
+    `decode_image` codec emits; pair it with that codec (or any
+    resize path ending at 8x8) to go from raw PNG bytes to near-dup
+    pairs entirely in-engine. Returns ``(doc_a, doc_b, hamming)``
+    with ``doc_a < doc_b``.
+
+    Same exact-recall architecture as the registered query: hashes
+    are computed once per DISTINCT pixel content (k byte-identical
+    copies cost the self-join nothing), bit j of the packed-BIGINT
+    aHash is pixel j vs the image mean (division-free integers), and
+    candidacy is byte-banding — by pigeonhole, hamming <= 7 over 8
+    bands of 8 bits means at least one band matches exactly, so the
+    band bucket self-join finds EVERY qualifying pair and the
+    popcount verify (a codegen `bit_count` INSIDE the join, before
+    any pair dedup) is exact, not probabilistic. ``max_hamming``
+    must stay <= 7 — beyond that the pigeonhole guarantee breaks.
+    Doc pairs are reconstructed by a members expansion (identical
+    images pair at hamming 0); the result is an executor-local
+    checkpoint so the fingerprint scaffolding releases before the
+    caller executes it."""
+    max_hamming = int(max_hamming)
+    if not 0 <= max_hamming <= _PHASH_HAM_K:
+        raise ValueError(
+            f"phash_near_dup_pairs: max_hamming must be in "
+            f"[0, {_PHASH_HAM_K}] — banding recall is only exact up to "
+            f"{_PHASH_HAM_K} differing bits"
+        )
+    members = images.select(
+        F.col(pixels_col).alias("gid"), F.col(id_col).alias("doc_id")
+    ).persist()
+    spark = images.sparkSession
+    px = (
+        f"transform(sequence(1, {_PHASH_BITS}), j -> "
+        f"16 * (instr('{_HEXDIGITS}', substring(gid, 2*j - 1, 1)) - 1)"
+        f" + (instr('{_HEXDIGITS}', substring(gid, 2*j, 1)) - 1))"
+    )
+    # same three load-bearing moves as the registered pipeline
+    # (_build_phash_pairs): checkpoint the fingerprints (both sides of
+    # the self-join consume them), repartition after the distinct (AQE
+    # would coalesce the heavy interpreted hash projection onto one
+    # core), loop-form higher-order hash (unrolled form blows the
+    # codegen method-size limit)
+    fp = checkpointed(
+        members.select("gid")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("gid", f"{px} AS p")
+        .selectExpr("gid", "p", "aggregate(p, 0, (a, x) -> a + x) AS tot")
+        .selectExpr(
+            "gid",
+            f"aggregate(sequence(1, {_PHASH_BITS}), cast(0 AS bigint),"
+            f" (a, j) -> a + (CASE WHEN {_PHASH_BITS} * element_at(p, j)"
+            " >= tot THEN shiftleft(cast(1 AS bigint), j - 1)"
+            " ELSE cast(0 AS bigint) END)) AS h",
+        )
+    )
+    try:
+        bands = fp.selectExpr(
+            "gid", "h", f"explode(sequence(0, {_PHASH_BANDS - 1})) AS band"
+        ).selectExpr(
+            "gid", "h", "band", "shiftright(h, 8 * band) & 255 AS sig"
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cross = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.gid") < F.col("b.gid")),
+            )
+            .select(
+                F.col("a.gid").alias("gid_a"),
+                F.col("b.gid").alias("gid_b"),
+                F.expr("cast(bit_count(a.h ^ b.h) AS bigint)").alias(
+                    "hamming"
+                ),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .groupBy("gid_a", "gid_b")
+            .agg(F.min("hamming").alias("hamming"))
+        )
+        ma = members.select(
+            F.col("gid").alias("gid_a"), F.col("doc_id").alias("_da")
+        )
+        mb = members.select(
+            F.col("gid").alias("gid_b"), F.col("doc_id").alias("_db")
+        )
+        cross_docs = (
+            cross.join(ma, "gid_a")
+            .join(mb, "gid_b")
+            .select(
+                F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"),
+                "hamming",
+            )
+        )
+        intra_docs = (
+            ma.join(mb, F.col("gid_a") == F.col("gid_b"))
+            .where(F.col("_da") < F.col("_db"))
+            .select(
+                F.col("_da").alias("doc_a"),
+                F.col("_db").alias("doc_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        return (
+            cross_docs.unionByName(intra_docs)
+            .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        members.unpersist()
+        from spark_data_test_spark.utils.spark_utils import release_frame
+
+        release_frame(fp)
+
+
 @query(
     "multimodal_crossmodal_agreement",
     f"""
