@@ -60,6 +60,7 @@ from spark_data_test_spark.operators.dedup import (
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
     bloom_prefilter,
+    cdc_apply,
     dq_check,
     fuzzy_match,
     latest_wins,
@@ -152,6 +153,7 @@ __all__ = [
     "cumulative_distinct",
     "blocked_fuzzy_pairs",
     "bloom_prefilter",
+    "cdc_apply",
     "dq_check",
     "fuzzy_match",
     "box_downsample",

@@ -1114,6 +1114,66 @@ def latest_wins(base, updates, keys, order_col=None):
     )
 
 
+def cdc_apply(
+    base, changes, keys, order_col, op_col="op", delete_ops=("D", "delete")
+):
+    """Library operator: full CDC merge — `latest_wins` plus DELETE
+    semantics, the batch form of a Debezium/DMS change feed apply
+    when no table format provides MERGE. ``changes`` carries an
+    ``op_col`` whose values in ``delete_ops`` mark tombstones; every
+    other value (and NULL) is an upsert. Per key, the winning row
+    across base + changes is the largest ``order_col`` (a change
+    beats a base row on an order tie — the same recency rule as
+    `latest_wins`); if the winner is a tombstone the key disappears,
+    else the winner survives. A delete older than the live row is
+    correctly ignored, and a delete for an absent key is a no-op —
+    both fall out of the one window, not special cases.
+
+    ``base`` must not carry ``op_col`` (a state table has no op
+    column; raising beats silently treating state rows as changes),
+    and ``changes`` minus ``op_col`` must match base's columns.
+    One shuffle (the per-key window); at 100 TB pair with dynamic
+    partition overwrite so only touched partitions rewrite, or feed
+    it to `write_state_version` per micro-batch as
+    `streaming_cdc_upsert`'s foreachBatch does for the upsert-only
+    case."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if op_col in base.columns:
+        raise ValueError(
+            f"cdc_apply: base must not carry the op column {op_col!r}"
+        )
+    if op_col not in changes.columns:
+        raise ValueError(f"cdc_apply: changes missing op column {op_col!r}")
+    if set(changes.columns) - {op_col} != set(base.columns):
+        raise ValueError(
+            "cdc_apply: changes (minus op) and base columns differ: "
+            f"{sorted(set(changes.columns) - {op_col})} vs "
+            f"{sorted(base.columns)}"
+        )
+    tagged = base.withColumn("_del", F.lit(False)).withColumn(
+        "_side", F.lit(0)
+    ).unionByName(
+        changes.withColumn(
+            "_del",
+            F.coalesce(
+                F.col(op_col).isin(list(delete_ops)), F.lit(False)
+            ),
+        )
+        .drop(op_col)
+        .withColumn("_side", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_side").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & ~F.col("_del"))
+        .drop("_side", "_del", "_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Library surface: frame-level warehouse gates (round 10) — the
 # arbitrary-frame forms of `dq_constraint_report` (fused declarative

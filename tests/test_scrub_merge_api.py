@@ -110,3 +110,69 @@ def test_latest_wins_order_col_across_sides(spark):
     got2 = {r.k: r.s
             for r in latest_wins(base2, upd2, "k", order_col="ver").collect()}
     assert got2 == {1: "upd-v5"}
+
+
+def test_cdc_apply_matches_bruteforce(spark):
+    from spark_data_test_spark import cdc_apply
+
+    base_rows = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # ver 5 delete of k1; ver 3 STALE delete of k2 (base is ver 4 via
+    # side tie-break? no: base has no version — order_col decides, tie
+    # -> change wins); upsert k3; insert k4; k5 delete of absent key;
+    # k6 insert then delete (delete newer)
+    change_rows = [
+        (1, "a2", 11, 5, "U"),
+        (1, None, 0, 6, "D"),       # newest for k1: tombstone
+        (2, "b2", 22, 7, "U"),
+        (3, None, 0, 2, "delete"),  # stale vs the ver-9 upsert below
+        (3, "c9", 99, 9, "U"),
+        (4, "d", 40, 1, "I"),
+        (5, None, 0, 8, "D"),       # delete of absent key: no-op
+        (6, "f", 60, 1, None),      # NULL op: upsert
+    ]
+    base = spark.createDataFrame(
+        [(k, v, c, 0) for k, v, c in base_rows],
+        "k long, name string, cents long, ver long",
+    )
+    changes = spark.createDataFrame(
+        change_rows, "k long, name string, cents long, ver long, op string"
+    )
+    got = {
+        (r.k, r.name, r.cents, r.ver)
+        for r in cdc_apply(base, changes, "k", "ver").collect()
+    }
+    want = {
+        (2, "b2", 22, 7),   # upsert beats base
+        (3, "c9", 99, 9),   # upsert beats stale delete
+        (4, "d", 40, 1),    # fresh insert
+        (6, "f", 60, 1),    # NULL op = upsert
+        # k1 tombstoned, k5 never existed
+    }
+    assert got == want
+
+    # upsert-only changes == latest_wins
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import latest_wins
+
+    ups = changes.where(~F.coalesce(F.col("op").isin("D", "delete"),
+                                    F.lit(False)))
+    lw = {
+        tuple(r)
+        for r in latest_wins(base, ups.drop("op"), "k", "ver").collect()
+    }
+    ca = {
+        tuple(r) for r in cdc_apply(base, ups, "k", "ver").collect()
+    }
+    assert ca == lw
+
+    for bad_base, bad_changes in (
+        (base.withColumn("op", F.lit("x")), changes),   # base carries op
+        (base, changes.drop("op")),                      # changes missing op
+        (base, changes.withColumnRenamed("cents", "c")), # column mismatch
+    ):
+        try:
+            cdc_apply(bad_base, bad_changes, "k", "ver")
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
