@@ -49,6 +49,7 @@ from spark_data_test_spark.operators.multimodal import (
 from spark_data_test_spark.operators.dedup import (
     containment_pairs,
     dedup_corpus,
+    duplicate_ngram_spans,
     exact_dup_groups,
     knn_text_graph,
     minhash_band_index,
@@ -168,6 +169,7 @@ __all__ = [
     "decontaminate",
     "dedup_corpus",
     "distinct_sketch",
+    "duplicate_ngram_spans",
     "duplicate_scan",
     "distribution_report",
     "exact_dup_groups",

@@ -1780,6 +1780,96 @@ def corpus_duplicate_ngrams(spark, sf_dir):
     )
 
 
+def duplicate_ngram_spans(
+    docs, n=_NGRAM_N, stop_df=_NGRAM_STOP_DF, id_col="doc_id",
+    text_col="text",
+):
+    """Library operator: EXACT duplicated-span detection over an
+    arbitrary ``(id, text)`` frame — the frame-level, parameterized
+    form of `corpus_duplicate_ngrams` (the substring-dedup signal of
+    Lee et al. 2022 at word-``n``-gram granularity; parity with the
+    registered query pinned in tests). For every document sharing at
+    least one exact ``n``-gram with another document, returns
+    ``(id, n_grams, n_dup_grams, n_partner_docs, dup_permille)`` —
+    how much of it is duplicated and across how many partners.
+
+    Plan shape (identical to the registered query): tokens ->
+    adjacent-slice n-grams (pure Catalyst transform/sequence, no
+    Python), distinct per doc, ONE shuffle keyed by gram builds the
+    inverted index. Only grams with 2 <= df <= ``stop_df`` expand
+    into partner pairs, so the quadratic step is bounded by per-gram
+    df squares — at 100 TB the stop-gram cap is what keeps licence
+    headers from becoming a cross-join. Documents with fewer than
+    ``n`` whitespace tokens carry no grams and never appear."""
+    n = int(n)
+    stop_df = int(stop_df)
+    if n < 1:
+        raise ValueError("duplicate_ngram_spans: n must be >= 1")
+    if stop_df < 2:
+        raise ValueError(
+            "duplicate_ngram_spans: stop_df must be >= 2 (a dup gram "
+            "needs df >= 2)"
+        )
+    tcol = "`" + text_col.replace("`", "``") + "`"
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(tcol).alias("text"))
+        .selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x != '') AS toks",
+        )
+        .where(F.expr(f"size(toks) >= {n}"))
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> array_join(slice(toks, i, {n}), ' '))) AS g",
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        gstats = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        dup_grams = gstats.where(
+            (F.col("df") >= 2) & (F.col("df") <= stop_df)
+        ).select("g")
+        per_doc = (
+            grams.join(dup_grams.withColumn("is_dup", F.lit(1)), "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias(
+                    "n_dup_grams"
+                ),
+            )
+        )
+        partners = (
+            grams.join(dup_grams, "g")
+            .alias("a")
+            .join(
+                grams.alias("b"),
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.countDistinct(F.col("b.doc_id")).alias("n_partner_docs"))
+        )
+        return (
+            per_doc.where(F.col("n_dup_grams") > 0)
+            .join(partners, "doc_id")
+            .select(
+                F.col("doc_id").alias(id_col),
+                "n_grams",
+                "n_dup_grams",
+                "n_partner_docs",
+                F.expr("1000 * n_dup_grams div n_grams").alias(
+                    "dup_permille"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        grams.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup against a PERSISTED index (the production shape)
 # ---------------------------------------------------------------------------

@@ -622,3 +622,80 @@ def test_containment_pairs_parity_with_registered_query(spark, sf_dir):
         for r in dedup_containment(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_duplicate_ngram_spans_matches_bruteforce(spark):
+    from spark_data_test_spark import duplicate_ngram_spans
+
+    texts = {
+        1: "a b c d e f",        # shares 3-grams with 2 and 3
+        2: "a b c d x y",        # shares "a b c", "b c d" with 1
+        3: "z w c d e f q",      # shares "c d e", "d e f" with 1
+        4: "p q r s t",          # no shared grams
+        5: "a b",                # too short for a 3-gram
+        6: "hot hot hot hot",    # df-capped gram scenario below
+        7: "hot hot hot hot",
+        8: "hot hot hot",
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+    def brute(n, stop_df):
+        grams = {
+            d: {
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            }
+            for d, t in texts.items()
+            if len(toks := [x for x in t.split(" ") if x]) >= n
+        }
+        df_count = {}
+        for gs in grams.values():
+            for g in gs:
+                df_count[g] = df_count.get(g, 0) + 1
+        dup = {g for g, c in df_count.items() if 2 <= c <= stop_df}
+        out = set()
+        for d, gs in grams.items():
+            nd = len(gs & dup)
+            if nd == 0:
+                continue
+            partners = {
+                o
+                for o, ogs in grams.items()
+                if o != d and (gs & dup & ogs)
+            }
+            out.add((d, len(gs), nd, len(partners), 1000 * nd // len(gs)))
+        return out
+
+    for n, stop in ((3, 1000), (3, 2), (2, 1000)):
+        got = {
+            tuple(r)
+            for r in duplicate_ngram_spans(df, n=n, stop_df=stop).collect()
+        }
+        assert got == brute(n, stop), (n, stop)
+
+    # stop_df=2 drops the df-3 "hot hot hot" gram from pair expansion
+    assert brute(3, 2) != brute(3, 1000)
+
+    for bad in ({"n": 0}, {"stop_df": 1}):
+        try:
+            duplicate_ngram_spans(df, **bad)
+            assert False, f"expected ValueError for {bad}"
+        except ValueError:
+            pass
+
+
+def test_duplicate_ngram_spans_parity_with_registered_query(spark, sf_dir):
+    from spark_data_test_spark import duplicate_ngram_spans
+    from spark_data_test_spark.operators.dedup import corpus_duplicate_ngrams
+    from spark_data_test_spark.operators.relational import t
+
+    got = {
+        tuple(r)
+        for r in duplicate_ngram_spans(
+            t(spark, sf_dir, "documents")
+        ).collect()
+    }
+    want = {tuple(r) for r in corpus_duplicate_ngrams(spark, sf_dir).collect()}
+    assert got == want and got
