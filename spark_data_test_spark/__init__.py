@@ -57,6 +57,7 @@ from spark_data_test_spark.operators.dedup import (
     minhash_index_probe,
     near_dup_pairs,
     simhash_near_dup_pairs,
+    source_overlap,
 )
 from spark_data_test_spark.operators.relational_ext import (
     blocked_fuzzy_pairs,
@@ -228,6 +229,7 @@ __all__ = [
     "semantic_prune",
     "sessionize",
     "simhash_near_dup_pairs",
+    "source_overlap",
     "sketch_union",
     "split_assign",
     "temperature_shares",

@@ -2717,6 +2717,87 @@ def corpus_source_similarity(spark, sf_dir):
     )
 
 
+def source_overlap(docs, group_col="source", text_col="text"):
+    """Library operator: group-level content-overlap matrix — the
+    frame-level, parameterized form of `corpus_source_similarity`
+    (parity pinned in tests). Exact shingle Jaccard between every
+    pair of ``group_col`` values (char-8-gram stride-4 shingles, the
+    dedup family's scheme): the cross-source contamination /
+    redundancy readout a corpus-mixing pipeline consults before
+    assigning per-source sampling weights, generalized to any
+    grouping column (crawl snapshot, language, license bucket).
+    Returns ``(group_a, group_b, n_shared, n_a, n_b, jaccard_1e6)``
+    for pairs sharing at least one shingle, with ``group_a <
+    group_b`` (sort order of the group values).
+
+    Plan shape: shingle explode + per-group distinct, then one
+    aggregate collapses each shingle to its (bounded-by-group-count)
+    member set — pair expansion happens AFTER the aggregate on rows
+    whose width is the group count, never corpus-sized, so no
+    shingle-keyed self-join ever runs. At thousands of groups switch
+    to per-group MinHash sketches; at mixing-pipeline group counts
+    (dozens) exact is cheaper and exact. NULL group values are
+    excluded (a NULL cannot be a mixing weight's key)."""
+    gq = "`" + group_col.replace("`", "``") + "`"
+    tq = "`" + text_col.replace("`", "``") + "`"
+    ssh = (
+        docs.select(
+            F.col(gq).alias("_grp"), F.col(tq).alias("text")
+        )
+        .where(F.col("_grp").isNotNull() & (F.length("text") >= 8))
+        .select(
+            "_grp",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 7, 4),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    grpsets = ssh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("_grp")).alias("grps")
+    )
+    pair_expr = (
+        "flatten(transform(grps, (a, i) ->"
+        " transform(slice(grps, i + 2, size(grps)),"
+        " b -> struct(a AS group_a, b AS group_b))))"
+    )
+    shared = (
+        grpsets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.group_a", "p.group_b")
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = (
+        grpsets.select(F.explode("grps").alias("_grp"))
+        .groupBy("_grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sa = sizes.select(
+        F.col("_grp").alias("group_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("_grp").alias("group_b"), F.col("n").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(round(1000000.0 * n_shared / (n_a + n_b - n_shared))"
+                " as bigint)"
+            ).alias("jaccard_1e6"),
+        )
+    )
+
+
 # Test-visible hook: formatted physical plan of the most recent
 # bucketed-index probe join, captured inside the managed table's
 # lifecycle (the table is dropped before the caller sees the result,

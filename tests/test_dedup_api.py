@@ -699,3 +699,57 @@ def test_duplicate_ngram_spans_parity_with_registered_query(spark, sf_dir):
     }
     want = {tuple(r) for r in corpus_duplicate_ngrams(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_source_overlap_matches_bruteforce(spark):
+    from spark_data_test_spark import source_overlap
+
+    rows = [
+        (1, "web", "the quick brown fox jumps over the lazy dog"),
+        (2, "web", "shared content block appears in both places okay"),
+        (3, "crawl", "shared content block appears in both places okay"),
+        (4, "crawl", "entirely different crawl material about topics"),
+        (5, "books", "unrelated long-form writing with its own words"),
+        (6, None, "the quick brown fox jumps over the lazy dog"),  # dropped
+        (7, "web", "tiny"),  # below shingle width: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    sets = {}
+    for _, src, t in rows:
+        if src is None or len(t) < 8:
+            continue
+        sets.setdefault(src, set()).update(
+            t[i:i + 8] for i in range(0, len(t) - 7, 4)
+        )
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            i = len(sets[a] & sets[b])
+            if i == 0:
+                continue
+            want.add((
+                a, b, i, len(sets[a]), len(sets[b]),
+                round(1000000.0 * i / (len(sets[a]) + len(sets[b]) - i)),
+            ))
+    got = {tuple(r) for r in source_overlap(df).collect()}
+    assert got == want
+    assert any(p[:2] == ("crawl", "web") for p in want)  # planted overlap
+    assert not any("books" in p[:2] for p in want)       # disjoint group
+
+
+def test_source_overlap_parity_with_registered_query(spark, sf_dir):
+    from spark_data_test_spark import source_overlap
+    from spark_data_test_spark.operators.dedup import corpus_source_similarity
+    from spark_data_test_spark.operators.relational import t
+
+    got = {
+        tuple(r)
+        for r in source_overlap(t(spark, sf_dir, "documents")).collect()
+    }
+    want = {
+        tuple(r) for r in corpus_source_similarity(spark, sf_dir).collect()
+    }
+    assert got == want and got
