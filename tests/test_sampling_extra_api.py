@@ -252,3 +252,65 @@ def test_token_budget_null_sizes_dropped_and_bad_budget(spark):
         assert False, "expected ValueError for budget=0"
     except ValueError:
         pass
+
+
+def test_token_budget_property_sweep(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import token_budget
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(1, 12))
+        return [
+            (
+                draw(st.integers(-50, 10**7)),  # ids incl. negatives
+                draw(st.sampled_from(["a", "b"])),
+                draw(st.integers(1, 500)),
+            )
+            for _ in range(n)
+        ]
+
+    @given(
+        rows=corpora(),
+        budget=st.integers(1, 2000),
+        salt=st.integers(0, 3),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(rows, budget, salt):
+        rows = list({r[0]: r for r in rows}.values())  # unique ids
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+        by_src = {}
+        for did, src, nt in rows:
+            by_src.setdefault(src, []).append((did, nt))
+        kept = set()
+        for src, docs in by_src.items():
+            docs.sort(key=lambda d: (_bucket_py(d[0], salt), d[0]))
+            c = 0
+            for did, nt in docs:
+                if c < budget:
+                    kept.add(did)
+                c += nt
+        got = {
+            r.doc_id
+            for r in token_budget(
+                df, "source", "doc_id", "n_tok", budget, salt=salt
+            ).collect()
+        }
+        assert got == kept
+        # extension property: doubling the budget only ADDS rows
+        bigger = {
+            r.doc_id
+            for r in token_budget(
+                df, "source", "doc_id", "n_tok", budget * 2, salt=salt
+            ).collect()
+        }
+        assert got <= bigger
+
+    prop()

@@ -176,3 +176,61 @@ def test_cdc_apply_matches_bruteforce(spark):
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+def test_cdc_apply_property_sweep(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import cdc_apply
+
+    @st.composite
+    def scenarios(draw):
+        keys = draw(st.lists(st.integers(1, 6), min_size=1, max_size=6,
+                             unique=True))
+        base = [(k, f"b{k}", draw(st.integers(0, 5))) for k in keys
+                if draw(st.booleans())]
+        n_ch = draw(st.integers(1, 10))
+        seen = set()
+        changes = []
+        for i in range(n_ch):
+            k = draw(st.integers(1, 6))
+            v = draw(st.integers(0, 9))
+            if (k, v) in seen:  # keep (key, ver) unique: tie order among
+                continue        # changes is contractually unspecified
+            seen.add((k, v))
+            changes.append(
+                (k, f"c{k}_{i}", v, draw(st.sampled_from(["U", "D", None])))
+            )
+        return base, changes
+
+    @given(s=scenarios())
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(s):
+        base_rows, change_rows = s
+        base = spark.createDataFrame(
+            base_rows or [(None, None, None)],
+            "k long, name string, ver long",
+        ).where("k is not null")
+        changes = spark.createDataFrame(
+            change_rows or [(None, None, None, None)],
+            "k long, name string, ver long, op string",
+        ).where("k is not null")
+
+        state = {}
+        for k, name, ver in base_rows:
+            state[k] = (ver, 0, False, (k, name, ver))
+        for k, name, ver, op in change_rows:
+            cur = state.get(k)
+            cand = (ver, 1, op == "D", (k, name, ver))
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                state[k] = cand
+        want = {row for (_, _, dele, row) in state.values() if not dele}
+
+        got = {tuple(r) for r in cdc_apply(base, changes, "k", "ver").collect()}
+        assert got == want
+
+    prop()
