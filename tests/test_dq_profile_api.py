@@ -289,3 +289,55 @@ def test_merge_agg_state_one_sided_groups_and_validation(spark):
             assert False, f"expected ValueError for {bad}"
         except ValueError:
             pass
+
+
+def test_merge_agg_state_property_sweep(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import merge_agg_state
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(-100, 100),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        split=st.integers(0, 20),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(rows, split):
+        from pyspark.sql import functions as F
+
+        split = min(split, len(rows))
+        df = spark.createDataFrame(rows, "k string, v long")
+
+        def agg(d):
+            return d.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+
+        halves = (
+            spark.createDataFrame(rows[:split] or [("x", None)],
+                                  "k string, v long").where("v is not null"),
+            spark.createDataFrame(rows[split:] or [("x", None)],
+                                  "k string, v long").where("v is not null"),
+        )
+        merged = merge_agg_state(
+            agg(halves[0]), agg(halves[1]), "k",
+            {"n": "sum", "s": "sum", "lo": "min", "hi": "max"},
+        )
+        assert {tuple(r) for r in merged.collect()} == {
+            tuple(r) for r in agg(df).collect()
+        }
+
+    prop()

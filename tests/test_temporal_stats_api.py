@@ -271,3 +271,50 @@ def test_seasonal_backtest_bruteforce_and_gaps(spark):
         assert False, "expected ValueError for season=0"
     except ValueError:
         pass
+
+
+def test_seasonal_backtest_property_sweep(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import seasonal_backtest
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.integers(0, 12),        # period
+                st.integers(0, 200),       # non-negative value (mae uses
+            ),                             # trunc div == // when >= 0)
+            min_size=1,
+            max_size=25,
+        ),
+        season=st.integers(1, 5),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(rows, season):
+        df = spark.createDataFrame(rows, "k string, p long, v long")
+        series = {}
+        for k, p, v in rows:
+            series[(k, p)] = series.get((k, p), 0) + v
+        per_key = {}
+        for (k, p), c in series.items():
+            prior = series.get((k, p - season))
+            if prior is None:
+                continue
+            n, tot, bias = per_key.get(k, (0, 0, 0))
+            per_key[k] = (n + 1, tot + abs(c - prior), bias + (c - prior))
+        want = {
+            (k, n, tot, bias, tot // n)
+            for k, (n, tot, bias) in per_key.items()
+        }
+        got = {
+            (r.k, r.n_forecast, r.total_abs_err, r.bias, r.mae)
+            for r in seasonal_backtest(df, "k", "p", "v", season).collect()
+        }
+        assert got == want
+
+    prop()
