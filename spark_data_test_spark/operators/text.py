@@ -969,6 +969,64 @@ def text_ngram_novelty(spark, sf_dir):
     )
 
 
+def ngram_novelty(docs, id_col="doc_id", text_col="text"):
+    """Library operator: per-document NOVELTY scoring over an arbitrary
+    ``(id, text)`` frame — the frame-level form of `text_ngram_novelty`
+    (parity pinned in tests). The fraction of a doc's distinct
+    char-8-gram shingles (the dedup family's stride-4 scheme) that no
+    earlier document introduced, where "earlier" is the min ``id_col``
+    owning the shingle — the curation signal that ranks
+    boilerplate-heavy or template-derived documents below genuinely
+    new content when trimming to a token budget. Returns
+    ``(id, n_shingles, n_novel, novelty_1e6)``; docs shorter than the
+    8-char shingle width carry no shingles and never appear.
+
+    Plan shape (identical to the registered query): one narrow
+    shingle explode, a per-shingle min aggregate (map-side combined),
+    a per-first-doc count, and a DOCUMENT-cardinality join — the
+    shingle relation is shuffled for the two aggregates only; no
+    windows, no driver collection, survives a 1000-executor corpus
+    unchanged. ``id_col`` must be orderable (the min defines
+    first-seen); ties are impossible because ids are per-row."""
+    iq = "`" + id_col.replace("`", "``") + "`"
+    tq = "`" + text_col.replace("`", "``") + "`"
+    sh = (
+        docs.select(F.col(iq).alias("_id"), F.col(tq).alias("text"))
+        .where(F.length("text") >= 8)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 7, 4),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    per_doc = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("_id").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.expr(
+                "cast(round(1000000.0 * coalesce(n_novel, 0) / n_shingles)"
+                " as bigint)"
+            ).alias("novelty_1e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Library surface: frame-level text-analysis APIs (round 8)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,49 @@ def test_decontaminate_matches_python_replica(spark):
 
     with pytest.raises(ValueError):
         decontaminate(cdf, edf, n=16, stride=16)
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    from spark_data_test_spark import ngram_novelty
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",   # all novel
+        2: "the quick brown fox jumps over the lazy dog",   # zero novel
+        3: "the quick brown fox sprints under a sleepy cat",  # partial
+        4: "tiny",                                           # no shingles
+    }
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+
+    def sh(t):
+        return {t[i:i + 8] for i in range(0, len(t) - 7, 4)}
+
+    first = {}
+    for d in sorted(texts):
+        for s in sh(texts[d]):
+            first.setdefault(s, d)
+    want = set()
+    for d, t in texts.items():
+        s = sh(t)
+        if not s:
+            continue
+        novel = sum(1 for x in s if first[x] == d)
+        want.add((d, len(s), novel, round(1000000.0 * novel / len(s))))
+    got = {tuple(r) for r in ngram_novelty(df).collect()}
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][3] == 1000000 and by_id[2][3] == 0  # dup scores zero
+    assert 0 < by_id[3][3] < 1000000
+    assert 4 not in by_id
+
+
+def test_ngram_novelty_parity_with_registered_query(spark, sf_dir):
+    from spark_data_test_spark import ngram_novelty
+    from spark_data_test_spark.operators.relational import t
+    from spark_data_test_spark.operators.text import text_ngram_novelty
+
+    got = {
+        tuple(r)
+        for r in ngram_novelty(t(spark, sf_dir, "documents")).collect()
+    }
+    want = {tuple(r) for r in text_ngram_novelty(spark, sf_dir).collect()}
+    assert got == want and got
