@@ -1358,6 +1358,14 @@ _GID_CO_SQL = f"""
 
 _GID_CO_CACHE = FrameCache(max_entries=2)
 
+# Most recent pre-persist plan of the gid-co build (and the
+# frame-level containment_pairs equivalent), captured so
+# tests/test_plans.py can assert the broadcast discipline — the
+# returned frames are persisted/checkpointed, so the assertion cannot
+# be made on them (same pattern as _last_bucketed_probe_plan).
+_last_gid_co_plan = None
+_last_containment_plan = None
+
 # Deterministic eval slice for the recall report: keep the distinct
 # texts whose md5 starts with a hex digit <= '7' (8 of 16 first chars,
 # an unbiased 1/2 sample — md5 is uniform and both engines produce the
@@ -1391,14 +1399,19 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
       contributes i_rare, and the hot remainder comes from per-doc HOT
       ARRAYS (hot vocabulary is small by construction: at most
       total-occurrences / cap shingles can exceed the cap, 318 at
-      sf0.1), broadcast and intersected in-task. No second self-join
-      over the hot shingles ever runs.
+      sf0.1), joined by gid and intersected in-task. No second
+      self-join over the hot shingles ever runs.
 
     Memoized: the recall report and containment both consume it. The
-    broadcasts (rare vocabulary filter rides the df join; hot arrays,
-    sizes) are shard-local lookups at this SF; on a cluster where the
-    hot-array frame outgrows the driver, the two attach joins fall
-    back to hash joins on gid — same plan shape, two more exchanges.
+    ONLY forced broadcast is the HOT shingle list (shingles in more
+    than _STOP_SH_DF texts — at most total-occurrences / cap rows, the
+    genuinely small Zipf head, 318 at sf0.1): rare = all − hot, so the
+    discovery restriction is a LEFT ANTI join against broadcast(hot)
+    rather than an inner join against the corpus-cardinality rare
+    list. The per-text frames (sizes, hot arrays) join by gid with NO
+    hint — AQE broadcasts them while they fit on the driver and
+    shuffles when they don't, which is what a 100 TB corpus needs
+    (distinct texts grow linearly with the corpus).
 
     ``sampled=True`` restricts the whole build to the deterministic
     `_EVAL_SAMPLE_PRED` slice of distinct texts BEFORE the self-join
@@ -1420,20 +1433,21 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
             # gid IS md5(text), so the slice predicate is a cheap
             # first-character test on the key itself
             sh = sh.where(F.substring("gid", 1, 1) <= "7")
-        # Persist the SCAFFOLDING frames: each F.broadcast() below
-        # executes its subplan independently (rare, hot, ha, hb, and
-        # sizes twice = six subplan runs), so without these persists
-        # the per-gid and per-shingle aggregates recompute once per
-        # broadcast — measured 2x the whole build's cost at sf0.1.
-        # All three are tiny by construction (distinct gids / distinct
-        # shingles); they are materialized via the final count() and
-        # unpersisted before return, so only the result frame outlives
-        # the build.
+        # Persist the SCAFFOLDING frames: each DataFrame reference
+        # below re-executes its subplan independently (hot twice, ha,
+        # hb, and sizes twice), so without these persists the per-gid
+        # and per-shingle aggregates recompute once per consumer —
+        # measured 2x the whole build's cost at sf0.1. They are
+        # materialized via the final count() and unpersisted before
+        # return, so only the result frame outlives the build.
         sizes = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("n")).persist()
         shdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).persist()
-        rare = shdf.where(F.col("df") <= _STOP_SH_DF).select("sh")
+        # hot (df > cap) is the small Zipf head — the one frame safe to
+        # force-broadcast at any corpus size; rare = all − hot, so
+        # anti-join(hot) == inner-join(rare) with no corpus-cardinality
+        # build side (the rare list grows with the distinct vocabulary)
         hot = shdf.where(F.col("df") > _STOP_SH_DF).select("sh")
-        shr = sh.join(F.broadcast(rare), "sh").persist()
+        shr = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
         ghot = (
             sh.join(F.broadcast(hot), "sh")
             .groupBy("gid")
@@ -1452,18 +1466,17 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
         )
         ha = ghot.select(F.col("gid").alias("ga"), F.col("hs").alias("ha"))
         hb = ghot.select(F.col("gid").alias("gb"), F.col("hs").alias("hb"))
+        # per-text frames: join by gid with NO broadcast hint — these
+        # are corpus-cardinality (one row per distinct text); AQE
+        # broadcasts them while small, shuffles when they outgrow it
         co = co.join(
-            F.broadcast(
-                sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
-                    "n", "na"
-                )
+            sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
+                "n", "na"
             ),
             "ga",
         ).join(
-            F.broadcast(
-                sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
-                    "n", "nb"
-                )
+            sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
+                "n", "nb"
             ),
             "gb",
         )
@@ -1479,19 +1492,15 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
             )
             co = (
                 co.join(
-                    F.broadcast(
-                        hsz.withColumnRenamed("gid", "ga").withColumnRenamed(
-                            "nh", "nha"
-                        )
+                    hsz.withColumnRenamed("gid", "ga").withColumnRenamed(
+                        "nh", "nha"
                     ),
                     "ga",
                     "left",
                 )
                 .join(
-                    F.broadcast(
-                        hsz.withColumnRenamed("gid", "gb").withColumnRenamed(
-                            "nh", "nhb"
-                        )
+                    hsz.withColumnRenamed("gid", "gb").withColumnRenamed(
+                        "nh", "nhb"
                     ),
                     "gb",
                     "left",
@@ -1506,13 +1515,17 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
             F.col("ha").isNotNull() & F.col("hb").isNotNull(),
             F.size(F.array_intersect("ha", "hb")),
         ).otherwise(0)
-        out = (
-            co.join(F.broadcast(ha), "ga", "left")
-            .join(F.broadcast(hb), "gb", "left")
+        res = (
+            co.join(ha, "ga", "left")
+            .join(hb, "gb", "left")
             .withColumn("i", (F.col("i_rare") + i_hot).cast("long"))
             .select("ga", "gb", "i", "na", "nb")
-            .persist()
         )
+        from spark_data_test_spark.plans.audit import simple_plan
+
+        global _last_gid_co_plan
+        _last_gid_co_plan = simple_plan(res)
+        out = res.persist()
         out.count()  # materialize, then drop the scaffolding caches
         for scaffold in (sizes, shdf, shr, ghot):
             scaffold.unpersist()
@@ -3177,8 +3190,11 @@ def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
     texts (work bounded by per-rare-shingle frequency squares; at
     100 TB the cap is the difference between an index plan and a
     licence-header cross-join) while the intersection stays EXACT:
-    the hot remainder folds in from broadcast per-text hot-shingle
-    arrays, no second self-join. The one documented miss (shared with
+    the hot remainder folds in from per-text hot-shingle arrays
+    joined by gid (the only FORCED broadcast anywhere is the small
+    Zipf-head hot-shingle list; rare = all − hot rides a left_anti
+    join against it), no second self-join. The one documented miss
+    (shared with
     the registered query): a qualifying pair ALL of whose shared
     shingles sit in more than ``stop_df`` texts — boilerplate-only
     overlap by construction, measured zero lost at sf0.1. Group-level
@@ -3202,25 +3218,25 @@ def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
         .withColumnRenamed("doc_id", "gid")
         .persist()
     )
-    # scaffolding persists: every F.broadcast() below executes its
-    # subplan independently (rare, hot, ha, hb, sizes twice), so
+    # scaffolding persists: every DataFrame reference below re-executes
+    # its subplan independently (hot twice, ha, hb, sizes twice), so
     # without these the per-gid / per-shingle aggregates recompute
-    # once per broadcast — same hazard _cached_gid_co_counts documents
+    # once per consumer — same hazard _cached_gid_co_counts documents
     sizes = gsh.groupBy("gid").agg(F.count(F.lit(1)).alias("n")).persist()
     shdf = gsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).persist()
+    # hot (df > stop_df) is the small Zipf head — the only frame safe
+    # to force-broadcast at any corpus size; rare = all − hot, so the
+    # discovery restriction is a LEFT ANTI join against broadcast(hot)
+    # (never an inner join against the corpus-cardinality rare list)
+    hot = shdf.where(F.col("df") > stop_df).select("sh")
     ghot = (
-        gsh.join(
-            F.broadcast(shdf.where(F.col("df") > stop_df).select("sh")), "sh"
-        )
+        gsh.join(F.broadcast(hot), "sh")
         .groupBy("gid")
         .agg(F.collect_set("sh").alias("hs"))
         .persist()
     )
     try:
-        shr = gsh.join(
-            F.broadcast(shdf.where(F.col("df") <= stop_df).select("sh")),
-            "sh",
-        )
+        shr = gsh.join(F.broadcast(hot), "sh", "left_anti")
         a, b = shr.alias("a"), shr.alias("b")
         co = (
             a.join(
@@ -3237,25 +3253,24 @@ def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
             F.col("ha").isNotNull() & F.col("hb").isNotNull(),
             F.size(F.array_intersect("ha", "hb")),
         ).otherwise(0)
+        # per-text frames (sizes, hot arrays) join by gid with NO
+        # broadcast hint — corpus-cardinality build sides; AQE
+        # broadcasts them while they fit, shuffles when they don't
         co = (
             co.join(
-                F.broadcast(
-                    sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
-                        "n", "na"
-                    )
+                sizes.withColumnRenamed("gid", "ga").withColumnRenamed(
+                    "n", "na"
                 ),
                 "ga",
             )
             .join(
-                F.broadcast(
-                    sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
-                        "n", "nb"
-                    )
+                sizes.withColumnRenamed("gid", "gb").withColumnRenamed(
+                    "n", "nb"
                 ),
                 "gb",
             )
-            .join(F.broadcast(ha), "ga", "left")
-            .join(F.broadcast(hb), "gb", "left")
+            .join(ha, "ga", "left")
+            .join(hb, "gb", "left")
             .withColumn("i", (F.col("i_rare") + i_hot).cast("long"))
         )
         score = F.lit(1000000.0) * F.col("i") / F.least("na", "nb")
@@ -3277,12 +3292,16 @@ def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
         ml = members.select(
             F.col("gid").alias("gid_l"), F.col("doc_id").alias("container_id")
         )
-        return (
+        res = (
             gp.join(ms, "gid_s")
             .join(ml, "gid_l")
             .select("contained_id", "container_id", "containment_1e6")
-            .localCheckpoint(eager=True)
         )
+        from spark_data_test_spark.plans.audit import simple_plan
+
+        global _last_containment_plan
+        _last_containment_plan = simple_plan(res)
+        return res.localCheckpoint(eager=True)
     finally:
         for frame in (members, gsh, sizes, shdf, ghot):
             frame.unpersist()

@@ -419,3 +419,41 @@ def test_hypertable_rollup_is_one_expand_aggregate(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1, plan
     assert count_shuffles(res) == 1, plan
+
+
+def test_containment_family_broadcast_discipline(spark, sf_dir):
+    """Round-12 pin (VERDICT r11 item 1): the containment family's only
+    FORCED broadcast is the small Zipf-head HOT shingle list — the
+    rare-shingle restriction is a left_anti join against it (rare =
+    all − hot), and every per-text frame (sizes, hot arrays, member
+    maps) joins by key with NO hint so AQE decides. With the
+    auto-broadcast threshold disabled, any BroadcastHashJoin left in
+    the plan is a forced hint — assert each one is keyed on the
+    shingle column, never on the corpus-cardinality gid/doc keys."""
+    from spark_data_test_spark import containment_pairs
+    from spark_data_test_spark.operators import dedup
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    dedup.clear_dedup_cache()  # force a fresh gid-co build
+    try:
+        dedup.dedup_containment(spark, sf_dir)
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "text")
+            .limit(200)
+        )
+        containment_pairs(docs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        dedup.clear_dedup_cache()
+    for plan in (dedup._last_gid_co_plan, dedup._last_containment_plan):
+        assert plan is not None, "plan hooks were not captured"
+        bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+        assert bhj, "the forced hot-list broadcast must survive"
+        for line in bhj:
+            assert "[sh#" in line, line  # keyed on the shingle column
+            for bad in ("[ga#", "[gb#", "[gid", "[doc_id"):
+                assert bad not in line, line
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
