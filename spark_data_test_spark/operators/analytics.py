@@ -1379,9 +1379,12 @@ def market_basket(df, basket_col, item_col, min_support=1, k=None):
     it upstream). Item counts and the basket total attach as ordinary
     aggregates-then-joins (AQE broadcasts the small sides); no
     collect anywhere. With ``k`` the result is the deterministic
-    global top-k by (support desc, item_a, item_b) — a bounded
-    output, so the single-partition window cut is fine at any input
-    scale."""
+    global top-k by (support desc, item_a, item_b), planned as
+    TakeOrderedAndProject — each partition keeps its own k rows and
+    the driver merges — never a single-task sort over the whole
+    >= min_support pair set (the unpartitioned row_number window this
+    replaced funnels everything through one task at min_support=1 on
+    a large corpus)."""
     items = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
@@ -1425,14 +1428,7 @@ def market_basket(df, basket_col, item_col, min_support=1, k=None):
     )
     if k is None:
         return out
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("support").desc(), "item_a", "item_b")
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= int(k))
-        .drop("_rn")
-    )
+    return out.orderBy(F.desc("support"), "item_a", "item_b").limit(int(k))
 
 
 def duplicate_scan(

@@ -78,6 +78,24 @@ def test_market_basket_topk_deterministic_cut(spark):
     assert sorted(got) == full
 
 
+def test_market_basket_topk_is_take_ordered(spark):
+    """Round-12 pin (VERDICT r11 item 3): the k= cut plans as
+    TakeOrderedAndProject — per-partition partial top-k merged on the
+    driver — never a row_number window whose unpartitioned sort
+    funnels the entire >= min_support pair set through ONE task."""
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    rows = _baskets(seed=31)
+    df = spark.createDataFrame(rows, "b long, i long")
+    plan = simple_plan(market_basket(df, "b", "i", k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # no global Sort survives — TakeOrdered subsumes the ordering (the
+    # plan's one SinglePartition exchange is the 1-row basket-total
+    # aggregate, not a sort of the pair set)
+    assert "Sort [support" not in plan, plan
+
+
 def _touches(seed=41, users=12, n=120):
     rng = random.Random(seed)
     rows = []
