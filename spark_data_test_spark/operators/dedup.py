@@ -1824,8 +1824,9 @@ def duplicate_ngram_spans(
             "needs df >= 2)"
         )
     tcol = "`" + text_col.replace("`", "``") + "`"
+    icol = "`" + id_col.replace("`", "``") + "`"
     grams = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(tcol).alias("text"))
+        docs.select(F.col(icol).alias("doc_id"), F.col(tcol).alias("text"))
         .selectExpr(
             "doc_id",
             "filter(split(text, ' '), x -> x != '') AS toks",
@@ -2730,7 +2731,7 @@ def corpus_source_similarity(spark, sf_dir):
     )
 
 
-def source_overlap(docs, group_col="source", text_col="text"):
+def source_overlap(docs, group_col="source", text_col="text", max_groups=512):
     """Library operator: group-level content-overlap matrix — the
     frame-level, parameterized form of `corpus_source_similarity`
     (parity pinned in tests). Exact shingle Jaccard between every
@@ -2750,9 +2751,29 @@ def source_overlap(docs, group_col="source", text_col="text"):
     shingle-keyed self-join ever runs. At thousands of groups switch
     to per-group MinHash sketches; at mixing-pipeline group counts
     (dozens) exact is cheaper and exact. NULL group values are
-    excluded (a NULL cannot be a mixing weight's key)."""
+    excluded (a NULL cannot be a mixing weight's key).
+
+    ``max_groups`` ENFORCES that contract (round-12 guard): the
+    per-shingle member arrays and their pair expansion are quadratic
+    in the group count, so a caller pointing ``group_col`` at a
+    high-cardinality column (doc id, URL) would silently build huge
+    arrays per shingle. Above the bound the operator raises with the
+    measured cardinality instead — raise it deliberately if your
+    cluster has the memory, or pre-bucket the groups."""
     gq = "`" + group_col.replace("`", "``") + "`"
     tq = "`" + text_col.replace("`", "``") + "`"
+    n_groups = (
+        docs.where(F.col(gq).isNotNull()).select(F.col(gq)).distinct().count()
+    )
+    if n_groups > int(max_groups):
+        raise ValueError(
+            f"source_overlap: {n_groups} distinct {group_col!r} values "
+            f"exceed max_groups={max_groups}; the exact matrix is "
+            "quadratic in the group count — pre-bucket the groups or "
+            "switch to per-group MinHash sketches (raise max_groups "
+            "only if the cluster can hold group-count-wide arrays "
+            "per shingle)"
+        )
     ssh = (
         docs.select(
             F.col(gq).alias("_grp"), F.col(tq).alias("text")

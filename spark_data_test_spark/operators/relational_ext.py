@@ -1115,7 +1115,13 @@ def latest_wins(base, updates, keys, order_col=None):
 
 
 def cdc_apply(
-    base, changes, keys, order_col, op_col="op", delete_ops=("D", "delete")
+    base,
+    changes,
+    keys,
+    order_col,
+    op_col="op",
+    delete_ops=("D", "delete"),
+    tiebreak_cols=(),
 ):
     """Library operator: full CDC merge — `latest_wins` plus DELETE
     semantics, the batch form of a Debezium/DMS change feed apply
@@ -1128,6 +1134,15 @@ def cdc_apply(
     else the winner survives. A delete older than the live row is
     correctly ignored, and a delete for an absent key is a no-op —
     both fall out of the one window, not special cases.
+
+    TIE RULE: a change feed should carry a unique ``order_col`` per
+    key (an LSN / binlog offset is); when two CHANGE rows for one key
+    tie on it anyway, ``tiebreak_cols`` (ordered descending, after
+    the recency comparison) resolves them deterministically, and an
+    exact tie even after that resolves TOMBSTONE-WINS — deleting is
+    the conservative reading of simultaneous contradictory changes,
+    and a fixed rule beats a row_number coin flip that could flip a
+    key between keep and delete across runs.
 
     ``base`` must not carry ``op_col`` (a state table has no op
     column; raising beats silently treating state rows as changes),
@@ -1164,8 +1179,16 @@ def cdc_apply(
         .drop(op_col)
         .withColumn("_side", F.lit(1))
     )
+    tiebreak_cols = (
+        [tiebreak_cols]
+        if isinstance(tiebreak_cols, str)
+        else list(tiebreak_cols)
+    )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_side").desc()
+        F.col(order_col).desc(),
+        F.col("_side").desc(),
+        *[F.col(c).desc() for c in tiebreak_cols],
+        F.col("_del").desc(),
     )
     return (
         tagged.withColumn("_rn", F.row_number().over(w))

@@ -1950,14 +1950,25 @@ def ivf_index_build(
         c.unpersist()
 
 
+# Tombstone marker in the postings log: real cells are nonnegative
+# cent_ids, so a posting row with this cell is a committed DELETE
+# (`ivf_index_delete`). The latest-wins resolve keeps the newest row
+# per id as usual, THEN drops tombstone winners — a delete older than
+# a re-ingest is correctly superseded, and compaction (which commits
+# the resolved view) physically drops deleted ids from the log.
+_TOMBSTONE_CELL = -1
+
+
 def _resolved_postings(spark, index_path):
     """LATEST-WINS view of the postings log: a re-ingested id may
     appear in several deltas — possibly with a CHANGED vector in a
     DIFFERENT cell — so each read resolves per vec_id on the commit
     version (max_by): deterministic, and an id can never occupy two
-    ranks. Same shuffle cost as a plain dropDuplicates over the log;
-    `ivf_index_compact` keeps the log short. Returns None for a
-    missing/empty log."""
+    ranks. Tombstone rows (`ivf_index_delete`) participate in the
+    resolve and are filtered AFTER it, so the newest commit decides
+    whether an id is live. Same shuffle cost as a plain
+    dropDuplicates over the log; `ivf_index_compact` keeps the log
+    short. Returns None for a missing/empty log."""
     from spark_data_test_spark.state import read_state_union
 
     log = read_state_union(
@@ -1971,6 +1982,7 @@ def _resolved_postings(spark, index_path):
             F.max_by(F.struct("cell", "v", "n2"), F.col("_pv")).alias("_p")
         )
         .select("vec_id", "_p.cell", "_p.v", "_p.n2")
+        .where(F.col("cell") >= 0)
     )
 
 
@@ -1992,6 +2004,58 @@ def ivf_index_compact(spark, index_path):
         return None
     return write_state_version(
         resolved, f"{index_path}/postings", retain=1
+    )
+
+
+def ivf_index_delete(spark, index_path, ids, id_col="vec_id"):
+    """Library operator: REMOVE vectors from the committed IVF index —
+    the takedown / license-revocation event a 100 TB corpus index must
+    absorb without a rebuild. Commits one TOMBSTONE posting row per
+    distinct id (cell = -1, no vector) as the next log delta; the
+    latest-wins read resolves each id to its newest commit and drops
+    tombstone winners, so a deleted id vanishes from every subsequent
+    probe, a delete RACED by an older ingest still deletes (the
+    tombstone's version is higher), a later `ivf_index_probe(
+    commit=True)` re-ingest resurrects the id, and deleting an
+    unknown id is a harmless no-op. `ivf_index_compact` commits the
+    RESOLVED view, so compaction after a delete physically drops both
+    the tombstone and every superseded row — the full LSM lifecycle:
+    build / ingest / resolve / DELETE / compact.
+
+    ``ids`` is either an iterable of id values or a DataFrame whose
+    ``id_col`` holds them. Returns the committed delta version."""
+    from pyspark.sql import DataFrame
+
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    base = read_state_table(spark, f"{index_path}/postings")
+    if base is None:
+        raise ValueError(
+            f"ivf_index_delete: no committed postings at {index_path}"
+            " (run ivf_index_build first)"
+        )
+    types = {f.name: f.dataType for f in base.schema.fields}
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            raise ValueError("ivf_index_delete: empty id set")
+        idf = spark.createDataFrame(
+            [(i,) for i in ids], ["vec_id"]
+        ).distinct()
+    tomb = idf.select(
+        F.col("vec_id").cast(types["vec_id"]),
+        F.lit(_TOMBSTONE_CELL).cast(types["cell"]).alias("cell"),
+        F.lit(None).cast(types["v"]).alias("v"),
+        F.lit(None).cast(types["n2"]).alias("n2"),
+    )
+    return write_state_version(
+        tomb, f"{index_path}/postings", retain=RETAIN_ALL
     )
 
 
@@ -2029,7 +2093,9 @@ def ivf_index_probe(
     at read (each posting row carries its commit version; the newest
     version's row defines the id's vector and cell — the LSM read
     rule), so an identical re-commit is idempotent and a CHANGED
-    vector deterministically replaces the old one at its new cell.
+    vector deterministically replaces the old one at its new cell;
+    `ivf_index_delete` rides the same rule with tombstone rows, so a
+    re-commit after a delete resurrects the id.
     Drifted centroids from heavy ingest are the operator's documented
     limit: recall degrades gracefully, and a fresh `ivf_index_build`
     over the grown corpus is the re-train lever (a same-path rebuild
@@ -2109,8 +2175,24 @@ def ivf_index_probe(
         if not commit:
             return result
         result = result.localCheckpoint(eager=True)
+        # a batch may carry the same vec_id twice with DIFFERENT
+        # vectors; both would land in ONE commit version, where the
+        # latest-wins read's max_by on the version ties arbitrarily
+        # and repeated reads could disagree. Dedupe deterministically
+        # first — greatest (n2, vector) pair per id (arrays order
+        # lexicographically) — so a version never holds two rows for
+        # one id.
+        qd = (
+            q.groupBy("_id")
+            .agg(F.max(F.struct("_n2", "_v")).alias("_p"))
+            .select(
+                "_id",
+                F.col("_p._v").alias("_v"),
+                F.col("_p._n2").alias("_n2"),
+            )
+        )
         batch = (
-            _cell_scored(q, cents)
+            _cell_scored(qd, cents)
             .groupBy("_id")
             .agg(
                 F.max_by(

@@ -1265,12 +1265,13 @@ def fingerprint(
             "fingerprint: n_hashes, shingle_len, and stride must be >= 1"
         )
     tcol = "`" + text_col.replace("`", "``") + "`"
+    icol = "`" + id_col.replace("`", "``") + "`"
     sh = (
         f"transform(sequence(1, length({tcol}) - {shingle_len - 1}, "
         f"{stride}), i -> substring({tcol}, i, {shingle_len}))"
     )
-    return docs.where(F.length(F.col(text_col)) >= shingle_len).select(
-        F.col(id_col),
+    return docs.where(F.expr(f"length({tcol}) >= {int(shingle_len)}")).select(
+        F.col(icol),
         *[
             F.array_min(
                 F.expr(f"transform({sh}, s -> md5(concat(s, '#{k}')))")
@@ -1300,7 +1301,16 @@ def chunk_documents(
     negative span, the engine-wide source-guard discipline).
     ``overlap`` must satisfy ``0 <= overlap < chunk_chars`` so the
     stride stays positive and every character lands in at least one
-    chunk."""
+    chunk.
+
+    NOTE on tails: with ``overlap > 0`` the start sequence runs to the
+    document's end, so a text whose final stride lands within the last
+    ``overlap`` characters emits trailing chunk(s) of length <=
+    ``overlap`` wholly contained in the previous chunk. This is
+    deliberate — every start position is emitted, keeping ``chunk_id``
+    dense and matching the registered UDTF's oracle-pinned semantics;
+    filter ``n_chars > overlap`` downstream if fully-contained tails
+    are unwanted."""
     n = int(chunk_chars)
     ov = int(overlap)
     if n < 1:
@@ -1312,17 +1322,18 @@ def chunk_documents(
         )
     stride = n - ov
     tcol = "`" + text_col.replace("`", "``") + "`"
+    icol = "`" + id_col.replace("`", "``") + "`"
     starts = F.expr(
         f"CASE WHEN length({tcol}) >= 1 "
         f"THEN sequence(1, length({tcol}), {stride}) END"
     )
     chunk = F.expr(f"substring({tcol}, _start, {n})")
     return docs.select(
-        F.col(id_col),
-        F.col(text_col),
+        F.col(icol).alias("__cd_id"),
+        F.col(tcol),
         F.posexplode(starts).alias("chunk_id", "_start"),
     ).select(
-        F.col(id_col),
+        F.col("__cd_id").alias(id_col),
         F.col("chunk_id").cast("int").alias("chunk_id"),
         chunk.alias("chunk"),
         F.length(chunk).cast("int").alias("n_chars"),

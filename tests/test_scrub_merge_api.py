@@ -234,3 +234,43 @@ def test_cdc_apply_property_sweep(spark):
         assert got == want
 
     prop()
+
+def test_cdc_apply_tie_rules_are_deterministic(spark):
+    """Round-12 (ADVICE r11): two CHANGE rows for one key tying on
+    order_col resolve deterministically — caller tiebreak_cols first,
+    then tombstone-wins — never a row_number coin flip that could
+    flip a key between keep and delete across runs."""
+    from spark_data_test_spark import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "b", 0), (2, "b", 0)], "k long, s string, ver long"
+    )
+    # k1: tied upsert + SAME-s tombstone -> tombstone wins (the final
+    # rule fires only on an exact tie after tiebreak_cols);
+    # k2: two tied upserts -> tiebreak_cols picks the greater s
+    changes = spark.createDataFrame(
+        [
+            (1, "u", 5, "U"),
+            (1, "u", 5, "D"),
+            (2, "x", 5, "U"),
+            (2, "z", 5, "U"),
+        ],
+        "k long, s string, ver long, op string",
+    )
+    for _ in range(3):
+        got = {
+            tuple(r)
+            for r in cdc_apply(
+                base, changes, "k", "ver", tiebreak_cols=["s"]
+            ).collect()
+        }
+        assert got == {(2, "z", 5)}
+    # without a caller tiebreak, a tied upsert+tombstone pair still
+    # resolves deterministically: tombstone wins
+    changes2 = spark.createDataFrame(
+        [(1, "u", 5, "U"), (1, None, 5, "D")],
+        "k long, s string, ver long, op string",
+    )
+    base1 = base.where("k = 1")
+    for _ in range(3):
+        assert cdc_apply(base1, changes2, "k", "ver").count() == 0
