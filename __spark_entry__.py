@@ -14,89 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-11 window accounting (this
+# (registration order). CANONICAL round-12 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
 # flagship (compare_overall_report, re-earned every round) + 2
-# changed-code re-earns (streaming_incremental_minhash and
-# streaming_incremental_dedup — the two registered queries that
-# execute `read_state_union`, whose body gained the optional
-# version_col tag this round; behavior with the default argument is
-# unchanged, but changed code re-earns by policy) + ALL 26 remaining
-# r6-era stale greens in backlog-head order (VERDICT r10 item 2 —
-# this drains the r6 cohort completely) + the first 21 r7-era backlog
-# rows. That is exactly 50; after this round no registry row's latest
-# driver green is older than round 7.
+# changed-code re-earns (dedup_containment and dedup_lsh_recall_report
+# — the two registered consumers of the gid-co inverted-index builder,
+# whose forced corpus-cardinality broadcasts were replaced this round
+# with a left_anti join against the small hot-shingle list plus
+# AQE-decided per-text joins; results are hash-identical, but changed
+# code re-earns by policy) + ALL 25 remaining r7-era stale greens in
+# backlog-head order (VERDICT r11 item 2 — this drains the r7 cohort
+# completely) + the first 22 r8-era backlog rows. That is exactly 50;
+# after this round no registry row's latest driver green is older than
+# round 8.
 # tests/test_registry_invariants.py enforces that greens ∪ window ∪
 # queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "streaming_incremental_minhash",
-    "streaming_incremental_dedup",
-    "streaming_late_data_audit",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_jaccard",
-    "dedup_connected_components",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
     "dedup_containment",
-    "window_lead_lag",
-    "left_anti_join",
-    "grouping_sets_agg",
-    "except_rows",
-    "scan_filter_project",
-    "select_drop_rename",
-    "case_when_bucket",
-    "null_default_coalesce",
-    "checksum_sha2",
-    "numeric_tolerance_abs",
-    "eq_null_safe",
-    "full_outer_join_missing",
-    "conditional_sum_missing",
-    "left_join_enrich",
-    "groupby_dup_count",
-    "create_map_getitem",
-    "window_dup_count",
-    "window_running_sum",
-    "text_knn_graph",
-    "multimodal_real_image_decode",
-    "similarity_centroid_outliers",
-    "events_sliding_window",
-    "tpch_q1_pricing_summary",
-    "colwise_mismatch_unpivot",
-    "orderby_limit_topk",
-    "union_consolidate",
-    "drop_duplicates_by_key",
-    "distinct_rows",
-    "rollup_agg",
-    "array_higher_order_stats",
-    "pivot_status_by_priority",
-    "compare_row_report",
-    "compare_column_report",
-    "compare_nulls_overall",
-    "compare_unkeyed_multiset",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_bucketed_table_roundtrip",
-    "sink_partitioned_parquet",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# remainder of the r7-era cohort (25 rows after the 21 promoted into
-# the round-11 window), then the r8-era cohort (45 rows — 47 minus
-# the two changed-code re-earns, both last green in r8), the r9-era
-# cohort (48), and the list ends with the 49 r10-green rows the
-# round-11 cut displaced.
-_CHECKED_BACKLOG = [
+    "dedup_lsh_recall_report",
     "tpch_q6_forecast_revenue",
     "grouped_apply_stats",
     "similarity_cosine_topk",
@@ -144,6 +80,23 @@ _CHECKED_BACKLOG = [
     "compare_distribution_report",
     "left_semi_join",
     "cube_agg",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# remainder of the r8-era cohort (23 rows after the 22 promoted into
+# the round-12 window and the recall report re-earn), then the r9-era
+# cohort, the r10-era displaced rows, and the list ends with the 48
+# r11-green rows the round-12 cut displaced.
+_CHECKED_BACKLOG = [
     "intersect_rows",
     "percentile_exact",
     "map_functions_props",
@@ -256,7 +209,6 @@ _CHECKED_BACKLOG = [
     "similarity_incremental_ingest",
     "ml_logistic_quality_train",
     "ml_logistic_calibration",
-    "dedup_lsh_recall_report",
     "dedup_index_build",
     "dedup_incremental_minhash",
     "dedup_incremental_exact",
@@ -264,6 +216,54 @@ _CHECKED_BACKLOG = [
     "dedup_simhash",
     "sink_inverted_index_roundtrip",
     "events_value_histogram",
+    "streaming_incremental_minhash",
+    "streaming_incremental_dedup",
+    "streaming_late_data_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+    "scan_filter_project",
+    "select_drop_rename",
+    "case_when_bucket",
+    "null_default_coalesce",
+    "checksum_sha2",
+    "numeric_tolerance_abs",
+    "eq_null_safe",
+    "full_outer_join_missing",
+    "conditional_sum_missing",
+    "left_join_enrich",
+    "groupby_dup_count",
+    "create_map_getitem",
+    "window_dup_count",
+    "window_running_sum",
+    "text_knn_graph",
+    "multimodal_real_image_decode",
+    "similarity_centroid_outliers",
+    "events_sliding_window",
+    "tpch_q1_pricing_summary",
+    "colwise_mismatch_unpivot",
+    "orderby_limit_topk",
+    "union_consolidate",
+    "drop_duplicates_by_key",
+    "distinct_rows",
+    "rollup_agg",
+    "array_higher_order_stats",
+    "pivot_status_by_priority",
+    "compare_row_report",
+    "compare_column_report",
+    "compare_nulls_overall",
+    "compare_unkeyed_multiset",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_bucketed_table_roundtrip",
+    "sink_partitioned_parquet",
 ]
 
 
