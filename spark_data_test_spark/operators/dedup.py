@@ -3551,6 +3551,104 @@ def minhash_index_build(docs, index_path):
     write_state_version(minhash_band_index(docs), index_path, retain=2)
 
 
+# Tombstone marker in the band-index log: real band ids are
+# nonnegative, so a row with this band is a committed DELETE of its
+# doc_id (`minhash_index_delete`). The live view drops a doc's band
+# rows committed at-or-before its newest tombstone, so a later
+# re-ingest (higher version) resurrects the doc — the same LSM rule
+# as the IVF postings log.
+_MH_TOMBSTONE_BAND = -1
+
+
+def _live_band_rows(log):
+    """Resolve a version-tagged band-index log (columns doc_id, band,
+    sig, _mv) to its LIVE rows: per doc, band rows newer than the
+    doc's newest tombstone survive. The tombstone frame is
+    deleted-docs-sized (one aggregate row per doc ever deleted), so
+    the left join broadcasts under AQE while small and shuffles
+    doc-keyed when it is not."""
+    tombs = (
+        log.where(F.col("band") == _MH_TOMBSTONE_BAND)
+        .groupBy("doc_id")
+        .agg(F.max("_mv").alias("_tv"))
+    )
+    return (
+        log.where(F.col("band") != _MH_TOMBSTONE_BAND)
+        .join(tombs, "doc_id", "left")
+        .where(F.col("_tv").isNull() | (F.col("_mv") > F.col("_tv")))
+        .drop("_tv", "_mv")
+    )
+
+
+def minhash_index_delete(spark, index_path, ids, id_col="doc_id"):
+    """Library operator: REMOVE documents from the committed band
+    index — the takedown event for the text-dedup index, mirroring
+    `ivf_index_delete` for the ANN index. Commits one TOMBSTONE row
+    per distinct id (band = -1, no signature) as the next log delta;
+    probes resolve each doc against its newest tombstone, so a deleted
+    doc stops matching as a partner, a later `minhash_index_probe(
+    commit=True)` re-ingest resurrects it, and deleting an unknown id
+    is a harmless no-op. `minhash_index_compact` folds the log through
+    this live view, physically dropping tombstoned rows. ``ids`` is an
+    iterable of id values or a DataFrame whose ``id_col`` holds them.
+    Returns the committed delta version."""
+    from pyspark.sql import DataFrame
+
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    base = read_state_table(spark, index_path)
+    if base is None:
+        raise ValueError(
+            f"minhash_index_delete: no committed index at {index_path}"
+            " (run minhash_index_build first)"
+        )
+    types = {f.name: f.dataType for f in base.schema.fields}
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            raise ValueError("minhash_index_delete: empty id set")
+        idf = spark.createDataFrame(
+            [(i,) for i in ids], ["doc_id"]
+        ).distinct()
+    tomb = idf.select(
+        F.col("doc_id").cast(types["doc_id"]),
+        F.lit(_MH_TOMBSTONE_BAND).cast(types["band"]).alias("band"),
+        F.lit(None).cast(types["sig"]).alias("sig"),
+    )
+    return write_state_version(tomb, index_path, retain=RETAIN_ALL)
+
+
+def minhash_index_compact(spark, index_path):
+    """Library operator: fold the band-index LOG into one live-rows
+    snapshot — the resolving LSM compaction for the text-dedup index.
+    NOT the generic `compact_state_versions`: that folds the raw
+    union, which would freeze tombstones and the rows they superseded
+    at ONE version and break the delete semantics (the same gotcha
+    `ivf_index_compact` documents for the postings log). This
+    compactor applies the index's live view BEFORE committing, so the
+    folded snapshot holds exactly the band rows a probe would match;
+    later probe/commit deltas extend the log from this fresh base.
+    Returns the committed snapshot version, or None for a missing
+    index."""
+    from spark_data_test_spark.state import (
+        read_state_union,
+        write_state_version,
+    )
+
+    log = read_state_union(spark, index_path, version_col="_mv")
+    if log is None:
+        return None
+    return write_state_version(
+        _live_band_rows(log), index_path, retain=1
+    )
+
+
 def minhash_index_probe(
     new_docs, index_path, resolver, tau_1e6=500000, commit=False
 ):
@@ -3569,9 +3667,11 @@ def minhash_index_probe(
     streaming family uses). Delta commits retain EVERY version — the
     log IS the index, so pruning would silently lose history (base
     snapshot first, as an advisory review pointed out); space is
-    reclaimed by folding the log with `compact_state_versions`, which
-    replaces the versions with one equivalent snapshot and is safe at
-    any cadence.
+    reclaimed by folding the log with `minhash_index_compact`, the
+    RESOLVING compactor (since `minhash_index_delete` landed, the log
+    can carry tombstones, so the generic `compact_state_versions`
+    would freeze deletes — same rule as the IVF postings log), safe
+    at any cadence.
 
     Pairs WITHIN ``new_docs`` are deliberately out of scope — run
     `near_dup_pairs(new_docs)` for those; this operator's cost is
@@ -3585,12 +3685,15 @@ def minhash_index_probe(
 
     spark = new_docs.sparkSession
     new_docs = new_docs.select("doc_id", "text")
-    idx = read_state_union(spark, index_path)
-    if idx is None:
+    log = read_state_union(spark, index_path, version_col="_mv")
+    if log is None:
         raise ValueError(
             f"minhash_index_probe: no committed index at {index_path}"
             " (run minhash_index_build first)"
         )
+    # resolve tombstones (`minhash_index_delete`) to the LIVE view:
+    # deleted docs stop matching; re-ingested docs match again
+    idx = _live_band_rows(log)
     bands = minhash_band_index(new_docs).persist()
     try:
         cand = (

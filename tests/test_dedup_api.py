@@ -769,3 +769,83 @@ def test_source_overlap_guards_high_group_counts(spark):
         source_overlap(df, max_groups=16)
     # raising the bound (or staying under it) still computes
     assert source_overlap(df, max_groups=64).count() >= 0
+
+def test_minhash_index_delete_then_probe_and_compact(spark, tmp_path):
+    """Round-12: the band-index DELETE path (mirrors ivf_index_delete).
+    After a delete, probes answer exactly as if the index had been
+    built WITHOUT the deleted docs; deleting an absent id is a no-op;
+    a probe-commit re-ingest resurrects the doc; and the resolving
+    compactor folds the log to a live-rows-only snapshot with probe
+    answers unchanged."""
+    import os
+
+    from spark_data_test_spark import (
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_probe,
+    )
+
+    history = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different content about spark shuffles"),
+    ]
+    hdf = spark.createDataFrame(history, "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+    minhash_index_build(hdf, idx)
+    minhash_index_delete(spark, idx, [1, 999])  # 999: absent, no-op
+
+    batch = [(100, "the quick brown fox jumps over the lazy dog")]
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    kept = [d for d in history if d[0] != 1]
+    got = {
+        (r.new_doc_id, r.dup_of, r.jaccard_1e6)
+        for r in minhash_index_probe(bdf, idx, resolver=hdf).collect()
+    }
+    assert got == _brute_probe(batch, kept)
+    assert not any(d == 1 for _, d, _ in got)
+    assert any(d == 2 for _, d, _ in got)  # live partner still matches
+
+    # re-ingest doc 1's text under its own id via probe-commit: the
+    # higher-version band rows beat the tombstone
+    back = spark.createDataFrame([history[0]], "doc_id long, text string")
+    minhash_index_probe(back, idx, resolver=hdf, commit=True).collect()
+    got2 = {
+        (r.new_doc_id, r.dup_of, r.jaccard_1e6)
+        for r in minhash_index_probe(bdf, idx, resolver=hdf).collect()
+    }
+    assert got2 == _brute_probe(batch, history)
+
+    # delete again, then compact: one surviving version, no tombstone
+    # rows, no doc-1 rows, probe answers unchanged across the fold
+    minhash_index_delete(spark, idx, [1])
+    before = {
+        (r.new_doc_id, r.dup_of)
+        for r in minhash_index_probe(bdf, idx, resolver=hdf).collect()
+    }
+    v = minhash_index_compact(spark, idx)
+    assert [n for n in os.listdir(idx) if n.startswith("v")] == [f"v{v}"]
+    snap = spark.read.parquet(f"{idx}/v{v}")
+    assert snap.where("band < 0 or doc_id = 1").count() == 0
+    after = {
+        (r.new_doc_id, r.dup_of)
+        for r in minhash_index_probe(bdf, idx, resolver=hdf).collect()
+    }
+    assert after == before == {(100, 2)}
+    assert minhash_index_compact(spark, str(tmp_path / "nope")) is None
+
+
+def test_minhash_index_delete_requires_index_and_ids(spark, tmp_path):
+    from spark_data_test_spark import minhash_index_delete
+
+    try:
+        minhash_index_delete(spark, str(tmp_path / "nope"), [1])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        minhash_index_delete(spark, str(tmp_path / "nope"), [])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
