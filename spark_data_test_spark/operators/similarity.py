@@ -2217,3 +2217,236 @@ def ivf_index_probe(
         return result
     finally:
         q.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Frame-level PQ (product quantization) — round 12. The registered PQ
+# family (`similarity_pq_train` / `similarity_pq_ann` /
+# `similarity_ivfpq_ann`, ref: none — north-star extension) is bound to
+# the synthetic embeddings table with integer micro-unit quantization
+# and an LCG seed order so DuckDB can replay it bit-for-bit; these
+# exports generalize the same architecture (subvector split -> seeded
+# deterministic Lloyd -> per-subspace codes -> ADC distance tables) to
+# ANY (id, vector) frame: float arithmetic, any dim divisible by m,
+# ids of any orderable type (seed order is xxhash64 of the id string —
+# the engine's pure-function sampling trick — instead of the integer
+# LCG the oracle replays).
+# ---------------------------------------------------------------------------
+
+_PQ_L2F = (
+    "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def _pq_frame(corpus, id_col, vec_col, op):
+    f = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    first = f.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError(f"{op}: empty input frame")
+    dim = int(first.d)
+    # rows with a deviant length are dropped rather than silently
+    # mis-split (ragged vector columns are a data bug upstream)
+    return f.where(F.size("_v") == dim), dim
+
+
+def _pq_split(frame, m, subdim):
+    """(_id, s, sub): each vector split into m contiguous subvectors."""
+    return frame.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.expr(
+                            f"slice(_v, {s * subdim + 1}, {subdim})"
+                        ).alias("sub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("r"),
+    ).select("_id", "r.s", "r.sub")
+
+
+def _pq_nearest(sub, codebook):
+    """Nearest codebook entry per (_id, s): exact float L2 with cent_id
+    tie-break, one map-side-combinable aggregate over the broadcast
+    codebook (the model is m x ncodes rows — broadcast-sized at any
+    corpus size, same argument as the registered `_pq_assign`)."""
+    return (
+        sub.join(F.broadcast(codebook), "s")
+        .withColumn("d", F.expr(_PQ_L2F))
+        .groupBy("_id", "s")
+        .agg(
+            F.min_by(
+                "cent_id", F.struct(F.col("d"), F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("sub").alias("sub"),
+        )
+    )
+
+
+def pq_train(
+    corpus, m=4, ncodes=16, rounds=1, id_col="vec_id", vec_col="emb"
+):
+    """Library operator: train a product-quantization codebook over an
+    arbitrary ``(id, vector)`` frame — the compression model ADC search
+    (`pq_topk`) scans instead of raw vectors (FAISS's PQ stage;
+    Jegou et al. 2011). Returns ``(s, cent_id, csub)``: per subspace
+    ``s`` (the vector split into ``m`` contiguous ``dim/m``-dim
+    pieces), at most ``ncodes`` centroid subvectors, trained by
+    ``rounds`` Lloyd iterations from a deterministic seed sample
+    (xxhash64 order over the id — growth-stable and replayable, the
+    generalized form of the registered LCG seed order). cent_id values
+    are the seed row ids, so the codebook is self-describing; a Lloyd
+    cell that loses every member drops out (standard k-means dropout).
+
+    Scale shape: every iteration is ONE corpus-sized shuffle (the
+    per-(id, s) nearest-entry aggregate) plus a model-sized centroid
+    update — the codebook itself stays m x ncodes rows and is
+    broadcast everywhere it is consumed; nothing corpus-sized is ever
+    collected."""
+    m, ncodes, rounds = int(m), int(ncodes), int(rounds)
+    if m < 1 or ncodes < 1 or rounds < 0:
+        raise ValueError("pq_train: m, ncodes >= 1 and rounds >= 0")
+    frame, dim = _pq_frame(corpus, id_col, vec_col, "pq_train")
+    if dim % m:
+        raise ValueError(
+            f"pq_train: vector dim {dim} not divisible by m={m}"
+        )
+    subdim = dim // m
+    seeds = (
+        frame.select("_id")
+        .distinct()
+        .orderBy(
+            F.xxhash64(F.col("_id").cast("string")),
+            F.col("_id").cast("string"),
+        )
+        .limit(ncodes)
+    )
+    cb = _pq_split(frame.join(seeds, "_id"), m, subdim).select(
+        F.col("_id").alias("cent_id"), "s", F.col("sub").alias("csub")
+    )
+    sub = None
+    for _ in range(rounds):
+        if sub is None:
+            sub = _pq_split(frame, m, subdim).persist()
+        asg = _pq_nearest(sub, cb)
+        cb = (
+            asg.select("s", "cent_id", F.posexplode("sub").alias("j", "x"))
+            .groupBy("s", "cent_id", "j")
+            .agg(F.avg("x").alias("mv"))
+            .groupBy("s", "cent_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("j", "mv"))).alias(
+                    "_p"
+                )
+            )
+            .select(
+                "s",
+                "cent_id",
+                F.expr("transform(_p, r -> r.mv)").alias("csub"),
+            )
+        )
+    out = cb.select("s", "cent_id", "csub").localCheckpoint(eager=True)
+    if sub is not None:
+        sub.unpersist()
+    return out
+
+
+def pq_encode(corpus, codebook, id_col="vec_id", vec_col="emb"):
+    """Library operator: encode every vector against a trained PQ
+    codebook — ``(id, s, code)``, the vector compressed to ``m`` small
+    codes (the representation `pq_topk`'s ADC scan reads instead of
+    raw floats: 4 codes vs a 256-byte vector is the memory story that
+    makes billion-vector search feasible). One corpus-sized shuffle;
+    the codebook is broadcast."""
+    m = codebook.select(F.max("s")).first()[0]
+    if m is None:
+        raise ValueError("pq_encode: empty codebook")
+    m = int(m) + 1
+    frame, dim = _pq_frame(corpus, id_col, vec_col, "pq_encode")
+    if dim % m:
+        raise ValueError(
+            f"pq_encode: vector dim {dim} not divisible by the "
+            f"codebook's m={m}"
+        )
+    return _pq_nearest(_pq_split(frame, m, dim // m), codebook).select(
+        F.col("_id").alias(id_col), "s", F.col("cent_id").alias("code")
+    )
+
+
+def pq_topk(
+    corpus,
+    queries,
+    k=10,
+    m=4,
+    ncodes=16,
+    rounds=1,
+    id_col="vec_id",
+    vec_col="emb",
+    codebook=None,
+):
+    """Library operator: asymmetric-distance (ADC) approximate top-k
+    over an arbitrary ``(id, vector)`` frame — the frame-level,
+    generalized form of the registered `similarity_pq_ann`. Each query
+    builds a distance TABLE to every codebook entry (m x ncodes exact
+    float L2 rows — the asymmetric trick: the query stays exact, only
+    the corpus is quantized), and every corpus vector's ADC distance
+    is the sum of m table lookups on its codes. Returns
+    ``(query_id, neighbor_id, rank, adc_dist)`` ranked per query by
+    (adc_dist asc, neighbor_id) with self-matches (equal ids)
+    excluded. Pass a ``codebook`` from `pq_train` to reuse a model
+    (and make repeated batches O(encode + scan)); otherwise one is
+    trained on the corpus with the given (m, ncodes, rounds).
+
+    Scale shape: codebook broadcast; codes = one corpus shuffle; the
+    ADC scan joins codes to the query distance tables on (s, code) —
+    query-batch x ncodes rows, AQE-broadcast while the batch is
+    modest — and aggregates per (query, candidate): cost is linear in
+    the corpus CODES per query, which is the honest ADC contract
+    (IVF-PQ composes `ivf_index_*` cells in front of this scan to cut
+    the candidate set; the registered `similarity_ivfpq_ann` shows
+    that composition)."""
+    if codebook is None:
+        codebook = pq_train(
+            corpus, m=m, ncodes=ncodes, rounds=rounds,
+            id_col=id_col, vec_col=vec_col,
+        )
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+    mq = int(codebook.select(F.max("s")).first()[0]) + 1
+    qframe, dim = _pq_frame(queries, id_col, vec_col, "pq_topk")
+    qsub = _pq_split(qframe, mq, dim // mq)
+    # per-query distance table to every codebook entry: nq x m x
+    # ncodes rows — joined to the corpus codes WITHOUT a hint (AQE
+    # broadcasts modest batches; a huge batch shuffles on (s, code))
+    qd = (
+        qsub.join(F.broadcast(codebook), "s")
+        .withColumn("d", F.expr(_PQ_L2F))
+        .select(F.col("_id").alias("_q"), "s", "cent_id", "d")
+    )
+    adc = (
+        codes.withColumnRenamed("code", "cent_id")
+        .join(qd, ["s", "cent_id"])
+        .where(F.col(id_col) != F.col("_q"))
+        .groupBy("_q", id_col)
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("_q").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+        )
+    )

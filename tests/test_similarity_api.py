@@ -584,3 +584,198 @@ def test_ivf_index_delete_requires_index_and_ids(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Frame-level PQ: pq_train / pq_encode / pq_topk (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _pq_brute_codes(corpus, cb, m, subdim):
+    """cb: {s: [(cent_id, subvec), ...]} — nearest entry per (id, s)."""
+    codes = {}
+    for cid, v in corpus:
+        for s in range(m):
+            sub = v[s * subdim:(s + 1) * subdim]
+            best = min(
+                cb[s],
+                key=lambda e: (
+                    sum((x - y) ** 2 for x, y in zip(sub, e[1])), e[0],
+                ),
+            )
+            codes[(cid, s)] = best[0]
+    return codes
+
+
+def _pq_brute_topk(corpus, queries, cb, m, subdim, k):
+    codes = _pq_brute_codes(corpus, cb, m, subdim)
+    ents = {(s, e[0]): e[1] for s in cb for e in cb[s]}
+    out = set()
+    for qid, qv in queries:
+        scored = []
+        for cid, _ in corpus:
+            if cid == qid:
+                continue
+            d = 0.0
+            for s in range(m):
+                sub = qv[s * subdim:(s + 1) * subdim]
+                ent = ents[(s, codes[(cid, s)])]
+                d += sum((x - y) ** 2 for x, y in zip(sub, ent))
+            scored.append((d, cid))
+        for rank, (d, cid) in enumerate(sorted(scored)[:k], 1):
+            out.add((qid, cid, rank, round(d, 6)))
+    return out
+
+
+def test_pq_topk_with_explicit_codebook_matches_bruteforce(spark):
+    """ADC search against a HAND-BUILT codebook equals the all-pairs
+    Python replica exactly (integer-valued floats keep every sum
+    exact), and pq_encode emits the same codes."""
+    import random
+
+    from spark_data_test_spark import pq_encode, pq_topk
+
+    rng = random.Random(97)
+    m, subdim = 2, 3
+    corpus = [
+        (i, [float(rng.randrange(-6, 7)) for _ in range(m * subdim)])
+        for i in range(24)
+    ]
+    queries = corpus[:4]
+    cb = {
+        s: [(j, [float(rng.randrange(-6, 7)) for _ in range(subdim)])
+            for j in range(4)]
+        for s in range(m)
+    }
+    cb_rows = [(s, j, sub) for s in cb for j, sub in cb[s]]
+    cb_df = spark.createDataFrame(
+        cb_rows, "s int, cent_id long, csub array<double>"
+    )
+    schema = "vec_id long, emb array<double>"
+    cdf = spark.createDataFrame(corpus, schema)
+    got_codes = {
+        (r.vec_id, r.s): r.code
+        for r in pq_encode(cdf, cb_df).collect()
+    }
+    assert got_codes == _pq_brute_codes(corpus, cb, m, subdim)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.adc_dist, 6))
+        for r in pq_topk(
+            cdf, spark.createDataFrame(queries, schema),
+            k=5, codebook=cb_df,
+        ).collect()
+    }
+    assert got == _pq_brute_topk(corpus, queries, cb, m, subdim, 5)
+
+
+def test_pq_train_is_deterministic_and_improves_the_objective(spark):
+    """Training is replayable (two invocations -> identical rows; the
+    integer-valued fixture keeps float sums order-independent), the
+    codebook has the contracted shape, rounds=0 returns the seed
+    subvectors verbatim, and one Lloyd round never worsens the mean
+    nearest-entry distance (the k-means monotonicity invariant)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import pq_encode, pq_train
+
+    rng = random.Random(101)
+    m, subdim, n = 4, 2, 40
+    corpus = [
+        (i, [float(rng.randrange(-8, 9)) for _ in range(m * subdim)])
+        for i in range(n)
+    ]
+    schema = "vec_id long, emb array<double>"
+    cdf = spark.createDataFrame(corpus, schema)
+
+    a = {(r.s, r.cent_id, tuple(r.csub))
+         for r in pq_train(cdf, m=m, ncodes=6).collect()}
+    b = {(r.s, r.cent_id, tuple(r.csub))
+         for r in pq_train(cdf, m=m, ncodes=6).collect()}
+    assert a == b and a
+    assert all(len(c) == subdim for _, _, c in a)
+    assert len({(s, cid) for s, cid, _ in a}) == len(a)
+    for s in range(m):
+        assert 1 <= sum(1 for t in a if t[0] == s) <= 6
+
+    seeds = pq_train(cdf, m=m, ncodes=6, rounds=0)
+    seed_ids = {r.cent_id for r in seeds.collect()}
+    by_id = dict(corpus)
+    for r in seeds.collect():
+        assert r.csub == by_id[r.cent_id][r.s * subdim:(r.s + 1) * subdim]
+
+    def objective(cb_df):
+        codes = pq_encode(cdf, cb_df)
+        ents = cb_df.select(
+            "s", F.col("cent_id").alias("code"),
+            F.col("csub").alias("_e"),
+        )
+        sub = {(r.vec_id, r.s): r.code for r in codes.collect()}
+        emap = {(r.s, r.code): r._e for r in ents.collect()}
+        tot = 0.0
+        for cid, v in corpus:
+            for s in range(m):
+                e = emap[(s, sub[(cid, s)])]
+                tot += sum(
+                    (x - y) ** 2
+                    for x, y in zip(v[s * subdim:(s + 1) * subdim], e)
+                )
+        return tot
+
+    trained = pq_train(cdf, m=m, ncodes=6, rounds=1)
+    assert objective(trained) <= objective(seeds) + 1e-9
+    assert seed_ids  # seeds drawn from the corpus ids
+
+
+def test_pq_validation_errors(spark):
+    import pytest
+
+    from spark_data_test_spark import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, emb array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=2)
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(df.where("vec_id < 0"), m=3)
+
+
+def test_pq_topk_trained_recall_on_clustered_data(spark):
+    """On well-separated clustered data a TRAINED codebook's ADC top-k
+    recovers the exact L2 top-k almost entirely (the quantization error
+    is the within-cluster noise, tiny next to the between-cluster
+    distances) — the quality check that the training actually learns
+    the structure, complementing the explicit-codebook exactness pin."""
+    from spark_data_test_spark import pq_topk
+
+    corpus, queries = _clustered_fixture(
+        n_clusters=4, per_cluster=10, dim=6, seed=131
+    )
+    schema = "vec_id long, emb array<double>"
+    cdf = spark.createDataFrame(corpus, schema)
+    qdf = spark.createDataFrame(queries, schema)
+    k = 5
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(
+            cdf, qdf, k=k, m=2, ncodes=8, rounds=2
+        ).collect()
+    }
+    by_id = dict(corpus)
+    exact = set()
+    for qid, qv in queries:
+        scored = sorted(
+            (sum((x - y) ** 2 for x, y in zip(qv, v)), cid)
+            for cid, v in by_id.items()
+            if cid != qid
+        )[:k]
+        exact |= {(qid, cid) for _, cid in scored}
+    recall = len(got & exact) / len(exact)
+    # within-cluster ORDER is quantization noise (codes collapse the
+    # within-cluster detail by design), so exact-set recall is bounded
+    # away from 1; cluster MEMBERSHIP is the structure training must
+    # learn, and there it must be perfect
+    assert recall >= 0.6, (recall, sorted(got), sorted(exact))
+    assert all(q // 10 == n // 10 for q, n in got), sorted(got)
