@@ -779,3 +779,121 @@ def test_pq_topk_trained_recall_on_clustered_data(spark):
     # learn, and there it must be perfect
     assert recall >= 0.6, (recall, sorted(got), sorted(exact))
     assert all(q // 10 == n // 10 for q, n in got), sorted(got)
+
+
+def test_pq_explicit_codebook_property_sweep(spark):
+    """Hypothesis sweep: for random integer-valued corpora, queries,
+    and codebooks, pq_encode and pq_topk equal the all-pairs Python
+    replica exactly (integer-valued floats keep every L2 sum exact in
+    double, so order-of-summation cannot split the comparison)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import pq_encode, pq_topk
+
+    @st.composite
+    def scenarios(draw):
+        m = draw(st.integers(1, 3))
+        subdim = draw(st.integers(1, 3))
+        dim = m * subdim
+        n = draw(st.integers(3, 10))
+        val = st.integers(-5, 5)
+        corpus = [
+            (i, [float(draw(val)) for _ in range(dim)]) for i in range(n)
+        ]
+        nq = draw(st.integers(1, 2))
+        queries = corpus[:nq]
+        ncodes = draw(st.integers(1, 4))
+        cb = {
+            s: [
+                (j, [float(draw(val)) for _ in range(subdim)])
+                for j in range(ncodes)
+            ]
+            for s in range(m)
+        }
+        k = draw(st.integers(1, 4))
+        return m, subdim, corpus, queries, cb, k
+
+    @given(s=scenarios())
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(s):
+        m, subdim, corpus, queries, cb, k = s
+        schema = "vec_id long, emb array<double>"
+        cdf = spark.createDataFrame(corpus, schema)
+        cb_df = spark.createDataFrame(
+            [(s_, j, sub) for s_ in cb for j, sub in cb[s_]],
+            "s int, cent_id long, csub array<double>",
+        )
+        got_codes = {
+            (r.vec_id, r.s): r.code for r in pq_encode(cdf, cb_df).collect()
+        }
+        assert got_codes == _pq_brute_codes(corpus, cb, m, subdim)
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, round(r.adc_dist, 6))
+            for r in pq_topk(
+                cdf, spark.createDataFrame(queries, schema),
+                k=k, codebook=cb_df,
+            ).collect()
+        }
+        assert got == _pq_brute_topk(corpus, queries, cb, m, subdim, k)
+
+    prop()
+
+
+def test_ivf_index_random_op_sequence_equals_net_state(spark, tmp_path):
+    """Seeded random LSM lifecycle: an arbitrary interleaving of
+    ingests (probe-commit), deletes, and compactions must answer
+    probes exactly like an index REBUILT from the net surviving state
+    (same centroids: the original build's, so probe-all comparisons
+    are exact against the brute force over the live vectors)."""
+    import random
+
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_probe,
+    )
+
+    corpus, queries = _fixture(n=18, nq=3, dim=6, seed=151)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark.createDataFrame(corpus, schema), idx,
+                    ncells=3, rounds=2)
+    live = {i: v for i, v in corpus if any(x != 0.0 for x in v)}
+    rng = random.Random(151)
+    next_id = 500
+    qdf = spark.createDataFrame(queries, schema)
+    for step in range(6):
+        op = rng.choice(["ingest", "delete", "compact"])
+        if op == "ingest":
+            rows = []
+            for _ in range(rng.randrange(1, 3)):
+                if rng.random() < 0.5 and live:
+                    vid = rng.choice(sorted(live))  # changed re-ingest
+                else:
+                    vid, next_id = next_id, next_id + 1
+                vec = [rng.choice([-1.0, 1.0]) * rng.randrange(1, 5)
+                       for _ in range(6)]
+                rows.append((vid, vec))
+                live[vid] = vec
+            ivf_index_probe(
+                spark.createDataFrame(rows, schema), idx,
+                k=2, nprobe=3, commit=True,
+            ).collect()
+        elif op == "delete" and live:
+            gone = rng.sample(sorted(live), k=min(2, len(live)))
+            ivf_index_delete(spark, idx, gone)
+            for g in gone:
+                live.pop(g)
+        elif op == "compact":
+            ivf_index_compact(spark, idx)
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+            for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
+        }
+        want = _brute(sorted(live.items()), queries, 4)
+        assert got == want, (step, op, sorted(live))
