@@ -599,3 +599,51 @@ def topk_per_group(df, keys, order_col, k=1, descending=True, tie_cols=()):
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(int(k)))
     )
+
+
+def stratified_sample(df, strata_col, rates, cols, salt=0, default_rate=0.0):
+    """Library operator: per-stratum deterministic sampling — the
+    corpus-mixing primitive ("keep all of wiki, 10% of crawl, none of
+    spam") with `hash_sample`'s pure-function verdict. ``rates`` maps
+    ``strata_col`` values to keep fractions; rows of unlisted strata
+    fall back to ``default_rate``. The verdict is
+    ``xxhash64(cols..., salt) < fraction-of-hash-space``, a pure
+    function of the named columns: re-running, repartitioning, or
+    growing the corpus never flips a row, hashing an ENTITY column
+    keeps each entity together, and because every stratum shares one
+    hash, raising a stratum's rate only ADDS rows (nested samples —
+    the property that lets a mixing sweep reuse its largest sample).
+    With every rate equal this IS `hash_sample` row-for-row.
+
+    Scale shape: the rate table compiles to a LITERAL in-row map
+    lookup — zero joins, zero shuffles, scan-side codegen filter.
+    That sizes the operator to mixing-pipeline strata counts (dozens
+    to hundreds of sources); thousands of strata would bloat the
+    compiled plan — pre-bucket first, as `source_overlap` documents
+    for the same regime."""
+    rates = dict(rates)
+    for v, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(
+                f"stratified_sample: rate for {v!r} must be in [0, 1],"
+                f" got {r}"
+            )
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError(
+            "stratified_sample: default_rate must be in [0, 1],"
+            f" got {default_rate}"
+        )
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    entries = []
+    for v, r in rates.items():
+        entries += [F.lit(v), F.lit(int(round(float(r) * 1_000_000)))]
+    thresh = F.lit(int(round(float(default_rate) * 1_000_000)))
+    if entries:
+        thresh = F.coalesce(
+            F.create_map(*entries).getItem(F.col(strata_col)), thresh
+        )
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.lit(int(salt))),
+        F.lit(1_000_000),
+    )
+    return df.where(bucket < thresh)

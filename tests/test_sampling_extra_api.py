@@ -314,3 +314,64 @@ def test_token_budget_property_sweep(spark):
         assert got <= bigger
 
     prop()
+
+
+def test_stratified_sample_contract(spark):
+    """Round-12: per-stratum keep rates ride hash_sample's verdict —
+    uniform rates equal hash_sample row-for-row, raising a rate only
+    ADDS rows (nested samples), unlisted strata use default_rate, the
+    verdict is repartition-stable, and the plan is a zero-shuffle
+    scan-side filter."""
+    import random
+
+    from spark_data_test_spark import hash_sample, stratified_sample
+    from spark_data_test_spark.plans.audit import count_shuffles
+
+    rng = random.Random(163)
+    rows = [
+        (i, rng.choice(["wiki", "crawl", "spam"]), rng.randrange(1000))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, uid long")
+
+    uniform = stratified_sample(
+        df, "source", {"wiki": 0.3, "crawl": 0.3, "spam": 0.3}, cols="uid"
+    )
+    assert {r.id for r in uniform.collect()} == {
+        r.id for r in hash_sample(df, 0.3, "uid").collect()
+    }
+
+    lo = stratified_sample(
+        df, "source", {"wiki": 1.0, "crawl": 0.1}, cols="uid"
+    )
+    hi = stratified_sample(
+        df, "source", {"wiki": 1.0, "crawl": 0.4}, cols="uid"
+    )
+    lo_ids = {r.id for r in lo.collect()}
+    hi_ids = {r.id for r in hi.collect()}
+    assert lo_ids <= hi_ids                      # nested samples
+    by_src = {r.id: r.source for r in df.collect()}
+    assert all(by_src[i] != "spam" for i in lo_ids)  # default_rate=0
+    assert {i for i in lo_ids if by_src[i] == "wiki"} == {
+        i for i, s in by_src.items() if s == "wiki"
+    }                                            # rate 1.0 keeps all
+    # unlisted strata honor default_rate
+    some_spam = stratified_sample(
+        df, "source", {"wiki": 0.0}, cols="uid", default_rate=1.0
+    )
+    assert {i for i in (r.id for r in some_spam.collect())
+            if by_src[i] == "wiki"} == set()
+    # repartition-stable verdict, zero shuffles in the filter plan
+    assert {r.id for r in stratified_sample(
+        df.repartition(7), "source", {"wiki": 1.0, "crawl": 0.1},
+        cols="uid",
+    ).collect()} == lo_ids
+    assert count_shuffles(
+        stratified_sample(df, "source", {"wiki": 0.5}, cols="uid")
+    ) == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(df, "source", {"wiki": 1.5}, cols="uid")
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(df, "source", {}, cols="uid", default_rate=-1)
