@@ -849,3 +849,66 @@ def test_minhash_index_delete_requires_index_and_ids(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+def test_minhash_index_random_op_sequence_equals_net_state(spark, tmp_path):
+    """Seeded random LSM lifecycle for the band index: an arbitrary
+    interleaving of probe-commits, deletes, and compactions answers
+    every probe exactly like the brute-force cross-check against the
+    net live document set."""
+    import random
+
+    from spark_data_test_spark import (
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_probe,
+    )
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different content about spark shuffles",
+        "nothing shares any gram with this one either ok",
+    ]
+    history = list(enumerate(base_texts))
+    hdf = spark.createDataFrame(history, "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+    minhash_index_build(hdf, idx)
+    live = dict(history)
+    rng = random.Random(173)
+    next_id = 100
+    probe_batch = [(900, base_texts[0]), (901, base_texts[2])]
+    bdf = spark.createDataFrame(probe_batch, "doc_id long, text string")
+    for step in range(5):
+        op = rng.choice(["ingest", "delete", "compact"])
+        resolver = spark.createDataFrame(
+            sorted(live.items()), "doc_id long, text string"
+        )
+        if op == "ingest":
+            text = rng.choice(base_texts) + (" v%d" % step) * rng.randrange(2)
+            rows = [(next_id, text)]
+            live[next_id] = text
+            next_id += 1
+            minhash_index_probe(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                idx, resolver=resolver, commit=True,
+            ).collect()
+        elif op == "delete" and live:
+            gone = rng.sample(sorted(live), k=1)
+            minhash_index_delete(spark, idx, gone)
+            for g in gone:
+                live.pop(g)
+        elif op == "compact":
+            minhash_index_compact(spark, idx)
+        resolver = spark.createDataFrame(
+            sorted(live.items()), "doc_id long, text string"
+        )
+        got = {
+            (r.new_doc_id, r.dup_of, r.jaccard_1e6)
+            for r in minhash_index_probe(
+                bdf, idx, resolver=resolver
+            ).collect()
+        }
+        assert got == _brute_probe(probe_batch, sorted(live.items())), (
+            step, op, sorted(live),
+        )
