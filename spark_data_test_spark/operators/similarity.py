@@ -2450,3 +2450,63 @@ def pq_topk(
             "adc_dist",
         )
     )
+
+
+def ivf_index_stats(spark, index_path):
+    """Library operator: observability readout for the persisted IVF
+    index — the numbers an operator of a 100 TB corpus index watches
+    to schedule compaction and retrains. Returns a single-row frame:
+
+    - ``n_live`` / ``n_cells_used``: resolved live vectors and the
+      distinct cells they occupy (cell skew -> retrain signal),
+    - ``n_log_rows`` / ``n_versions``: raw postings-log volume and
+      committed version count (log depth -> compaction signal),
+    - ``n_tombstones``: committed delete markers still in the log
+      (reclaimed by `ivf_index_compact`),
+    - ``max_cell_rows``: the hottest cell's live row count (probe
+      latency is bounded by the probed cells' sizes).
+
+    All aggregates run distributed over the log; only the single
+    summary row reaches the driver. Returns None for a missing
+    index."""
+    from spark_data_test_spark.state import read_state_union
+
+    log = read_state_union(
+        spark, f"{index_path}/postings", version_col="_pv"
+    )
+    if log is None:
+        return None
+    resolved = _resolved_postings(spark, index_path)
+    per_cell = resolved.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    live = resolved.agg(
+        F.count(F.lit(1)).alias("n_live"),
+    )
+    cells = per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
+            "max_cell_rows"
+        ),
+    )
+    raw = log.agg(
+        F.count(F.lit(1)).alias("n_log_rows"),
+        F.count_distinct("_pv").alias("n_versions"),
+        F.sum(
+            (F.col("cell") == F.lit(_TOMBSTONE_CELL)).cast("long")
+        ).alias("n_tombstones"),
+    )
+    return (
+        live.crossJoin(F.broadcast(cells))
+        .crossJoin(F.broadcast(raw))
+        .select(
+            "n_live",
+            "n_cells_used",
+            "n_log_rows",
+            "n_versions",
+            F.coalesce("n_tombstones", F.lit(0)).cast("long").alias(
+                "n_tombstones"
+            ),
+            "max_cell_rows",
+        )
+    )

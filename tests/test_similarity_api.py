@@ -897,3 +897,51 @@ def test_ivf_index_random_op_sequence_equals_net_state(spark, tmp_path):
         }
         want = _brute(sorted(live.items()), queries, 4)
         assert got == want, (step, op, sorted(live))
+
+
+def test_ivf_index_stats_tracks_the_lifecycle(spark, tmp_path):
+    """Stats reflect every lifecycle step: build (live == indexed, one
+    version, no tombstones), ingest (+live, +versions), delete
+    (-live, +tombstones, log unchanged), compact (live unchanged, log
+    folded to live rows, one version, zero tombstones). max_cell_rows
+    bounds live rows; missing index returns None."""
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_probe,
+        ivf_index_stats,
+    )
+
+    corpus, _ = _fixture(n=12, nq=0, dim=6, seed=181)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    n = ivf_index_build(spark.createDataFrame(corpus, schema), idx,
+                        ncells=3, rounds=2)
+
+    def stats():
+        return ivf_index_stats(spark, idx).collect()[0]
+
+    s0 = stats()
+    assert (s0.n_live, s0.n_versions, s0.n_tombstones) == (n, 1, 0)
+    assert s0.n_log_rows == n
+    assert 1 <= s0.n_cells_used <= 3
+    assert s0.max_cell_rows <= s0.n_live
+
+    extra = [(500, [1.0, -1.0, 2.0, 0.5, -0.5, 1.5])]
+    ivf_index_probe(spark.createDataFrame(extra, schema), idx,
+                    k=2, nprobe=3, commit=True).collect()
+    s1 = stats()
+    assert (s1.n_live, s1.n_versions) == (n + 1, 2)
+
+    ivf_index_delete(spark, idx, [0, 1])
+    s2 = stats()
+    assert (s2.n_live, s2.n_tombstones, s2.n_versions) == (n - 1, 2, 3)
+    assert s2.n_log_rows == n + 1 + 2  # base + ingest + tombstones
+
+    ivf_index_compact(spark, idx)
+    s3 = stats()
+    assert (s3.n_live, s3.n_log_rows, s3.n_versions, s3.n_tombstones) == (
+        n - 1, n - 1, 1, 0,
+    )
+    assert ivf_index_stats(spark, str(tmp_path / "nope")) is None
