@@ -2477,13 +2477,13 @@ def ivf_index_stats(spark, index_path):
     if log is None:
         return None
     resolved = _resolved_postings(spark, index_path)
+    # n_live folds out of the per-cell histogram, so the resolve
+    # subplan executes ONCE for all three live-side stats
     per_cell = resolved.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    live = resolved.agg(
-        F.count(F.lit(1)).alias("n_live"),
-    )
     cells = per_cell.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_live"),
         F.count(F.lit(1)).alias("n_cells_used"),
         F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
             "max_cell_rows"
@@ -2497,8 +2497,7 @@ def ivf_index_stats(spark, index_path):
         ).alias("n_tombstones"),
     )
     return (
-        live.crossJoin(F.broadcast(cells))
-        .crossJoin(F.broadcast(raw))
+        cells.crossJoin(F.broadcast(raw))
         .select(
             "n_live",
             "n_cells_used",
