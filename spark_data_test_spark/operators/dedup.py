@@ -3753,3 +3753,64 @@ def minhash_index_probe(
         return result
     finally:
         bands.unpersist()
+
+
+def minhash_index_stats(spark, index_path):
+    """Library operator: observability readout for the persisted band
+    index — `ivf_index_stats`'s sibling for the text-dedup side.
+    Returns a single-row frame:
+
+    - ``n_live_docs`` / ``n_live_rows``: distinct documents with live
+      band rows, and the live rows themselves,
+    - ``n_log_rows`` / ``n_versions``: raw log volume and committed
+      version count (depth -> `minhash_index_compact` signal),
+    - ``n_tombstones``: committed delete markers still in the log,
+    - ``max_bucket_rows``: the hottest (band, sig) bucket's live row
+      count — probe joins collide on these buckets, so this is the
+      skew signal (a boilerplate-heavy corpus shows up here first).
+
+    One aggregation pass over the live view plus one over the raw
+    log; only the summary row reaches the driver. Returns None for a
+    missing index."""
+    from spark_data_test_spark.state import read_state_union
+
+    log = read_state_union(spark, index_path, version_col="_mv")
+    if log is None:
+        return None
+    live = _live_band_rows(log)
+    per_bucket = live.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("doc_id").alias("_d"),
+    )
+    # n_live_rows folds out of the bucket histogram (one live-view
+    # execution); distinct docs need their own keyed aggregate
+    buckets = per_bucket.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias(
+            "n_live_rows"
+        ),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
+            "max_bucket_rows"
+        ),
+    )
+    docs = live.agg(F.count_distinct("doc_id").alias("n_live_docs"))
+    raw = log.agg(
+        F.count(F.lit(1)).alias("n_log_rows"),
+        F.count_distinct("_mv").alias("n_versions"),
+        F.sum(
+            (F.col("band") == F.lit(_MH_TOMBSTONE_BAND)).cast("long")
+        ).alias("n_tombstones"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(buckets))
+        .crossJoin(F.broadcast(raw))
+        .select(
+            "n_live_docs",
+            "n_live_rows",
+            "n_log_rows",
+            "n_versions",
+            F.coalesce("n_tombstones", F.lit(0)).cast("long").alias(
+                "n_tombstones"
+            ),
+            "max_bucket_rows",
+        )
+    )

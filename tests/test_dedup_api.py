@@ -912,3 +912,53 @@ def test_minhash_index_random_op_sequence_equals_net_state(spark, tmp_path):
         assert got == _brute_probe(probe_batch, sorted(live.items())), (
             step, op, sorted(live),
         )
+
+def test_minhash_index_stats_tracks_the_lifecycle(spark, tmp_path):
+    """Stats reflect every lifecycle step: build (live == fingerprinted
+    docs, one version, no tombstones), probe-commit ingest (+docs,
+    +versions), delete (-docs, +tombstones, log unchanged), compact
+    (live unchanged, log folded, zero tombstones). Docs shorter than
+    the shingle width carry no band rows and never count."""
+    from spark_data_test_spark import (
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_probe,
+        minhash_index_stats,
+    )
+
+    history = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content about spark shuffles"),
+        (3, "x"),  # below shingle width: no band rows
+    ]
+    hdf = spark.createDataFrame(history, "doc_id long, text string")
+    idx = str(tmp_path / "mhidx")
+    minhash_index_build(hdf, idx)
+
+    def stats():
+        return minhash_index_stats(spark, idx).collect()[0]
+
+    s0 = stats()
+    assert (s0.n_live_docs, s0.n_versions, s0.n_tombstones) == (2, 1, 0)
+    assert s0.n_live_rows == s0.n_log_rows
+    assert 1 <= s0.max_bucket_rows <= s0.n_live_rows
+
+    batch = spark.createDataFrame(
+        [(100, "entirely novel arrival with fresh content here")],
+        "doc_id long, text string",
+    )
+    minhash_index_probe(batch, idx, resolver=hdf, commit=True).collect()
+    s1 = stats()
+    assert (s1.n_live_docs, s1.n_versions) == (3, 2)
+
+    minhash_index_delete(spark, idx, [1])
+    s2 = stats()
+    assert (s2.n_live_docs, s2.n_tombstones, s2.n_versions) == (2, 1, 3)
+    assert s2.n_log_rows == s1.n_log_rows + 1  # just the tombstone
+
+    minhash_index_compact(spark, idx)
+    s3 = stats()
+    assert (s3.n_live_docs, s3.n_versions, s3.n_tombstones) == (2, 1, 0)
+    assert s3.n_log_rows == s3.n_live_rows == s2.n_live_rows
+    assert minhash_index_stats(spark, str(tmp_path / "nope")) is None
