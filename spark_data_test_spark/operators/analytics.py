@@ -698,9 +698,10 @@ def orders_market_basket(spark, sf_dir):
     items, so pair volume is <= 21x the order count — linear in the
     data with a constant basket factor, the canonical co-occurrence
     shape. The final top-k is fully tie-broken (support, part_a,
-    part_b), so the cut is deterministic at every scale."""
-    from pyspark.sql import Window
-
+    part_b), so the cut is deterministic at every scale — and it plans
+    as TakeOrderedAndProject (per-partition top-25 heaps merged on the
+    driver), not a single-task global-sort window, so the pair-support
+    frame never funnels through one partition."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
@@ -712,12 +713,7 @@ def orders_market_basket(spark, sf_dir):
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    w = Window.orderBy(F.col("support").desc(), "part_a", "part_b")
-    return (
-        sup.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 25)
-        .drop("rn")
-    )
+    return sup.orderBy(F.desc("support"), "part_a", "part_b").limit(25)
 
 
 _BACKLOG_DAYS = 30

@@ -1093,8 +1093,12 @@ def events_top_session_paths(spark, sf_dir):
     Shapes: sessionization and the collapse ride ONE user-keyed
     shuffle (the window and groupBy share partitioning); path state is
     bounded by session length (cap ultra-long sessions upstream if a
-    bot's session would blow a row); the final top-k window sees only
-    distinct paths with map-side-combined counts."""
+    bot's session would blow a row); the final top-k is an
+    ``orderBy().limit()`` over the distinct-path counts — planned as
+    TakeOrderedAndProject (per-partition top-k heaps merged on the
+    driver), never a single-task global-sort window, because path
+    cardinality grows with users x sessions. The full tie-break
+    (n_sessions desc, path) keeps the cut deterministic."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_us = F.lag(F.unix_micros("ts")).over(w)
@@ -1122,12 +1126,9 @@ def events_top_session_paths(spark, sf_dir):
         )
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    rn = F.row_number().over(
-        Window.orderBy(F.col("n_sessions").desc(), "path")
-    )
     return (
-        counts.withColumn("rn", rn)
-        .where(F.col("rn") <= _PATH_TOP_K)
+        counts.orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP_K)
         .select("path", "n_sessions")
     )
 
@@ -1694,8 +1695,9 @@ def top_session_paths(
     Shape at 100 TB: one shuffle on the keys for the session window,
     one per-session aggregate (collect_list is bounded by the longest
     single session), a path-level count with map-side partials, and a
-    top-k over the path-level frame (bounded by distinct paths, never
-    by event volume)."""
+    top-k planned as TakeOrderedAndProject (per-partition heaps merged
+    on the driver) — never a single-task global-sort window, because
+    distinct-path cardinality grows with users x sessions."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     paths = (
         events.groupBy(
@@ -1714,12 +1716,9 @@ def top_session_paths(
     counts = paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
-    rn = F.row_number().over(
-        Window.orderBy(F.col("n_sessions").desc(), "path")
-    )
     return (
-        counts.withColumn("_rn", rn)
-        .where(F.col("_rn") <= F.lit(int(k)))
+        counts.orderBy(F.desc("n_sessions"), "path")
+        .limit(int(k))
         .select("path", "n_sessions")
     )
 

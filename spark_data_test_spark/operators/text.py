@@ -786,6 +786,11 @@ def text_bigram_familiarity(spark, sf_dir):
 
 
 _DECILES = 10
+# Range-bucket width (2^shift milli-units) for the two-phase global
+# rank: the linear score is bounded by the weight vector times per-doc
+# feature caps, not by corpus size, so buckets stay in the hundreds at
+# any sf while each bucket ranks in parallel.
+_DECILE_BUCKET_SHIFT = 10
 
 
 @query(
@@ -829,23 +834,63 @@ def text_quality_deciles(spark, sf_dir):
     """Classifier CALIBRATION report: corpus deciles by model score
     with per-decile score range and keep counts — how a pipeline picks
     (and defends) its quality threshold before committing a filter at
-    full scale. Deciles come from ntile over the total order
-    (score, doc_id) — the doc_id tie-break makes bucket boundaries
-    bit-deterministic, which raw score ties would not be.
+    full scale. Deciles come from the total order (score, doc_id) —
+    the doc_id tie-break makes bucket boundaries bit-deterministic,
+    which raw score ties would not be.
 
-    The global ntile is a single-partition sort window — fine HERE
-    because its input is (doc_id, score) pairs, not documents, and at
-    true 100 TB the two-phase rewrite `parts_abc_pareto` demonstrates
-    (partition-local ranks + broadcast offsets) swaps in without
-    changing the report. Featurization reuses the
-    `text_quality_model_score` weights, so the two queries pin each
-    other."""
+    The global rank is computed WITHOUT a single-partition sort window
+    — the two-phase pattern `parts_abc_pareto` demonstrates: scores
+    range-bucket by magnitude (arithmetic shift = floor division, so
+    negatives order below positives; bucket count is bounded by the
+    score RANGE — a few hundred buckets at any corpus size, since
+    per-doc scores don't grow with sf), per-bucket counts make a tiny
+    frame whose ascending prefix sums broadcast back, and each row's
+    global rank = its bucket's prefix + an intra-bucket row_number
+    (window partitioned BY BUCKET — parallel bounded partitions, no
+    global sort). The ntile bucket assignment is then pure arithmetic
+    on (rank, total): the first ``n % 10`` deciles take ``n div 10 +
+    1`` rows, the rest ``n div 10`` — exactly SQL NTILE, so the DuckDB
+    oracle's global NTILE window independently validates the
+    decomposition. Featurization reuses the `text_quality_model_score`
+    weights, so the two queries pin each other."""
     scored = text_quality_model_score(spark, sf_dir).select(
         "doc_id", "score_milli"
+    ).withColumn("bkt", F.shiftright("score_milli", _DECILE_BUCKET_SHIFT))
+    bkt_counts = scored.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    # tiny frame: one row per occupied score bucket; prefix = rows in
+    # all strictly-lower buckets (ascending order)
+    bkt_prefix = bkt_counts.withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "prefix")
+    total = bkt_counts.agg(F.sum("bn").alias("n_total"))
+    w_intra = Window.partitionBy("bkt").orderBy("score_milli", "doc_id")
+    ranked = (
+        scored.join(F.broadcast(bkt_prefix), "bkt")
+        .withColumn("rn", F.col("prefix") + F.row_number().over(w_intra))
+        .crossJoin(F.broadcast(total))
     )
-    decile = F.ntile(_DECILES).over(Window.orderBy("score_milli", "doc_id"))
+    # SQL NTILE(k) over n rows: the first (n % k) tiles hold
+    # (n div k + 1) rows, the remaining tiles (n div k); all operands
+    # non-negative, so `div` truncation == floor.
+    decile = F.expr(
+        f"CASE WHEN rn <= (n_total % {_DECILES})"
+        f" * ((n_total div {_DECILES}) + 1)"
+        f" THEN (rn - 1) div ((n_total div {_DECILES}) + 1) + 1"
+        f" ELSE (n_total % {_DECILES})"
+        f" + (rn - 1 - (n_total % {_DECILES})"
+        f" * ((n_total div {_DECILES}) + 1))"
+        f" div (n_total div {_DECILES}) + 1 END"
+    )
     return (
-        scored.withColumn("decile", decile)
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -457,3 +457,62 @@ def test_containment_family_broadcast_discipline(spark, sf_dir):
                 assert bad not in line, line
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_market_basket_query_topk_is_take_ordered(spark, sf_dir):
+    """Round-13 pin (VERDICT r12 item 1a): the registered
+    `orders_market_basket` top-25 plans as TakeOrderedAndProject —
+    per-partition partial top-k merged on the driver — never a
+    row_number window whose unpartitioned sort funnels the entire
+    part-pair support set (linear in the corpus) through ONE task."""
+    from spark_data_test_spark.operators.analytics import orders_market_basket
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    plan = simple_plan(orders_market_basket(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Sort [support" not in plan, plan
+
+
+def test_top_session_paths_query_topk_is_take_ordered(spark, sf_dir):
+    """Round-13 pin (VERDICT r12 item 1b): the registered
+    `events_top_session_paths` top-20 plans as TakeOrderedAndProject.
+    Path cardinality grows with users x sessions, so a global-sort
+    window over the distinct-path counts is the condemned single-task
+    shape. The sessionization windows (partitioned by user_id) stay;
+    only an UNPARTITIONED sort of the path counts is banned."""
+    from spark_data_test_spark.operators.temporal import (
+        events_top_session_paths,
+    )
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    plan = simple_plan(events_top_session_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [n_sessions" not in plan, plan
+    # every Window left in the plan is the user-partitioned
+    # sessionization pair, never a global ranking window
+    for line in simple_plan(events_top_session_paths(spark, sf_dir)).splitlines():
+        if "Window" in line:
+            assert "user_id" in line, line
+
+
+def test_quality_deciles_has_no_global_sort_window(spark, sf_dir):
+    """Round-13 pin (VERDICT r12 item 1c): `text_quality_deciles`
+    computes the global rank with the two-phase bucket decomposition
+    (partition-local row_number + broadcast prefix offsets), so the
+    only Window over the doc-cardinality frame is PARTITIONED by the
+    score bucket; no global ntile/row_number sort survives, and the
+    bucket-prefix window runs over the tiny per-bucket count frame."""
+    from spark_data_test_spark.operators.text import text_quality_deciles
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    df = text_quality_deciles(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "ntile" not in plan, plan
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        # each window is either the bkt-partitioned intra-bucket rank
+        # or the bucket-count prefix sum (input = per-bucket counts,
+        # identifiable by its bn/prefix sum expression)
+        assert ("[bkt#" in line) or ("bn#" in line), line

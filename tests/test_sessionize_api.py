@@ -214,3 +214,24 @@ def test_top_session_paths_k_and_sep(spark):
     got = [(r.path, r.n_sessions)
            for r in top_session_paths(df, k=1, sep="->").collect()]
     assert got == [("a->b", 2)]
+
+
+def test_top_session_paths_topk_is_take_ordered(spark):
+    """Round-13 pin (VERDICT r12 item 1b): the export's top-k plans as
+    TakeOrderedAndProject — per-partition heaps merged on the driver —
+    never an unpartitioned row_number window sorting the distinct-path
+    counts (which grow with users x sessions) through one task."""
+    from spark_data_test_spark import top_session_paths
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    rows = [
+        (1, _T0, "a"),
+        (1, _T0 + datetime.timedelta(minutes=1), "b"),
+        (2, _T0, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    plan = simple_plan(top_session_paths(df, k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [n_sessions" not in plan, plan
