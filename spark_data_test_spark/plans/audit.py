@@ -105,3 +105,38 @@ def in_wholestage_codegen(df):
         df.explain("codegen")
     out = buf.getvalue()
     return "WholeStageCodegen subtrees" in out and "Found 0" not in out
+
+
+def global_window_nodes(df):
+    """simpleStrings of physical Window-family operators (Window,
+    WindowGroupLimit, WindowInPandas) whose partition spec is EMPTY —
+    the single-task global-sort shape: the operator's whole input
+    funnels through ONE task's sort, fine only when that input is
+    bounded by construction (an alphabet, a bucket histogram, a
+    calendar spine, a post-``limit`` frame), a scale-killer when it is
+    corpus-cardinality. Walks the tree ``plan_op_counts`` walks (AQE
+    initialPlan descended, cache boundaries stop — memo-build lineage
+    is audited where the memo owner is), so the same single-execution
+    caveats apply."""
+    found = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name.startswith("Window"):
+            try:
+                empty = node.partitionSpec().isEmpty()
+            except Exception:
+                # defensive: unknown Window-family node without a
+                # partitionSpec accessor — surface it for inspection
+                empty = True
+            if empty:
+                found.append(f"{name}: {node.simpleString(200)}")
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found

@@ -516,3 +516,42 @@ def test_quality_deciles_has_no_global_sort_window(spark, sf_dir):
         # or the bucket-count prefix sum (input = per-bucket counts,
         # identifiable by its bn/prefix sum expression)
         assert ("[bkt#" in line) or ("bn#" in line), line
+
+
+def test_global_window_whitelist_matches_code(spark, sf_dir):
+    """Round-13 guard (VERDICT r12 item 3): `scripts/audit_plans.py`
+    whitelists the queries allowed to plan a Window with an empty
+    partition spec (bounded-input sites only). Keep the list honest in
+    both directions: every whitelisted query must still HAVE such a
+    window (else the entry is stale), and the three sites the wart-fix
+    rewrote must have NONE (the class stays closed; new instances are
+    caught registry-wide by the audit script itself, which exits
+    non-zero on any unwhitelisted hit)."""
+    import importlib.util
+
+    from spark_data_test_spark.plans.audit import global_window_nodes
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans", "scripts/audit_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in mod.GLOBAL_WINDOW_WHITELIST:
+        assert global_window_nodes(qs[name](spark, sf_dir)), (
+            f"{name} is whitelisted but plans no global window — stale entry"
+        )
+    for name in (
+        "orders_market_basket",
+        "events_top_session_paths",
+        "text_quality_deciles",
+    ):
+        hits = global_window_nodes(qs[name](spark, sf_dir))
+        if name == "text_quality_deciles":
+            # its one remaining global window is the whitelisted
+            # bucket-count prefix sum, never a doc-cardinality rank
+            assert all("sum(bn" in h for h in hits), hits
+        else:
+            assert not hits, hits
