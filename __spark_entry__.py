@@ -14,89 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-12 window accounting (this
+# (registration order). CANONICAL round-13 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
-# flagship (compare_overall_report, re-earned every round) + 2
-# changed-code re-earns (dedup_containment and dedup_lsh_recall_report
-# — the two registered consumers of the gid-co inverted-index builder,
-# whose forced corpus-cardinality broadcasts were replaced this round
-# with a left_anti join against the small hot-shingle list plus
-# AQE-decided per-text joins; results are hash-identical, but changed
-# code re-earns by policy) + ALL 25 remaining r7-era stale greens in
-# backlog-head order (VERDICT r11 item 2 — this drains the r7 cohort
-# completely) + the first 22 r8-era backlog rows. That is exactly 50;
-# after this round no registry row's latest driver green is older than
-# round 8.
+# flagship (compare_overall_report, re-earned every round) + 3
+# changed-code re-earns (orders_market_basket,
+# events_top_session_paths, text_quality_deciles — the three
+# single-task global-sort sites VERDICT r12 item 1 condemned, rewritten
+# this round to TakeOrderedAndProject top-k / the two-phase bucket-rank
+# NTILE; results are hash-identical, but changed code re-earns by
+# policy) + ALL 23 remaining r8-era stale greens in backlog-head order
+# (VERDICT r12 item 2 — this drains the r8 cohort completely) + the
+# first 23 r9-era backlog rows. That is exactly 50; after this round no
+# registry row's latest driver green is older than round 9.
 # tests/test_registry_invariants.py enforces that greens ∪ window ∪
 # queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "dedup_containment",
-    "dedup_lsh_recall_report",
-    "tpch_q6_forecast_revenue",
-    "grouped_apply_stats",
-    "similarity_cosine_topk",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_features",
-    "streaming_tumbling_counts",
-    "streaming_sessionization",
-    "streaming_stream_stream_join",
-    "json_extract_props",
-    "window_rank_topk",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "events_sessionization",
-    "sample_split_stratified",
-    "mix_weighted_sources",
-    "pack_sequences",
-    "sample_topk_per_group",
-    "events_asof_join",
-    "events_range_join",
-    "events_hypertable_rollup",
-    "events_funnel_analysis",
-    "events_session_window_native",
-    "state_compaction_roundtrip",
-    "multimodal_audio_features",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_scene_cuts",
-    "mix_temperature_rebalance",
-    "corpus_dedup_waterfall",
-    "streaming_media_arrivals",
-    "multimodal_audio_silence_segments",
-    "events_seasonal_naive_backtest",
-    "events_cohort_ltv",
-    "orders_duplicate_payment_scan",
-    "multimodal_image_resize",
-    "streaming_sessionization_store",
-    "streaming_cdc_upsert",
-    "streaming_sketch_rollup",
-    "state_time_travel_diff",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "compare_lineitem_overall",
-    "compare_distribution_report",
-    "left_semi_join",
-    "cube_agg",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# remainder of the r8-era cohort (23 rows after the 22 promoted into
-# the round-12 window and the recall report re-earn), then the r9-era
-# cohort, the r10-era displaced rows, and the list ends with the 48
-# r11-green rows the round-12 cut displaced.
-_CHECKED_BACKLOG = [
+    "orders_market_basket",
+    "events_top_session_paths",
+    "text_quality_deciles",
     "intersect_rows",
     "percentile_exact",
     "map_functions_props",
@@ -143,6 +79,23 @@ _CHECKED_BACKLOG = [
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# remainder of the r9-era cohort (after the 23 promoted into the
+# round-13 window and the 3 wart-fix re-earns pulled forward), then
+# the r10/r11-era displaced rows, and the list ends with the 49
+# r12-green rows the round-13 cut displaced.
+_CHECKED_BACKLOG = [
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
     "similarity_ann_recall_report",
@@ -160,7 +113,6 @@ _CHECKED_BACKLOG = [
     "events_attribution_last_touch",
     "events_anomaly_daily",
     "events_rolling_window_avg",
-    "orders_market_basket",
     "orders_rfm_segments",
     "parts_abc_pareto",
     "multimodal_frame_sample",
@@ -178,7 +130,6 @@ _CHECKED_BACKLOG = [
     "multimodal_chunk_dedup",
     "dq_constraint_report",
     "part_fuzzy_match",
-    "text_quality_deciles",
     "sql_api_query",
     "sink_zorder_layout",
     "text_langid_confusion",
@@ -188,7 +139,6 @@ _CHECKED_BACKLOG = [
     "null_safe_join",
     "supplier_hierarchy_rollup",
     "orders_status_listagg",
-    "events_top_session_paths",
     "lineitem_correlation_matrix",
     "text_heavy_hitters",
     "corpus_duplicate_ngrams",
@@ -264,6 +214,55 @@ _CHECKED_BACKLOG = [
     "source_json_roundtrip",
     "source_bucketed_table_roundtrip",
     "sink_partitioned_parquet",
+    "dedup_containment",
+    "dedup_lsh_recall_report",
+    "tpch_q6_forecast_revenue",
+    "grouped_apply_stats",
+    "similarity_cosine_topk",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_features",
+    "streaming_tumbling_counts",
+    "streaming_sessionization",
+    "streaming_stream_stream_join",
+    "json_extract_props",
+    "window_rank_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "events_sessionization",
+    "sample_split_stratified",
+    "mix_weighted_sources",
+    "pack_sequences",
+    "sample_topk_per_group",
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "events_funnel_analysis",
+    "events_session_window_native",
+    "state_compaction_roundtrip",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
+    "mix_temperature_rebalance",
+    "corpus_dedup_waterfall",
+    "streaming_media_arrivals",
+    "multimodal_audio_silence_segments",
+    "events_seasonal_naive_backtest",
+    "events_cohort_ltv",
+    "orders_duplicate_payment_scan",
+    "multimodal_image_resize",
+    "streaming_sessionization_store",
+    "streaming_cdc_upsert",
+    "streaming_sketch_rollup",
+    "state_time_travel_diff",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "compare_lineitem_overall",
+    "compare_distribution_report",
+    "left_semi_join",
+    "cube_agg",
 ]
 
 

@@ -634,16 +634,21 @@ def stratified_sample(df, strata_col, rates, cols, salt=0, default_rate=0.0):
             f" got {default_rate}"
         )
     cols = [cols] if isinstance(cols, str) else list(cols)
+    # backtick-quote user-supplied names so dotted columns resolve as
+    # top-level names, matching the module-wide quoting convention
+    def q(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     entries = []
     for v, r in rates.items():
         entries += [F.lit(v), F.lit(int(round(float(r) * 1_000_000)))]
     thresh = F.lit(int(round(float(default_rate) * 1_000_000)))
     if entries:
         thresh = F.coalesce(
-            F.create_map(*entries).getItem(F.col(strata_col)), thresh
+            F.create_map(*entries).getItem(q(strata_col)), thresh
         )
     bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in cols], F.lit(int(salt))),
+        F.xxhash64(*[q(c) for c in cols], F.lit(int(salt))),
         F.lit(1_000_000),
     )
     return df.where(bucket < thresh)

@@ -2419,8 +2419,26 @@ def pq_topk(
             id_col=id_col, vec_col=vec_col,
         )
     codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
-    mq = int(codebook.select(F.max("s")).first()[0]) + 1
+    cb_row = codebook.select(
+        F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
+    ).first()
+    mq = int(cb_row.m1) + 1
     qframe, dim = _pq_frame(queries, id_col, vec_col, "pq_topk")
+    # mirror pq_encode's corpus-side checks for the QUERY frame: a dim
+    # not divisible by m would silently truncate in _pq_split, and a
+    # wrong subdim would null-pad the zip_with so every adc_dist comes
+    # back NULL — garbage neighbors instead of an error
+    if dim % mq:
+        raise ValueError(
+            f"pq_topk: query vector dim {dim} not divisible by the "
+            f"codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"pq_topk: query subvector dim {dim // mq} != codebook "
+            f"subvector dim {int(cb_row.subdim)} (query dim {dim}, "
+            f"m={mq})"
+        )
     qsub = _pq_split(qframe, mq, dim // mq)
     # per-query distance table to every codebook entry: nq x m x
     # ncodes rows — joined to the corpus codes WITHOUT a hint (AQE

@@ -375,3 +375,19 @@ def test_stratified_sample_contract(spark):
         stratified_sample(df, "source", {"wiki": 1.5}, cols="uid")
     with pytest.raises(ValueError, match="default_rate"):
         stratified_sample(df, "source", {}, cols="uid", default_rate=-1)
+
+
+def test_stratified_sample_dotted_columns(spark):
+    """Round-13 fix (ADVICE r12): strata/hash column names with dots
+    are backtick-quoted like the text operators' — a dotted name is a
+    top-level column, not a struct path."""
+    from spark_data_test_spark import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "wiki" if i % 2 else "crawl") for i in range(60)],
+        "id long, x long",
+    ).selectExpr("id AS `my.id`", "x", "IF(x % 2 = 0, 'wiki', 'crawl') AS `src.name`").drop("x")
+    kept = stratified_sample(
+        df, "src.name", {"wiki": 1.0}, cols=["my.id", "src.name"]
+    ).collect()
+    assert kept and all(r["src.name"] == "wiki" for r in kept)

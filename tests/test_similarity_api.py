@@ -742,6 +742,41 @@ def test_pq_validation_errors(spark):
         pq_train(df.where("vec_id < 0"), m=3)
 
 
+def test_pq_topk_rejects_mismatched_query_dim(spark):
+    """Round-13 fix (ADVICE r12): pq_topk validates the QUERY frame's
+    vector dimension against the codebook the way pq_encode validates
+    the corpus. A query dim not divisible by m used to be silently
+    truncated by the splitter, and a wrong subdim null-padded the
+    zip_with so every adc_dist came back NULL and ranks were decided
+    by the id tie-break alone — silent garbage neighbors."""
+    import pytest
+
+    from spark_data_test_spark import pq_topk, pq_train
+
+    cdf = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.0, 1.0]) for i in range(8)],
+        "vec_id long, emb array<double>",
+    )
+    cb = pq_train(cdf, m=2, ncodes=2, rounds=1)
+    bad_div = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0])], "vec_id long, emb array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(cdf, bad_div, k=2, codebook=cb)
+    bad_sub = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
+        "vec_id long, emb array<double>",
+    )
+    with pytest.raises(ValueError, match="subvector dim"):
+        pq_topk(cdf, bad_sub, k=2, codebook=cb)
+    # a well-shaped query still works and returns non-null distances
+    good = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0])], "vec_id long, emb array<double>"
+    )
+    rows = pq_topk(cdf, good, k=2, codebook=cb).collect()
+    assert len(rows) == 2 and all(r.adc_dist is not None for r in rows)
+
+
 def test_pq_topk_trained_recall_on_clustered_data(spark):
     """On well-separated clustered data a TRAINED codebook's ADC top-k
     recovers the exact L2 top-k almost entirely (the quantization error
