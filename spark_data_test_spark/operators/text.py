@@ -853,12 +853,37 @@ def text_quality_deciles(spark, sf_dir):
     oracle's global NTILE window independently validates the
     decomposition. Featurization reuses the `text_quality_model_score`
     weights, so the two queries pin each other."""
-    scored = text_quality_model_score(spark, sf_dir).select(
-        "doc_id", "score_milli"
-    ).withColumn("bkt", F.shiftright("score_milli", _DECILE_BUCKET_SHIFT))
+    scored = (
+        text_quality_model_score(spark, sf_dir)
+        .select("doc_id", "score_milli")
+        # A NULL score (NULL text) would get a NULL bucket and be
+        # silently dropped by the equi-join below while the oracle's
+        # NTILE still ranks it — fail loudly instead (scan-side
+        # assert, no extra action), like pq_topk does for NULL codes.
+        .withColumn(
+            "score_milli",
+            F.when(
+                F.col("score_milli").isNull(),
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        "text_quality_deciles: NULL score_milli (NULL"
+                        " text?) — deciles are defined over non-null"
+                        " scores only"
+                    ),
+                ).cast("long"),
+            ).otherwise(F.col("score_milli")),
+        )
+        .withColumn("bkt", F.shiftright("score_milli", _DECILE_BUCKET_SHIFT))
+    )
     bkt_counts = scored.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
     # tiny frame: one row per occupied score bucket; prefix = rows in
-    # all strictly-lower buckets (ascending order)
+    # all strictly-lower buckets (ascending order). n_total rides the
+    # same frame (full-frame window sum) so the corpus is scanned
+    # twice total (counts + rank join), never a third time.
+    w_all = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     bkt_prefix = bkt_counts.withColumn(
         "prefix",
         F.coalesce(
@@ -869,13 +894,12 @@ def text_quality_deciles(spark, sf_dir):
             ),
             F.lit(0),
         ),
-    ).select("bkt", "prefix")
-    total = bkt_counts.agg(F.sum("bn").alias("n_total"))
+    ).withColumn("n_total", F.sum("bn").over(w_all)).select(
+        "bkt", "prefix", "n_total"
+    )
     w_intra = Window.partitionBy("bkt").orderBy("score_milli", "doc_id")
-    ranked = (
-        scored.join(F.broadcast(bkt_prefix), "bkt")
-        .withColumn("rn", F.col("prefix") + F.row_number().over(w_intra))
-        .crossJoin(F.broadcast(total))
+    ranked = scored.join(F.broadcast(bkt_prefix), "bkt").withColumn(
+        "rn", F.col("prefix") + F.row_number().over(w_intra)
     )
     # SQL NTILE(k) over n rows: the first (n % k) tiles hold
     # (n div k + 1) rows, the remaining tiles (n div k); all operands

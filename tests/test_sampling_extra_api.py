@@ -384,7 +384,7 @@ def test_stratified_sample_dotted_columns(spark):
     from spark_data_test_spark import stratified_sample
 
     df = spark.createDataFrame(
-        [(i, "wiki" if i % 2 else "crawl") for i in range(60)],
+        [(i, i) for i in range(60)],
         "id long, x long",
     ).selectExpr("id AS `my.id`", "x", "IF(x % 2 = 0, 'wiki', 'crawl') AS `src.name`").drop("x")
     kept = stratified_sample(
