@@ -14,88 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-13 window accounting (this
+# (registration order). CANONICAL round-14 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
-# flagship (compare_overall_report, re-earned every round) + 3
-# changed-code re-earns (orders_market_basket,
-# events_top_session_paths, text_quality_deciles — the three
-# single-task global-sort sites VERDICT r12 item 1 condemned, rewritten
-# this round to TakeOrderedAndProject top-k / the two-phase bucket-rank
-# NTILE; results are hash-identical, but changed code re-earns by
-# policy) + ALL 23 remaining r8-era stale greens in backlog-head order
-# (VERDICT r12 item 2 — this drains the r8 cohort completely) + the
-# first 23 r9-era backlog rows. That is exactly 50; after this round no
-# registry row's latest driver green is older than round 9.
-# tests/test_registry_invariants.py enforces that greens ∪ window ∪
-# queue always covers the registry.
+# flagship (compare_overall_report, re-earned every round) + 1
+# changed-code re-earn (text_quality_deciles — ADVICE r13 hardening:
+# NULL-score loud-fail + n_total folded into the broadcast bucket
+# frame; result is hash-identical, but changed code re-earns by
+# policy) + the 48 stalest backlog rows (the full r9-era remainder,
+# then the r10/r11-era displaced head through similarity_pq_train).
+# That is exactly 50; after this round the staleness tail is the
+# r10-era cohort. tests/test_registry_invariants.py enforces that
+# greens ∪ window ∪ queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "orders_market_basket",
-    "events_top_session_paths",
     "text_quality_deciles",
-    "intersect_rows",
-    "percentile_exact",
-    "map_functions_props",
-    "window_distribution_funcs",
-    "profile_columns",
-    "upsert_latest_wins",
-    "variant_json_props",
-    "schema_drift_report",
-    "source_orc_roundtrip",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_check",
-    "tpch_q12_priority_bands",
-    "tpch_q13_order_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "pandas_udf_tokens",
-    "text_regex_tokens",
-    "streaming_foreachbatch_sink",
-    "multimodal_decode_stub",
-    "skew_salted_join_agg",
-    "udtf_chunk_documents",
-    "streaming_static_join",
-    "streaming_dedup",
-    "multimodal_phash_neardup",
-    "multimodal_crossmodal_agreement",
-    "dedup_embedding_cosine",
-    "dedup_semantic_prune_curve",
-    "similarity_ivf_ann",
-    "approx_count_distinct_parts",
-    "sketch_hll_rollup",
-    "sketch_approx_quantiles",
-    "source_text_roundtrip",
-    "sink_partition_pruned_read",
-    "events_ab_test_readout",
-    "streaming_sliding_counts",
-    "corpus_prepare_pipeline",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# remainder of the r9-era cohort (after the 23 promoted into the
-# round-13 window and the 3 wart-fix re-earns pulled forward), then
-# the r10/r11-era displaced rows, and the list ends with the 49
-# r12-green rows the round-13 cut displaced.
-_CHECKED_BACKLOG = [
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
     "similarity_ann_recall_report",
@@ -144,6 +76,23 @@ _CHECKED_BACKLOG = [
     "corpus_duplicate_ngrams",
     "part_bloom_prefilter_join",
     "similarity_pq_train",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# r10-era displaced remainder (after the 48 promoted into the
+# round-14 window), then the r11/r12-era displaced rows, and the list
+# ends with the 48 r13-green rows the round-14 cut displaced
+# (registration order).
+_CHECKED_BACKLOG = [
     "similarity_pq_ann",
     "similarity_ivfpq_ann",
     "similarity_pq_recall_report",
@@ -263,6 +212,54 @@ _CHECKED_BACKLOG = [
     "compare_distribution_report",
     "left_semi_join",
     "cube_agg",
+    "orders_market_basket",
+    "events_top_session_paths",
+    "intersect_rows",
+    "percentile_exact",
+    "map_functions_props",
+    "window_distribution_funcs",
+    "profile_columns",
+    "upsert_latest_wins",
+    "variant_json_props",
+    "schema_drift_report",
+    "source_orc_roundtrip",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "tpch_q12_priority_bands",
+    "tpch_q13_order_distribution",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "pandas_udf_tokens",
+    "text_regex_tokens",
+    "streaming_foreachbatch_sink",
+    "multimodal_decode_stub",
+    "skew_salted_join_agg",
+    "udtf_chunk_documents",
+    "streaming_static_join",
+    "streaming_dedup",
+    "multimodal_phash_neardup",
+    "multimodal_crossmodal_agreement",
+    "dedup_embedding_cosine",
+    "dedup_semantic_prune_curve",
+    "similarity_ivf_ann",
+    "approx_count_distinct_parts",
+    "sketch_hll_rollup",
+    "sketch_approx_quantiles",
+    "source_text_roundtrip",
+    "sink_partition_pruned_read",
+    "events_ab_test_readout",
+    "streaming_sliding_counts",
+    "corpus_prepare_pipeline",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier",
 ]
 
 
