@@ -2527,3 +2527,347 @@ def ivf_index_stats(spark, index_path):
             "max_cell_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index — round 14 (ref: none — north-star extension).
+# Composes the frame-level PQ trio (`pq_train`/`pq_encode`) with the
+# versioned-state lifecycle the IVF index already has: a `codebook/`
+# SNAPSHOT (the trained model, m x ncodes rows) plus a `codes/` LOG
+# (one row per vector holding its m packed codes — 4 small ints vs a
+# 256-byte raw vector, the memory story that makes a 100 TB embedding
+# corpus searchable). Build / probe(commit=True) ingest / delete /
+# compact / stats ride the exact helpers and merge rule the IVF
+# postings log uses, so every lifecycle guarantee (latest-wins,
+# tombstone-after-resolve, compaction == resolved view) carries over.
+# ---------------------------------------------------------------------------
+
+
+def _pq_dedup_ids(corpus, id_col, vec_col):
+    """One row per id, deterministically: a batch (or corpus) may carry
+    the same id twice with DIFFERENT vectors; both would land in ONE
+    commit version, where the latest-wins read's max_by on the version
+    ties arbitrarily. Keep the lexicographically greatest vector per id
+    (arrays are orderable), mirroring `ivf_index_probe`'s commit
+    dedupe."""
+    return (
+        corpus.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+        .where(F.col(vec_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.max(vec_col).alias(vec_col))
+    )
+
+
+def _pq_pack_codes(codes, id_col):
+    """(id, s, code) x m -> one (vec_id, codes array) row per id: the
+    log-table unit, so latest-wins resolves a re-ingested id's m codes
+    as ONE atomic replacement (never a mix of old and new subspaces)."""
+    return (
+        codes.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "code"))).alias("_p")
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.expr("transform(_p, r -> r.code)").alias("codes"),
+        )
+    )
+
+
+def pq_index_build(
+    corpus,
+    index_path,
+    m=4,
+    ncodes=16,
+    rounds=1,
+    id_col="vec_id",
+    vec_col="emb",
+):
+    """Library operator: train a PQ codebook over ``corpus`` and COMMIT
+    it as two versioned state tables under ``index_path`` —
+    ``codebook/`` (one snapshot: the `pq_train` model, m x ncodes
+    rows) and ``codes/`` (one row per corpus vector with its m packed
+    codes, v0 of a log-structured table that `pq_index_probe(
+    commit=True)` ingest batches append to). The committed index
+    stores CODES, not vectors — the memory-bounded ANN form a 100 TB
+    embedding corpus actually deploys (the registered
+    `similarity_ivfpq_ann` proves the IVF+PQ composition; this is the
+    persisted-asset half). Writes are the engine's crash-safe
+    `write_state_version` commits (scratch write + atomic rename); a
+    SAME-PATH rebuild resets the codes log (old codes are meaningless
+    under a retrained codebook) — same retention posture, same
+    non-atomic-together caveat, as `ivf_index_build`. Duplicate ids in
+    the corpus are collapsed deterministically (greatest vector).
+    Returns the number of indexed vectors."""
+    from spark_data_test_spark.state import write_state_version
+
+    c = _pq_dedup_ids(corpus, id_col, vec_col)
+    codebook = pq_train(
+        c, m=m, ncodes=ncodes, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    packed = _pq_pack_codes(
+        pq_encode(c, codebook, id_col=id_col, vec_col=vec_col), id_col
+    )
+    os.makedirs(index_path, exist_ok=True)
+    # codebook: SNAPSHOT (retain=2 keeps the previous model for time
+    # travel); codes: LOG BASE (retain=1 so a same-path rebuild resets
+    # the log; ingest deltas append with RETAIN_ALL from this base)
+    write_state_version(codebook, f"{index_path}/codebook", retain=2)
+    packed = packed.persist()
+    try:
+        n = packed.count()
+        write_state_version(packed, f"{index_path}/codes", retain=1)
+    finally:
+        packed.unpersist()
+    return n
+
+
+def _resolved_codes(spark, index_path):
+    """LATEST-WINS view of the codes log — the PQ twin of
+    `_resolved_postings`: each read resolves per vec_id on the commit
+    version (max_by), then drops tombstone winners (NULL codes, see
+    `pq_index_delete`), so the newest commit decides whether an id is
+    live and which codes it carries. Returns None for a missing log."""
+    from spark_data_test_spark.state import read_state_union
+
+    log = read_state_union(spark, f"{index_path}/codes", version_col="_pv")
+    if log is None:
+        return None
+    return (
+        log.groupBy("vec_id")
+        .agg(F.max_by("codes", F.col("_pv")).alias("codes"))
+        .where(F.col("codes").isNotNull())
+    )
+
+
+def pq_index_probe(
+    queries, index_path, k=10, id_col="vec_id", vec_col="emb", commit=False
+):
+    """Library operator: answer an ANN query batch against the
+    COMMITTED PQ index at ``index_path`` — no retraining, no raw
+    corpus: each query builds an exact float distance TABLE to every
+    codebook entry (m x ncodes rows — the asymmetric-distance trick:
+    the query stays exact, only the corpus is quantized) and every
+    live code row's ADC distance is the sum of m table lookups.
+    Returns ``(query_id, neighbor_id, rank, adc_dist)`` with
+    `pq_topk`'s contract: (adc_dist asc, neighbor_id) tie-break,
+    self-matches excluded; a probe of the committed index provably
+    equals `pq_topk(corpus, queries, codebook=<committed model>)`
+    (pinned in tests/test_pq_index_api.py).
+
+    With ``commit=True`` the batch's vectors are encoded against the
+    COMMITTED codebook and appended as the next codes delta AFTER the
+    probe result materializes — ingestion without retrain, the exact
+    probe-then-commit pattern of `ivf_index_probe`. Re-committed ids
+    resolve latest-wins at read; `pq_index_delete` rides the same rule
+    with NULL-codes tombstones; fold the log with `pq_index_compact`.
+    Codebook drift under heavy ingest is the documented limit (ADC
+    error grows as the corpus distribution leaves the trained cells);
+    a fresh `pq_index_build` is the retrain lever and resets the
+    log."""
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    spark = queries.sparkSession
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    if codebook is None:
+        raise ValueError(
+            f"pq_index_probe: no committed index at {index_path}"
+            " (run pq_index_build first)"
+        )
+    codes = _resolved_codes(spark, index_path)
+    if codes is None:
+        raise ValueError(
+            f"pq_index_probe: index at {index_path} has a codebook but "
+            "no committed codes (re-run pq_index_build)"
+        )
+    cb_row = codebook.agg(
+        F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
+    ).first()
+    mq = int(cb_row.m1) + 1
+    qframe, dim = _pq_frame(queries, id_col, vec_col, "pq_index_probe")
+    if dim % mq:
+        raise ValueError(
+            f"pq_index_probe: query vector dim {dim} not divisible by "
+            f"the committed codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"pq_index_probe: query subvector dim {dim // mq} != "
+            f"committed codebook subvector dim {int(cb_row.subdim)} "
+            f"(query dim {dim}, m={mq})"
+        )
+    cb = F.broadcast(codebook)
+    qsub = _pq_split(qframe, mq, dim // mq)
+    # per-query distance table: nq x m x ncodes rows, joined to the
+    # exploded live codes WITHOUT a hint (AQE broadcasts modest
+    # batches; a huge batch shuffles on (s, cent_id))
+    qd = (
+        qsub.join(cb, "s")
+        .withColumn("d", F.expr(_PQ_L2F))
+        .select(F.col("_id").alias("_q"), "s", "cent_id", "d")
+    )
+    flat = codes.select(
+        "vec_id", F.posexplode("codes").alias("s", "cent_id")
+    )
+    adc = (
+        flat.join(qd, ["s", "cent_id"])
+        .where(F.col("vec_id") != F.col("_q"))
+        .groupBy("_q", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    result = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("_q").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+        )
+    )
+    if not commit:
+        return result
+    result = result.localCheckpoint(eager=True)
+    batch = _pq_pack_codes(
+        pq_encode(
+            _pq_dedup_ids(queries, id_col, vec_col),
+            codebook,
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        id_col,
+    )
+    write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
+    return result
+
+
+def pq_index_delete(spark, index_path, ids, id_col="vec_id"):
+    """Library operator: REMOVE vectors from the committed PQ index —
+    the takedown event, identical in contract to `ivf_index_delete`:
+    one NULL-codes TOMBSTONE row per distinct id as the next log
+    delta; latest-wins resolves each id to its newest commit and drops
+    tombstone winners, so a deleted id vanishes from every subsequent
+    probe, a later re-ingest resurrects it, deleting an unknown id is
+    a harmless no-op, and `pq_index_compact` physically drops both the
+    tombstone and every superseded row. ``ids`` is an iterable of id
+    values or a DataFrame whose ``id_col`` holds them. Returns the
+    committed delta version."""
+    from pyspark.sql import DataFrame
+
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    base = read_state_table(spark, f"{index_path}/codes")
+    if base is None:
+        raise ValueError(
+            f"pq_index_delete: no committed codes at {index_path}"
+            " (run pq_index_build first)"
+        )
+    types = {f.name: f.dataType for f in base.schema.fields}
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            raise ValueError("pq_index_delete: empty id set")
+        idf = spark.createDataFrame([(i,) for i in ids], ["vec_id"]).distinct()
+    tomb = idf.select(
+        F.col("vec_id").cast(types["vec_id"]),
+        F.lit(None).cast(types["codes"]).alias("codes"),
+    )
+    return write_state_version(tomb, f"{index_path}/codes", retain=RETAIN_ALL)
+
+
+def pq_index_compact(spark, index_path):
+    """Library operator: fold the PQ codes LOG into one resolved
+    snapshot — the LSM compaction step, applying the index's merge
+    rule (newest commit per vec_id, tombstone winners dropped) BEFORE
+    committing, exactly as `ivf_index_compact` does for postings.
+    Returns the committed snapshot version, or None for a missing
+    index."""
+    from spark_data_test_spark.state import write_state_version
+
+    resolved = _resolved_codes(spark, index_path)
+    if resolved is None:
+        return None
+    return write_state_version(resolved, f"{index_path}/codes", retain=1)
+
+
+def pq_index_stats(spark, index_path):
+    """Library operator: observability readout for the persisted PQ
+    index — the compaction/retrain scheduler's inputs, the PQ twin of
+    `ivf_index_stats`. Returns a single-row frame:
+
+    - ``n_live``: resolved live vectors,
+    - ``m`` / ``n_code_rows``: committed model shape (subspaces and
+      codebook rows — dropout makes n_code_rows <= m x ncodes),
+    - ``n_log_rows`` / ``n_versions``: raw codes-log volume and
+      committed version count (log depth -> compaction signal),
+    - ``n_tombstones``: committed delete markers still in the log,
+    - ``max_code_rows``: the hottest (s, code) bucket among live codes
+      (the ADC join's skew signal — a bucket holding half the corpus
+      means the codebook no longer separates it; retrain).
+
+    All aggregates run distributed over the log; only the single
+    summary row reaches the driver. Returns None for a missing
+    index."""
+    from spark_data_test_spark.state import (
+        read_state_table,
+        read_state_union,
+    )
+
+    log = read_state_union(spark, f"{index_path}/codes", version_col="_pv")
+    if log is None:
+        return None
+    resolved = _resolved_codes(spark, index_path)
+    per_bucket = (
+        resolved.select(F.posexplode("codes").alias("s", "code"))
+        .groupBy("s", "code")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    live = per_bucket.agg(
+        # every live row contributes exactly one code per subspace, so
+        # n_live folds out of the bucket histogram: sum(_n) / m
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
+            "max_code_rows"
+        ),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_code_total"),
+    )
+    raw = log.agg(
+        F.count(F.lit(1)).alias("n_log_rows"),
+        F.count_distinct("_pv").alias("n_versions"),
+        F.sum(F.col("codes").isNull().cast("long")).alias("n_tombstones"),
+    )
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    model = codebook.agg(
+        (F.max("s") + 1).cast("long").alias("m"),
+        F.count(F.lit(1)).alias("n_code_rows"),
+    )
+    return (
+        live.crossJoin(F.broadcast(raw))
+        .crossJoin(F.broadcast(model))
+        .select(
+            (F.col("_code_total") / F.col("m")).cast("long").alias("n_live"),
+            "m",
+            "n_code_rows",
+            "n_log_rows",
+            "n_versions",
+            F.coalesce("n_tombstones", F.lit(0)).cast("long").alias(
+                "n_tombstones"
+            ),
+            "max_code_rows",
+        )
+    )

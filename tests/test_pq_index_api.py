@@ -1,0 +1,445 @@
+"""Persisted PQ index lifecycle pins (round 14, VERDICT r12 item 4).
+
+The contract mirrors the IVF index's LSM lifecycle exactly — build /
+probe(commit=True) ingest / delete / compact / stats — with PQ codes
+as the stored asset instead of raw vectors. Every equivalence below
+compares `pq_index_probe` against `pq_topk` run with the COMMITTED
+codebook over the net live corpus: `pq_topk`'s ADC math is itself
+brute-force-pinned in tests/test_similarity_api.py, so these pins
+close the loop from persisted state back to the all-pairs replica.
+Integer-valued float vectors keep every ADC sum exact (no float
+reassociation noise), so all comparisons are exact set equality.
+"""
+
+import random
+
+import pytest
+
+_SCHEMA = "vec_id long, emb array<double>"
+
+
+def _mk(n, dim, seed, start=0):
+    rng = random.Random(seed)
+    return [
+        (start + i, [float(rng.randrange(-6, 7)) for _ in range(dim)])
+        for i in range(n)
+    ]
+
+
+def _probe_set(df):
+    return {
+        (r.query_id, r.neighbor_id, r.rank, round(r.adc_dist, 6))
+        for r in df.collect()
+    }
+
+
+def _topk_with_model(spark, live, queries, cb_df, k):
+    from spark_data_test_spark import pq_topk
+
+    return _probe_set(
+        pq_topk(
+            spark.createDataFrame(sorted(live.items()), _SCHEMA),
+            spark.createDataFrame(queries, _SCHEMA),
+            k=k,
+            codebook=cb_df,
+        )
+    )
+
+
+def _committed_codebook(spark, idx):
+    from spark_data_test_spark.state import read_state_table
+
+    return read_state_table(spark, f"{idx}/codebook")
+
+
+def test_pq_index_probe_equals_pq_topk_on_committed_model(spark, tmp_path):
+    """A probe of the freshly built index answers exactly like ADC
+    search with the committed codebook over the indexed corpus — the
+    persisted state adds nothing and loses nothing."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+
+    corpus = _mk(24, 8, 301)
+    queries = corpus[:4]
+    idx = str(tmp_path / "pqidx")
+    n = pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=6, rounds=1
+    )
+    assert n == 24
+    cb = _committed_codebook(spark, idx)
+    got = _probe_set(
+        pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=5)
+    )
+    assert got == _topk_with_model(spark, dict(corpus), queries, cb, 5)
+    assert got  # non-vacuous
+
+
+def test_pq_index_probe_matches_local_adc_replay(spark, tmp_path):
+    """Independent check of the probe's ADC math: recompute every
+    query/candidate distance in plain Python from the COMMITTED codes
+    and codebook (both collected — model- and fixture-sized) and
+    compare the full top-k sets exactly."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+    from spark_data_test_spark.state import read_state_table
+
+    corpus = _mk(20, 8, 307)
+    queries = corpus[:3]
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    cb = {
+        (r.s, r.cent_id): list(r.csub)
+        for r in read_state_table(spark, f"{idx}/codebook").collect()
+    }
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in read_state_table(spark, f"{idx}/codes").collect()
+    }
+    subdim = 2
+    want = set()
+    for qid, qv in queries:
+        scored = []
+        for cid, cvec_codes in codes.items():
+            if cid == qid:
+                continue
+            d = 0.0
+            for s, code in enumerate(cvec_codes):
+                sub = qv[s * subdim:(s + 1) * subdim]
+                ent = cb[(s, code)]
+                d += sum((x - y) ** 2 for x, y in zip(sub, ent))
+            scored.append((d, cid))
+        for rank, (d, cid) in enumerate(sorted(scored)[:4], 1):
+            want.add((qid, cid, rank, round(d, 6)))
+    got = _probe_set(
+        pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=4)
+    )
+    assert got == want
+
+
+def test_pq_index_ingest_then_probe_equals_model_topk(spark, tmp_path):
+    """commit=True ingestion without retrain: after appending a batch
+    (twice — an identical re-commit is idempotent under latest-wins),
+    probes answer exactly like ADC search with the ORIGINAL committed
+    codebook over corpus + batch."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+
+    corpus = _mk(20, 8, 311)
+    batch = _mk(5, 8, 313, start=500)
+    queries = corpus[:3]
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=6, rounds=1
+    )
+    bdf = spark.createDataFrame(batch, _SCHEMA)
+    pq_index_probe(bdf, idx, k=2, commit=True).collect()
+    pq_index_probe(bdf, idx, k=2, commit=True).collect()  # re-ingest
+    cb = _committed_codebook(spark, idx)
+    got = _probe_set(
+        pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=5)
+    )
+    assert got == _topk_with_model(
+        spark, dict(corpus + batch), queries, cb, 5
+    )
+
+
+def test_pq_index_delete_then_probe_equals_without(spark, tmp_path):
+    """Tombstone deletes: deleted ids vanish from probes (exactly as if
+    they were never indexed), deleting an unknown id is a no-op, and a
+    later re-ingest resurrects the id."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_delete,
+        pq_index_probe,
+    )
+
+    corpus = _mk(20, 8, 317)
+    queries = corpus[:3]
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=6, rounds=1
+    )
+    cb = _committed_codebook(spark, idx)
+    gone = {corpus[5][0], corpus[11][0]}
+    pq_index_delete(spark, idx, sorted(gone) + [9999])  # 9999: absent
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    live = {i: v for i, v in corpus if i not in gone}
+    assert _probe_set(pq_index_probe(qdf, idx, k=5)) == _topk_with_model(
+        spark, live, queries, cb, 5
+    )
+    back = [c for c in corpus if c[0] == corpus[5][0]]
+    pq_index_probe(
+        spark.createDataFrame(back, _SCHEMA), idx, k=2, commit=True
+    ).collect()
+    live[corpus[5][0]] = corpus[5][1]
+    assert _probe_set(pq_index_probe(qdf, idx, k=5)) == _topk_with_model(
+        spark, live, queries, cb, 5
+    )
+
+
+def test_pq_index_changed_vector_latest_wins(spark, tmp_path):
+    """A re-ingested id with a CHANGED vector deterministically
+    replaces its old codes — one atomic m-code replacement, never a
+    mixed old/new encoding."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+
+    corpus = _mk(16, 8, 331)
+    queries = corpus[:3]
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    moved_id = corpus[7][0]
+    moved_vec = [9.0, -9.0, 9.0, -9.0, 9.0, -9.0, 9.0, -9.0]
+    pq_index_probe(
+        spark.createDataFrame([(moved_id, moved_vec)], _SCHEMA),
+        idx,
+        k=2,
+        commit=True,
+    ).collect()
+    cb = _committed_codebook(spark, idx)
+    live = dict(corpus)
+    live[moved_id] = moved_vec
+    got = _probe_set(
+        pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=5)
+    )
+    assert got == _topk_with_model(spark, live, queries, cb, 5)
+
+
+def test_pq_index_compact_preserves_and_shrinks(spark, tmp_path):
+    """Compaction commits the RESOLVED view: probe results are
+    unchanged, the log folds to one version holding exactly the live
+    rows, tombstones are physically gone, and later ingests extend the
+    log from the fresh base. Missing index -> None."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_compact,
+        pq_index_delete,
+        pq_index_probe,
+        pq_index_stats,
+    )
+
+    corpus = _mk(18, 8, 337)
+    batch = _mk(4, 8, 339, start=600)
+    queries = corpus[:3]
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=6, rounds=1
+    )
+    pq_index_probe(
+        spark.createDataFrame(batch, _SCHEMA), idx, k=2, commit=True
+    ).collect()
+    pq_index_delete(spark, idx, [corpus[0][0], batch[0][0]])
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    before = _probe_set(pq_index_probe(qdf, idx, k=5))
+    v = pq_index_compact(spark, idx)
+    assert v is not None
+    assert _probe_set(pq_index_probe(qdf, idx, k=5)) == before
+    s = pq_index_stats(spark, idx).collect()[0]
+    assert (s.n_versions, s.n_tombstones) == (1, 0)
+    assert s.n_log_rows == s.n_live == len(corpus) + len(batch) - 2
+    # the compacted snapshot is a valid log base for further ingests
+    extra = _mk(2, 8, 341, start=700)
+    pq_index_probe(
+        spark.createDataFrame(extra, _SCHEMA), idx, k=2, commit=True
+    ).collect()
+    cb = _committed_codebook(spark, idx)
+    live = dict(corpus + batch + extra)
+    del live[corpus[0][0]], live[batch[0][0]]
+    assert _probe_set(pq_index_probe(qdf, idx, k=5)) == _topk_with_model(
+        spark, live, queries, cb, 5
+    )
+    assert pq_index_compact(spark, str(tmp_path / "nope")) is None
+
+
+def test_pq_index_stats_tracks_the_lifecycle(spark, tmp_path):
+    """Stats reflect every step: build (live == indexed, one version,
+    no tombstones, model shape committed), ingest (+live, +versions),
+    delete (-live, +tombstones), compact (log folds to live, zero
+    tombstones). Missing index -> None."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_compact,
+        pq_index_delete,
+        pq_index_probe,
+        pq_index_stats,
+    )
+
+    corpus = _mk(14, 8, 347)
+    idx = str(tmp_path / "pqidx")
+    n = pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+
+    def stats():
+        return pq_index_stats(spark, idx).collect()[0]
+
+    s0 = stats()
+    assert (s0.n_live, s0.n_versions, s0.n_tombstones) == (n, 1, 0)
+    assert s0.n_log_rows == n
+    assert s0.m == 4 and 4 <= s0.n_code_rows <= 4 * 5
+    assert 1 <= s0.max_code_rows <= s0.n_live
+
+    extra = _mk(3, 8, 349, start=800)
+    pq_index_probe(
+        spark.createDataFrame(extra, _SCHEMA), idx, k=2, commit=True
+    ).collect()
+    s1 = stats()
+    assert (s1.n_live, s1.n_versions) == (n + 3, 2)
+
+    pq_index_delete(spark, idx, [corpus[0][0], corpus[1][0]])
+    s2 = stats()
+    assert (s2.n_live, s2.n_tombstones, s2.n_versions) == (n + 1, 2, 3)
+    assert s2.n_log_rows == n + 3 + 2  # base + ingest + tombstones
+
+    pq_index_compact(spark, idx)
+    s3 = stats()
+    assert (s3.n_live, s3.n_log_rows, s3.n_versions, s3.n_tombstones) == (
+        n + 1, n + 1, 1, 0,
+    )
+    assert pq_index_stats(spark, str(tmp_path / "nope")) is None
+
+
+def test_pq_index_probe_requires_index(spark, tmp_path):
+    """Missing index and the crashed-build half-state (codebook
+    committed, no codes) both fail loudly."""
+    from spark_data_test_spark import pq_index_probe, pq_train
+    from spark_data_test_spark.state import write_state_version
+
+    qdf = spark.createDataFrame(_mk(2, 8, 353), _SCHEMA)
+    with pytest.raises(ValueError, match="no committed index"):
+        pq_index_probe(qdf, str(tmp_path / "missing"))
+    half = str(tmp_path / "half")
+    cb = pq_train(spark.createDataFrame(_mk(10, 8, 359), _SCHEMA), m=4,
+                  ncodes=4)
+    write_state_version(cb, f"{half}/codebook", retain=2)
+    with pytest.raises(ValueError, match="no committed codes"):
+        pq_index_probe(qdf, half)
+
+
+def test_pq_index_probe_rejects_mismatched_query_dim(spark, tmp_path):
+    """Query batches that don't fit the committed model error instead
+    of silently truncating / null-padding the ADC scan."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(_mk(12, 8, 367), _SCHEMA), idx, m=4, ncodes=4
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_index_probe(spark.createDataFrame(_mk(2, 10, 373), _SCHEMA), idx)
+    with pytest.raises(ValueError, match="subvector dim"):
+        pq_index_probe(spark.createDataFrame(_mk(2, 12, 379), _SCHEMA), idx)
+
+
+def test_pq_index_build_and_commit_collapse_duplicate_ids(spark, tmp_path):
+    """A corpus (or ingest batch) carrying the same id twice with
+    different vectors collapses deterministically to the greatest
+    vector — repeated probes of the committed state always agree."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+
+    corpus = _mk(12, 8, 383)
+    dup = [(corpus[3][0], [7.0] * 8), (corpus[3][0], [-7.0] * 8)]
+    idx = str(tmp_path / "pqidx")
+    n = pq_index_build(
+        spark.createDataFrame(corpus + dup, _SCHEMA), idx, m=4, ncodes=4
+    )
+    assert n == 12  # duplicates collapsed
+    cb = _committed_codebook(spark, idx)
+    queries = corpus[:2]
+    live = dict(corpus)
+    live[corpus[3][0]] = [7.0] * 8  # greatest vector wins
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    a = _probe_set(pq_index_probe(qdf, idx, k=4))
+    assert a == _probe_set(pq_index_probe(qdf, idx, k=4))
+    assert a == _topk_with_model(spark, live, queries, cb, 4)
+    # same determinism for an ingest batch with a duplicated id
+    bdup = [(900, [2.0] * 8), (900, [-2.0] * 8)]
+    pq_index_probe(
+        spark.createDataFrame(bdup, _SCHEMA), idx, k=2, commit=True
+    ).collect()
+    live[900] = [2.0] * 8
+    assert _probe_set(pq_index_probe(qdf, idx, k=4)) == _topk_with_model(
+        spark, live, queries, cb, 4
+    )
+
+
+def test_pq_index_same_path_rebuild_resets_codes(spark, tmp_path):
+    """A rebuild at an existing path retrains the model AND resets the
+    codes log: no posting of the old index (ingests included) survives,
+    because old codes are meaningless under the new codebook."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_probe,
+        pq_index_stats,
+    )
+
+    idx = str(tmp_path / "pqidx")
+    old = _mk(15, 8, 389)
+    pq_index_build(spark.createDataFrame(old, _SCHEMA), idx, m=4, ncodes=5)
+    pq_index_probe(
+        spark.createDataFrame(_mk(3, 8, 397, start=900), _SCHEMA),
+        idx,
+        k=2,
+        commit=True,
+    ).collect()
+    new = _mk(10, 8, 401, start=50)
+    n = pq_index_build(spark.createDataFrame(new, _SCHEMA), idx, m=4,
+                       ncodes=5)
+    s = pq_index_stats(spark, idx).collect()[0]
+    assert (s.n_live, s.n_versions, s.n_log_rows) == (n, 1, n)
+    cb = _committed_codebook(spark, idx)
+    queries = new[:2]
+    got = _probe_set(
+        pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=4)
+    )
+    assert got == _topk_with_model(spark, dict(new), queries, cb, 4)
+
+
+def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
+    """Seeded random LSM lifecycle: any interleaving of ingests,
+    deletes, and compactions answers probes exactly like ADC search
+    with the committed codebook over the net surviving vectors."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_compact,
+        pq_index_delete,
+        pq_index_probe,
+    )
+
+    corpus = _mk(16, 8, 409)
+    queries = _mk(3, 8, 419, start=9000)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    cb = _committed_codebook(spark, idx)
+    live = dict(corpus)
+    rng = random.Random(409)
+    next_id = 500
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    for step in range(6):
+        op = rng.choice(["ingest", "delete", "compact"])
+        if op == "ingest":
+            rows = {}  # unique ids per batch: the in-batch dedupe
+            for _ in range(rng.randrange(1, 3)):  # keeps greatest, not last
+                if rng.random() < 0.5 and live:
+                    vid = rng.choice(sorted(live))  # changed re-ingest
+                else:
+                    vid, next_id = next_id, next_id + 1
+                rows[vid] = [float(rng.randrange(-6, 7)) for _ in range(8)]
+                live[vid] = rows[vid]
+            pq_index_probe(
+                spark.createDataFrame(list(rows.items()), _SCHEMA),
+                idx, k=2, commit=True,
+            ).collect()
+        elif op == "delete" and live:
+            gone = rng.sample(sorted(live), k=min(2, len(live)))
+            pq_index_delete(spark, idx, gone)
+            for g in gone:
+                live.pop(g)
+        elif op == "compact":
+            pq_index_compact(spark, idx)
+        got = _probe_set(pq_index_probe(qdf, idx, k=4))
+        assert got == _topk_with_model(spark, live, queries, cb, 4), (
+            step, op, sorted(live),
+        )
