@@ -443,3 +443,28 @@ def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
         assert got == _topk_with_model(spark, live, queries, cb, 4), (
             step, op, sorted(live),
         )
+
+
+def test_pq_index_probe_plan_shape(spark, tmp_path):
+    """Scale-posture pin: the probe plans NO unpartitioned window (the
+    top-k rank is partitioned per query) and NO cartesian product; the
+    only forced broadcast is the model-sized codebook — the corpus
+    codes side is never hinted (AQE decides), mirroring
+    `ivf_index_probe`'s posture."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+    from spark_data_test_spark.plans.audit import (
+        global_window_nodes,
+        plan_op_counts,
+    )
+
+    corpus = _mk(20, 8, 431)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5
+    )
+    df = pq_index_probe(
+        spark.createDataFrame(corpus[:3], _SCHEMA), idx, k=4
+    )
+    assert not global_window_nodes(df)
+    ops = plan_op_counts(df)
+    assert ops.get("CartesianProduct", 0) == 0
