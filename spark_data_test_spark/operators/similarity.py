@@ -2871,3 +2871,401 @@ def pq_index_stats(spark, index_path):
             "max_code_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index — round 14 (ref: none — north-star extension).
+# The composed production ANN architecture (the FAISS IVFPQ shape, the
+# registered `similarity_ivfpq_ann` proves the frame-level math): the
+# coarse quantizer prunes WHICH vectors each query inspects (nprobe
+# cells), PQ compresses WHAT is scored there (m codes per candidate,
+# ADC table lookups — never raw floats). The persisted form commits
+# BOTH models as snapshots (centroids + codebook) and one postings log
+# of (vec_id, cell, codes) rows — at 100 TB the inverted lists hold
+# only ids and codes, so they fit where raw vectors cannot, and every
+# lifecycle rule (latest-wins, tombstones, resolving compaction) is
+# shared with the IVF-Flat and PQ indexes above.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_build(
+    corpus,
+    index_path,
+    ncells=None,
+    m=4,
+    ncodes=16,
+    rounds=2,
+    pq_rounds=1,
+    id_col="vec_id",
+    vec_col="emb",
+):
+    """Library operator: train BOTH ANN models over ``corpus`` — the
+    IVF coarse quantizer (spherical k-means, `_train_double_cells`'s
+    deterministic seeds and lazily-chained Lloyd rounds) and the PQ
+    codebook (`pq_train` on the same surviving vectors, raw-vector
+    encoding exactly as the registered `similarity_ivfpq_ann`
+    composes them) — and COMMIT three state tables under
+    ``index_path``: ``centroids/`` and ``codebook/`` snapshots
+    (retain=2 for time travel) plus ``postings/``, the log base of
+    one ``(vec_id, cell, codes)`` row per vector. Duplicate ids
+    collapse deterministically (greatest vector); zero-norm vectors
+    are dropped (cosine cell assignment is undefined for them — the
+    ANN-family contract). A same-path rebuild resets the postings log
+    (old cells AND old codes are meaningless under retrained models).
+    Returns the number of indexed vectors."""
+    from spark_data_test_spark.state import write_state_version
+
+    d = _pq_dedup_ids(corpus, id_col, vec_col)
+    c = _norm_vectors(d, id_col, vec_col, "ivfpq_index_build").persist()
+    try:
+        cents = _train_double_cells(c, ncells, rounds, "ivfpq_index_build")
+        assign = (
+            _cell_scored(c, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("cell")
+            )
+            .select(F.col("_id").alias("vec_id"), "cell")
+        )
+        surv = c.select(
+            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+        )
+        codebook = pq_train(
+            surv, m=m, ncodes=ncodes, rounds=pq_rounds,
+            id_col=id_col, vec_col=vec_col,
+        )
+        packed = _pq_pack_codes(
+            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
+            id_col,
+        )
+        postings = assign.join(packed, "vec_id")
+        os.makedirs(index_path, exist_ok=True)
+        write_state_version(
+            cents.select(
+                "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
+            ),
+            f"{index_path}/centroids",
+            retain=2,
+        )
+        write_state_version(codebook, f"{index_path}/codebook", retain=2)
+        postings = postings.persist()
+        try:
+            n = postings.count()
+            write_state_version(
+                postings, f"{index_path}/postings", retain=1
+            )
+        finally:
+            postings.unpersist()
+        return n
+    finally:
+        c.unpersist()
+
+
+def _resolved_ivfpq_postings(spark, index_path):
+    """LATEST-WINS view of the IVF-PQ postings log: per vec_id the
+    newest commit's (cell, codes) pair wins as ONE atomic unit (a
+    re-ingested vector can change cell and codes together, never a
+    mix), then tombstone winners (cell = -1) drop. Returns None for a
+    missing log."""
+    from spark_data_test_spark.state import read_state_union
+
+    log = read_state_union(
+        spark, f"{index_path}/postings", version_col="_pv"
+    )
+    if log is None:
+        return None
+    return (
+        log.groupBy("vec_id")
+        .agg(F.max_by(F.struct("cell", "codes"), F.col("_pv")).alias("_p"))
+        .select("vec_id", "_p.cell", "_p.codes")
+        .where(F.col("cell") >= 0)
+    )
+
+
+def ivfpq_index_probe(
+    queries,
+    index_path,
+    k=10,
+    nprobe=2,
+    id_col="vec_id",
+    vec_col="emb",
+    commit=False,
+):
+    """Library operator: answer an ANN query batch against the
+    COMMITTED IVF-PQ index — cost is O(batch x probed cells), and the
+    probed rows are CODES, not vectors: each query scores the
+    broadcast centroids, keeps its ``nprobe`` best cells, and ranks
+    only those cells' posting rows by ADC distance (per-query exact
+    float distance table to every codebook entry; a candidate's
+    distance is m table lookups on its codes). Returns ``(query_id,
+    neighbor_id, rank, adc_dist)`` with the PQ family contract:
+    (adc_dist asc, neighbor_id) tie-break, self-matches excluded,
+    zero-norm queries dropped (they have no meaningful coarse cell).
+    With ``nprobe`` >= the committed cell count the probe is
+    exhaustive and provably equals `pq_topk` with the committed
+    codebook over the live corpus (pinned in
+    tests/test_ivfpq_index_api.py — the composed analogue of the
+    IVF-Flat index's probe-all == cosine_topk pin).
+
+    With ``commit=True`` the batch is assigned to committed cells AND
+    encoded against the committed codebook, then appended as the next
+    postings delta after the probe result materializes — the shared
+    probe-then-commit ingest pattern. `ivfpq_index_delete` /
+    `ivfpq_index_compact` / `ivfpq_index_stats` complete the
+    lifecycle. Model drift under heavy ingest is the documented
+    limit; a fresh `ivfpq_index_build` retrains both models and
+    resets the log."""
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    spark = queries.sparkSession
+    cents_raw = read_state_table(spark, f"{index_path}/centroids")
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    if cents_raw is None or codebook is None:
+        raise ValueError(
+            f"ivfpq_index_probe: no committed index at {index_path}"
+            " (run ivfpq_index_build first)"
+        )
+    postings = _resolved_ivfpq_postings(spark, index_path)
+    if postings is None:
+        raise ValueError(
+            f"ivfpq_index_probe: index at {index_path} has models but "
+            "no committed postings (re-run ivfpq_index_build)"
+        )
+    cents = F.broadcast(
+        cents_raw.select(
+            "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
+        )
+    )
+    cb_row = codebook.agg(
+        F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
+    ).first()
+    mq = int(cb_row.m1) + 1
+    q = _norm_vectors(queries, id_col, vec_col, "ivfpq_index_probe")
+    first = q.select(F.size("_v").alias("d")).first()
+    if first is None:
+        raise ValueError(
+            "ivfpq_index_probe: query batch has no nonzero vectors"
+        )
+    dim = int(first.d)
+    if dim % mq:
+        raise ValueError(
+            f"ivfpq_index_probe: query vector dim {dim} not divisible "
+            f"by the committed codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"ivfpq_index_probe: query subvector dim {dim // mq} != "
+            f"committed codebook subvector dim {int(cb_row.subdim)} "
+            f"(query dim {dim}, m={mq})"
+        )
+    # ragged rows would mis-split below; drop them like _pq_frame does
+    q = q.where(F.size("_v") == dim).persist()
+    try:
+        wq = Window.partitionBy("_id").orderBy(
+            F.col("_cos").desc(), "cent_id"
+        )
+        probes = (
+            _cell_scored(q, cents)
+            .withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") <= int(nprobe))
+            .select(
+                F.col("_id").alias("query_id"),
+                F.col("cent_id").alias("cell"),
+            )
+        )
+        qd = (
+            _pq_split(q.select("_id", "_v"), mq, dim // mq)
+            .join(F.broadcast(codebook), "s")
+            .withColumn("d", F.expr(_PQ_L2F))
+            .select(F.col("_id").alias("query_id"), "s", "cent_id", "d")
+        )
+        flat = postings.select(
+            "vec_id", "cell", F.posexplode("codes").alias("s", "cent_id")
+        )
+        # probes join the exploded cell lists on cell, then the
+        # query distance tables on (query_id, s, cent_id) — both
+        # UNHINTED (AQE broadcasts modest batches; only the two
+        # model-sized frames above are unconditionally broadcast)
+        adc = (
+            probes.join(flat, "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(qd, ["query_id", "s", "cent_id"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d").alias("adc_dist"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+        result = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                "rank",
+                "adc_dist",
+            )
+        )
+        if not commit:
+            return result
+        result = result.localCheckpoint(eager=True)
+        bd = _pq_dedup_ids(queries, id_col, vec_col)
+        bc = _norm_vectors(bd, id_col, vec_col, "ivfpq_index_probe")
+        batch_assign = (
+            _cell_scored(bc, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("cell")
+            )
+            .select(F.col("_id").alias("vec_id"), "cell")
+        )
+        surv = bc.select(
+            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+        )
+        batch_codes = _pq_pack_codes(
+            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
+            id_col,
+        )
+        write_state_version(
+            batch_assign.join(batch_codes, "vec_id"),
+            f"{index_path}/postings",
+            retain=RETAIN_ALL,
+        )
+        return result
+    finally:
+        q.unpersist()
+
+
+def ivfpq_index_delete(spark, index_path, ids, id_col="vec_id"):
+    """Library operator: REMOVE vectors from the committed IVF-PQ
+    index — identical takedown contract to the IVF-Flat and PQ
+    indexes: one tombstone posting row per distinct id (cell = -1,
+    NULL codes) as the next log delta; latest-wins resolution drops
+    tombstone winners, a later re-ingest resurrects, deleting an
+    unknown id is a no-op, and `ivfpq_index_compact` physically
+    reclaims. ``ids`` is an iterable of id values or a DataFrame
+    whose ``id_col`` holds them. Returns the committed delta
+    version."""
+    from pyspark.sql import DataFrame
+
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    base = read_state_table(spark, f"{index_path}/postings")
+    if base is None:
+        raise ValueError(
+            f"ivfpq_index_delete: no committed postings at {index_path}"
+            " (run ivfpq_index_build first)"
+        )
+    types = {f.name: f.dataType for f in base.schema.fields}
+    if isinstance(ids, DataFrame):
+        idf = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            raise ValueError("ivfpq_index_delete: empty id set")
+        idf = spark.createDataFrame([(i,) for i in ids], ["vec_id"]).distinct()
+    tomb = idf.select(
+        F.col("vec_id").cast(types["vec_id"]),
+        F.lit(_TOMBSTONE_CELL).cast(types["cell"]).alias("cell"),
+        F.lit(None).cast(types["codes"]).alias("codes"),
+    )
+    return write_state_version(
+        tomb, f"{index_path}/postings", retain=RETAIN_ALL
+    )
+
+
+def ivfpq_index_compact(spark, index_path):
+    """Library operator: fold the IVF-PQ postings LOG into one
+    resolved snapshot — the shared LSM compaction rule (newest commit
+    per vec_id BEFORE committing, tombstone winners dropped). Returns
+    the committed snapshot version, or None for a missing index."""
+    from spark_data_test_spark.state import write_state_version
+
+    resolved = _resolved_ivfpq_postings(spark, index_path)
+    if resolved is None:
+        return None
+    return write_state_version(
+        resolved, f"{index_path}/postings", retain=1
+    )
+
+
+def ivfpq_index_stats(spark, index_path):
+    """Library operator: observability readout for the persisted
+    IVF-PQ index — the union of the IVF-Flat and PQ readouts, since
+    both failure modes apply: cell skew says the coarse quantizer no
+    longer balances probes, log depth says compact. Single-row frame:
+    ``n_live``, ``n_cells_used``, ``max_cell_rows`` (hottest cell's
+    live rows — probe latency bound), ``m`` / ``n_code_rows`` (the
+    committed PQ model's shape), ``n_log_rows`` / ``n_versions`` /
+    ``n_tombstones`` (log depth -> compaction signal). All aggregates
+    run distributed; one summary row reaches the driver. Returns None
+    for a missing index."""
+    from spark_data_test_spark.state import (
+        read_state_table,
+        read_state_union,
+    )
+
+    log = read_state_union(
+        spark, f"{index_path}/postings", version_col="_pv"
+    )
+    if log is None:
+        return None
+    per_cell = (
+        _resolved_ivfpq_postings(spark, index_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cells = per_cell.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_live"),
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
+            "max_cell_rows"
+        ),
+    )
+    raw = log.agg(
+        F.count(F.lit(1)).alias("n_log_rows"),
+        F.count_distinct("_pv").alias("n_versions"),
+        F.sum(
+            (F.col("cell") == F.lit(_TOMBSTONE_CELL)).cast("long")
+        ).alias("n_tombstones"),
+    )
+    model = read_state_table(spark, f"{index_path}/codebook").agg(
+        (F.max("s") + 1).cast("long").alias("m"),
+        F.count(F.lit(1)).alias("n_code_rows"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(raw))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "n_live",
+            "n_cells_used",
+            "max_cell_rows",
+            "m",
+            "n_code_rows",
+            "n_log_rows",
+            "n_versions",
+            F.coalesce("n_tombstones", F.lit(0)).cast("long").alias(
+                "n_tombstones"
+            ),
+        )
+    )

@@ -1,0 +1,381 @@
+"""Persisted IVF-PQ index lifecycle pins (round 14).
+
+The composed ANN index: coarse cells prune WHICH candidates a probe
+inspects, PQ codes compress WHAT is scored there. The central pin is
+the composed analogue of the IVF-Flat index's probe-all ==
+cosine_topk: with ``nprobe`` >= the committed cell count the probe is
+exhaustive and must equal `pq_topk` run with the COMMITTED codebook
+over the net live corpus (pq_topk's ADC math is brute-force-pinned in
+tests/test_similarity_api.py). Integer-valued float vectors keep ADC
+sums exact, so every comparison is exact set equality. Lifecycle
+rules (ingest / delete / resurrect / compact / rebuild-reset / random
+op-sequence) mirror the other two persisted indexes.
+"""
+
+import random
+
+import pytest
+
+_SCHEMA = "vec_id long, emb array<double>"
+_PROBE_ALL = 99  # >= any cell count used below -> exhaustive probe
+
+
+def _mk(n, dim, seed, start=0):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        v = [float(rng.randrange(-6, 7)) for _ in range(dim)]
+        if all(x == 0.0 for x in v):  # zero-norm rows are dropped by
+            v[0] = 1.0  # the ANN contract; keep fixtures live
+        out.append((start + i, v))
+    return out
+
+
+def _probe_set(df):
+    return {
+        (r.query_id, r.neighbor_id, r.rank, round(r.adc_dist, 6))
+        for r in df.collect()
+    }
+
+
+def _topk_with_model(spark, live, queries, cb_df, k):
+    from spark_data_test_spark import pq_topk
+
+    return _probe_set(
+        pq_topk(
+            spark.createDataFrame(sorted(live.items()), _SCHEMA),
+            spark.createDataFrame(queries, _SCHEMA),
+            k=k,
+            codebook=cb_df,
+        )
+    )
+
+
+def _committed_codebook(spark, idx):
+    from spark_data_test_spark.state import read_state_table
+
+    return read_state_table(spark, f"{idx}/codebook")
+
+
+def test_ivfpq_probe_all_equals_pq_topk_on_committed_model(
+    spark, tmp_path
+):
+    """nprobe >= cells -> the candidate set is the whole live corpus,
+    so the probe must equal ADC search with the committed codebook:
+    the cell layer adds nothing and loses nothing when exhaustive."""
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+
+    corpus = _mk(24, 8, 501)
+    queries = corpus[:4]
+    idx = str(tmp_path / "ivfpq")
+    n = ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=6,
+    )
+    assert n == 24
+    cb = _committed_codebook(spark, idx)
+    got = _probe_set(
+        ivfpq_index_probe(
+            spark.createDataFrame(queries, _SCHEMA), idx,
+            k=5, nprobe=_PROBE_ALL,
+        )
+    )
+    assert got == _topk_with_model(spark, dict(corpus), queries, cb, 5)
+    assert got
+
+
+def test_ivfpq_nprobe_prunes_to_probed_cells(spark, tmp_path):
+    """nprobe=1 inspects exactly the query's best cell: every returned
+    neighbor must live in that cell (replayed from the committed
+    postings), and the ADC values agree with the exhaustive probe for
+    those neighbors."""
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+    from spark_data_test_spark.state import read_state_table
+
+    corpus = _mk(30, 8, 507)
+    queries = corpus[:3]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=4, m=4, ncodes=6,
+    )
+    cell_of = {
+        r.vec_id: r.cell
+        for r in read_state_table(spark, f"{idx}/postings").collect()
+    }
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    narrow = _probe_set(ivfpq_index_probe(qdf, idx, k=30, nprobe=1))
+    exhaustive = {
+        (q, nb): d
+        for q, nb, _rank, d in _probe_set(
+            ivfpq_index_probe(qdf, idx, k=30, nprobe=_PROBE_ALL)
+        )
+    }
+    assert narrow
+    probed_cells = {}
+    for q, nb, _rank, d in narrow:
+        probed_cells.setdefault(q, set()).add(cell_of[nb])
+        assert exhaustive[(q, nb)] == d
+    for q, cells in probed_cells.items():
+        assert len(cells) == 1, (q, cells)
+
+
+def test_ivfpq_ingest_then_probe_equals_model_topk(spark, tmp_path):
+    """commit=True ingestion assigns cells AND encodes against the
+    COMMITTED models; an identical re-commit is idempotent."""
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+
+    corpus = _mk(20, 8, 511)
+    batch = _mk(5, 8, 513, start=500)
+    queries = corpus[:3]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=6,
+    )
+    bdf = spark.createDataFrame(batch, _SCHEMA)
+    ivfpq_index_probe(bdf, idx, k=2, nprobe=_PROBE_ALL,
+                      commit=True).collect()
+    ivfpq_index_probe(bdf, idx, k=2, nprobe=_PROBE_ALL,
+                      commit=True).collect()
+    cb = _committed_codebook(spark, idx)
+    got = _probe_set(
+        ivfpq_index_probe(
+            spark.createDataFrame(queries, _SCHEMA), idx,
+            k=5, nprobe=_PROBE_ALL,
+        )
+    )
+    assert got == _topk_with_model(
+        spark, dict(corpus + batch), queries, cb, 5
+    )
+
+
+def test_ivfpq_delete_then_probe_equals_without(spark, tmp_path):
+    """Tombstones: deleted ids vanish, unknown ids are no-ops, a later
+    re-ingest resurrects."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_probe,
+    )
+
+    corpus = _mk(20, 8, 517)
+    queries = corpus[:3]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=6,
+    )
+    cb = _committed_codebook(spark, idx)
+    gone = {corpus[5][0], corpus[11][0]}
+    ivfpq_index_delete(spark, idx, sorted(gone) + [9999])
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    live = {i: v for i, v in corpus if i not in gone}
+    assert _probe_set(
+        ivfpq_index_probe(qdf, idx, k=5, nprobe=_PROBE_ALL)
+    ) == _topk_with_model(spark, live, queries, cb, 5)
+    ivfpq_index_probe(
+        spark.createDataFrame([corpus[5]], _SCHEMA), idx,
+        k=2, nprobe=_PROBE_ALL, commit=True,
+    ).collect()
+    live[corpus[5][0]] = corpus[5][1]
+    assert _probe_set(
+        ivfpq_index_probe(qdf, idx, k=5, nprobe=_PROBE_ALL)
+    ) == _topk_with_model(spark, live, queries, cb, 5)
+
+
+def test_ivfpq_compact_preserves_and_stats_track(spark, tmp_path):
+    """Compaction folds the log through the shared merge rule; stats
+    reflect build/ingest/delete/compact. Missing index -> None."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_index_probe,
+        ivfpq_index_stats,
+    )
+
+    corpus = _mk(18, 8, 523)
+    idx = str(tmp_path / "ivfpq")
+    n = ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+
+    def stats():
+        return ivfpq_index_stats(spark, idx).collect()[0]
+
+    s0 = stats()
+    assert (s0.n_live, s0.n_versions, s0.n_tombstones) == (n, 1, 0)
+    assert s0.n_log_rows == n
+    assert 1 <= s0.n_cells_used <= 3
+    assert s0.max_cell_rows <= s0.n_live
+    assert s0.m == 4 and 4 <= s0.n_code_rows <= 4 * 5
+
+    extra = _mk(3, 8, 527, start=800)
+    ivfpq_index_probe(
+        spark.createDataFrame(extra, _SCHEMA), idx,
+        k=2, nprobe=_PROBE_ALL, commit=True,
+    ).collect()
+    s1 = stats()
+    assert (s1.n_live, s1.n_versions) == (n + 3, 2)
+
+    ivfpq_index_delete(spark, idx, [corpus[0][0], corpus[1][0]])
+    s2 = stats()
+    assert (s2.n_live, s2.n_tombstones, s2.n_versions) == (n + 1, 2, 3)
+
+    qdf = spark.createDataFrame(corpus[2:5], _SCHEMA)
+    before = _probe_set(
+        ivfpq_index_probe(qdf, idx, k=5, nprobe=_PROBE_ALL)
+    )
+    v = ivfpq_index_compact(spark, idx)
+    assert v is not None
+    assert _probe_set(
+        ivfpq_index_probe(qdf, idx, k=5, nprobe=_PROBE_ALL)
+    ) == before
+    s3 = stats()
+    assert (s3.n_live, s3.n_log_rows, s3.n_versions, s3.n_tombstones) == (
+        n + 1, n + 1, 1, 0,
+    )
+    assert ivfpq_index_compact(spark, str(tmp_path / "nope")) is None
+    assert ivfpq_index_stats(spark, str(tmp_path / "nope")) is None
+
+
+def test_ivfpq_probe_requires_index_and_valid_dims(spark, tmp_path):
+    """Missing index, crashed-build half-state, and query batches that
+    don't fit the committed model all fail loudly."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+    )
+
+    qdf = spark.createDataFrame(_mk(2, 8, 531), _SCHEMA)
+    with pytest.raises(ValueError, match="no committed index"):
+        ivfpq_index_probe(qdf, str(tmp_path / "missing"))
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(_mk(12, 8, 537), _SCHEMA), idx,
+        ncells=3, m=4, ncodes=4,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_index_probe(
+            spark.createDataFrame(_mk(2, 10, 541), _SCHEMA), idx
+        )
+    with pytest.raises(ValueError, match="subvector dim"):
+        ivfpq_index_probe(
+            spark.createDataFrame(_mk(2, 12, 547), _SCHEMA), idx
+        )
+
+
+def test_ivfpq_same_path_rebuild_resets_postings(spark, tmp_path):
+    """A rebuild retrains BOTH models and resets the log: nothing of
+    the old index (ingests included) survives."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        ivfpq_index_stats,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    old = _mk(15, 8, 553)
+    ivfpq_index_build(
+        spark.createDataFrame(old, _SCHEMA), idx, ncells=3, m=4, ncodes=5
+    )
+    ivfpq_index_probe(
+        spark.createDataFrame(_mk(3, 8, 557, start=900), _SCHEMA), idx,
+        k=2, nprobe=_PROBE_ALL, commit=True,
+    ).collect()
+    new = _mk(10, 8, 563, start=50)
+    n = ivfpq_index_build(
+        spark.createDataFrame(new, _SCHEMA), idx, ncells=3, m=4, ncodes=5
+    )
+    s = ivfpq_index_stats(spark, idx).collect()[0]
+    assert (s.n_live, s.n_versions, s.n_log_rows) == (n, 1, n)
+    cb = _committed_codebook(spark, idx)
+    queries = new[:2]
+    got = _probe_set(
+        ivfpq_index_probe(
+            spark.createDataFrame(queries, _SCHEMA), idx,
+            k=4, nprobe=_PROBE_ALL,
+        )
+    )
+    assert got == _topk_with_model(spark, dict(new), queries, cb, 4)
+
+
+def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
+    """Seeded random LSM lifecycle: any interleaving of ingests,
+    deletes, and compactions answers exhaustive probes exactly like
+    ADC search with the committed codebook over the net live state."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_index_probe,
+    )
+
+    corpus = _mk(16, 8, 569)
+    queries = _mk(3, 8, 571, start=9000)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    cb = _committed_codebook(spark, idx)
+    live = dict(corpus)
+    rng = random.Random(569)
+    next_id = 500
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    for step in range(5):
+        op = rng.choice(["ingest", "delete", "compact"])
+        if op == "ingest":
+            rows = {}
+            for _ in range(rng.randrange(1, 3)):
+                if rng.random() < 0.5 and live:
+                    vid = rng.choice(sorted(live))
+                else:
+                    vid, next_id = next_id, next_id + 1
+                v = [float(rng.randrange(-6, 7)) for _ in range(8)]
+                if all(x == 0.0 for x in v):
+                    v[0] = 1.0
+                rows[vid] = v
+                live[vid] = v
+            ivfpq_index_probe(
+                spark.createDataFrame(list(rows.items()), _SCHEMA),
+                idx, k=2, nprobe=_PROBE_ALL, commit=True,
+            ).collect()
+        elif op == "delete" and live:
+            gone = rng.sample(sorted(live), k=min(2, len(live)))
+            ivfpq_index_delete(spark, idx, gone)
+            for g in gone:
+                live.pop(g)
+        elif op == "compact":
+            ivfpq_index_compact(spark, idx)
+        got = _probe_set(
+            ivfpq_index_probe(qdf, idx, k=4, nprobe=_PROBE_ALL)
+        )
+        assert got == _topk_with_model(spark, live, queries, cb, 4), (
+            step, op, sorted(live),
+        )
+
+
+def test_ivfpq_probe_plan_shape(spark, tmp_path):
+    """Scale-posture pin: no unpartitioned window (both the cell-pick
+    and top-k ranks are per-query), no cartesian; only the two
+    model-sized frames (centroids, codebook) are force-broadcast."""
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+    from spark_data_test_spark.plans.audit import (
+        global_window_nodes,
+        plan_op_counts,
+    )
+
+    corpus = _mk(20, 8, 577)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    df = ivfpq_index_probe(
+        spark.createDataFrame(corpus[:3], _SCHEMA), idx, k=4, nprobe=2
+    )
+    assert not global_window_nodes(df)
+    assert plan_op_counts(df).get("CartesianProduct", 0) == 0
