@@ -379,3 +379,31 @@ def test_ivfpq_probe_plan_shape(spark, tmp_path):
     )
     assert not global_window_nodes(df)
     assert plan_op_counts(df).get("CartesianProduct", 0) == 0
+
+
+def test_ivfpq_edge_states(spark, tmp_path):
+    """Boundary states: all-deleted index answers with zero rows and
+    zero n_live; an all-zero-vector query batch fails loudly (no
+    meaningful coarse cell)."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_index_probe,
+        ivfpq_index_stats,
+    )
+
+    corpus = _mk(6, 8, 587)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=2, m=4, ncodes=3,
+    )
+    ivfpq_index_delete(spark, idx, [i for i, _ in corpus])
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    assert ivfpq_index_probe(qdf, idx, k=3, nprobe=_PROBE_ALL).count() == 0
+    s = ivfpq_index_stats(spark, idx).collect()[0]
+    assert (s.n_live, s.n_tombstones) == (0, 6)
+
+    zeros = spark.createDataFrame([(77, [0.0] * 8)], _SCHEMA)
+    with pytest.raises(ValueError, match="no nonzero vectors"):
+        ivfpq_index_probe(zeros, idx, k=3)

@@ -468,3 +468,39 @@ def test_pq_index_probe_plan_shape(spark, tmp_path):
     assert not global_window_nodes(df)
     ops = plan_op_counts(df)
     assert ops.get("CartesianProduct", 0) == 0
+
+
+def test_pq_index_edge_states(spark, tmp_path):
+    """Boundary states stay well-defined: deleting EVERY vector leaves
+    a live index that answers probes with zero rows (and zero n_live),
+    a single-vector corpus probed by itself returns nothing
+    (self-match excluded), and an empty query batch fails loudly."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_delete,
+        pq_index_probe,
+        pq_index_stats,
+    )
+
+    corpus = _mk(6, 8, 443)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=3
+    )
+    pq_index_delete(spark, idx, [i for i, _ in corpus])
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    assert pq_index_probe(qdf, idx, k=3).count() == 0
+    s = pq_index_stats(spark, idx).collect()[0]
+    assert (s.n_live, s.n_tombstones) == (0, 6)
+
+    one = str(tmp_path / "one")
+    pq_index_build(
+        spark.createDataFrame(corpus[:1], _SCHEMA), one, m=4, ncodes=1
+    )
+    assert pq_index_probe(
+        spark.createDataFrame(corpus[:1], _SCHEMA), one, k=3
+    ).count() == 0
+
+    empty = spark.createDataFrame([], _SCHEMA)
+    with pytest.raises(ValueError, match="empty input frame"):
+        pq_index_probe(empty, idx, k=3)
