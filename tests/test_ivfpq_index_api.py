@@ -407,3 +407,34 @@ def test_ivfpq_edge_states(spark, tmp_path):
     zeros = spark.createDataFrame([(77, [0.0] * 8)], _SCHEMA)
     with pytest.raises(ValueError, match="no nonzero vectors"):
         ivfpq_index_probe(zeros, idx, k=3)
+
+
+def test_ivfpq_probe_all_equals_flat_pq_index(spark, tmp_path):
+    """Cross-index consistency: the PQ training is deterministic, so a
+    flat PQ index and an IVF-PQ index built over the SAME corpus with
+    the same (m, ncodes, rounds) commit the same codebook — and an
+    exhaustive IVF-PQ probe must answer exactly like the flat PQ
+    index's probe. The cell layer is pure pruning, never scoring."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        pq_index_build,
+        pq_index_probe,
+    )
+
+    corpus = _mk(22, 8, 593)
+    queries = corpus[:3]
+    flat = str(tmp_path / "flat")
+    comp = str(tmp_path / "comp")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), flat, m=4, ncodes=6,
+        rounds=1,
+    )
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), comp,
+        ncells=3, m=4, ncodes=6, pq_rounds=1,
+    )
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    assert _probe_set(pq_index_probe(qdf, flat, k=5)) == _probe_set(
+        ivfpq_index_probe(qdf, comp, k=5, nprobe=_PROBE_ALL)
+    )
