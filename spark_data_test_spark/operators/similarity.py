@@ -3269,3 +3269,113 @@ def ivfpq_index_stats(spark, index_path):
             ),
         )
     )
+
+
+def refine_topk(
+    shortlist,
+    queries,
+    resolver,
+    k=10,
+    metric="l2",
+    query_id_col="query_id",
+    neighbor_id_col="neighbor_id",
+    id_col="vec_id",
+    vec_col="emb",
+):
+    """Library operator: EXACT second-stage rescoring of an ANN
+    shortlist — the refine step every production IVFPQ deployment runs
+    (FAISS IndexRefineFlat): a cheap first stage (`pq_topk`,
+    `pq_index_probe`, `ivfpq_index_probe` with ``k`` = a few times the
+    final k) proposes candidates from compressed codes, then the
+    shortlist — and ONLY the shortlist — is re-scored with exact float
+    distances against the raw vectors in ``resolver`` and re-cut to
+    ``k``. This recovers the quantization error on exactly the rows
+    that matter while touching raw vectors for batch x shortlist rows,
+    never the corpus.
+
+    ``shortlist`` needs ``(query_id_col, neighbor_id_col)`` (extra
+    columns ignored); ``resolver`` maps ``id_col`` to ``vec_col`` raw
+    vectors (the corpus frame itself, or any projection of it);
+    ``queries`` supplies the exact query vectors. ``metric`` is
+    ``"l2"`` (ascending ``l2_dist``) or ``"cosine"`` (descending
+    ``cosine``; zero-norm rows are dropped, the ANN-family contract).
+    Returns ``(query_id, neighbor_id, rank, l2_dist|cosine)`` ranked
+    per query with the id tie-break. Candidates missing from the
+    resolver are dropped (refining against a partial resolver is the
+    caller's call — pass the full corpus for the standard contract).
+
+    Scale shape: two equi-joins keyed on ids (shortlist x resolver,
+    then x queries — both unhinted, AQE broadcasts modest batches), a
+    scan-side exact distance, and a per-query WindowGroupLimit top-k;
+    nothing corpus-sized is collected and no unpartitioned window is
+    planned."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(
+            f"refine_topk: metric must be 'l2' or 'cosine', got {metric!r}"
+        )
+    sl = shortlist.select(
+        F.col(query_id_col).alias("_q"),
+        F.col(neighbor_id_col).alias("_nb"),
+    ).distinct()
+    if metric == "cosine":
+        r = _norm_vectors(resolver, id_col, vec_col, "refine_topk")
+        q = _norm_vectors(queries, id_col, vec_col, "refine_topk")
+    else:
+        # zero-norm vectors ARE meaningful under L2 (only cosine is
+        # undefined at zero norm), so the l2 path keeps them
+        zed = "transform({c}, x -> cast(x AS double))"
+        r = resolver.select(
+            F.col(id_col).alias("_id"),
+            F.expr(zed.format(c=vec_col)).alias("_v"),
+            F.lit(0.0).alias("_n2"),
+        ).where(F.col("_v").isNotNull())
+        q = queries.select(
+            F.col(id_col).alias("_id"),
+            F.expr(zed.format(c=vec_col)).alias("_v"),
+            F.lit(0.0).alias("_n2"),
+        ).where(F.col("_v").isNotNull())
+    joined = (
+        sl.join(
+            r.select(
+                F.col("_id").alias("_nb"),
+                F.col("_v").alias("_nv"),
+                F.col("_n2").alias("_nn2"),
+            ),
+            "_nb",
+        )
+        .join(
+            q.select(
+                F.col("_id").alias("_q"),
+                F.col("_v").alias("_qv"),
+                F.col("_n2").alias("_qn2"),
+            ),
+            "_q",
+        )
+    )
+    if metric == "l2":
+        dist = F.expr(
+            "aggregate(zip_with(_qv, _nv, (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 AS double), (acc, x) -> acc + x)"
+        ).alias("l2_dist")
+        order = [F.col("l2_dist").asc(), F.col("_nb").asc()]
+        out_col = "l2_dist"
+    else:
+        dot = F.expr(
+            "aggregate(zip_with(_qv, _nv, (x, y) -> x * y),"
+            " cast(0.0 AS double), (acc, x) -> acc + x)"
+        )
+        dist = (dot / F.sqrt(F.col("_qn2") * F.col("_nn2"))).alias("cosine")
+        order = [F.col("cosine").desc(), F.col("_nb").asc()]
+        out_col = "cosine"
+    w = Window.partitionBy("_q").orderBy(*order)
+    return (
+        joined.select("_q", "_nb", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("_q").alias("query_id"),
+            F.col("_nb").alias("neighbor_id"),
+            "rank",
+            out_col,
+        )
+    )

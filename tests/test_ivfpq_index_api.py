@@ -438,3 +438,106 @@ def test_ivfpq_probe_all_equals_flat_pq_index(spark, tmp_path):
     assert _probe_set(pq_index_probe(qdf, flat, k=5)) == _probe_set(
         ivfpq_index_probe(qdf, comp, k=5, nprobe=_PROBE_ALL)
     )
+
+
+def _brute_exact_l2(live, queries, k):
+    out = set()
+    for qid, qv in queries:
+        scored = []
+        for cid, cv in sorted(live.items()):
+            if cid == qid:
+                continue
+            scored.append(
+                (sum((x - y) ** 2 for x, y in zip(qv, cv)), cid)
+            )
+        for rank, (d, cid) in enumerate(sorted(scored)[:k], 1):
+            out.add((qid, cid, rank, round(d, 6)))
+    return out
+
+
+def test_refine_topk_recovers_exact_l2(spark, tmp_path):
+    """The two-stage contract: an IVF-PQ shortlist wide enough to
+    contain the true neighbors, refined against the raw corpus,
+    equals the EXACT brute-force L2 top-k — quantization error is
+    fully recovered on the rows that matter."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        refine_topk,
+    )
+
+    corpus = _mk(24, 8, 601)
+    queries = corpus[:3]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=6,
+    )
+    cdf = spark.createDataFrame(corpus, _SCHEMA)
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    # shortlist = the whole live corpus (k >= n, probe-all), so the
+    # refined result MUST equal exact search
+    shortlist = ivfpq_index_probe(qdf, idx, k=30, nprobe=_PROBE_ALL)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.l2_dist, 6))
+        for r in refine_topk(shortlist, qdf, cdf, k=4).collect()
+    }
+    assert got == _brute_exact_l2(dict(corpus), queries, 4)
+
+
+def test_refine_topk_cosine_and_contract(spark):
+    """Cosine metric ranks descending with the id tie-break and drops
+    zero-norm rows; candidates missing from the resolver drop out; an
+    invalid metric fails loudly."""
+    from spark_data_test_spark import cosine_topk, refine_topk
+
+    corpus = _mk(15, 8, 607)
+    queries = corpus[:2]
+    cdf = spark.createDataFrame(corpus, _SCHEMA)
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    # shortlist = every (query, candidate) pair -> refine == exact
+    # cosine_topk (itself brute-pinned in this suite's siblings)
+    pairs = [
+        (q[0], c[0]) for q in queries for c in corpus if c[0] != q[0]
+    ]
+    sl = spark.createDataFrame(pairs, "query_id long, neighbor_id long")
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in refine_topk(sl, qdf, cdf, k=4, metric="cosine").collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in cosine_topk(cdf, qdf, k=4).collect()
+    }
+    assert got == want
+    # partial resolver: candidates it cannot resolve disappear
+    half = spark.createDataFrame(corpus[:8], _SCHEMA)
+    kept = {
+        r.neighbor_id
+        for r in refine_topk(sl, qdf, half, k=20, metric="cosine").collect()
+    }
+    assert kept <= {c[0] for c in corpus[:8]}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metric"):
+        refine_topk(sl, qdf, cdf, metric="dotproduct")
+
+
+def test_refine_topk_plan_shape(spark):
+    """No unpartitioned window, no cartesian — the refine stage stays
+    per-query-partitioned and join-keyed."""
+    from spark_data_test_spark import refine_topk
+    from spark_data_test_spark.plans.audit import (
+        global_window_nodes,
+        plan_op_counts,
+    )
+
+    corpus = _mk(10, 8, 613)
+    cdf = spark.createDataFrame(corpus, _SCHEMA)
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    sl = spark.createDataFrame(
+        [(corpus[0][0], corpus[5][0])], "query_id long, neighbor_id long"
+    )
+    df = refine_topk(sl, qdf, cdf, k=3)
+    assert not global_window_nodes(df)
+    assert plan_op_counts(df).get("CartesianProduct", 0) == 0
