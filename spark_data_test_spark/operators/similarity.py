@@ -3291,7 +3291,9 @@ def refine_topk(
     distances against the raw vectors in ``resolver`` and re-cut to
     ``k``. This recovers the quantization error on exactly the rows
     that matter while touching raw vectors for batch x shortlist rows,
-    never the corpus.
+    never the corpus. Self-pairs (equal ids) never rank — the family
+    contract, enforced here too so ad-hoc shortlists behave like
+    library-built ones.
 
     ``shortlist`` needs ``(query_id_col, neighbor_id_col)`` (extra
     columns ignored); ``resolver`` maps ``id_col`` to ``vec_col`` raw
@@ -3313,10 +3315,17 @@ def refine_topk(
         raise ValueError(
             f"refine_topk: metric must be 'l2' or 'cosine', got {metric!r}"
         )
-    sl = shortlist.select(
-        F.col(query_id_col).alias("_q"),
-        F.col(neighbor_id_col).alias("_nb"),
-    ).distinct()
+    sl = (
+        shortlist.select(
+            F.col(query_id_col).alias("_q"),
+            F.col(neighbor_id_col).alias("_nb"),
+        )
+        # the family contract: self-matches never rank (a first stage
+        # built on this library already excludes them, but an ad-hoc
+        # shortlist may not)
+        .where(F.col("_nb") != F.col("_q"))
+        .distinct()
+    )
     if metric == "cosine":
         r = _norm_vectors(resolver, id_col, vec_col, "refine_topk")
         q = _norm_vectors(queries, id_col, vec_col, "refine_topk")

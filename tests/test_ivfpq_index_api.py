@@ -541,3 +541,87 @@ def test_refine_topk_plan_shape(spark):
     df = refine_topk(sl, qdf, cdf, k=3)
     assert not global_window_nodes(df)
     assert plan_op_counts(df).get("CartesianProduct", 0) == 0
+
+
+def test_refine_topk_property_sweep(spark):
+    """Hypothesis sweep: for random integer-valued corpora, random
+    query subsets, and RANDOM shortlists (any subset of the pair
+    space, including SELF-pairs — which must never rank — and pairs
+    that tie on distance), refine_topk equals the Python replica
+    restricted to the shortlist — under both metrics. Integer-valued floats keep L2 sums exact; cosine rounds
+    to 9 places."""
+    import math as _math
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import refine_topk
+
+    @st.composite
+    def scenarios(draw):
+        dim = draw(st.integers(1, 4))
+        n = draw(st.integers(3, 8))
+        val = st.integers(-4, 4)
+        corpus = []
+        for i in range(n):
+            v = [float(draw(val)) for _ in range(dim)]
+            corpus.append((i, v))
+        nq = draw(st.integers(1, 2))
+        queries = corpus[:nq]
+        pairs = [
+            (q[0], c[0]) for q in queries for c in corpus
+        ]
+        shortlist = draw(
+            st.lists(st.sampled_from(pairs), min_size=1, max_size=12)
+        )
+        k = draw(st.integers(1, 4))
+        metric = draw(st.sampled_from(["l2", "cosine"]))
+        return corpus, queries, shortlist, k, metric
+
+    def brute(corpus, queries, shortlist, k, metric):
+        vec = dict(corpus)
+        out = set()
+        for qid, qv in queries:
+            cands = sorted(
+                {nb for q, nb in shortlist if q == qid and nb != qid}
+            )
+            scored = []
+            for cid in cands:
+                cv = vec[cid]
+                if metric == "l2":
+                    d = sum((x - y) ** 2 for x, y in zip(qv, cv))
+                    scored.append((d, cid))
+                else:
+                    qn = sum(x * x for x in qv)
+                    cn = sum(x * x for x in cv)
+                    if qn == 0 or cn == 0:
+                        continue  # zero-norm dropped under cosine
+                    c = sum(x * y for x, y in zip(qv, cv)) / _math.sqrt(
+                        qn * cn
+                    )
+                    scored.append((-c, cid))
+            for rank, (d, cid) in enumerate(sorted(scored)[:k], 1):
+                val = round(-d if metric == "cosine" else d, 9)
+                out.add((qid, cid, rank, val))
+        return out
+
+    @given(s=scenarios())
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(s):
+        corpus, queries, shortlist, k, metric = s
+        cdf = spark.createDataFrame(corpus, _SCHEMA)
+        qdf = spark.createDataFrame(queries, _SCHEMA)
+        sl = spark.createDataFrame(
+            shortlist, "query_id long, neighbor_id long"
+        )
+        col = "l2_dist" if metric == "l2" else "cosine"
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, round(r[col], 9))
+            for r in refine_topk(sl, qdf, cdf, k=k, metric=metric).collect()
+        }
+        assert got == brute(corpus, queries, shortlist, k, metric)
+
+    prop()
