@@ -3326,23 +3326,28 @@ def refine_topk(
         .where(F.col("_nb") != F.col("_q"))
         .distinct()
     )
+    # duplicate ids in either frame would rank one candidate twice /
+    # interleave two rows of one query in the same rank window —
+    # collapse deterministically (greatest vector), the family rule
+    resolver = _pq_dedup_ids(resolver, id_col, vec_col)
+    queries = _pq_dedup_ids(queries, id_col, vec_col)
     if metric == "cosine":
         r = _norm_vectors(resolver, id_col, vec_col, "refine_topk")
         q = _norm_vectors(queries, id_col, vec_col, "refine_topk")
     else:
         # zero-norm vectors ARE meaningful under L2 (only cosine is
-        # undefined at zero norm), so the l2 path keeps them
-        zed = "transform({c}, x -> cast(x AS double))"
+        # undefined at zero norm), so the l2 path keeps them; the
+        # dedupe above already cast to array<double> and dropped NULLs
         r = resolver.select(
             F.col(id_col).alias("_id"),
-            F.expr(zed.format(c=vec_col)).alias("_v"),
+            F.col(vec_col).alias("_v"),
             F.lit(0.0).alias("_n2"),
-        ).where(F.col("_v").isNotNull())
+        )
         q = queries.select(
             F.col(id_col).alias("_id"),
-            F.expr(zed.format(c=vec_col)).alias("_v"),
+            F.col(vec_col).alias("_v"),
             F.lit(0.0).alias("_n2"),
-        ).where(F.col("_v").isNotNull())
+        )
     joined = (
         sl.join(
             r.select(

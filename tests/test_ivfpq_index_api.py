@@ -625,3 +625,29 @@ def test_refine_topk_property_sweep(spark):
         assert got == brute(corpus, queries, shortlist, k, metric)
 
     prop()
+
+
+def test_refine_topk_collapses_duplicate_ids(spark):
+    """Duplicate ids in the resolver or query frame collapse
+    deterministically (greatest vector) instead of double-ranking a
+    candidate or interleaving two rows of one query."""
+    from spark_data_test_spark import refine_topk
+
+    corpus = _mk(8, 4, 619)
+    dup_res = corpus + [(corpus[3][0], [9.0] * 4)]
+    cdf = spark.createDataFrame(dup_res, _SCHEMA)
+    qdf = spark.createDataFrame(
+        [corpus[0], (corpus[0][0], [9.0] * 4)], _SCHEMA
+    )
+    sl = spark.createDataFrame(
+        [(corpus[0][0], c[0]) for c in corpus[1:]],
+        "query_id long, neighbor_id long",
+    )
+    rows = refine_topk(sl, qdf, cdf, k=10).collect()
+    # each candidate ranked exactly once, ranks contiguous from 1
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    assert len({r.neighbor_id for r in rows}) == len(rows)
+    # the greatest query/resolver vectors won: distances are computed
+    # against [9,9,9,9] for both the query and the duplicated id
+    d = {r.neighbor_id: r.l2_dist for r in rows}
+    assert d[corpus[3][0]] == 0.0  # [9]*4 vs [9]*4
