@@ -2691,6 +2691,10 @@ def pq_index_probe(
         F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
     ).first()
     mq = int(cb_row.m1) + 1
+    # a batch carrying one id twice would sum BOTH rows' distance-table
+    # entries into one ADC score — collapse deterministically up front,
+    # the same rule the commit path already applies
+    queries = _pq_dedup_ids(queries, id_col, vec_col)
     qframe, dim = _pq_frame(queries, id_col, vec_col, "pq_index_probe")
     if dim % mq:
         raise ValueError(
@@ -2739,12 +2743,7 @@ def pq_index_probe(
         return result
     result = result.localCheckpoint(eager=True)
     batch = _pq_pack_codes(
-        pq_encode(
-            _pq_dedup_ids(queries, id_col, vec_col),
-            codebook,
-            id_col=id_col,
-            vec_col=vec_col,
-        ),
+        pq_encode(queries, codebook, id_col=id_col, vec_col=vec_col),
         id_col,
     )
     write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
@@ -3050,6 +3049,10 @@ def ivfpq_index_probe(
         F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
     ).first()
     mq = int(cb_row.m1) + 1
+    # collapse duplicate batch ids up front (greatest vector): a dup id
+    # would otherwise mix two rows' cells in one probe window and sum
+    # both distance tables into one ADC score
+    queries = _pq_dedup_ids(queries, id_col, vec_col)
     q = _norm_vectors(queries, id_col, vec_col, "ivfpq_index_probe")
     first = q.select(F.size("_v").alias("d")).first()
     if first is None:
@@ -3119,8 +3122,7 @@ def ivfpq_index_probe(
         if not commit:
             return result
         result = result.localCheckpoint(eager=True)
-        bd = _pq_dedup_ids(queries, id_col, vec_col)
-        bc = _norm_vectors(bd, id_col, vec_col, "ivfpq_index_probe")
+        bc = _norm_vectors(queries, id_col, vec_col, "ivfpq_index_probe")
         batch_assign = (
             _cell_scored(bc, cents)
             .groupBy("_id")

@@ -651,3 +651,24 @@ def test_refine_topk_collapses_duplicate_ids(spark):
     # against [9,9,9,9] for both the query and the duplicated id
     d = {r.neighbor_id: r.l2_dist for r in rows}
     assert d[corpus[3][0]] == 0.0  # [9]*4 vs [9]*4
+
+
+def test_ivfpq_probe_collapses_duplicate_query_ids(spark, tmp_path):
+    """Duplicate batch ids collapse to the greatest vector before cell
+    scoring and ADC, matching the commit path's rule."""
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+
+    corpus = _mk(14, 8, 631)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    qid = corpus[0][0]
+    dup = spark.createDataFrame(
+        [(qid, [7.0] * 8), (qid, [-7.0] * 8)], _SCHEMA
+    )
+    clean = spark.createDataFrame([(qid, [7.0] * 8)], _SCHEMA)
+    assert _probe_set(
+        ivfpq_index_probe(dup, idx, k=4, nprobe=2)
+    ) == _probe_set(ivfpq_index_probe(clean, idx, k=4, nprobe=2))

@@ -504,3 +504,25 @@ def test_pq_index_edge_states(spark, tmp_path):
     empty = spark.createDataFrame([], _SCHEMA)
     with pytest.raises(ValueError, match="empty input frame"):
         pq_index_probe(empty, idx, k=3)
+
+
+def test_pq_index_probe_collapses_duplicate_query_ids(spark, tmp_path):
+    """A batch carrying one id twice would otherwise sum both rows'
+    distance-table entries into one ADC score; the probe collapses to
+    the greatest vector per id (the commit path's rule), so probing a
+    duplicated batch equals probing the collapsed one."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+
+    corpus = _mk(14, 8, 449)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5
+    )
+    qid = corpus[0][0]
+    dup = spark.createDataFrame(
+        [(qid, [7.0] * 8), (qid, [-7.0] * 8)], _SCHEMA
+    )
+    clean = spark.createDataFrame([(qid, [7.0] * 8)], _SCHEMA)
+    assert _probe_set(pq_index_probe(dup, idx, k=4)) == _probe_set(
+        pq_index_probe(clean, idx, k=4)
+    )
