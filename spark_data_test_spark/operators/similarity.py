@@ -1898,18 +1898,24 @@ def ivf_index_build(
     tests/test_similarity_api.py). Writes are the engine's crash-safe
     `write_state_version` commits (scratch write + atomic rename;
     readers never see a partial index). A SAME-PATH rebuild resets the
-    postings log (see the retention note below), but its two commits
-    are not atomic TOGETHER: a probe racing a rebuild can transiently
-    score old postings against new centroids — rebuild in a
-    maintenance window, or build at a fresh path and swap the path
-    handed to probes. Returns the number of indexed vectors (zero-norm
-    vectors are dropped: cosine is undefined for them, matching the
-    whole ANN family)."""
+    postings log (see the retention note below); its two commits are
+    not atomic TOGETHER, but the mismatch is DETECTED: every posting
+    row is stamped with the content hash of the centroids it was
+    assigned under (`_model_build_hash`), and probes verify the stamp
+    against the COMMITTED centroids — a rebuild that crashed between
+    its commits (or a probe racing one) fails loudly instead of
+    silently scoring old postings against new centroids. Returns the
+    number of indexed vectors (zero-norm vectors are dropped: cosine
+    is undefined for them, matching the whole ANN family)."""
     from spark_data_test_spark.state import write_state_version
 
     c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
     try:
         cents = _train_double_cells(c, ncells, rounds, "ivf_index_build")
+        cent_table = cents.select(
+            "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
+        )
+        bid = _model_build_hash(cent_table, ["cent_id", "cv", "cn2"])
         assign = (
             _cell_scored(c, cents)
             .groupBy("_id")
@@ -1924,7 +1930,13 @@ def ivf_index_build(
                 F.first("_v").alias("v"),
                 F.first("_n2").alias("n2"),
             )
-            .select(F.col("_id").alias("vec_id"), "cell", "v", "n2")
+            .select(
+                F.col("_id").alias("vec_id"),
+                "cell",
+                "v",
+                "n2",
+                F.lit(bid).alias("build_id"),
+            )
         )
         os.makedirs(index_path, exist_ok=True)
         # centroids: a SNAPSHOT table (retrains replace it; retain=2
@@ -1936,9 +1948,7 @@ def ivf_index_build(
         # `ivf_index_probe(commit=True)` appends afterwards use
         # RETAIN_ALL so the log accumulates from this fresh base.
         write_state_version(
-            cents.select(
-                "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
-            ),
+            cent_table,
             f"{index_path}/centroids",
             retain=2,
         )
@@ -1959,7 +1969,54 @@ def ivf_index_build(
 _TOMBSTONE_CELL = -1
 
 
-def _resolved_postings(spark, index_path):
+def _model_build_hash(model, cols):
+    """Order-independent content hash of a small model frame (bit_xor
+    of xxhash64 over the named columns) — the BUILD STAMP that makes a
+    crashed rebuild detectable: every build stamps this hash of the
+    model(s) it committed into the postings/codes rows it writes, and
+    every probe recomputes the hash from the COMMITTED model(s) and
+    verifies each resolved live row matches. A crash between a
+    rebuild's model commit and its log commit (either order) leaves
+    rows stamped with a DIFFERENT build than the committed model hashes
+    to, so the next probe fails loudly instead of silently scoring
+    stale codes against the wrong model. The hash identifies model
+    CONTENT, not the build event: an identical retrain re-stamps
+    identically, which is exactly right — its codes are valid. One
+    model-sized aggregate, no corpus touch."""
+    row = model.agg(
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("h")
+    ).first()
+    return 0 if row is None or row.h is None else int(row.h)
+
+
+def _stamp_guard(frame, payload_col, expected, op, live):
+    """Scan-side build-stamp check (the `assert_true` idiom — no extra
+    action): rewrites ``payload_col`` so any resolved LIVE row whose
+    ``build_id`` differs from the committed model's content hash raises
+    during the probe's own scan. NULL stamps on live rows also trip
+    (eqNullSafe): live rows are always stamped by their writer. The
+    ``live`` predicate is part of the guard CONDITION, not just an
+    upstream filter, because the optimizer may elide a redundant
+    tombstone filter (e.g. under a posexplode, which drops NULL arrays
+    by itself) and the guard must never fire on a tombstone winner's
+    NULL stamp."""
+    return frame.withColumn(
+        payload_col,
+        F.when(
+            live & ~F.col("build_id").eqNullSafe(F.lit(int(expected))),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    f"{op}: committed model and log rows carry different"
+                    " build stamps — a rebuild crashed between its"
+                    " commits; re-run the build at this index path"
+                ),
+            ),
+        ).otherwise(F.col(payload_col)),
+    )
+
+
+def _resolved_postings(spark, index_path, expect_build=None):
     """LATEST-WINS view of the postings log: a re-ingested id may
     appear in several deltas — possibly with a CHANGED vector in a
     DIFFERENT cell — so each read resolves per vec_id on the commit
@@ -1976,14 +2033,22 @@ def _resolved_postings(spark, index_path):
     )
     if log is None:
         return None
-    return (
+    out = (
         log.groupBy("vec_id")
         .agg(
-            F.max_by(F.struct("cell", "v", "n2"), F.col("_pv")).alias("_p")
+            F.max_by(
+                F.struct("cell", "v", "n2", "build_id"), F.col("_pv")
+            ).alias("_p")
         )
-        .select("vec_id", "_p.cell", "_p.v", "_p.n2")
+        .select("vec_id", "_p.cell", "_p.v", "_p.n2", "_p.build_id")
         .where(F.col("cell") >= 0)
     )
+    if expect_build is not None:
+        out = _stamp_guard(
+            out, "v", expect_build, "ivf_index_probe",
+            live=F.col("cell") >= 0,
+        )
+    return out
 
 
 def ivf_index_compact(spark, index_path):
@@ -2053,6 +2118,9 @@ def ivf_index_delete(spark, index_path, ids, id_col="vec_id"):
         F.lit(_TOMBSTONE_CELL).cast(types["cell"]).alias("cell"),
         F.lit(None).cast(types["v"]).alias("v"),
         F.lit(None).cast(types["n2"]).alias("n2"),
+        # tombstones carry no stamp: they never survive resolution, so
+        # the probe-side stamp check never sees them
+        F.lit(None).cast(types["build_id"]).alias("build_id"),
     )
     return write_state_version(
         tomb, f"{index_path}/postings", retain=RETAIN_ALL
@@ -2118,7 +2186,12 @@ def ivf_index_probe(
             "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
         )
     )
-    postings = _resolved_postings(spark, index_path)
+    # build-stamp check: resolved live postings must be stamped with
+    # the COMMITTED centroids' content hash (crashed-rebuild detector)
+    expected = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    postings = _resolved_postings(
+        spark, index_path, expect_build=expected
+    )
     if postings is None:
         # centroids committed but no postings: a build that crashed
         # between its two commits — surface it, don't join against None
@@ -2126,6 +2199,11 @@ def ivf_index_probe(
             f"ivf_index_probe: index at {index_path} has centroids but "
             "no committed postings (re-run ivf_index_build)"
         )
+    # collapse duplicate batch ids up front (greatest vector), the
+    # family rule shared with pq_index_probe / ivfpq_index_probe: a dup
+    # id would interleave both vectors' candidates in ONE rank window,
+    # producing duplicate neighbor_ids and corrupt ranks
+    queries = _pq_dedup_ids(queries, id_col, vec_col)
     q = _norm_vectors(queries, id_col, vec_col, "ivf_index_probe").persist()
     try:
         wq = Window.partitionBy("_id").orderBy(
@@ -2175,24 +2253,11 @@ def ivf_index_probe(
         if not commit:
             return result
         result = result.localCheckpoint(eager=True)
-        # a batch may carry the same vec_id twice with DIFFERENT
-        # vectors; both would land in ONE commit version, where the
-        # latest-wins read's max_by on the version ties arbitrarily
-        # and repeated reads could disagree. Dedupe deterministically
-        # first — greatest (n2, vector) pair per id (arrays order
-        # lexicographically) — so a version never holds two rows for
-        # one id.
-        qd = (
-            q.groupBy("_id")
-            .agg(F.max(F.struct("_n2", "_v")).alias("_p"))
-            .select(
-                "_id",
-                F.col("_p._v").alias("_v"),
-                F.col("_p._n2").alias("_n2"),
-            )
-        )
+        # the batch was deduped up front, so a commit version never
+        # holds two rows for one id (the latest-wins read's max_by on
+        # the version would tie arbitrarily otherwise)
         batch = (
-            _cell_scored(qd, cents)
+            _cell_scored(q, cents)
             .groupBy("_id")
             .agg(
                 F.max_by(
@@ -2205,7 +2270,15 @@ def ivf_index_probe(
                 F.first("_v").alias("v"),
                 F.first("_n2").alias("n2"),
             )
-            .select(F.col("_id").alias("vec_id"), "cell", "v", "n2")
+            .select(
+                F.col("_id").alias("vec_id"),
+                "cell",
+                "v",
+                "n2",
+                # ingest rows are assigned under the VERIFIED committed
+                # centroids, so they carry the same build stamp
+                F.lit(expected).alias("build_id"),
+            )
         )
         # ingest deltas extend the LOG from the build's base — see
         # state.RETAIN_ALL for the log-table retention convention
@@ -2585,6 +2658,7 @@ def pq_index_build(
     rounds=1,
     id_col="vec_id",
     vec_col="emb",
+    codebook=None,
 ):
     """Library operator: train a PQ codebook over ``corpus`` and COMMIT
     it as two versioned state tables under ``index_path`` —
@@ -2598,24 +2672,43 @@ def pq_index_build(
     persisted-asset half). Writes are the engine's crash-safe
     `write_state_version` commits (scratch write + atomic rename); a
     SAME-PATH rebuild resets the codes log (old codes are meaningless
-    under a retrained codebook) — same retention posture, same
-    non-atomic-together caveat, as `ivf_index_build`. Duplicate ids in
-    the corpus are collapsed deterministically (greatest vector).
-    Returns the number of indexed vectors."""
+    under a retrained codebook), and — same posture as
+    `ivf_index_build` — the two commits are not atomic together but
+    the mismatch is DETECTED: every codes row carries the content hash
+    of the codebook it was encoded against, and probes verify the
+    stamp against the committed codebook. Pass a pre-trained
+    ``codebook`` (a `pq_train` frame) to skip training and encode the
+    corpus against it — the train-on-a-sample, build-the-full-corpus
+    pattern a 100 TB deployment uses (FAISS trains on a slice, then
+    ``add``s everything); ``m``/``ncodes``/``rounds`` are ignored when
+    a codebook is supplied. Duplicate ids in the corpus are collapsed
+    deterministically (greatest vector). Returns the number of indexed
+    vectors."""
     from spark_data_test_spark.state import write_state_version
 
     c = _pq_dedup_ids(corpus, id_col, vec_col)
-    codebook = pq_train(
-        c, m=m, ncodes=ncodes, rounds=rounds, id_col=id_col, vec_col=vec_col
-    )
-    packed = _pq_pack_codes(
-        pq_encode(c, codebook, id_col=id_col, vec_col=vec_col), id_col
-    )
+    if codebook is None:
+        codebook = pq_train(
+            c, m=m, ncodes=ncodes, rounds=rounds,
+            id_col=id_col, vec_col=vec_col,
+        )
     os.makedirs(index_path, exist_ok=True)
     # codebook: SNAPSHOT (retain=2 keeps the previous model for time
     # travel); codes: LOG BASE (retain=1 so a same-path rebuild resets
-    # the log; ingest deltas append with RETAIN_ALL from this base)
+    # the log; ingest deltas append with RETAIN_ALL from this base).
+    # The build stamp is hashed from the COMMITTED codebook (re-read
+    # after its write) so the stamp is guaranteed to match what every
+    # later probe recomputes from disk.
     write_state_version(codebook, f"{index_path}/codebook", retain=2)
+    from spark_data_test_spark.state import read_state_table
+
+    bid = _model_build_hash(
+        read_state_table(corpus.sparkSession, f"{index_path}/codebook"),
+        ["s", "cent_id", "csub"],
+    )
+    packed = _pq_pack_codes(
+        pq_encode(c, codebook, id_col=id_col, vec_col=vec_col), id_col
+    ).withColumn("build_id", F.lit(bid))
     packed = packed.persist()
     try:
         n = packed.count()
@@ -2625,22 +2718,37 @@ def pq_index_build(
     return n
 
 
-def _resolved_codes(spark, index_path):
+def _resolved_codes(spark, index_path, expect_build=None):
     """LATEST-WINS view of the codes log — the PQ twin of
     `_resolved_postings`: each read resolves per vec_id on the commit
-    version (max_by), then drops tombstone winners (NULL codes, see
-    `pq_index_delete`), so the newest commit decides whether an id is
-    live and which codes it carries. Returns None for a missing log."""
+    version (max_by, the (codes, build_id) pair as ONE atomic unit),
+    then drops tombstone winners (NULL codes, see `pq_index_delete`),
+    so the newest commit decides whether an id is live and which codes
+    it carries. With ``expect_build`` every surviving row's build
+    stamp is verified scan-side against the committed codebook's
+    content hash (crashed-rebuild detector, see `_model_build_hash`).
+    Returns None for a missing log."""
     from spark_data_test_spark.state import read_state_union
 
     log = read_state_union(spark, f"{index_path}/codes", version_col="_pv")
     if log is None:
         return None
-    return (
+    out = (
         log.groupBy("vec_id")
-        .agg(F.max_by("codes", F.col("_pv")).alias("codes"))
+        .agg(
+            F.max_by(
+                F.struct("codes", "build_id"), F.col("_pv")
+            ).alias("_p")
+        )
+        .select("vec_id", "_p.codes", "_p.build_id")
         .where(F.col("codes").isNotNull())
     )
+    if expect_build is not None:
+        out = _stamp_guard(
+            out, "codes", expect_build, "pq_index_probe",
+            live=F.col("codes").isNotNull(),
+        )
+    return out
 
 
 def pq_index_probe(
@@ -2681,15 +2789,20 @@ def pq_index_probe(
             f"pq_index_probe: no committed index at {index_path}"
             " (run pq_index_build first)"
         )
-    codes = _resolved_codes(spark, index_path)
+    cb_row = codebook.agg(
+        F.max("s").alias("m1"),
+        F.max(F.size("csub")).alias("subdim"),
+        # committed-codebook content hash, folded into the existing
+        # model agg (no extra action) — the expected build stamp
+        F.expr("bit_xor(xxhash64(s, cent_id, csub))").alias("bid"),
+    ).first()
+    expected = int(cb_row.bid)
+    codes = _resolved_codes(spark, index_path, expect_build=expected)
     if codes is None:
         raise ValueError(
             f"pq_index_probe: index at {index_path} has a codebook but "
             "no committed codes (re-run pq_index_build)"
         )
-    cb_row = codebook.agg(
-        F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
-    ).first()
     mq = int(cb_row.m1) + 1
     # a batch carrying one id twice would sum BOTH rows' distance-table
     # entries into one ADC score — collapse deterministically up front,
@@ -2745,7 +2858,8 @@ def pq_index_probe(
     batch = _pq_pack_codes(
         pq_encode(queries, codebook, id_col=id_col, vec_col=vec_col),
         id_col,
-    )
+        # encoded against the verified committed codebook → same stamp
+    ).withColumn("build_id", F.lit(expected))
     write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
     return result
 
@@ -2786,6 +2900,8 @@ def pq_index_delete(spark, index_path, ids, id_col="vec_id"):
     tomb = idf.select(
         F.col("vec_id").cast(types["vec_id"]),
         F.lit(None).cast(types["codes"]).alias("codes"),
+        # tombstones carry no stamp: they never survive resolution
+        F.lit(None).cast(types["build_id"]).alias("build_id"),
     )
     return write_state_version(tomb, f"{index_path}/codes", retain=RETAIN_ALL)
 
@@ -2897,6 +3013,8 @@ def ivfpq_index_build(
     pq_rounds=1,
     id_col="vec_id",
     vec_col="emb",
+    centroids=None,
+    codebook=None,
 ):
     """Library operator: train BOTH ANN models over ``corpus`` — the
     IVF coarse quantizer (spherical k-means, `_train_double_cells`'s
@@ -2910,14 +3028,36 @@ def ivfpq_index_build(
     collapse deterministically (greatest vector); zero-norm vectors
     are dropped (cosine cell assignment is undefined for them — the
     ANN-family contract). A same-path rebuild resets the postings log
-    (old cells AND old codes are meaningless under retrained models).
+    (old cells AND old codes are meaningless under retrained models);
+    the three commits are not atomic together, but every posting row
+    is stamped with the XOR-combined content hash of BOTH committed
+    models and probes verify the stamp, so a crashed rebuild fails
+    the next probe loudly (see `_model_build_hash`). Pass pre-trained
+    ``centroids`` (``(cent_id, cv, cn2)``, as committed by any build
+    of this family) and/or ``codebook`` (a `pq_train` frame) to skip
+    that training stage and index the full corpus under the supplied
+    model — the train-on-a-sample, add-everything pattern.
     Returns the number of indexed vectors."""
-    from spark_data_test_spark.state import write_state_version
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
 
     d = _pq_dedup_ids(corpus, id_col, vec_col)
     c = _norm_vectors(d, id_col, vec_col, "ivfpq_index_build").persist()
     try:
-        cents = _train_double_cells(c, ncells, rounds, "ivfpq_index_build")
+        if centroids is None:
+            cents = _train_double_cells(
+                c, ncells, rounds, "ivfpq_index_build"
+            )
+        else:
+            cents = F.broadcast(
+                centroids.select(
+                    "cent_id",
+                    F.col("cv").alias("_cv"),
+                    F.col("cn2").alias("_cn2"),
+                )
+            )
         assign = (
             _cell_scored(c, cents)
             .groupBy("_id")
@@ -2935,15 +3075,11 @@ def ivfpq_index_build(
         surv = c.select(
             F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
         )
-        codebook = pq_train(
-            surv, m=m, ncodes=ncodes, rounds=pq_rounds,
-            id_col=id_col, vec_col=vec_col,
-        )
-        packed = _pq_pack_codes(
-            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
-            id_col,
-        )
-        postings = assign.join(packed, "vec_id")
+        if codebook is None:
+            codebook = pq_train(
+                surv, m=m, ncodes=ncodes, rounds=pq_rounds,
+                id_col=id_col, vec_col=vec_col,
+            )
         os.makedirs(index_path, exist_ok=True)
         write_state_version(
             cents.select(
@@ -2953,6 +3089,24 @@ def ivfpq_index_build(
             retain=2,
         )
         write_state_version(codebook, f"{index_path}/codebook", retain=2)
+        # stamp = XOR of the COMMITTED models' content hashes (re-read
+        # after their writes, so the stamp is exactly what probes will
+        # recompute from disk)
+        spark = corpus.sparkSession
+        bid = _model_build_hash(
+            read_state_table(spark, f"{index_path}/centroids"),
+            ["cent_id", "cv", "cn2"],
+        ) ^ _model_build_hash(
+            read_state_table(spark, f"{index_path}/codebook"),
+            ["s", "cent_id", "csub"],
+        )
+        packed = _pq_pack_codes(
+            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
+            id_col,
+        )
+        postings = assign.join(packed, "vec_id").withColumn(
+            "build_id", F.lit(bid)
+        )
         postings = postings.persist()
         try:
             n = postings.count()
@@ -2966,12 +3120,14 @@ def ivfpq_index_build(
         c.unpersist()
 
 
-def _resolved_ivfpq_postings(spark, index_path):
+def _resolved_ivfpq_postings(spark, index_path, expect_build=None):
     """LATEST-WINS view of the IVF-PQ postings log: per vec_id the
-    newest commit's (cell, codes) pair wins as ONE atomic unit (a
-    re-ingested vector can change cell and codes together, never a
-    mix), then tombstone winners (cell = -1) drop. Returns None for a
-    missing log."""
+    newest commit's (cell, codes, build_id) triple wins as ONE atomic
+    unit (a re-ingested vector can change cell and codes together,
+    never a mix), then tombstone winners (cell = -1) drop. With
+    ``expect_build`` every surviving row's build stamp is verified
+    scan-side against the committed models' combined content hash
+    (crashed-rebuild detector). Returns None for a missing log."""
     from spark_data_test_spark.state import read_state_union
 
     log = read_state_union(
@@ -2979,12 +3135,22 @@ def _resolved_ivfpq_postings(spark, index_path):
     )
     if log is None:
         return None
-    return (
+    out = (
         log.groupBy("vec_id")
-        .agg(F.max_by(F.struct("cell", "codes"), F.col("_pv")).alias("_p"))
-        .select("vec_id", "_p.cell", "_p.codes")
+        .agg(
+            F.max_by(
+                F.struct("cell", "codes", "build_id"), F.col("_pv")
+            ).alias("_p")
+        )
+        .select("vec_id", "_p.cell", "_p.codes", "_p.build_id")
         .where(F.col("cell") >= 0)
     )
+    if expect_build is not None:
+        out = _stamp_guard(
+            out, "codes", expect_build, "ivfpq_index_probe",
+            live=F.col("cell") >= 0,
+        )
+    return out
 
 
 def ivfpq_index_probe(
@@ -3034,7 +3200,19 @@ def ivfpq_index_probe(
             f"ivfpq_index_probe: no committed index at {index_path}"
             " (run ivfpq_index_build first)"
         )
-    postings = _resolved_ivfpq_postings(spark, index_path)
+    # expected build stamp = XOR of both committed models' content
+    # hashes; one extra model-sized agg for the centroids, the codebook
+    # hash rides the existing shape agg below
+    cent_hash = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    cb_row = codebook.agg(
+        F.max("s").alias("m1"),
+        F.max(F.size("csub")).alias("subdim"),
+        F.expr("bit_xor(xxhash64(s, cent_id, csub))").alias("bid"),
+    ).first()
+    expected = cent_hash ^ int(cb_row.bid)
+    postings = _resolved_ivfpq_postings(
+        spark, index_path, expect_build=expected
+    )
     if postings is None:
         raise ValueError(
             f"ivfpq_index_probe: index at {index_path} has models but "
@@ -3045,9 +3223,6 @@ def ivfpq_index_probe(
             "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
         )
     )
-    cb_row = codebook.agg(
-        F.max("s").alias("m1"), F.max(F.size("csub")).alias("subdim")
-    ).first()
     mq = int(cb_row.m1) + 1
     # collapse duplicate batch ids up front (greatest vector): a dup id
     # would otherwise mix two rows' cells in one probe window and sum
@@ -3145,7 +3320,11 @@ def ivfpq_index_probe(
             id_col,
         )
         write_state_version(
-            batch_assign.join(batch_codes, "vec_id"),
+            batch_assign.join(batch_codes, "vec_id").withColumn(
+                # assigned and encoded under the verified committed
+                # models → same stamp
+                "build_id", F.lit(expected)
+            ),
             f"{index_path}/postings",
             retain=RETAIN_ALL,
         )
@@ -3190,6 +3369,8 @@ def ivfpq_index_delete(spark, index_path, ids, id_col="vec_id"):
         F.col("vec_id").cast(types["vec_id"]),
         F.lit(_TOMBSTONE_CELL).cast(types["cell"]).alias("cell"),
         F.lit(None).cast(types["codes"]).alias("codes"),
+        # tombstones carry no stamp: they never survive resolution
+        F.lit(None).cast(types["build_id"]).alias("build_id"),
     )
     return write_state_version(
         tomb, f"{index_path}/postings", retain=RETAIN_ALL
@@ -3367,13 +3548,21 @@ def refine_topk(
             ),
             "_q",
         )
+        # a ragged resolver or query row would null-pad zip_with into a
+        # NULL distance that ranks FIRST under ASC, silently displacing
+        # a true neighbor — drop mismatched-dim pairs like _pq_frame
+        # drops deviant-length rows (the family contract: ragged vector
+        # columns are a data bug upstream, never a ranked candidate)
+        .where(F.size("_qv") == F.size("_nv"))
     )
     if metric == "l2":
         dist = F.expr(
             "aggregate(zip_with(_qv, _nv, (x, y) -> (x - y) * (x - y)),"
             " cast(0.0 AS double), (acc, x) -> acc + x)"
         ).alias("l2_dist")
-        order = [F.col("l2_dist").asc(), F.col("_nb").asc()]
+        # nulls_last is belt-and-braces: the size filter above already
+        # excludes the only NULL-distance source
+        order = [F.col("l2_dist").asc_nulls_last(), F.col("_nb").asc()]
         out_col = "l2_dist"
     else:
         dot = F.expr(

@@ -672,3 +672,138 @@ def test_ivfpq_probe_collapses_duplicate_query_ids(spark, tmp_path):
     assert _probe_set(
         ivfpq_index_probe(dup, idx, k=4, nprobe=2)
     ) == _probe_set(ivfpq_index_probe(clean, idx, k=4, nprobe=2))
+
+
+def test_refine_topk_drops_ragged_rows(spark):
+    """ADVICE r14: a resolver (or query) row whose vector length
+    differs from its counterpart used to null-pad zip_with into a NULL
+    l2_dist that ranked #1 under ASC NULLS FIRST, silently displacing
+    a true neighbor. Ragged pairs are now dropped (the `_pq_frame`
+    family contract), so the result is exactly the clean-resolver
+    result — no NULL distances, no garbage #1."""
+    from spark_data_test_spark import refine_topk
+
+    corpus = _mk(10, 6, 641)
+    queries = corpus[:2]
+    cdf = spark.createDataFrame(corpus, _SCHEMA)
+    # one ragged resolver row (dim 4 instead of 6) for a NEW id that
+    # the shortlist proposes as a candidate for every query
+    ragged = spark.createDataFrame(
+        corpus + [(777, [0.0, 0.0, 0.0, 0.0])], _SCHEMA
+    )
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    sl = spark.createDataFrame(
+        [
+            (q[0], c_id)
+            for q in queries
+            for c_id in [c[0] for c in corpus] + [777]
+            if c_id != q[0]
+        ],
+        "query_id long, neighbor_id long",
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.l2_dist, 6))
+        for r in refine_topk(sl, qdf, cdf, k=4).collect()
+    }
+    rows = refine_topk(sl, qdf, ragged, k=4).collect()
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.l2_dist, 6))
+        for r in rows
+    }
+    assert got == want
+    assert all(r.l2_dist is not None for r in rows)
+    assert 777 not in {r.neighbor_id for r in rows}
+    # ragged QUERY rows drop the same way (cosine path included)
+    rq = spark.createDataFrame(
+        [(queries[0][0], queries[0][1]), (555, [1.0, 2.0])], _SCHEMA
+    )
+    got_q = refine_topk(sl, rq, cdf, k=4, metric="cosine").collect()
+    assert {r.query_id for r in got_q} == {queries[0][0]}
+    assert all(r.cosine is not None for r in got_q)
+
+
+def test_ivfpq_crashed_rebuild_detected(spark, tmp_path):
+    """ADVICE r14: a rebuild that commits a NEW model but crashes
+    before the postings log reset leaves stale postings paired with
+    the wrong model — the build stamp makes the next probe fail
+    loudly instead of silently scoring old codes against it. Both
+    model tables are covered (centroids XOR codebook)."""
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus = _mk(18, 8, 643)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    ivfpq_index_probe(qdf, idx, k=3, nprobe=2).collect()  # healthy
+    # simulate the crash: a retrain committed ONLY its centroids (a
+    # shifted copy of the old model) before dying
+    cents = read_state_table(spark, f"{idx}/centroids")
+    import pyspark.sql.functions as F
+
+    drifted = cents.select(
+        "cent_id",
+        F.expr("transform(cv, x -> x + 1.0)").alias("cv"),
+        (F.col("cn2") + 1.0).alias("cn2"),
+    )
+    write_state_version(drifted, f"{idx}/centroids", retain=2)
+    with pytest.raises(Exception, match="different build stamps"):
+        ivfpq_index_probe(qdf, idx, k=3, nprobe=2).collect()
+    # same detection when only the CODEBOOK half was re-committed
+    idx2 = str(tmp_path / "ivfpq2")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx2,
+        ncells=3, m=4, ncodes=5,
+    )
+    cb = read_state_table(spark, f"{idx2}/codebook")
+    write_state_version(
+        cb.select(
+            "s",
+            "cent_id",
+            F.expr("transform(csub, x -> x + 1.0)").alias("csub"),
+        ),
+        f"{idx2}/codebook",
+        retain=2,
+    )
+    with pytest.raises(Exception, match="different build stamps"):
+        ivfpq_index_probe(qdf, idx2, k=3, nprobe=2).collect()
+
+
+def test_ivfpq_index_build_with_pretrained_models(spark, tmp_path):
+    """Model injection (round 15): both models supplied — the build
+    skips training, assigns cells under the given centroids, encodes
+    under the given codebook, and an exhaustive probe still equals
+    flat ADC search with that codebook over the corpus."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        pq_topk,
+        pq_train,
+    )
+    from spark_data_test_spark.state import read_state_table
+
+    corpus = _mk(20, 8, 653)
+    cdf = spark.createDataFrame(corpus, _SCHEMA)
+    cb = pq_train(spark.createDataFrame(corpus[:8], _SCHEMA),
+                  m=4, ncodes=5, rounds=1)
+    # donor index supplies a valid (cent_id, cv, cn2) centroid table
+    donor = str(tmp_path / "donor")
+    ivfpq_index_build(cdf, donor, ncells=3, m=4, ncodes=4)
+    cents = read_state_table(spark, f"{donor}/centroids")
+    idx = str(tmp_path / "ivfpq")
+    n = ivfpq_index_build(cdf, idx, centroids=cents, codebook=cb)
+    assert n == 20
+    queries = corpus[:3]
+    qdf = spark.createDataFrame(queries, _SCHEMA)
+    got = _probe_set(ivfpq_index_probe(qdf, idx, k=4, nprobe=_PROBE_ALL))
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.adc_dist, 6))
+        for r in pq_topk(cdf, qdf, k=4, codebook=cb).collect()
+    }
+    assert got == want

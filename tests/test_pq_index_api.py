@@ -526,3 +526,73 @@ def test_pq_index_probe_collapses_duplicate_query_ids(spark, tmp_path):
     assert _probe_set(pq_index_probe(dup, idx, k=4)) == _probe_set(
         pq_index_probe(clean, idx, k=4)
     )
+
+
+def test_pq_crashed_rebuild_detected(spark, tmp_path):
+    """ADVICE r14: the codebook snapshot and the codes log are two
+    commits; a rebuild crashing between them used to leave a NEW
+    codebook silently scoring the STALE codes log. Every codes row now
+    carries the content hash of the codebook it was encoded against,
+    and probes verify the stamp against the committed codebook — the
+    mismatch raises instead of returning garbage neighbors. An
+    IDENTICAL re-commit of the same codebook does NOT trip (the stamp
+    identifies model content, not the build event)."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus = _mk(20, 8, 331)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=6, rounds=1
+    )
+    qdf = spark.createDataFrame(corpus[:3], _SCHEMA)
+    baseline = _probe_set(pq_index_probe(qdf, idx, k=4))
+    assert baseline  # healthy index answers
+    cb = read_state_table(spark, f"{idx}/codebook")
+    # identical re-commit: content hash unchanged -> probes still fine
+    write_state_version(cb, f"{idx}/codebook", retain=2)
+    assert _probe_set(pq_index_probe(qdf, idx, k=4)) == baseline
+    # crashed retrain: a DIFFERENT codebook committed without its codes
+    import pyspark.sql.functions as F
+
+    write_state_version(
+        cb.select(
+            "s",
+            "cent_id",
+            F.expr("transform(csub, x -> x + 1.0)").alias("csub"),
+        ),
+        f"{idx}/codebook",
+        retain=2,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="different build stamps"):
+        pq_index_probe(qdf, idx, k=4).collect()
+
+
+def test_pq_index_build_with_pretrained_codebook(spark, tmp_path):
+    """Model injection (round 15): train on a SAMPLE, build the full
+    corpus under the supplied codebook — the committed codebook is the
+    injected one and probes equal ADC search with it."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe, pq_train
+
+    corpus = _mk(24, 8, 337)
+    sample = spark.createDataFrame(corpus[:10], _SCHEMA)
+    cb = pq_train(sample, m=4, ncodes=5, rounds=1)
+    idx = str(tmp_path / "pqidx")
+    n = pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, codebook=cb
+    )
+    assert n == 24
+    committed = _committed_codebook(spark, idx)
+    assert {
+        (r.s, r.cent_id, tuple(r.csub)) for r in committed.collect()
+    } == {(r.s, r.cent_id, tuple(r.csub)) for r in cb.collect()}
+    queries = corpus[:3]
+    got = _probe_set(
+        pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=4)
+    )
+    assert got == _topk_with_model(spark, dict(corpus), queries, cb, 4)

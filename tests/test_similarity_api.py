@@ -446,8 +446,10 @@ def test_ivf_index_probe_requires_index(spark, tmp_path):
 def test_ivf_index_probe_commit_dedupes_batch_ids(spark, tmp_path):
     """A commit batch carrying the same vec_id twice (with DIFFERENT
     vectors) must land exactly ONE deterministic row in the committed
-    version — the greatest (n2, vector) pair — otherwise both rows
-    share one commit version and the latest-wins read's max_by ties
+    version — the FAMILY rule: the lexicographically greatest vector
+    (`_pq_dedup_ids`, shared with pq_index_probe / ivfpq_index_probe
+    since the round-15 up-front dedupe) — otherwise both rows share
+    one commit version and the latest-wins read's max_by ties
     arbitrarily (repeated reads could disagree)."""
     from spark_data_test_spark import ivf_index_build, ivf_index_probe
     from spark_data_test_spark.operators.similarity import (
@@ -461,19 +463,21 @@ def test_ivf_index_probe_commit_dedupes_batch_ids(spark, tmp_path):
         spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
     )
     base = corpus[0][1]
-    v_small = [0.5 * x for x in base]
-    v_big = [2.0 * x for x in base]  # n2 is 16x v_small's: the winner
-    dup = [(900, v_small), (900, v_big)]
+    v_a = [0.5 * x for x in base]
+    v_b = [2.0 * x for x in base]
+    # the family rule keeps the lexicographically greatest ARRAY
+    winner = max(v_a, v_b)
+    dup = [(900, v_a), (900, v_b)]
     ivf_index_probe(
         spark.createDataFrame(dup, schema), idx, k=2, nprobe=3, commit=True
     ).collect()
     rows = _resolved_postings(spark, idx).where("vec_id = 900").collect()
     assert len(rows) == 1
-    assert [round(x, 9) for x in rows[0].v] == [round(x, 9) for x in v_big]
+    assert [round(x, 9) for x in rows[0].v] == [round(x, 9) for x in winner]
     # probe answers match brute force over corpus + the winner, and
     # repeated reads agree
     qdf = spark.createDataFrame(queries, schema)
-    updated = corpus + [(900, v_big)]
+    updated = corpus + [(900, winner)]
     for _ in range(2):
         got = {
             (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
@@ -980,3 +984,76 @@ def test_ivf_index_stats_tracks_the_lifecycle(spark, tmp_path):
         n - 1, n - 1, 1, 0,
     )
     assert ivf_index_stats(spark, str(tmp_path / "nope")) is None
+
+
+def test_ivf_index_probe_collapses_duplicate_query_ids(spark, tmp_path):
+    """ADVICE r14: duplicate batch ids collapse to the greatest vector
+    BEFORE cell scoring — the family rule pq_index_probe and
+    ivfpq_index_probe already apply — so one id never interleaves two
+    vectors' candidates in a single rank window (duplicate
+    neighbor_ids, corrupt ranks)."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+
+    corpus, _ = _fixture(n=16, nq=0, dim=6, seed=73)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    qid = corpus[0][0]
+    dup = spark.createDataFrame(
+        [(qid, [5.0] * 6), (qid, [-5.0] * 6)], schema
+    )
+    # family rule: the lexicographically greatest vector wins
+    clean = spark.createDataFrame([(qid, [5.0] * 6)], schema)
+
+    def pset(df):
+        return {
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+            for r in df.collect()
+        }
+
+    got = ivf_index_probe(dup, idx, k=4, nprobe=3).collect()
+    assert pset(ivf_index_probe(dup, idx, k=4, nprobe=3)) == pset(
+        ivf_index_probe(clean, idx, k=4, nprobe=3)
+    )
+    assert sorted(r.rank for r in got) == list(range(1, len(got) + 1))
+    assert len({r.neighbor_id for r in got}) == len(got)
+
+
+def test_ivf_crashed_rebuild_detected(spark, tmp_path):
+    """ADVICE r14 (extended to the IVF-Flat index for family
+    symmetry): postings are stamped with the committed centroids'
+    content hash; a rebuild that committed ONLY new centroids before
+    crashing fails the next probe loudly instead of silently probing
+    cells that no longer align with the model."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus, queries = _fixture(n=16, nq=2, dim=6, seed=79)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    qdf = spark.createDataFrame(queries, schema)
+    assert ivf_index_probe(qdf, idx, k=3, nprobe=3).collect()  # healthy
+    cents = read_state_table(spark, f"{idx}/centroids")
+    write_state_version(
+        cents.select(
+            "cent_id",
+            F.expr("transform(cv, x -> x + 1.0)").alias("cv"),
+            (F.col("cn2") + 1.0).alias("cn2"),
+        ),
+        f"{idx}/centroids",
+        retain=2,
+    )
+    with pytest.raises(Exception, match="different build stamps"):
+        ivf_index_probe(qdf, idx, k=3, nprobe=3).collect()
