@@ -14,85 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-14 window accounting (this
+# (registration order). CANONICAL round-15 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
-# flagship (compare_overall_report, re-earned every round) + 1
-# changed-code re-earn (text_quality_deciles — ADVICE r13 hardening:
-# NULL-score loud-fail + n_total folded into the broadcast bucket
-# frame; result is hash-identical, but changed code re-earns by
-# policy) + the 48 stalest backlog rows (the full r9-era remainder,
-# then the r10/r11-era displaced head through similarity_pq_train).
-# That is exactly 50; after this round the staleness tail is the
-# r10-era cohort. tests/test_registry_invariants.py enforces that
-# greens ∪ window ∪ queue always covers the registry.
+# flagship (compare_overall_report, re-earned every round) + 3 NEW
+# registrations (the persisted ANN index family put under the oracle
+# regime: similarity_pq_index_probe / similarity_ivfpq_index_probe /
+# similarity_refined_ann — never checked, so stalest by definition) +
+# the 46 stalest backlog rows (the complete r10-era cohort of 22,
+# then the r11-era head through groupby_dup_count). That is exactly
+# 50; after this round no registry row's latest driver green is older
+# than round 11. tests/test_registry_invariants.py enforces that
+# greens / window / queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
-    "text_quality_deciles",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "similarity_ann_recall_report",
-    "similarity_cell_report",
-    "corpus_decontaminate",
-    "text_vocabulary_topk",
-    "text_pii_scrub",
-    "text_repetition_profile",
-    "text_tfidf_topk",
-    "text_quality_model_score",
-    "corpus_shard_assignment",
-    "events_retention_cohorts",
-    "events_gap_fill",
-    "events_scd2_history",
-    "events_attribution_last_touch",
-    "events_anomaly_daily",
-    "events_rolling_window_avg",
-    "orders_rfm_segments",
-    "parts_abc_pareto",
-    "multimodal_frame_sample",
-    "graph_degree_distribution",
-    "events_tumbling_window",
-    "sample_token_budget",
-    "source_xml_roundtrip",
-    "text_bigram_profile",
-    "text_bigram_familiarity",
-    "source_binaryfile_roundtrip",
-    "ml_linear_regression_train",
-    "sink_clustered_layout",
-    "events_cumulative_distinct_users",
-    "events_transition_matrix",
-    "multimodal_chunk_dedup",
-    "dq_constraint_report",
-    "part_fuzzy_match",
-    "sql_api_query",
-    "sink_zorder_layout",
-    "text_langid_confusion",
-    "orders_open_backlog_daily",
-    "orders_incremental_agg_merge",
-    "source_schema_evolution",
-    "null_safe_join",
-    "supplier_hierarchy_rollup",
-    "orders_status_listagg",
-    "lineitem_correlation_matrix",
-    "text_heavy_hitters",
-    "corpus_duplicate_ngrams",
-    "part_bloom_prefilter_join",
-    "similarity_pq_train",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# r10-era displaced remainder (after the 48 promoted into the
-# round-14 window), then the r11/r12-era displaced rows, and the list
-# ends with the 48 r13-green rows the round-14 cut displaced
-# (registration order).
-_CHECKED_BACKLOG = [
+    "similarity_pq_index_probe",
+    "similarity_ivfpq_index_probe",
+    "similarity_refined_ann",
     "similarity_pq_ann",
     "similarity_ivfpq_ann",
     "similarity_pq_recall_report",
@@ -139,6 +76,22 @@ _CHECKED_BACKLOG = [
     "conditional_sum_missing",
     "left_join_enrich",
     "groupby_dup_count",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# r11/r12-era displaced remainder (after the 46 promoted into the
+# round-15 window), and the list ends with the 49 r14-green rows the
+# round-15 cut displaced (registration order).
+_CHECKED_BACKLOG = [
     "create_map_getitem",
     "window_dup_count",
     "window_running_sum",
@@ -260,6 +213,55 @@ _CHECKED_BACKLOG = [
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q16_parts_supplier",
+    "events_tumbling_window",
+    "graph_degree_distribution",
+    "ml_linear_regression_train",
+    "lineitem_correlation_matrix",
+    "multimodal_frame_sample",
+    "multimodal_chunk_dedup",
+    "similarity_ann_recall_report",
+    "similarity_cell_report",
+    "similarity_pq_train",
+    "corpus_duplicate_ngrams",
+    "dq_constraint_report",
+    "part_fuzzy_match",
+    "sql_api_query",
+    "orders_incremental_agg_merge",
+    "null_safe_join",
+    "orders_status_listagg",
+    "part_bloom_prefilter_join",
+    "orders_rfm_segments",
+    "parts_abc_pareto",
+    "orders_open_backlog_daily",
+    "supplier_hierarchy_rollup",
+    "corpus_shard_assignment",
+    "sample_token_budget",
+    "text_heavy_hitters",
+    "source_xml_roundtrip",
+    "source_binaryfile_roundtrip",
+    "sink_clustered_layout",
+    "sink_zorder_layout",
+    "source_schema_evolution",
+    "events_retention_cohorts",
+    "events_scd2_history",
+    "events_attribution_last_touch",
+    "events_gap_fill",
+    "events_anomaly_daily",
+    "events_rolling_window_avg",
+    "events_cumulative_distinct_users",
+    "events_transition_matrix",
+    "text_bigram_profile",
+    "corpus_decontaminate",
+    "text_vocabulary_topk",
+    "text_pii_scrub",
+    "text_repetition_profile",
+    "text_tfidf_topk",
+    "text_quality_model_score",
+    "text_bigram_familiarity",
+    "text_quality_deciles",
+    "text_langid_confusion",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
 ]
 
 

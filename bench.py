@@ -90,6 +90,12 @@ HEADLINE = [
     "dedup_incremental_exact",
     "dedup_incremental_simhash",
     "similarity_pq_recall_report",
+    # round-15 additions: the persisted ANN index lifecycle rows
+    # (build + ingest + delete + probe against committed state) and
+    # the shortlist+refine composition
+    "similarity_pq_index_probe",
+    "similarity_ivfpq_index_probe",
+    "similarity_refined_ann",
     "text_ngram_novelty",
     "corpus_source_similarity",
     "similarity_centroid_outliers",

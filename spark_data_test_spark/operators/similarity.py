@@ -1495,6 +1495,405 @@ def similarity_incremental_ingest(spark, sf_dir):
     return result
 
 
+# Lifecycle slices for the persisted-index registered queries (round
+# 15): SF-independent id arithmetic, present in full at every scale
+# factor (the smallest fixture has 500 dense vec_ids), so DuckDB can
+# replay the exact same build / ingest / update / delete sequence.
+_PQIDX_APPEND_LIM = 448  # %7 ids below this ingest as +OFFSET arrivals
+_PQIDX_UPDATE_LIM = 260  # %13==5 ids below this re-ingest NEGATED
+_PQIDX_DEL_MOD = 11  # live ids = 3 (mod 11) are then taken down
+
+
+def _pqidx_ingest_shard(emb):
+    """The planted ingest batch both engines derive by pure
+    arithmetic: 64 NEW arrivals (negated %7 vectors under shifted ids
+    — same planting as `similarity_incremental_ingest`) plus 20
+    in-place UPDATES (negated %13==5 vectors under their OWN ids, so
+    latest-wins must atomically replace their committed rows).
+    Negation applies to the QUANTIZED integers, so no rounding
+    asymmetry can creep in."""
+    return (
+        emb.where(
+            (F.col("vec_id") % 7 == 0)
+            & (F.col("vec_id") < _PQIDX_APPEND_LIM)
+        )
+        .select(
+            (F.col("vec_id") + _INGEST_OFFSET).alias("vec_id"),
+            F.expr("transform(e, v -> -v)").alias("e"),
+        )
+        .unionByName(
+            emb.where(
+                (F.col("vec_id") % 13 == 5)
+                & (F.col("vec_id") < _PQIDX_UPDATE_LIM)
+            ).select("vec_id", F.expr("transform(e, v -> -v)").alias("e"))
+        )
+    )
+
+
+def _pqidx_delete_ids(emb):
+    """Takedown set: every LIVE id = 3 (mod _PQIDX_DEL_MOD), drawn
+    from both the natural corpus and the shifted arrivals — tombstones
+    must land on base rows and ingest-delta rows alike."""
+    return (
+        emb.select("vec_id")
+        .unionByName(
+            emb.where(
+                (F.col("vec_id") % 7 == 0)
+                & (F.col("vec_id") < _PQIDX_APPEND_LIM)
+            ).select((F.col("vec_id") + _INGEST_OFFSET).alias("vec_id"))
+        )
+        .where(F.col("vec_id") % _PQIDX_DEL_MOD == 3)
+    )
+
+
+# Shared oracle machinery for the persisted-index queries: the ingest
+# shard's codes (negated vectors encoded against the trained cb1) and
+# the latest-wins/tombstone-resolved live code set.
+_PQIDX_STATE_CTES = f"""nsrc AS (
+      SELECT vec_id + {_INGEST_OFFSET} AS vec_id, i, -v AS v
+      FROM flat WHERE vec_id % 7 = 0 AND vec_id < {_PQIDX_APPEND_LIM}
+      UNION ALL
+      SELECT vec_id, i, -v FROM flat
+      WHERE vec_id % 13 = 5 AND vec_id < {_PQIDX_UPDATE_LIM}),
+    nsub AS (
+      SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS s,
+             (i - 1) % {_PQ_SUBDIM} + 1 AS j, v
+      FROM nsrc),
+    nad AS (
+      SELECT x.vec_id, x.s, c.cent_id,
+             CAST(SUM((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS d
+      FROM nsub x JOIN cb1 c ON c.s = x.s AND c.j = x.j
+      GROUP BY 1, 2, 3),
+    ncodes AS (
+      SELECT vec_id, s, cent_id FROM (
+        SELECT vec_id, s, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, cent_id) AS rn
+        FROM nad) WHERE rn = 1),
+    live AS (
+      SELECT * FROM codes
+      WHERE NOT (vec_id % 13 = 5 AND vec_id < {_PQIDX_UPDATE_LIM})
+      UNION ALL
+      SELECT * FROM ncodes),
+    kept AS (
+      SELECT * FROM live WHERE vec_id % {_PQIDX_DEL_MOD} <> 3)"""
+
+
+@query(
+    "similarity_pq_index_probe",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_pq_ctes()},
+    {_PQIDX_STATE_CTES},
+    qd AS (
+      SELECT q.vec_id AS q, c.s, c.cent_id,
+             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
+      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
+      WHERE q.vec_id < {_NQ}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT qd.q, k.vec_id AS x, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM kept k JOIN qd ON qd.s = k.s AND qd.cent_id = k.cent_id
+      WHERE k.vec_id <> qd.q
+      GROUP BY 1, 2)
+    SELECT q AS query_id, x AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+           adc_dist
+    FROM (SELECT q, x, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q
+                                    ORDER BY adc_dist, x) AS rn
+          FROM adc)
+    WHERE rn <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_pq_index_probe(spark, sf_dir):
+    """The PERSISTED PQ index's full LSM lifecycle as one hash-checked
+    query (round 15, VERDICT r14 item 2): `pq_index_build` commits the
+    registered deterministic codebook (`_pq_codebook` injected via the
+    build's pre-trained-model path) and the corpus codes into a fresh
+    run root; `pq_index_probe(commit=True)` ingests the planted shard
+    (64 shifted arrivals + 20 in-place updates whose codes must
+    atomically replace their base rows under latest-wins);
+    `pq_index_delete` tombstones every live id = 3 (mod 11) across
+    base AND delta rows; and the final probe answers the {_NQ}-query
+    batch over the RESOLVED live codes. The oracle replays the entire
+    committed-state math from scratch — training, encoding, the
+    negated-shard encoding, latest-wins supersession, tombstone drops,
+    and ADC ranking — so a wrong merge rule, a missed tombstone, or a
+    drifted codebook breaks the hash. All arithmetic is integer-exact
+    (quantized micro-units; ADC sums < 2^53 stay exact in doubles), so
+    the ranking is bit-deterministic. Scale shape: the committed index
+    is probed, never rebuilt per batch — build O(corpus), ingest
+    O(shard x codes), delete O(tombstones), probe O(batch x codes) —
+    and every join rides the broadcast model or the (s, cent_id)
+    equi-key."""
+    from spark_data_test_spark.state import fresh_run_root
+
+    _assert_vec_headroom(sf_dir)
+    emb = _int_embeddings(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    root = fresh_run_root("pq_index_probe", key=sf_dir)
+    idx = f"{root}/index"
+    pq_index_build(
+        emb.select("vec_id", "e"), idx, codebook=cb, vec_col="e"
+    )
+    pq_index_probe(
+        _pqidx_ingest_shard(emb), idx, k=1, vec_col="e", commit=True
+    )
+    pq_index_delete(spark, idx, _pqidx_delete_ids(emb))
+    res = pq_index_probe(
+        emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
+        idx,
+        k=_PQ_TOPK,
+        vec_col="e",
+    )
+    return (
+        res.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "similarity_ivfpq_index_probe",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    {_pq_ctes()},
+    lfdot AS (
+      SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * c.v) AS BIGINT) AS dot
+      FROM flat f JOIN cflat{_KM_ROUNDS} c ON f.i = c.i GROUP BY 1, 2),
+    lscore AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(d.dot AS DOUBLE) /
+               sqrt(CAST(vn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+      FROM lfdot d
+      JOIN norms vn ON vn.vec_id = d.vec_id AND vn.n2 > 0
+      JOIN cn{_KM_ROUNDS} cn ON cn.cent_id = d.cent_id),
+    fassign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id) AS rn
+        FROM lscore) WHERE rn = 1),
+    {_PQIDX_STATE_CTES},
+    nnorm AS (SELECT vec_id, SUM(v * v) AS n2 FROM nsrc GROUP BY 1),
+    nfdot AS (
+      SELECT x.vec_id, c.cent_id, CAST(SUM(x.v * c.v) AS BIGINT) AS dot
+      FROM nsrc x JOIN cflat{_KM_ROUNDS} c ON c.i = x.i GROUP BY 1, 2),
+    nscore AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(d.dot AS DOUBLE) /
+               sqrt(CAST(vn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+      FROM nfdot d
+      JOIN nnorm vn ON vn.vec_id = d.vec_id AND vn.n2 > 0
+      JOIN cn{_KM_ROUNDS} cn ON cn.cent_id = d.cent_id),
+    nassign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id) AS rn
+        FROM nscore) WHERE rn = 1),
+    keptp AS (
+      SELECT k.vec_id, a.cell, k.s, k.cent_id
+      FROM kept k
+      JOIN (SELECT * FROM fassign
+            WHERE NOT (vec_id % 13 = 5 AND vec_id < {_PQIDX_UPDATE_LIM})
+            UNION ALL SELECT * FROM nassign) a
+        ON a.vec_id = k.vec_id),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id) AS rn
+        FROM lscore WHERE vec_id < {_NQ}) WHERE rn <= {_NPROBE}),
+    qd AS (
+      SELECT q.vec_id AS q, c.s, c.cent_id,
+             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
+      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
+      WHERE q.vec_id < {_NQ}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT p.query_id AS q, k.vec_id AS x,
+             CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM probes p
+      JOIN keptp k ON k.cell = p.cell
+      JOIN qd ON qd.q = p.query_id AND qd.s = k.s
+             AND qd.cent_id = k.cent_id
+      WHERE k.vec_id <> p.query_id
+      GROUP BY 1, 2)
+    SELECT q AS query_id, x AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+           adc_dist
+    FROM (SELECT q, x, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q
+                                    ORDER BY adc_dist, x) AS rn
+          FROM adc)
+    WHERE rn <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivfpq_index_probe(spark, sf_dir):
+    """The PERSISTED IVF-PQ index's full lifecycle as one hash-checked
+    query (round 15, VERDICT r14 item 2) — the composed twin of
+    `similarity_pq_index_probe`: `ivfpq_index_build` commits BOTH
+    registered deterministic models (the trained IVF centroids and the
+    PQ codebook, injected via the build's pre-trained-model path) plus
+    the (vec_id, cell, codes) postings log; the same planted shard
+    ingests through `ivfpq_index_probe(commit=True)` (each arrival is
+    cell-assigned AND encoded — one atomic posting row);
+    `ivfpq_index_delete` tombstones the %{_PQIDX_DEL_MOD}=3 live set;
+    and the final probe prunes to each query's {_NPROBE} best cells
+    before ADC-ranking only those cells' resolved rows. The oracle
+    replays coarse training, the library's cell-assignment cosine
+    (``dot / sqrt(n2 * cn2)`` — the exact op tree `_cell_scored`
+    evaluates, so assignment ties break identically), PQ encoding for
+    base and shard, latest-wins supersession, tombstones, probing, and
+    candidate-restricted ADC. Scale shape: probes touch O(batch x
+    nprobe cells) CODE rows — never raw vectors, never unprobed cells
+    — the exact 100 TB posture `BENCH_INDEX_PROBE_r14.json`
+    measures."""
+    from spark_data_test_spark.state import fresh_run_root
+
+    _assert_vec_headroom(sf_dir)
+    emb = _int_embeddings(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir).select(
+        "cent_id", F.col("ce").alias("cv"), F.col("cn2").alias("cn2")
+    )
+    root = fresh_run_root("ivfpq_index_probe", key=sf_dir)
+    idx = f"{root}/index"
+    ivfpq_index_build(
+        emb.select("vec_id", "e"),
+        idx,
+        centroids=cents,
+        codebook=cb,
+        vec_col="e",
+    )
+    ivfpq_index_probe(
+        _pqidx_ingest_shard(emb),
+        idx,
+        k=1,
+        nprobe=_NPROBE,
+        vec_col="e",
+        commit=True,
+    )
+    ivfpq_index_delete(spark, idx, _pqidx_delete_ids(emb))
+    res = ivfpq_index_probe(
+        emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
+        idx,
+        k=_IVF_TOPK,
+        nprobe=_NPROBE,
+        vec_col="e",
+    )
+    return (
+        res.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "similarity_refined_ann",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_pq_ctes()},
+    {_pq_adc_ctes()},
+    sl AS (
+      SELECT q AS query_id, x AS neighbor_id
+      FROM (SELECT q, x,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY adc_dist, x) AS rn
+            FROM adc)
+      WHERE rn <= {4 * _PQ_TOPK}),
+    exd AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(SUM((q.v - x.v) * (q.v - x.v)) AS BIGINT) AS l2_dist
+      FROM sl s
+      JOIN flat q ON q.vec_id = s.query_id
+      JOIN flat x ON x.vec_id = s.neighbor_id AND x.i = q.i
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, l2_dist
+    FROM (SELECT query_id, neighbor_id, l2_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY l2_dist, neighbor_id) AS rn
+          FROM exd)
+    WHERE rn <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_refined_ann(spark, sf_dir):
+    """Two-stage ANN: a cheap compressed-domain shortlist re-scored
+    EXACTLY by `refine_topk` (round 15, VERDICT r14 item 3 — the
+    FAISS IndexRefineFlat architecture as a driver-checked row). Stage
+    one ranks every candidate by PQ/ADC distance and keeps the top 4k
+    per query (k' = {4 * _PQ_TOPK}); stage two resolves ONLY those
+    shortlisted rows against the raw corpus, computes exact integer
+    L2, and re-cuts to k = {_PQ_TOPK}. The oracle replays BOTH stages
+    — PQ training/encoding/ADC, the 4k shortlist cut, then exact L2
+    re-ranking restricted to the shortlist — so the hash pins every
+    mechanical step of the composition bit-for-bit: the shortlist
+    restriction, the self-exclusion, the exact rescoring, and both
+    tie-broken rankings. (End-to-end equality with brute-force search
+    additionally needs a first stage whose recall@4k is total; that
+    property holds on clustered corpora and is pinned in
+    tests/test_ivfpq_index_api.py::test_refine_topk_recovers_exact_l2
+    — this fixture's near-uniform vectors are deliberately the HARD
+    case for a 64x quantizer, so the registered row pins the
+    machinery, not a data-dependent recall claim.) Scale shape: stage
+    one scans CODES (the memory-bounded form), stage two touches raw
+    vectors for batch x shortlist rows only — never the corpus — and
+    both stages rank in per-query windows."""
+    emb = _int_embeddings(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    qd = (
+        _pq_subvectors(emb.where(F.col("vec_id") < _NQ))
+        .join(F.broadcast(cb), "s")
+        .withColumn("d", F.expr(_PQ_L2))
+        .select(F.col("vec_id").alias("q"), "s", "cent_id", "d")
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "cent_id"])
+        .where(F.col("vec_id") != F.col("q"))
+        .groupBy("q", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4 * _PQ_TOPK)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    refined = refine_topk(
+        shortlist,
+        emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
+        emb.select("vec_id", "e"),
+        k=_PQ_TOPK,
+        metric="l2",
+        vec_col="e",
+    )
+    return (
+        refined.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("l2_dist").cast("long").alias("l2_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Library surface: frame-level ANN baseline (round 8)
 # ---------------------------------------------------------------------------
