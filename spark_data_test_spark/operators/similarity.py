@@ -2277,7 +2277,13 @@ def semantic_prune(
 
 
 def ivf_index_build(
-    corpus, index_path, ncells=None, rounds=2, id_col="vec_id", vec_col="emb"
+    corpus,
+    index_path,
+    ncells=None,
+    rounds=2,
+    id_col="vec_id",
+    vec_col="emb",
+    centroids=None,
 ):
     """Library operator: train an IVF-Flat index over ``corpus`` and
     COMMIT it as two versioned state tables under ``index_path`` —
@@ -2303,14 +2309,30 @@ def ivf_index_build(
     assigned under (`_model_build_hash`), and probes verify the stamp
     against the COMMITTED centroids — a rebuild that crashed between
     its commits (or a probe racing one) fails loudly instead of
-    silently scoring old postings against new centroids. Returns the
+    silently scoring old postings against new centroids. Pass
+    pre-trained ``centroids`` (``(cent_id, cv, cn2)``, as committed by
+    any build of this family) to skip training and index the full
+    corpus under the supplied model — the train-on-a-sample pattern,
+    matching `pq_index_build` / `ivfpq_index_build`; ``ncells`` /
+    ``rounds`` are ignored when centroids are supplied. Returns the
     number of indexed vectors (zero-norm vectors are dropped: cosine
     is undefined for them, matching the whole ANN family)."""
     from spark_data_test_spark.state import write_state_version
 
     c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
     try:
-        cents = _train_double_cells(c, ncells, rounds, "ivf_index_build")
+        if centroids is None:
+            cents = _train_double_cells(
+                c, ncells, rounds, "ivf_index_build"
+            )
+        else:
+            cents = F.broadcast(
+                centroids.select(
+                    "cent_id",
+                    F.col("cv").alias("_cv"),
+                    F.col("cn2").alias("_cn2"),
+                )
+            )
         cent_table = cents.select(
             "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
         )

@@ -545,11 +545,13 @@ def test_refine_topk_plan_shape(spark):
 
 def test_refine_topk_property_sweep(spark):
     """Hypothesis sweep: for random integer-valued corpora, random
-    query subsets, and RANDOM shortlists (any subset of the pair
-    space, including SELF-pairs — which must never rank — and pairs
-    that tie on distance), refine_topk equals the Python replica
-    restricted to the shortlist — under both metrics. Integer-valued floats keep L2 sums exact; cosine rounds
-    to 9 places."""
+    query subsets, RANDOM shortlists (any subset of the pair space,
+    including SELF-pairs — which must never rank — and pairs that tie
+    on distance), and a random set of RAGGED resolver rows (wrong
+    vector length — ADVICE r14: these must silently drop, never rank
+    a NULL distance), refine_topk equals the Python replica
+    restricted to the shortlist — under both metrics. Integer-valued
+    floats keep L2 sums exact; cosine rounds to 9 places."""
     import math as _math
 
     from hypothesis import HealthCheck, given, settings, strategies as st
@@ -575,14 +577,21 @@ def test_refine_topk_property_sweep(spark):
         )
         k = draw(st.integers(1, 4))
         metric = draw(st.sampled_from(["l2", "cosine"]))
-        return corpus, queries, shortlist, k, metric
+        ragged = draw(
+            st.sets(st.integers(0, n - 1), min_size=0, max_size=2)
+        )
+        return corpus, queries, shortlist, k, metric, ragged
 
-    def brute(corpus, queries, shortlist, k, metric):
+    def brute(corpus, queries, shortlist, k, metric, ragged):
         vec = dict(corpus)
         out = set()
         for qid, qv in queries:
             cands = sorted(
-                {nb for q, nb in shortlist if q == qid and nb != qid}
+                {
+                    nb
+                    for q, nb in shortlist
+                    if q == qid and nb != qid and nb not in ragged
+                }
             )
             scored = []
             for cid in cands:
@@ -611,18 +620,23 @@ def test_refine_topk_property_sweep(spark):
         suppress_health_check=[HealthCheck.too_slow],
     )
     def prop(s):
-        corpus, queries, shortlist, k, metric = s
-        cdf = spark.createDataFrame(corpus, _SCHEMA)
+        corpus, queries, shortlist, k, metric, ragged = s
+        resolver_rows = [
+            (i, v + [9.0]) if i in ragged else (i, v) for i, v in corpus
+        ]
+        cdf = spark.createDataFrame(resolver_rows, _SCHEMA)
         qdf = spark.createDataFrame(queries, _SCHEMA)
         sl = spark.createDataFrame(
             shortlist, "query_id long, neighbor_id long"
         )
         col = "l2_dist" if metric == "l2" else "cosine"
+        rows = refine_topk(sl, qdf, cdf, k=k, metric=metric).collect()
+        assert all(r[col] is not None for r in rows)
         got = {
             (r.query_id, r.neighbor_id, r.rank, round(r[col], 9))
-            for r in refine_topk(sl, qdf, cdf, k=k, metric=metric).collect()
+            for r in rows
         }
-        assert got == brute(corpus, queries, shortlist, k, metric)
+        assert got == brute(corpus, queries, shortlist, k, metric, ragged)
 
     prop()
 

@@ -1057,3 +1057,33 @@ def test_ivf_crashed_rebuild_detected(spark, tmp_path):
     )
     with pytest.raises(Exception, match="different build stamps"):
         ivf_index_probe(qdf, idx, k=3, nprobe=3).collect()
+
+
+def test_ivf_index_build_with_pretrained_centroids(spark, tmp_path):
+    """Model injection (round 15, family symmetry with the PQ / IVF-PQ
+    builds): supply a committed centroid table, skip training, and the
+    rebuilt index answers identically to the donor it borrowed the
+    model from."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+    from spark_data_test_spark.state import read_state_table
+
+    corpus, queries = _fixture(n=18, nq=3, dim=6, seed=83)
+    schema = "vec_id long, emb array<double>"
+    donor = str(tmp_path / "donor")
+    cdf = spark.createDataFrame(corpus, schema)
+    ivf_index_build(cdf, donor, ncells=3, rounds=2)
+    cents = read_state_table(spark, f"{donor}/centroids")
+    idx = str(tmp_path / "ivfidx")
+    n = ivf_index_build(cdf, idx, centroids=cents)
+    assert n == 18  # the zero vector is dropped
+
+    def pset(df):
+        return {
+            (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+            for r in df.collect()
+        }
+
+    qdf = spark.createDataFrame(queries, schema)
+    got = pset(ivf_index_probe(qdf, idx, k=4, nprobe=3))
+    assert got == pset(ivf_index_probe(qdf, donor, k=4, nprobe=3))
+    assert got
