@@ -304,8 +304,10 @@ def test_ivfpq_same_path_rebuild_resets_postings(spark, tmp_path):
 
 def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
     """Seeded random LSM lifecycle: any interleaving of ingests,
-    deletes, and compactions answers exhaustive probes exactly like
-    ADC search with the committed codebook over the net live state."""
+    deletes, compactions, and SAME-PATH REBUILDS answers exhaustive
+    probes exactly like ADC search with the CURRENT committed
+    codebook over the net live state (rebuilds retrain BOTH models,
+    reset the postings log, and re-stamp it)."""
     from spark_data_test_spark import (
         ivfpq_index_build,
         ivfpq_index_compact,
@@ -325,8 +327,8 @@ def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
     rng = random.Random(569)
     next_id = 500
     qdf = spark.createDataFrame(queries, _SCHEMA)
-    for step in range(5):
-        op = rng.choice(["ingest", "delete", "compact"])
+    for step in range(7):
+        op = rng.choice(["ingest", "delete", "compact", "rebuild"])
         if op == "ingest":
             rows = {}
             for _ in range(rng.randrange(1, 3)):
@@ -350,12 +352,29 @@ def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
                 live.pop(g)
         elif op == "compact":
             ivfpq_index_compact(spark, idx)
+        elif op == "rebuild" and live:
+            ivfpq_index_build(
+                spark.createDataFrame(sorted(live.items()), _SCHEMA),
+                idx, ncells=3, m=4, ncodes=5,
+            )
+            cb = _committed_codebook(spark, idx)
         got = _probe_set(
             ivfpq_index_probe(qdf, idx, k=4, nprobe=_PROBE_ALL)
         )
         assert got == _topk_with_model(spark, live, queries, cb, 4), (
             step, op, sorted(live),
         )
+    # deterministic rebuild coverage regardless of the rng path: a
+    # same-path retrain over the net live corpus resets and re-stamps
+    # the log, and probes answer under the NEW model without tripping
+    # the stamp guard
+    ivfpq_index_build(
+        spark.createDataFrame(sorted(live.items()), _SCHEMA),
+        idx, ncells=3, m=4, ncodes=5,
+    )
+    cb = _committed_codebook(spark, idx)
+    got = _probe_set(ivfpq_index_probe(qdf, idx, k=4, nprobe=_PROBE_ALL))
+    assert got == _topk_with_model(spark, live, queries, cb, 4)
 
 
 def test_ivfpq_probe_plan_shape(spark, tmp_path):

@@ -397,8 +397,12 @@ def test_pq_index_same_path_rebuild_resets_codes(spark, tmp_path):
 
 def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
     """Seeded random LSM lifecycle: any interleaving of ingests,
-    deletes, and compactions answers probes exactly like ADC search
-    with the committed codebook over the net surviving vectors."""
+    deletes, compactions, and SAME-PATH REBUILDS answers probes
+    exactly like ADC search with the CURRENT committed codebook over
+    the net surviving vectors. Rebuilds retrain over the live corpus,
+    reset the log, and re-stamp every code row — post-rebuild probes
+    must answer under the new model without tripping the build-stamp
+    guard."""
     from spark_data_test_spark import (
         pq_index_build,
         pq_index_compact,
@@ -417,8 +421,8 @@ def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
     rng = random.Random(409)
     next_id = 500
     qdf = spark.createDataFrame(queries, _SCHEMA)
-    for step in range(6):
-        op = rng.choice(["ingest", "delete", "compact"])
+    for step in range(8):
+        op = rng.choice(["ingest", "delete", "compact", "rebuild"])
         if op == "ingest":
             rows = {}  # unique ids per batch: the in-batch dedupe
             for _ in range(rng.randrange(1, 3)):  # keeps greatest, not last
@@ -439,6 +443,12 @@ def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
                 live.pop(g)
         elif op == "compact":
             pq_index_compact(spark, idx)
+        elif op == "rebuild" and live:
+            pq_index_build(
+                spark.createDataFrame(sorted(live.items()), _SCHEMA),
+                idx, m=4, ncodes=5, rounds=1,
+            )
+            cb = _committed_codebook(spark, idx)
         got = _probe_set(pq_index_probe(qdf, idx, k=4))
         assert got == _topk_with_model(spark, live, queries, cb, 4), (
             step, op, sorted(live),

@@ -884,10 +884,12 @@ def test_pq_explicit_codebook_property_sweep(spark):
 
 def test_ivf_index_random_op_sequence_equals_net_state(spark, tmp_path):
     """Seeded random LSM lifecycle: an arbitrary interleaving of
-    ingests (probe-commit), deletes, and compactions must answer
-    probes exactly like an index REBUILT from the net surviving state
-    (same centroids: the original build's, so probe-all comparisons
-    are exact against the brute force over the live vectors)."""
+    ingests (probe-commit), deletes, compactions, and SAME-PATH
+    REBUILDS must answer probe-all queries exactly like the brute
+    force over the live vectors (probe-all makes the comparison
+    centroid-independent, so retrained centroids — which reset and
+    re-stamp the postings log — cannot change the answer, only the
+    pruning)."""
     import random
 
     from spark_data_test_spark import (
@@ -906,21 +908,21 @@ def test_ivf_index_random_op_sequence_equals_net_state(spark, tmp_path):
     rng = random.Random(151)
     next_id = 500
     qdf = spark.createDataFrame(queries, schema)
-    for step in range(6):
-        op = rng.choice(["ingest", "delete", "compact"])
+    for step in range(8):
+        op = rng.choice(["ingest", "delete", "compact", "rebuild"])
         if op == "ingest":
-            rows = []
-            for _ in range(rng.randrange(1, 3)):
+            rows = {}  # unique ids per batch (the family dedupe keeps
+            for _ in range(rng.randrange(1, 3)):  # greatest, not last)
                 if rng.random() < 0.5 and live:
                     vid = rng.choice(sorted(live))  # changed re-ingest
                 else:
                     vid, next_id = next_id, next_id + 1
                 vec = [rng.choice([-1.0, 1.0]) * rng.randrange(1, 5)
                        for _ in range(6)]
-                rows.append((vid, vec))
+                rows[vid] = vec
                 live[vid] = vec
             ivf_index_probe(
-                spark.createDataFrame(rows, schema), idx,
+                spark.createDataFrame(list(rows.items()), schema), idx,
                 k=2, nprobe=3, commit=True,
             ).collect()
         elif op == "delete" and live:
@@ -930,6 +932,11 @@ def test_ivf_index_random_op_sequence_equals_net_state(spark, tmp_path):
                 live.pop(g)
         elif op == "compact":
             ivf_index_compact(spark, idx)
+        elif op == "rebuild" and live:
+            ivf_index_build(
+                spark.createDataFrame(sorted(live.items()), schema),
+                idx, ncells=3, rounds=2,
+            )
         got = {
             (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
             for r in ivf_index_probe(qdf, idx, k=4, nprobe=3).collect()
