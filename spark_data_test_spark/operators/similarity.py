@@ -2976,23 +2976,42 @@ def ivf_index_stats(spark, index_path):
     - ``n_tombstones``: committed delete markers still in the log
       (reclaimed by `ivf_index_compact`),
     - ``max_cell_rows``: the hottest cell's live row count (probe
-      latency is bounded by the probed cells' sizes).
+      latency is bounded by the probed cells' sizes),
+    - ``model_hash`` / ``n_stale``: the committed centroids' content
+      hash and the count of live rows stamped with a DIFFERENT build
+      (round 15). Probes FAIL loudly on any stale row; stats MEASURE
+      the damage without raising — the health check an operator runs
+      after a suspected crashed rebuild, before deciding to re-run
+      the build.
 
     All aggregates run distributed over the log; only the single
     summary row reaches the driver. Returns None for a missing
     index."""
-    from spark_data_test_spark.state import read_state_union
+    from spark_data_test_spark.state import (
+        read_state_table,
+        read_state_union,
+    )
 
     log = read_state_union(
         spark, f"{index_path}/postings", version_col="_pv"
     )
     if log is None:
         return None
+    cents = read_state_table(spark, f"{index_path}/centroids")
+    expected = (
+        None
+        if cents is None
+        else _model_build_hash(cents, ["cent_id", "cv", "cn2"])
+    )
+    exp_lit = F.lit(expected).cast("long")
     resolved = _resolved_postings(spark, index_path)
-    # n_live folds out of the per-cell histogram, so the resolve
-    # subplan executes ONCE for all three live-side stats
+    # n_live and the stale count fold out of the per-cell histogram,
+    # so the resolve subplan executes ONCE for all live-side stats
     per_cell = resolved.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("_n")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            (~F.col("build_id").eqNullSafe(exp_lit)).cast("long")
+        ).alias("_st"),
     )
     cells = per_cell.agg(
         F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_live"),
@@ -3000,6 +3019,7 @@ def ivf_index_stats(spark, index_path):
         F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
             "max_cell_rows"
         ),
+        F.coalesce(F.sum("_st"), F.lit(0)).cast("long").alias("n_stale"),
     )
     raw = log.agg(
         F.count(F.lit(1)).alias("n_log_rows"),
@@ -3019,6 +3039,8 @@ def ivf_index_stats(spark, index_path):
                 "n_tombstones"
             ),
             "max_cell_rows",
+            exp_lit.alias("model_hash"),
+            "n_stale",
         )
     )
 
@@ -3355,7 +3377,11 @@ def pq_index_stats(spark, index_path):
     - ``n_tombstones``: committed delete markers still in the log,
     - ``max_code_rows``: the hottest (s, code) bucket among live codes
       (the ADC join's skew signal — a bucket holding half the corpus
-      means the codebook no longer separates it; retrain).
+      means the codebook no longer separates it; retrain),
+    - ``model_hash`` / ``n_stale``: the committed codebook's content
+      hash and the count of live rows stamped with a DIFFERENT build
+      (round 15). Probes FAIL loudly on any stale row; stats MEASURE
+      the damage without raising.
 
     All aggregates run distributed over the log; only the single
     summary row reaches the driver. Returns None for a missing
@@ -3368,30 +3394,57 @@ def pq_index_stats(spark, index_path):
     log = read_state_union(spark, f"{index_path}/codes", version_col="_pv")
     if log is None:
         return None
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    expected = (
+        None
+        if codebook is None
+        else _model_build_hash(codebook, ["s", "cent_id", "csub"])
+    )
+    exp_lit = F.lit(expected).cast("long")
     resolved = _resolved_codes(spark, index_path)
     per_bucket = (
-        resolved.select(F.posexplode("codes").alias("s", "code"))
+        resolved.select(
+            F.posexplode("codes").alias("s", "code"),
+            (~F.col("build_id").eqNullSafe(exp_lit)).cast("long").alias(
+                "_st"
+            ),
+        )
         .groupBy("s", "code")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_st").alias("_sts"),
+        )
     )
     live = per_bucket.agg(
         # every live row contributes exactly one code per subspace, so
-        # n_live folds out of the bucket histogram: sum(_n) / m
+        # n_live (and the stale count) fold out of the bucket
+        # histogram: sum / m
         F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
             "max_code_rows"
         ),
         F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_code_total"),
+        F.coalesce(F.sum("_sts"), F.lit(0)).cast("long").alias(
+            "_stale_total"
+        ),
     )
     raw = log.agg(
         F.count(F.lit(1)).alias("n_log_rows"),
         F.count_distinct("_pv").alias("n_versions"),
         F.sum(F.col("codes").isNull().cast("long")).alias("n_tombstones"),
     )
-    codebook = read_state_table(spark, f"{index_path}/codebook")
-    model = codebook.agg(
-        (F.max("s") + 1).cast("long").alias("m"),
-        F.count(F.lit(1)).alias("n_code_rows"),
+    model = (
+        codebook.agg(
+            (F.max("s") + 1).cast("long").alias("m"),
+            F.count(F.lit(1)).alias("n_code_rows"),
+        )
+        if codebook is not None
+        else None
     )
+    if model is None:
+        raise ValueError(
+            f"pq_index_stats: codes log without a committed codebook at"
+            f" {index_path} (re-run pq_index_build)"
+        )
     return (
         live.crossJoin(F.broadcast(raw))
         .crossJoin(F.broadcast(model))
@@ -3405,6 +3458,10 @@ def pq_index_stats(spark, index_path):
                 "n_tombstones"
             ),
             "max_code_rows",
+            exp_lit.alias("model_hash"),
+            (F.col("_stale_total") / F.col("m")).cast("long").alias(
+                "n_stale"
+            ),
         )
     )
 
@@ -3821,8 +3878,12 @@ def ivfpq_index_stats(spark, index_path):
     ``n_live``, ``n_cells_used``, ``max_cell_rows`` (hottest cell's
     live rows — probe latency bound), ``m`` / ``n_code_rows`` (the
     committed PQ model's shape), ``n_log_rows`` / ``n_versions`` /
-    ``n_tombstones`` (log depth -> compaction signal). All aggregates
-    run distributed; one summary row reaches the driver. Returns None
+    ``n_tombstones`` (log depth -> compaction signal), and
+    ``model_hash`` / ``n_stale`` (round 15: the XOR-combined content
+    hash of BOTH committed models, and the count of live rows stamped
+    with a different build — probes FAIL loudly on any stale row;
+    stats MEASURE the damage without raising). All aggregates run
+    distributed; one summary row reaches the driver. Returns None
     for a missing index."""
     from spark_data_test_spark.state import (
         read_state_table,
@@ -3834,10 +3895,24 @@ def ivfpq_index_stats(spark, index_path):
     )
     if log is None:
         return None
+    cents = read_state_table(spark, f"{index_path}/centroids")
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    expected = (
+        None
+        if cents is None or codebook is None
+        else _model_build_hash(cents, ["cent_id", "cv", "cn2"])
+        ^ _model_build_hash(codebook, ["s", "cent_id", "csub"])
+    )
+    exp_lit = F.lit(expected).cast("long")
     per_cell = (
         _resolved_ivfpq_postings(spark, index_path)
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                (~F.col("build_id").eqNullSafe(exp_lit)).cast("long")
+            ).alias("_st"),
+        )
     )
     cells = per_cell.agg(
         F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_live"),
@@ -3845,6 +3920,7 @@ def ivfpq_index_stats(spark, index_path):
         F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
             "max_cell_rows"
         ),
+        F.coalesce(F.sum("_st"), F.lit(0)).cast("long").alias("n_stale"),
     )
     raw = log.agg(
         F.count(F.lit(1)).alias("n_log_rows"),
@@ -3853,7 +3929,12 @@ def ivfpq_index_stats(spark, index_path):
             (F.col("cell") == F.lit(_TOMBSTONE_CELL)).cast("long")
         ).alias("n_tombstones"),
     )
-    model = read_state_table(spark, f"{index_path}/codebook").agg(
+    if codebook is None:
+        raise ValueError(
+            f"ivfpq_index_stats: postings log without a committed"
+            f" codebook at {index_path} (re-run ivfpq_index_build)"
+        )
+    model = codebook.agg(
         (F.max("s") + 1).cast("long").alias("m"),
         F.count(F.lit(1)).alias("n_code_rows"),
     )
@@ -3871,6 +3952,8 @@ def ivfpq_index_stats(spark, index_path):
             F.coalesce("n_tombstones", F.lit(0)).cast("long").alias(
                 "n_tombstones"
             ),
+            exp_lit.alias("model_hash"),
+            "n_stale",
         )
     )
 

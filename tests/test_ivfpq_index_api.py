@@ -840,3 +840,46 @@ def test_ivfpq_index_build_with_pretrained_models(spark, tmp_path):
         for r in pq_topk(cdf, qdf, k=4, codebook=cb).collect()
     }
     assert got == want
+
+
+def test_ivfpq_index_stats_reports_model_hash_and_staleness(spark, tmp_path):
+    """Stats measure a crashed rebuild (n_stale == n_live after either
+    model half is re-committed alone) while probes raise — the
+    complementary observability contract."""
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_stats
+    from spark_data_test_spark.operators.similarity import (
+        _model_build_hash,
+    )
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus = _mk(16, 8, 661)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    cents = read_state_table(spark, f"{idx}/centroids")
+    cb = read_state_table(spark, f"{idx}/codebook")
+    want = _model_build_hash(
+        cents, ["cent_id", "cv", "cn2"]
+    ) ^ _model_build_hash(cb, ["s", "cent_id", "csub"])
+    s = ivfpq_index_stats(spark, idx).collect()[0]
+    assert s.model_hash == want
+    assert s.n_stale == 0 and s.n_live == 16
+    write_state_version(
+        cents.select(
+            "cent_id",
+            F.expr("transform(cv, x -> x + 1.0)").alias("cv"),
+            (F.col("cn2") + 1.0).alias("cn2"),
+        ),
+        f"{idx}/centroids",
+        retain=2,
+    )
+    s2 = ivfpq_index_stats(spark, idx).collect()[0]
+    assert s2.n_stale == s2.n_live == 16
+    assert s2.model_hash != s.model_hash

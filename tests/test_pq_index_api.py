@@ -606,3 +606,43 @@ def test_pq_index_build_with_pretrained_codebook(spark, tmp_path):
         pq_index_probe(spark.createDataFrame(queries, _SCHEMA), idx, k=4)
     )
     assert got == _topk_with_model(spark, dict(corpus), queries, cb, 4)
+
+
+def test_pq_index_stats_reports_model_hash_and_staleness(spark, tmp_path):
+    """The stats/probe contract split (round 15): probes FAIL loudly on
+    a build-stamp mismatch, stats MEASURE it — model_hash is the
+    committed codebook's content hash and n_stale counts live rows
+    stamped under a different build (0 on a healthy index, n_live
+    after a crashed retrain that committed only its codebook)."""
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark import pq_index_build, pq_index_stats
+    from spark_data_test_spark.operators.similarity import (
+        _model_build_hash,
+    )
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus = _mk(15, 8, 347)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    cb = read_state_table(spark, f"{idx}/codebook")
+    s = pq_index_stats(spark, idx).collect()[0]
+    assert s.model_hash == _model_build_hash(cb, ["s", "cent_id", "csub"])
+    assert s.n_stale == 0 and s.n_live == 15
+    # crashed retrain: a different codebook committed without its codes
+    write_state_version(
+        cb.select(
+            "s", "cent_id",
+            F.expr("transform(csub, x -> x + 1.0)").alias("csub"),
+        ),
+        f"{idx}/codebook",
+        retain=2,
+    )
+    s2 = pq_index_stats(spark, idx).collect()[0]  # measures, never raises
+    assert s2.n_stale == s2.n_live == 15
+    assert s2.model_hash != s.model_hash

@@ -1094,3 +1094,44 @@ def test_ivf_index_build_with_pretrained_centroids(spark, tmp_path):
     got = pset(ivf_index_probe(qdf, idx, k=4, nprobe=3))
     assert got == pset(ivf_index_probe(qdf, donor, k=4, nprobe=3))
     assert got
+
+
+def test_ivf_index_stats_reports_model_hash_and_staleness(spark, tmp_path):
+    """Stats measure a crashed rebuild while probes raise: model_hash
+    is the committed centroids' content hash, n_stale counts live
+    postings stamped under a different build."""
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark import ivf_index_build, ivf_index_stats
+    from spark_data_test_spark.operators.similarity import (
+        _model_build_hash,
+    )
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus, _ = _fixture(n=14, nq=0, dim=6, seed=89)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    cents = read_state_table(spark, f"{idx}/centroids")
+    s = ivf_index_stats(spark, idx).collect()[0]
+    assert s.model_hash == _model_build_hash(
+        cents, ["cent_id", "cv", "cn2"]
+    )
+    assert s.n_stale == 0 and s.n_live == 14  # the zero vector dropped
+    write_state_version(
+        cents.select(
+            "cent_id",
+            F.expr("transform(cv, x -> x + 1.0)").alias("cv"),
+            (F.col("cn2") + 1.0).alias("cn2"),
+        ),
+        f"{idx}/centroids",
+        retain=2,
+    )
+    s2 = ivf_index_stats(spark, idx).collect()[0]
+    assert s2.n_stale == s2.n_live == 14
+    assert s2.model_hash != s.model_hash
