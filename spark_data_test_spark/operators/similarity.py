@@ -847,18 +847,28 @@ def _pq_codes(spark, sf_dir):
     )
 
 
-def _pq_adc_ctes():
-    """Shared ADC oracle machinery: ``qd`` (per-query distance table to
-    every trained codebook entry, exact integer L2) and ``adc`` (the
-    all-candidates ADC distances, canonical columns q/x/adc_dist).
-    Consumed by all three PQ oracles; `similarity_ivfpq_ann` reuses
-    ``qd`` and restricts its own adc to the probed candidates."""
+def _pq_qd_cte():
+    """The ``qd`` half of `_pq_adc_ctes` — the per-query exact integer
+    L2 distance TABLE to every trained codebook entry — factored out so
+    the persisted-index oracles (`similarity_pq_index_probe`,
+    `similarity_ivfpq_index_probe`) reuse the ONE canonical definition
+    against their own candidate sets instead of carrying drift-prone
+    copies (DuckDB does not execute unused CTEs, so reuse is free)."""
     return f"""qd AS (
       SELECT q.vec_id AS q, c.s, c.cent_id,
              CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
       FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
       WHERE q.vec_id < {_NQ}
-      GROUP BY 1, 2, 3),
+      GROUP BY 1, 2, 3)"""
+
+
+def _pq_adc_ctes():
+    """Shared ADC oracle machinery: ``qd`` (see `_pq_qd_cte`) plus
+    ``adc`` (the all-candidates ADC distances, canonical columns
+    q/x/adc_dist). Consumed by all three PQ oracles;
+    `similarity_ivfpq_ann` reuses ``qd`` and restricts its own adc to
+    the probed candidates."""
+    return f"""{_pq_qd_cte()},
     adc AS (
       SELECT qd.q, codes.vec_id AS x, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
       FROM codes JOIN qd ON qd.s = codes.s AND qd.cent_id = codes.cent_id
@@ -1585,12 +1595,7 @@ _PQIDX_STATE_CTES = f"""nsrc AS (
     WITH {_ORACLE_BASE.strip()},
     {_pq_ctes()},
     {_PQIDX_STATE_CTES},
-    qd AS (
-      SELECT q.vec_id AS q, c.s, c.cent_id,
-             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
-      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
-      WHERE q.vec_id < {_NQ}
-      GROUP BY 1, 2, 3),
+    {_pq_qd_cte()},
     adc AS (
       SELECT qd.q, k.vec_id AS x, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
       FROM kept k JOIN qd ON qd.s = k.s AND qd.cent_id = k.cent_id
@@ -1711,12 +1716,7 @@ def similarity_pq_index_probe(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY cos DESC, cent_id) AS rn
         FROM lscore WHERE vec_id < {_NQ}) WHERE rn <= {_NPROBE}),
-    qd AS (
-      SELECT q.vec_id AS q, c.s, c.cent_id,
-             CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d
-      FROM sub0 q JOIN cb1 c ON c.s = q.s AND c.j = q.j
-      WHERE q.vec_id < {_NQ}
-      GROUP BY 1, 2, 3),
+    {_pq_qd_cte()},
     adc AS (
       SELECT p.query_id AS q, k.vec_id AS x,
              CAST(SUM(qd.d) AS BIGINT) AS adc_dist
@@ -2317,26 +2317,43 @@ def ivf_index_build(
     ``rounds`` are ignored when centroids are supplied. Returns the
     number of indexed vectors (zero-norm vectors are dropped: cosine
     is undefined for them, matching the whole ANN family)."""
-    from spark_data_test_spark.state import write_state_version
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
 
     c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
     try:
         if centroids is None:
-            cents = _train_double_cells(
+            cent_table = _train_double_cells(
                 c, ncells, rounds, "ivf_index_build"
+            ).select(
+                "cent_id",
+                F.col("_cv").alias("cv"),
+                F.col("_cn2").alias("cn2"),
             )
         else:
-            cents = F.broadcast(
-                centroids.select(
-                    "cent_id",
-                    F.col("cv").alias("_cv"),
-                    F.col("cn2").alias("_cn2"),
-                )
-            )
-        cent_table = cents.select(
-            "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
+            cent_table = centroids.select("cent_id", "cv", "cn2")
+        # commit the model FIRST, then re-read it: assignment AND the
+        # build stamp both derive from the COMMITTED snapshot, so a
+        # nondeterministic injected centroid frame (sample(), limit())
+        # can never leave postings assigned or stamped under a
+        # different evaluation than the model probes will read
+        os.makedirs(index_path, exist_ok=True)
+        write_state_version(
+            cent_table, f"{index_path}/centroids", retain=2
         )
-        bid = _model_build_hash(cent_table, ["cent_id", "cv", "cn2"])
+        committed = read_state_table(
+            corpus.sparkSession, f"{index_path}/centroids"
+        )
+        bid = _model_build_hash(committed, ["cent_id", "cv", "cn2"])
+        cents = F.broadcast(
+            committed.select(
+                "cent_id",
+                F.col("cv").alias("_cv"),
+                F.col("cn2").alias("_cn2"),
+            )
+        )
         assign = (
             _cell_scored(c, cents)
             .groupBy("_id")
@@ -2359,20 +2376,15 @@ def ivf_index_build(
                 F.lit(bid).alias("build_id"),
             )
         )
-        os.makedirs(index_path, exist_ok=True)
-        # centroids: a SNAPSHOT table (retrains replace it; retain=2
-        # keeps the previous snapshot for time travel). postings: the
-        # BASE of a log table — committed with retain=1 so a REBUILD at
-        # an existing index_path RESETS the log (pruning every posting
-        # version of the previous index, whose cell ids are meaningless
-        # under the new centroids); the ingest deltas that
-        # `ivf_index_probe(commit=True)` appends afterwards use
-        # RETAIN_ALL so the log accumulates from this fresh base.
-        write_state_version(
-            cent_table,
-            f"{index_path}/centroids",
-            retain=2,
-        )
+        # centroids committed above: a SNAPSHOT table (retrains replace
+        # it; retain=2 keeps the previous snapshot for time travel).
+        # postings: the BASE of a log table — committed with retain=1
+        # so a REBUILD at an existing index_path RESETS the log
+        # (pruning every posting version of the previous index, whose
+        # cell ids are meaningless under the new centroids); the
+        # ingest deltas that `ivf_index_probe(commit=True)` appends
+        # afterwards use RETAIN_ALL so the log accumulates from this
+        # fresh base.
         n = assign.persist().count()
         write_state_version(assign, f"{index_path}/postings", retain=1)
         assign.unpersist()
@@ -2430,7 +2442,8 @@ def _stamp_guard(frame, payload_col, expected, op, live):
                 F.lit(
                     f"{op}: committed model and log rows carry different"
                     " build stamps — a rebuild crashed between its"
-                    " commits; re-run the build at this index path"
+                    " commits, or the log predates build stamping;"
+                    " re-run the build at this index path"
                 ),
             ),
         ).otherwise(F.col(payload_col)),
@@ -2450,10 +2463,18 @@ def _resolved_postings(spark, index_path, expect_build=None):
     from spark_data_test_spark.state import read_state_union
 
     log = read_state_union(
-        spark, f"{index_path}/postings", version_col="_pv"
+        spark,
+        f"{index_path}/postings",
+        version_col="_pv",
+        allow_missing_columns=True,
     )
     if log is None:
         return None
+    if "build_id" not in log.columns:
+        # a log committed entirely by a pre-stamping release: resolve
+        # with NULL stamps (the probe guard reads them as stale and
+        # directs the operator to rebuild)
+        log = log.withColumn("build_id", F.lit(None).cast("long"))
     out = (
         log.groupBy("vec_id")
         .agg(
@@ -2525,6 +2546,12 @@ def ivf_index_delete(spark, index_path, ids, id_col="vec_id"):
             " (run ivf_index_build first)"
         )
     types = {f.name: f.dataType for f in base.schema.fields}
+    if "build_id" not in types:
+        raise ValueError(
+            f"ivf_index_delete: the log at {index_path} predates build"
+            f" stamping (committed by an earlier release) — re-run"
+            f" ivf_index_build to upgrade it before deleting"
+        )
     if isinstance(ids, DataFrame):
         idf = ids.select(F.col(id_col).alias("vec_id")).distinct()
     else:
@@ -2993,16 +3020,23 @@ def ivf_index_stats(spark, index_path):
     )
 
     log = read_state_union(
-        spark, f"{index_path}/postings", version_col="_pv"
+        spark,
+        f"{index_path}/postings",
+        version_col="_pv",
+        allow_missing_columns=True,
     )
     if log is None:
         return None
     cents = read_state_table(spark, f"{index_path}/centroids")
-    expected = (
-        None
-        if cents is None
-        else _model_build_hash(cents, ["cent_id", "cv", "cn2"])
-    )
+    if cents is None:
+        # a postings log can only exist under committed centroids (the
+        # build writes the model first) — corrupted state, not an
+        # empty index
+        raise ValueError(
+            f"ivf_index_stats: postings log without committed centroids"
+            f" at {index_path} (re-run ivf_index_build)"
+        )
+    expected = _model_build_hash(cents, ["cent_id", "cv", "cn2"])
     exp_lit = F.lit(expected).cast("long")
     resolved = _resolved_postings(spark, index_path)
     # n_live and the stale count fold out of the per-cell histogram,
@@ -3139,18 +3173,19 @@ def pq_index_build(
     # codebook: SNAPSHOT (retain=2 keeps the previous model for time
     # travel); codes: LOG BASE (retain=1 so a same-path rebuild resets
     # the log; ingest deltas append with RETAIN_ALL from this base).
-    # The build stamp is hashed from the COMMITTED codebook (re-read
-    # after its write) so the stamp is guaranteed to match what every
-    # later probe recomputes from disk.
+    # Both the ENCODING and the build stamp derive from the COMMITTED
+    # codebook (re-read after its write), so a nondeterministic
+    # injected codebook frame can never leave codes encoded or stamped
+    # under a different evaluation than the model probes will read.
     write_state_version(codebook, f"{index_path}/codebook", retain=2)
     from spark_data_test_spark.state import read_state_table
 
-    bid = _model_build_hash(
-        read_state_table(corpus.sparkSession, f"{index_path}/codebook"),
-        ["s", "cent_id", "csub"],
+    committed_cb = read_state_table(
+        corpus.sparkSession, f"{index_path}/codebook"
     )
+    bid = _model_build_hash(committed_cb, ["s", "cent_id", "csub"])
     packed = _pq_pack_codes(
-        pq_encode(c, codebook, id_col=id_col, vec_col=vec_col), id_col
+        pq_encode(c, committed_cb, id_col=id_col, vec_col=vec_col), id_col
     ).withColumn("build_id", F.lit(bid))
     packed = packed.persist()
     try:
@@ -3173,9 +3208,16 @@ def _resolved_codes(spark, index_path, expect_build=None):
     Returns None for a missing log."""
     from spark_data_test_spark.state import read_state_union
 
-    log = read_state_union(spark, f"{index_path}/codes", version_col="_pv")
+    log = read_state_union(
+        spark,
+        f"{index_path}/codes",
+        version_col="_pv",
+        allow_missing_columns=True,
+    )
     if log is None:
         return None
+    if "build_id" not in log.columns:
+        log = log.withColumn("build_id", F.lit(None).cast("long"))
     out = (
         log.groupBy("vec_id")
         .agg(
@@ -3298,10 +3340,22 @@ def pq_index_probe(
     if not commit:
         return result
     result = result.localCheckpoint(eager=True)
+    # commit exactly the rows the probe ANSWERED for: encode the
+    # dedup-and-dim-validated qframe (a mixed-dim batch's deviant rows
+    # were dropped from the answer and must not reach the codes log,
+    # where pq_encode's own first-row dim lock could otherwise flip
+    # which side survives)
     batch = _pq_pack_codes(
-        pq_encode(queries, codebook, id_col=id_col, vec_col=vec_col),
+        pq_encode(
+            qframe.select(
+                F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+            ),
+            codebook,
+            id_col=id_col,
+            vec_col=vec_col,
+            # encoded against the verified committed codebook → stamp
+        ),
         id_col,
-        # encoded against the verified committed codebook → same stamp
     ).withColumn("build_id", F.lit(expected))
     write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
     return result
@@ -3333,6 +3387,12 @@ def pq_index_delete(spark, index_path, ids, id_col="vec_id"):
             " (run pq_index_build first)"
         )
     types = {f.name: f.dataType for f in base.schema.fields}
+    if "build_id" not in types:
+        raise ValueError(
+            f"pq_index_delete: the log at {index_path} predates build"
+            f" stamping (committed by an earlier release) — re-run"
+            f" pq_index_build to upgrade it before deleting"
+        )
     if isinstance(ids, DataFrame):
         idf = ids.select(F.col(id_col).alias("vec_id")).distinct()
     else:
@@ -3391,15 +3451,24 @@ def pq_index_stats(spark, index_path):
         read_state_union,
     )
 
-    log = read_state_union(spark, f"{index_path}/codes", version_col="_pv")
+    log = read_state_union(
+        spark,
+        f"{index_path}/codes",
+        version_col="_pv",
+        allow_missing_columns=True,
+    )
     if log is None:
         return None
     codebook = read_state_table(spark, f"{index_path}/codebook")
-    expected = (
-        None
-        if codebook is None
-        else _model_build_hash(codebook, ["s", "cent_id", "csub"])
-    )
+    if codebook is None:
+        # a codes log can only exist under a committed codebook (the
+        # build writes the model first) — this is corrupted state, not
+        # an empty index
+        raise ValueError(
+            f"pq_index_stats: codes log without a committed codebook at"
+            f" {index_path} (re-run pq_index_build)"
+        )
+    expected = _model_build_hash(codebook, ["s", "cent_id", "csub"])
     exp_lit = F.lit(expected).cast("long")
     resolved = _resolved_codes(spark, index_path)
     per_bucket = (
@@ -3416,40 +3485,36 @@ def pq_index_stats(spark, index_path):
         )
     )
     live = per_bucket.agg(
-        # every live row contributes exactly one code per subspace, so
-        # n_live (and the stale count) fold out of the bucket
-        # histogram: sum / m
+        # every live row contributes exactly ONE code in subspace 0
+        # whatever m it was encoded under, so row counts fold out of
+        # the s=0 buckets — never divide by the CURRENT codebook's m,
+        # which miscounts rows a crashed retrain left encoded under an
+        # old model with a different m (the exact damage n_stale
+        # exists to measure)
         F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias(
             "max_code_rows"
         ),
-        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_code_total"),
-        F.coalesce(F.sum("_sts"), F.lit(0)).cast("long").alias(
-            "_stale_total"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("s") == 0, F.col("_n"))), F.lit(0)
+        ).cast("long").alias("_live_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("s") == 0, F.col("_sts"))), F.lit(0)
+        ).cast("long").alias("_stale_rows"),
     )
     raw = log.agg(
         F.count(F.lit(1)).alias("n_log_rows"),
         F.count_distinct("_pv").alias("n_versions"),
         F.sum(F.col("codes").isNull().cast("long")).alias("n_tombstones"),
     )
-    model = (
-        codebook.agg(
-            (F.max("s") + 1).cast("long").alias("m"),
-            F.count(F.lit(1)).alias("n_code_rows"),
-        )
-        if codebook is not None
-        else None
+    model = codebook.agg(
+        (F.max("s") + 1).cast("long").alias("m"),
+        F.count(F.lit(1)).alias("n_code_rows"),
     )
-    if model is None:
-        raise ValueError(
-            f"pq_index_stats: codes log without a committed codebook at"
-            f" {index_path} (re-run pq_index_build)"
-        )
     return (
         live.crossJoin(F.broadcast(raw))
         .crossJoin(F.broadcast(model))
         .select(
-            (F.col("_code_total") / F.col("m")).cast("long").alias("n_live"),
+            F.col("_live_rows").alias("n_live"),
             "m",
             "n_code_rows",
             "n_log_rows",
@@ -3459,9 +3524,7 @@ def pq_index_stats(spark, index_path):
             ),
             "max_code_rows",
             exp_lit.alias("model_hash"),
-            (F.col("_stale_total") / F.col("m")).cast("long").alias(
-                "n_stale"
-            ),
+            F.col("_stale_rows").alias("n_stale"),
         )
     )
 
@@ -3524,18 +3587,49 @@ def ivfpq_index_build(
     d = _pq_dedup_ids(corpus, id_col, vec_col)
     c = _norm_vectors(d, id_col, vec_col, "ivfpq_index_build").persist()
     try:
+        surv = c.select(
+            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+        )
         if centroids is None:
-            cents = _train_double_cells(
+            cent_table = _train_double_cells(
                 c, ncells, rounds, "ivfpq_index_build"
+            ).select(
+                "cent_id",
+                F.col("_cv").alias("cv"),
+                F.col("_cn2").alias("cn2"),
             )
         else:
-            cents = F.broadcast(
-                centroids.select(
-                    "cent_id",
-                    F.col("cv").alias("_cv"),
-                    F.col("cn2").alias("_cn2"),
-                )
+            cent_table = centroids.select("cent_id", "cv", "cn2")
+        if codebook is None:
+            codebook = pq_train(
+                surv, m=m, ncodes=ncodes, rounds=pq_rounds,
+                id_col=id_col, vec_col=vec_col,
             )
+        # commit BOTH models first, then re-read them: cell assignment,
+        # encoding, AND the stamp all derive from the COMMITTED
+        # snapshots, so nondeterministic injected model frames can
+        # never leave postings built under a different evaluation than
+        # the models probes will read
+        os.makedirs(index_path, exist_ok=True)
+        write_state_version(
+            cent_table, f"{index_path}/centroids", retain=2
+        )
+        write_state_version(codebook, f"{index_path}/codebook", retain=2)
+        spark = corpus.sparkSession
+        committed_cents = read_state_table(
+            spark, f"{index_path}/centroids"
+        )
+        committed_cb = read_state_table(spark, f"{index_path}/codebook")
+        bid = _model_build_hash(
+            committed_cents, ["cent_id", "cv", "cn2"]
+        ) ^ _model_build_hash(committed_cb, ["s", "cent_id", "csub"])
+        cents = F.broadcast(
+            committed_cents.select(
+                "cent_id",
+                F.col("cv").alias("_cv"),
+                F.col("cn2").alias("_cn2"),
+            )
+        )
         assign = (
             _cell_scored(c, cents)
             .groupBy("_id")
@@ -3550,36 +3644,10 @@ def ivfpq_index_build(
             )
             .select(F.col("_id").alias("vec_id"), "cell")
         )
-        surv = c.select(
-            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
-        )
-        if codebook is None:
-            codebook = pq_train(
-                surv, m=m, ncodes=ncodes, rounds=pq_rounds,
-                id_col=id_col, vec_col=vec_col,
-            )
-        os.makedirs(index_path, exist_ok=True)
-        write_state_version(
-            cents.select(
-                "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
-            ),
-            f"{index_path}/centroids",
-            retain=2,
-        )
-        write_state_version(codebook, f"{index_path}/codebook", retain=2)
-        # stamp = XOR of the COMMITTED models' content hashes (re-read
-        # after their writes, so the stamp is exactly what probes will
-        # recompute from disk)
-        spark = corpus.sparkSession
-        bid = _model_build_hash(
-            read_state_table(spark, f"{index_path}/centroids"),
-            ["cent_id", "cv", "cn2"],
-        ) ^ _model_build_hash(
-            read_state_table(spark, f"{index_path}/codebook"),
-            ["s", "cent_id", "csub"],
-        )
         packed = _pq_pack_codes(
-            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
+            pq_encode(
+                surv, committed_cb, id_col=id_col, vec_col=vec_col
+            ),
             id_col,
         )
         postings = assign.join(packed, "vec_id").withColumn(
@@ -3609,10 +3677,15 @@ def _resolved_ivfpq_postings(spark, index_path, expect_build=None):
     from spark_data_test_spark.state import read_state_union
 
     log = read_state_union(
-        spark, f"{index_path}/postings", version_col="_pv"
+        spark,
+        f"{index_path}/postings",
+        version_col="_pv",
+        allow_missing_columns=True,
     )
     if log is None:
         return None
+    if "build_id" not in log.columns:
+        log = log.withColumn("build_id", F.lit(None).cast("long"))
     out = (
         log.groupBy("vec_id")
         .agg(
@@ -3775,9 +3848,13 @@ def ivfpq_index_probe(
         if not commit:
             return result
         result = result.localCheckpoint(eager=True)
-        bc = _norm_vectors(queries, id_col, vec_col, "ivfpq_index_probe")
+        # commit exactly the rows the probe ANSWERED for: reuse the
+        # persisted, dedup-and-dim-filtered q rather than re-deriving
+        # from the raw batch — a ragged row excluded from the answer
+        # must never reach the postings log (and the batch is not
+        # re-normalized a second time)
         batch_assign = (
-            _cell_scored(bc, cents)
+            _cell_scored(q, cents)
             .groupBy("_id")
             .agg(
                 F.max_by(
@@ -3790,7 +3867,7 @@ def ivfpq_index_probe(
             )
             .select(F.col("_id").alias("vec_id"), "cell")
         )
-        surv = bc.select(
+        surv = q.select(
             F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
         )
         batch_codes = _pq_pack_codes(
@@ -3836,6 +3913,12 @@ def ivfpq_index_delete(spark, index_path, ids, id_col="vec_id"):
             " (run ivfpq_index_build first)"
         )
     types = {f.name: f.dataType for f in base.schema.fields}
+    if "build_id" not in types:
+        raise ValueError(
+            f"ivfpq_index_delete: the log at {index_path} predates build"
+            f" stamping (committed by an earlier release) — re-run"
+            f" ivfpq_index_build to upgrade it before deleting"
+        )
     if isinstance(ids, DataFrame):
         idf = ids.select(F.col(id_col).alias("vec_id")).distinct()
     else:
@@ -3891,18 +3974,26 @@ def ivfpq_index_stats(spark, index_path):
     )
 
     log = read_state_union(
-        spark, f"{index_path}/postings", version_col="_pv"
+        spark,
+        f"{index_path}/postings",
+        version_col="_pv",
+        allow_missing_columns=True,
     )
     if log is None:
         return None
     cents = read_state_table(spark, f"{index_path}/centroids")
     codebook = read_state_table(spark, f"{index_path}/codebook")
-    expected = (
-        None
-        if cents is None or codebook is None
-        else _model_build_hash(cents, ["cent_id", "cv", "cn2"])
-        ^ _model_build_hash(codebook, ["s", "cent_id", "csub"])
-    )
+    if cents is None or codebook is None:
+        # a postings log can only exist under both committed models
+        # (the build writes them first) — corrupted state, not an
+        # empty index
+        raise ValueError(
+            f"ivfpq_index_stats: postings log without committed models"
+            f" at {index_path} (re-run ivfpq_index_build)"
+        )
+    expected = _model_build_hash(
+        cents, ["cent_id", "cv", "cn2"]
+    ) ^ _model_build_hash(codebook, ["s", "cent_id", "csub"])
     exp_lit = F.lit(expected).cast("long")
     per_cell = (
         _resolved_ivfpq_postings(spark, index_path)
@@ -3929,11 +4020,6 @@ def ivfpq_index_stats(spark, index_path):
             (F.col("cell") == F.lit(_TOMBSTONE_CELL)).cast("long")
         ).alias("n_tombstones"),
     )
-    if codebook is None:
-        raise ValueError(
-            f"ivfpq_index_stats: postings log without a committed"
-            f" codebook at {index_path} (re-run ivfpq_index_build)"
-        )
     model = codebook.agg(
         (F.max("s") + 1).cast("long").alias("m"),
         F.count(F.lit(1)).alias("n_code_rows"),

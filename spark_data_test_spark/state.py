@@ -108,7 +108,9 @@ def read_state_table(spark, state_path, version=None):
     return spark.read.parquet(f"{state_path}/v{version}")
 
 
-def read_state_union(spark, state_path, version_col=None):
+def read_state_union(
+    spark, state_path, version_col=None, allow_missing_columns=False
+):
     """LOG-STRUCTURED read path: the union of EVERY committed version
     under the root — the view a delta-commit writer's readers need
     (v0 a base snapshot, later versions per-batch deltas, as the
@@ -118,7 +120,12 @@ def read_state_union(spark, state_path, version_col=None):
     Missing state means first batch (None). With ``version_col`` each
     row carries the LONG version number it was committed in, so a
     reader can resolve re-committed keys latest-wins (max version per
-    key) instead of keeping arbitrary duplicates — the LSM read rule."""
+    key) instead of keeping arbitrary duplicates — the LSM read rule.
+    ``allow_missing_columns`` forwards to ``unionByName`` so a reader
+    whose log schema GREW across releases (e.g. the ANN index logs
+    gaining ``build_id``) can resolve old versions with NULLs instead
+    of dying in the union; leave it False for tables whose schema is
+    fixed, where a mismatch is a bug that must surface."""
     cur = _committed_state_version(state_path)
     if cur is None:
         return None
@@ -133,7 +140,13 @@ def read_state_union(spark, state_path, version_col=None):
             part = part.withColumn(
                 version_col, F.lit(v).cast("long")
             )
-        out = part if out is None else out.unionByName(part)
+        out = (
+            part
+            if out is None
+            else out.unionByName(
+                part, allowMissingColumns=allow_missing_columns
+            )
+        )
     return out
 
 

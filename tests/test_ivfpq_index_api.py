@@ -883,3 +883,43 @@ def test_ivfpq_index_stats_reports_model_hash_and_staleness(spark, tmp_path):
     s2 = ivfpq_index_stats(spark, idx).collect()[0]
     assert s2.n_stale == s2.n_live == 16
     assert s2.model_hash != s.model_hash
+
+
+def test_ivfpq_commit_excludes_ragged_rows(spark, tmp_path):
+    """Review r15: the commit path must reuse the probe's validated
+    frame — a ragged batch row excluded from the answer must never
+    reach the postings log (it would carry NULL-distance garbage
+    codes under an arbitrary cell)."""
+    import pyspark.sql.functions as F
+
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_probe
+    from spark_data_test_spark.operators.similarity import (
+        _resolved_ivfpq_postings,
+    )
+
+    corpus = _mk(14, 8, 673)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    batch = spark.createDataFrame(
+        [(900, [3.0] * 8), (901, [1.0, 2.0])], _SCHEMA
+    )
+    ivfpq_index_probe(
+        batch, idx, k=2, nprobe=2, commit=True
+    ).collect()
+    live = {
+        r.vec_id
+        for r in _resolved_ivfpq_postings(spark, idx)
+        .select("vec_id")
+        .collect()
+    }
+    assert 900 in live and 901 not in live
+    # and the committed good row has non-NULL codes under the stamp
+    row = (
+        _resolved_ivfpq_postings(spark, idx)
+        .where(F.col("vec_id") == 900)
+        .collect()[0]
+    )
+    assert row.codes is not None and row.build_id is not None

@@ -646,3 +646,60 @@ def test_pq_index_stats_reports_model_hash_and_staleness(spark, tmp_path):
     s2 = pq_index_stats(spark, idx).collect()[0]  # measures, never raises
     assert s2.n_stale == s2.n_live == 15
     assert s2.model_hash != s.model_hash
+
+
+def test_pq_index_legacy_log_raises_friendly_errors(spark, tmp_path):
+    """Review r15: a log committed by a pre-stamping release (no
+    build_id column) must fail probes and deletes with the
+    re-run-the-build message, never a raw union AnalysisException or
+    a KeyError — and a new-schema delta over a legacy base resolves
+    through the tolerant union instead of dying in unionByName."""
+    from spark_data_test_spark import (
+        pq_index_delete,
+        pq_index_probe,
+        pq_train,
+    )
+    from spark_data_test_spark.state import write_state_version
+
+    corpus = _mk(12, 8, 353)
+    cb = pq_train(
+        spark.createDataFrame(corpus, _SCHEMA), m=4, ncodes=5, rounds=1
+    )
+    idx = str(tmp_path / "legacy")
+    write_state_version(cb, f"{idx}/codebook", retain=2)
+    legacy = spark.createDataFrame(
+        [(1, [0, 1, 2, 3]), (2, [1, 1, 1, 1])],
+        "vec_id long, codes array<int>",
+    )
+    write_state_version(legacy, f"{idx}/codes", retain=1)
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    with pytest.raises(Exception, match="predates build stamping"):
+        pq_index_probe(qdf, idx, k=2).collect()
+    with pytest.raises(ValueError, match="predates build stamping"):
+        pq_index_delete(spark, idx, [1])
+
+
+def test_pq_index_stats_counts_rows_across_changed_m(spark, tmp_path):
+    """Review r15: n_live / n_stale count RESOLVED ROWS (via the s=0
+    buckets), never exploded entries divided by the CURRENT m — a
+    crashed retrain that changed m must not under- or over-count the
+    stale rows it left behind."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_stats,
+        pq_train,
+    )
+    from spark_data_test_spark.state import write_state_version
+
+    corpus = _mk(15, 8, 359)
+    idx = str(tmp_path / "pqm")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    cb8 = pq_train(
+        spark.createDataFrame(corpus, _SCHEMA), m=8, ncodes=5, rounds=1
+    )
+    write_state_version(cb8, f"{idx}/codebook", retain=2)  # crashed retrain
+    s = pq_index_stats(spark, idx).collect()[0]
+    assert s.n_live == 15 and s.n_stale == 15
+    assert s.m == 8  # the committed (new) model's shape
