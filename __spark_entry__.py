@@ -14,84 +14,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-15 window accounting (this
+# (registration order). CANONICAL round-16 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
-# flagship (compare_overall_report, re-earned every round) + 3 NEW
-# registrations (the persisted ANN index family put under the oracle
-# regime: similarity_pq_index_probe / similarity_ivfpq_index_probe /
-# similarity_refined_ann — never checked, so stalest by definition) +
-# the 46 stalest backlog rows (the complete r10-era cohort of 22,
-# then the r11-era head through groupby_dup_count). That is exactly
-# 50; after this round no registry row's latest driver green is older
-# than round 11. tests/test_registry_invariants.py enforces that
-# greens / window / queue always covers the registry.
+# flagship (compare_overall_report, re-earned every round) + 1 NEW
+# registration (similarity_ivf_index_probe — the IVF-Flat persisted-
+# index lifecycle, completing the three-index symmetry; never
+# checked, so stalest by definition) + 3 re-earns whose code changed
+# this round (similarity_pq_index_probe / similarity_ivfpq_index_probe
+# / similarity_refined_ann — the ADVICE-r15 hardening touched the
+# shared dedup/stamp/build machinery they ride) + the 45 stalest
+# backlog rows (the complete r11-era cohort of 24, then the r12-era
+# head through pack_sequences). That is exactly 50; after this round
+# no registry row's latest driver green is older than round 12.
+# tests/test_registry_invariants.py enforces that greens / window /
+# queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
+    "similarity_ivf_index_probe",
     "similarity_pq_index_probe",
     "similarity_ivfpq_index_probe",
     "similarity_refined_ann",
-    "similarity_pq_ann",
-    "similarity_ivfpq_ann",
-    "similarity_pq_recall_report",
-    "events_sliding_distinct_users",
-    "similarity_cluster_purity",
-    "streaming_heavy_hitters",
-    "similarity_ivf_train",
-    "dedup_incremental_simhash",
-    "compare_incremental_slice",
-    "text_ngram_novelty",
-    "corpus_source_similarity",
-    "dedup_bucketed_index_probe",
-    "similarity_incremental_ingest",
-    "ml_logistic_quality_train",
-    "ml_logistic_calibration",
-    "dedup_index_build",
-    "dedup_incremental_minhash",
-    "dedup_incremental_exact",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "sink_inverted_index_roundtrip",
-    "events_value_histogram",
-    "streaming_incremental_minhash",
-    "streaming_incremental_dedup",
-    "streaming_late_data_audit",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_near_jaccard",
-    "dedup_connected_components",
-    "dedup_cluster_size_stats",
-    "dedup_survivorship",
-    "window_lead_lag",
-    "left_anti_join",
-    "grouping_sets_agg",
-    "except_rows",
-    "scan_filter_project",
-    "select_drop_rename",
-    "case_when_bucket",
-    "null_default_coalesce",
-    "checksum_sha2",
-    "numeric_tolerance_abs",
-    "eq_null_safe",
-    "full_outer_join_missing",
-    "conditional_sum_missing",
-    "left_join_enrich",
-    "groupby_dup_count",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# r11/r12-era displaced remainder (after the 46 promoted into the
-# round-15 window), and the list ends with the 49 r14-green rows the
-# round-15 cut displaced (registration order).
-_CHECKED_BACKLOG = [
     "create_map_getitem",
     "window_dup_count",
     "window_running_sum",
@@ -137,6 +79,22 @@ _CHECKED_BACKLOG = [
     "sample_split_stratified",
     "mix_weighted_sources",
     "pack_sequences",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# r12-era displaced remainder (after the 45 promoted into the
+# round-16 window), and the list ends with the 46 r15-green rows the
+# round-16 cut displaced (registration order).
+_CHECKED_BACKLOG = [
     "sample_topk_per_group",
     "events_asof_join",
     "events_range_join",
@@ -262,6 +220,52 @@ _CHECKED_BACKLOG = [
     "text_langid_confusion",
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier",
+    "similarity_pq_ann",
+    "similarity_ivfpq_ann",
+    "similarity_pq_recall_report",
+    "events_sliding_distinct_users",
+    "similarity_cluster_purity",
+    "streaming_heavy_hitters",
+    "similarity_ivf_train",
+    "dedup_incremental_simhash",
+    "compare_incremental_slice",
+    "text_ngram_novelty",
+    "corpus_source_similarity",
+    "dedup_bucketed_index_probe",
+    "similarity_incremental_ingest",
+    "ml_logistic_quality_train",
+    "ml_logistic_calibration",
+    "dedup_index_build",
+    "dedup_incremental_minhash",
+    "dedup_incremental_exact",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "sink_inverted_index_roundtrip",
+    "events_value_histogram",
+    "streaming_incremental_minhash",
+    "streaming_incremental_dedup",
+    "streaming_late_data_audit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "dedup_connected_components",
+    "dedup_cluster_size_stats",
+    "dedup_survivorship",
+    "window_lead_lag",
+    "left_anti_join",
+    "grouping_sets_agg",
+    "except_rows",
+    "scan_filter_project",
+    "select_drop_rename",
+    "case_when_bucket",
+    "null_default_coalesce",
+    "checksum_sha2",
+    "numeric_tolerance_abs",
+    "eq_null_safe",
+    "full_outer_join_missing",
+    "conditional_sum_missing",
+    "left_join_enrich",
+    "groupby_dup_count",
 ]
 
 

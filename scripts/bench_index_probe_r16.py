@@ -1,17 +1,27 @@
-"""Round-15 probe-cost study across the three persisted ANN indexes
-(ADVICE r15: the docstring used to say round-14; superseded by
-scripts/bench_index_probe_r16.py, kept for the r15 artifact's
-provenance).
+"""Round-16 probe-cost + build-cost study across the persisted ANN
+indexes.
 
-Builds all three over the sf0.1 embeddings table, then times a
-64-query probe batch (min of two passes) against each committed
-index. The claim under test is the architecture story: the PQ index
-scans every live code row per query (linear in the corpus), while the
-IVF-PQ index scores only the probed cells' rows — so its probe cost
-should sit well under the flat-PQ scan and track nprobe/ncells.
-IVF-Flat is the raw-vector baseline. Writes BENCH_INDEX_PROBE_r15.json.
+Builds all three over the (x30-amplified) sf0.1 embeddings table,
+then times a 64-query probe batch (min of two passes) against each
+committed index. The claim under test is the architecture story: the
+PQ index scans every live code row per query (linear in the corpus),
+while the IVF-PQ index scores only the probed cells' rows — so its
+probe cost should sit well under the flat-PQ scan and track
+nprobe/ncells. IVF-Flat is the raw-vector baseline.
 
-Usage: python scripts/bench_index_probe_r15.py
+NEW in round 16 (VERDICT r15 item 5): the SAMPLE-TRAINED build line.
+`ivf_index_build(centroids=...)` is the designed 100 TB build path —
+train the coarse quantizer on a sample, then index the full corpus
+under the injected model (FAISS trains on a slice, then ``add``s
+everything). This script measures it: `ivf_flat_sample_trained`
+trains on the UNAMPLIFIED sf0.1 slice (1/30 of the corpus) and
+`ivf_flat_assign_only` indexes the full amplified corpus under those
+pre-trained centroids — the number that shows a sample-trained build
+costs ~assignment only, vs the full-corpus Lloyd `ivf_flat` build.
+
+Writes BENCH_INDEX_PROBE_r16.json.
+
+Usage: python scripts/bench_index_probe_r16.py
 """
 
 import json
@@ -41,7 +51,7 @@ def main():
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("spark-data-test-bench-index-probe-r15")
+        .appName("spark-data-test-bench-index-probe-r16")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -88,6 +98,19 @@ def main():
     timed_build("ivfpq", lambda: ivfpq_index_build(
         emb, f"{root}/ivfpq", m=4, ncodes=16, vec_col="embedding"))
 
+    # the 100 TB build path: train on the unamplified slice (1/factor
+    # of the corpus), then index the FULL corpus under the injected
+    # centroids — build cost should collapse to ~assignment only
+    sample = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed_build("ivf_flat_sample_train", lambda: ivf_index_build(
+        sample, f"{root}/ivf_sample", vec_col="embedding"))
+    from spark_data_test_spark.state import read_state_table
+
+    cents = read_state_table(spark, f"{root}/ivf_sample/centroids")
+    timed_build("ivf_flat_assign_only", lambda: ivf_index_build(
+        emb, f"{root}/ivf_pretrained", centroids=cents,
+        vec_col="embedding"))
+
     timed_probe("ivf_flat_nprobe4", lambda: ivf_index_probe(
         queries, f"{root}/ivf", k=10, nprobe=4, vec_col="embedding"))
     timed_probe("pq_full_scan", lambda: pq_index_probe(
@@ -100,14 +123,19 @@ def main():
     shutil.rmtree(root, ignore_errors=True)
     result = {
         "note": (
-            "round-15 probe-cost study (re-measured after the build-stamp + dedup hardening: each probe now pays one extra model-sized hash aggregate and a scan-side stamp check) over the x30-amplified sf0.1 "
-            "embeddings corpus, 64-query batch, k=10, min of two passes per "
-            "probe. pq_full_scan ranks every live code row per query "
-            "(the honest flat-ADC contract); ivfpq restricts the ADC "
-            "scan to the probed cells' rows, so its probe should sit "
-            "under the flat scan and grow with nprobe; ivf_flat is "
-            "the raw-vector cell-probe baseline. Builds are one-time "
-            "costs (both Lloyd trainings for ivfpq)."
+            "round-16 probe+build-cost study over the x30-amplified "
+            "sf0.1 embeddings corpus, 64-query batch, k=10, min of two "
+            "passes per probe. pq_full_scan ranks every live code row "
+            "per query (the honest flat-ADC contract); ivfpq restricts "
+            "the ADC scan to the probed cells' rows, so its probe "
+            "should sit under the flat scan and grow with nprobe; "
+            "ivf_flat is the raw-vector cell-probe baseline. Builds "
+            "are one-time costs (both Lloyd trainings for ivfpq). NEW: "
+            "ivf_flat_sample_train is a full Lloyd train over the 1/30 "
+            "unamplified slice; ivf_flat_assign_only indexes the FULL "
+            "x30 corpus under those injected centroids — the "
+            "sample-train 100 TB build path, to compare against the "
+            "full-corpus-Lloyd ivf_flat build."
         ),
         "metric": "index_probe_sec",
         "unit": "sec",
@@ -115,7 +143,7 @@ def main():
         "builds": builds,
         "probes": probes,
     }
-    with open("/root/repo/BENCH_INDEX_PROBE_r15.json", "w") as f:
+    with open("/root/repo/BENCH_INDEX_PROBE_r16.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result["probes"]))
 

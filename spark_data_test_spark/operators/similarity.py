@@ -1801,6 +1801,167 @@ def similarity_ivfpq_index_probe(spark, sf_dir):
 
 
 @query(
+    "similarity_ivf_index_probe",
+    f"""
+    WITH {_ORACLE_BASE.strip()},
+    {_kmeans_ctes()},
+    lfdot AS (
+      SELECT f.vec_id, c.cent_id, CAST(SUM(f.v * c.v) AS BIGINT) AS dot
+      FROM flat f JOIN cflat{_KM_ROUNDS} c ON f.i = c.i GROUP BY 1, 2),
+    lscore AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(d.dot AS DOUBLE) /
+               sqrt(CAST(vn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+      FROM lfdot d
+      JOIN norms vn ON vn.vec_id = d.vec_id AND vn.n2 > 0
+      JOIN cn{_KM_ROUNDS} cn ON cn.cent_id = d.cent_id),
+    fassign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id) AS rn
+        FROM lscore) WHERE rn = 1),
+    nsrc AS (
+      SELECT vec_id + {_INGEST_OFFSET} AS vec_id, i, -v AS v
+      FROM flat WHERE vec_id % 7 = 0 AND vec_id < {_PQIDX_APPEND_LIM}
+      UNION ALL
+      SELECT vec_id, i, -v FROM flat
+      WHERE vec_id % 13 = 5 AND vec_id < {_PQIDX_UPDATE_LIM}),
+    nnorm AS (SELECT vec_id, SUM(v * v) AS n2 FROM nsrc GROUP BY 1),
+    nfdot AS (
+      SELECT x.vec_id, c.cent_id, CAST(SUM(x.v * c.v) AS BIGINT) AS dot
+      FROM nsrc x JOIN cflat{_KM_ROUNDS} c ON c.i = x.i GROUP BY 1, 2),
+    nscore AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(d.dot AS DOUBLE) /
+               sqrt(CAST(vn.n2 AS DOUBLE) * CAST(cn.n2 AS DOUBLE)) AS cos
+      FROM nfdot d
+      JOIN nnorm vn ON vn.vec_id = d.vec_id AND vn.n2 > 0
+      JOIN cn{_KM_ROUNDS} cn ON cn.cent_id = d.cent_id),
+    nassign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id) AS rn
+        FROM nscore) WHERE rn = 1),
+    keptvec AS (
+      SELECT vec_id, i, v FROM (
+        SELECT vec_id, i, v FROM flat
+        WHERE NOT (vec_id % 13 = 5 AND vec_id < {_PQIDX_UPDATE_LIM})
+        UNION ALL
+        SELECT vec_id, i, v FROM nsrc)
+      WHERE vec_id % {_PQIDX_DEL_MOD} <> 3),
+    keptn2 AS (
+      SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2
+      FROM keptvec GROUP BY 1),
+    keptcell AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell FROM fassign
+        WHERE NOT (vec_id % 13 = 5 AND vec_id < {_PQIDX_UPDATE_LIM})
+        UNION ALL SELECT vec_id, cell FROM nassign)
+      WHERE vec_id % {_PQIDX_DEL_MOD} <> 3),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id) AS rn
+        FROM lscore WHERE vec_id < {_NQ}) WHERE rn <= {_NPROBE}),
+    idot AS (
+      SELECT p.query_id, kc.vec_id AS x,
+             CAST(SUM(q.v * kv.v) AS BIGINT) AS dot
+      FROM probes p
+      JOIN keptcell kc ON kc.cell = p.cell AND kc.vec_id <> p.query_id
+      JOIN flat q ON q.vec_id = p.query_id
+      JOIN keptvec kv ON kv.vec_id = kc.vec_id AND kv.i = q.i
+      GROUP BY 1, 2),
+    iscore AS (
+      SELECT d.query_id, d.x,
+             CAST(d.dot AS DOUBLE) /
+               sqrt(CAST(qn.n2 AS DOUBLE) * CAST(xn.n2 AS DOUBLE)) AS cos
+      FROM idot d
+      JOIN norms qn ON qn.vec_id = d.query_id AND qn.n2 > 0
+      JOIN keptn2 xn ON xn.vec_id = d.x AND xn.n2 > 0)
+    SELECT query_id, x AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+           CAST(round(cos * 1000000) AS BIGINT) AS cos_1e6
+    FROM (SELECT query_id, x, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, x) AS rn
+          FROM iscore)
+    WHERE rn <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_index_probe(spark, sf_dir):
+    """The PERSISTED IVF-Flat index's full LSM lifecycle as one
+    hash-checked query (round 16, VERDICT r15 item 2 — completes the
+    three-index symmetry with `similarity_pq_index_probe` and
+    `similarity_ivfpq_index_probe`): `ivf_index_build` commits the
+    registered deterministic trained centroids (injected via the
+    build's pre-trained-model path — the train-on-a-sample 100 TB
+    shape) plus the raw-vector postings log (IVF-Flat: the inverted
+    lists CARRY the vectors); `ivf_index_probe(commit=True)` ingests
+    the planted shard (64 shifted arrivals + 20 in-place updates
+    whose vector AND cell must atomically replace their base rows
+    under latest-wins — a negated vector lands in a different cell);
+    `ivf_index_delete` tombstones every live id = 3 (mod
+    {_PQIDX_DEL_MOD}) across base and delta rows; and the final probe
+    answers the {_NQ}-query batch over each query's {_NPROBE} best
+    cells with EXACT cosine rescoring of only those cells' resolved
+    live vectors. The oracle replays the entire committed-state math
+    from scratch — coarse training, the library's cell-assignment
+    cosine for base AND negated-shard rows, latest-wins supersession,
+    tombstone drops, cell-restricted exact rescoring — so a wrong
+    merge rule, a missed tombstone, or drifted centroids breaks the
+    hash. This also puts the round-15 hardening of exactly this code
+    path (up-front dup-id collapse, build stamps / `_stamp_guard`)
+    under the driver's hash check each round. Scale shape: the
+    committed index is probed, never rebuilt per batch — build
+    O(corpus) assignment-only under an injected model, ingest
+    O(shard), delete O(tombstones), probe O(batch x nprobe cells) —
+    and every join rides the broadcast centroid frame or the cell /
+    vec_id equi-keys (plan-pinned in tests/test_plans.py)."""
+    from spark_data_test_spark.state import fresh_run_root
+
+    _assert_vec_headroom(sf_dir)
+    emb = _int_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir).select(
+        "cent_id", F.col("ce").alias("cv"), F.col("cn2").alias("cn2")
+    )
+    root = fresh_run_root("ivf_index_probe", key=sf_dir)
+    idx = f"{root}/index"
+    ivf_index_build(
+        emb.select("vec_id", "e"), idx, centroids=cents, vec_col="e"
+    )
+    ivf_index_probe(
+        _pqidx_ingest_shard(emb),
+        idx,
+        k=1,
+        nprobe=_NPROBE,
+        vec_col="e",
+        commit=True,
+    )
+    ivf_index_delete(spark, idx, _pqidx_delete_ids(emb))
+    res = ivf_index_probe(
+        emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
+        idx,
+        k=_IVF_TOPK,
+        nprobe=_NPROBE,
+        vec_col="e",
+    )
+    return (
+        res.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.expr(
+                "cast(round(cosine * 1000000) as bigint)"
+            ).alias("cos_1e6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
     "similarity_refined_ann",
     f"""
     WITH {_ORACLE_BASE.strip()},
@@ -2314,13 +2475,15 @@ def ivf_index_build(
     any build of this family) to skip training and index the full
     corpus under the supplied model — the train-on-a-sample pattern,
     matching `pq_index_build` / `ivfpq_index_build`; ``ncells`` /
-    ``rounds`` are ignored when centroids are supplied. Returns the
+    ``rounds`` are ignored when centroids are supplied. Measured:
+    `BENCH_INDEX_PROBE_r16.json` records this path as
+    `ivf_flat_assign_only` (full x30 corpus under 1/30-sample-trained
+    centroids) against the full-corpus-Lloyd `ivf_flat` build — the
+    sample-trained build collapses to ~assignment cost, the 100 TB
+    build story measured rather than asserted. Returns the
     number of indexed vectors (zero-norm vectors are dropped: cosine
     is undefined for them, matching the whole ANN family)."""
-    from spark_data_test_spark.state import (
-        read_state_table,
-        write_state_version,
-    )
+    from spark_data_test_spark.state import write_state_version
 
     c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
     try:
@@ -2334,21 +2497,20 @@ def ivf_index_build(
             )
         else:
             cent_table = centroids.select("cent_id", "cv", "cn2")
-        # commit the model FIRST, then re-read it: assignment AND the
-        # build stamp both derive from the COMMITTED snapshot, so a
-        # nondeterministic injected centroid frame (sample(), limit())
-        # can never leave postings assigned or stamped under a
-        # different evaluation than the model probes will read
-        os.makedirs(index_path, exist_ok=True)
-        write_state_version(
-            cent_table, f"{index_path}/centroids", retain=2
-        )
-        committed = read_state_table(
-            corpus.sparkSession, f"{index_path}/centroids"
-        )
-        bid = _model_build_hash(committed, ["cent_id", "cv", "cn2"])
+        # pin the model with an eager localCheckpoint so it evaluates
+        # exactly ONCE: assignment, the build stamp, and the commit
+        # below all read the same pinned rows, so a nondeterministic
+        # injected centroid frame (sample(), limit()) can never leave
+        # postings assigned or stamped under a different evaluation
+        # than the model probes will read. Pinning (instead of
+        # commit-then-re-read, ADVICE r15) keeps BOTH commits at the
+        # END of the build: a mid-build failure of a same-path rebuild
+        # (OOM, bad input, interrupt) leaves the old index fully
+        # serving instead of new models over old stamped logs.
+        pinned = cent_table.localCheckpoint(eager=True)
+        bid = _model_build_hash(pinned, ["cent_id", "cv", "cn2"])
         cents = F.broadcast(
-            committed.select(
+            pinned.select(
                 "cent_id",
                 F.col("cv").alias("_cv"),
                 F.col("cn2").alias("_cn2"),
@@ -2376,16 +2538,21 @@ def ivf_index_build(
                 F.lit(bid).alias("build_id"),
             )
         )
-        # centroids committed above: a SNAPSHOT table (retrains replace
-        # it; retain=2 keeps the previous snapshot for time travel).
-        # postings: the BASE of a log table — committed with retain=1
-        # so a REBUILD at an existing index_path RESETS the log
-        # (pruning every posting version of the previous index, whose
-        # cell ids are meaningless under the new centroids); the
-        # ingest deltas that `ivf_index_probe(commit=True)` appends
-        # afterwards use RETAIN_ALL so the log accumulates from this
-        # fresh base.
+        # both commits at the END, model first: centroids are a
+        # SNAPSHOT table (retrains replace it; retain=2 keeps the
+        # previous snapshot for time travel); postings are the BASE of
+        # a log table — committed with retain=1 so a REBUILD at an
+        # existing index_path RESETS the log (pruning every posting
+        # version of the previous index, whose cell ids are
+        # meaningless under the new centroids); the ingest deltas that
+        # `ivf_index_probe(commit=True)` appends afterwards use
+        # RETAIN_ALL so the log accumulates from this fresh base. A
+        # crash BETWEEN the two commits is detected (stamp mismatch,
+        # see `_model_build_hash`); a crash before either leaves the
+        # old index untouched and serving.
         n = assign.persist().count()
+        os.makedirs(index_path, exist_ok=True)
+        write_state_version(pinned, f"{index_path}/centroids", retain=2)
         write_state_version(assign, f"{index_path}/postings", retain=1)
         assign.unpersist()
         return n
@@ -2415,11 +2582,29 @@ def _model_build_hash(model, cols):
     stale codes against the wrong model. The hash identifies model
     CONTENT, not the build event: an identical retrain re-stamps
     identically, which is exactly right — its codes are valid. One
-    model-sized aggregate, no corpus touch."""
-    row = model.agg(
-        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("h")
-    ).first()
+    model-sized aggregate, no corpus touch.
+
+    A bare bit_xor is multiplicity-blind (pairs of identical rows
+    cancel to 0, so a doubled table would hash like an empty one and
+    an empty model would stamp as 0) — ADVICE r15. The stamp therefore
+    folds the row COUNT and a masked per-row hash SUM in alongside the
+    xor: duplicate-row corruption changes count and sum even when the
+    xor cancels, and an empty model hashes the (NULL, 0, NULL)
+    aggregate triple — a fixed value distinct from any row's. The sum
+    masks each row hash to 31 bits so it stays exact far past any
+    model size (2^53 / 2^31 ≈ 4M rows) under ANSI long arithmetic."""
+    row = model.agg(F.expr(_build_hash_expr(cols)).alias("h")).first()
     return 0 if row is None or row.h is None else int(row.h)
+
+
+def _build_hash_expr(cols):
+    """The build-stamp aggregate as a SQL expression string, so probes
+    that fold the expected stamp into an EXISTING model agg (no extra
+    action) evaluate the exact formula `_model_build_hash` stamps with
+    — one definition, no drift between the stamping and checking
+    sides."""
+    rh = f"xxhash64({', '.join(cols)})"
+    return f"xxhash64(bit_xor({rh}), count(*), sum({rh} & 2147483647))"
 
 
 def _stamp_guard(frame, payload_col, expected, op, live):
@@ -3009,7 +3194,10 @@ def ivf_index_stats(spark, index_path):
       (round 15). Probes FAIL loudly on any stale row; stats MEASURE
       the damage without raising — the health check an operator runs
       after a suspected crashed rebuild, before deciding to re-run
-      the build.
+      the build. A postings log with NO committed centroids at all
+      (corrupted half-state) reads out as ``model_hash`` NULL with
+      ``n_stale`` = ``n_live`` — every live row unverifiable (ADVICE
+      r15: stats observe even fully damaged indexes).
 
     All aggregates run distributed over the log; only the single
     summary row reaches the driver. Returns None for a missing
@@ -3028,24 +3216,24 @@ def ivf_index_stats(spark, index_path):
     if log is None:
         return None
     cents = read_state_table(spark, f"{index_path}/centroids")
+    # a postings log without committed centroids is CORRUPTED state
+    # (the build commits model before log), but stats MEASURE damage,
+    # they never raise (ADVICE r15 — probes raise, stats observe): the
+    # readout comes back with model_hash NULL and n_stale = n_live,
+    # since every live row is unverifiable against a missing model.
     if cents is None:
-        # a postings log can only exist under committed centroids (the
-        # build writes the model first) — corrupted state, not an
-        # empty index
-        raise ValueError(
-            f"ivf_index_stats: postings log without committed centroids"
-            f" at {index_path} (re-run ivf_index_build)"
-        )
-    expected = _model_build_hash(cents, ["cent_id", "cv", "cn2"])
-    exp_lit = F.lit(expected).cast("long")
+        exp_lit = F.lit(None).cast("long")
+        stale = F.lit(True)
+    else:
+        expected = _model_build_hash(cents, ["cent_id", "cv", "cn2"])
+        exp_lit = F.lit(expected).cast("long")
+        stale = ~F.col("build_id").eqNullSafe(exp_lit)
     resolved = _resolved_postings(spark, index_path)
     # n_live and the stale count fold out of the per-cell histogram,
     # so the resolve subplan executes ONCE for all live-side stats
     per_cell = resolved.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(
-            (~F.col("build_id").eqNullSafe(exp_lit)).cast("long")
-        ).alias("_st"),
+        F.sum(stale.cast("long")).alias("_st"),
     )
     cells = per_cell.agg(
         F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_live"),
@@ -3097,17 +3285,24 @@ def _pq_dedup_ids(corpus, id_col, vec_col):
     """One row per id, deterministically: a batch (or corpus) may carry
     the same id twice with DIFFERENT vectors; both would land in ONE
     commit version, where the latest-wins read's max_by on the version
-    ties arbitrarily. Keep the lexicographically greatest vector per id
-    (arrays are orderable), mirroring `ivf_index_probe`'s commit
-    dedupe."""
+    ties arbitrarily. Keep the greatest (squared-norm, vector) pair per
+    id — norm first so a zero-norm duplicate can never outrank a live
+    vector and then silently vanish in the IVF family's zero-norm drop
+    (ADVICE r15: lexicographic-greatest alone kept e.g. [0,0] over
+    [-1,-5], erasing the id from both the answer and the commit);
+    vector order (arrays are orderable) breaks exact-norm ties."""
+    v = F.col(vec_col)
+    n2 = F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + x * x)"
+    )
     return (
         corpus.select(
             F.col(id_col).alias(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
         )
-        .where(F.col(vec_col).isNotNull())
+        .where(v.isNotNull())
         .groupBy(id_col)
-        .agg(F.max(vec_col).alias(vec_col))
+        .agg(F.max_by(vec_col, F.struct(n2, v)).alias(vec_col))
     )
 
 
@@ -3169,27 +3364,29 @@ def pq_index_build(
             c, m=m, ncodes=ncodes, rounds=rounds,
             id_col=id_col, vec_col=vec_col,
         )
-    os.makedirs(index_path, exist_ok=True)
-    # codebook: SNAPSHOT (retain=2 keeps the previous model for time
-    # travel); codes: LOG BASE (retain=1 so a same-path rebuild resets
-    # the log; ingest deltas append with RETAIN_ALL from this base).
-    # Both the ENCODING and the build stamp derive from the COMMITTED
-    # codebook (re-read after its write), so a nondeterministic
-    # injected codebook frame can never leave codes encoded or stamped
-    # under a different evaluation than the model probes will read.
-    write_state_version(codebook, f"{index_path}/codebook", retain=2)
-    from spark_data_test_spark.state import read_state_table
-
-    committed_cb = read_state_table(
-        corpus.sparkSession, f"{index_path}/codebook"
-    )
-    bid = _model_build_hash(committed_cb, ["s", "cent_id", "csub"])
+    # pin the model with an eager localCheckpoint so it evaluates
+    # exactly ONCE: the encoding, the build stamp, and the commit
+    # below all read the same pinned rows — a nondeterministic
+    # injected codebook frame can never leave codes encoded or
+    # stamped under a different evaluation than the model probes will
+    # read. Pinning (instead of commit-then-re-read, ADVICE r15)
+    # keeps BOTH commits at the END of the build, so a mid-build
+    # failure of a same-path rebuild leaves the old index fully
+    # serving. Commit order (model, then log): codebook SNAPSHOT
+    # (retain=2 keeps the previous model for time travel), codes LOG
+    # BASE (retain=1 so a same-path rebuild resets the log; ingest
+    # deltas append with RETAIN_ALL from this base); a crash between
+    # the two is detected by the stamp guard.
+    pinned_cb = codebook.localCheckpoint(eager=True)
+    bid = _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
     packed = _pq_pack_codes(
-        pq_encode(c, committed_cb, id_col=id_col, vec_col=vec_col), id_col
+        pq_encode(c, pinned_cb, id_col=id_col, vec_col=vec_col), id_col
     ).withColumn("build_id", F.lit(bid))
     packed = packed.persist()
     try:
         n = packed.count()
+        os.makedirs(index_path, exist_ok=True)
+        write_state_version(pinned_cb, f"{index_path}/codebook", retain=2)
         write_state_version(packed, f"{index_path}/codes", retain=1)
     finally:
         packed.unpersist()
@@ -3279,7 +3476,7 @@ def pq_index_probe(
         F.max(F.size("csub")).alias("subdim"),
         # committed-codebook content hash, folded into the existing
         # model agg (no extra action) — the expected build stamp
-        F.expr("bit_xor(xxhash64(s, cent_id, csub))").alias("bid"),
+        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
     ).first()
     expected = int(cb_row.bid)
     codes = _resolved_codes(spark, index_path, expect_build=expected)
@@ -3441,7 +3638,11 @@ def pq_index_stats(spark, index_path):
     - ``model_hash`` / ``n_stale``: the committed codebook's content
       hash and the count of live rows stamped with a DIFFERENT build
       (round 15). Probes FAIL loudly on any stale row; stats MEASURE
-      the damage without raising.
+      the damage without raising. A codes log with NO committed
+      codebook at all (corrupted half-state) reads out as
+      ``model_hash`` / ``m`` / ``n_code_rows`` NULL with ``n_stale``
+      = ``n_live`` (ADVICE r15: stats observe even fully damaged
+      indexes).
 
     All aggregates run distributed over the log; only the single
     summary row reaches the driver. Returns None for a missing
@@ -3460,23 +3661,23 @@ def pq_index_stats(spark, index_path):
     if log is None:
         return None
     codebook = read_state_table(spark, f"{index_path}/codebook")
+    # a codes log without a committed codebook is CORRUPTED state (the
+    # build commits model before log), but stats MEASURE damage, they
+    # never raise (ADVICE r15 — probes raise, stats observe): the
+    # readout comes back with model_hash / m / n_code_rows NULL and
+    # n_stale = n_live, every live row unverifiable.
     if codebook is None:
-        # a codes log can only exist under a committed codebook (the
-        # build writes the model first) — this is corrupted state, not
-        # an empty index
-        raise ValueError(
-            f"pq_index_stats: codes log without a committed codebook at"
-            f" {index_path} (re-run pq_index_build)"
-        )
-    expected = _model_build_hash(codebook, ["s", "cent_id", "csub"])
-    exp_lit = F.lit(expected).cast("long")
+        exp_lit = F.lit(None).cast("long")
+        stale = F.lit(True)
+    else:
+        expected = _model_build_hash(codebook, ["s", "cent_id", "csub"])
+        exp_lit = F.lit(expected).cast("long")
+        stale = ~F.col("build_id").eqNullSafe(exp_lit)
     resolved = _resolved_codes(spark, index_path)
     per_bucket = (
         resolved.select(
             F.posexplode("codes").alias("s", "code"),
-            (~F.col("build_id").eqNullSafe(exp_lit)).cast("long").alias(
-                "_st"
-            ),
+            stale.cast("long").alias("_st"),
         )
         .groupBy("s", "code")
         .agg(
@@ -3506,10 +3707,16 @@ def pq_index_stats(spark, index_path):
         F.count_distinct("_pv").alias("n_versions"),
         F.sum(F.col("codes").isNull().cast("long")).alias("n_tombstones"),
     )
-    model = codebook.agg(
-        (F.max("s") + 1).cast("long").alias("m"),
-        F.count(F.lit(1)).alias("n_code_rows"),
-    )
+    if codebook is None:
+        model = spark.range(1).select(
+            F.lit(None).cast("long").alias("m"),
+            F.lit(None).cast("long").alias("n_code_rows"),
+        )
+    else:
+        model = codebook.agg(
+            (F.max("s") + 1).cast("long").alias("m"),
+            F.count(F.lit(1)).alias("n_code_rows"),
+        )
     return (
         live.crossJoin(F.broadcast(raw))
         .crossJoin(F.broadcast(model))
@@ -3579,10 +3786,7 @@ def ivfpq_index_build(
     that training stage and index the full corpus under the supplied
     model — the train-on-a-sample, add-everything pattern.
     Returns the number of indexed vectors."""
-    from spark_data_test_spark.state import (
-        read_state_table,
-        write_state_version,
-    )
+    from spark_data_test_spark.state import write_state_version
 
     d = _pq_dedup_ids(corpus, id_col, vec_col)
     c = _norm_vectors(d, id_col, vec_col, "ivfpq_index_build").persist()
@@ -3605,26 +3809,22 @@ def ivfpq_index_build(
                 surv, m=m, ncodes=ncodes, rounds=pq_rounds,
                 id_col=id_col, vec_col=vec_col,
             )
-        # commit BOTH models first, then re-read them: cell assignment,
-        # encoding, AND the stamp all derive from the COMMITTED
-        # snapshots, so nondeterministic injected model frames can
-        # never leave postings built under a different evaluation than
-        # the models probes will read
-        os.makedirs(index_path, exist_ok=True)
-        write_state_version(
-            cent_table, f"{index_path}/centroids", retain=2
-        )
-        write_state_version(codebook, f"{index_path}/codebook", retain=2)
-        spark = corpus.sparkSession
-        committed_cents = read_state_table(
-            spark, f"{index_path}/centroids"
-        )
-        committed_cb = read_state_table(spark, f"{index_path}/codebook")
+        # pin BOTH models with eager localCheckpoints so each
+        # evaluates exactly ONCE: cell assignment, encoding, the
+        # stamp, and the commits below all read the same pinned rows,
+        # so nondeterministic injected model frames can never leave
+        # postings built under a different evaluation than the models
+        # probes will read. Pinning (instead of commit-then-re-read,
+        # ADVICE r15) keeps all three commits at the END of the
+        # build: a mid-build failure of a same-path rebuild leaves
+        # the old index fully serving.
+        pinned_cents = cent_table.localCheckpoint(eager=True)
+        pinned_cb = codebook.localCheckpoint(eager=True)
         bid = _model_build_hash(
-            committed_cents, ["cent_id", "cv", "cn2"]
-        ) ^ _model_build_hash(committed_cb, ["s", "cent_id", "csub"])
+            pinned_cents, ["cent_id", "cv", "cn2"]
+        ) ^ _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
         cents = F.broadcast(
-            committed_cents.select(
+            pinned_cents.select(
                 "cent_id",
                 F.col("cv").alias("_cv"),
                 F.col("cn2").alias("_cn2"),
@@ -3646,7 +3846,7 @@ def ivfpq_index_build(
         )
         packed = _pq_pack_codes(
             pq_encode(
-                surv, committed_cb, id_col=id_col, vec_col=vec_col
+                surv, pinned_cb, id_col=id_col, vec_col=vec_col
             ),
             id_col,
         )
@@ -3656,6 +3856,13 @@ def ivfpq_index_build(
         postings = postings.persist()
         try:
             n = postings.count()
+            os.makedirs(index_path, exist_ok=True)
+            write_state_version(
+                pinned_cents, f"{index_path}/centroids", retain=2
+            )
+            write_state_version(
+                pinned_cb, f"{index_path}/codebook", retain=2
+            )
             write_state_version(
                 postings, f"{index_path}/postings", retain=1
             )
@@ -3758,7 +3965,7 @@ def ivfpq_index_probe(
     cb_row = codebook.agg(
         F.max("s").alias("m1"),
         F.max(F.size("csub")).alias("subdim"),
-        F.expr("bit_xor(xxhash64(s, cent_id, csub))").alias("bid"),
+        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
     ).first()
     expected = cent_hash ^ int(cb_row.bid)
     postings = _resolved_ivfpq_postings(
@@ -3965,9 +4172,13 @@ def ivfpq_index_stats(spark, index_path):
     ``model_hash`` / ``n_stale`` (round 15: the XOR-combined content
     hash of BOTH committed models, and the count of live rows stamped
     with a different build — probes FAIL loudly on any stale row;
-    stats MEASURE the damage without raising). All aggregates run
-    distributed; one summary row reaches the driver. Returns None
-    for a missing index."""
+    stats MEASURE the damage without raising; a postings log missing
+    either committed model reads out as ``model_hash`` NULL with
+    ``n_stale`` = ``n_live``, plus ``m`` / ``n_code_rows`` NULL when
+    the codebook is the missing one — ADVICE r15: stats observe even
+    fully damaged indexes). All aggregates run distributed; one
+    summary row reaches the driver. Returns None for a missing
+    index."""
     from spark_data_test_spark.state import (
         read_state_table,
         read_state_union,
@@ -3983,26 +4194,26 @@ def ivfpq_index_stats(spark, index_path):
         return None
     cents = read_state_table(spark, f"{index_path}/centroids")
     codebook = read_state_table(spark, f"{index_path}/codebook")
+    # a postings log without BOTH committed models is CORRUPTED state
+    # (the build commits models before log), but stats MEASURE damage,
+    # they never raise (ADVICE r15 — probes raise, stats observe): the
+    # readout comes back with model_hash NULL and n_stale = n_live,
+    # every live row unverifiable against the missing model(s).
     if cents is None or codebook is None:
-        # a postings log can only exist under both committed models
-        # (the build writes them first) — corrupted state, not an
-        # empty index
-        raise ValueError(
-            f"ivfpq_index_stats: postings log without committed models"
-            f" at {index_path} (re-run ivfpq_index_build)"
-        )
-    expected = _model_build_hash(
-        cents, ["cent_id", "cv", "cn2"]
-    ) ^ _model_build_hash(codebook, ["s", "cent_id", "csub"])
-    exp_lit = F.lit(expected).cast("long")
+        exp_lit = F.lit(None).cast("long")
+        stale = F.lit(True)
+    else:
+        expected = _model_build_hash(
+            cents, ["cent_id", "cv", "cn2"]
+        ) ^ _model_build_hash(codebook, ["s", "cent_id", "csub"])
+        exp_lit = F.lit(expected).cast("long")
+        stale = ~F.col("build_id").eqNullSafe(exp_lit)
     per_cell = (
         _resolved_ivfpq_postings(spark, index_path)
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.sum(
-                (~F.col("build_id").eqNullSafe(exp_lit)).cast("long")
-            ).alias("_st"),
+            F.sum(stale.cast("long")).alias("_st"),
         )
     )
     cells = per_cell.agg(
@@ -4020,10 +4231,16 @@ def ivfpq_index_stats(spark, index_path):
             (F.col("cell") == F.lit(_TOMBSTONE_CELL)).cast("long")
         ).alias("n_tombstones"),
     )
-    model = codebook.agg(
-        (F.max("s") + 1).cast("long").alias("m"),
-        F.count(F.lit(1)).alias("n_code_rows"),
-    )
+    if codebook is None:
+        model = spark.range(1).select(
+            F.lit(None).cast("long").alias("m"),
+            F.lit(None).cast("long").alias("n_code_rows"),
+        )
+    else:
+        model = codebook.agg(
+            (F.max("s") + 1).cast("long").alias("m"),
+            F.count(F.lit(1)).alias("n_code_rows"),
+        )
     return (
         cells.crossJoin(F.broadcast(raw))
         .crossJoin(F.broadcast(model))

@@ -923,3 +923,37 @@ def test_ivfpq_commit_excludes_ragged_rows(spark, tmp_path):
         .collect()[0]
     )
     assert row.codes is not None and row.build_id is not None
+
+
+def test_ivfpq_index_stats_observes_missing_models(spark, tmp_path):
+    """ADVICE r15: stats MEASURE damage, they never raise — a postings
+    log missing either committed model (corrupted half-state) reads
+    out with model_hash NULL and n_stale = n_live instead of raising,
+    plus m / n_code_rows NULL when the codebook is the missing one."""
+    import shutil
+
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        ivfpq_index_stats,
+    )
+
+    corpus = _mk(16, 8, 811)
+    idx = str(tmp_path / "ivfpqidx")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    shutil.rmtree(f"{idx}/codebook")
+    s = ivfpq_index_stats(spark, idx).collect()[0]
+    assert s.model_hash is None
+    assert s.m is None and s.n_code_rows is None
+    assert s.n_stale == s.n_live == 16
+    with pytest.raises(ValueError, match="no committed index"):
+        ivfpq_index_probe(
+            spark.createDataFrame(corpus[:2], _SCHEMA), idx
+        )
+    # centroids missing too: still a readout, not a raise
+    shutil.rmtree(f"{idx}/centroids")
+    s2 = ivfpq_index_stats(spark, idx).collect()[0]
+    assert s2.model_hash is None and s2.n_stale == s2.n_live == 16

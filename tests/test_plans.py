@@ -575,6 +575,7 @@ def test_refined_ann_and_index_probe_plan_discipline(spark, sf_dir):
         "similarity_refined_ann",
         "similarity_pq_index_probe",
         "similarity_ivfpq_index_probe",
+        "similarity_ivf_index_probe",
     ):
         df = qmap[name](spark, sf_dir)
         plan = simple_plan(df)

@@ -703,3 +703,31 @@ def test_pq_index_stats_counts_rows_across_changed_m(spark, tmp_path):
     s = pq_index_stats(spark, idx).collect()[0]
     assert s.n_live == 15 and s.n_stale == 15
     assert s.m == 8  # the committed (new) model's shape
+
+
+def test_pq_index_stats_observes_missing_codebook(spark, tmp_path):
+    """ADVICE r15: stats MEASURE damage, they never raise — a codes
+    log whose codebook snapshot is gone (corrupted half-state) reads
+    out with model_hash / m / n_code_rows NULL and n_stale = n_live
+    instead of raising, while the probe still fails loudly."""
+    import shutil
+
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_probe,
+        pq_index_stats,
+    )
+
+    corpus = _mk(15, 8, 401)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    shutil.rmtree(f"{idx}/codebook")
+    s = pq_index_stats(spark, idx).collect()[0]
+    assert s.model_hash is None
+    assert s.m is None and s.n_code_rows is None
+    assert s.n_stale == s.n_live == 15
+    assert s.n_log_rows == 15 and s.n_tombstones == 0
+    with pytest.raises(ValueError, match="no committed index"):
+        pq_index_probe(spark.createDataFrame(corpus[:2], _SCHEMA), idx)

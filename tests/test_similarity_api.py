@@ -446,11 +446,13 @@ def test_ivf_index_probe_requires_index(spark, tmp_path):
 def test_ivf_index_probe_commit_dedupes_batch_ids(spark, tmp_path):
     """A commit batch carrying the same vec_id twice (with DIFFERENT
     vectors) must land exactly ONE deterministic row in the committed
-    version — the FAMILY rule: the lexicographically greatest vector
-    (`_pq_dedup_ids`, shared with pq_index_probe / ivfpq_index_probe
-    since the round-15 up-front dedupe) — otherwise both rows share
-    one commit version and the latest-wins read's max_by ties
-    arbitrarily (repeated reads could disagree)."""
+    version — the FAMILY rule: the greatest (squared-norm, vector)
+    pair (`_pq_dedup_ids`, shared with pq_index_probe /
+    ivfpq_index_probe since the round-15 up-front dedupe; norm-first
+    since ADVICE r15 so a zero-norm duplicate never erases a live
+    vector) — otherwise both rows share one commit version and the
+    latest-wins read's max_by ties arbitrarily (repeated reads could
+    disagree)."""
     from spark_data_test_spark import ivf_index_build, ivf_index_probe
     from spark_data_test_spark.operators.similarity import (
         _resolved_postings,
@@ -465,8 +467,8 @@ def test_ivf_index_probe_commit_dedupes_batch_ids(spark, tmp_path):
     base = corpus[0][1]
     v_a = [0.5 * x for x in base]
     v_b = [2.0 * x for x in base]
-    # the family rule keeps the lexicographically greatest ARRAY
-    winner = max(v_a, v_b)
+    # the family rule keeps the greatest (squared-norm, vector) pair
+    winner = max([v_a, v_b], key=lambda v: (sum(x * x for x in v), v))
     dup = [(900, v_a), (900, v_b)]
     ivf_index_probe(
         spark.createDataFrame(dup, schema), idx, k=2, nprobe=3, commit=True
@@ -1135,3 +1137,97 @@ def test_ivf_index_stats_reports_model_hash_and_staleness(spark, tmp_path):
     s2 = ivf_index_stats(spark, idx).collect()[0]
     assert s2.n_stale == s2.n_live == 14
     assert s2.model_hash != s.model_hash
+
+
+def test_model_build_hash_counts_multiplicity(spark):
+    """ADVICE r15: a bare bit_xor is multiplicity-blind — pairs of
+    identical rows cancel, so a doubled model table used to hash like
+    an EMPTY one (both 0). The stamp now folds in the row count and a
+    masked hash sum: duplicate-row corruption and empty models all
+    hash distinctly."""
+    from spark_data_test_spark.operators.similarity import (
+        _model_build_hash,
+    )
+
+    schema = "cent_id long, cv array<double>, cn2 double"
+    cols = ["cent_id", "cv", "cn2"]
+    rows = [(0, [1.0, 2.0], 5.0), (1, [3.0, 4.0], 25.0)]
+    single = spark.createDataFrame(rows, schema)
+    doubled = spark.createDataFrame(rows + rows, schema)
+    empty = spark.createDataFrame([], schema)
+    tripled_head = spark.createDataFrame(rows + rows[:1], schema)
+    h_single = _model_build_hash(single, cols)
+    h_doubled = _model_build_hash(doubled, cols)
+    h_empty = _model_build_hash(empty, cols)
+    # the xor of a doubled table cancels to the empty xor; the count
+    # and sum terms must still separate all three
+    assert h_doubled != h_empty
+    assert h_single != h_doubled
+    assert h_single != h_empty
+    # {A, A, B} vs {B}: xor cancels the A-pair, count/sum do not
+    h_aab = _model_build_hash(tripled_head, cols)
+    h_b = _model_build_hash(
+        spark.createDataFrame(rows[1:], schema), cols
+    )
+    assert h_aab != h_b
+    # deterministic across evaluations
+    assert h_single == _model_build_hash(single, cols)
+
+
+def test_ivf_probe_dedup_keeps_live_vector_over_zero_dup(spark, tmp_path):
+    """ADVICE r15: a duplicated batch id whose lexicographically
+    GREATEST vector is a zero vector (e.g. [0,0] vs [-1,-5]) used to
+    win the dedup and then silently vanish in the zero-norm drop —
+    erasing the id from both the answer and the commit. The dedup now
+    orders by (squared-norm, vector), so the live vector survives."""
+    from spark_data_test_spark import ivf_index_build, ivf_index_probe
+    from spark_data_test_spark.operators.similarity import (
+        _resolved_postings,
+    )
+
+    corpus, _ = _fixture(n=14, nq=0, dim=6, seed=101)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    live = [-1.0, -5.0, -1.0, -5.0, -1.0, -5.0]
+    dup = [(900, [0.0] * 6), (900, live)]
+    res = ivf_index_probe(
+        spark.createDataFrame(dup, schema), idx, k=3, nprobe=3, commit=True
+    ).collect()
+    # the query side answered under the live vector (not dropped)
+    assert {r.query_id for r in res} == {900}
+    rows = _resolved_postings(spark, idx).where("vec_id = 900").collect()
+    assert len(rows) == 1
+    assert [round(x, 9) for x in rows[0].v] == live
+
+
+def test_ivf_index_stats_observes_missing_centroids(spark, tmp_path):
+    """ADVICE r15: stats MEASURE damage, they never raise — a postings
+    log whose centroids snapshot is gone (corrupted half-state) reads
+    out with model_hash NULL and n_stale = n_live instead of raising,
+    while the probe still fails loudly."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_index_stats,
+    )
+
+    corpus, queries = _fixture(n=14, nq=2, dim=6, seed=103)
+    schema = "vec_id long, emb array<double>"
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    shutil.rmtree(f"{idx}/centroids")
+    s = ivf_index_stats(spark, idx).collect()[0]
+    assert s.model_hash is None
+    assert s.n_stale == s.n_live == 14
+    assert s.n_log_rows == 14 and s.n_tombstones == 0
+    with _pytest.raises(ValueError, match="no committed index"):
+        ivf_index_probe(spark.createDataFrame(queries, schema), idx)
