@@ -13,7 +13,7 @@ NEW in round 16 (VERDICT r15 item 5): the SAMPLE-TRAINED build line.
 `ivf_index_build(centroids=...)` is the designed 100 TB build path —
 train the coarse quantizer on a sample, then index the full corpus
 under the injected model (FAISS trains on a slice, then ``add``s
-everything). This script measures it: `ivf_flat_sample_trained`
+everything). This script measures it: `ivf_flat_sample_train`
 trains on the UNAMPLIFIED sf0.1 slice (1/30 of the corpus) and
 `ivf_flat_assign_only` indexes the full amplified corpus under those
 pre-trained centroids — the number that shows a sample-trained build

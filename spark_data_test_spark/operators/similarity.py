@@ -2506,7 +2506,12 @@ def ivf_index_build(
         # commit-then-re-read, ADVICE r15) keeps BOTH commits at the
         # END of the build: a mid-build failure of a same-path rebuild
         # (OOM, bad input, interrupt) leaves the old index fully
-        # serving instead of new models over old stamped logs.
+        # serving instead of new models over old stamped logs. The
+        # pinned blocks are model-sized (~sqrt(n) rows) and live until
+        # the ContextCleaner collects the frame; localCheckpoint is
+        # non-reliable storage, so losing an executor mid-build fails
+        # the build loudly — re-run it, the same crash posture as the
+        # non-atomic commits themselves.
         pinned = cent_table.localCheckpoint(eager=True)
         bid = _model_build_hash(pinned, ["cent_id", "cv", "cn2"])
         cents = F.broadcast(
@@ -2591,8 +2596,11 @@ def _model_build_hash(model, cols):
     xor: duplicate-row corruption changes count and sum even when the
     xor cancels, and an empty model hashes the (NULL, 0, NULL)
     aggregate triple — a fixed value distinct from any row's. The sum
-    masks each row hash to 31 bits so it stays exact far past any
-    model size (2^53 / 2^31 ≈ 4M rows) under ANSI long arithmetic."""
+    masks each row hash to 31 non-negative bits so the exact long sum
+    cannot reach ANSI overflow until ~2^32 rows — far past any model
+    size. NOTE: this formula replaced a bare bit_xor in round 16;
+    indexes committed under the old formula fail their next probe's
+    stamp check and need one rebuild (`_stamp_guard` says so)."""
     row = model.agg(F.expr(_build_hash_expr(cols)).alias("h")).first()
     return 0 if row is None or row.h is None else int(row.h)
 
@@ -2627,7 +2635,9 @@ def _stamp_guard(frame, payload_col, expected, op, live):
                 F.lit(
                     f"{op}: committed model and log rows carry different"
                     " build stamps — a rebuild crashed between its"
-                    " commits, or the log predates build stamping;"
+                    " commits, the log predates build stamping, or the"
+                    " index was committed under an older stamp formula"
+                    " (the round-16 stamp folds count+sum into the xor);"
                     " re-run the build at this index path"
                 ),
             ),
@@ -2832,8 +2842,8 @@ def ivf_index_probe(
             f"ivf_index_probe: index at {index_path} has centroids but "
             "no committed postings (re-run ivf_index_build)"
         )
-    # collapse duplicate batch ids up front (greatest vector), the
-    # family rule shared with pq_index_probe / ivfpq_index_probe: a dup
+    # collapse duplicate batch ids up front (greatest (norm, vector)
+    # pair), the family rule shared with pq_index_probe / ivfpq_index_probe: a dup
     # id would interleave both vectors' candidates in ONE rank window,
     # producing duplicate neighbor_ids and corrupt ranks
     queries = _pq_dedup_ids(queries, id_col, vec_col)
@@ -3354,8 +3364,8 @@ def pq_index_build(
     pattern a 100 TB deployment uses (FAISS trains on a slice, then
     ``add``s everything); ``m``/``ncodes``/``rounds`` are ignored when
     a codebook is supplied. Duplicate ids in the corpus are collapsed
-    deterministically (greatest vector). Returns the number of indexed
-    vectors."""
+    deterministically (greatest (squared-norm, vector) pair).
+    Returns the number of indexed vectors."""
     from spark_data_test_spark.state import write_state_version
 
     c = _pq_dedup_ids(corpus, id_col, vec_col)
@@ -3376,7 +3386,8 @@ def pq_index_build(
     # (retain=2 keeps the previous model for time travel), codes LOG
     # BASE (retain=1 so a same-path rebuild resets the log; ingest
     # deltas append with RETAIN_ALL from this base); a crash between
-    # the two is detected by the stamp guard.
+    # the two is detected by the stamp guard. Pin block lifetime and
+    # executor-loss posture: see ivf_index_build's pin note.
     pinned_cb = codebook.localCheckpoint(eager=True)
     bid = _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
     packed = _pq_pack_codes(
@@ -3773,8 +3784,8 @@ def ivfpq_index_build(
     ``index_path``: ``centroids/`` and ``codebook/`` snapshots
     (retain=2 for time travel) plus ``postings/``, the log base of
     one ``(vec_id, cell, codes)`` row per vector. Duplicate ids
-    collapse deterministically (greatest vector); zero-norm vectors
-    are dropped (cosine cell assignment is undefined for them — the
+    collapse deterministically (greatest (squared-norm, vector)
+    pair); zero-norm vectors are dropped (cosine cell assignment is undefined for them — the
     ANN-family contract). A same-path rebuild resets the postings log
     (old cells AND old codes are meaningless under retrained models);
     the three commits are not atomic together, but every posting row
@@ -3817,7 +3828,8 @@ def ivfpq_index_build(
         # probes will read. Pinning (instead of commit-then-re-read,
         # ADVICE r15) keeps all three commits at the END of the
         # build: a mid-build failure of a same-path rebuild leaves
-        # the old index fully serving.
+        # the old index fully serving. Pin block lifetime and
+        # executor-loss posture: see ivf_index_build's pin note.
         pinned_cents = cent_table.localCheckpoint(eager=True)
         pinned_cb = codebook.localCheckpoint(eager=True)
         bid = _model_build_hash(
@@ -3982,7 +3994,8 @@ def ivfpq_index_probe(
         )
     )
     mq = int(cb_row.m1) + 1
-    # collapse duplicate batch ids up front (greatest vector): a dup id
+    # collapse duplicate batch ids up front (greatest (norm, vector)
+    # pair): a dup id
     # would otherwise mix two rows' cells in one probe window and sum
     # both distance tables into one ADC score
     queries = _pq_dedup_ids(queries, id_col, vec_col)
@@ -4318,7 +4331,8 @@ def refine_topk(
     )
     # duplicate ids in either frame would rank one candidate twice /
     # interleave two rows of one query in the same rank window —
-    # collapse deterministically (greatest vector), the family rule
+    # collapse deterministically (greatest (norm, vector) pair), the
+    # family rule
     resolver = _pq_dedup_ids(resolver, id_col, vec_col)
     queries = _pq_dedup_ids(queries, id_col, vec_col)
     if metric == "cosine":
