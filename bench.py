@@ -96,6 +96,9 @@ HEADLINE = [
     "similarity_pq_index_probe",
     "similarity_ivfpq_index_probe",
     "similarity_refined_ann",
+    # round-16 addition: the IVF-Flat lifecycle row completing the
+    # three-index symmetry
+    "similarity_ivf_index_probe",
     "text_ngram_novelty",
     "corpus_source_similarity",
     "similarity_centroid_outliers",
