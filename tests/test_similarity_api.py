@@ -1231,3 +1231,156 @@ def test_ivf_index_stats_observes_missing_centroids(spark, tmp_path):
     assert s.n_log_rows == 14 and s.n_tombstones == 0
     with _pytest.raises(ValueError, match="no committed index"):
         ivf_index_probe(spark.createDataFrame(queries, schema), idx)
+
+
+def test_probe_dedup_rule_property_sweep(spark, tmp_path):
+    """Hypothesis sweep of the ADVICE-r15 dedup rule: for random query
+    batches carrying duplicated ids — including zero vectors — probing
+    the raw batch equals probing the Python-collapsed batch (keep the
+    greatest (squared-norm, vector) pair per id), on both the IVF and
+    PQ index probes. Zero-vector duplicates must never erase a live
+    vector, and an all-zero id must vanish from the IVF answer (cosine
+    undefined) while still ranking under PQ/ADC (L2 is defined)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_probe,
+        pq_index_build,
+        pq_index_probe,
+    )
+
+    corpus, _ = _fixture(n=12, nq=0, dim=4, seed=211)
+    schema = "vec_id long, emb array<double>"
+    ividx = str(tmp_path / "ivfidx")
+    pqidx = str(tmp_path / "pqidx")
+    int_corpus = [
+        (i, [float(round(x * 3)) for x in v]) for i, v in corpus
+    ]
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), ividx, ncells=3, rounds=2
+    )
+    pq_index_build(
+        spark.createDataFrame(int_corpus, schema), pqidx, m=2, ncodes=4,
+        rounds=1,
+    )
+
+    @st.composite
+    def batches(draw):
+        nids = draw(st.integers(1, 3))
+        val = st.integers(-4, 4)
+        rows = []
+        for q in range(nids):
+            reps = draw(st.integers(1, 3))
+            for _ in range(reps):
+                zero = draw(st.booleans()) and draw(st.booleans())
+                vec = (
+                    [0.0] * 4
+                    if zero
+                    else [float(draw(val)) for _ in range(4)]
+                )
+                rows.append((700 + q, vec))
+        return rows
+
+    def collapse(rows):
+        best = {}
+        for vid, vec in rows:
+            key = (sum(x * x for x in vec), vec)
+            if vid not in best or key > (
+                sum(x * x for x in best[vid]),
+                best[vid],
+            ):
+                best[vid] = vec
+        return sorted(best.items())
+
+    def probe_set(df, val_col):
+        return {
+            (r.query_id, r.neighbor_id, r.rank, round(r[val_col], 6))
+            for r in df.collect()
+        }
+
+    @given(rows=batches())
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(rows):
+        raw = spark.createDataFrame(rows, schema)
+        clean = spark.createDataFrame(collapse(rows), schema)
+        got_ivf = probe_set(
+            ivf_index_probe(raw, ividx, k=3, nprobe=3), "cosine"
+        )
+        want_ivf = probe_set(
+            ivf_index_probe(clean, ividx, k=3, nprobe=3), "cosine"
+        )
+        assert got_ivf == want_ivf
+        # zero-norm winners are dropped from the IVF answer entirely
+        zero_ids = {
+            vid for vid, vec in collapse(rows) if all(x == 0.0 for x in vec)
+        }
+        assert not ({q for q, *_ in got_ivf} & {i for i in zero_ids})
+        got_pq = probe_set(
+            pq_index_probe(raw, pqidx, k=3), "adc_dist"
+        )
+        want_pq = probe_set(
+            pq_index_probe(clean, pqidx, k=3), "adc_dist"
+        )
+        assert got_pq == want_pq
+
+    prop()
+
+
+def test_model_build_hash_property_sweep(spark):
+    """Hypothesis sweep of the stamp formula: permutation-invariant
+    (any row order hashes identically — the aggregate must not depend
+    on partitioning) and multiplicity-sensitive (doubling the rows, or
+    appending a duplicate of an existing row, changes the hash — the
+    ADVICE-r15 corruption classes a bare xor misses)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from spark_data_test_spark.operators.similarity import (
+        _model_build_hash,
+    )
+
+    schema = "cent_id long, cv array<double>, cn2 double"
+    cols = ["cent_id", "cv", "cn2"]
+
+    @st.composite
+    def models(draw):
+        n = draw(st.integers(1, 5))
+        val = st.integers(-5, 5)
+        rows = [
+            (
+                i,
+                [float(draw(val)) for _ in range(3)],
+                float(draw(st.integers(0, 50))),
+            )
+            for i in range(n)
+        ]
+        perm = draw(st.permutations(rows))
+        return rows, perm
+
+    @given(m=models())
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def prop(m):
+        rows, perm = m
+        h = _model_build_hash(spark.createDataFrame(rows, schema), cols)
+        h_perm = _model_build_hash(
+            spark.createDataFrame(perm, schema), cols
+        )
+        assert h == h_perm
+        h_doubled = _model_build_hash(
+            spark.createDataFrame(rows + rows, schema), cols
+        )
+        assert h_doubled != h
+        h_dup_head = _model_build_hash(
+            spark.createDataFrame(rows + rows[:1], schema), cols
+        )
+        assert h_dup_head != h
+
+    prop()
