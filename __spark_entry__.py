@@ -14,18 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-16 window accounting (this
+# (registration order). CANONICAL round-17 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
-# flagship (compare_overall_report, re-earned every round) + 1 NEW
-# registration (similarity_ivf_index_probe — the IVF-Flat persisted-
-# index lifecycle, completing the three-index symmetry; never
-# checked, so stalest by definition) + 3 re-earns whose code changed
-# this round (similarity_pq_index_probe / similarity_ivfpq_index_probe
-# / similarity_refined_ann — the ADVICE-r15 hardening touched the
-# shared dedup/stamp/build machinery they ride) + the 45 stalest
-# backlog rows (the complete r11-era cohort of 24, then the r12-era
-# head through pack_sequences). That is exactly 50; after this round
-# no registry row's latest driver green is older than round 12.
+# flagship (compare_overall_report, re-earned every round) + 3
+# re-earns whose code changed this round (similarity_ivf_index_probe
+# / similarity_pq_index_probe / similarity_ivfpq_index_probe — the
+# ADVICE-r16 fixes touched the shared stamp/build machinery they
+# ride: persisted stamp-format versioning, localCheckpoint pin
+# release) + the 46 stalest backlog rows (the complete r12-era cohort
+# of 28, head sample_topk_per_group, then the r13-era head through
+# tpch_q19_disjunctive_revenue). That is exactly 50; after this round
+# no registry row's latest driver green is older than round 13.
 # tests/test_registry_invariants.py enforces that greens / window /
 # queue always covers the registry.
 _DRIVER_WINDOW = [
@@ -33,68 +32,6 @@ _DRIVER_WINDOW = [
     "similarity_ivf_index_probe",
     "similarity_pq_index_probe",
     "similarity_ivfpq_index_probe",
-    "similarity_refined_ann",
-    "create_map_getitem",
-    "window_dup_count",
-    "window_running_sum",
-    "text_knn_graph",
-    "multimodal_real_image_decode",
-    "similarity_centroid_outliers",
-    "events_sliding_window",
-    "tpch_q1_pricing_summary",
-    "colwise_mismatch_unpivot",
-    "orderby_limit_topk",
-    "union_consolidate",
-    "drop_duplicates_by_key",
-    "distinct_rows",
-    "rollup_agg",
-    "array_higher_order_stats",
-    "pivot_status_by_priority",
-    "compare_row_report",
-    "compare_column_report",
-    "compare_nulls_overall",
-    "compare_unkeyed_multiset",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_bucketed_table_roundtrip",
-    "sink_partitioned_parquet",
-    "dedup_containment",
-    "dedup_lsh_recall_report",
-    "tpch_q6_forecast_revenue",
-    "grouped_apply_stats",
-    "similarity_cosine_topk",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_binary_features",
-    "streaming_tumbling_counts",
-    "streaming_sessionization",
-    "streaming_stream_stream_join",
-    "json_extract_props",
-    "window_rank_topk",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "events_sessionization",
-    "sample_split_stratified",
-    "mix_weighted_sources",
-    "pack_sequences",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# r12-era displaced remainder (after the 45 promoted into the
-# round-16 window), and the list ends with the 46 r15-green rows the
-# round-16 cut displaced (registration order).
-_CHECKED_BACKLOG = [
     "sample_topk_per_group",
     "events_asof_join",
     "events_range_join",
@@ -141,6 +78,23 @@ _CHECKED_BACKLOG = [
     "tpch_q12_priority_bands",
     "tpch_q13_order_distribution",
     "tpch_q19_disjunctive_revenue",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# r13-era displaced remainder (after the 18 promoted into the
+# round-17 window), followed by the r14/r15-green rows in staleness
+# order, and the list ends with the 46 r16-green rows the round-17
+# cut displaced (registration order).
+_CHECKED_BACKLOG = [
     "tpch_q7_nation_volume",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
@@ -266,6 +220,52 @@ _CHECKED_BACKLOG = [
     "conditional_sum_missing",
     "left_join_enrich",
     "groupby_dup_count",
+    "similarity_refined_ann",
+    "create_map_getitem",
+    "window_dup_count",
+    "window_running_sum",
+    "text_knn_graph",
+    "multimodal_real_image_decode",
+    "similarity_centroid_outliers",
+    "events_sliding_window",
+    "tpch_q1_pricing_summary",
+    "colwise_mismatch_unpivot",
+    "orderby_limit_topk",
+    "union_consolidate",
+    "drop_duplicates_by_key",
+    "distinct_rows",
+    "rollup_agg",
+    "array_higher_order_stats",
+    "pivot_status_by_priority",
+    "compare_row_report",
+    "compare_column_report",
+    "compare_nulls_overall",
+    "compare_unkeyed_multiset",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_bucketed_table_roundtrip",
+    "sink_partitioned_parquet",
+    "dedup_containment",
+    "dedup_lsh_recall_report",
+    "tpch_q6_forecast_revenue",
+    "grouped_apply_stats",
+    "similarity_cosine_topk",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_binary_features",
+    "streaming_tumbling_counts",
+    "streaming_sessionization",
+    "streaming_stream_stream_join",
+    "json_extract_props",
+    "window_rank_topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "events_sessionization",
+    "sample_split_stratified",
+    "mix_weighted_sources",
+    "pack_sequences",
 ]
 
 

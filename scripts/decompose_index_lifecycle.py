@@ -1,0 +1,281 @@
+"""Stage-level decomposition of the IVF-Flat and flat-PQ persisted-
+index lifecycle rows at x1/x30 (VERDICT r16 item 4): the amplified
+slope of `similarity_pq_index_probe` steepened 2.44x (r15) -> 4.07x
+(r16) and the new `similarity_ivf_index_probe` sits at 5.44x; the
+stated explanations — the pq row's probe is a LINEAR flat ADC scan by
+contract, and the ivf row's postings log carries RAW 64-double
+vectors — must be attributed to the stage that owns them by
+construction, not by narrative.
+
+Each registered row is replayed as its exact five lifecycle stages
+(same internals, same fresh run root, forced materialization between
+stages — builds count, ingest commits, deletes commit, the final
+probe writes to the noop sink):
+
+  stage    what                                         scales with
+  ------   ------------------------------------------   -------------
+  model    codebook train (pq: one integer-L2 Lloyd     corpus (pq) /
+           pass, session-cached and CLEARED per bench   ~constant
+           pass, so every bench run pays it) /          (ivf reads
+           trained-centroid resolution (ivf: persisted  persisted
+           state read in steady state)                  state)
+  build    *_index_build under the injected model:      corpus
+           encode/assign every vector + two commits     (1 scan)
+  ingest   *_index_probe(shard, k=1, commit=True):      pq: corpus!
+           the FIXED 84-row planted shard — but the     (84-query flat
+           pq ingest ANSWERS a probe first, and a       ADC scan);
+           flat-PQ probe scans ALL n codes              ivf: probed
+                                                        cells only
+  delete   tombstone commit for the n/11 takedown ids   corpus/11
+  probe    the final 8-query batch over resolved state  pq: all codes;
+                                                        ivf: nprobe
+                                                        cells
+
+The registered line is also timed end-to-end in the same pass so the
+stage sum's coverage is auditable (sum ~= total; the residual is
+driver orchestration).
+
+Usage: python scripts/decompose_index_lifecycle.py [factor ...]
+Writes DECOMP_INDEX_LIFECYCLE.json (min of two passes per stage).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    factors = [int(a) for a in sys.argv[1:]] or [1, 30]
+    sf_base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    import bench
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-data-test-decompose-index-lifecycle")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_data_test_spark.operators.similarity import (
+        _IVF_TOPK,
+        _NPROBE,
+        _NQ,
+        _PQ_TOPK,
+        _int_embeddings,
+        _pq_codebook,
+        _pqidx_delete_ids,
+        _pqidx_ingest_shard,
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_probe,
+        pq_index_build,
+        pq_index_delete,
+        pq_index_probe,
+        train_ivf_centroids,
+    )
+    from spark_data_test_spark.state import fresh_run_root
+
+    qmap = entry_mod.queries()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def stages_pq(sf_dir, counts):
+        emb = _int_embeddings(spark, sf_dir)
+        root = fresh_run_root("decomp_pqidx", key=sf_dir)
+        idx = f"{root}/index"
+
+        def s_model():
+            counts["pq_codebook_rows"] = _pq_codebook(spark, sf_dir).count()
+
+        def s_build():
+            counts["pq_indexed"] = pq_index_build(
+                emb.select("vec_id", "e"), idx, codebook=_pq_codebook(
+                    spark, sf_dir
+                ), vec_col="e",
+            )
+
+        def s_ingest():
+            pq_index_probe(
+                _pqidx_ingest_shard(emb), idx, k=1, vec_col="e", commit=True
+            )
+
+        def s_delete():
+            pq_index_delete(spark, idx, _pqidx_delete_ids(emb))
+
+        def s_probe():
+            noop(
+                pq_index_probe(
+                    emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
+                    idx,
+                    k=_PQ_TOPK,
+                    vec_col="e",
+                )
+            )
+
+        return [
+            ("model", s_model),
+            ("build", s_build),
+            ("ingest", s_ingest),
+            ("delete", s_delete),
+            ("probe", s_probe),
+        ]
+
+    def stages_ivf(sf_dir, counts):
+        emb = _int_embeddings(spark, sf_dir)
+        root = fresh_run_root("decomp_ivfidx", key=sf_dir)
+        idx = f"{root}/index"
+
+        def cents():
+            return train_ivf_centroids(spark, sf_dir).select(
+                "cent_id", F.col("ce").alias("cv"),
+                F.col("cn2").alias("cn2"),
+            )
+
+        def s_model():
+            counts["ivf_centroid_rows"] = cents().count()
+
+        def s_build():
+            counts["ivf_indexed"] = ivf_index_build(
+                emb.select("vec_id", "e"), idx, centroids=cents(),
+                vec_col="e",
+            )
+
+        def s_ingest():
+            ivf_index_probe(
+                _pqidx_ingest_shard(emb), idx, k=1, nprobe=_NPROBE,
+                vec_col="e", commit=True,
+            )
+
+        def s_delete():
+            ivf_index_delete(spark, idx, _pqidx_delete_ids(emb))
+
+        def s_probe():
+            noop(
+                ivf_index_probe(
+                    emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
+                    idx,
+                    k=_IVF_TOPK,
+                    nprobe=_NPROBE,
+                    vec_col="e",
+                )
+            )
+
+        return [
+            ("model", s_model),
+            ("build", s_build),
+            ("ingest", s_ingest),
+            ("delete", s_delete),
+            ("probe", s_probe),
+        ]
+
+    per_factor = {}
+    for factor in factors:
+        sf_dir = (
+            sf_base_dir
+            if factor == 1
+            else bench._stage_amplified(spark, sf_base_dir, factor)
+        )
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        entry = {}
+        counts = {}
+        for _pass in range(2):
+            for qname, stage_fn in (
+                ("similarity_pq_index_probe", stages_pq),
+                ("similarity_ivf_index_probe", stages_ivf),
+            ):
+                # the bench clears session memo caches per run, so the
+                # model stage pays exactly what the bench line pays
+                bench._clear_all_memo_caches()
+                rec = entry.setdefault(qname, {"stages": {}})
+                for sname, fn in stage_fn(sf_dir, counts):
+                    t0 = time.time()
+                    fn()
+                    dt = round(time.time() - t0, 3)
+                    prev = rec["stages"].get(sname, dt)
+                    rec["stages"][sname] = min(prev, dt)
+                    print(
+                        f"x{factor} pass{_pass + 1} {qname}/{sname}: {dt}s",
+                        file=sys.stderr,
+                    )
+                # the registered end-to-end line, same pass conditions
+                bench._clear_all_memo_caches()
+                t0 = time.time()
+                noop(qmap[qname](spark, sf_dir))
+                dt = round(time.time() - t0, 3)
+                rec["total"] = min(rec.get("total", dt), dt)
+                print(
+                    f"x{factor} pass{_pass + 1} {qname}/TOTAL: {dt}s",
+                    file=sys.stderr,
+                )
+        for rec in entry.values():
+            rec["stage_sum"] = round(sum(rec["stages"].values()), 3)
+        entry["counts"] = counts
+        per_factor[f"x{factor}"] = entry
+
+    slopes = {}
+    if "x1" in per_factor:
+        for fx, entry in per_factor.items():
+            if fx == "x1":
+                continue
+            slopes[fx] = {}
+            for qname, rec in entry.items():
+                if qname == "counts":
+                    continue
+                base = per_factor["x1"][qname]
+                slopes[fx][qname] = {
+                    s: round(rec["stages"][s] / base["stages"][s], 2)
+                    for s in rec["stages"]
+                    if base["stages"].get(s)
+                }
+                if base.get("total"):
+                    slopes[fx][qname]["total"] = round(
+                        rec["total"] / base["total"], 2
+                    )
+
+    result = {
+        "note": (
+            "VERDICT r16 item 4: stage split of the flat-PQ and "
+            "IVF-Flat lifecycle rows at x1/x30 so the slope "
+            "steepening is attributed by construction. Stages: "
+            "model (pq codebook Lloyd pass, session-cache cleared "
+            "per pass exactly like the bench; ivf resolves persisted "
+            "trained centroids), build (encode/assign full corpus + "
+            "commits), ingest (fixed 84-row shard — but the pq "
+            "ingest's k=1 probe is a flat ADC scan of ALL n codes), "
+            "delete (n/11 tombstones), probe (8-query batch; pq "
+            "scans all codes by contract, ivf rescopes to nprobe "
+            "cells). min of two passes per stage; stage_sum vs "
+            "total audits coverage (residual = driver "
+            "orchestration)."
+        ),
+        "metric": "index_lifecycle_stage_decomposition",
+        "unit": "sec",
+        "per_factor": per_factor,
+        "stage_slopes_vs_x1": slopes,
+    }
+    with open("/root/repo/DECOMP_INDEX_LIFECYCLE.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(slopes))
+
+
+if __name__ == "__main__":
+    main()

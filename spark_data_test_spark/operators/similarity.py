@@ -2507,60 +2507,72 @@ def ivf_index_build(
         # END of the build: a mid-build failure of a same-path rebuild
         # (OOM, bad input, interrupt) leaves the old index fully
         # serving instead of new models over old stamped logs. The
-        # pinned blocks are model-sized (~sqrt(n) rows) and live until
-        # the ContextCleaner collects the frame; localCheckpoint is
-        # non-reliable storage, so losing an executor mid-build fails
-        # the build loudly — re-run it, the same crash posture as the
-        # non-atomic commits themselves.
+        # pinned blocks are model-sized (~sqrt(n) rows) and released
+        # explicitly after the final commit (ADVICE r16,
+        # `_release_pin`) on success AND failure paths; localCheckpoint
+        # is non-reliable storage, so losing an executor mid-build
+        # fails the build loudly — re-run it, the same crash posture
+        # as the non-atomic commits themselves.
         pinned = cent_table.localCheckpoint(eager=True)
-        bid = _model_build_hash(pinned, ["cent_id", "cv", "cn2"])
-        cents = F.broadcast(
-            pinned.select(
-                "cent_id",
-                F.col("cv").alias("_cv"),
-                F.col("cn2").alias("_cn2"),
-            )
-        )
-        assign = (
-            _cell_scored(c, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
+        try:
+            bid = _model_build_hash(pinned, ["cent_id", "cv", "cn2"])
+            cents = F.broadcast(
+                pinned.select(
                     "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("cell"),
-                F.first("_v").alias("v"),
-                F.first("_n2").alias("n2"),
+                    F.col("cv").alias("_cv"),
+                    F.col("cn2").alias("_cn2"),
+                )
             )
-            .select(
-                F.col("_id").alias("vec_id"),
-                "cell",
-                "v",
-                "n2",
-                F.lit(bid).alias("build_id"),
+            assign = (
+                _cell_scored(c, cents)
+                .groupBy("_id")
+                .agg(
+                    F.max_by(
+                        "cent_id",
+                        F.struct(
+                            F.col("_cos").alias("c"),
+                            (-F.col("cent_id")).alias("nc"),
+                        ),
+                    ).alias("cell"),
+                    F.first("_v").alias("v"),
+                    F.first("_n2").alias("n2"),
+                )
+                .select(
+                    F.col("_id").alias("vec_id"),
+                    "cell",
+                    "v",
+                    "n2",
+                    F.lit(bid).alias("build_id"),
+                    F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
+                )
             )
-        )
-        # both commits at the END, model first: centroids are a
-        # SNAPSHOT table (retrains replace it; retain=2 keeps the
-        # previous snapshot for time travel); postings are the BASE of
-        # a log table — committed with retain=1 so a REBUILD at an
-        # existing index_path RESETS the log (pruning every posting
-        # version of the previous index, whose cell ids are
-        # meaningless under the new centroids); the ingest deltas that
-        # `ivf_index_probe(commit=True)` appends afterwards use
-        # RETAIN_ALL so the log accumulates from this fresh base. A
-        # crash BETWEEN the two commits is detected (stamp mismatch,
-        # see `_model_build_hash`); a crash before either leaves the
-        # old index untouched and serving.
-        n = assign.persist().count()
-        os.makedirs(index_path, exist_ok=True)
-        write_state_version(pinned, f"{index_path}/centroids", retain=2)
-        write_state_version(assign, f"{index_path}/postings", retain=1)
-        assign.unpersist()
-        return n
+            # both commits at the END, model first: centroids are a
+            # SNAPSHOT table (retrains replace it; retain=2 keeps the
+            # previous snapshot for time travel); postings are the BASE
+            # of a log table — committed with retain=1 so a REBUILD at
+            # an existing index_path RESETS the log (pruning every
+            # posting version of the previous index, whose cell ids are
+            # meaningless under the new centroids); the ingest deltas
+            # that `ivf_index_probe(commit=True)` appends afterwards
+            # use RETAIN_ALL so the log accumulates from this fresh
+            # base. A crash BETWEEN the two commits is detected (stamp
+            # mismatch, see `_model_build_hash`); a crash before either
+            # leaves the old index untouched and serving.
+            assign = assign.persist()
+            try:
+                n = assign.count()
+                os.makedirs(index_path, exist_ok=True)
+                write_state_version(
+                    pinned, f"{index_path}/centroids", retain=2
+                )
+                write_state_version(
+                    assign, f"{index_path}/postings", retain=1
+                )
+            finally:
+                assign.unpersist()
+            return n
+        finally:
+            _release_pin(pinned)
     finally:
         c.unpersist()
 
@@ -2573,10 +2585,43 @@ def ivf_index_build(
 # the resolved view) physically drops deleted ids from the log.
 _TOMBSTONE_CELL = -1
 
+# Build-stamp FORMULA version, persisted as `stamp_fmt` alongside
+# `build_id` on every stamped log row (ADVICE r16): probes can then
+# tell "committed under an older formula — rebuild to migrate" apart
+# from genuine crashed-rebuild corruption, and any future formula
+# change bumps this constant instead of hitting the same wall.
+# History: 1 = bare bit_xor of per-row xxhash64 (rounds <= 15, never
+# persisted — those logs carry no stamp_fmt column and resolve to
+# NULL); 2 = xxhash64(xor, count, masked sum) (round 16+, see
+# `_build_hash_expr`; the column itself lands in round 17, so a
+# NULL stamp_fmt means a round-16-or-earlier writer).
+_STAMP_FMT = 2
+
+
+def _release_pin(df):
+    """Best-effort release of an eager ``localCheckpoint`` pin's blocks
+    (ADVICE r16): the checkpointed RDD is not in the cache manager, so
+    ``df.unpersist()`` cannot reach it and the blocks otherwise live
+    until the ContextCleaner garbage-collects the frame — many builds
+    in one long-lived session would accumulate pinned model-sized
+    blocks. The analyzed plan of a localCheckpoint IS the LogicalRDD
+    wrapping the checkpointed RDD; unpersist that RDD directly. Only
+    ever called AFTER the final commit reads the pin, and best-effort
+    by design: a Py4J surface change degrades back to the documented
+    GC backstop, never fails a build that already committed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # GC/ContextCleaner remains the backstop
+
 
 def _model_build_hash(model, cols):
-    """Order-independent content hash of a small model frame (bit_xor
-    of xxhash64 over the named columns) — the BUILD STAMP that makes a
+    """Order-independent content hash of a small model frame —
+    ``xxhash64(xor, count, masked sum)`` over per-row xxhash64s of the
+    named columns, the exact aggregate `_build_hash_expr` defines —
+    the BUILD STAMP that makes a
     crashed rebuild detectable: every build stamps this hash of the
     model(s) it committed into the postings/codes rows it writes, and
     every probe recomputes the hash from the COMMITTED model(s) and
@@ -2600,7 +2645,10 @@ def _model_build_hash(model, cols):
     cannot reach ANSI overflow until ~2^32 rows — far past any model
     size. NOTE: this formula replaced a bare bit_xor in round 16;
     indexes committed under the old formula fail their next probe's
-    stamp check and need one rebuild (`_stamp_guard` says so)."""
+    stamp check and need one rebuild (`_stamp_guard` says so). Since
+    round 17 every stamped row also persists the formula VERSION
+    (`_STAMP_FMT` as ``stamp_fmt``), so the guard diagnoses a future
+    formula change as a migration instead of corruption."""
     row = model.agg(F.expr(_build_hash_expr(cols)).alias("h")).first()
     return 0 if row is None or row.h is None else int(row.h)
 
@@ -2625,23 +2673,45 @@ def _stamp_guard(frame, payload_col, expected, op, live):
     upstream filter, because the optimizer may elide a redundant
     tombstone filter (e.g. under a posexplode, which drops NULL arrays
     by itself) and the guard must never fire on a tombstone winner's
-    NULL stamp."""
+    NULL stamp.
+
+    The error is DIAGNOSED via the persisted ``stamp_fmt`` column
+    (ADVICE r16): a live row carrying a known-but-different formula
+    version raises the migration message ("old formula — rebuild, not
+    corruption"); a same-version or NULL-version mismatch raises the
+    crashed-rebuild message (NULL means the row predates stamp-format
+    versioning — round 16 and earlier — where the two cases are
+    genuinely indistinguishable)."""
+    mismatch = live & ~F.col("build_id").eqNullSafe(F.lit(int(expected)))
+    foreign_fmt = F.col("stamp_fmt").isNotNull() & (
+        F.col("stamp_fmt") != F.lit(_STAMP_FMT)
+    )
+    msg = F.when(
+        foreign_fmt,
+        F.concat(
+            F.lit(f"{op}: log rows are stamped under stamp-format "),
+            F.col("stamp_fmt").cast("string"),
+            F.lit(
+                f" but this release checks format {_STAMP_FMT} — an"
+                " older/newer formula, NOT corruption; re-run the"
+                " build at this index path to migrate the stamps"
+            ),
+        ),
+    ).otherwise(
+        F.lit(
+            f"{op}: committed model and log rows carry different"
+            " build stamps — a rebuild crashed between its commits,"
+            " or (NULL stamp_fmt) the log predates build stamping /"
+            " stamp-format versioning (pre-r16 logs used the"
+            " bare-bit_xor formula; r16 logs carry no format column);"
+            " re-run the build at this index path"
+        )
+    )
     return frame.withColumn(
         payload_col,
-        F.when(
-            live & ~F.col("build_id").eqNullSafe(F.lit(int(expected))),
-            F.assert_true(
-                F.lit(False),
-                F.lit(
-                    f"{op}: committed model and log rows carry different"
-                    " build stamps — a rebuild crashed between its"
-                    " commits, the log predates build stamping, or the"
-                    " index was committed under an older stamp formula"
-                    " (the round-16 stamp folds count+sum into the xor);"
-                    " re-run the build at this index path"
-                ),
-            ),
-        ).otherwise(F.col(payload_col)),
+        F.when(mismatch, F.assert_true(F.lit(False), msg)).otherwise(
+            F.col(payload_col)
+        ),
     )
 
 
@@ -2670,14 +2740,22 @@ def _resolved_postings(spark, index_path, expect_build=None):
         # with NULL stamps (the probe guard reads them as stale and
         # directs the operator to rebuild)
         log = log.withColumn("build_id", F.lit(None).cast("long"))
+    if "stamp_fmt" not in log.columns:
+        # pre-format-versioning log (round <= 16): NULL format, so the
+        # guard's migration diagnosis stays honest about the ambiguity
+        log = log.withColumn("stamp_fmt", F.lit(None).cast("integer"))
     out = (
         log.groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct("cell", "v", "n2", "build_id"), F.col("_pv")
+                F.struct("cell", "v", "n2", "build_id", "stamp_fmt"),
+                F.col("_pv"),
             ).alias("_p")
         )
-        .select("vec_id", "_p.cell", "_p.v", "_p.n2", "_p.build_id")
+        .select(
+            "vec_id", "_p.cell", "_p.v", "_p.n2", "_p.build_id",
+            "_p.stamp_fmt",
+        )
         .where(F.col("cell") >= 0)
     )
     if expect_build is not None:
@@ -2761,9 +2839,10 @@ def ivf_index_delete(spark, index_path, ids, id_col="vec_id"):
         F.lit(_TOMBSTONE_CELL).cast(types["cell"]).alias("cell"),
         F.lit(None).cast(types["v"]).alias("v"),
         F.lit(None).cast(types["n2"]).alias("n2"),
-        # tombstones carry no stamp: they never survive resolution, so
-        # the probe-side stamp check never sees them
+        # tombstones carry no stamp (and no stamp format): they never
+        # survive resolution, so the probe-side check never sees them
         F.lit(None).cast(types["build_id"]).alias("build_id"),
+        F.lit(None).cast("integer").alias("stamp_fmt"),
     )
     return write_state_version(
         tomb, f"{index_path}/postings", retain=RETAIN_ALL
@@ -2921,6 +3000,7 @@ def ivf_index_probe(
                 # ingest rows are assigned under the VERIFIED committed
                 # centroids, so they carry the same build stamp
                 F.lit(expected).alias("build_id"),
+                F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
             )
         )
         # ingest deltas extend the LOG from the build's base — see
@@ -3369,7 +3449,8 @@ def pq_index_build(
     from spark_data_test_spark.state import write_state_version
 
     c = _pq_dedup_ids(corpus, id_col, vec_col)
-    if codebook is None:
+    trained_here = codebook is None
+    if trained_here:
         codebook = pq_train(
             c, m=m, ncodes=ncodes, rounds=rounds,
             id_col=id_col, vec_col=vec_col,
@@ -3386,22 +3467,42 @@ def pq_index_build(
     # (retain=2 keeps the previous model for time travel), codes LOG
     # BASE (retain=1 so a same-path rebuild resets the log; ingest
     # deltas append with RETAIN_ALL from this base); a crash between
-    # the two is detected by the stamp guard. Pin block lifetime and
-    # executor-loss posture: see ivf_index_build's pin note.
-    pinned_cb = codebook.localCheckpoint(eager=True)
-    bid = _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
-    packed = _pq_pack_codes(
-        pq_encode(c, pinned_cb, id_col=id_col, vec_col=vec_col), id_col
-    ).withColumn("build_id", F.lit(bid))
-    packed = packed.persist()
+    # the two is detected by the stamp guard. The pin is released
+    # after the final commit (`_release_pin`, ADVICE r16) on success
+    # and failure paths alike; executor-loss posture: see
+    # ivf_index_build's pin note. A codebook we trained OURSELVES is
+    # already `pq_train`'s eager localCheckpoint — re-pinning it would
+    # copy the model a second time AND leak the inner pin — so only an
+    # injected (possibly nondeterministic) codebook gets the
+    # defensive pin here.
+    pinned_cb = (
+        codebook if trained_here else codebook.localCheckpoint(eager=True)
+    )
     try:
-        n = packed.count()
-        os.makedirs(index_path, exist_ok=True)
-        write_state_version(pinned_cb, f"{index_path}/codebook", retain=2)
-        write_state_version(packed, f"{index_path}/codes", retain=1)
+        bid = _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
+        packed = (
+            _pq_pack_codes(
+                pq_encode(c, pinned_cb, id_col=id_col, vec_col=vec_col),
+                id_col,
+            )
+            .withColumn("build_id", F.lit(bid))
+            .withColumn(
+                "stamp_fmt", F.lit(_STAMP_FMT).cast("integer")
+            )
+        )
+        packed = packed.persist()
+        try:
+            n = packed.count()
+            os.makedirs(index_path, exist_ok=True)
+            write_state_version(
+                pinned_cb, f"{index_path}/codebook", retain=2
+            )
+            write_state_version(packed, f"{index_path}/codes", retain=1)
+        finally:
+            packed.unpersist()
+        return n
     finally:
-        packed.unpersist()
-    return n
+        _release_pin(pinned_cb)
 
 
 def _resolved_codes(spark, index_path, expect_build=None):
@@ -3426,14 +3527,16 @@ def _resolved_codes(spark, index_path, expect_build=None):
         return None
     if "build_id" not in log.columns:
         log = log.withColumn("build_id", F.lit(None).cast("long"))
+    if "stamp_fmt" not in log.columns:
+        log = log.withColumn("stamp_fmt", F.lit(None).cast("integer"))
     out = (
         log.groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct("codes", "build_id"), F.col("_pv")
+                F.struct("codes", "build_id", "stamp_fmt"), F.col("_pv")
             ).alias("_p")
         )
-        .select("vec_id", "_p.codes", "_p.build_id")
+        .select("vec_id", "_p.codes", "_p.build_id", "_p.stamp_fmt")
         .where(F.col("codes").isNotNull())
     )
     if expect_build is not None:
@@ -3564,7 +3667,9 @@ def pq_index_probe(
             # encoded against the verified committed codebook → stamp
         ),
         id_col,
-    ).withColumn("build_id", F.lit(expected))
+    ).withColumn("build_id", F.lit(expected)).withColumn(
+        "stamp_fmt", F.lit(_STAMP_FMT).cast("integer")
+    )
     write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
     return result
 
@@ -3613,6 +3718,7 @@ def pq_index_delete(spark, index_path, ids, id_col="vec_id"):
         F.lit(None).cast(types["codes"]).alias("codes"),
         # tombstones carry no stamp: they never survive resolution
         F.lit(None).cast(types["build_id"]).alias("build_id"),
+        F.lit(None).cast("integer").alias("stamp_fmt"),
     )
     return write_state_version(tomb, f"{index_path}/codes", retain=RETAIN_ALL)
 
@@ -3815,7 +3921,8 @@ def ivfpq_index_build(
             )
         else:
             cent_table = centroids.select("cent_id", "cv", "cn2")
-        if codebook is None:
+        cb_trained_here = codebook is None
+        if cb_trained_here:
             codebook = pq_train(
                 surv, m=m, ncodes=ncodes, rounds=pq_rounds,
                 id_col=id_col, vec_col=vec_col,
@@ -3828,59 +3935,80 @@ def ivfpq_index_build(
         # probes will read. Pinning (instead of commit-then-re-read,
         # ADVICE r15) keeps all three commits at the END of the
         # build: a mid-build failure of a same-path rebuild leaves
-        # the old index fully serving. Pin block lifetime and
-        # executor-loss posture: see ivf_index_build's pin note.
+        # the old index fully serving. Both pins are released after
+        # the final commit (`_release_pin`, ADVICE r16) on success
+        # and failure paths; executor-loss posture: see
+        # ivf_index_build's pin note. A codebook trained HERE is
+        # already `pq_train`'s eager localCheckpoint (re-pinning would
+        # copy the model twice and leak the inner pin), so only an
+        # injected codebook gets the defensive pin.
         pinned_cents = cent_table.localCheckpoint(eager=True)
-        pinned_cb = codebook.localCheckpoint(eager=True)
-        bid = _model_build_hash(
-            pinned_cents, ["cent_id", "cv", "cn2"]
-        ) ^ _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
-        cents = F.broadcast(
-            pinned_cents.select(
-                "cent_id",
-                F.col("cv").alias("_cv"),
-                F.col("cn2").alias("_cn2"),
-            )
-        )
-        assign = (
-            _cell_scored(c, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("cell")
-            )
-            .select(F.col("_id").alias("vec_id"), "cell")
-        )
-        packed = _pq_pack_codes(
-            pq_encode(
-                surv, pinned_cb, id_col=id_col, vec_col=vec_col
-            ),
-            id_col,
-        )
-        postings = assign.join(packed, "vec_id").withColumn(
-            "build_id", F.lit(bid)
-        )
-        postings = postings.persist()
         try:
-            n = postings.count()
-            os.makedirs(index_path, exist_ok=True)
-            write_state_version(
-                pinned_cents, f"{index_path}/centroids", retain=2
+            pinned_cb = (
+                codebook
+                if cb_trained_here
+                else codebook.localCheckpoint(eager=True)
             )
-            write_state_version(
-                pinned_cb, f"{index_path}/codebook", retain=2
+        except BaseException:
+            _release_pin(pinned_cents)
+            raise
+        try:
+            bid = _model_build_hash(
+                pinned_cents, ["cent_id", "cv", "cn2"]
+            ) ^ _model_build_hash(pinned_cb, ["s", "cent_id", "csub"])
+            cents = F.broadcast(
+                pinned_cents.select(
+                    "cent_id",
+                    F.col("cv").alias("_cv"),
+                    F.col("cn2").alias("_cn2"),
+                )
             )
-            write_state_version(
-                postings, f"{index_path}/postings", retain=1
+            assign = (
+                _cell_scored(c, cents)
+                .groupBy("_id")
+                .agg(
+                    F.max_by(
+                        "cent_id",
+                        F.struct(
+                            F.col("_cos").alias("c"),
+                            (-F.col("cent_id")).alias("nc"),
+                        ),
+                    ).alias("cell")
+                )
+                .select(F.col("_id").alias("vec_id"), "cell")
             )
+            packed = _pq_pack_codes(
+                pq_encode(
+                    surv, pinned_cb, id_col=id_col, vec_col=vec_col
+                ),
+                id_col,
+            )
+            postings = (
+                assign.join(packed, "vec_id")
+                .withColumn("build_id", F.lit(bid))
+                .withColumn(
+                    "stamp_fmt", F.lit(_STAMP_FMT).cast("integer")
+                )
+            )
+            postings = postings.persist()
+            try:
+                n = postings.count()
+                os.makedirs(index_path, exist_ok=True)
+                write_state_version(
+                    pinned_cents, f"{index_path}/centroids", retain=2
+                )
+                write_state_version(
+                    pinned_cb, f"{index_path}/codebook", retain=2
+                )
+                write_state_version(
+                    postings, f"{index_path}/postings", retain=1
+                )
+            finally:
+                postings.unpersist()
+            return n
         finally:
-            postings.unpersist()
-        return n
+            _release_pin(pinned_cents)
+            _release_pin(pinned_cb)
     finally:
         c.unpersist()
 
@@ -3905,14 +4033,20 @@ def _resolved_ivfpq_postings(spark, index_path, expect_build=None):
         return None
     if "build_id" not in log.columns:
         log = log.withColumn("build_id", F.lit(None).cast("long"))
+    if "stamp_fmt" not in log.columns:
+        log = log.withColumn("stamp_fmt", F.lit(None).cast("integer"))
     out = (
         log.groupBy("vec_id")
         .agg(
             F.max_by(
-                F.struct("cell", "codes", "build_id"), F.col("_pv")
+                F.struct("cell", "codes", "build_id", "stamp_fmt"),
+                F.col("_pv"),
             ).alias("_p")
         )
-        .select("vec_id", "_p.cell", "_p.codes", "_p.build_id")
+        .select(
+            "vec_id", "_p.cell", "_p.codes", "_p.build_id",
+            "_p.stamp_fmt",
+        )
         .where(F.col("cell") >= 0)
     )
     if expect_build is not None:
@@ -4095,11 +4229,13 @@ def ivfpq_index_probe(
             id_col,
         )
         write_state_version(
-            batch_assign.join(batch_codes, "vec_id").withColumn(
+            batch_assign.join(batch_codes, "vec_id")
+            .withColumn(
                 # assigned and encoded under the verified committed
                 # models → same stamp
                 "build_id", F.lit(expected)
-            ),
+            )
+            .withColumn("stamp_fmt", F.lit(_STAMP_FMT).cast("integer")),
             f"{index_path}/postings",
             retain=RETAIN_ALL,
         )
@@ -4152,6 +4288,7 @@ def ivfpq_index_delete(spark, index_path, ids, id_col="vec_id"):
         F.lit(None).cast(types["codes"]).alias("codes"),
         # tombstones carry no stamp: they never survive resolution
         F.lit(None).cast(types["build_id"]).alias("build_id"),
+        F.lit(None).cast("integer").alias("stamp_fmt"),
     )
     return write_state_version(
         tomb, f"{index_path}/postings", retain=RETAIN_ALL

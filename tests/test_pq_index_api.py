@@ -731,3 +731,89 @@ def test_pq_index_stats_observes_missing_codebook(spark, tmp_path):
     assert s.n_log_rows == 15 and s.n_tombstones == 0
     with pytest.raises(ValueError, match="no committed index"):
         pq_index_probe(spark.createDataFrame(corpus[:2], _SCHEMA), idx)
+
+
+def test_pq_stamp_format_migration_diagnosed(spark, tmp_path):
+    """ADVICE r16: every stamped row persists the stamp-FORMULA
+    version (`stamp_fmt`), so a probe hitting rows stamped under a
+    different formula raises the migration message ("re-run the build
+    ... to migrate", explicitly NOT corruption) instead of the
+    crashed-rebuild one — and future formula evolutions bump
+    `_STAMP_FMT` instead of masquerading as corruption. A live delta
+    stamped under a foreign format with a non-matching build_id is
+    exactly what a formula change leaves behind."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+    from spark_data_test_spark.operators.similarity import _STAMP_FMT
+    from spark_data_test_spark.state import RETAIN_ALL, write_state_version
+
+    corpus = _mk(16, 8, 409)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    assert _STAMP_FMT == 2  # history table in similarity.py documents 1
+    foreign = spark.createDataFrame(
+        [(999, [0, 1, 2, 3], 123456789, 1)],
+        "vec_id long, codes array<int>, build_id long, stamp_fmt int",
+    )
+    write_state_version(foreign, f"{idx}/codes", retain=RETAIN_ALL)
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    with pytest.raises(Exception, match="stamp-format 1"):
+        pq_index_probe(qdf, idx, k=3).collect()
+    with pytest.raises(Exception, match="migrate"):
+        pq_index_probe(qdf, idx, k=3).collect()
+
+
+def test_pq_current_format_mismatch_still_reads_as_corruption(
+    spark, tmp_path
+):
+    """The complement of the migration diagnosis: a live row stamped
+    under the CURRENT format whose build_id doesn't hash to the
+    committed model is genuine crashed-rebuild state and keeps the
+    'different build stamps' message."""
+    from spark_data_test_spark import pq_index_build, pq_index_probe
+    from spark_data_test_spark.operators.similarity import _STAMP_FMT
+    from spark_data_test_spark.state import RETAIN_ALL, write_state_version
+
+    corpus = _mk(16, 8, 419)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    bad = spark.createDataFrame(
+        [(999, [0, 1, 2, 3], 123456789, _STAMP_FMT)],
+        "vec_id long, codes array<int>, build_id long, stamp_fmt int",
+    )
+    write_state_version(bad, f"{idx}/codes", retain=RETAIN_ALL)
+    qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
+    with pytest.raises(Exception, match="different build stamps"):
+        pq_index_probe(qdf, idx, k=3).collect()
+
+
+def test_index_builds_release_checkpoint_pins(spark, tmp_path):
+    """ADVICE r16: the eager localCheckpoint model pins inside
+    ivf/pq/ivfpq_index_build are released explicitly after the final
+    commit (`_release_pin`) instead of accumulating until the
+    ContextCleaner collects the frames — many builds in one long-lived
+    session must not grow the persistent-RDD set."""
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivfpq_index_build,
+        pq_index_build,
+    )
+
+    def pinned_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    corpus = spark.createDataFrame(_mk(20, 8, 421), _SCHEMA)
+    before = pinned_ids()
+    ivf_index_build(corpus, str(tmp_path / "i1"), ncells=3, rounds=1)
+    pq_index_build(corpus, str(tmp_path / "i2"), m=4, ncodes=4, rounds=1)
+    ivfpq_index_build(
+        corpus, str(tmp_path / "i3"), ncells=3, m=4, ncodes=4, rounds=1
+    )
+    # set containment, not count equality: the ContextCleaner may
+    # collect an UNRELATED abandoned pin mid-test, shrinking the set —
+    # the builds themselves must leave no NEW persistent RDD behind
+    assert pinned_ids() <= before
