@@ -35,8 +35,13 @@ The registered line is also timed end-to-end in the same pass so the
 stage sum's coverage is auditable (sum ~= total; the residual is
 driver orchestration).
 
+Protocol: min of THREE passes per stage — an interleaved A/B check
+showed the first x30 pass after staging the amplified tables runs
+2-3x hot (page cache + JIT warmup), so min-of-two can freeze a
+warmup-inflated stage line; by pass 3 the mins are steady-state.
+
 Usage: python scripts/decompose_index_lifecycle.py [factor ...]
-Writes DECOMP_INDEX_LIFECYCLE.json (min of two passes per stage).
+Writes DECOMP_INDEX_LIFECYCLE.json.
 """
 
 import json
@@ -197,7 +202,7 @@ def main():
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         entry = {}
         counts = {}
-        for _pass in range(2):
+        for _pass in range(3):
             for qname, stage_fn in (
                 ("similarity_pq_index_probe", stages_pq),
                 ("similarity_ivf_index_probe", stages_ivf),
