@@ -28,8 +28,8 @@ What the slopes should show:
 - `similarity_pq_ann` is recorded as the pre-existing flat-ADC
   baseline the new rows should track.
 
-Protocol: min of two passes per factor, memo caches cleared between
-passes. Writes BENCH_AMPLIFIED_r17.json.
+Protocol: min of three passes per factor, memo caches cleared
+between passes. Writes BENCH_AMPLIFIED_r17.json.
 
 Usage: python scripts/bench_amplified_r17.py [factor ...]
 """

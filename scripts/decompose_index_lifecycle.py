@@ -14,11 +14,16 @@ probe writes to the noop sink):
 
   stage    what                                         scales with
   ------   ------------------------------------------   -------------
-  model    codebook train (pq: one integer-L2 Lloyd     corpus (pq) /
-           pass, session-cached and CLEARED per bench   ~constant
-           pass, so every bench run pays it) /          (ivf reads
-           trained-centroid resolution (ivf: persisted  persisted
-           state read in steady state)                  state)
+  model    model RESOLUTION under bench conditions:     ~constant
+           bench.py clears session memos once per PASS  (memo hit)
+           and `similarity_pq_train` (HEADLINE pos 79)
+           / `similarity_ivf_train` (pos 42) warm the
+           codebook / centroid memos BEFORE the
+           lifecycle rows (pos 96 / 101) run, so the
+           registered lines resolve models from the
+           memo — this script replays that exactly: a
+           per-pass clear, an UNTIMED warm of both
+           model memos, then the stages
   build    *_index_build under the injected model:      corpus
            encode/assign every vector + two commits     (1 scan)
   ingest   *_index_probe(shard, k=1, commit=True):      pq: corpus!
@@ -203,13 +208,19 @@ def main():
         entry = {}
         counts = {}
         for _pass in range(3):
+            # replicate the bench pass EXACTLY: one memo clear per
+            # pass, then the model memos warmed by earlier HEADLINE
+            # rows (similarity_pq_train / similarity_ivf_train run
+            # before the lifecycle rows in bench.py) — warm them here
+            # UNTIMED so the model stage measures the memo-hit
+            # resolution the registered lines actually pay
+            bench._clear_all_memo_caches()
+            _pq_codebook(spark, sf_dir).count()
+            train_ivf_centroids(spark, sf_dir).count()
             for qname, stage_fn in (
                 ("similarity_pq_index_probe", stages_pq),
                 ("similarity_ivf_index_probe", stages_ivf),
             ):
-                # the bench clears session memo caches per run, so the
-                # model stage pays exactly what the bench line pays
-                bench._clear_all_memo_caches()
                 rec = entry.setdefault(qname, {"stages": {}})
                 for sname, fn in stage_fn(sf_dir, counts):
                     t0 = time.time()
@@ -221,8 +232,8 @@ def main():
                         f"x{factor} pass{_pass + 1} {qname}/{sname}: {dt}s",
                         file=sys.stderr,
                     )
-                # the registered end-to-end line, same pass conditions
-                bench._clear_all_memo_caches()
+                # the registered end-to-end line, same warm-memo pass
+                # conditions as the bench (no mid-pass clear)
                 t0 = time.time()
                 noop(qmap[qname](spark, sf_dir))
                 dt = round(time.time() - t0, 3)
@@ -260,16 +271,20 @@ def main():
         "note": (
             "VERDICT r16 item 4: stage split of the flat-PQ and "
             "IVF-Flat lifecycle rows at x1/x30 so the slope "
-            "steepening is attributed by construction. Stages: "
-            "model (pq codebook Lloyd pass, session-cache cleared "
-            "per pass exactly like the bench; ivf resolves persisted "
-            "trained centroids), build (encode/assign full corpus + "
-            "commits), ingest (fixed 84-row shard — but the pq "
-            "ingest's k=1 probe is a flat ADC scan of ALL n codes), "
-            "delete (n/11 tombstones), probe (8-query batch; pq "
-            "scans all codes by contract, ivf rescopes to nprobe "
-            "cells). min of two passes per stage; stage_sum vs "
-            "total audits coverage (residual = driver "
+            "steepening is attributed by construction. Bench-"
+            "faithful conditions: one memo clear per pass, then the "
+            "model memos warmed UNTIMED (in bench.py "
+            "similarity_pq_train / similarity_ivf_train run before "
+            "the lifecycle rows in every pass), so the model stage "
+            "measures the memo-hit resolution the registered lines "
+            "pay. Stages: model (memo-hit model resolution), build "
+            "(encode/assign full corpus + commits), ingest (fixed "
+            "84-row shard — but the pq ingest's k=1 probe is a flat "
+            "ADC scan of ALL n codes), delete (n/11 tombstones), "
+            "probe (8-query batch; pq scans all codes by contract, "
+            "ivf rescopes to nprobe cells). min of THREE passes per "
+            "stage (the first x30 pass after staging runs 2-3x hot); "
+            "stage_sum vs total audits coverage (residual = driver "
             "orchestration)."
         ),
         "metric": "index_lifecycle_stage_decomposition",

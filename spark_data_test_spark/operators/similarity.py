@@ -2617,6 +2617,24 @@ def _release_pin(df):
         pass  # GC/ContextCleaner remains the backstop
 
 
+def release_model_pin(model):
+    """Library operator: release the checkpoint blocks behind a model
+    frame returned by `pq_train` (an eager ``localCheckpoint``) once a
+    long-lived session is done with it — the public counterpart of the
+    internal pin release the index builds perform (ADVICE r16), at the
+    same altitude as `release_comparison_result` for comparison
+    reports. ``df.unpersist()`` cannot reach a localCheckpoint's
+    blocks (they are not in the cache manager), so without this call
+    each trained model lives until the ContextCleaner collects the
+    frame. The documented inject-a-pretrained-model pattern becomes:
+    train once, pass the frame into any number of
+    ``*_index_build(..., codebook=cb)`` calls, then
+    ``release_model_pin(cb)``. After release the frame is DEAD — any
+    further read raises (checkpoint block not found). Safe no-op on
+    frames that are not localCheckpoints; best-effort by design."""
+    _release_pin(model)
+
+
 def _model_build_hash(model, cols):
     """Order-independent content hash of a small model frame —
     ``xxhash64(xor, count, masked sum)`` over per-row xxhash64s of the
@@ -3942,7 +3960,14 @@ def ivfpq_index_build(
         # already `pq_train`'s eager localCheckpoint (re-pinning would
         # copy the model twice and leak the inner pin), so only an
         # injected codebook gets the defensive pin.
-        pinned_cents = cent_table.localCheckpoint(eager=True)
+        try:
+            pinned_cents = cent_table.localCheckpoint(eager=True)
+        except BaseException:
+            # a self-trained codebook is already pq_train's eager pin:
+            # release it even when the CENTROID pin is what failed
+            if cb_trained_here:
+                _release_pin(codebook)
+            raise
         try:
             pinned_cb = (
                 codebook
@@ -3950,6 +3975,8 @@ def ivfpq_index_build(
                 else codebook.localCheckpoint(eager=True)
             )
         except BaseException:
+            # only the injected path can raise here (a bare assignment
+            # cannot), so the self-trained codebook pin is not at risk
             _release_pin(pinned_cents)
             raise
         try:

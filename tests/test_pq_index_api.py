@@ -758,9 +758,7 @@ def test_pq_stamp_format_migration_diagnosed(spark, tmp_path):
     )
     write_state_version(foreign, f"{idx}/codes", retain=RETAIN_ALL)
     qdf = spark.createDataFrame(corpus[:2], _SCHEMA)
-    with pytest.raises(Exception, match="stamp-format 1"):
-        pq_index_probe(qdf, idx, k=3).collect()
-    with pytest.raises(Exception, match="migrate"):
+    with pytest.raises(Exception, match=r"stamp-format 1\b.*migrate"):
         pq_index_probe(qdf, idx, k=3).collect()
 
 
@@ -817,3 +815,26 @@ def test_index_builds_release_checkpoint_pins(spark, tmp_path):
     # collect an UNRELATED abandoned pin mid-test, shrinking the set —
     # the builds themselves must leave no NEW persistent RDD behind
     assert pinned_ids() <= before
+
+
+def test_release_model_pin_frees_pq_train_checkpoint(spark):
+    """The public counterpart of the builds' internal pin release
+    (review r17): a `pq_train` model frame is an eager localCheckpoint
+    whose blocks df.unpersist() cannot reach; `release_model_pin`
+    frees them (the persistent-RDD set loses the pin), and releasing a
+    plain non-checkpoint frame is a safe no-op."""
+    from spark_data_test_spark import pq_train, release_model_pin
+
+    def pinned_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    corpus = spark.createDataFrame(_mk(16, 8, 431), _SCHEMA)
+    before = pinned_ids()
+    cb = pq_train(corpus, m=4, ncodes=4, rounds=1)
+    with_pin = pinned_ids()
+    assert with_pin - before  # the trained model holds a new pin
+    release_model_pin(cb)
+    assert pinned_ids() <= before
+    # releasing a plain frame must not raise
+    release_model_pin(corpus)
