@@ -1384,3 +1384,78 @@ def test_model_build_hash_property_sweep(spark):
         assert h_dup_head != h
 
     prop()
+
+
+def test_ivf_lifecycle_preserves_stamp_format_and_pins(spark, tmp_path):
+    """Round-17 invariant sweep: across a seeded random LSM lifecycle
+    (ingest / delete / compact / same-path rebuild), (a) every LIVE
+    resolved posting row carries the CURRENT stamp format and the
+    committed model's build hash — compaction and latest-wins must
+    carry `stamp_fmt` through, never NULL it or freeze an old value —
+    and (b) the persistent-RDD set never grows (every build's
+    localCheckpoint pin is released, including rebuilds mid-sequence).
+    The behavior equivalence of the same op sequence is pinned
+    elsewhere (test_ivfpq_random_op_sequence_equals_net_state); this
+    sweep pins the round-17 metadata/resource invariants themselves."""
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_probe,
+    )
+    from spark_data_test_spark.operators.similarity import (
+        _STAMP_FMT,
+        _model_build_hash,
+        _resolved_postings,
+    )
+    from spark_data_test_spark.state import read_state_table
+
+    def pinned_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    schema = "vec_id long, emb array<double>"
+    corpus, _ = _fixture(n=14, nq=0, dim=6, seed=83)
+    live = {i: v for i, v in corpus if any(x != 0.0 for x in v)}
+    idx = str(tmp_path / "ivfidx")
+    pins_before = pinned_ids()
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=1
+    )
+    rng = random.Random(83)
+    next_id = 700
+    for step in range(6):
+        op = rng.choice(["ingest", "delete", "compact", "rebuild"])
+        if op == "ingest":
+            vid, next_id = next_id, next_id + 1
+            v = [float(rng.randrange(-5, 6)) for _ in range(6)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0
+            live[vid] = v
+            ivf_index_probe(
+                spark.createDataFrame([(vid, v)], schema),
+                idx, k=2, nprobe=3, commit=True,
+            ).collect()
+        elif op == "delete" and live:
+            gone = rng.sample(sorted(live), k=min(2, len(live)))
+            ivf_index_delete(spark, idx, gone)
+            for g in gone:
+                live.pop(g)
+        elif op == "compact":
+            ivf_index_compact(spark, idx)
+        elif op == "rebuild" and live:
+            ivf_index_build(
+                spark.createDataFrame(sorted(live.items()), schema),
+                idx, ncells=3, rounds=1,
+            )
+        cents = read_state_table(spark, f"{idx}/centroids").select(
+            "cent_id", "cv", "cn2"
+        )
+        expected = _model_build_hash(cents, ["cent_id", "cv", "cn2"])
+        rows = _resolved_postings(spark, idx).collect()
+        assert {r.vec_id for r in rows} == set(live), (step, op)
+        for r in rows:
+            assert r.stamp_fmt == _STAMP_FMT, (step, op, r)
+            assert r.build_id == expected, (step, op, r)
+    # every build/rebuild released its pin: no NEW persistent RDDs
+    assert pinned_ids() <= pins_before
