@@ -838,3 +838,75 @@ def test_release_model_pin_frees_pq_train_checkpoint(spark):
     assert pinned_ids() <= before
     # releasing a plain frame must not raise
     release_model_pin(corpus)
+
+
+def test_pq_and_ivfpq_resolved_rows_carry_current_stamp_format(
+    spark, tmp_path
+):
+    """Symmetry pin for the round-17 stamp-format column across the
+    CODES-based indexes (the IVF-Flat sweep lives in
+    test_similarity_api.py): after build + ingest + delete + compact,
+    every live resolved row of both the PQ and IVF-PQ logs carries
+    the current `stamp_fmt` and the committed model hash — compaction
+    re-commits the column, tombstones never surface."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_index_probe,
+        pq_index_build,
+        pq_index_compact,
+        pq_index_delete,
+        pq_index_probe,
+    )
+    from spark_data_test_spark.operators.similarity import (
+        _STAMP_FMT,
+        _model_build_hash,
+        _resolved_codes,
+        _resolved_ivfpq_postings,
+    )
+    from spark_data_test_spark.state import read_state_table
+
+    corpus = _mk(14, 8, 433)
+    batch = _mk(3, 8, 439, start=600)
+    live_ids = {i for i, _ in corpus} | {i for i, _ in batch}
+
+    pq_idx = str(tmp_path / "pq")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), pq_idx,
+        m=4, ncodes=5, rounds=1,
+    )
+    pq_index_probe(
+        spark.createDataFrame(batch, _SCHEMA), pq_idx, k=2, commit=True
+    ).collect()
+    pq_index_delete(spark, pq_idx, [corpus[3][0]])
+    pq_index_compact(spark, pq_idx)
+    cb = read_state_table(spark, f"{pq_idx}/codebook")
+    exp = _model_build_hash(cb, ["s", "cent_id", "csub"])
+    rows = _resolved_codes(spark, pq_idx).collect()
+    assert {r.vec_id for r in rows} == live_ids - {corpus[3][0]}
+    assert all(
+        r.stamp_fmt == _STAMP_FMT and r.build_id == exp for r in rows
+    )
+
+    iv_idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), iv_idx,
+        ncells=3, m=4, ncodes=5,
+    )
+    ivfpq_index_probe(
+        spark.createDataFrame(batch, _SCHEMA), iv_idx,
+        k=2, nprobe=3, commit=True,
+    ).collect()
+    ivfpq_index_delete(spark, iv_idx, [corpus[3][0]])
+    ivfpq_index_compact(spark, iv_idx)
+    cents = read_state_table(spark, f"{iv_idx}/centroids")
+    cb2 = read_state_table(spark, f"{iv_idx}/codebook")
+    exp2 = _model_build_hash(
+        cents, ["cent_id", "cv", "cn2"]
+    ) ^ _model_build_hash(cb2, ["s", "cent_id", "csub"])
+    rows2 = _resolved_ivfpq_postings(spark, iv_idx).collect()
+    assert {r.vec_id for r in rows2} == live_ids - {corpus[3][0]}
+    assert all(
+        r.stamp_fmt == _STAMP_FMT and r.build_id == exp2 for r in rows2
+    )
