@@ -910,3 +910,44 @@ def test_pq_and_ivfpq_resolved_rows_carry_current_stamp_format(
     assert all(
         r.stamp_fmt == _STAMP_FMT and r.build_id == exp2 for r in rows2
     )
+
+
+def test_pq_r16_log_without_format_column_still_serves(spark, tmp_path):
+    """Migration boundary (round 17): a log committed by the ROUND-16
+    release carries build_id but no stamp_fmt column. Such an index
+    must keep serving unchanged — live rows resolve to a NULL format
+    and pass the guard when their build_id matches the committed
+    model — and a round-17 delete (whose tombstones DO carry the
+    column) must resolve through the mixed-schema union."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_delete,
+        pq_index_probe,
+    )
+    from spark_data_test_spark.state import (
+        read_state_table,
+        write_state_version,
+    )
+
+    corpus = _mk(16, 8, 443)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    # simulate the r16 on-disk form: same rows, stamp_fmt dropped
+    base = read_state_table(spark, f"{idx}/codes")
+    write_state_version(
+        base.select("vec_id", "codes", "build_id"),
+        f"{idx}/codes",
+        retain=1,
+    )
+    qdf = spark.createDataFrame(corpus[:3], _SCHEMA)
+    cb = _committed_codebook(spark, idx)
+    got = _probe_set(pq_index_probe(qdf, idx, k=4))
+    assert got == _topk_with_model(spark, dict(corpus), corpus[:3], cb, 4)
+    # an r17 delete over the r16-style base resolves mixed schemas
+    gone = corpus[5][0]
+    pq_index_delete(spark, idx, [gone])
+    live = {i: v for i, v in corpus if i != gone}
+    got = _probe_set(pq_index_probe(qdf, idx, k=4))
+    assert got == _topk_with_model(spark, live, corpus[:3], cb, 4)
