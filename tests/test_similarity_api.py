@@ -1468,3 +1468,75 @@ def test_ivf_lifecycle_preserves_stamp_format_and_pins(spark, tmp_path):
         idx, ncells=3, rounds=1,
     )
     assert pinned_ids() <= pins_before_rebuild
+
+
+def test_ivf_index_ingest_only_commits_identical_state(spark, tmp_path):
+    """Round 18 (VERDICT r17 item 2): `ivf_index_ingest` appends the
+    EXACT postings delta `ivf_index_probe(commit=True)` would — same
+    dedup collapse, zero-norm drop, argmax cell, raw vector, and build
+    stamp — without any probe work. Two identical builds, one ingested
+    each way: the committed delta rows and every subsequent probe
+    answer must match exactly."""
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_ingest,
+        ivf_index_probe,
+    )
+    from spark_data_test_spark.state import read_state_table
+
+    corpus, queries = _fixture(n=20, nq=3, dim=6, seed=71)
+    batch = [
+        (800, [1.0, -2.0, 3.0, 0.0, 1.0, -1.0]),
+        (801, [-3.0, 1.0, 0.0, 2.0, -1.0, 2.0]),
+        (corpus[2][0], [float(x + 1) for x in corpus[2][1]]),  # changed
+        (802, [0.0] * 6),  # zero-norm: dropped by the family contract
+    ]
+    idx_a = str(tmp_path / "a")
+    idx_b = str(tmp_path / "b")
+    for idx in (idx_a, idx_b):
+        ivf_index_build(
+            spark.createDataFrame(corpus, "vec_id long, emb array<double>"),
+            idx, ncells=4, rounds=2,
+        )
+    bdf = spark.createDataFrame(batch, "vec_id long, emb array<double>")
+    ivf_index_probe(bdf, idx_a, k=1, nprobe=1, commit=True).collect()
+    n = ivf_index_ingest(bdf, idx_b)
+    assert n == 3  # 2 new + 1 changed; the zero-norm row dropped
+    delta = lambda p: {  # noqa: E731 - latest committed version only
+        (r.vec_id, r.cell, tuple(r.v), r.n2, r.build_id, r.stamp_fmt)
+        for r in read_state_table(spark, f"{p}/postings").collect()
+    }
+    assert delta(idx_a) == delta(idx_b)
+    qdf = spark.createDataFrame(queries, "vec_id long, emb array<double>")
+    probe = lambda p: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in ivf_index_probe(qdf, p, k=4, nprobe=4).collect()
+    }
+    assert probe(idx_a) == probe(idx_b)
+
+
+def test_ivf_index_ingest_contract_edges(spark, tmp_path):
+    """Ingest-only edge contract for the IVF-Flat index: missing index
+    raises the build hint; a mismatched empty batch is a NO-OP
+    returning 0 with no log version written."""
+    import os
+
+    import pytest
+
+    from spark_data_test_spark import ivf_index_build, ivf_index_ingest
+
+    schema = "vec_id long, emb array<double>"
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="run ivf_index_build first"):
+        ivf_index_ingest(empty, str(tmp_path / "nope"))
+
+    corpus, _ = _fixture(n=12, nq=0, dim=6, seed=73)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    versions_before = sorted(os.listdir(f"{idx}/postings"))
+    assert ivf_index_ingest(empty, idx) == 0
+    zero = spark.createDataFrame([(901, [0.0] * 6)], schema)
+    assert ivf_index_ingest(zero, idx) == 0
+    assert sorted(os.listdir(f"{idx}/postings")) == versions_before
