@@ -14,87 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order). CANONICAL round-17 window accounting (this
+# (registration order). CANONICAL round-18 window accounting (this
 # comment is the single source of truth; README.md mirrors it): 1
 # flagship (compare_overall_report, re-earned every round) + 3
 # re-earns whose code changed this round (similarity_ivf_index_probe
-# / similarity_pq_index_probe / similarity_ivfpq_index_probe — the
-# ADVICE-r16 fixes touched the shared stamp/build machinery they
-# ride: persisted stamp-format versioning, localCheckpoint pin
-# release) + the 46 stalest backlog rows (the complete r12-era cohort
-# of 28, head sample_topk_per_group, then the r13-era head through
-# tpch_q19_disjunctive_revenue). That is exactly 50; after this round
-# no registry row's latest driver green is older than round 13.
-# tests/test_registry_invariants.py enforces that greens / window /
-# queue always covers the registry.
+# / similarity_pq_index_probe / similarity_ivfpq_index_probe — their
+# lifecycle ingest step now goes through the round-18 ingest-only
+# entry points `*_index_ingest`, committing the identical delta
+# without the probe work, VERDICT r17 item 2) + the 46 stalest
+# backlog rows (the complete r13-era cohort of 30, head
+# tpch_q7_nation_volume through tpch_q16_parts_supplier, then the
+# r14-green head through orders_status_listagg). That is exactly 50;
+# after this round no registry row's latest driver green is older
+# than round 14. tests/test_registry_invariants.py enforces that
+# greens / window / queue always covers the registry.
 _DRIVER_WINDOW = [
     "compare_overall_report",
     "similarity_ivf_index_probe",
     "similarity_pq_index_probe",
     "similarity_ivfpq_index_probe",
-    "sample_topk_per_group",
-    "events_asof_join",
-    "events_range_join",
-    "events_hypertable_rollup",
-    "events_funnel_analysis",
-    "events_session_window_native",
-    "state_compaction_roundtrip",
-    "multimodal_audio_features",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_scene_cuts",
-    "mix_temperature_rebalance",
-    "corpus_dedup_waterfall",
-    "streaming_media_arrivals",
-    "multimodal_audio_silence_segments",
-    "events_seasonal_naive_backtest",
-    "events_cohort_ltv",
-    "orders_duplicate_payment_scan",
-    "multimodal_image_resize",
-    "streaming_sessionization_store",
-    "streaming_cdc_upsert",
-    "streaming_sketch_rollup",
-    "state_time_travel_diff",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "compare_lineitem_overall",
-    "compare_distribution_report",
-    "left_semi_join",
-    "cube_agg",
-    "orders_market_basket",
-    "events_top_session_paths",
-    "intersect_rows",
-    "percentile_exact",
-    "map_functions_props",
-    "window_distribution_funcs",
-    "profile_columns",
-    "upsert_latest_wins",
-    "variant_json_props",
-    "schema_drift_report",
-    "source_orc_roundtrip",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_check",
-    "tpch_q12_priority_bands",
-    "tpch_q13_order_distribution",
-    "tpch_q19_disjunctive_revenue",
-]
-
-# New queries added mid-round go here first (the invariant test keeps
-# them from silently falling out of rotation); the end-of-round window
-# cut promotes them. Empty right now: round 9's one new registration
-# (events_tumbling_window) was placed directly into the window at the
-# round-opening cut above.
-_NEXT_ROTATION = []
-
-# Green-checked queries outside the window, STALEST FIRST (latest
-# driver round ascending, registration order as tie-break) so the next
-# window cut can just take the head of this list. The head is the
-# r13-era displaced remainder (after the 18 promoted into the
-# round-17 window), followed by the r14/r15-green rows in staleness
-# order, and the list ends with the 46 r16-green rows the round-17
-# cut displaced (registration order).
-_CHECKED_BACKLOG = [
     "tpch_q7_nation_volume",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
@@ -141,6 +79,23 @@ _CHECKED_BACKLOG = [
     "orders_incremental_agg_merge",
     "null_safe_join",
     "orders_status_listagg",
+]
+
+# New queries added mid-round go here first (the invariant test keeps
+# them from silently falling out of rotation); the end-of-round window
+# cut promotes them. Empty right now: round 9's one new registration
+# (events_tumbling_window) was placed directly into the window at the
+# round-opening cut above.
+_NEXT_ROTATION = []
+
+# Green-checked queries outside the window, STALEST FIRST (latest
+# driver round ascending, registration order as tie-break) so the next
+# window cut can just take the head of this list. The head is the
+# r14-green remainder (after the 16 promoted into the round-18
+# window), followed by the r15/r16-green rows in staleness order, and
+# the list ends with the 46 r17-green rows the round-18 cut displaced
+# (registration order).
+_CHECKED_BACKLOG = [
     "part_bloom_prefilter_join",
     "orders_rfm_segments",
     "parts_abc_pareto",
@@ -266,6 +221,52 @@ _CHECKED_BACKLOG = [
     "sample_split_stratified",
     "mix_weighted_sources",
     "pack_sequences",
+    "sample_topk_per_group",
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "events_funnel_analysis",
+    "events_session_window_native",
+    "state_compaction_roundtrip",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scene_cuts",
+    "mix_temperature_rebalance",
+    "corpus_dedup_waterfall",
+    "streaming_media_arrivals",
+    "multimodal_audio_silence_segments",
+    "events_seasonal_naive_backtest",
+    "events_cohort_ltv",
+    "orders_duplicate_payment_scan",
+    "multimodal_image_resize",
+    "streaming_sessionization_store",
+    "streaming_cdc_upsert",
+    "streaming_sketch_rollup",
+    "state_time_travel_diff",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "compare_lineitem_overall",
+    "compare_distribution_report",
+    "left_semi_join",
+    "cube_agg",
+    "orders_market_basket",
+    "events_top_session_paths",
+    "intersect_rows",
+    "percentile_exact",
+    "map_functions_props",
+    "window_distribution_funcs",
+    "profile_columns",
+    "upsert_latest_wins",
+    "variant_json_props",
+    "schema_drift_report",
+    "source_orc_roundtrip",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_check",
+    "tpch_q12_priority_bands",
+    "tpch_q13_order_distribution",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 

@@ -26,11 +26,13 @@ probe writes to the noop sink):
            model memos, then the stages
   build    *_index_build under the injected model:      corpus
            encode/assign every vector + two commits     (1 scan)
-  ingest   *_index_probe(shard, k=1, commit=True):      pq: corpus!
-           the FIXED 84-row planted shard — but the     (84-query flat
-           pq ingest ANSWERS a probe first, and a       ADC scan);
-           flat-PQ probe scans ALL n codes              ivf: probed
-                                                        cells only
+  ingest   *_index_ingest(shard): the FIXED 84-row      shard only
+           planted shard, encoded/assigned and          (round 18:
+           appended WITHOUT probe work — round 18       ingest-only
+           replaced the probe(commit=True) ingest,      entry; was
+           whose k=1 flat-PQ answer ADC-scanned ALL n   O(index) for
+           codes and owned the entire 4.15x x30 slope   pq at r17)
+           (VERDICT r17 item 2)
   delete   tombstone commit for the n/11 takedown ids   corpus/11
   probe    the final 8-query batch over resolved state  pq: all codes;
                                                         ivf: nprobe
@@ -95,9 +97,11 @@ def main():
         _pqidx_ingest_shard,
         ivf_index_build,
         ivf_index_delete,
+        ivf_index_ingest,
         ivf_index_probe,
         pq_index_build,
         pq_index_delete,
+        pq_index_ingest,
         pq_index_probe,
         train_ivf_centroids,
     )
@@ -124,9 +128,7 @@ def main():
             )
 
         def s_ingest():
-            pq_index_probe(
-                _pqidx_ingest_shard(emb), idx, k=1, vec_col="e", commit=True
-            )
+            pq_index_ingest(_pqidx_ingest_shard(emb), idx, vec_col="e")
 
         def s_delete():
             pq_index_delete(spark, idx, _pqidx_delete_ids(emb))
@@ -170,10 +172,7 @@ def main():
             )
 
         def s_ingest():
-            ivf_index_probe(
-                _pqidx_ingest_shard(emb), idx, k=1, nprobe=_NPROBE,
-                vec_col="e", commit=True,
-            )
+            ivf_index_ingest(_pqidx_ingest_shard(emb), idx, vec_col="e")
 
         def s_delete():
             ivf_index_delete(spark, idx, _pqidx_delete_ids(emb))
@@ -269,7 +268,9 @@ def main():
 
     result = {
         "note": (
-            "VERDICT r16 item 4: stage split of the flat-PQ and "
+            "VERDICT r16 item 4 (stage attribution) + r17 item 2 "
+            "(round-18 re-measure after the ingest-only switch): "
+            "stage split of the flat-PQ and "
             "IVF-Flat lifecycle rows at x1/x30 so the slope "
             "steepening is attributed by construction. Bench-"
             "faithful conditions: one memo clear per pass, then the "
@@ -279,8 +280,11 @@ def main():
             "measures the memo-hit resolution the registered lines "
             "pay. Stages: model (memo-hit model resolution), build "
             "(encode/assign full corpus + commits), ingest (fixed "
-            "84-row shard — but the pq ingest's k=1 probe is a flat "
-            "ADC scan of ALL n codes), delete (n/11 tombstones), "
+            "84-row shard through the round-18 ingest-only entry — "
+            "encode/assign + append, NO probe work; at r17 this stage "
+            "was probe(commit=True), whose flat-PQ k=1 answer "
+            "ADC-scanned ALL n codes and owned the whole x30 slope), "
+            "delete (n/11 tombstones), "
             "probe (8-query batch; pq scans all codes by contract, "
             "ivf rescopes to nprobe cells). min of THREE passes per "
             "stage (the first x30 pass after staging runs 2-3x hot); "
