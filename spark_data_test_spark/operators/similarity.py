@@ -2757,6 +2757,57 @@ def _stamp_guard(frame, payload_col, expected, op, live):
     )
 
 
+def _assert_log_stamp(spark, log_path, expected, op, live):
+    """Crashed-rebuild gate for the INGEST-ONLY entry points at
+    O(newest live row), not O(index): walk the log's committed
+    versions NEWEST FIRST and verify the first live row found carries
+    the committed model's content hash. The probe paths verify EVERY
+    resolved live row scan-side (`_stamp_guard`) because their answer
+    scans the index anyway; a pure ingest must not pay an index scan —
+    but a crashed rebuild (model snapshot advanced, log not reset)
+    leaves the ENTIRE existing log stamped under the old model, so the
+    newest live row alone witnesses it. Without this gate an ingest
+    loop would keep "successfully" appending batches (stamped under
+    the NEW model) onto a log every probe rejects, and the diagnosed
+    repair — a same-path rebuild, which resets the log — would then
+    silently discard them. ``live`` maps a version frame to its
+    non-tombstone predicate (tombstones deliberately carry NULL
+    stamps and prove nothing about the log's model). Cost shape: on
+    an ingest cadence the newest version IS the previous batch delta,
+    so this reads one batch-sized file; tombstone-only deltas step
+    back one version; a fresh post-build log reads the base version's
+    first live row (pushed single-column read). A log with no live
+    row anywhere cannot contradict the model — appending is safe."""
+    from spark_data_test_spark.state import _committed_state_version
+
+    cur = _committed_state_version(log_path)
+    if cur is None:
+        return
+    for v in range(int(cur), -1, -1):
+        if not os.path.exists(f"{log_path}/v{v}/_SUCCESS"):
+            continue
+        part = spark.read.parquet(f"{log_path}/v{v}")
+        if "build_id" not in part.columns:
+            # pre-stamping release wrote this version: its live rows
+            # resolve with NULL stamps, which every probe rejects
+            part = part.withColumn("build_id", F.lit(None).cast("long"))
+        row = part.where(live(part)).select("build_id").first()
+        if row is None:
+            continue  # tombstone-only delta: step back one version
+        if row.build_id is None or int(row.build_id) != int(expected):
+            raise ValueError(
+                f"{op}: the committed model and the newest live log"
+                " rows carry different build stamps — a rebuild"
+                " crashed between its commits, or the log predates"
+                " build stamping; re-run the build at this index path"
+                " before ingesting (appending now would stamp new rows"
+                " under a model the existing log was not built"
+                " against, and the rebuild that repairs the index"
+                " would discard them)"
+            )
+        return
+
+
 def _resolved_postings(spark, index_path, expect_build=None):
     """LATEST-WINS view of the postings log: a re-ingested id may
     appear in several deltas — possibly with a CHANGED vector in a
@@ -2972,7 +3023,15 @@ def ivf_index_probe(
     # id would interleave both vectors' candidates in ONE rank window,
     # producing duplicate neighbor_ids and corrupt ranks
     queries = _pq_dedup_ids(queries, id_col, vec_col)
-    q = _norm_vectors(queries, id_col, vec_col, "ivf_index_probe").persist()
+    q = _validated_ivf_batch(
+        # read AND commit paths validate (the pq family's posture): a
+        # mis-dim query NULL-pads the zip_with scoring, so without the
+        # check a read probe returns NULL-cosine rows and a commit
+        # lands unsound posting rows in the log with a success count
+        _norm_vectors(queries, id_col, vec_col, "ivf_index_probe"),
+        cents_raw,
+        "ivf_index_probe",
+    ).persist()
     try:
         wq = Window.partitionBy("_id").orderBy(
             F.col("_cos").desc(), "cent_id"
@@ -3023,32 +3082,9 @@ def ivf_index_probe(
         result = result.localCheckpoint(eager=True)
         # the batch was deduped up front, so a commit version never
         # holds two rows for one id (the latest-wins read's max_by on
-        # the version would tie arbitrarily otherwise)
-        batch = (
-            _cell_scored(q, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("cell"),
-                F.first("_v").alias("v"),
-                F.first("_n2").alias("n2"),
-            )
-            .select(
-                F.col("_id").alias("vec_id"),
-                "cell",
-                "v",
-                "n2",
-                # ingest rows are assigned under the VERIFIED committed
-                # centroids, so they carry the same build stamp
-                F.lit(expected).alias("build_id"),
-                F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
-            )
-        )
+        # the version would tie arbitrarily otherwise); the delta is
+        # the ONE shared definition `ivf_index_ingest` also commits
+        batch = _ivf_commit_delta(q, cents, expected)
         # ingest deltas extend the LOG from the build's base — see
         # state.RETAIN_ALL for the log-table retention convention
         from spark_data_test_spark.state import RETAIN_ALL
@@ -3061,6 +3097,64 @@ def ivf_index_probe(
         q.unpersist()
 
 
+def _validated_ivf_batch(q, cents_raw, op):
+    """Dim validation for IVF-Flat COMMIT batches (probe-commit and
+    ingest alike, so the shared-delta contract covers the error path
+    too): first-row dim lock against the COMMITTED centroid dim —
+    without it `_cell_scored`'s zip_with NULL-pads a mismatched
+    vector, max_by assigns it an arbitrary cell, and unsound posting
+    rows land in the log with a success count. Raises on a
+    wrong-dim batch (the pq/ivfpq siblings' "not divisible" /
+    "subvector dim" analogue); rows deviating from the locked dim
+    drop like `_pq_frame`'s ragged rule. An empty frame (all
+    zero-norm) passes through — the caller decides the empty-batch
+    contract."""
+    first = q.select(F.size("_v").alias("d")).first()
+    if first is None:
+        return q
+    dim = int(first.d)
+    cdim = int(cents_raw.agg(F.max(F.size("cv")).alias("d")).first().d)
+    if dim != cdim:
+        raise ValueError(
+            f"{op}: batch vector dim {dim} != committed centroid"
+            f" dim {cdim}"
+        )
+    return q.where(F.size("_v") == dim)
+
+
+def _ivf_commit_delta(q, cents, expected):
+    """The IVF-Flat ingest delta — ONE definition shared by
+    `ivf_index_probe(commit=True)` and `ivf_index_ingest`, so the
+    pinned byte-identical-delta contract holds by construction
+    instead of by copy discipline: per deduped batch id, the argmax
+    committed cell (cosine desc, cent_id tie-break), the raw vector
+    and its norm (IVF-Flat inverted lists carry the vectors), stamped
+    with the VERIFIED committed centroids' content hash."""
+    return (
+        _cell_scored(q, cents)
+        .groupBy("_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("cent_id")).alias("nc"),
+                ),
+            ).alias("cell"),
+            F.first("_v").alias("v"),
+            F.first("_n2").alias("n2"),
+        )
+        .select(
+            F.col("_id").alias("vec_id"),
+            "cell",
+            "v",
+            "n2",
+            F.lit(int(expected)).alias("build_id"),
+            F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
+        )
+    )
+
+
 def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     """Library operator: APPEND a batch to the committed IVF-Flat
     index WITHOUT answering a query against it (round 18, VERDICT r17
@@ -3070,15 +3164,22 @@ def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     assigned to its argmax cell under the broadcast committed
     centroids and lands (with its raw vector — IVF-Flat inverted
     lists carry the vectors) as the next postings delta — O(batch)
-    work, no probe of any cell's posting rows. The committed delta is
-    IDENTICAL to what ``ivf_index_probe(batch, ..., commit=True)``
-    would commit (pinned in tests/test_similarity_api.py): the same
-    up-front duplicate-id collapse, zero-norm drop, argmax cell rule,
-    and build stamp — latest-wins / tombstone semantics at read are
-    unchanged. Unlike the probe path the result is a plain count (no
-    eagerly-pinned frame for the caller to release). An empty batch —
-    or one emptied by the zero-norm drop — commits nothing and
-    returns 0. Returns the number of rows committed."""
+    work, no probe of any cell's posting rows. For every batch that
+    commits at least one row the delta is IDENTICAL to what
+    ``ivf_index_probe(batch, ..., commit=True)`` would commit (shared
+    `_ivf_commit_delta` definition; pinned in
+    tests/test_similarity_api.py): the same up-front duplicate-id
+    collapse, zero-norm drop, dim validation, argmax cell rule, and
+    build stamp — latest-wins / tombstone semantics at read are
+    unchanged. Deliberate divergences from the probe path: the result
+    is a plain count (no eagerly-pinned frame for the caller to
+    release), and a DEGENERATE batch — empty, or emptied by the
+    zero-norm drop — is a no-op returning 0 where the probe path
+    would write an empty delta version. Before appending, the newest
+    live log row's build stamp is verified against the committed
+    centroids (`_assert_log_stamp` — the O(1-row) crashed-rebuild
+    gate; probes verify every resolved row scan-side instead).
+    Returns the number of rows committed."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -3101,50 +3202,39 @@ def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
             " but no committed postings (re-run ivf_index_build)"
         )
     expected = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    _assert_log_stamp(
+        spark,
+        f"{index_path}/postings",
+        expected,
+        "ivf_index_ingest",
+        live=lambda part: part["cell"] >= 0,
+    )
     cents = F.broadcast(
         cents_raw.select(
             "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
         )
     )
-    d = _pq_dedup_ids(batch, id_col, vec_col)
-    if d.first() is None:
-        return 0
-    q = _norm_vectors(d, id_col, vec_col, "ivf_index_ingest")
-    delta = (
-        _cell_scored(q, cents)
-        .groupBy("_id")
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(
-                    F.col("_cos").alias("c"),
-                    (-F.col("cent_id")).alias("nc"),
-                ),
-            ).alias("cell"),
-            F.first("_v").alias("v"),
-            F.first("_n2").alias("n2"),
-        )
-        .select(
-            F.col("_id").alias("vec_id"),
-            "cell",
-            "v",
-            "n2",
-            # assigned under the verified committed centroids → the
-            # same stamp the probe-commit path writes
-            F.lit(expected).alias("build_id"),
-            F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
-        )
-    )
-    delta = delta.persist()
+    d = _pq_dedup_ids(batch, id_col, vec_col).persist()
     try:
-        n = delta.count()
-        if n:
-            write_state_version(
-                delta, f"{index_path}/postings", retain=RETAIN_ALL
-            )
+        if d.first() is None:
+            return 0
+        q = _validated_ivf_batch(
+            _norm_vectors(d, id_col, vec_col, "ivf_index_ingest"),
+            cents_raw,
+            "ivf_index_ingest",
+        )
+        delta = _ivf_commit_delta(q, cents, expected).persist()
+        try:
+            n = delta.count()
+            if n:
+                write_state_version(
+                    delta, f"{index_path}/postings", retain=RETAIN_ALL
+                )
+        finally:
+            delta.unpersist()
+        return n
     finally:
-        delta.unpersist()
-    return n
+        d.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -3793,8 +3883,22 @@ def pq_index_probe(
     # dedup-and-dim-validated qframe (a mixed-dim batch's deviant rows
     # were dropped from the answer and must not reach the codes log,
     # where pq_encode's own first-row dim lock could otherwise flip
-    # which side survives)
-    batch = _pq_pack_codes(
+    # which side survives); the delta is the ONE shared definition
+    # `pq_index_ingest` also commits
+    batch = _pq_commit_delta(qframe, codebook, expected, id_col, vec_col)
+    write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
+    return result
+
+
+def _pq_commit_delta(qframe, codebook, expected, id_col, vec_col):
+    """The PQ ingest delta — ONE definition shared by
+    `pq_index_probe(commit=True)` and `pq_index_ingest`, so the
+    pinned byte-identical-delta contract holds by construction
+    instead of by copy discipline: the dedup-and-dim-validated batch
+    encoded against the VERIFIED committed codebook, packed to one
+    (vec_id, codes) row per id, stamped with the codebook's content
+    hash and the current stamp format."""
+    return _pq_pack_codes(
         pq_encode(
             qframe.select(
                 F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
@@ -3802,14 +3906,11 @@ def pq_index_probe(
             codebook,
             id_col=id_col,
             vec_col=vec_col,
-            # encoded against the verified committed codebook → stamp
         ),
         id_col,
-    ).withColumn("build_id", F.lit(expected)).withColumn(
+    ).withColumn("build_id", F.lit(int(expected))).withColumn(
         "stamp_fmt", F.lit(_STAMP_FMT).cast("integer")
     )
-    write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
-    return result
 
 
 def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
@@ -3822,17 +3923,22 @@ def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     (the flat-PQ probe contract, O(index) per call), which an
     ingest-cadence workload pays just to discard the answer —
     `DECOMP_INDEX_LIFECYCLE.json` (round 17) measured that scan as the
-    entire x30 lifecycle slope. The committed delta is IDENTICAL to
-    what ``pq_index_probe(batch, ..., commit=True)`` would commit
-    (pinned in tests/test_pq_index_api.py): the same up-front
-    duplicate-id collapse (`_pq_dedup_ids`), first-row dim lock and
-    ragged-row drop (`_pq_frame`), dim validation, and build stamp —
-    dup collapse against rows ALREADY in the index needs no probe at
-    all, because the log contract resolves a re-ingested id
-    latest-wins at read. Unlike the probe path the result is a plain
-    count (no eagerly-pinned frame for the caller to release). An
-    empty batch commits nothing and returns 0. Returns the number of
-    rows committed."""
+    entire x30 lifecycle slope. For every batch that commits at least
+    one row the delta is IDENTICAL to what
+    ``pq_index_probe(batch, ..., commit=True)`` would commit (shared
+    `_pq_commit_delta` definition; pinned in
+    tests/test_pq_index_api.py): the same up-front duplicate-id
+    collapse (`_pq_dedup_ids`), first-row dim lock and ragged-row
+    drop (`_pq_frame`), dim validation, and build stamp — dup
+    collapse against rows ALREADY in the index needs no probe at all,
+    because the log contract resolves a re-ingested id latest-wins at
+    read. Deliberate divergences from the probe path: the result is a
+    plain count (no eagerly-pinned frame for the caller to release),
+    and an empty batch is a no-op returning 0. Before appending, the
+    newest live log row's build stamp is verified against the
+    committed codebook (`_assert_log_stamp` — the O(1-row)
+    crashed-rebuild gate; probes verify every resolved row scan-side
+    instead). Returns the number of rows committed."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -3859,47 +3965,44 @@ def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
         F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
     ).first()
     expected = int(cb_row.bid)
-    mq = int(cb_row.m1) + 1
-    d = _pq_dedup_ids(batch, id_col, vec_col)
-    if d.first() is None:
-        return 0
-    qframe, dim = _pq_frame(d, id_col, vec_col, "pq_index_ingest")
-    if dim % mq:
-        raise ValueError(
-            f"pq_index_ingest: batch vector dim {dim} not divisible by"
-            f" the committed codebook's m={mq}"
-        )
-    if dim // mq != int(cb_row.subdim):
-        raise ValueError(
-            f"pq_index_ingest: batch subvector dim {dim // mq} != "
-            f"committed codebook subvector dim {int(cb_row.subdim)} "
-            f"(batch dim {dim}, m={mq})"
-        )
-    delta = _pq_pack_codes(
-        pq_encode(
-            qframe.select(
-                F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
-            ),
-            codebook,
-            id_col=id_col,
-            vec_col=vec_col,
-            # encoded against the verified committed codebook → the
-            # same stamp the probe-commit path writes
-        ),
-        id_col,
-    ).withColumn("build_id", F.lit(expected)).withColumn(
-        "stamp_fmt", F.lit(_STAMP_FMT).cast("integer")
+    _assert_log_stamp(
+        spark,
+        f"{index_path}/codes",
+        expected,
+        "pq_index_ingest",
+        live=lambda part: part["codes"].isNotNull(),
     )
-    delta = delta.persist()
+    mq = int(cb_row.m1) + 1
+    d = _pq_dedup_ids(batch, id_col, vec_col).persist()
     try:
-        n = delta.count()
-        if n:
-            write_state_version(
-                delta, f"{index_path}/codes", retain=RETAIN_ALL
+        if d.first() is None:
+            return 0
+        qframe, dim = _pq_frame(d, id_col, vec_col, "pq_index_ingest")
+        if dim % mq:
+            raise ValueError(
+                f"pq_index_ingest: batch vector dim {dim} not"
+                f" divisible by the committed codebook's m={mq}"
             )
+        if dim // mq != int(cb_row.subdim):
+            raise ValueError(
+                f"pq_index_ingest: batch subvector dim {dim // mq} != "
+                f"committed codebook subvector dim {int(cb_row.subdim)}"
+                f" (batch dim {dim}, m={mq})"
+            )
+        delta = _pq_commit_delta(
+            qframe, codebook, expected, id_col, vec_col
+        ).persist()
+        try:
+            n = delta.count()
+            if n:
+                write_state_version(
+                    delta, f"{index_path}/codes", retain=RETAIN_ALL
+                )
+        finally:
+            delta.unpersist()
+        return n
     finally:
-        delta.unpersist()
-    return n
+        d.unpersist()
 
 
 def pq_index_delete(spark, index_path, ids, id_col="vec_id"):
@@ -4452,42 +4555,54 @@ def ivfpq_index_probe(
         # persisted, dedup-and-dim-filtered q rather than re-deriving
         # from the raw batch — a ragged row excluded from the answer
         # must never reach the postings log (and the batch is not
-        # re-normalized a second time)
-        batch_assign = (
-            _cell_scored(q, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("cell")
-            )
-            .select(F.col("_id").alias("vec_id"), "cell")
-        )
-        surv = q.select(
-            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
-        )
-        batch_codes = _pq_pack_codes(
-            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
-            id_col,
-        )
+        # re-normalized a second time); the delta is the ONE shared
+        # definition `ivfpq_index_ingest` also commits
         write_state_version(
-            batch_assign.join(batch_codes, "vec_id")
-            .withColumn(
-                # assigned and encoded under the verified committed
-                # models → same stamp
-                "build_id", F.lit(expected)
-            )
-            .withColumn("stamp_fmt", F.lit(_STAMP_FMT).cast("integer")),
+            _ivfpq_commit_delta(
+                q, cents, codebook, expected, id_col, vec_col
+            ),
             f"{index_path}/postings",
             retain=RETAIN_ALL,
         )
         return result
     finally:
         q.unpersist()
+
+
+def _ivfpq_commit_delta(q, cents, codebook, expected, id_col, vec_col):
+    """The IVF-PQ ingest delta — ONE definition shared by
+    `ivfpq_index_probe(commit=True)` and `ivfpq_index_ingest`, so the
+    pinned byte-identical-delta contract holds by construction
+    instead of by copy discipline: per deduped, dim-filtered batch id
+    the argmax committed cell AND the packed codes against the
+    committed codebook as one atomic posting row, stamped with the
+    XOR-combined content hash of BOTH verified committed models."""
+    batch_assign = (
+        _cell_scored(q, cents)
+        .groupBy("_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("cent_id")).alias("nc"),
+                ),
+            ).alias("cell")
+        )
+        .select(F.col("_id").alias("vec_id"), "cell")
+    )
+    surv = q.select(
+        F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
+    )
+    batch_codes = _pq_pack_codes(
+        pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
+        id_col,
+    )
+    return (
+        batch_assign.join(batch_codes, "vec_id")
+        .withColumn("build_id", F.lit(int(expected)))
+        .withColumn("stamp_fmt", F.lit(_STAMP_FMT).cast("integer"))
+    )
 
 
 def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
@@ -4499,16 +4614,22 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     cell, codes) rows land as the next postings delta — O(batch x
     models) work, never a candidate scan of the index, which the
     probe-then-commit path pays just to discard the answer on an
-    ingest-cadence workload. The committed delta is IDENTICAL to what
+    ingest-cadence workload. For every batch that commits at least
+    one row the delta is IDENTICAL to what
     ``ivfpq_index_probe(batch, ..., commit=True)`` would commit
-    (pinned in tests/test_ivfpq_index_api.py): the same up-front
-    duplicate-id collapse, zero-norm drop, ragged-row drop, dim
-    validation, argmax cell rule, and build stamp — latest-wins /
-    tombstone semantics at read are unchanged. Unlike the probe path
+    (shared `_ivfpq_commit_delta` definition; pinned in
+    tests/test_ivfpq_index_api.py): the same up-front duplicate-id
+    collapse, zero-norm drop, ragged-row drop, dim validation, argmax
+    cell rule, and build stamp — latest-wins / tombstone semantics at
+    read are unchanged. Deliberate divergences from the probe path:
     the result is a plain count (no eagerly-pinned frame for the
-    caller to release). An empty batch — or one emptied by the
-    zero-norm / ragged filters — commits nothing and returns 0.
-    Returns the number of rows committed."""
+    caller to release), and a DEGENERATE batch — empty, or emptied by
+    the zero-norm / ragged filters — is a no-op returning 0 where the
+    probe path raises on an all-zero-norm batch. Before appending,
+    the newest live log row's build stamp is verified against the
+    committed models (`_assert_log_stamp` — the O(1-row)
+    crashed-rebuild gate; probes verify every resolved row scan-side
+    instead). Returns the number of rows committed."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -4537,28 +4658,35 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
         F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
     ).first()
     expected = cent_hash ^ int(cb_row.bid)
+    _assert_log_stamp(
+        spark,
+        f"{index_path}/postings",
+        expected,
+        "ivfpq_index_ingest",
+        live=lambda part: part["cell"] >= 0,
+    )
     mq = int(cb_row.m1) + 1
-    d = _pq_dedup_ids(batch, id_col, vec_col)
-    if d.first() is None:
-        return 0
-    q = _norm_vectors(d, id_col, vec_col, "ivfpq_index_ingest")
-    first = q.select(F.size("_v").alias("d")).first()
-    if first is None:
-        return 0  # every batch vector was zero-norm: nothing to place
-    dim = int(first.d)
-    if dim % mq:
-        raise ValueError(
-            f"ivfpq_index_ingest: batch vector dim {dim} not divisible"
-            f" by the committed codebook's m={mq}"
-        )
-    if dim // mq != int(cb_row.subdim):
-        raise ValueError(
-            f"ivfpq_index_ingest: batch subvector dim {dim // mq} != "
-            f"committed codebook subvector dim {int(cb_row.subdim)} "
-            f"(batch dim {dim}, m={mq})"
-        )
-    q = q.where(F.size("_v") == dim).persist()
+    d = _pq_dedup_ids(batch, id_col, vec_col).persist()
     try:
+        if d.first() is None:
+            return 0
+        q = _norm_vectors(d, id_col, vec_col, "ivfpq_index_ingest")
+        first = q.select(F.size("_v").alias("d")).first()
+        if first is None:
+            return 0  # every batch vector was zero-norm
+        dim = int(first.d)
+        if dim % mq:
+            raise ValueError(
+                f"ivfpq_index_ingest: batch vector dim {dim} not"
+                f" divisible by the committed codebook's m={mq}"
+            )
+        if dim // mq != int(cb_row.subdim):
+            raise ValueError(
+                f"ivfpq_index_ingest: batch subvector dim {dim // mq}"
+                f" != committed codebook subvector dim"
+                f" {int(cb_row.subdim)} (batch dim {dim}, m={mq})"
+            )
+        q = q.where(F.size("_v") == dim)
         cents = F.broadcast(
             cents_raw.select(
                 "cent_id",
@@ -4566,35 +4694,9 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
                 F.col("cn2").alias("_cn2"),
             )
         )
-        batch_assign = (
-            _cell_scored(q, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("cell")
-            )
-            .select(F.col("_id").alias("vec_id"), "cell")
-        )
-        surv = q.select(
-            F.col("_id").alias(id_col), F.col("_v").alias(vec_col)
-        )
-        batch_codes = _pq_pack_codes(
-            pq_encode(surv, codebook, id_col=id_col, vec_col=vec_col),
-            id_col,
-        )
-        delta = (
-            batch_assign.join(batch_codes, "vec_id")
-            # assigned and encoded under the verified committed models
-            # → same stamp the probe-commit path writes
-            .withColumn("build_id", F.lit(expected))
-            .withColumn("stamp_fmt", F.lit(_STAMP_FMT).cast("integer"))
-        )
-        delta = delta.persist()
+        delta = _ivfpq_commit_delta(
+            q, cents, codebook, expected, id_col, vec_col
+        ).persist()
         try:
             n = delta.count()
             if n:
@@ -4605,7 +4707,7 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
             delta.unpersist()
         return n
     finally:
-        q.unpersist()
+        d.unpersist()
 
 
 def ivfpq_index_delete(spark, index_path, ids, id_col="vec_id"):

@@ -1046,3 +1046,45 @@ def test_pq_index_ingest_contract_edges(spark, tmp_path):
     versions_before = sorted(os.listdir(f"{idx}/codes"))
     assert pq_index_ingest(empty, idx) == 0
     assert sorted(os.listdir(f"{idx}/codes")) == versions_before
+
+
+def test_pq_index_ingest_rejects_crashed_rebuild(spark, tmp_path):
+    """Round-18 gate (`_assert_log_stamp`): a rebuild that crashed
+    between its codebook and codes commits leaves the whole log
+    stamped under the OLD model — ingest must refuse to append (the
+    repair rebuild would discard the appended batches), at O(newest
+    live row) cost rather than the probes' full scan. The walk must
+    also step back over tombstone-only deltas (NULL stamps prove
+    nothing), so a delete directly before an ingest does not blind
+    the gate — and a healthy log keeps ingesting after a delete."""
+    import pytest
+
+    from spark_data_test_spark import (
+        pq_index_build,
+        pq_index_delete,
+        pq_index_ingest,
+        pq_train,
+    )
+    from spark_data_test_spark.state import write_state_version
+
+    corpus = _mk(16, 8, 557)
+    idx = str(tmp_path / "pqidx")
+    pq_index_build(
+        spark.createDataFrame(corpus, _SCHEMA), idx, m=4, ncodes=5, rounds=1
+    )
+    # healthy log, tombstone-only newest delta: gate steps back, passes
+    pq_index_delete(spark, idx, [corpus[0][0]])
+    assert pq_index_ingest(
+        spark.createDataFrame(_mk(2, 8, 558, start=600), _SCHEMA), idx
+    ) == 2
+    # crash simulation: a DIFFERENT codebook snapshot commits, the
+    # codes log is never reset (the build's crash window)
+    cb2 = pq_train(
+        spark.createDataFrame(_mk(16, 8, 999), _SCHEMA),
+        m=4, ncodes=7, rounds=1,
+    )
+    write_state_version(cb2, f"{idx}/codebook", retain=2)
+    with pytest.raises(ValueError, match="different build stamps"):
+        pq_index_ingest(
+            spark.createDataFrame(_mk(2, 8, 559, start=700), _SCHEMA), idx
+        )

@@ -1540,3 +1540,71 @@ def test_ivf_index_ingest_contract_edges(spark, tmp_path):
     zero = spark.createDataFrame([(901, [0.0] * 6)], schema)
     assert ivf_index_ingest(zero, idx) == 0
     assert sorted(os.listdir(f"{idx}/postings")) == versions_before
+
+
+def test_ivf_index_commit_paths_reject_wrong_dim_batch(spark, tmp_path):
+    """Round-18 hardening: a wrong-dim batch raises on every path —
+    without the check, zip_with NULL-pads the scoring, so a read
+    probe would return NULL-cosine rows and a commit would land
+    unsound posting rows in the log with a success count (the pq
+    family's "not divisible" posture)."""
+    import pytest
+
+    from spark_data_test_spark import (
+        ivf_index_build,
+        ivf_index_ingest,
+        ivf_index_probe,
+    )
+
+    schema = "vec_id long, emb array<double>"
+    corpus, _ = _fixture(n=12, nq=0, dim=6, seed=79)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    bad = spark.createDataFrame([(900, [1.0] * 5)], schema)
+    with pytest.raises(ValueError, match="committed centroid dim"):
+        ivf_index_ingest(bad, idx)
+    with pytest.raises(ValueError, match="committed centroid dim"):
+        ivf_index_probe(bad, idx, k=2, nprobe=2, commit=True)
+    with pytest.raises(ValueError, match="committed centroid dim"):
+        ivf_index_probe(bad, idx, k=2, nprobe=2).count()
+
+
+def test_ivf_index_ingest_rejects_crashed_rebuild(spark, tmp_path):
+    """Round-18 gate for the IVF-Flat family: a centroid snapshot that
+    advanced without a postings reset (the build's crash window) must
+    refuse ingest at O(newest live row)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark import ivf_index_build, ivf_index_ingest
+    from spark_data_test_spark.operators.similarity import (
+        _train_double_cells,
+        _norm_vectors,
+    )
+    from spark_data_test_spark.state import write_state_version
+
+    schema = "vec_id long, emb array<double>"
+    corpus, _ = _fixture(n=12, nq=0, dim=6, seed=83)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark.createDataFrame(corpus, schema), idx, ncells=3, rounds=2
+    )
+    other, _ = _fixture(n=12, nq=0, dim=6, seed=97)
+    c = _norm_vectors(
+        spark.createDataFrame(other, schema), "vec_id", "emb", "t"
+    ).persist()
+    cents2 = _train_double_cells(c, 2, 1, "t").select(
+        "cent_id", F.col("_cv").alias("cv"), F.col("_cn2").alias("cn2")
+    )
+    write_state_version(cents2, f"{idx}/centroids", retain=2)
+    c.unpersist()
+    with pytest.raises(ValueError, match="different build stamps"):
+        ivf_index_ingest(
+            spark.createDataFrame(
+                [(700, [1.0, 2.0, 0.0, -1.0, 1.0, 3.0])], schema
+            ),
+            idx,
+        )
