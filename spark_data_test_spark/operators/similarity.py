@@ -2758,14 +2758,20 @@ def _stamp_guard(frame, payload_col, expected, op, live):
 
 
 def _assert_log_stamp(spark, log_path, expected, op, live):
-    """Crashed-rebuild gate for the INGEST-ONLY entry points at
-    O(newest live row), not O(index): walk the log's committed
-    versions NEWEST FIRST and verify the first live row found carries
-    the committed model's content hash. The probe paths verify EVERY
-    resolved live row scan-side (`_stamp_guard`) because their answer
-    scans the index anyway; a pure ingest must not pay an index scan —
-    but a crashed rebuild (model snapshot advanced, log not reset)
-    leaves the ENTIRE existing log stamped under the old model, so the
+    """Crashed-rebuild gate for every LOG-APPENDING path at O(newest
+    live row), not O(index): walk the log's committed versions NEWEST
+    FIRST and verify the first live row found carries the committed
+    model's content hash. The probe paths additionally verify the
+    live rows their ANSWER resolves scan-side (`_stamp_guard`), but
+    that alone cannot gate a commit: a cell-pruned (or empty) answer
+    may evaluate no pre-existing row at all, and one commit landing
+    on a crashed-rebuild log would stamp a NEW-model delta on top of
+    an all-old-stamped log — permanently blinding this gate's
+    newest-live-row witness for every later append. So BOTH commit
+    paths (probe ``commit=True`` and the ingest-only entries) run
+    this gate before appending; a pure ingest pays nothing else. A
+    crashed rebuild (model snapshot advanced, log not reset) leaves
+    the ENTIRE existing log stamped under the old model, so the
     newest live row alone witnesses it. Without this gate an ingest
     loop would keep "successfully" appending batches (stamped under
     the NEW model) onto a log every probe rejects, and the diagnosed
@@ -2800,7 +2806,7 @@ def _assert_log_stamp(spark, log_path, expected, op, live):
                 " rows carry different build stamps — a rebuild"
                 " crashed between its commits, or the log predates"
                 " build stamping; re-run the build at this index path"
-                " before ingesting (appending now would stamp new rows"
+                " before appending (appending now would stamp new rows"
                 " under a model the existing log was not built"
                 " against, and the rebuild that repairs the index"
                 " would discard them)"
@@ -3006,8 +3012,10 @@ def ivf_index_probe(
         )
     )
     # build-stamp check: resolved live postings must be stamped with
-    # the COMMITTED centroids' content hash (crashed-rebuild detector)
-    expected = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    # the COMMITTED centroids' content hash (crashed-rebuild
+    # detector); the centroid dim for the batch dim-lock rides the
+    # same model-sized agg — no extra action
+    expected, cdim = _ivf_model_hash_dim(cents_raw)
     postings = _resolved_postings(
         spark, index_path, expect_build=expected
     )
@@ -3023,16 +3031,17 @@ def ivf_index_probe(
     # id would interleave both vectors' candidates in ONE rank window,
     # producing duplicate neighbor_ids and corrupt ranks
     queries = _pq_dedup_ids(queries, id_col, vec_col)
-    q = _validated_ivf_batch(
+    qn = _norm_vectors(queries, id_col, vec_col, "ivf_index_probe")
+    # persist BEFORE the validation first() so the dim-lock action
+    # seeds the same cache every later scan reads — not a second
+    # execution of the dedup shuffle
+    qn = qn.persist()
+    try:
         # read AND commit paths validate (the pq family's posture): a
         # mis-dim query NULL-pads the zip_with scoring, so without the
         # check a read probe returns NULL-cosine rows and a commit
         # lands unsound posting rows in the log with a success count
-        _norm_vectors(queries, id_col, vec_col, "ivf_index_probe"),
-        cents_raw,
-        "ivf_index_probe",
-    ).persist()
-    try:
+        q = _validated_ivf_batch(qn, cdim, "ivf_index_probe")
         wq = Window.partitionBy("_id").orderBy(
             F.col("_cos").desc(), "cent_id"
         )
@@ -3079,6 +3088,18 @@ def ivf_index_probe(
         )
         if not commit:
             return result
+        # commit gate BEFORE materializing the answer: a cell-pruned
+        # answer may evaluate no pre-existing posting row, so the
+        # scan-side guard alone cannot stop this append from landing
+        # a new-stamped delta on a crashed-rebuild log (which would
+        # blind the ingest entries' newest-live-row gate)
+        _assert_log_stamp(
+            spark,
+            f"{index_path}/postings",
+            expected,
+            "ivf_index_probe",
+            live=lambda part: part["cell"] >= 0,
+        )
         result = result.localCheckpoint(eager=True)
         # the batch was deduped up front, so a commit version never
         # holds two rows for one id (the latest-wins read's max_by on
@@ -3094,30 +3115,45 @@ def ivf_index_probe(
         )
         return result
     finally:
-        q.unpersist()
+        qn.unpersist()
 
 
-def _validated_ivf_batch(q, cents_raw, op):
-    """Dim validation for IVF-Flat COMMIT batches (probe-commit and
-    ingest alike, so the shared-delta contract covers the error path
-    too): first-row dim lock against the COMMITTED centroid dim —
-    without it `_cell_scored`'s zip_with NULL-pads a mismatched
-    vector, max_by assigns it an arbitrary cell, and unsound posting
-    rows land in the log with a success count. Raises on a
-    wrong-dim batch (the pq/ivfpq siblings' "not divisible" /
-    "subvector dim" analogue); rows deviating from the locked dim
-    drop like `_pq_frame`'s ragged rule. An empty frame (all
-    zero-norm) passes through — the caller decides the empty-batch
-    contract."""
+def _ivf_model_hash_dim(cents_raw):
+    """(content hash, vector dim) of the committed IVF centroids in
+    ONE model-sized aggregate — the build stamp every IVF-Flat path
+    checks/writes plus the dim the batch dim-lock compares against,
+    so neither costs a second driver action. Hash formula is
+    `_build_hash_expr` exactly (see `_model_build_hash`)."""
+    row = cents_raw.agg(
+        F.expr(_build_hash_expr(["cent_id", "cv", "cn2"])).alias("h"),
+        F.max(F.size("cv")).alias("d"),
+    ).first()
+    if row is None or row.h is None:
+        return 0, 0
+    return int(row.h), int(row.d)
+
+
+def _validated_ivf_batch(q, cdim, op):
+    """Dim validation for every IVF-Flat batch (read probe,
+    probe-commit, and ingest alike, so the shared-delta contract
+    covers the error path too): first-row dim lock against the
+    COMMITTED centroid dim (``cdim``, precomputed on the model agg —
+    no extra action here beyond the one first()) — without it
+    `_cell_scored`'s zip_with NULL-pads a mismatched vector, max_by
+    assigns it an arbitrary cell, and unsound posting rows land in
+    the log with a success count. Raises on a wrong-dim batch (the
+    pq/ivfpq siblings' "not divisible" / "subvector dim" analogue);
+    rows deviating from the locked dim drop like `_pq_frame`'s ragged
+    rule. An empty frame (all zero-norm) passes through — the caller
+    decides the empty-batch contract."""
     first = q.select(F.size("_v").alias("d")).first()
     if first is None:
         return q
     dim = int(first.d)
-    cdim = int(cents_raw.agg(F.max(F.size("cv")).alias("d")).first().d)
-    if dim != cdim:
+    if dim != int(cdim):
         raise ValueError(
             f"{op}: batch vector dim {dim} != committed centroid"
-            f" dim {cdim}"
+            f" dim {int(cdim)}"
         )
     return q.where(F.size("_v") == dim)
 
@@ -3178,7 +3214,7 @@ def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     would write an empty delta version. Before appending, the newest
     live log row's build stamp is verified against the committed
     centroids (`_assert_log_stamp` — the O(1-row) crashed-rebuild
-    gate; probes verify every resolved row scan-side instead).
+    gate the probe-commit path also runs before ITS append).
     Returns the number of rows committed."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
@@ -3201,7 +3237,7 @@ def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
             f"ivf_index_ingest: index at {index_path} has centroids"
             " but no committed postings (re-run ivf_index_build)"
         )
-    expected = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
+    expected, cdim = _ivf_model_hash_dim(cents_raw)
     _assert_log_stamp(
         spark,
         f"{index_path}/postings",
@@ -3216,11 +3252,14 @@ def ivf_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     )
     d = _pq_dedup_ids(batch, id_col, vec_col).persist()
     try:
+        # empty-batch no-op BEFORE _norm_vectors (which raises on an
+        # empty frame); an all-zero-norm batch instead passes through
+        # the validation first() and counts 0 below
         if d.first() is None:
             return 0
         q = _validated_ivf_batch(
             _norm_vectors(d, id_col, vec_col, "ivf_index_ingest"),
-            cents_raw,
+            cdim,
             "ivf_index_ingest",
         )
         delta = _ivf_commit_delta(q, cents, expected).persist()
@@ -3832,18 +3871,9 @@ def pq_index_probe(
     # entries into one ADC score — collapse deterministically up front,
     # the same rule the commit path already applies
     queries = _pq_dedup_ids(queries, id_col, vec_col)
-    qframe, dim = _pq_frame(queries, id_col, vec_col, "pq_index_probe")
-    if dim % mq:
-        raise ValueError(
-            f"pq_index_probe: query vector dim {dim} not divisible by "
-            f"the committed codebook's m={mq}"
-        )
-    if dim // mq != int(cb_row.subdim):
-        raise ValueError(
-            f"pq_index_probe: query subvector dim {dim // mq} != "
-            f"committed codebook subvector dim {int(cb_row.subdim)} "
-            f"(query dim {dim}, m={mq})"
-        )
+    qframe, dim = _pq_shape_checked(
+        queries, cb_row, "pq_index_probe", id_col, vec_col
+    )
     cb = F.broadcast(codebook)
     qsub = _pq_split(qframe, mq, dim // mq)
     # per-query distance table: nq x m x ncodes rows, joined to the
@@ -3878,6 +3908,17 @@ def pq_index_probe(
     )
     if not commit:
         return result
+    # commit gate BEFORE materializing the answer: an answer that
+    # evaluates no pre-existing code row (e.g. an empty batch after
+    # filters) would let this append land a new-stamped delta on a
+    # crashed-rebuild log and blind the newest-live-row gate
+    _assert_log_stamp(
+        spark,
+        f"{index_path}/codes",
+        expected,
+        "pq_index_probe",
+        live=lambda part: part["codes"].isNotNull(),
+    )
     result = result.localCheckpoint(eager=True)
     # commit exactly the rows the probe ANSWERED for: encode the
     # dedup-and-dim-validated qframe (a mixed-dim batch's deviant rows
@@ -3888,6 +3929,32 @@ def pq_index_probe(
     batch = _pq_commit_delta(qframe, codebook, expected, id_col, vec_col)
     write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
     return result
+
+
+def _pq_shape_checked(dedup, cb_row, op, id_col, vec_col):
+    """Batch shape validation shared by the PQ-codes commit paths
+    (`pq_index_probe` and `pq_index_ingest`) — which rows REACH the
+    shared `_pq_commit_delta` is part of the identical-delta
+    contract, so the deciding code has one definition too: first-row
+    dim lock + ragged-row drop (`_pq_frame`), then the two
+    committed-codebook shape checks (m divisibility, subvector dim)
+    against the shape agg's ``cb_row``. Returns ``(qframe, dim)``;
+    raises with ``op``-prefixed messages on a shape mismatch (and via
+    `_pq_frame` on an empty frame — the ingest path checks emptiness
+    first because its contract is a 0-count no-op)."""
+    qframe, dim = _pq_frame(dedup, id_col, vec_col, op)
+    mq = int(cb_row.m1) + 1
+    if dim % mq:
+        raise ValueError(
+            f"{op}: vector dim {dim} not divisible by"
+            f" the committed codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"{op}: subvector dim {dim // mq} != committed codebook"
+            f" subvector dim {int(cb_row.subdim)} (dim {dim}, m={mq})"
+        )
+    return qframe, dim
 
 
 def _pq_commit_delta(qframe, codebook, expected, id_col, vec_col):
@@ -3937,8 +4004,8 @@ def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     and an empty batch is a no-op returning 0. Before appending, the
     newest live log row's build stamp is verified against the
     committed codebook (`_assert_log_stamp` — the O(1-row)
-    crashed-rebuild gate; probes verify every resolved row scan-side
-    instead). Returns the number of rows committed."""
+    crashed-rebuild gate the probe-commit path also runs before ITS
+    append). Returns the number of rows committed."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -3972,23 +4039,13 @@ def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
         "pq_index_ingest",
         live=lambda part: part["codes"].isNotNull(),
     )
-    mq = int(cb_row.m1) + 1
     d = _pq_dedup_ids(batch, id_col, vec_col).persist()
     try:
         if d.first() is None:
             return 0
-        qframe, dim = _pq_frame(d, id_col, vec_col, "pq_index_ingest")
-        if dim % mq:
-            raise ValueError(
-                f"pq_index_ingest: batch vector dim {dim} not"
-                f" divisible by the committed codebook's m={mq}"
-            )
-        if dim // mq != int(cb_row.subdim):
-            raise ValueError(
-                f"pq_index_ingest: batch subvector dim {dim // mq} != "
-                f"committed codebook subvector dim {int(cb_row.subdim)}"
-                f" (batch dim {dim}, m={mq})"
-            )
+        qframe, _ = _pq_shape_checked(
+            d, cb_row, "pq_index_ingest", id_col, vec_col
+        )
         delta = _pq_commit_delta(
             qframe, codebook, expected, id_col, vec_col
         ).persist()
@@ -4482,26 +4539,14 @@ def ivfpq_index_probe(
     # would otherwise mix two rows' cells in one probe window and sum
     # both distance tables into one ADC score
     queries = _pq_dedup_ids(queries, id_col, vec_col)
-    q = _norm_vectors(queries, id_col, vec_col, "ivfpq_index_probe")
-    first = q.select(F.size("_v").alias("d")).first()
-    if first is None:
+    q, dim = _ivfpq_shape_checked(
+        queries, cb_row, "ivfpq_index_probe", id_col, vec_col
+    )
+    if q is None:
         raise ValueError(
             "ivfpq_index_probe: query batch has no nonzero vectors"
         )
-    dim = int(first.d)
-    if dim % mq:
-        raise ValueError(
-            f"ivfpq_index_probe: query vector dim {dim} not divisible "
-            f"by the committed codebook's m={mq}"
-        )
-    if dim // mq != int(cb_row.subdim):
-        raise ValueError(
-            f"ivfpq_index_probe: query subvector dim {dim // mq} != "
-            f"committed codebook subvector dim {int(cb_row.subdim)} "
-            f"(query dim {dim}, m={mq})"
-        )
-    # ragged rows would mis-split below; drop them like _pq_frame does
-    q = q.where(F.size("_v") == dim).persist()
+    q = q.persist()
     try:
         wq = Window.partitionBy("_id").orderBy(
             F.col("_cos").desc(), "cent_id"
@@ -4550,6 +4595,18 @@ def ivfpq_index_probe(
         )
         if not commit:
             return result
+        # commit gate BEFORE materializing the answer: a cell-pruned
+        # answer may evaluate no pre-existing posting row, so the
+        # scan-side guard alone cannot stop this append from landing
+        # a new-stamped delta on a crashed-rebuild log (which would
+        # blind the ingest entries' newest-live-row gate)
+        _assert_log_stamp(
+            spark,
+            f"{index_path}/postings",
+            expected,
+            "ivfpq_index_probe",
+            live=lambda part: part["cell"] >= 0,
+        )
         result = result.localCheckpoint(eager=True)
         # commit exactly the rows the probe ANSWERED for: reuse the
         # persisted, dedup-and-dim-filtered q rather than re-deriving
@@ -4567,6 +4624,39 @@ def ivfpq_index_probe(
         return result
     finally:
         q.unpersist()
+
+
+def _ivfpq_shape_checked(dedup, cb_row, op, id_col, vec_col):
+    """Batch shape validation shared by the IVF-PQ commit paths
+    (`ivfpq_index_probe` and `ivfpq_index_ingest`) — which rows REACH
+    the shared `_ivfpq_commit_delta` is part of the identical-delta
+    contract, so the deciding code has one definition too: normalize
+    (drops zero-norm rows), first-row dim lock, the two
+    committed-codebook shape checks against the shape agg's
+    ``cb_row``, then the ragged-row drop. Returns ``(q, dim)``, or
+    ``(None, None)`` when the batch is empty after the zero-norm drop
+    — the CALLER owns the degenerate contract (the probe raises "no
+    nonzero vectors", the ingest no-ops to 0); shape mismatches raise
+    here with ``op``-prefixed messages."""
+    q = _norm_vectors(dedup, id_col, vec_col, op)
+    first = q.select(F.size("_v").alias("d")).first()
+    if first is None:
+        return None, None
+    dim = int(first.d)
+    mq = int(cb_row.m1) + 1
+    if dim % mq:
+        raise ValueError(
+            f"{op}: vector dim {dim} not divisible by"
+            f" the committed codebook's m={mq}"
+        )
+    if dim // mq != int(cb_row.subdim):
+        raise ValueError(
+            f"{op}: subvector dim {dim // mq} != committed codebook"
+            f" subvector dim {int(cb_row.subdim)} (dim {dim}, m={mq})"
+        )
+    # ragged rows would mis-split in _pq_split; drop them like
+    # _pq_frame does
+    return q.where(F.size("_v") == dim), dim
 
 
 def _ivfpq_commit_delta(q, cents, codebook, expected, id_col, vec_col):
@@ -4628,8 +4718,8 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     probe path raises on an all-zero-norm batch. Before appending,
     the newest live log row's build stamp is verified against the
     committed models (`_assert_log_stamp` — the O(1-row)
-    crashed-rebuild gate; probes verify every resolved row scan-side
-    instead). Returns the number of rows committed."""
+    crashed-rebuild gate the probe-commit path also runs before ITS
+    append). Returns the number of rows committed."""
     from spark_data_test_spark.state import (
         RETAIN_ALL,
         read_state_table,
@@ -4665,28 +4755,17 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
         "ivfpq_index_ingest",
         live=lambda part: part["cell"] >= 0,
     )
-    mq = int(cb_row.m1) + 1
     d = _pq_dedup_ids(batch, id_col, vec_col).persist()
     try:
+        # empty-batch no-op BEFORE the shape check (whose
+        # _norm_vectors raises on an empty frame)
         if d.first() is None:
             return 0
-        q = _norm_vectors(d, id_col, vec_col, "ivfpq_index_ingest")
-        first = q.select(F.size("_v").alias("d")).first()
-        if first is None:
+        q, _ = _ivfpq_shape_checked(
+            d, cb_row, "ivfpq_index_ingest", id_col, vec_col
+        )
+        if q is None:
             return 0  # every batch vector was zero-norm
-        dim = int(first.d)
-        if dim % mq:
-            raise ValueError(
-                f"ivfpq_index_ingest: batch vector dim {dim} not"
-                f" divisible by the committed codebook's m={mq}"
-            )
-        if dim // mq != int(cb_row.subdim):
-            raise ValueError(
-                f"ivfpq_index_ingest: batch subvector dim {dim // mq}"
-                f" != committed codebook subvector dim"
-                f" {int(cb_row.subdim)} (batch dim {dim}, m={mq})"
-            )
-        q = q.where(F.size("_v") == dim)
         cents = F.broadcast(
             cents_raw.select(
                 "cent_id",

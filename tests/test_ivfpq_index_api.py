@@ -796,6 +796,16 @@ def test_ivfpq_crashed_rebuild_detected(spark, tmp_path):
     write_state_version(drifted, f"{idx}/centroids", retain=2)
     with pytest.raises(Exception, match="different build stamps"):
         ivfpq_index_probe(qdf, idx, k=3, nprobe=2).collect()
+    # probe-commit runs the O(1-row) log-stamp gate BEFORE appending
+    # (a cell-pruned answer may evaluate no pre-existing posting row,
+    # so the scan-side guard alone cannot stop the append) — raises
+    # the gate's ValueError, and no delta version lands
+    import os
+
+    versions = sorted(os.listdir(f"{idx}/postings"))
+    with pytest.raises(ValueError, match="different build stamps"):
+        ivfpq_index_probe(qdf, idx, k=3, nprobe=2, commit=True)
+    assert sorted(os.listdir(f"{idx}/postings")) == versions
     # same detection when only the CODEBOOK half was re-committed
     idx2 = str(tmp_path / "ivfpq2")
     ivfpq_index_build(

@@ -1088,3 +1088,16 @@ def test_pq_index_ingest_rejects_crashed_rebuild(spark, tmp_path):
         pq_index_ingest(
             spark.createDataFrame(_mk(2, 8, 559, start=700), _SCHEMA), idx
         )
+    # the probe-commit path runs the SAME gate before its append: its
+    # scan-side guard only fires on rows the answer evaluates, so one
+    # commit landing on the crashed log would stamp a new-model delta
+    # on top and permanently blind the newest-live-row witness
+    from spark_data_test_spark import pq_index_probe
+
+    with pytest.raises(ValueError, match="different build stamps"):
+        pq_index_probe(
+            spark.createDataFrame(_mk(2, 8, 560, start=800), _SCHEMA),
+            idx,
+            k=2,
+            commit=True,
+        )

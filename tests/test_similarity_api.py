@@ -1608,3 +1608,19 @@ def test_ivf_index_ingest_rejects_crashed_rebuild(spark, tmp_path):
             ),
             idx,
         )
+    # the probe-commit path runs the SAME gate before its append: a
+    # cell-pruned answer may evaluate no pre-existing posting row, so
+    # without the gate one commit would land a new-stamped delta on
+    # the crashed log and blind the newest-live-row witness
+    from spark_data_test_spark import ivf_index_probe
+
+    with pytest.raises(ValueError, match="different build stamps"):
+        ivf_index_probe(
+            spark.createDataFrame(
+                [(701, [2.0, 1.0, -1.0, 0.0, 3.0, 1.0])], schema
+            ),
+            idx,
+            k=2,
+            nprobe=2,
+            commit=True,
+        )
