@@ -2705,6 +2705,20 @@ def _build_hash_expr(cols):
     return f"xxhash64(bit_xor({rh}), count(*), sum({rh} & 2147483647))"
 
 
+def _pq_codebook_row(codebook):
+    """Shape + content summary of a committed PQ codebook in ONE
+    model-sized aggregate — ``m1`` (max subspace index), ``subdim``,
+    and ``bid`` (the content hash, `_build_hash_expr` exactly).
+    Shared by every codes-based probe/ingest call site so the
+    stamp-parity contract between a probe and its ingest sibling
+    cannot drift one copy at a time."""
+    return codebook.agg(
+        F.max("s").alias("m1"),
+        F.max(F.size("csub")).alias("subdim"),
+        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
+    ).first()
+
+
 def _stamp_guard(frame, payload_col, expected, op, live):
     """Scan-side build-stamp check (the `assert_true` idiom — no extra
     action): rewrites ``payload_col`` so any resolved LIVE row whose
@@ -3128,9 +3142,14 @@ def _ivf_model_hash_dim(cents_raw):
         F.expr(_build_hash_expr(["cent_id", "cv", "cn2"])).alias("h"),
         F.max(F.size("cv")).alias("d"),
     ).first()
-    if row is None or row.h is None:
+    # empty-model witness is the max(), not the hash: an empty frame
+    # still hashes the fixed (NULL, 0, NULL) aggregate triple to a
+    # non-NULL value (see _model_build_hash) — keep that hash so the
+    # stamp side stays formula-faithful, and report dim 0
+    if row is None:
         return 0, 0
-    return int(row.h), int(row.d)
+    h = 0 if row.h is None else int(row.h)
+    return h, (0 if row.d is None else int(row.d))
 
 
 def _validated_ivf_batch(q, cdim, op):
@@ -3852,13 +3871,7 @@ def pq_index_probe(
             f"pq_index_probe: no committed index at {index_path}"
             " (run pq_index_build first)"
         )
-    cb_row = codebook.agg(
-        F.max("s").alias("m1"),
-        F.max(F.size("csub")).alias("subdim"),
-        # committed-codebook content hash, folded into the existing
-        # model agg (no extra action) — the expected build stamp
-        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
-    ).first()
+    cb_row = _pq_codebook_row(codebook)
     expected = int(cb_row.bid)
     codes = _resolved_codes(spark, index_path, expect_build=expected)
     if codes is None:
@@ -3866,69 +3879,78 @@ def pq_index_probe(
             f"pq_index_probe: index at {index_path} has a codebook but "
             "no committed codes (re-run pq_index_build)"
         )
-    mq = int(cb_row.m1) + 1
     # a batch carrying one id twice would sum BOTH rows' distance-table
     # entries into one ADC score — collapse deterministically up front,
-    # the same rule the commit path already applies
-    queries = _pq_dedup_ids(queries, id_col, vec_col)
-    qframe, dim = _pq_shape_checked(
-        queries, cb_row, "pq_index_probe", id_col, vec_col
-    )
-    cb = F.broadcast(codebook)
-    qsub = _pq_split(qframe, mq, dim // mq)
-    # per-query distance table: nq x m x ncodes rows, joined to the
-    # exploded live codes WITHOUT a hint (AQE broadcasts modest
-    # batches; a huge batch shuffles on (s, cent_id))
-    qd = (
-        qsub.join(cb, "s")
-        .withColumn("d", F.expr(_PQ_L2F))
-        .select(F.col("_id").alias("_q"), "s", "cent_id", "d")
-    )
-    flat = codes.select(
-        "vec_id", F.posexplode("codes").alias("s", "cent_id")
-    )
-    adc = (
-        flat.join(qd, ["s", "cent_id"])
-        .where(F.col("vec_id") != F.col("_q"))
-        .groupBy("_q", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
-    )
-    w = Window.partitionBy("_q").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    result = (
-        adc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select(
-            F.col("_q").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            "adc_dist",
+    # the same rule the commit path already applies; persisted BEFORE
+    # the validation first() so the dedup shuffle runs once, not once
+    # per action (released in the finally — for a lazy commit=False
+    # return the caller's evaluation recomputes, exactly as before)
+    queries = _pq_dedup_ids(queries, id_col, vec_col).persist()
+    try:
+        qframe, dim, mq = _pq_shape_checked(
+            queries, cb_row, "pq_index_probe", id_col, vec_col
         )
-    )
-    if not commit:
+        cb = F.broadcast(codebook)
+        qsub = _pq_split(qframe, mq, dim // mq)
+        # per-query distance table: nq x m x ncodes rows, joined to the
+        # exploded live codes WITHOUT a hint (AQE broadcasts modest
+        # batches; a huge batch shuffles on (s, cent_id))
+        qd = (
+            qsub.join(cb, "s")
+            .withColumn("d", F.expr(_PQ_L2F))
+            .select(F.col("_id").alias("_q"), "s", "cent_id", "d")
+        )
+        flat = codes.select(
+            "vec_id", F.posexplode("codes").alias("s", "cent_id")
+        )
+        adc = (
+            flat.join(qd, ["s", "cent_id"])
+            .where(F.col("vec_id") != F.col("_q"))
+            .groupBy("_q", "vec_id")
+            .agg(F.sum("d").alias("adc_dist"))
+        )
+        w = Window.partitionBy("_q").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+        result = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(
+                F.col("_q").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                "rank",
+                "adc_dist",
+            )
+        )
+        if not commit:
+            return result
+        # commit gate BEFORE materializing the answer: an answer that
+        # evaluates no pre-existing code row (e.g. an empty batch after
+        # filters) would let this append land a new-stamped delta on a
+        # crashed-rebuild log and blind the newest-live-row gate
+        _assert_log_stamp(
+            spark,
+            f"{index_path}/codes",
+            expected,
+            "pq_index_probe",
+            live=lambda part: part["codes"].isNotNull(),
+        )
+        result = result.localCheckpoint(eager=True)
+        # commit exactly the rows the probe ANSWERED for: encode the
+        # dedup-and-dim-validated qframe (a mixed-dim batch's deviant
+        # rows were dropped from the answer and must not reach the
+        # codes log, where pq_encode's own first-row dim lock could
+        # otherwise flip which side survives); the delta is the ONE
+        # shared definition `pq_index_ingest` also commits
+        batch = _pq_commit_delta(
+            qframe, codebook, expected, id_col, vec_col
+        )
+        write_state_version(
+            batch, f"{index_path}/codes", retain=RETAIN_ALL
+        )
         return result
-    # commit gate BEFORE materializing the answer: an answer that
-    # evaluates no pre-existing code row (e.g. an empty batch after
-    # filters) would let this append land a new-stamped delta on a
-    # crashed-rebuild log and blind the newest-live-row gate
-    _assert_log_stamp(
-        spark,
-        f"{index_path}/codes",
-        expected,
-        "pq_index_probe",
-        live=lambda part: part["codes"].isNotNull(),
-    )
-    result = result.localCheckpoint(eager=True)
-    # commit exactly the rows the probe ANSWERED for: encode the
-    # dedup-and-dim-validated qframe (a mixed-dim batch's deviant rows
-    # were dropped from the answer and must not reach the codes log,
-    # where pq_encode's own first-row dim lock could otherwise flip
-    # which side survives); the delta is the ONE shared definition
-    # `pq_index_ingest` also commits
-    batch = _pq_commit_delta(qframe, codebook, expected, id_col, vec_col)
-    write_state_version(batch, f"{index_path}/codes", retain=RETAIN_ALL)
-    return result
+    finally:
+        queries.unpersist()
 
 
 def _pq_shape_checked(dedup, cb_row, op, id_col, vec_col):
@@ -3938,10 +3960,12 @@ def _pq_shape_checked(dedup, cb_row, op, id_col, vec_col):
     contract, so the deciding code has one definition too: first-row
     dim lock + ragged-row drop (`_pq_frame`), then the two
     committed-codebook shape checks (m divisibility, subvector dim)
-    against the shape agg's ``cb_row``. Returns ``(qframe, dim)``;
-    raises with ``op``-prefixed messages on a shape mismatch (and via
-    `_pq_frame` on an empty frame — the ingest path checks emptiness
-    first because its contract is a 0-count no-op)."""
+    against the shape agg's ``cb_row``. Returns ``(qframe, dim, mq)``
+    — ``mq`` so the caller's `_pq_split` width and the divisibility
+    check here share one derivation; raises with ``op``-prefixed
+    messages on a shape mismatch (and via `_pq_frame` on an empty
+    frame — the ingest path checks emptiness first because its
+    contract is a 0-count no-op)."""
     qframe, dim = _pq_frame(dedup, id_col, vec_col, op)
     mq = int(cb_row.m1) + 1
     if dim % mq:
@@ -3954,7 +3978,7 @@ def _pq_shape_checked(dedup, cb_row, op, id_col, vec_col):
             f"{op}: subvector dim {dim // mq} != committed codebook"
             f" subvector dim {int(cb_row.subdim)} (dim {dim}, m={mq})"
         )
-    return qframe, dim
+    return qframe, dim, mq
 
 
 def _pq_commit_delta(qframe, codebook, expected, id_col, vec_col):
@@ -4026,11 +4050,7 @@ def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
             f"pq_index_ingest: index at {index_path} has a codebook but"
             " no committed codes (re-run pq_index_build)"
         )
-    cb_row = codebook.agg(
-        F.max("s").alias("m1"),
-        F.max(F.size("csub")).alias("subdim"),
-        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
-    ).first()
+    cb_row = _pq_codebook_row(codebook)
     expected = int(cb_row.bid)
     _assert_log_stamp(
         spark,
@@ -4043,7 +4063,7 @@ def pq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
     try:
         if d.first() is None:
             return 0
-        qframe, _ = _pq_shape_checked(
+        qframe, _, _ = _pq_shape_checked(
             d, cb_row, "pq_index_ingest", id_col, vec_col
         )
         delta = _pq_commit_delta(
@@ -4514,11 +4534,7 @@ def ivfpq_index_probe(
     # hashes; one extra model-sized agg for the centroids, the codebook
     # hash rides the existing shape agg below
     cent_hash = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
-    cb_row = codebook.agg(
-        F.max("s").alias("m1"),
-        F.max(F.size("csub")).alias("subdim"),
-        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
-    ).first()
+    cb_row = _pq_codebook_row(codebook)
     expected = cent_hash ^ int(cb_row.bid)
     postings = _resolved_ivfpq_postings(
         spark, index_path, expect_build=expected
@@ -4533,20 +4549,25 @@ def ivfpq_index_probe(
             "cent_id", F.col("cv").alias("_cv"), F.col("cn2").alias("_cn2")
         )
     )
-    mq = int(cb_row.m1) + 1
     # collapse duplicate batch ids up front (greatest (norm, vector)
     # pair): a dup id
     # would otherwise mix two rows' cells in one probe window and sum
-    # both distance tables into one ADC score
-    queries = _pq_dedup_ids(queries, id_col, vec_col)
-    q, dim = _ivfpq_shape_checked(
-        queries, cb_row, "ivfpq_index_probe", id_col, vec_col
-    )
-    if q is None:
-        raise ValueError(
-            "ivfpq_index_probe: query batch has no nonzero vectors"
+    # both distance tables into one ADC score; persisted BEFORE the
+    # validation first()s so the dedup shuffle runs once, not once
+    # per action
+    queries = _pq_dedup_ids(queries, id_col, vec_col).persist()
+    try:
+        q, dim, mq = _ivfpq_shape_checked(
+            queries, cb_row, "ivfpq_index_probe", id_col, vec_col
         )
-    q = q.persist()
+        if q is None:
+            raise ValueError(
+                "ivfpq_index_probe: query batch has no nonzero vectors"
+            )
+        q = q.persist()
+    except BaseException:
+        queries.unpersist()
+        raise
     try:
         wq = Window.partitionBy("_id").orderBy(
             F.col("_cos").desc(), "cent_id"
@@ -4624,6 +4645,7 @@ def ivfpq_index_probe(
         return result
     finally:
         q.unpersist()
+        queries.unpersist()
 
 
 def _ivfpq_shape_checked(dedup, cb_row, op, id_col, vec_col):
@@ -4633,17 +4655,20 @@ def _ivfpq_shape_checked(dedup, cb_row, op, id_col, vec_col):
     contract, so the deciding code has one definition too: normalize
     (drops zero-norm rows), first-row dim lock, the two
     committed-codebook shape checks against the shape agg's
-    ``cb_row``, then the ragged-row drop. Returns ``(q, dim)``, or
-    ``(None, None)`` when the batch is empty after the zero-norm drop
+    ``cb_row``, then the ragged-row drop. Returns ``(q, dim, mq)``,
+    or ``(None, None, mq)`` when the batch is empty after the
+    zero-norm drop
     — the CALLER owns the degenerate contract (the probe raises "no
     nonzero vectors", the ingest no-ops to 0); shape mismatches raise
-    here with ``op``-prefixed messages."""
+    here with ``op``-prefixed messages. ``mq`` is returned (always)
+    so the caller's `_pq_split` width and the divisibility check
+    here share one derivation."""
+    mq = int(cb_row.m1) + 1
     q = _norm_vectors(dedup, id_col, vec_col, op)
     first = q.select(F.size("_v").alias("d")).first()
     if first is None:
-        return None, None
+        return None, None, mq
     dim = int(first.d)
-    mq = int(cb_row.m1) + 1
     if dim % mq:
         raise ValueError(
             f"{op}: vector dim {dim} not divisible by"
@@ -4656,7 +4681,7 @@ def _ivfpq_shape_checked(dedup, cb_row, op, id_col, vec_col):
         )
     # ragged rows would mis-split in _pq_split; drop them like
     # _pq_frame does
-    return q.where(F.size("_v") == dim), dim
+    return q.where(F.size("_v") == dim), dim, mq
 
 
 def _ivfpq_commit_delta(q, cents, codebook, expected, id_col, vec_col):
@@ -4742,11 +4767,7 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
             " no committed postings (re-run ivfpq_index_build)"
         )
     cent_hash = _model_build_hash(cents_raw, ["cent_id", "cv", "cn2"])
-    cb_row = codebook.agg(
-        F.max("s").alias("m1"),
-        F.max(F.size("csub")).alias("subdim"),
-        F.expr(_build_hash_expr(["s", "cent_id", "csub"])).alias("bid"),
-    ).first()
+    cb_row = _pq_codebook_row(codebook)
     expected = cent_hash ^ int(cb_row.bid)
     _assert_log_stamp(
         spark,
@@ -4761,7 +4782,7 @@ def ivfpq_index_ingest(batch, index_path, id_col="vec_id", vec_col="emb"):
         # _norm_vectors raises on an empty frame)
         if d.first() is None:
             return 0
-        q, _ = _ivfpq_shape_checked(
+        q, _, _ = _ivfpq_shape_checked(
             d, cb_row, "ivfpq_index_ingest", id_col, vec_col
         )
         if q is None:
