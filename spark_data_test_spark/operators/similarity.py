@@ -143,7 +143,11 @@ def _cosine(dot_col, qn2, cn2):
 
 
 def _score_against_cents(emb, cents):
-    """Every vector scored against every (broadcast) centroid."""
+    """Every vector scored against every (broadcast) centroid —
+    retained for QUERY-batch-sized scoring tables (the round-18
+    fold-assign helpers below replace it on every corpus-sized path:
+    the n x ncells row explosion plus the argmax/window shuffle
+    collapse into a per-row fold over the packed model)."""
     return (
         emb.select("vec_id", F.col("e").alias("qe"), F.col("n2").alias("qn2"))
         .crossJoin(F.broadcast(cents))
@@ -152,16 +156,95 @@ def _score_against_cents(emb, cents):
     )
 
 
+def _cents_packed(cents):
+    """The whole broadcast-sized centroid model as ONE single-row frame
+    holding a cent_id-sorted array<struct<cent_id, ce, cn2>>. Attaching
+    it is a 1-row broadcast nested-loop join: each vector row gains the
+    model as an array column and folds over it IN PLACE, instead of
+    `_score_against_cents`'s n x ncells row explosion plus an n-row
+    argmax/window exchange (guide §2.4 — the shuffle disappears; the
+    per-row arithmetic is the identical expression tree). collect_list
+    order is nondeterministic but array_sort on the unique cent_id
+    makes the packed array — and every fold below — deterministic."""
+    return F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "ce", "cn2"))
+            ).alias("_cents")
+        )
+    )
+
+
+# Per-centroid cosine inside the fold: the same _DOT / _cosine
+# expression tree as `_score_against_cents` evaluated against the
+# packed entry `ct` — exact bigint dot, then the identical
+# double-division, so every cosine is bit-identical to the old path.
+_COS_INT_CT = (
+    "cast(aggregate(zip_with(e, ct.ce, (x, y) -> x * y),"
+    " cast(0 as bigint), (acc, x) -> acc + x) as double)"
+    " / (sqrt(cast(n2 as double)) * sqrt(cast(ct.cn2 as double)))"
+)
+
+# Fold-argmax over the packed model: array_max's lexicographic struct
+# comparison on ('c', 'nc') IS max_by's / ROW_NUMBER's
+# (cos DESC, cent_id ASC) tie-break (nc = -cent_id, unique).
+_BEST_CELL_INT = (
+    "array_max(transform(_cents, ct -> named_struct("
+    f"'c', {_COS_INT_CT}, 'nc', -ct.cent_id, 'cid', ct.cent_id)))"
+)
+
+
+def _argmax_cell_int(emb, cents):
+    """Input columns + (_cell, _cos): each vector's argmax-cosine
+    trained cell and its winning cosine, computed as a pure per-row
+    fold — no row explosion, no exchange. Bit-identical to the rn=1
+    row of the old window / max_by assignment (empty-model edge:
+    array_max over an empty packed array is NULL, filtered here,
+    matching the old crossJoin-with-empty's zero rows)."""
+    return (
+        emb.crossJoin(_cents_packed(cents))
+        .withColumn("_best", F.expr(_BEST_CELL_INT))
+        .where(F.col("_best").isNotNull())
+        .select(
+            "*",
+            F.col("_best.cid").alias("_cell"),
+            F.col("_best.c").alias("_cos"),
+        )
+        .drop("_best", "_cents")
+    )
+
+
+def _topn_cells_int(emb, cents, nprobe):
+    """Input columns + cell: each vector's ``nprobe`` best cells by the
+    same (cos DESC, cent_id ASC) comparator the old row_number window
+    ordered by — an in-place sort of the packed model, sliced to
+    nprobe, exploded (one output row per kept cell, same multiplicity
+    as the rn <= nprobe filter)."""
+    order = (
+        "(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1"
+        " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
+        " ELSE 0 END"
+    )
+    topn = (
+        "transform(slice(array_sort(transform(_cents, ct -> named_struct("
+        f"'c', {_COS_INT_CT}, 'cid', ct.cent_id)), {order}),"
+        f" 1, {int(nprobe)}), p -> p.cid)"
+    )
+    cols = list(emb.columns)
+    return (
+        emb.crossJoin(_cents_packed(cents))
+        .select(*cols, F.explode(F.expr(topn)).alias("cell"))
+    )
+
+
 def _assign_cells(emb, cents, nprobe):
     """Multi-probe cell assignment: each vector lands in its ``nprobe``
     argmax-cosine centroid cells (deterministic cent_id tie-break)."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    return (
-        _score_against_cents(emb, cents)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    if int(nprobe) == 1:
+        return _argmax_cell_int(emb, cents).select(
+            "vec_id", F.col("_cell").alias("cell")
+        )
+    return _topn_cells_int(emb, cents, nprobe).select("vec_id", "cell")
 
 
 # Trained centroids memo: (sf_dir, rounds) -> (rows, schema). Centroid
@@ -265,28 +348,16 @@ def train_ivf_centroids(spark, sf_dir, rounds=_KM_ROUNDS, force_retrain=False):
         # re-reads the cached vectors, not storage.
         cents = seeds
         for _ in range(rounds):
-            # Lloyd round in TWO map-side-combinable aggregations (the
-            # window-argmax + join + posexplode formulation shuffled
-            # n*ncells assignment rows plus 64n exploded elements per
-            # round; this shuffles n rows then ncells rows, both with
-            # partial aggregation). max_by over (cos, -cent_id)
-            # reproduces the oracle's ROW_NUMBER(ORDER BY cos DESC,
-            # cent_id) argmax bit-for-bit; first("qe") is deterministic
-            # because every row of a vec_id group carries the same
-            # vector.
-            per_vec = (
-                _score_against_cents(emb, cents)
-                .groupBy("vec_id")
-                .agg(
-                    F.max_by(
-                        "cent_id",
-                        F.struct(
-                            F.col("cos").alias("c"),
-                            (-F.col("cent_id")).alias("nc"),
-                        ),
-                    ).alias("cell"),
-                    F.first("qe").alias("e"),
-                )
+            # Lloyd round in ONE map-side-combinable aggregation (round
+            # 18, guide §2.4): the argmax assignment is a pure per-row
+            # fold over the packed broadcast model (`_argmax_cell_int`
+            # — no n*ncells explosion, no n-row argmax shuffle; the
+            # fold's array_max on (cos, -cent_id) reproduces the
+            # oracle's ROW_NUMBER(ORDER BY cos DESC, cent_id) argmax
+            # bit-for-bit), so the only exchange left per round is the
+            # ncells-row centroid-mean aggregate below.
+            per_vec = _argmax_cell_int(emb, cents).select(
+                "vec_id", F.col("_cell").alias("cell"), "e"
             )
             # element-wise integer mean: exact bigint sums, truncated
             # through exact double division — identical to the oracle's
@@ -471,16 +542,10 @@ def similarity_ivf_ann(spark, sf_dir):
     grows, unlike a fixed centroid count."""
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    ranked = _score_against_cents(emb, cents).withColumn(
-        "rn", F.row_number().over(w)
-    )
-    assign = ranked.where(F.col("rn") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
-    )
-    probes = ranked.where(
-        (F.col("vec_id") < _NQ) & (F.col("rn") <= _NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    assign = _assign_cells(emb, cents, nprobe=1)
+    probes = _assign_cells(
+        emb.where(F.col("vec_id") < _NQ), cents, _NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(assign, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -577,16 +642,10 @@ def similarity_ann_recall_report(spark, sf_dir):
     cents = train_ivf_centroids(spark, sf_dir)
 
     # candidate stage (same plan as similarity_ivf_ann's cand)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    ranked = _score_against_cents(emb, cents).withColumn(
-        "rn", F.row_number().over(w)
-    )
-    assign = ranked.where(F.col("rn") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
-    )
-    probes = ranked.where(
-        (F.col("vec_id") < _NQ) & (F.col("rn") <= _NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    assign = _assign_cells(emb, cents, nprobe=1)
+    probes = _assign_cells(
+        emb.where(F.col("vec_id") < _NQ), cents, _NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(assign, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -765,19 +824,44 @@ def _pq_subvectors(emb):
     ).select("vec_id", "r.s", "r.sub")
 
 
+def _pq_cb_packed(codebook):
+    """The PQ codebook packed per subspace: ``(s, _cb)`` where ``_cb``
+    is a cent_id-sorted array<struct<cent_id, csub>> — m broadcast
+    rows, so joining it on ``s`` attaches a subspace's whole codebook
+    to each subvector row WITHOUT the sub x ncodes row explosion
+    (guide §2.4; array_sort on the unique cent_id makes the fold
+    below deterministic despite collect_list's free ordering)."""
+    return F.broadcast(
+        codebook.groupBy("s").agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "csub"))
+            ).alias("_cb")
+        )
+    )
+
+
+# Fold-argmin over the packed subspace codebook: the same exact-bigint
+# _PQ_L2 per entry, and array_min's struct comparison on ('d', 'cid')
+# IS min_by's (d, cent_id) tie-break.
+_BEST_CODE_INT = (
+    "array_min(transform(_cb, cb -> named_struct("
+    "'d', aggregate(zip_with(sub, cb.csub, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, x) -> acc + x),"
+    "'cid', cb.cent_id)))"
+)
+
+
 def _pq_assign(sub, codebook):
     """Nearest codebook entry per (vec_id, subspace) by exact integer
-    L2 with cent_id tie-break — one map-side-combinable aggregate over
-    the broadcast codebook product."""
+    L2 with cent_id tie-break — a pure per-row fold over the packed
+    broadcast codebook (round 18): no sub x ncodes explosion, no
+    argmin shuffle; bit-identical distances and the identical
+    (d, cent_id) winner rule as the old min_by aggregate."""
     return (
-        sub.join(F.broadcast(codebook), "s")
-        .withColumn("d", F.expr(_PQ_L2))
-        .groupBy("vec_id", "s")
-        .agg(
-            F.min_by(
-                "cent_id", F.struct(F.col("d"), F.col("cent_id"))
-            ).alias("cent_id"),
-            F.first("sub").alias("sub"),
+        sub.join(_pq_cb_packed(codebook), "s")
+        .withColumn("_best", F.expr(_BEST_CODE_INT))
+        .select(
+            "vec_id", "s", F.col("_best.cid").alias("cent_id"), "sub"
         )
     )
 
@@ -1024,16 +1108,10 @@ def similarity_ivfpq_ann(spark, sf_dir):
     training, encoding, and ADC in one CTE chain."""
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    ranked = _score_against_cents(emb, cents).withColumn(
-        "rn", F.row_number().over(w)
-    )
-    assign = ranked.where(F.col("rn") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
-    )
-    probes = ranked.where(
-        (F.col("vec_id") < _NQ) & (F.col("rn") <= _NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    assign = _assign_cells(emb, cents, nprobe=1)
+    probes = _assign_cells(
+        emb.where(F.col("vec_id") < _NQ), cents, _NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         probes.join(assign, "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1308,32 +1386,21 @@ def similarity_centroid_outliers(spark, sf_dir):
     and the emitted cos_1e6 — bit-deterministic against the DuckDB
     replay (ties broken vec_id-ascending).
 
-    Scale note (the round-7 decomposition of this query's x30 slope):
-    the growing term is the argmax over the N x k score rows. A
-    row_number window shuffles ALL of them on vec_id; the max-struct
-    aggregate below computes the same argmax (lexicographic max on
-    (cos, -cent_id) == cos desc, cent_id asc — the oracle's fassign
-    rule) with MAP-SIDE partial aggregation, so only one pre-combined
-    row per (vec_id, task) reaches the exchange — the difference
-    between shuffling N x k and ~N rows at 1000 executors."""
+    Scale note (round-7 decomposition, tightened round 18): the
+    growing term is the argmax over the N x k scores. A row_number
+    window shuffled ALL N x k rows on vec_id; the round-7 max-struct
+    aggregate pre-combined them map-side (~N rows crossed); the
+    round-18 `_argmax_cell_int` fold computes the same argmax
+    (lexicographic max on (cos, -cent_id) == cos desc, cent_id asc —
+    the oracle's fassign rule) per row over the packed broadcast
+    model, so NO assignment rows cross an exchange at all — the only
+    remaining shuffle is the per-cell bottom-5 window."""
     emb = _int_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(spark, sf_dir)
-    assigned = (
-        _score_against_cents(emb, cents)
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cos"),
-                    (-F.col("cent_id")).cast("long").alias("negc"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            (-F.col("m.negc")).alias("cell"),
-            F.col("m.cos").alias("cos"),
-        )
+    assigned = _argmax_cell_int(emb, cents).select(
+        "vec_id",
+        F.col("_cell").alias("cell"),
+        F.col("_cos").alias("cos"),
     )
     w_outlier = Window.partitionBy("cell").orderBy(F.col("cos").asc(), "vec_id")
     return (
@@ -1473,16 +1540,10 @@ def similarity_incremental_ingest(spark, sf_dir):
         )
         .withColumn("n2", F.expr(_NORM2))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
-    assigned = (
-        _score_against_cents(shard, cents)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("cent_id").alias("cell"),
-            F.expr("cast(round(cos * 1000000) as bigint)").alias("cos_1e6"),
-        )
+    assigned = _argmax_cell_int(shard, cents).select(
+        "vec_id",
+        F.col("_cell").alias("cell"),
+        F.expr("cast(round(_cos * 1000000) as bigint)").alias("cos_1e6"),
     )
     fp = source_fingerprint(f"{sf_dir}/embeddings.parquet")
     state_path = f"/tmp/spark_graft_ivfpost/{fp}_v1"
@@ -2122,7 +2183,9 @@ def _norm_vectors(frame, id_col, vec_col, op):
 
 def _cell_scored(frame, cents):
     """Every (_id, _v, _n2) row scored against every broadcast
-    centroid (cent_id, _cv, _cn2): adds _dot and _cos."""
+    centroid (cent_id, _cv, _cn2): adds _dot and _cos. Retained for
+    QUERY-batch-sized scoring; corpus-sized assignment goes through
+    the packed-model folds below (round 18)."""
     dot = F.expr(
         "aggregate(zip_with(_v, _cv, (x, y) -> x * y),"
         " cast(0.0 AS double), (acc, x) -> acc + x)"
@@ -2133,6 +2196,76 @@ def _cell_scored(frame, cents):
         .withColumn(
             "_cos", F.col("_dot") / F.sqrt(F.col("_n2") * F.col("_cn2"))
         )
+    )
+
+
+def _cents_packed_d(cents):
+    """Double-family twin of `_cents_packed`: the (cent_id, _cv, _cn2)
+    model as ONE single-row broadcast frame holding a cent_id-sorted
+    struct array, so assignment is a per-row fold instead of
+    `_cell_scored`'s n x ncells explosion + argmax shuffle (guide
+    §2.4)."""
+    return F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "_cv", "_cn2"))
+            ).alias("_cents")
+        )
+    )
+
+
+# Per-centroid cosine inside the fold — the identical expression tree
+# `_cell_scored` evaluates (same float fold order for the dot, same
+# single sqrt of the norm product), so cosines are bit-identical.
+_COS_D_CT = (
+    "aggregate(zip_with(_v, ct._cv, (x, y) -> x * y),"
+    " cast(0.0 AS double), (acc, x) -> acc + x)"
+    " / sqrt(_n2 * ct._cn2)"
+)
+
+# array_max's struct comparison on ('c', 'nc') IS max_by's /
+# ROW_NUMBER's (cos DESC, cent_id ASC) tie-break (nc = -cent_id).
+_BEST_CELL_D = (
+    "array_max(transform(_cents, ct -> named_struct("
+    f"'c', {_COS_D_CT}, 'nc', -ct.cent_id, 'cid', ct.cent_id)))"
+)
+
+
+def _argmax_cell_d(frame, cents):
+    """Input columns + _cell: each (_id, _v, _n2) row's argmax-cosine
+    cell under the broadcast model, as a pure per-row fold — the
+    shared assignment core of `_train_double_cells`' Lloyd rounds,
+    `ivf_topk`, and every index build/ingest path. Bit-identical
+    winners to the old `_cell_scored` + max_by shape (empty-model
+    edge: NULL best is filtered, matching the empty crossJoin)."""
+    return (
+        frame.crossJoin(_cents_packed_d(cents))
+        .withColumn("_best", F.expr(_BEST_CELL_D))
+        .where(F.col("_best").isNotNull())
+        .select("*", F.col("_best.cid").alias("_cell"))
+        .drop("_best", "_cents")
+    )
+
+
+def _topn_cells_d(frame, cents, nprobe):
+    """Input columns + _cell, one row per kept cell: each row's
+    ``nprobe`` best cells by the same (cos DESC, cent_id ASC)
+    comparator the old row_number window ordered by — an in-place
+    sort of the packed model, sliced and exploded."""
+    order = (
+        "(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1"
+        " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
+        " ELSE 0 END"
+    )
+    topn = (
+        "transform(slice(array_sort(transform(_cents, ct -> named_struct("
+        f"'c', {_COS_D_CT}, 'cid', ct.cent_id)), {order}),"
+        f" 1, {int(nprobe)}), p -> p.cid)"
+    )
+    cols = list(frame.columns)
+    return (
+        frame.crossJoin(_cents_packed_d(cents))
+        .select(*cols, F.explode(F.expr(topn)).alias("_cell"))
     )
 
 
@@ -2166,20 +2299,7 @@ def _train_double_cells(c, ncells, rounds, op):
     )
     cents = seeds
     for _ in range(int(rounds)):
-        per_vec = (
-            _cell_scored(c, cents)
-            .groupBy("_id")
-            .agg(
-                F.max_by(
-                    "cent_id",
-                    F.struct(
-                        F.col("_cos").alias("c"),
-                        (-F.col("cent_id")).alias("nc"),
-                    ),
-                ).alias("_cell"),
-                F.first("_v").alias("_v"),
-            )
-        )
+        per_vec = _argmax_cell_d(c, cents).select("_id", "_cell", "_v")
         sums = per_vec.groupBy("_cell").agg(
             F.count("*").alias("_c"),
             *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)],
@@ -2255,25 +2375,11 @@ def ivf_topk(
     cents = _train_double_cells(c, ncells, rounds, "ivf_topk")
 
     # -- probe: corpus -> argmax cell, queries -> nprobe cells --------
-    assign = (
-        _cell_scored(c, cents)
-        .groupBy("_id")
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(
-                    F.col("_cos").alias("c"), (-F.col("cent_id")).alias("nc")
-                ),
-            ).alias("_cell")
-        )
-        .select(F.col("_id").alias("neighbor_id"), "_cell")
+    assign = _argmax_cell_d(c, cents).select(
+        F.col("_id").alias("neighbor_id"), "_cell"
     )
-    wq = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "cent_id")
-    probes = (
-        _cell_scored(q, cents)
-        .withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") <= int(nprobe))
-        .select(F.col("_id").alias("query_id"), F.col("cent_id").alias("_cell"))
+    probes = _topn_cells_d(q, cents, nprobe).select(
+        F.col("_id").alias("query_id"), "_cell"
     )
     cand = (
         probes.join(assign, "_cell")
@@ -2369,13 +2475,7 @@ def semantic_prune(
     reps = reps.persist()
     cents = _train_double_cells(reps, ncells, rounds, "semantic_prune")
 
-    wq = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), "cent_id")
-    assign = (
-        _cell_scored(reps, cents)
-        .withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") <= int(nprobe))
-        .select("_id", F.col("cent_id").alias("_cell"))
-    )
+    assign = _topn_cells_d(reps, cents, nprobe).select("_id", "_cell")
     payload = assign.join(reps, "_id")
     a = payload.select(
         F.col("_id").alias("_ga"),
