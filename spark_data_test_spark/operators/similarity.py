@@ -200,17 +200,27 @@ def _argmax_cell_int(emb, cents):
     fold — no row explosion, no exchange. Bit-identical to the rn=1
     row of the old window / max_by assignment (empty-model edge:
     array_max over an empty packed array is NULL, filtered here,
-    matching the old crossJoin-with-empty's zero rows)."""
+    matching the old crossJoin-with-empty's zero rows).
+
+    The fold is routed through explode(array(...)) so the Generate
+    node materializes `_best` ONCE per row as an attribute: lambda
+    expressions are excluded from Spark's common-subexpression
+    elimination, so filtering and field-extracting a projected fold
+    would re-run the whole ncells x dim fold 2-3x per row (measured
+    1.8x slower than the window shape it replaces; with the single
+    evaluation the fold wins on both CPU and shuffle)."""
+    cols = list(emb.columns)
     return (
         emb.crossJoin(_cents_packed(cents))
-        .withColumn("_best", F.expr(_BEST_CELL_INT))
+        .select(
+            *cols, F.explode(F.array(F.expr(_BEST_CELL_INT))).alias("_best")
+        )
         .where(F.col("_best").isNotNull())
         .select(
-            "*",
+            *cols,
             F.col("_best.cid").alias("_cell"),
             F.col("_best.c").alias("_cos"),
         )
-        .drop("_best", "_cents")
     )
 
 
@@ -2237,13 +2247,17 @@ def _argmax_cell_d(frame, cents):
     shared assignment core of `_train_double_cells`' Lloyd rounds,
     `ivf_topk`, and every index build/ingest path. Bit-identical
     winners to the old `_cell_scored` + max_by shape (empty-model
-    edge: NULL best is filtered, matching the empty crossJoin)."""
+    edge: NULL best is filtered, matching the empty crossJoin).
+    Routed through explode(array(...)) so the fold evaluates ONCE per
+    row — see `_argmax_cell_int`'s lambda-CSE note."""
+    cols = list(frame.columns)
     return (
         frame.crossJoin(_cents_packed_d(cents))
-        .withColumn("_best", F.expr(_BEST_CELL_D))
+        .select(
+            *cols, F.explode(F.array(F.expr(_BEST_CELL_D))).alias("_best")
+        )
         .where(F.col("_best").isNotNull())
-        .select("*", F.col("_best.cid").alias("_cell"))
-        .drop("_best", "_cents")
+        .select(*cols, F.col("_best.cid").alias("_cell"))
     )
 
 
@@ -2572,7 +2586,10 @@ def ivf_index_build(
     sample-trained build collapses to ~assignment cost, the 100 TB
     build story measured rather than asserted. Returns the
     number of indexed vectors (zero-norm vectors are dropped: cosine
-    is undefined for them, matching the whole ANN family)."""
+    is undefined for them, matching the whole ANN family). Corpus ids
+    are expected unique (the FAISS add-with-ids contract; dup-id
+    handling is specified only for probe/ingest BATCHES, which collapse
+    duplicates up front — `_pq_dedup_ids`)."""
     from spark_data_test_spark.state import write_state_version
 
     c = _norm_vectors(corpus, id_col, vec_col, "ivf_index_build").persist()
@@ -2613,28 +2630,19 @@ def ivf_index_build(
                     F.col("cn2").alias("_cn2"),
                 )
             )
-            assign = (
-                _cell_scored(c, cents)
-                .groupBy("_id")
-                .agg(
-                    F.max_by(
-                        "cent_id",
-                        F.struct(
-                            F.col("_cos").alias("c"),
-                            (-F.col("cent_id")).alias("nc"),
-                        ),
-                    ).alias("cell"),
-                    F.first("_v").alias("v"),
-                    F.first("_n2").alias("n2"),
-                )
-                .select(
-                    F.col("_id").alias("vec_id"),
-                    "cell",
-                    "v",
-                    "n2",
-                    F.lit(bid).alias("build_id"),
-                    F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
-                )
+            # round-18 fold assign: the same argmax winners as the old
+            # _cell_scored + max_by aggregate (identical cosine tree,
+            # identical (cos, -cent_id) comparator) with no n x ncells
+            # explosion and no corpus-sized exchange — each posting row
+            # keeps its own v/n2 in place instead of F.first over a
+            # shuffled group
+            assign = _argmax_cell_d(c, cents).select(
+                F.col("_id").alias("vec_id"),
+                F.col("_cell").alias("cell"),
+                F.col("_v").alias("v"),
+                F.col("_n2").alias("n2"),
+                F.lit(bid).alias("build_id"),
+                F.lit(_STAMP_FMT).cast("integer").alias("stamp_fmt"),
             )
             # both commits at the END, model first: centroids are a
             # SNAPSHOT table (retrains replace it; retain=2 keeps the
@@ -3449,21 +3457,48 @@ def _pq_split(frame, m, subdim):
     ).select("_id", "r.s", "r.sub")
 
 
+def _pq_cb_packed_f(codebook):
+    """Float-family twin of `_pq_cb_packed`: the codebook packed per
+    subspace as ``(s, _cb)`` with ``_cb`` a cent_id-sorted
+    array<struct<cent_id, csub>> — m broadcast rows, so joining on
+    ``s`` attaches a subspace's whole codebook to each subvector row
+    without the sub x ncodes row explosion (array_sort on the unique
+    cent_id makes the fold deterministic despite collect_list's free
+    ordering; cent_id is any orderable id type here, which struct
+    comparison handles the same way min_by's tie-break struct did)."""
+    return F.broadcast(
+        codebook.groupBy("s").agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "csub"))
+            ).alias("_cb")
+        )
+    )
+
+
+# Fold-argmin over the packed float codebook: the same `_PQ_L2F`
+# expression per entry (identical double fold order), and array_min's
+# struct comparison on ('d', 'cid') IS min_by's (d, cent_id) tie-break.
+_BEST_CODE_F = (
+    "array_min(transform(_cb, cb -> named_struct("
+    "'d', aggregate(zip_with(sub, cb.csub, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, x) -> acc + x),"
+    "'cid', cb.cent_id)))"
+)
+
+
 def _pq_nearest(sub, codebook):
     """Nearest codebook entry per (_id, s): exact float L2 with cent_id
-    tie-break, one map-side-combinable aggregate over the broadcast
+    tie-break, as a pure per-row fold over the packed broadcast
     codebook (the model is m x ncodes rows — broadcast-sized at any
-    corpus size, same argument as the registered `_pq_assign`)."""
+    corpus size, same argument as the registered `_pq_assign`, whose
+    integer fold this mirrors): bit-identical distances and the
+    identical (d, cent_id) winner rule as the old min_by aggregate,
+    with no sub x ncodes explosion and no corpus-sized argmin
+    exchange."""
     return (
-        sub.join(F.broadcast(codebook), "s")
-        .withColumn("d", F.expr(_PQ_L2F))
-        .groupBy("_id", "s")
-        .agg(
-            F.min_by(
-                "cent_id", F.struct(F.col("d"), F.col("cent_id"))
-            ).alias("cent_id"),
-            F.first("sub").alias("sub"),
-        )
+        sub.join(_pq_cb_packed_f(codebook), "s")
+        .withColumn("_best", F.expr(_BEST_CODE_F))
+        .select("_id", "s", F.col("_best.cid").alias("cent_id"), "sub")
     )
 
 
@@ -4485,19 +4520,11 @@ def ivfpq_index_build(
                     F.col("cn2").alias("_cn2"),
                 )
             )
-            assign = (
-                _cell_scored(c, cents)
-                .groupBy("_id")
-                .agg(
-                    F.max_by(
-                        "cent_id",
-                        F.struct(
-                            F.col("_cos").alias("c"),
-                            (-F.col("cent_id")).alias("nc"),
-                        ),
-                    ).alias("cell")
-                )
-                .select(F.col("_id").alias("vec_id"), "cell")
+            # round-18 fold assign (see ivf_index_build): identical
+            # argmax winners, no n x ncells explosion, no corpus-sized
+            # exchange; ids are unique here (`_pq_dedup_ids` upstream)
+            assign = _argmax_cell_d(c, cents).select(
+                F.col("_id").alias("vec_id"), F.col("_cell").alias("cell")
             )
             packed = _pq_pack_codes(
                 pq_encode(
