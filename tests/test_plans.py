@@ -581,3 +581,43 @@ def test_refined_ann_and_index_probe_plan_discipline(spark, sf_dir):
         plan = simple_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert global_window_nodes(df) == [], (name, plan)
+
+
+def test_argmax_fold_evaluates_once(spark):
+    """Round-18 pin (the lambda-CSE gotcha): the packed-model argmax
+    helpers must route the fold through a Generate (explode of a
+    one-element array) so it materializes ONCE per row — lambda
+    expressions are excluded from common-subexpression elimination, so
+    a projected fold referenced by the null filter plus the field
+    extractions would re-run the whole ncells x dim fold 2-3x per row
+    (measured ~1.8x slower). The fold expression must therefore appear
+    exactly once in the physical plan, inside a Generate."""
+    from pyspark.sql import functions as F
+
+    from spark_data_test_spark.operators.similarity import (
+        _argmax_cell_d,
+        _argmax_cell_int,
+    )
+    from spark_data_test_spark.plans.audit import formatted_plan
+
+    emb = spark.createDataFrame(
+        [(1, [1, 2], 5)], "vec_id long, e array<int>, n2 long"
+    )
+    cents = spark.createDataFrame(
+        [(7, [1, 0], 1), (8, [0, 1], 1)],
+        "cent_id long, ce array<int>, cn2 long",
+    )
+    plan = formatted_plan(_argmax_cell_int(emb, cents))
+    assert plan.count("zip_with") == 1, plan
+    assert "Generate" in plan, plan
+
+    frame = spark.createDataFrame(
+        [(1, [1.0, 2.0], 5.0)], "_id long, _v array<double>, _n2 double"
+    )
+    cents_d = spark.createDataFrame(
+        [(7, [1.0, 0.0], 1.0), (8, [0.0, 1.0], 1.0)],
+        "cent_id long, _cv array<double>, _cn2 double",
+    )
+    plan_d = formatted_plan(_argmax_cell_d(frame, cents_d))
+    assert plan_d.count("zip_with") == 1, plan_d
+    assert "Generate" in plan_d, plan_d
