@@ -701,15 +701,36 @@ def orders_market_basket(spark, sf_dir):
     part_b), so the cut is deterministic at every scale — and it plans
     as TakeOrderedAndProject (per-partition top-25 heaps merged on the
     driver), not a single-task global-sort window, so the pair-support
-    frame never funnels through one partition."""
+    frame never funnels through one partition.
+
+    Round-18 shape (guide §2.1 — remove the shuffle): the old
+    distinct -> self-join-on-ok spent an exchange on the (ok, pk)
+    distinct plus the join's exchanges before it could count pairs.
+    Now ONE map-side-combinable aggregate collects each order's
+    distinct-part basket as a sorted array (set semantics = the old
+    distinct), the basket's pairs expand IN-TASK from the sorted array
+    ((pks[i], pks[j]), j > i — so part_a < part_b by construction,
+    exactly the join's output rows), and the support count is the only
+    pair-sized exchange left — and it ships map-side partial counts,
+    not raw pair rows. Per-row memory is bounded by basket size, the
+    same bound the join's per-key fan-out had."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = li.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = li.select(F.col("ok"), F.col("pk").alias("part_b"))
+    )
+    baskets = li.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("pks")
+    )
     sup = (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) -> "
+                    "transform(slice(pks, i + 2, size(pks)), "
+                    "y -> named_struct('part_a', x, 'part_b', y))))"
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )

@@ -378,17 +378,20 @@ def _band_pairs(mh):
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: one hash-shuffle on the content hash, survivor =
-    min doc_id, with the copy count retained for lineage."""
-    from pyspark.sql import Window
+    min doc_id, with the copy count retained for lineage.
 
+    Round-18 shape (guide §2.2 — shuffle fewer bytes): the survivor
+    rule (rn = 1 ordered by doc_id) IS min(doc_id) and the lineage
+    count IS count(*), so the window (which shuffles every corpus row
+    and sorts each hash group) folds into ONE map-side-combinable
+    aggregate — the exchange now carries one partial (min, count) row
+    per distinct hash per map task instead of the whole corpus, and
+    the per-group sort disappears. Same rows, bit-identical."""
     corpus = _exact_corpus(spark, sf_dir).withColumn("text_hash", F.md5("text"))
-    w = Window.partitionBy("text_hash")
-    return (
-        corpus.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
-        .withColumn("n_copies", F.count("*").over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "text_hash", "n_copies")
-    )
+    return corpus.groupBy("text_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "text_hash", "n_copies")
 
 
 @query(

@@ -61,22 +61,42 @@ _EDGES_SQL = """
 
 def _edges(spark, sf_dir):
     """Undirected co-purchase edge list (u < v, distinct), memoized and
-    persisted per (session, sf_dir)."""
+    persisted per (session, sf_dir).
+
+    Round-18 shape (guide §2.1 — remove the shuffle): ONE aggregate
+    collects each order's distinct-part basket as a sorted array
+    (collect_set is map-side-combinable, so the exchange carries
+    per-order partial sets, and set semantics ARE the old per-(ok, pk)
+    distinct), and the per-basket pair fan-out happens IN-TASK with an
+    index-lambda expansion over the sorted array — pairs (pks[i],
+    pks[j]), j > i, so u < v by construction, exactly the rows the old
+    distinct -> self-join-on-ok produced. That drops the pre-join
+    distinct exchange AND both self-join exchanges; the only shuffles
+    left are the basket aggregate and the final edge distinct. The
+    quadratic step stays bounded by BASKET size exactly as before (a
+    TPC-H order holds <= 7 line items; the array is the basket, so
+    per-row memory is the same bound the join's fan-out had — cap or
+    sample hot baskets upstream when the bipartite side is skewed,
+    as the module docstring already directs)."""
 
     def build():
-        pairs = (
-            t(spark, sf_dir, "lineitem")
-            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-            .distinct()
+        li = t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
-        a = pairs.alias("a")
-        b = pairs.alias("b")
+        baskets = li.groupBy("ok").agg(
+            F.sort_array(F.collect_set("pk")).alias("pks")
+        )
         return (
-            a.join(
-                b,
-                (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(pks, (x, i) -> "
+                        "transform(slice(pks, i + 2, size(pks)), "
+                        "y -> named_struct('u', x, 'v', y))))"
+                    )
+                ).alias("e")
             )
-            .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .select("e.u", "e.v")
             .distinct()
             .persist()
         )

@@ -621,3 +621,62 @@ def test_argmax_fold_evaluates_once(spark):
     plan_d = formatted_plan(_argmax_cell_d(frame, cents_d))
     assert plan_d.count("zip_with") == 1, plan_d
     assert "Generate" in plan_d, plan_d
+
+
+def test_dedup_exact_is_single_partial_aggregate(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.2): `dedup_exact`'s
+    survivor rule (min doc_id) and lineage count fold into ONE
+    map-side-combinable aggregate — the exchange carries per-hash
+    partials, never the whole corpus, and no Window (whose shuffle
+    ships every row and sorts each hash group) may reappear."""
+    from spark_data_test_spark.operators.dedup import dedup_exact
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    df = dedup_exact(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Window" not in plan, plan
+    assert has_partial_aggregation(df)
+    assert count_shuffles(df) == 1, plan
+
+
+def test_basket_pair_expansion_is_in_task(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.1): the registered
+    `orders_market_basket` expands each order's sorted distinct-part
+    basket IN-TASK (Generate over the basket collect_set aggregate)
+    instead of the old distinct -> self-join-on-orderkey — no join node
+    may reappear anywhere in the plan, and the pair-support aggregate
+    must stay map-side partial."""
+    from spark_data_test_spark.operators.analytics import orders_market_basket
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    df = orders_market_basket(spark, sf_dir)
+    plan = simple_plan(df)
+    assert "Generate" in plan, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert has_partial_aggregation(df)
+
+
+def test_graph_edges_build_has_no_self_join(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.1): the shared
+    co-purchase edge-list build collects each order's basket with one
+    aggregate and expands pairs in-task — the (ok, pk) distinct and the
+    self-join on the order key are gone, so no join node may appear in
+    the cached build plan (the InMemoryRelation section of the explain
+    output carries the build subtree)."""
+    from spark_data_test_spark.operators.graph import (
+        _edges,
+        clear_graph_cache,
+    )
+    from spark_data_test_spark.plans.audit import formatted_plan
+
+    clear_graph_cache()
+    try:
+        plan = formatted_plan(_edges(spark, sf_dir))
+        assert "Generate" in plan, plan
+        for join in ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastHashJoin", "CartesianProduct"):
+            assert join not in plan, plan
+    finally:
+        clear_graph_cache()
