@@ -334,12 +334,13 @@ def main():
         # Permanent accounting note (VERDICT r8 item 5): memo caches are
         # cleared between passes, so the FIRST graph query of each pass
         # (graph_pagerank_fixed in HEADLINE order) is charged the shared
-        # co-purchase edge-list memo build (~2.7 s at sf0.1) that every
-        # later graph query reuses; PLANS_r08.md:44-52 decomposes the
-        # line (plan alone ~3.7 s). This is a deliberate charge — at
-        # cluster scale the edge list is a materialized table, but the
-        # bench measures the cold build so the recorded line never
-        # understates a fresh session's cost.
+        # co-purchase edge-list memo build that every later graph query
+        # reuses (~2.7 s at sf0.1 through round 17; round 18's in-task
+        # pair-expansion fold cut the build — see OPTIMIZATION_r18.md
+        # optimization 3); PLANS_r08.md:44-52 decomposes the line. This
+        # is a deliberate charge — at cluster scale the edge list is a
+        # materialized table, but the bench measures the cold build so
+        # the recorded line never understates a fresh session's cost.
         "note": (
             "graph_pagerank_fixed carries the shared graph edge-list "
             "memo build (cleared between passes); see PLANS_r08.md for "
