@@ -322,13 +322,22 @@ def _minhash(sh):
 
 
 def _band_pairs(mh):
-    """(band, sig) buckets -> candidate pairs via bucket self-join.
+    """(band, sig) buckets -> candidate pairs via in-task expansion.
 
     Bands come from ONE pass over the signature table (explode of an
     inline array) rather than a 4-way union — a union re-evaluates the
-    whole minhash subtree once per band. The self-join still references
-    the bands subtree twice; Spark's ReuseExchange collapses the two
-    identical shuffles at runtime.
+    whole minhash subtree once per band. Round-18 shape (guide §2.1/§2.4
+    — remove the shuffle): each bucket's member list is collected in ONE
+    map-side-combinable aggregate (collect_set over the unique
+    (doc, band) rows) and pairs are expanded IN-TASK over the sorted
+    array — (ds[i], ds[j]), j > i, so doc_a < doc_b by construction,
+    exactly the rows the old bucket self-join emitted. One exchange of
+    the band rows replaces the self-join's two (plus its sorts); the
+    trailing distinct is unchanged. The expansion is a TWO-LEVEL
+    explode (posexplode, then explode of the i-tail slice) so per-row
+    transient memory stays O(bucket), never O(bucket^2) — the pair
+    volume itself is the same quadratic-per-bucket output the join
+    streamed, which is LSH banding's contract either way.
     """
     bands = mh.select(
         "doc_id",
@@ -348,15 +357,16 @@ def _band_pairs(mh):
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
-    a, bb = bands.alias("a"), bands.alias("b")
+    buckets = bands.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
     return (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.where(F.size("ds") >= 2)
+        .select(F.col("ds"), F.posexplode("ds").alias("pos", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, pos + 2, size(ds))")).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -693,27 +703,37 @@ def dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("bs"),
     ).select("gid", "lo", "hi", "bs.band", "bs.sig")
-    a, bb = bands.alias("a"), bands.alias("b")
-    # no distinct on raw candidates: a pair sharing k bands appears k
-    # times, each copy scores the same exact hamming, so dedup happens
-    # AFTER the <= K filter — the only shuffle proportional to
-    # candidate volume is the verify groupBy itself, and it sees just
-    # the survivors (the same filter-before-pair-shuffle discipline as
-    # the embedding cell join)
-    ham = F.expr(
-        "bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi)"
-    ).cast("long")
+    # Round-18 shape (guide §2.1/§2.4 — remove the shuffle): each band
+    # bucket's (gid, lo, hi) members are collected in ONE map-side-
+    # combinable aggregate ((gid, band) rows are unique, so collect_list
+    # IS the old bucket contents; sort_array orders by gid, the struct's
+    # first field) and candidate pairs expand IN-TASK over the sorted
+    # array — ms[i] x ms[j], j > i, so gid_a < gid_b by construction,
+    # exactly the rows the old bucket self-join emitted. The exact
+    # hamming verify runs INSIDE the expansion lambda and the <= K
+    # filter prunes before anything is materialized, so — as before —
+    # the only shuffle proportional to candidate volume is the verify
+    # groupBy, and it sees just the survivors. No distinct on raw
+    # candidates: a pair sharing k bands appears k times, each copy
+    # scores the same exact hamming, so dedup stays in the groupBy.
+    # Two-level explode (posexplode, then the i-tail slice) keeps
+    # per-row transient memory O(bucket), never O(bucket^2).
+    buckets = bands.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list(F.struct("gid", "lo", "hi"))).alias("ms")
+    )
     gpairs = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.gid") < F.col("b.gid")),
+        buckets.where(F.size("ms") >= 2)
+        .select(F.col("ms"), F.posexplode("ms").alias("pos", "m"))
+        .select(
+            "m",
+            F.explode(F.expr("slice(ms, pos + 2, size(ms))")).alias("o"),
         )
         .select(
-            F.col("a.gid").alias("gid_a"),
-            F.col("b.gid").alias("gid_b"),
-            ham.alias("hamming"),
+            F.col("m.gid").alias("gid_a"),
+            F.col("o.gid").alias("gid_b"),
+            F.expr(
+                "bit_count(m.lo ^ o.lo) + bit_count(m.hi ^ o.hi)"
+            ).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= _SP_HAM_K)
         .groupBy("gid_a", "gid_b")
@@ -1450,23 +1470,65 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
         # anti-join(hot) == inner-join(rare) with no corpus-cardinality
         # build side (the rare list grows with the distinct vocabulary)
         hot = shdf.where(F.col("df") > _STOP_SH_DF).select("sh")
-        shr = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
         ghot = (
             sh.join(F.broadcast(hot), "sh")
             .groupBy("gid")
             .agg(F.collect_set("sh").alias("hs"))
             .persist()
         )
-        a, b = shr.alias("a"), shr.alias("b")
-        co = (
-            a.join(
-                b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col("a.gid") < F.col("b.gid")),
+        # Round-18 discovery shapes, chosen PER VARIANT by interleaved
+        # A/B (guide §1.1 — the empirical loop decides, and the two
+        # variants sit in different regimes):
+        # * FULL build (containment): the rare-shingle posting lists
+        #   are collected in ONE map-side-combinable aggregate
+        #   ((gid, sh) rows are distinct, so collect_set IS the old
+        #   per-shingle bucket) and discovery pairs expand IN-TASK
+        #   over the sorted array — gs[i] x gs[j], j > i, so ga < gb
+        #   by construction, exactly the rows the old rare self-join
+        #   emitted; i_rare is the same count of shared rare shingles
+        #   per pair. The stop-shingle cap bounds every bucket at
+        #   _STOP_SH_DF gids, so the per-row expansion is provably
+        #   bounded — the same df^2 discovery volume as before with
+        #   ONE exchange of the posting rows instead of the
+        #   self-join's two (plus its sorts, plus the shr persist the
+        #   double read needed). Measured 0.74x on the containment
+        #   line over three alternated rounds at sf0.1.
+        # * SAMPLED build (the recall eval): volume is deliberately
+        #   quartered before discovery, so the exchange savings cannot
+        #   pay for the aggregate's per-bucket array work — the
+        #   expansion shape measured ~1.3x SLOWER end-to-end there,
+        #   and the persisted-shr self-join stays (the persist feeds
+        #   the join's two subtree reads).
+        if sampled:
+            shr = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+            a, b = shr.alias("a"), shr.alias("b")
+            co = (
+                a.join(
+                    b,
+                    (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.gid") < F.col("b.gid")),
+                )
+                .groupBy(
+                    F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb")
+                )
+                .agg(F.count(F.lit(1)).alias("i_rare"))
             )
-            .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-            .agg(F.count(F.lit(1)).alias("i_rare"))
-        )
+        else:
+            shr = sh.join(F.broadcast(hot), "sh", "left_anti")
+            co = (
+                shr.groupBy("sh")
+                .agg(F.sort_array(F.collect_set("gid")).alias("gs"))
+                .where(F.size("gs") >= 2)
+                .select(F.col("gs"), F.posexplode("gs").alias("pos", "ga"))
+                .select(
+                    "ga",
+                    F.explode(
+                        F.expr("slice(gs, pos + 2, size(gs))")
+                    ).alias("gb"),
+                )
+                .groupBy("ga", "gb")
+                .agg(F.count(F.lit(1)).alias("i_rare"))
+            )
         ha = ghot.select(F.col("gid").alias("ga"), F.col("hs").alias("ha"))
         hb = ghot.select(F.col("gid").alias("gb"), F.col("hs").alias("hb"))
         # per-text frames: join by gid with NO broadcast hint — these
@@ -1530,7 +1592,8 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
         _last_gid_co_plan = simple_plan(res)
         out = res.persist()
         out.count()  # materialize, then drop the scaffolding caches
-        for scaffold in (sizes, shdf, shr, ghot):
+        scaffolds = (sizes, shdf, shr, ghot) if sampled else (sizes, shdf, ghot)
+        for scaffold in scaffolds:
             scaffold.unpersist()
         return out
 
@@ -1771,16 +1834,31 @@ def corpus_duplicate_ngrams(spark, sf_dir):
             ),
         )
     )
+    # Round-18 shape (guide §2.1/§2.4 — remove the shuffle): partner
+    # pairs expand IN-TASK from per-dup-gram posting lists instead of a
+    # second gram-keyed self-join of the full inverted index. The
+    # posting lists are built ONLY for dup grams (the join against the
+    # df-capped dup_grams runs first, so a boilerplate mega-gram above
+    # the stop cap is never collected into an array), each list is
+    # bounded at _NGRAM_STOP_DF docs by that cap, and the directed
+    # (doc, partner) rows — exactly the old join's output — stream from
+    # a two-level explode with O(list) per-row transient memory. The
+    # join's output is already hash-partitioned by g, so the posting
+    # aggregate adds no exchange; the old shape's second shuffle of the
+    # whole gram table (the b side) and its sort-merge join are gone.
     partners = (
         grams.join(dup_grams, "g")
-        .alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        .groupBy("g")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .select(F.col("ds"), F.explode("ds").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("filter(ds, y -> y != doc_id)")).alias(
+                "partner"
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.countDistinct(F.col("b.doc_id")).alias("n_partner_docs"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("partner").alias("n_partner_docs"))
     )
     return (
         per_doc.where(F.col("n_dup_grams") > 0)

@@ -658,6 +658,92 @@ def test_basket_pair_expansion_is_in_task(spark, sf_dir):
     assert has_partial_aggregation(df)
 
 
+def test_band_pairs_expansion_is_in_task(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.1): the MinHash
+    banding candidate build collects each (band, sig) bucket with one
+    aggregate and expands pairs in-task (two-level explode) — the
+    bucket SELF-join is gone, so the only join left in the lazy build
+    plan is the broadcast shingle-dictionary attach. Pinned on the
+    internal build frame because every registered consumer reads it
+    through an eager localCheckpoint leaf."""
+    from spark_data_test_spark.operators import dedup
+    from spark_data_test_spark.plans.audit import formatted_plan
+
+    sh = dedup._cached_shingles(spark, sf_dir).withColumnRenamed(
+        "gid", "doc_id"
+    )
+    plan = formatted_plan(dedup._band_pairs(dedup._minhash(sh)))
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, plan
+    # two Generates: posexplode over the bucket, explode of the i-tail
+    # (plus the band explode itself); the collect_set bucket aggregate
+    # is an ObjectHashAggregate with a partial mode
+    assert plan.count("Generate") >= 3, plan
+    assert "ObjectHashAggregate" in plan, plan
+
+
+def test_simhash_pair_banding_is_in_task(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.1): the simhash
+    banding candidates expand in-task from per-bucket member arrays
+    with the exact-hamming verify INSIDE the expansion — the banding
+    self-join (previously 1 of the plan's SMJs, keyed on band+sig) is
+    gone. The joins that remain are the membership expansion joins, all
+    keyed on gid — assert no join line mentions the band/sig keys."""
+    from spark_data_test_spark.operators.dedup import dedup_simhash_pairs
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    plan = simple_plan(dedup_simhash_pairs(spark, sf_dir))
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "band" not in line and "sig" not in line, line
+    assert "ObjectHashAggregate" in plan, plan
+
+
+def test_gid_co_discovery_is_in_task(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.1): the containment
+    family's rare-shingle discovery expands pairs in-task from the
+    stop-capped posting lists — no shuffled join keyed on the shingle
+    column may reappear (the only sh-keyed joins are the broadcast
+    hot-list anti/inner attaches, covered by the broadcast-discipline
+    pin). Asserted on the pre-persist build hook."""
+    from spark_data_test_spark.operators import dedup
+
+    dedup.clear_dedup_cache()
+    try:
+        dedup.dedup_containment(spark, sf_dir)
+        plan = dedup._last_gid_co_plan
+        assert plan is not None, "plan hook was not captured"
+        for line in plan.splitlines():
+            if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+                assert "sh#" not in line, line
+        assert "Generate" in plan, plan
+    finally:
+        dedup.clear_dedup_cache()
+
+
+def test_ngram_partner_expansion_is_in_task(spark, sf_dir):
+    """Round-18 pin (optimization round 1, guide §2.1): the duplicated-
+    n-gram partner counts expand in-task from per-dup-gram posting
+    lists (collected AFTER the df-cap join, so mega-grams are never
+    collected) — the second gram-keyed pass over the full inverted
+    index is gone: at most one join keyed on the gram column may
+    remain (the df-cap gate), with no self-join condition."""
+    from spark_data_test_spark.operators.dedup import corpus_duplicate_ngrams
+    from spark_data_test_spark.plans.audit import simple_plan
+
+    plan = simple_plan(corpus_duplicate_ngrams(spark, sf_dir))
+    gram_joins = [
+        l for l in plan.splitlines()
+        if ("Join" in l and "g#" in l and "NOT" not in l)
+    ]
+    # the df-cap gate joins per_doc's and the posting build's gram rows
+    # against dup_grams; the old shape additionally self-joined the
+    # full gram table (visible as a join line with a doc_id inequality)
+    assert not any("doc_id" in l for l in gram_joins), gram_joins
+    assert "ObjectHashAggregate" in plan, plan
+
+
 def test_graph_edges_build_has_no_self_join(spark, sf_dir):
     """Round-18 pin (optimization round 1, guide §2.1): the shared
     co-purchase edge-list build collects each order's basket with one
