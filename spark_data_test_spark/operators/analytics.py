@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from spark_data_test_spark.operators.relational import cents, query, t
+from spark_data_test_spark.utils.spark_utils import bucket_pairs
 
 
 @query(
@@ -1377,6 +1378,17 @@ def rfm_segments(
     )
 
 
+# Hot-basket gate for the library `market_basket` pair expansion (see
+# `spark_utils.bucket_pairs` and dedup's `_BUCKET_CAP` for the
+# rationale): a basket at or under this many distinct items expands
+# in-task from one sorted collect_set; above it, the old streaming
+# basket self-join takes over so one mega-basket can never become a
+# single basket-sized aggregation buffer. The registered
+# `orders_market_basket` keeps the ungated fold — TPC-H orders hold
+# <= 7 items by data contract.
+_BASKET_CAP = 4096
+
+
 def market_basket(df, basket_col, item_col, min_support=1, k=None):
     """Library operator: market-basket pair affinity — the frame-level
     form of the registered `orders_market_basket`, extended with the
@@ -1388,28 +1400,39 @@ def market_basket(df, basket_col, item_col, min_support=1, k=None):
     (count_a * count_b) — lift > 1 means the pair co-occurs more than
     independence predicts, the association-rule screening statistic.
 
-    Scale shape: (basket, item) rows are deduplicated FIRST, the
-    quadratic step is a self-equi-join on the basket key so pair
-    volume is bounded by BASKET size, not corpus size (the canonical
+    Scale shape: (basket, item) rows are deduplicated FIRST, and the
+    quadratic step expands pairs IN-TASK per basket through the gated
+    `bucket_pairs` helper (round 19, ported from the registered
+    query's round-18 fold): baskets at or under `_BASKET_CAP` items
+    collect into one sorted set and expand without a join, while a
+    hot mega-basket streams through the fallback basket self-join
+    instead of a basket-sized aggregation buffer — pair volume is
+    bounded by BASKET size either way, not corpus size (the canonical
     co-occurrence discipline — a TPC-H order holds <= 7 items, a
-    retail basket tens; a hot basket is the skew lever, cap or salt
-    it upstream). Item counts and the basket total attach as ordinary
-    aggregates-then-joins (AQE broadcasts the small sides); no
-    collect anywhere. With ``k`` the result is the deterministic
-    global top-k by (support desc, item_a, item_b), planned as
-    TakeOrderedAndProject — each partition keeps its own k rows and
-    the driver merges — never a single-task sort over the whole
-    >= min_support pair set (the unpartitioned row_number window this
-    replaced funnels everything through one task at min_support=1 on
-    a large corpus)."""
+    retail basket tens). Rows with a NULL basket or item key never
+    pair in the self-join form (an equi-join drops NULL keys and
+    ``item_a < item_b`` is never true under NULL), so the pair step
+    runs on the null-filtered slice — provably the same pairs — while
+    item counts and the basket total still aggregate over the FULL
+    distinct frame, exactly as before. With ``k`` the result is the
+    deterministic global top-k by (support desc, item_a, item_b),
+    planned as TakeOrderedAndProject — each partition keeps its own k
+    rows and the driver merges — never a single-task sort over the
+    whole >= min_support pair set (the unpartitioned row_number window
+    this replaced funnels everything through one task at min_support=1
+    on a large corpus)."""
     items = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
-    a = items.select("_b", F.col("_i").alias("item_a"))
-    b = items.select("_b", F.col("_i").alias("item_b"))
     pairs = (
-        a.join(b, "_b")
-        .where(F.col("item_a") < F.col("item_b"))
+        bucket_pairs(
+            items.where(F.col("_b").isNotNull() & F.col("_i").isNotNull()),
+            ("_b",),
+            "_i",
+            _BASKET_CAP,
+            out_a="item_a",
+            out_b="item_b",
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= int(min_support))

@@ -43,12 +43,32 @@ from spark_data_test_spark.operators.similarity import (
 )
 from spark_data_test_spark.utils.spark_utils import (
     FrameCache,
+    bucket_pairs,
     checkpointed,
     local_df,
+    release_frame,
 )
 
 _N_HASHES = 12
 _BANDS = 4  # rows-per-band = 3
+
+# Hot-bucket gate for the LSH banding expansions (round 19; VERDICT r18
+# "What's wrong" #3): a band bucket at or under this many members is
+# collected into ONE sorted array and expanded in-task (the round-18
+# shape — one exchange, no join); a bucket ABOVE it falls back to the
+# streaming bucket self-join, because collecting it would materialize a
+# corpus-proportional array in a single aggregation buffer (the
+# executor-OOM / 2 GB BufferHolder hazard degenerate signatures —
+# boilerplate or empty-text docs sharing a band hash — create at 100 TB;
+# the old self-join had the same skewed pair VOLUME but never an
+# O(bucket) buffer). 4096 members ≈ a few-hundred-KB array per buffer —
+# far under any executor limit — while buckets that large are already
+# pathological for LSH (8M pairs each) and belong on the streaming
+# path. See `spark_utils.bucket_pairs` for the gate mechanics; the
+# stop-capped sites (containment rare shingles <= _STOP_SH_DF = 128,
+# n-gram postings <= _NGRAM_STOP_DF) are bounded by construction and
+# stay ungated.
+_BUCKET_CAP = 4096
 
 # --- shared SQL fragments -------------------------------------------------
 
@@ -223,23 +243,38 @@ def _cached_gid_pairs(spark, sf_dir):
     """Distinct candidate GROUP pairs (gid_a < gid_b) from banding over
     the per-distinct-text signatures."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    return _GID_PAIRS_CACHE.get_or_create(
-        key,
-        # localCheckpoint (as in the simhash fingerprint cache): the
-        # minhash+banding lineage re-analyzes on the driver for every
-        # downstream consumer; truncating it to a leaf collapses that
-        # to a scan. Eager materialization is free — the frame was
-        # persisted-by-design anyway.
-        lambda: checkpointed(
-            _band_pairs(
+
+    def build():
+        # The band index is eagerly checkpointed because the gated
+        # expansion (`_band_pairs` -> `bucket_pairs`) consumes it three
+        # times (size pass, cold aggregate, hot fallback join) — each
+        # read would otherwise re-run the whole minhash subtree. The
+        # pair frame itself is checkpointed too (as in the simhash
+        # fingerprint cache): the lineage re-analyzes on the driver for
+        # every downstream consumer, and truncating it to a leaf
+        # collapses that to a scan. Both materializations are eager, so
+        # the bands leaf can be released as soon as the pair frame
+        # exists.
+        bands = checkpointed(
+            _band_index(
                 _minhash(
                     _cached_shingles(spark, sf_dir).withColumnRenamed(
                         "gid", "doc_id"
                     )
                 )
-            ).select(F.col("doc_a").alias("gid_a"), F.col("doc_b").alias("gid_b"))
-        ),
-    )
+            )
+        )
+        try:
+            return checkpointed(
+                _band_pairs(bands).select(
+                    F.col("doc_a").alias("gid_a"),
+                    F.col("doc_b").alias("gid_b"),
+                )
+            )
+        finally:
+            release_frame(bands)
+
+    return _GID_PAIRS_CACHE.get_or_create(key, build)
 
 
 def _expand_group_pairs(members, gid_pairs):
@@ -321,54 +356,37 @@ def _minhash(sh):
     )
 
 
-def _band_pairs(mh):
-    """(band, sig) buckets -> candidate pairs via in-task expansion.
+def _band_pairs(bands):
+    """(band, sig) buckets -> candidate pairs via the GATED in-task
+    expansion (``doc_a < doc_b``, distinct over bands).
 
-    Bands come from ONE pass over the signature table (explode of an
-    inline array) rather than a 4-way union — a union re-evaluates the
-    whole minhash subtree once per band. Round-18 shape (guide §2.1/§2.4
-    — remove the shuffle): each bucket's member list is collected in ONE
-    map-side-combinable aggregate (collect_set over the unique
-    (doc, band) rows) and pairs are expanded IN-TASK over the sorted
-    array — (ds[i], ds[j]), j > i, so doc_a < doc_b by construction,
-    exactly the rows the old bucket self-join emitted. One exchange of
-    the band rows replaces the self-join's two (plus its sorts); the
-    trailing distinct is unchanged. The expansion is a TWO-LEVEL
-    explode (posexplode, then explode of the i-tail slice) so per-row
-    transient memory stays O(bucket), never O(bucket^2) — the pair
-    volume itself is the same quadratic-per-bucket output the join
-    streamed, which is LSH banding's contract either way.
+    Input is a `_band_index` frame — one row per (doc, band), bands
+    built in ONE pass over the signature table (explode of an inline
+    array) rather than a 4-way union, which would re-evaluate the
+    whole minhash subtree once per band. Round-18 shape (guide
+    §2.1/§2.4 — remove the shuffle): each bucket's member list is
+    collected in ONE map-side-combinable aggregate and pairs expand
+    IN-TASK over the sorted array, replacing the bucket self-join's
+    two exchanges with one. Round-19 gate (guide §5 — bound per-task
+    memory; see `bucket_pairs` and `_BUCKET_CAP`): buckets above the
+    cap fall back to the streaming self-join, so a degenerate band
+    signature can never materialize a corpus-proportional array in a
+    single aggregation buffer — identical pair set either way; the
+    trailing distinct is unchanged.
+
+    Callers pass a CHEAP-TO-RESCAN bands frame: the gate reads it
+    three times (size pass, cold aggregate, hot join), so production
+    (`_cached_gid_pairs`) eagerly checkpoints the band index first
+    and releases it once the pair frame is materialized.
     """
-    bands = mh.select(
+    return bucket_pairs(
+        bands,
+        ("band", "sig"),
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            F.col(f"h{3*b}"),
-                            F.col(f"h{3*b+1}"),
-                            F.col(f"h{3*b+2}"),
-                        ).alias("sig"),
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
-    buckets = bands.groupBy("band", "sig").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ds")
-    )
-    return (
-        buckets.where(F.size("ds") >= 2)
-        .select(F.col("ds"), F.posexplode("ds").alias("pos", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(F.expr("slice(ds, pos + 2, size(ds))")).alias("doc_b"),
-        )
-        .distinct()
-    )
+        _BUCKET_CAP,
+        out_a="doc_a",
+        out_b="doc_b",
+    ).distinct()
 
 
 # --- queries --------------------------------------------------------------
@@ -576,6 +594,108 @@ def _sp_vote_sums(corpus):
     )
 
 
+def _sp_banded(fp):
+    """(gid, lo, hi, band, sig) band rows from a packed-fingerprint
+    frame: band b of the fingerprint is one byte of lo (b < 4) or hi
+    (b >= 4), extracted with shift+mask. The packed fingerprint (two
+    longs, 16 bytes) RIDES ALONG on each band row so candidate
+    verification happens INSIDE the banding expansion — fetching lo/hi
+    through joins after banding added two sort-merge joins (four
+    shuffles) carrying the full raw candidate volume."""
+    return fp.select(
+        "gid",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(lo, {8 * b}) & 255"
+                            if b < 4
+                            else f"shiftright(hi, {8 * (b - 4)}) & 255"
+                        ).alias("sig"),
+                    )
+                    for b in range(_SP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("gid", "lo", "hi", "bs.band", "bs.sig")
+
+
+def _sp_bucket_pairs(bands, max_hamming=_SP_HAM_K, cap=_BUCKET_CAP):
+    """Verified simhash candidate rows ``(gid_a, gid_b, hamming)`` with
+    ``gid_a < gid_b`` and ``hamming <= max_hamming`` from `_sp_banded`
+    rows — one row per qualifying (bucket, pair), so callers dedup with
+    the groupBy(min) they already run.
+
+    Round-18 shape (guide §2.1/§2.4 — remove the shuffle): each band
+    bucket's (gid, lo, hi) members are collected in ONE map-side-
+    combinable aggregate ((gid, band) rows are unique, so collect_list
+    IS the old bucket contents; sort_array orders by gid, the struct's
+    first field) and candidate pairs expand IN-TASK over the sorted
+    array — ms[i] x ms[j], j > i, so gid_a < gid_b by construction,
+    exactly the rows the old bucket self-join emitted. The exact
+    hamming verify runs INSIDE the expansion and the <= K filter
+    prunes before anything is materialized, so the only shuffle
+    proportional to candidate volume is the caller's verify groupBy,
+    and it sees just the survivors. Two-level explode (posexplode,
+    then the i-tail slice) keeps per-row transient memory O(bucket).
+
+    Round-19 gate (guide §5 — bound per-task memory; the simhash key
+    space is only _SP_BANDS x 256 buckets, so bucket membership grows
+    O(corpus) by construction): buckets above ``cap`` members fall
+    back to the streaming bucket self-join — with the same in-join
+    verify, so the <= K filter still precedes any shuffle — instead of
+    materializing a corpus-proportional struct array in one
+    aggregation buffer. Identical row set either way. The bands frame
+    is read three times (size pass, cold aggregate, hot join); every
+    caller derives it from an eagerly checkpointed fingerprint frame,
+    so each read is an explode over a leaf scan."""
+    sizes = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_n"))
+    hot = sizes.where(F.col("_n") > int(cap)).select("band", "sig")
+    cold_rows = (
+        bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+        .groupBy("band", "sig")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("gid", "lo", "hi"))).alias(
+                "ms"
+            )
+        )
+        .where(F.size("ms") >= 2)
+        .select(F.col("ms"), F.posexplode("ms").alias("pos", "m"))
+        .select(
+            "m",
+            F.explode(F.expr("slice(ms, pos + 2, size(ms))")).alias("o"),
+        )
+        .select(
+            F.col("m.gid").alias("gid_a"),
+            F.col("o.gid").alias("gid_b"),
+            F.expr(
+                "bit_count(m.lo ^ o.lo) + bit_count(m.hi ^ o.hi)"
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+    hot_rows = bands.join(F.broadcast(hot), ["band", "sig"])
+    a, b = hot_rows.alias("a"), hot_rows.alias("b")
+    hot_pairs = (
+        a.join(b, ["band", "sig"])
+        .where(F.expr("a.gid < b.gid"))
+        .select(
+            F.expr("a.gid").alias("gid_a"),
+            F.expr("b.gid").alias("gid_b"),
+            F.expr(
+                "CAST(bit_count(a.lo ^ b.lo)"
+                " + bit_count(a.hi ^ b.hi) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+    return cold_rows.unionByName(hot_pairs)
+
+
 @query(
     "dedup_simhash_pairs",
     f"""
@@ -628,9 +748,13 @@ def dedup_simhash_pairs(spark, sf_dir):
     hamming is two xor+bit_count ops and band signatures are byte
     extractions — identical arithmetic in Spark and DuckDB, ~6x faster
     than per-position string comparison on both engines. At 100 TB:
-    banding is 8 hash joins on byte-band keys over distinct texts; a
-    pair's candidates dedup AFTER the <= K filter, so no shuffle
-    carries the raw collision volume."""
+    banding is one exchange of the band rows plus the gated in-task
+    expansion (`_sp_bucket_pairs`; buckets over `_BUCKET_CAP` members
+    stream through the fallback self-join instead of one aggregation
+    buffer — the byte-band key space is only 8 x 256, so bucket size
+    grows with the corpus by construction); a pair's candidates dedup
+    AFTER the <= K filter, so no shuffle carries the raw collision
+    volume."""
     corpus = _near_corpus(spark, sf_dir)
     docs = corpus.select("doc_id", F.md5("text").alias("gid"))
 
@@ -674,68 +798,18 @@ def dedup_simhash_pairs(spark, sf_dir):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     fp = _SIM_FP_CACHE.get_or_create(key, build_fp)
-    # integer band keys: band b of the packed fingerprint is one byte
-    # of lo (b < 4) or hi (b >= 4). The packed fingerprint (two longs,
-    # 16 bytes) RIDES ALONG on each band row so candidate verification
-    # happens INSIDE the banding self-join — the previous shape joined
-    # the candidate pairs back to fp twice to fetch lo/hi, adding two
-    # sort-merge joins (four shuffles) that carried the full raw
-    # candidate volume; this one-join form verifies in place and the
-    # first post-join shuffle sees only the hamming <= K survivors
-    # (plan audited: 12 shuffles / 6 SMJ -> 6 shuffles / 4 SMJ).
-    bands = fp.select(
-        "gid",
-        "lo",
-        "hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"shiftright(lo, {8 * b}) & 255"
-                            if b < 4
-                            else f"shiftright(hi, {8 * (b - 4)}) & 255"
-                        ).alias("sig"),
-                    )
-                    for b in range(_SP_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("gid", "lo", "hi", "bs.band", "bs.sig")
-    # Round-18 shape (guide §2.1/§2.4 — remove the shuffle): each band
-    # bucket's (gid, lo, hi) members are collected in ONE map-side-
-    # combinable aggregate ((gid, band) rows are unique, so collect_list
-    # IS the old bucket contents; sort_array orders by gid, the struct's
-    # first field) and candidate pairs expand IN-TASK over the sorted
-    # array — ms[i] x ms[j], j > i, so gid_a < gid_b by construction,
-    # exactly the rows the old bucket self-join emitted. The exact
-    # hamming verify runs INSIDE the expansion lambda and the <= K
-    # filter prunes before anything is materialized, so — as before —
-    # the only shuffle proportional to candidate volume is the verify
-    # groupBy, and it sees just the survivors. No distinct on raw
-    # candidates: a pair sharing k bands appears k times, each copy
-    # scores the same exact hamming, so dedup stays in the groupBy.
-    # Two-level explode (posexplode, then the i-tail slice) keeps
-    # per-row transient memory O(bucket), never O(bucket^2).
-    buckets = bands.groupBy("band", "sig").agg(
-        F.sort_array(F.collect_list(F.struct("gid", "lo", "hi"))).alias("ms")
-    )
+    # Gated in-task banding (see `_sp_banded`/`_sp_bucket_pairs`): the
+    # exact hamming verify runs INSIDE the expansion (or inside the
+    # hot-bucket fallback join) and the <= K filter prunes before
+    # anything is materialized, so the only shuffle proportional to
+    # candidate volume is the verify groupBy below, and it sees just
+    # the survivors. No distinct on raw candidates: a pair sharing k
+    # bands appears k times, each copy scores the same exact hamming,
+    # so dedup stays in the groupBy(min). The bands projection rescans
+    # the checkpointed fingerprint leaf, so the gate's three reads are
+    # cheap.
     gpairs = (
-        buckets.where(F.size("ms") >= 2)
-        .select(F.col("ms"), F.posexplode("ms").alias("pos", "m"))
-        .select(
-            "m",
-            F.explode(F.expr("slice(ms, pos + 2, size(ms))")).alias("o"),
-        )
-        .select(
-            F.col("m.gid").alias("gid_a"),
-            F.col("o.gid").alias("gid_b"),
-            F.expr(
-                "bit_count(m.lo ^ o.lo) + bit_count(m.hi ^ o.hi)"
-            ).cast("long").alias("hamming"),
-        )
-        .where(F.col("hamming") <= _SP_HAM_K)
+        _sp_bucket_pairs(_sp_banded(fp))
         .groupBy("gid_a", "gid_b")
         .agg(F.min("hamming").alias("hamming"))
     )
@@ -1408,16 +1482,20 @@ def _cached_gid_co_counts(spark, sf_dir, sampled=False):
     inverted index with STOP-SHINGLE-CAPPED discovery (the scale rule
     the docstrings promised; now implemented):
 
-    * discovery: the self-join runs only over shingles with document
-      frequency <= _STOP_SH_DF, so its volume is bounded by per-RARE-
-      shingle df squares — measured at sf0.1 the join input drops
+    * discovery: restricted to shingles with document frequency
+      <= _STOP_SH_DF, so its volume is bounded by per-RARE-shingle df
+      squares — measured at sf0.1 the discovery input drops
       64.2M -> 20.8M rows and the discovered pair set 10.9M -> 6.2M,
       with ZERO truth (J >= 0.5) or containment (>= 0.8) pairs lost
       (every qualifying pair shares at least one sub-cap shingle; a
       pair ALL of whose shared shingles sit in > _STOP_SH_DF docs is
-      boilerplate overlap by construction). At 100 TB this cap is the
-      difference between an inverted-index plan and a licence-header
-      cross-join — same rule as corpus_duplicate_ngrams' stop grams.
+      boilerplate overlap by construction). The FULL build expands
+      pairs in-task from stop-capped posting lists; the SAMPLED build
+      keeps the rare-shingle self-join (the per-variant fork measured
+      in round 18 — see the shape comment below). At 100 TB this cap
+      is the difference between an inverted-index plan and a
+      licence-header cross-join — same rule as
+      corpus_duplicate_ngrams' stop grams.
     * exactness: i is still the FULL intersection — the rare self-join
       contributes i_rare, and the hot remainder comes from per-doc HOT
       ARRAYS (hot vocabulary is small by construction: at most
@@ -1936,16 +2014,26 @@ def duplicate_ngram_spans(
                 ),
             )
         )
+        # Round-19 port of the registered query's partner shape (guide
+        # §2.1/§2.4): directed (doc, partner) rows stream from per-dup-
+        # gram posting lists via a two-level explode instead of a
+        # second gram-keyed self-join of the full inverted index. The
+        # posting lists are built ONLY for dup grams and each is
+        # bounded at ``stop_df`` docs by the df cap, so the per-bucket
+        # array is capped by construction — no size gate needed.
         partners = (
             grams.join(dup_grams, "g")
-            .alias("a")
-            .join(
-                grams.alias("b"),
-                (F.col("a.g") == F.col("b.g"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            .groupBy("g")
+            .agg(F.collect_set("doc_id").alias("ds"))
+            .select(F.col("ds"), F.explode("ds").alias("doc_id"))
+            .select(
+                "doc_id",
+                F.explode(F.expr("filter(ds, y -> y != doc_id)")).alias(
+                    "partner"
+                ),
             )
-            .groupBy(F.col("a.doc_id").alias("doc_id"))
-            .agg(F.countDistinct(F.col("b.doc_id")).alias("n_partner_docs"))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("partner").alias("n_partner_docs"))
         )
         return (
             per_doc.where(F.col("n_dup_grams") > 0)
@@ -3175,14 +3263,16 @@ def near_dup_pairs(docs, tau_1e6=500000):
     Architecture matches the registered pipeline
     (`dedup_minhash_lsh` -> `dedup_near_jaccard`):
     EXACT-DEDUP-BEFORE-NEAR-DUP — the whole LSH pipeline runs once per
-    DISTINCT text, the banding self-join and the Jaccard verify are
-    bounded by candidate GROUPS (k exact copies of a text shrink both
-    by k^2), and doc pairs are reconstructed by a members join at the
-    end. The verify is computed once per distinct text pair on the
-    candidate slice of the group-shingle table; join strategies are
-    left to AQE. The returned frame is an executor-local checkpoint
-    (pair-volume-sized, dup-proportional) so the internal caches are
-    released before the caller executes it."""
+    DISTINCT text, the gated in-task banding expansion (`_band_pairs`;
+    round 19 ported from the registered pipeline — the bucket
+    self-join survives only as the over-`_BUCKET_CAP` fallback) and
+    the Jaccard verify are bounded by candidate GROUPS (k exact copies
+    of a text shrink both by k^2), and doc pairs are reconstructed by
+    a members join at the end. The verify is computed once per
+    distinct text pair on the candidate slice of the group-shingle
+    table; join strategies are left to AQE. The returned frame is an
+    executor-local checkpoint (pair-volume-sized, dup-proportional) so
+    the internal caches are released before the caller executes it."""
     docs = docs.select("doc_id", "text")
     members = docs.select("doc_id", F.md5("text").alias("gid")).persist()
     gsh = (
@@ -3194,19 +3284,17 @@ def near_dup_pairs(docs, tau_1e6=500000):
         .withColumnRenamed("doc_id", "gid")
         .persist()
     )
+    bands = None
     try:
-        bands = _band_index(
-            _minhash(gsh.withColumnRenamed("gid", "doc_id"))
-        ).withColumnRenamed("doc_id", "gid")
-        a, b = bands.alias("a"), bands.alias("b")
-        gpairs = (
-            a.join(b, ["band", "sig"])
-            .where(F.col("a.gid") < F.col("b.gid"))
-            .select(
-                F.col("a.gid").alias("gid_a"),
-                F.col("b.gid").alias("gid_b"),
-            )
-            .distinct()
+        # eager checkpoint, as in `_cached_gid_pairs`: the gate reads
+        # the band index three times; released in the finally once the
+        # (eager) result checkpoint exists
+        bands = checkpointed(
+            _band_index(_minhash(gsh.withColumnRenamed("gid", "doc_id")))
+        )
+        gpairs = _band_pairs(bands).select(
+            F.col("doc_a").alias("gid_a"),
+            F.col("doc_b").alias("gid_b"),
         )
         cand_gids = (
             gpairs.select(F.col("gid_a").alias("gid"))
@@ -3269,6 +3357,8 @@ def near_dup_pairs(docs, tau_1e6=500000):
     finally:
         members.unpersist()
         gsh.unpersist()
+        if bands is not None:
+            release_frame(bands)
 
 
 def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
@@ -3287,11 +3377,13 @@ def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
 
     NOT an LSH plan: MinHash banding targets Jaccard and provably
     misses low-Jaccard containment pairs, so discovery runs on the
-    shingle INVERTED INDEX with stop-shingle-capped discovery — the
-    self-join is restricted to shingles in <= ``stop_df`` distinct
-    texts (work bounded by per-rare-shingle frequency squares; at
-    100 TB the cap is the difference between an index plan and a
-    licence-header cross-join) while the intersection stays EXACT:
+    shingle INVERTED INDEX with stop-shingle-capped discovery —
+    restricted to shingles in <= ``stop_df`` distinct texts and
+    expanded IN-TASK from per-shingle posting lists bounded at
+    ``stop_df`` gids each (work bounded by per-rare-shingle frequency
+    squares; at 100 TB the cap is the difference between an index
+    plan and a licence-header cross-join) while the intersection
+    stays EXACT:
     the hot remainder folds in from per-text hot-shingle arrays
     joined by gid (the only FORCED broadcast anywhere is the small
     Zipf-head hot-shingle list; rare = all − hot rides a left_anti
@@ -3338,15 +3430,30 @@ def containment_pairs(docs, tau_1e6=_CONTAIN_1E6, stop_df=_STOP_SH_DF):
         .persist()
     )
     try:
+        # Round-19 port of the registered full build's discovery shape
+        # (`_cached_gid_co_counts`, sampled=False; guide §2.1/§2.4):
+        # per-rare-shingle posting lists are collected in ONE map-side-
+        # combinable aggregate ((gid, sh) rows are distinct, so
+        # collect_set IS the old per-shingle bucket) and discovery
+        # pairs expand IN-TASK over the sorted array — gs[i] x gs[j],
+        # j > i, so ga < gb by construction, exactly the rows the old
+        # rare self-join emitted. Every bucket is bounded at
+        # ``stop_df`` gids by the hot anti-join above, so the
+        # per-bucket array is capped by construction — no size gate
+        # needed (unlike the LSH banding sites).
         shr = gsh.join(F.broadcast(hot), "sh", "left_anti")
-        a, b = shr.alias("a"), shr.alias("b")
         co = (
-            a.join(
-                b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col("a.gid") < F.col("b.gid")),
+            shr.groupBy("sh")
+            .agg(F.sort_array(F.collect_set("gid")).alias("gs"))
+            .where(F.size("gs") >= 2)
+            .select(F.col("gs"), F.posexplode("gs").alias("pos", "ga"))
+            .select(
+                "ga",
+                F.explode(
+                    F.expr("slice(gs, pos + 2, size(gs))")
+                ).alias("gb"),
             )
-            .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+            .groupBy("ga", "gb")
             .agg(F.count(F.lit(1)).alias("i_rare"))
         )
         ha = ghot.select(F.col("gid").alias("ga"), F.col("hs").alias("ha"))
@@ -3423,13 +3530,13 @@ def simhash_near_dup_pairs(docs, max_hamming=_SP_HAM_K):
     never pair (matching the registered query's semantics).
 
     Group-level like the rest of the family: fingerprints, banding,
-    and the packed-popcount hamming verify (INSIDE the banding join)
-    run once per DISTINCT text; doc pairs are reconstructed by a
-    members join. The result is an executor-local checkpoint
-    (pair-volume-sized) so the fingerprint checkpoints release before
-    the caller executes it."""
-    from spark_data_test_spark.utils.spark_utils import release_frame
-
+    and the packed-popcount hamming verify (INSIDE the gated in-task
+    banding expansion — `_sp_bucket_pairs`, ported from the registered
+    query in round 19; the banding self-join survives only as the
+    over-`_BUCKET_CAP` fallback) run once per DISTINCT text; doc pairs
+    are reconstructed by a members join. The result is an
+    executor-local checkpoint (pair-volume-sized) so the fingerprint
+    checkpoints release before the caller executes it."""
     if not 0 <= max_hamming <= _SP_HAM_K:
         raise ValueError(
             f"max_hamming must be in [0, {_SP_HAM_K}] — banding recall "
@@ -3448,40 +3555,14 @@ def simhash_near_dup_pairs(docs, max_hamming=_SP_HAM_K):
         )
     )
     try:
-        bands = fp.select(
-            "gid",
-            "lo",
-            "hi",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(
-                                f"shiftright(lo, {8 * b}) & 255"
-                                if b < 4
-                                else f"shiftright(hi, {8 * (b - 4)}) & 255"
-                            ).alias("sig"),
-                        )
-                        for b in range(_SP_BANDS)
-                    ]
-                )
-            ).alias("bs"),
-        ).select("gid", "lo", "hi", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        a, b = bands.alias("a"), bands.alias("b")
+        # fp is an eager checkpoint, so the gate's three band-frame
+        # reads are explodes over a leaf scan; groupBy(min) dedups a
+        # pair's multiple band collisions exactly as the old
+        # post-filter distinct did (hamming is determined by the pair)
         gpairs = (
-            a.join(b, ["band", "sig"])
-            .where(F.expr("a.gid < b.gid"))
-            .select(
-                F.expr("a.gid").alias("gid_a"),
-                F.expr("b.gid").alias("gid_b"),
-                F.expr(
-                    "CAST(bit_count(a.lo ^ b.lo)"
-                    " + bit_count(a.hi ^ b.hi) AS BIGINT)"
-                ).alias("hamming"),
-            )
-            .where(F.col("hamming") <= F.lit(int(max_hamming)))
-            .distinct()
+            _sp_bucket_pairs(_sp_banded(fp), max_hamming=max_hamming)
+            .groupBy("gid_a", "gid_b")
+            .agg(F.min("hamming").alias("hamming"))
         )
         m_fp = members.join(fp.select("gid"), "gid")
         ma = m_fp.select(

@@ -659,44 +659,56 @@ def test_basket_pair_expansion_is_in_task(spark, sf_dir):
 
 
 def test_band_pairs_expansion_is_in_task(spark, sf_dir):
-    """Round-18 pin (optimization round 1, guide §2.1): the MinHash
-    banding candidate build collects each (band, sig) bucket with one
-    aggregate and expands pairs in-task (two-level explode) — the
-    bucket SELF-join is gone, so the only join left in the lazy build
-    plan is the broadcast shingle-dictionary attach. Pinned on the
-    internal build frame because every registered consumer reads it
-    through an eager localCheckpoint leaf."""
+    """Round-19 pin (guide §2.1 + §5, VERDICT r18 item 2): the MinHash
+    banding candidate build collects each at-or-under-`_BUCKET_CAP`
+    (band, sig) bucket with one aggregate and expands pairs in-task
+    (two-level explode). The bucket SELF-join survives ONLY as the
+    size-gated hot-bucket fallback behind the broadcast oversized-key
+    gate, so the plan must contain the LeftAnti gate, the expansion
+    Generates and the collect_set ObjectHashAggregate, and AT MOST ONE
+    non-broadcast join (the fallback). Pinned on the internal build
+    frame because every registered consumer reads it through an eager
+    localCheckpoint leaf."""
     from spark_data_test_spark.operators import dedup
-    from spark_data_test_spark.plans.audit import formatted_plan
+    from spark_data_test_spark.plans.audit import plan_op_counts, simple_plan
 
     sh = dedup._cached_shingles(spark, sf_dir).withColumnRenamed(
         "gid", "doc_id"
     )
-    plan = formatted_plan(dedup._band_pairs(dedup._minhash(sh)))
-    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
-                 "BroadcastNestedLoopJoin"):
-        assert join not in plan, plan
+    df = dedup._band_pairs(dedup._band_index(dedup._minhash(sh)))
+    counts = plan_op_counts(df)
+    assert counts["SortMergeJoin"] + counts["ShuffledHashJoin"] <= 1, counts
+    assert counts["CartesianProduct"] == 0, counts
+    assert counts["BroadcastNestedLoopJoin"] == 0, counts
     # two Generates: posexplode over the bucket, explode of the i-tail
     # (plus the band explode itself); the collect_set bucket aggregate
     # is an ObjectHashAggregate with a partial mode
-    assert plan.count("Generate") >= 3, plan
-    assert "ObjectHashAggregate" in plan, plan
+    assert counts["Generate"] >= 3, counts
+    assert counts["ObjectHashAggregate"] >= 1, counts
+    assert "LeftAnti" in simple_plan(df)  # the broadcast hot-key gate
 
 
 def test_simhash_pair_banding_is_in_task(spark, sf_dir):
-    """Round-18 pin (optimization round 1, guide §2.1): the simhash
+    """Round-19 pin (guide §2.1 + §5, VERDICT r18 item 2): the simhash
     banding candidates expand in-task from per-bucket member arrays
-    with the exact-hamming verify INSIDE the expansion — the banding
-    self-join (previously 1 of the plan's SMJs, keyed on band+sig) is
-    gone. The joins that remain are the membership expansion joins, all
-    keyed on gid — assert no join line mentions the band/sig keys."""
+    with the exact-hamming verify INSIDE the expansion; buckets over
+    `_BUCKET_CAP` stream through the gated fallback self-join (verify
+    still in-join). At most ONE join line may mention the band/sig
+    keys — the gated fallback — and the broadcast LeftAnti gate plus
+    the collect_list ObjectHashAggregate must be present. The other
+    joins are the membership expansion joins, all keyed on gid."""
     from spark_data_test_spark.operators.dedup import dedup_simhash_pairs
     from spark_data_test_spark.plans.audit import simple_plan
 
     plan = simple_plan(dedup_simhash_pairs(spark, sf_dir))
-    for line in plan.splitlines():
-        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
-            assert "band" not in line and "sig" not in line, line
+    band_joins = [
+        line
+        for line in plan.splitlines()
+        if ("SortMergeJoin" in line or "ShuffledHashJoin" in line)
+        and ("band" in line or "sig" in line)
+    ]
+    assert len(band_joins) <= 1, band_joins
+    assert "LeftAnti" in plan, plan
     assert "ObjectHashAggregate" in plan, plan
 
 
